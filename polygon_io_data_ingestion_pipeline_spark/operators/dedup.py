@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the point of each design):
+
+- **exact**: one shuffle on the md5 fingerprint — the canonical 100 TB
+  dedup pattern (hash-groupBy, never a self-join on raw text).
+- **jaccard_pairs**: shingle inverted-index self-join. Cost is bounded
+  by sum over shingles of (docs-per-shingle)^2, not |docs|^2; hot
+  shingles can be dropped like stopwords via ``max_docs_per_shingle``.
+- **MinHash+LSH**: fixed-width signatures (k small) then banding, so
+  candidate generation is a hash join on band keys — linear shuffle
+  volume in |docs|, independent of pair count. Hash functions are
+  ``md5(shingle + '#' + seed)`` string-mins: engine-portable and
+  deterministic (the same construction is expressible in the DuckDB
+  oracle, unlike engine-native hash()).
+- **SimHash**: 32-bit signature from the high bit of each md5 hex digit
+  of every token, token-count weighted; near-dups = small Hamming
+  distance on a single long column.
+- **embedding pairs**: brute-force cosine is quadratic — correct as an
+  oracle/baseline; the LSH route (similarity.py) is the scale path.
+
+Everything is built-in column expressions; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import fingerprint, word_shingles
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Duplicate classes by exact (case-folded) content hash."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingle_set(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct (id, shingle) pairs — the inverted-index input."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.1,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by n-word-shingle Jaccard similarity.
+
+    Returns ``(id1, id2, jaccard)`` with id1 < id2, jaccard >= threshold.
+    """
+    sh = shingle_set(df, text_col, id_col, n)
+    if max_docs_per_shingle is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df_"))
+            .filter(F.col("df_") <= max_docs_per_shingle)
+            .select("shingle")
+        )
+        sh = sh.join(hot, "shingle")
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id1"), "shingle")
+    b = sh.select(F.col(id_col).alias("id2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")), "id1")
+        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")), "id2")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+) -> DataFrame:
+    """k MinHash values per document: ``min(md5(shingle + '#' + j))``.
+
+    Output: (id, j, mh) — long format so banding is a plain groupBy.
+    """
+    sh = shingle_set(df, text_col, id_col, n)
+    return (
+        sh.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            F.col("shingle"),
+        )
+        .groupBy(id_col, "j")
+        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("j")))).alias("mh"))
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: documents sharing any full band.
+
+    Band key = md5 of the band's minhashes in seed order; candidates are
+    produced by a self-join on (band, key) — shuffle volume linear in
+    the corpus, never quadratic.
+    """
+    mh = minhash_signatures(df, text_col, id_col, n, k)
+    bands = (
+        mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]
+                    ),
+                    "|",
+                )
+            ).alias("bkey")
+        )
+    )
+    a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """Token-count-weighted SimHash signature (one long per document).
+
+    Bit i of a token's hash is the high bit of hex digit i of its md5 —
+    ``bits`` independent 1-bit hashes from one md5, identical in any
+    engine with md5 (portable to the SQL oracle).
+    """
+    toks = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").alias("w"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    contrib = (
+        toks.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("i"),
+            F.col("w"),
+            F.col("h"),
+        )
+        .withColumn(
+            "s",
+            F.when(
+                F.expr("substr(h, i + 1, 1)").isin(*list("89abcdef")), F.col("w")
+            ).otherwise(-F.col("w")),
+        )
+        .groupBy(id_col, "i")
+        .agg(F.sum("s").alias("s"))
+    )
+    return contrib.groupBy(id_col).agg(
+        F.sum(
+            F.when(F.col("s") >= 0, F.expr("shiftleft(CAST(1 AS BIGINT), i)")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Candidate generation here is all-pairs (fine for oracle scale); the
+    production pattern at 100 TB is to split the signature into
+    ``max_hamming+1`` chunks and hash-join on any exact chunk match
+    (pigeonhole), which this returns identical results to.
+    """
+    sig = simhash(df, text_col, id_col, bits)
+    a = sig.select(F.col(id_col).alias("id1"), F.col("simhash").alias("h1"))
+    b = sig.select(F.col(id_col).alias("id2"), F.col("simhash").alias("h2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+    )

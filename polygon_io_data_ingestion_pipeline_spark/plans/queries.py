@@ -1,0 +1,792 @@
+"""Query registry: every operator family from SURVEY.md §2 exercised as
+a (PySpark plan, DuckDB oracle SQL) pair over the driver test tables.
+
+Parity rules (the driver hash-compares sorted-by-name columns at
+sf0.01):
+
+- identical column aliases on both sides;
+- doubles are pre-rounded on BOTH sides; large double sums go through
+  DECIMAL(25,6) so the result is association-order independent;
+- timestamps are compared as exact int64 micros (``ts_us`` vs DuckDB
+  ``epoch_us(ts)`` — DuckDB truncates the nano-precision events table to
+  micros at scan time) or as date strings, never as raw timestamps;
+- computed integer aggregates are cast to BIGINT on both sides (DuckDB
+  sums integers into HUGEINT, Spark into long).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import asof_join
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators import text as T
+from ..sources import table
+from ..functions.timeutil import epoch_to_timestamp
+
+
+@dataclass
+class Query:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def q(name: str, oracle: str | None = None, bench: bool = False, doc: str = "", tags=()):
+    def deco(fn):
+        REGISTRY[name] = Query(name, fn, oracle, bench, doc, tuple(tags))
+        return fn
+
+    return deco
+
+
+def _dsum(col, scale: int = 2):
+    """Association-order-independent double sum: exact DECIMAL(25,6)
+    accumulation, rounded, returned as DOUBLE."""
+    return F.round(F.sum(col.cast("decimal(25,6)")), scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A. Relational core (scans, filters, joins, aggregation, sort/limit, union)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q01_pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,6))), 2) AS DOUBLE) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    bench=True,
+    doc="Full-scan grouped aggregation (SURVEY §2.4 A1-A4); flagship.",
+    tags=("agg",),
+)
+def tpch_q01(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q03_top_orders",
+    oracle="""
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate > TIMESTAMP '1998-06-30'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    bench=True,
+    doc="Join + agg + deterministic top-k (SURVEY §2.3 J-family, §2.6).",
+    tags=("join", "topk"),
+)
+def tpch_q03(spark: SparkSession, sf: str) -> DataFrame:
+    cutoff = F.lit("1998-06-30").cast("timestamp_ntz")
+    c = table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = table(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "tpch_q05_local_supplier_volume",
+    oracle="""
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,6))), 2) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    bench=True,
+    doc="Six-way join with broadcast dims (SURVEY §2.3 J1; §4 broadcast).",
+    tags=("join",),
+)
+def tpch_q05(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    o = table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = table(spark, sf, "customer")
+    s = table(spark, sf, "supplier")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@q(
+    "region_customer_rollup",
+    oracle="""
+SELECT r_name, n_name, count(*) AS n_customers,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(25,6))), 2) AS DOUBLE) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+""",
+    doc="Broadcast star join + rollup (SURVEY §1.4 dim joins).",
+    tags=("join", "agg"),
+)
+def region_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "filter_project_pushdown",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice * (1 - l_discount), 4) AS net_price
+FROM lineitem
+WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+  AND l_quantity > 25
+""",
+    doc="Projection + predicate pushed to parquet scan (SURVEY §2.2 P1-P5).",
+    tags=("scan",),
+)
+def filter_project(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return li.filter(
+        F.col("l_shipdate").between(
+            F.lit("1997-01-01").cast("timestamp_ntz"),
+            F.lit("1997-12-31").cast("timestamp_ntz"),
+        )
+        & (F.col("l_quantity") > 25)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net_price"),
+    )
+
+
+@q(
+    "topk_orders",
+    oracle="""
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    doc="Global top-k without full sort (TakeOrdered; SURVEY §2.6).",
+    tags=("topk",),
+)
+def topk_orders(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        table(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+@q(
+    "distinct_union_universe",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey FROM supplier
+""",
+    doc="Universe union + distinct (SURVEY §2.7 U1, A5).",
+    tags=("set",),
+)
+def distinct_union(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# B. Time-series / window semantics on the events stream
+#    (models the reference's bar-table computations, SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_epoch_unit_inference",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS wall
+FROM events
+""",
+    doc="Epoch-unit inference by magnitude (ingest.py:171-176) on raw int64 nanos.",
+    tags=("time",),
+)
+def epoch_inference(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    # ts_ns is the raw int64; infer its unit by magnitude (the reference's
+    # s/ms/us/ns thresholds) and render the UTC wall clock at second
+    # precision. Session tz is forced to UTC by the table loader.
+    return ev.select(
+        "event_id",
+        F.date_format(epoch_to_timestamp("ts_ns"), "yyyy-MM-dd HH:mm:ss").alias("wall"),
+    )
+
+
+@q(
+    "events_dedup_keep_last",
+    oracle="""
+SELECT user_id, event_type, event_id, ts_us FROM (
+  SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    doc="Keep-last dedup via ranked window (SURVEY §2.2 P7 SCD resolution).",
+    tags=("window", "dedup"),
+)
+def dedup_keep_last(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts_us")
+    )
+
+
+@q(
+    "events_manifest_stats",
+    oracle="""
+SELECT event_type,
+       min(epoch_us(ts)) AS min_ts_us,
+       max(epoch_us(ts)) AS max_ts_us,
+       count(*) AS n_rows,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type
+""",
+    doc="Manifest-style min/max/count stats (SURVEY §2.4 A3, §2.1 S15).",
+    tags=("agg",),
+)
+def manifest_stats(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.min("ts_us").alias("min_ts_us"),
+        F.max("ts_us").alias("max_ts_us"),
+        F.count("*").alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@q(
+    "events_scd_window_join",
+    oracle="""
+WITH w AS (
+  SELECT event_id AS signup_id, user_id, ts AS start_ts,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+  FROM events WHERE event_type = 'signup'
+)
+SELECT w.signup_id, count(e.event_id) AS n_clicks
+FROM w LEFT JOIN events e
+  ON e.user_id = w.user_id AND e.event_type = 'click'
+ AND e.ts >= w.start_ts AND (w.end_ts IS NULL OR e.ts < w.end_ts)
+GROUP BY w.signup_id
+""",
+    doc="SCD-2-style effective-window join (SURVEY §2.3 J1: interval predicate "
+    "on a per-key validity window, factor_builder.py:168-177).",
+    tags=("join", "scd"),
+)
+def scd_window_join(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    su = ev.filter(F.col("event_type") == "signup").select("event_id", "user_id", "ts_us")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    wins = su.select(
+        F.col("event_id").alias("signup_id"),
+        F.col("user_id").alias("w_user"),
+        F.col("ts_us").alias("start_us"),
+        F.lead("ts_us").over(w).alias("end_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    cond = (
+        (F.col("c_user") == F.col("w_user"))
+        & (F.col("c_ts") >= F.col("start_us"))
+        & (F.col("end_us").isNull() | (F.col("c_ts") < F.col("end_us")))
+    )
+    return (
+        wins.join(clicks, cond, "left")
+        .groupBy("signup_id")
+        .agg(F.count("click_id").alias("n_clicks"))
+    )
+
+
+@q(
+    "events_asof_forward_snap",
+    oracle="""
+SELECT c.event_id, min(epoch_us(p.ts)) AS next_purchase_us
+FROM events c JOIN events p
+  ON p.user_id = c.user_id AND p.event_type = 'purchase' AND p.ts >= c.ts
+WHERE c.event_type = 'click'
+GROUP BY c.event_id
+""",
+    doc="Forward as-of join with exact matches allowed (SURVEY §2.3 J2 — "
+    "pd.merge_asof(direction='forward'), factor_builder.py:261-267); "
+    "implemented as union + window-min, one shuffle.",
+    tags=("asof",),
+)
+def asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_us")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts_us")
+    out = asof_join(
+        clicks,
+        purchases,
+        on="ts_us",
+        by="user_id",
+        direction="forward",
+        allow_exact_matches=True,
+        right_prefix="next_",
+        how="inner",
+    )
+    return out.select("event_id", F.col("next_ts_us").alias("next_purchase_us"))
+
+
+@q(
+    "events_window_lag_ratio",
+    oracle="""
+SELECT event_id, gap FROM (
+  SELECT event_id,
+         round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap
+  FROM events WHERE event_type = 'purchase'
+) WHERE gap IS NOT NULL
+""",
+    doc="Prior-row ratio (SURVEY §2.5 W1/W7 — lag + divide, the overnight-gap shape).",
+    tags=("window",),
+)
+def window_lag_ratio(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            F.round(F.col("value") / F.lag("value").over(w), 6).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+    )
+
+
+@q(
+    "events_cumprod_normalized_factor",
+    oracle="""
+SELECT event_id,
+       round(exp(
+         sum(ln(1 + value / 1000)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         - sum(ln(1 + value / 1000)) OVER (PARTITION BY user_id)
+       ), 6) AS norm_factor
+FROM events WHERE event_type = 'purchase'
+""",
+    bench=True,
+    doc="Cumulative product normalized to the partition's last value — the "
+    "reference's factor-series core (SURVEY §2.5 W2+W3, factor_builder.py:272-276) "
+    "via exp(sum(log)) windows.",
+    tags=("window", "factors"),
+)
+def cumprod_normalized(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    lg = F.log(1 + F.col("value") / 1000)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy("user_id")
+    return ev.select(
+        "event_id",
+        F.round(F.exp(F.sum(lg).over(running) - F.sum(lg).over(total)), 6).alias("norm_factor"),
+    )
+
+
+@q(
+    "events_grouped_product",
+    oracle="""
+SELECT user_id,
+       round(exp(sum(ln(1 + value / 1000))), 6) AS cum_ratio,
+       count(*) AS n_events
+FROM events WHERE event_type = 'signup'
+GROUP BY user_id
+""",
+    doc="Grouped product of same-day ratios (SURVEY §2.4 A1, factor_builder.py:269).",
+    tags=("agg", "factors"),
+)
+def grouped_product(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "signup")
+    return ev.groupBy("user_id").agg(
+        F.round(F.exp(F.sum(F.log(1 + F.col("value") / 1000))), 6).alias("cum_ratio"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@q(
+    "events_day_edges",
+    oracle="""
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       round(min_by(value, epoch_us(ts)), 6) AS first_value,
+       round(max_by(value, epoch_us(ts)), 6) AS last_value,
+       count(*) AS n_rows
+FROM events
+GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+""",
+    doc="First/last-of-day edges (SURVEY §2.5 W6 — min_by/max_by per (key, day), "
+    "factor_builder.py:707-725).",
+    tags=("agg", "window"),
+)
+def day_edges(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.round(F.min_by("value", "ts_us"), 6).alias("first_value"),
+            F.round(F.max_by("value", "ts_us"), 6).alias("last_value"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "events_overnight_gap",
+    oracle="""
+WITH edges AS (
+  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+         min_by(value, epoch_us(ts)) AS first_value,
+         max_by(value, epoch_us(ts)) AS last_value
+  FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+)
+SELECT user_id, day, overnight_gap FROM (
+  SELECT user_id, day,
+         round(first_value / lag(last_value) OVER (PARTITION BY user_id ORDER BY day), 6)
+           AS overnight_gap
+  FROM edges
+) WHERE overnight_gap IS NOT NULL
+""",
+    doc="Raw overnight gap: first close over prior day's last close "
+    "(SURVEY §2.5 W7, factor_builder.py:741-743).",
+    tags=("window",),
+)
+def overnight_gap(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    edges = ev.groupBy("user_id", F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.min_by("value", "ts_us").alias("first_value"),
+        F.max_by("value", "ts_us").alias("last_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        edges.select(
+            "user_id",
+            "day",
+            F.round(F.col("first_value") / F.lag("last_value").over(w), 6).alias(
+                "overnight_gap"
+            ),
+        )
+        .filter(F.col("overnight_gap").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# C. Text analysis / dedup / similarity (training-data pipeline operators)
+# ---------------------------------------------------------------------------
+
+_STOP = "'the', 'a', 'of', 'and', 'to'"
+
+
+@q(
+    "docs_token_stats",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(text) AS n_chars,
+       round(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 6)
+         AS avg_word_len,
+       round(CAST(len(list_filter(string_split(text, ' '), w -> w IN (%s))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       CASE WHEN len(string_split(text, ' ')) < 30 THEN 1 ELSE 0 END AS is_short
+FROM documents
+"""
+    % _STOP,
+    doc="Token counting + quality scoring, all JVM-side expressions.",
+    tags=("text",),
+)
+def token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return T.quality_stats(table(spark, sf, "documents"))
+
+
+@q(
+    "docs_langid_markers",
+    oracle="""
+SELECT doc_id,
+       CASE WHEN c_en = best THEN 'en'
+            WHEN c_es = best THEN 'es'
+            WHEN c_fr = best THEN 'fr'
+            WHEN c_de = best THEN 'de'
+            ELSE 'zh' END AS predicted_lang
+FROM (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), w -> w = 'the'))   AS c_en,
+         len(list_filter(string_split(text, ' '), w -> w = 'a'))     AS c_es,
+         len(list_filter(string_split(text, ' '), w -> w = 'data'))  AS c_fr,
+         len(list_filter(string_split(text, ' '), w -> w = 'table')) AS c_de,
+         len(list_filter(string_split(text, ' '), w -> w = 'row'))   AS c_zh,
+         greatest(len(list_filter(string_split(text, ' '), w -> w = 'the')),
+                  len(list_filter(string_split(text, ' '), w -> w = 'a')),
+                  len(list_filter(string_split(text, ' '), w -> w = 'data')),
+                  len(list_filter(string_split(text, ' '), w -> w = 'table')),
+                  len(list_filter(string_split(text, ' '), w -> w = 'row'))) AS best
+  FROM documents
+)
+""",
+    doc="Keyword-frequency language ID with fixed tie order (n-gram-heuristic shape).",
+    tags=("text",),
+)
+def langid(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select("doc_id", T.predicted_lang("text").alias("predicted_lang"))
+
+
+@q(
+    "docs_fingerprint",
+    oracle="""
+SELECT doc_id, md5(lower(text)) AS fp
+FROM documents
+""",
+    doc="Document fingerprinting (md5 of case-folded content).",
+    tags=("text", "dedup"),
+)
+def doc_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+@q(
+    "dedup_exact_hash_classes",
+    oracle="""
+SELECT md5(lower(text)) AS fp, count(*) AS dup_count, min(doc_id) AS canonical_id
+FROM documents
+GROUP BY md5(lower(text))
+""",
+    doc="Exact dedup: hash-groupBy duplicate classes — the linear-shuffle "
+    "100 TB dedup pattern.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    return D.exact_duplicates(table(spark, sf, "documents"))
+
+
+@q(
+    "dedup_ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2,
+       round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+FROM p JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.05
+""",
+    bench=True,
+    doc="Near-dup by 3-word-shingle Jaccard via shingle inverted-index join "
+    "(cost ~ sum(df^2) per shingle, never |docs|^2).",
+    tags=("dedup",),
+)
+def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    return D.jaccard_pairs(table(spark, sf, "documents"), threshold=0.05)
+
+
+@q(
+    "dedup_minhash_lsh_candidates",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+mh AS (SELECT doc_id, j, min(md5(s || '#' || j)) AS mh
+       FROM sh, range(0, 8) r2(j) GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // 2 AS band,
+                 md5(string_agg(mh, '|' ORDER BY j)) AS bkey
+          FROM mh GROUP BY doc_id, j // 2)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+""",
+    bench=True,
+    doc="MinHash(k=8) + LSH banding (2 rows/band): candidate pairs by hash "
+    "join on band keys — linear shuffle volume, the at-scale near-dup path.",
+    tags=("dedup",),
+)
+def dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.lsh_candidate_pairs(table(spark, sf, "documents"), k=8, rows_per_band=2)
+
+
+@q(
+    "dedup_simhash_signatures",
+    oracle="""
+WITH toks AS (SELECT doc_id, tok, count(*) AS w
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              GROUP BY doc_id, tok),
+bits AS (SELECT doc_id, i,
+                sum(CASE WHEN substr(md5(tok), CAST(i + 1 AS INT), 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN w ELSE -w END) AS s
+         FROM toks, range(0, 32) r(i) GROUP BY doc_id, i)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+            AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+    doc="Token-weighted 32-bit SimHash signatures (engine-portable md5-bit hashes).",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    return D.simhash(table(spark, sf, "documents"))
+
+
+@q(
+    "emb_cosine_topk",
+    oracle="""
+WITH q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
+           FROM embeddings WHERE vec_id = 0),
+c AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id <> 0),
+s AS (SELECT vec_id,
+             list_sum(list_transform(range(1, len(e) + 1), i -> e[i] * qe[i]))
+             / (sqrt(list_sum(list_transform(e, v -> v * v)))
+                * sqrt(list_sum(list_transform(qe, v -> v * v)))) AS raw_cos
+      FROM c, q)
+SELECT vec_id, round(raw_cos, 6) AS cos
+FROM s
+ORDER BY cos DESC, vec_id
+LIMIT 10
+""",
+    bench=True,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query vector, "
+    "map-side score, TakeOrdered (no full sort).",
+    tags=("similarity",),
+)
+def emb_topk(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.brute_force_topk(table(spark, sf, "embeddings"), query_id=0, k=10)
+
+
+@q(
+    "emb_cosine_neardup_pairs",
+    oracle="""
+WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+           FROM embeddings),
+p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
+             / (sqrt(list_sum(list_transform(a.e, v -> v * v)))
+                * sqrt(list_sum(list_transform(b.e, v -> v * v)))) AS raw_cos
+      FROM x a JOIN x b ON a.vec_id < b.vec_id)
+SELECT id1, id2, round(raw_cos, 6) AS cos
+FROM p WHERE raw_cos >= 0.3
+""",
+    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; LSH "
+    "buckets are the scale path).",
+    tags=("dedup", "similarity"),
+)
+def emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.cosine_pairs(table(spark, sf, "embeddings"), threshold=0.3)
+
+
+@q(
+    "emb_rp_lsh_buckets",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(x) + 1), d ->
+           x[d] * (CAST(('0x' || substr(md5(p || '_' || CAST(d - 1 AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 32768.0 - 1.0))) AS s
+  FROM e, range(0, 8) r(p))
+SELECT vec_id,
+       CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+            AS BIGINT) AS bucket
+FROM proj GROUP BY vec_id
+""",
+    doc="Random-hyperplane LSH bucket assignment (deterministic md5-derived "
+    "planes) — ANN candidate generation by hash join at scale.",
+    tags=("similarity",),
+)
+def emb_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.rp_lsh_buckets(table(spark, sf, "embeddings"), n_planes=8)

@@ -1,0 +1,72 @@
+"""SparkSession construction and runtime configuration.
+
+The same confs are applied both when we own the session (``get_spark``)
+and when a host hands us one (``apply_runtime_confs``): determinism
+(UTC session time zone), the nanosecond-parquet compatibility switch the
+driver-generated ``events`` table needs, and scale-oriented defaults
+(AQE, partition coalescing) that hold from local[32] up to a real
+cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe (and required) to set at runtime on any session.
+RUNTIME_CONFS: dict[str, str] = {
+    # Deterministic wall-clock semantics: all timestamp rendering /
+    # NTZ casts are anchored to UTC regardless of host machine tz.
+    "spark.sql.session.timeZone": "UTC",
+    # The synthetic events table stores TIMESTAMP(NANOS); Spark has no
+    # nanosecond timestamp, so read them as raw int64 nanos and convert
+    # explicitly (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime re-planning: coalesce tiny shuffle partitions, split skewed
+    # ones. Essential at 100 TB, harmless at sf0.001.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def apply_runtime_confs(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an externally provided session."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — leave whatever the host chose.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "polygon-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (default 32 to match
+    the driver environment); shuffle partitions default to the same so a
+    local run resembles one executor-wave of a cluster run.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or cpus
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return apply_runtime_confs(spark)
