@@ -65,19 +65,21 @@ def jaccard_pairs(
     Returns ``(id1, id2, jaccard)`` with id1 < id2, jaccard >= threshold.
     """
     sh = shingle_set(df, text_col, id_col, n)
+    # Inverted index: one row per distinct shingle with its posting list.
+    # Pair generation is then map-side (double explode of the posting
+    # list) instead of a shuffle self-join on the raw shingle strings —
+    # one wide shuffle fewer, and partial aggregation collapses the
+    # candidate pairs before the final shuffle.
+    inv = sh.groupBy("shingle").agg(
+        F.count("*").alias("df_"), F.collect_list(id_col).alias("docs")
+    )
     if max_docs_per_shingle is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df_"))
-            .filter(F.col("df_") <= max_docs_per_shingle)
-            .select("shingle")
-        )
-        sh = sh.join(hot, "shingle")
+        inv = inv.filter(F.col("df_") <= max_docs_per_shingle)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id1"), "shingle")
-    b = sh.select(F.col(id_col).alias("id2"), "shingle")
     inter = (
-        a.join(b, "shingle")
+        inv.filter(F.col("df_") > 1)
+        .select(F.explode("docs").alias("id1"), F.col("docs"))
+        .select("id1", F.explode("docs").alias("id2"))
         .filter(F.col("id1") < F.col("id2"))
         .groupBy("id1", "id2")
         .agg(F.count("*").alias("inter"))
@@ -103,17 +105,15 @@ def minhash_signatures(
 ) -> DataFrame:
     """k MinHash values per document: ``min(md5(shingle + '#' + j))``.
 
-    Output: (id, j, mh) — long format so banding is a plain groupBy.
+    Wide form — one aggregation with k min columns over the shingle set
+    (no ×k row explosion, one shuffle on id). Output: (id, mh_0..mh_{k-1}).
     """
     sh = shingle_set(df, text_col, id_col, n)
-    return (
-        sh.select(
-            F.col(id_col),
-            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
-            F.col("shingle"),
-        )
-        .groupBy(id_col, "j")
-        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("j")))).alias("mh"))
+    return sh.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh_{j}")
+            for j in range(k)
+        ]
     )
 
 
@@ -132,19 +132,25 @@ def lsh_candidate_pairs(
     the corpus, never quadratic.
     """
     mh = minhash_signatures(df, text_col, id_col, n, k)
-    bands = (
-        mh.withColumn("band", (F.col("j") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda x: x["mh"]
-                    ),
-                    "|",
-                )
-            ).alias("bkey")
-        )
+    n_bands = k // rows_per_band
+    # One (band, key) row per band from the wide signature — band key is
+    # md5 of the band's minhashes joined in seed order.
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = mh.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
     a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
     b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")

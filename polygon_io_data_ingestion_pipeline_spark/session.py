@@ -56,12 +56,29 @@ def get_spark(
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     shuffle = shuffle_partitions or cpus
+    # The sandbox resolver is a blackhole (TEST-NET nameserver): any DNS
+    # miss stalls for the full resolver timeout, which showed up as
+    # 5s-300s query stalls. Pin every address to loopback so the JVM
+    # never consults DNS.
+    os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+    os.environ.setdefault("SPARK_LOCAL_HOSTNAME", "localhost")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.bindAddress", "127.0.0.1")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.default.parallelism", str(cpus))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Whole-stage codegen emits one class per plan fragment; a long
+        # session compiles hundreds. With the JVM default ~240 MB code
+        # cache, the JIT starts flushing and hot query loops drop back
+        # to the interpreter — observed as sporadic 50-150x slowdowns of
+        # a single task. A 1 GiB reserved code cache removes the cliff.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
