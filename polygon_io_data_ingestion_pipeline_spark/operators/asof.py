@@ -63,13 +63,15 @@ def asof_join(
         F.col(on).alias(on), *[F.col(c) for c in payload_cols if c != on]
     )
 
-    # Side ordering controls exact-match visibility: the window frame is
-    # row-based, so a right row at the same `on` is inside the frame iff
-    # it sorts on the correct side of the left row.
+    # Side ordering controls exact-match visibility: the frame is
+    # row-based (currentRow..following for forward, preceding..currentRow
+    # for backward), so a right row at the same `on` is visible to a
+    # left row iff it sorts inside that frame — AFTER the left row for
+    # forward matches, BEFORE it for backward.
     if direction == "forward":
-        right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
-    else:
         right_side, left_side = (1, 0) if allow_exact_matches else (0, 1)
+    else:
+        right_side, left_side = (0, 1) if allow_exact_matches else (1, 0)
 
     payload_type = right.select(payload.alias(_PAYLOAD)).schema[0].dataType
     l_tag = left.withColumn(_SIDE, F.lit(left_side)).withColumn(

@@ -1,0 +1,319 @@
+"""Corporate-action adjustment engine (split + total-return factors).
+
+Re-expresses the reference's per-id pandas workers (reference:
+legacy_scripts/factor_builder.py — `_attach_id` 148-180, split worker
+238-289, dividend worker 291-348, apply 419-438, renormalize 440-455)
+as one declarative DataFrame pipeline:
+
+- the per-id process pool becomes ``Window.partitionBy("id")``;
+- ``pd.merge_asof(direction='forward')`` becomes the union+window as-of
+  join (operators/asof.py);
+- ``cumprod`` becomes ``exp(sum(log))`` over a running window
+  (operators/windows.py);
+- the broadcastable reference tables (security master, splits,
+  dividends) are explicit ``broadcast()`` joins.
+
+Cost shape at scale: everything partitions by ``id`` (or
+``(id, event_day)``); there is no driver-side loop, no Python UDF, and
+the only shuffles are the ones the semantics require (one per window
+keying + the factor-application joins, which AQE turns into broadcast
+joins whenever the factor tables are small).
+
+Conventions preserved exactly (SURVEY.md §7.4):
+- factors are normalized so the **most recent** bar of each id is
+  unadjusted (factor == 1.0 on the last row);
+- same-day splits multiply, same-day dividends sum;
+- the dividend growth factor uses the **prior trading day's**
+  split-adjusted close when ``use_split_base``;
+- events dated after an id's last trading day are dropped by the
+  forward as-of alignment;
+- NOTE one deliberate deviation: the reference's forward snap
+  (factor_builder.py:261-267) passes ``pd.merge_asof`` a right frame
+  containing only the `on` column, which makes it a no-op — events on
+  non-trading days keep their raw date and are then silently dropped by
+  the calendar join, losing the split entirely. We implement the
+  documented intent (a real snap to the next observed trading day);
+  results differ from the reference only for events dated on
+  non-trading days, where the reference loses the adjustment;
+- event-id fallback: an id with no FIGI-keyed events falls back to
+  ticker-keyed events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .asof import asof_join
+from .windows import cumprod, normalize_to_last
+
+OHLC = ("open", "high", "low")
+
+
+# ---------------------------------------------------------------------------
+# Reference-table prep (alias resolution; factor_builder.py:187-236)
+# ---------------------------------------------------------------------------
+
+
+def prep_splits(splits: DataFrame) -> DataFrame:
+    """Normalize a splits table to (execution_date, ratio, ticker,
+    composite_figi, event_id)."""
+    s = splits
+    if "ratio" not in s.columns and {"split_from", "split_to"} <= set(s.columns):
+        s = s.withColumn(
+            "ratio", F.col("split_to").cast("double") / F.col("split_from").cast("double")
+        )
+    if "composite_figi" not in s.columns:
+        s = s.withColumn("composite_figi", F.lit(None).cast("string"))
+    return s.select(
+        F.to_date("execution_date").alias("execution_date"),
+        F.col("ratio").cast("double").alias("ratio"),
+        F.upper(F.trim(F.col("ticker"))).alias("ticker"),
+        "composite_figi",
+        F.coalesce(
+            F.col("composite_figi"), F.concat(F.lit("NOFIGI__"), F.upper(F.trim(F.col("ticker"))))
+        ).alias("event_id"),
+    )
+
+
+def prep_dividends(dividends: DataFrame) -> DataFrame:
+    """Normalize a dividends table to (ex_date, amount, ticker,
+    composite_figi, event_id); accepts ex_dividend_date / cash_amount
+    aliases."""
+    d = dividends
+    cols = set(d.columns)
+    ex = "ex_date" if "ex_date" in cols else "ex_dividend_date"
+    amt = "amount" if "amount" in cols else "cash_amount"
+    if "composite_figi" not in cols:
+        d = d.withColumn("composite_figi", F.lit(None).cast("string"))
+    return d.select(
+        F.to_date(ex).alias("ex_date"),
+        F.col(amt).cast("double").alias("amount"),
+        F.upper(F.trim(F.col("ticker"))).alias("ticker"),
+        "composite_figi",
+        F.coalesce(
+            F.col("composite_figi"), F.concat(F.lit("NOFIGI__"), F.upper(F.trim(F.col("ticker"))))
+        ).alias("event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 entity stitch (factor_builder.py:148-180)
+# ---------------------------------------------------------------------------
+
+
+def attach_id(bars: DataFrame, security_master: DataFrame) -> DataFrame:
+    """Attach the point-in-time entity id to each bar.
+
+    Broadcast left join on ticker, then the validity-window predicate
+    ``effective_start <= event_day <= effective_end`` (open-ended end;
+    rows with a null window survive), keep-last dedup per (ticker,
+    datetime), and the ``NOFIGI__<TICKER>`` fallback.
+    """
+    sm = security_master
+    for c, t in (("composite_figi", "string"), ("effective_start", "timestamp_ntz"),
+                 ("effective_end", "timestamp_ntz")):
+        if c not in sm.columns:
+            sm = sm.withColumn(c, F.lit(None).cast(t))
+    sm = sm.select(
+        F.upper(F.trim(F.col("ticker"))).alias("ticker"),
+        "composite_figi",
+        F.to_date("effective_start").alias("effective_start"),
+        F.to_date("effective_end").alias("effective_end"),
+    )
+
+    px = bars.withColumn("ticker", F.upper(F.trim(F.col("ticker")))).withColumn(
+        "event_day", F.to_date("datetime")
+    )
+    m = px.join(F.broadcast(sm), "ticker", "left")
+    inwin = (F.col("event_day") >= F.col("effective_start")) & (
+        F.col("effective_end").isNull() | (F.col("event_day") <= F.col("effective_end"))
+    )
+    m = m.filter(inwin | F.col("effective_start").isNull())
+    # keep-last == the row with the greatest effective_start, with null
+    # windows winning (pandas sorts NaT last and keeps the last row).
+    w = Window.partitionBy("ticker", "datetime").orderBy(
+        F.desc_nulls_first("effective_start")
+    )
+    m = m.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    return m.withColumn(
+        "id", F.coalesce(F.col("composite_figi"), F.concat(F.lit("NOFIGI__"), F.col("ticker")))
+    ).drop("effective_start", "effective_end")
+
+
+# ---------------------------------------------------------------------------
+# Event alignment with id->ticker fallback (factor_builder.py:247-251)
+# ---------------------------------------------------------------------------
+
+
+def _events_for_ids(ids: DataFrame, events: DataFrame, date_col: str, value_col: str) -> DataFrame:
+    """Events per id: FIGI-keyed when any exist for that id, else all
+    ticker-keyed events for the id's ticker (the reference's fallback).
+    """
+    ev = events.na.drop(subset=[date_col, value_col])
+    by_id = ids.join(
+        F.broadcast(ev.select(F.col("event_id").alias("id"), date_col, value_col)), "id"
+    )
+    ids_without = ids.join(by_id.select("id").distinct(), "id", "left_anti")
+    by_ticker = ids_without.join(
+        F.broadcast(ev.select("ticker", date_col, value_col)), "ticker"
+    )
+    return by_id.unionByName(by_ticker)
+
+
+def _align_forward(events: DataFrame, calendar: DataFrame, date_col: str, value_col: str) -> DataFrame:
+    """Snap each event date to the id's next observed trading day
+    (forward as-of, exact allowed; unmatched events drop)."""
+    left = events.select("id", F.col(date_col).alias("anchor"), value_col)
+    right = calendar.select("id", F.col("event_day").alias("anchor"))
+    aligned = asof_join(
+        left, right, on="anchor", by="id", direction="forward",
+        allow_exact_matches=True, right_prefix="day_", how="inner",
+    )
+    return aligned.select("id", F.col("day_anchor").alias("event_day"), value_col)
+
+
+# ---------------------------------------------------------------------------
+# Factor builders
+# ---------------------------------------------------------------------------
+
+
+def build_split_factors(bars_with_id: DataFrame, splits: DataFrame) -> DataFrame:
+    """(id, event_day, split_price_factor, split_volume_factor) over each
+    id's full trading calendar.
+
+    Same-day ratios multiply (A1); F = running product over the
+    calendar; price factor = F / F_last (1.0 on the last day), volume
+    factor is its reciprocal (factor_builder.py:269-276).
+    """
+    cal = bars_with_id.select("id", "ticker", "event_day").distinct()
+    days = cal.select("id", "event_day").distinct()
+    ev = _events_for_ids(cal.select("id", "ticker").distinct(), splits, "execution_date", "ratio")
+    aligned = _align_forward(ev, days, "execution_date", "ratio")
+    per_day = aligned.groupBy("id", "event_day").agg(F.product("ratio").alias("ratio"))
+    e = days.join(per_day, ["id", "event_day"], "left").na.fill({"ratio": 1.0})
+    w = Window.partitionBy("id").orderBy("event_day")
+    e = e.withColumn("F", cumprod(F.col("ratio"), w))
+    e = e.withColumn("split_price_factor", normalize_to_last(F.col("F"), w))
+    return e.select(
+        "id",
+        "event_day",
+        "split_price_factor",
+        (F.lit(1.0) / F.col("split_price_factor")).alias("split_volume_factor"),
+    )
+
+
+def apply_split_factors(bars_with_id: DataFrame, factors: DataFrame) -> DataFrame:
+    """Left join on (id, event_day), default 1.0, materialize *_split
+    columns (factor_builder.py:419-428)."""
+    m = bars_with_id.join(factors, ["id", "event_day"], "left").na.fill(
+        {"split_price_factor": 1.0, "split_volume_factor": 1.0}
+    )
+    m = m.withColumn("close_split", F.col("close") * F.col("split_price_factor")).withColumn(
+        "volume_split", F.col("volume") * F.col("split_volume_factor")
+    )
+    for c in OHLC:
+        if c in bars_with_id.columns:
+            m = m.withColumn(f"{c}_split", F.col(c) * F.col("split_price_factor"))
+    return m
+
+
+def build_dividend_factors(
+    bars_split: DataFrame, dividends: DataFrame, use_split_base: bool = True
+) -> DataFrame:
+    """(id, event_day, tr_price_factor): total-return factor from cash
+    dividends against the prior trading day's (split-adjusted) close.
+
+    g = (prior_base - amount) / prior_base on dividend days (guarded
+    prior_base > 0), else 1.0; G = running product; factor = G / G_last
+    (factor_builder.py:291-348).
+    """
+    base_col = "close_split" if use_split_base and "close_split" in bars_split.columns else "close"
+    wday = Window.partitionBy("id").orderBy("event_day")
+    cal = (
+        bars_split.groupBy("id", "event_day")
+        .agg(
+            F.max_by(base_col, "datetime").alias("base"),
+            F.first("ticker", ignorenulls=True).alias("ticker"),
+        )
+        .withColumn("prior_base", F.lag("base").over(wday))
+    )
+    ev = _events_for_ids(cal.select("id", "ticker").distinct(), dividends, "ex_date", "amount")
+    aligned = _align_forward(ev, cal.select("id", "event_day"), "ex_date", "amount")
+    per_day = aligned.groupBy("id", "event_day").agg(F.sum("amount").alias("amount"))
+    t = cal.join(per_day, ["id", "event_day"], "left")
+    g = F.when(
+        F.col("amount").isNotNull() & F.col("prior_base").isNotNull() & (F.col("prior_base") > 0),
+        (F.col("prior_base") - F.col("amount")) / F.col("prior_base"),
+    ).otherwise(F.lit(1.0))
+    t = t.withColumn("G", cumprod(g, wday))
+    return t.select(
+        "id", "event_day", normalize_to_last(F.col("G"), wday).alias("tr_price_factor")
+    )
+
+
+def apply_dividend_factors(
+    bars_split: DataFrame, factors: DataFrame, use_split_base: bool = True
+) -> DataFrame:
+    """Left join on (id, event_day), default 1.0, materialize *_tr
+    columns (factor_builder.py:430-438)."""
+    base_col = "close_split" if use_split_base and "close_split" in bars_split.columns else "close"
+    m = bars_split.join(factors, ["id", "event_day"], "left").na.fill({"tr_price_factor": 1.0})
+    m = m.withColumn("close_tr", F.col(base_col) * F.col("tr_price_factor"))
+    for c in OHLC:
+        if f"{c}_split" in m.columns:
+            m = m.withColumn(f"{c}_tr", F.col(f"{c}_split") * F.col("tr_price_factor"))
+    return m
+
+
+def renormalize_tr(bars_tr: DataFrame, use_split_base: bool = True) -> DataFrame:
+    """Batch-mode re-anchor: scale each id's TR factor so the final
+    close_tr equals the final base close (factor_builder.py:440-455)."""
+    base_col = "close_split" if use_split_base and "close_split" in bars_tr.columns else "close"
+    w = Window.partitionBy("id").orderBy("datetime").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    renorm = F.last("close_tr").over(w) / F.last(base_col).over(w)
+    renorm = F.when(renorm.isNull() | (renorm == 0), F.lit(1.0)).otherwise(renorm)
+    out = bars_tr.withColumn("tr_price_factor", F.col("tr_price_factor") / renorm)
+    out = out.withColumn("close_tr", F.col(base_col) * F.col("tr_price_factor"))
+    for c in OHLC:
+        if f"{c}_split" in out.columns:
+            out = out.withColumn(f"{c}_tr", F.col(f"{c}_split") * F.col("tr_price_factor"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+_MATERIALIZE = {
+    "minimal": ["datetime", "ticker", "id", "close", "volume", "close_split", "volume_split", "close_tr"],
+    "close": ["datetime", "ticker", "id", "close", "volume", "close_split", "volume_split",
+              "close_tr", "split_price_factor", "tr_price_factor"],
+    "ohlc": ["datetime", "ticker", "id", "close", "volume", "close_split", "volume_split",
+             "close_tr", "split_price_factor", "tr_price_factor",
+             "open_split", "high_split", "low_split", "open_tr", "high_tr", "low_tr"],
+}
+
+
+def adjust_bars(
+    bars: DataFrame,
+    security_master: DataFrame,
+    splits: DataFrame,
+    dividends: DataFrame,
+    materialize: str = "ohlc",
+    use_split_base: bool = True,
+    renormalize: bool = True,
+) -> DataFrame:
+    """Unadjusted bars + refdata -> adjusted bars (the reference's batch
+    path, factor_builder.py:1125-1162, as a single linear plan)."""
+    px = attach_id(bars, security_master)
+    sf = build_split_factors(px, prep_splits(splits))
+    px = apply_split_factors(px, sf)
+    gf = build_dividend_factors(px, prep_dividends(dividends), use_split_base)
+    px = apply_dividend_factors(px, gf, use_split_base)
+    if renormalize:
+        px = renormalize_tr(px, use_split_base)
+    cols = [c for c in _MATERIALIZE[materialize] if c in px.columns]
+    return px.select(*cols)
