@@ -17,15 +17,17 @@ from pyspark.sql import functions as F
 def epoch_to_timestamp(col: str) -> Column:
     """UTC timestamp from an epoch of unknown unit (s/ms/us/ns).
 
-    Magnitude thresholds follow the reference exactly: >=1e17 ns,
-    >=1e14 us, >=1e11 ms, else s. Integer DIV keeps sub-microsecond
-    truncation exact (no double round-trip).
+    Magnitude thresholds follow the reference exactly (ingest.py:171-176:
+    strictly greater than 1e18 -> ns, 1e15 -> us, 1e12 -> ms, else s;
+    note the reference misclassifies pre-2001 nanosecond epochs as
+    microseconds — preserved for parity). Integer DIV keeps
+    sub-microsecond truncation exact (no double round-trip).
     """
     return F.expr(
         f"""CASE
-            WHEN abs(CAST({col} AS DOUBLE)) >= 1e17 THEN timestamp_micros(CAST({col} AS BIGINT) DIV 1000)
-            WHEN abs(CAST({col} AS DOUBLE)) >= 1e14 THEN timestamp_micros(CAST({col} AS BIGINT))
-            WHEN abs(CAST({col} AS DOUBLE)) >= 1e11 THEN timestamp_millis(CAST({col} AS BIGINT))
+            WHEN CAST({col} AS BIGINT) > 1000000000000000000 THEN timestamp_micros(CAST({col} AS BIGINT) DIV 1000)
+            WHEN CAST({col} AS BIGINT) > 1000000000000000 THEN timestamp_micros(CAST({col} AS BIGINT))
+            WHEN CAST({col} AS BIGINT) > 1000000000000 THEN timestamp_millis(CAST({col} AS BIGINT))
             ELSE timestamp_seconds(CAST({col} AS BIGINT))
         END"""
     )

@@ -1,0 +1,90 @@
+"""Partitioned Parquet bar lake: writer + pruning-friendly loader.
+
+Replaces the reference's hand-rolled layout and file index
+(reference: src/polygon_ingest/ingest.py:289-314 per-bucket writes with
+tmp-file renames; manifest 345-421; src/polygon_ingest/lake_io.py
+manifest/walk file selection 80-147, thread-pooled reads 284-304):
+
+- layout is Spark-native ``ticker=/year=/month=[/day=]`` directories —
+  the same pruning power as ``<TICKER>/<YYYY>/<MM>`` with zero custom
+  reader code;
+- atomicity comes from Spark's commit protocol; idempotent backfill
+  from dynamic partition overwrite (the reference's "overlaps are fine,
+  re-runs just overwrite" contract, emit_split_backfill_cmds.py:29);
+- the manifest is obsolete: partition pruning + parquet row-group
+  min/max stats give the same file skipping at query time — the loader
+  just pushes ticker/time predicates into the scan;
+- one sorted file per partition (sortWithinPartitions on datetime)
+  preserves the reference's in-file ordering contract.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARTITION_KEYS = {"day": ["ticker", "year", "month"], "minute": ["ticker", "year", "month", "day"]}
+
+
+def write_lake(df: DataFrame, path: str, tf: str = "day", mode: str = "overwrite") -> None:
+    """Write bars as a partitioned zstd parquet lake, one sorted file
+    per partition."""
+    keys = PARTITION_KEYS[tf]
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions("datetime")
+        .write.partitionBy(*keys)
+        .option("compression", "zstd")
+        .mode(mode)
+        .parquet(path)
+    )
+    # Overwrites replace files in place; drop any cached listing of the
+    # target so readers in this session don't chase deleted files.
+    spark.catalog.refreshByPath(path)
+
+
+def read_lake(
+    spark: SparkSession,
+    path: str,
+    tickers: Iterable[str] | None = None,
+    start: str | None = None,
+    end: str | None = None,
+    columns: Iterable[str] | None = None,
+) -> DataFrame:
+    """Load lake bars with partition-pruned ticker and time filters.
+
+    ``end`` given as a bare date is promoted to end-of-day-inclusive
+    (lake_io.py:175-178). Mixed per-file schemas are tolerated via
+    mergeSchema (lake_io.py:440-455).
+    """
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    if tickers is not None:
+        df = df.filter(F.col("ticker").isin(sorted({t.strip().upper() for t in tickers})))
+    if start is not None:
+        df = df.filter(F.col("datetime") >= F.to_timestamp(F.lit(start)))
+    if end is not None:
+        bound = F.to_timestamp(F.lit(end))
+        if len(str(end)) <= 10:  # date-only -> inclusive through 23:59:59.999999
+            bound = bound + F.expr("INTERVAL 1 DAY") - F.expr("INTERVAL 1 MICROSECOND")
+        df = df.filter(F.col("datetime") <= bound)
+    if columns is not None:
+        want = [c for c in columns if c in df.columns]  # wanted ∩ available
+        df = df.select(*want)
+    return df
+
+
+def lake_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file (path, ticker, start, end, rows) stats — the reference's
+    manifest (ingest.py:345-421) as a one-line aggregate, kept for
+    auditability rather than pruning."""
+    df = spark.read.parquet(path).withColumn("__file", F.input_file_name())
+    return df.groupBy("__file").agg(
+        F.first("ticker").alias("ticker"),
+        F.min("datetime").alias("start"),
+        F.max("datetime").alias("end"),
+        F.count("*").alias("rows"),
+    )
