@@ -798,3 +798,290 @@ FROM proj GROUP BY vec_id
 )
 def emb_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.rp_lsh_buckets(table(spark, sf, "embeddings"), n_planes=8)
+
+
+# ---------------------------------------------------------------------------
+# D. Extended relational coverage + pipeline-shaped composites
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "tpch_q10_returned_revenue",
+    oracle="""
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    doc="Returned-item revenue per customer: fact-dim joins + agg + top-k "
+    "(TPC-H Q10 shape).",
+    tags=("join", "topk"),
+)
+def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders")
+    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q07_nation_pairs",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON n1.n_nationkey = s_nationkey
+              JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE n1.n_name < n2.n_name
+GROUP BY n1.n_name, n2.n_name
+""",
+    doc="Cross-nation trade volume: same dimension joined twice under "
+    "different roles (TPC-H Q7 shape).",
+    tags=("join",),
+)
+def tpch_q07(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    s = table(spark, sf, "supplier")
+    o = table(spark, sf, "orders")
+    c = table(spark, sf, "customer")
+    n1 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") < F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "orders_end_of_day_bound",
+    oracle="""
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+  AND o_orderdate <= TIMESTAMP '1997-03-31 23:59:59.999999'
+""",
+    doc="Date-only upper bound promoted to end-of-day-inclusive "
+    "(SURVEY §2.2 P5, lake_io.py:175-178).",
+    tags=("scan", "time"),
+)
+def orders_eod(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    eod = F.expr(
+        "CAST(TIMESTAMP_NTZ '1997-03-31 00:00:00' + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND AS TIMESTAMP_NTZ)"
+    )
+    return o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") <= eod)
+    ).select("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+
+
+@q(
+    "supplier_symbol_normalize",
+    oracle="""
+SELECT s_suppkey,
+       regexp_replace(regexp_replace(upper(trim(s_name)), '[#/\\- ]', '.', 'g'), '\\.+', '.', 'g') AS norm_symbol,
+       string_split(regexp_replace(regexp_replace(upper(trim(s_name)), '[#/\\- ]', '.', 'g'), '\\.+', '.', 'g'), '.')[1] AS root
+FROM supplier
+""",
+    doc="Ticker-style symbol normalization (SURVEY §2.8 string family; "
+    "run_pullers.py:25-63 separator mapping + collapse).",
+    tags=("scalar",),
+)
+def supplier_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    s = table(spark, sf, "supplier")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.upper(F.trim(F.col("s_name"))), r"[#/\- ]", "."), r"\.+", "."
+    )
+    return s.select(
+        "s_suppkey",
+        norm.alias("norm_symbol"),
+        F.split(norm, r"\.").getItem(0).alias("root"),
+    )
+
+
+@q(
+    "events_sessionize",
+    oracle="""
+SELECT event_id,
+       CAST(user_id AS VARCHAR) || '#' || CAST(sess AS VARCHAR) AS session_id
+FROM (
+  SELECT event_id, user_id,
+         CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+  FROM (
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+    FROM events
+  )
+)
+""",
+    doc="Gap-based sessionization (30-min inactivity): lag + conditional "
+    "running count — the batch formulation of session windows.",
+    tags=("window", "streaming-shape"),
+)
+def sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000), 1).otherwise(0)
+    return ev.select(
+        "event_id",
+        F.concat(
+            F.col("user_id").cast("string"),
+            F.lit("#"),
+            F.sum(new_sess).over(run).cast("long").cast("string"),
+        ).alias("session_id"),
+    )
+
+
+@q(
+    "events_autocorr_qa",
+    oracle="""
+SELECT user_id, round(corr(value, prev_value), 4) AS autocorr, count(*) AS n
+FROM (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+  FROM events WHERE event_type = 'purchase'
+)
+WHERE prev_value IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= 2
+""",
+    doc="Return-autocorrelation QA (SURVEY §2.5 W9 — notebook 03's "
+    "correlation invariant as an operator).",
+    tags=("agg", "qa"),
+)
+def autocorr_qa(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    base = ev.select("user_id", "value", F.lag("value").over(w).alias("prev_value")).filter(
+        F.col("prev_value").isNotNull()
+    )
+    return (
+        base.groupBy("user_id")
+        .agg(F.round(F.corr("value", "prev_value"), 4).alias("autocorr"), F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+@q(
+    "dedup_simhash_pairs",
+    oracle="""
+WITH toks AS (SELECT doc_id, tok, count(*) AS w
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+              GROUP BY doc_id, tok),
+bits AS (SELECT doc_id, i,
+                sum(CASE WHEN substr(md5(tok), CAST(i + 1 AS INT), 1)
+                         IN ('8','9','a','b','c','d','e','f') THEN w ELSE -w END) AS s
+         FROM toks, range(0, 32) r(i) GROUP BY doc_id, i),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END)
+                    AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+""",
+    doc="SimHash near-dup pairs at Hamming <= 1 (pigeonhole chunk-join is "
+    "the scale path; all-pairs here doubles as the oracle).",
+    tags=("dedup",),
+)
+def simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:
+    out = D.simhash_pairs(table(spark, sf, "documents"), max_hamming=1)
+    return out.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
+@q(
+    "dedup_lsh_verified_pairs",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+mh AS (SELECT doc_id, j, min(md5(s || '#' || j)) AS mh
+       FROM sh, range(0, 8) r2(j) GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // 2 AS band,
+                 md5(string_agg(mh, '|' ORDER BY j)) AS bkey
+          FROM mh GROUP BY doc_id, j // 2),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT c.id1, c.id2,
+       round(CAST(i AS DOUBLE) / (c1.n + c2.n - i), 6) AS jaccard
+FROM cand c JOIN inter ON inter.id1 = c.id1 AND inter.id2 = c.id2
+            JOIN cnt c1 ON c1.doc_id = c.id1
+            JOIN cnt c2 ON c2.doc_id = c.id2
+WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.05
+""",
+    doc="The production near-dup pipeline: MinHash-LSH candidate "
+    "generation, then exact Jaccard verification of candidates only.",
+    tags=("dedup",),
+)
+def lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    cand = D.lsh_candidate_pairs(docs, k=8, rows_per_band=2)
+    exact = D.jaccard_pairs(docs, threshold=0.05)
+    return exact.join(cand, ["id1", "id2"], "left_semi")
+
+
+@q(
+    "emb_rp_lsh_candidate_pairs",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(x) + 1), d ->
+           x[d] * (CAST(('0x' || substr(md5(p || '_' || CAST(d - 1 AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 32768.0 - 1.0))) AS s
+  FROM e, range(0, 8) r(p)),
+b AS (SELECT vec_id,
+             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INT)) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id)
+SELECT x.vec_id AS id1, y.vec_id AS id2, x.bucket
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+""",
+    doc="ANN candidate pairs by random-hyperplane LSH bucket hash-join — "
+    "linear shuffle, no quadratic scoring.",
+    tags=("similarity",),
+)
+def rp_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.rp_lsh_candidate_pairs(table(spark, sf, "embeddings"), n_planes=8)
