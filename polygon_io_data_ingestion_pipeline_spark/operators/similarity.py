@@ -62,6 +62,49 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_arrow(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Same semantics as :func:`brute_force_topk`, scored by a
+    vectorized Pandas UDF (one NumPy matrix-vector product per Arrow
+    batch) instead of per-row higher-order functions — the higher-order
+    expressions run interpreted per element, while this path is one
+    BLAS call per batch. Results match the expression version (same
+    doubles, same rounding) — asserted in tests."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as SF
+
+    q_rows = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
+    if not q_rows:
+        raise ValueError(f"query id {query_id} not found")
+    q = np.asarray(q_rows[0][0], dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+    bq = df.sparkSession.sparkContext.broadcast(q)
+
+    # no type hints: postponed annotations (PEP 563) would stringify
+    # them and break pandas_udf's inference — pass the eval type instead
+    from pyspark.sql.functions import PandasUDFType
+
+    @SF.pandas_udf("double", PandasUDFType.SCALAR)
+    def score(vecs):
+        m = np.asarray(list(vecs), dtype=np.float64)
+        dots = m @ bq.value
+        norms = np.sqrt((m * m).sum(axis=1))
+        return pd.Series(dots / (norms * qn))
+
+    return (
+        df.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), F.round(score(F.col(vec_col)), 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def cosine_pairs(
     df: DataFrame,
     threshold: float = 0.3,

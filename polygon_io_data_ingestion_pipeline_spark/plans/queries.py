@@ -1085,3 +1085,61 @@ FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
 )
 def rp_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.rp_lsh_candidate_pairs(table(spark, sf, "embeddings"), n_planes=8)
+
+
+@q(
+    "corporate_actions_adjust",
+    oracle=None,  # factor pipeline is window/as-of composition — driver records rows-only
+    bench=True,
+    doc="The flagship domain operator end-to-end: SCD id stitch, forward "
+    "as-of event alignment, split/TR factor windows, apply + renormalize "
+    "(operators/factors.py), on a bar table derived deterministically "
+    "from the events stream. Validated against a pandas oracle in "
+    "tests/test_factors.py; not expressible as one SQL statement.",
+    tags=("factors", "asof", "scd"),
+)
+def corporate_actions_adjust(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.factors import adjust_bars
+
+    ev = table(spark, sf, "events")
+    bars = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+            F.col("ts").alias("datetime"),
+            (F.col("value") + 1.0).alias("close"),
+            (F.col("value") + 0.5).alias("open"),
+            (F.col("value") + 2.0).alias("high"),
+            (F.col("value") + 0.25).alias("low"),
+            F.col("event_id").alias("volume"),
+        )
+    )
+    splits = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+            F.col("ts").alias("execution_date"),
+            F.lit(1.0).alias("split_from"),
+            F.lit(2.0).alias("split_to"),
+        )
+    )
+    divs = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+            F.col("ts").alias("ex_date"),
+            (F.col("value") / 1000.0).alias("cash_amount"),
+        )
+    )
+    sm = spark.createDataFrame(
+        [], "ticker string, composite_figi string, effective_start timestamp_ntz, effective_end timestamp_ntz"
+    )
+    adjusted = adjust_bars(bars, sm, splits, divs, materialize="close")
+    return adjusted.select(
+        "ticker",
+        F.col("volume").alias("event_id"),
+        F.round("split_price_factor", 6).alias("split_price_factor"),
+        F.round("tr_price_factor", 6).alias("tr_price_factor"),
+        F.round("close_split", 6).alias("close_split"),
+        F.round("close_tr", 6).alias("close_tr"),
+    )

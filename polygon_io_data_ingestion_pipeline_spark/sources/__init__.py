@@ -1,3 +1,16 @@
 from .tables import TESTDATA_TABLES, table
+from .csv_bars import read_bar_flatfiles, resolve_bar_columns
+from .lake import lake_manifest, read_lake, write_lake
+from .watchlist import load_watchlist, union_universes
 
-__all__ = ["TESTDATA_TABLES", "table"]
+__all__ = [
+    "TESTDATA_TABLES",
+    "table",
+    "read_bar_flatfiles",
+    "resolve_bar_columns",
+    "lake_manifest",
+    "read_lake",
+    "write_lake",
+    "load_watchlist",
+    "union_universes",
+]
