@@ -1143,3 +1143,22 @@ def corporate_actions_adjust(spark: SparkSession, sf: str) -> DataFrame:
         F.round("close_split", 6).alias("close_split"),
         F.round("close_tr", 6).alias("close_tr"),
     )
+
+
+@q(
+    "events_json_props_extract",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       event_type
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+""",
+    doc="JSON property extraction + predicate (SURVEY §2.8 json family — "
+    "watchlist/manifest JSON handling generalized to a column).",
+    tags=("scalar", "json"),
+)
+def json_props(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k"), "event_type").filter(F.col("k") >= 50)
