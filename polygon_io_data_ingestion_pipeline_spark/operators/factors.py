@@ -110,6 +110,16 @@ def attach_id(bars: DataFrame, security_master: DataFrame) -> DataFrame:
     rows with a null window survive), keep-last dedup per (ticker,
     datetime), and the ``NOFIGI__<TICKER>`` fallback.
     """
+    px_base = bars.withColumn("ticker", F.upper(F.trim(F.col("ticker")))).withColumn(
+        "event_day", F.to_date("datetime")
+    )
+    if security_master.limit(1).count() == 0:
+        # no dimension -> every row falls through to the NOFIGI identity;
+        # skip the join and the keep-last window entirely (two shuffles)
+        return px_base.withColumn(
+            "id", F.concat(F.lit("NOFIGI__"), F.col("ticker"))
+        ).withColumn("composite_figi", F.lit(None).cast("string"))
+
     sm = security_master
     for c, t in (("composite_figi", "string"), ("effective_start", "timestamp_ntz"),
                  ("effective_end", "timestamp_ntz")):
@@ -122,10 +132,7 @@ def attach_id(bars: DataFrame, security_master: DataFrame) -> DataFrame:
         F.to_date("effective_end").alias("effective_end"),
     )
 
-    px = bars.withColumn("ticker", F.upper(F.trim(F.col("ticker")))).withColumn(
-        "event_day", F.to_date("datetime")
-    )
-    m = px.join(F.broadcast(sm), "ticker", "left")
+    m = px_base.join(F.broadcast(sm), "ticker", "left")
     inwin = (F.col("event_day") >= F.col("effective_start")) & (
         F.col("effective_end").isNull() | (F.col("event_day") <= F.col("effective_end"))
     )

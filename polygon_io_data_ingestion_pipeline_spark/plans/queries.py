@@ -1162,3 +1162,39 @@ def json_props(spark: SparkSession, sf: str) -> DataFrame:
     ev = table(spark, sf, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return ev.select("event_id", k.alias("k"), "event_type").filter(F.col("k") >= 50)
+
+
+@q(
+    "customers_with_orders_semi",
+    oracle="""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_totalprice > 200000)
+""",
+    doc="Semi join (EXISTS): customers having any large order.",
+    tags=("join", "semi"),
+)
+def semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@q(
+    "customers_without_orders_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+""",
+    doc="Anti join (NOT EXISTS): customers with no urgent orders.",
+    tags=("join", "anti"),
+)
+def anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
