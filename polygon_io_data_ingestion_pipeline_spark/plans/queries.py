@@ -1198,3 +1198,121 @@ def anti_join(spark: SparkSession, sf: str) -> DataFrame:
     c = table(spark, sf, "customer")
     o = table(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@q(
+    "docs_length_percentiles",
+    oracle="""
+SELECT lang,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50,
+       round(quantile_cont(CAST(n_chars AS DOUBLE), 0.9), 6) AS p90,
+       count(*) AS n
+FROM documents GROUP BY lang
+""",
+    doc="Exact interpolated percentiles per group — the quality-threshold "
+    "shape of a training-data pipeline (Spark percentile == quantile_cont).",
+    tags=("agg", "text"),
+)
+def docs_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(CAST(n_chars AS DOUBLE), 0.9)"), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "region_nation_rollup_totals",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    doc="Hierarchical ROLLUP totals (region -> nation -> grand total).",
+    tags=("agg", "rollup"),
+)
+def region_rollup_totals(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+        )
+    )
+
+
+@q(
+    "nations_intersect",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    doc="INTERSECT set op (customer nations that also host suppliers).",
+    tags=("set",),
+)
+def nations_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@q(
+    "nations_except",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT n_nationkey FROM nation WHERE n_regionkey <> 0
+""",
+    doc="EXCEPT set op with guaranteed partial overlap at every scale factor "
+    "(customer nations minus nations outside region 0 = region-0 nations "
+    "that have customers; nation-vs-supplier EXCEPT degenerates to empty "
+    "once every nation hosts a supplier).",
+    tags=("set",),
+)
+def nations_except(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    n = table(spark, sf, "nation")
+    right = n.filter(F.col("n_regionkey") != 0).select(
+        F.col("n_nationkey").alias("nationkey")
+    )
+    return c.subtract(right)
+
+
+@q(
+    "events_tumbling_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 4) AS DOUBLE) AS total_value
+FROM events
+GROUP BY strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'), event_type
+""",
+    doc="Event-time tumbling window aggregation (the batch equivalent of a "
+    "Structured Streaming windowed agg; SURVEY §2.9).",
+    tags=("agg", "time", "streaming-shape"),
+)
+def tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour_bucket"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            _dsum(F.col("value"), 4).alias("total_value"),
+        )
+    )
