@@ -312,12 +312,28 @@ def adjust_bars(
     materialize: str = "ohlc",
     use_split_base: bool = True,
     renormalize: bool = True,
+    persist_intermediates: bool = True,
 ) -> DataFrame:
     """Unadjusted bars + refdata -> adjusted bars (the reference's batch
-    path, factor_builder.py:1125-1162, as a single linear plan)."""
-    px = attach_id(bars, security_master)
+    path, factor_builder.py:1125-1162, as a single linear plan).
+
+    ``persist_intermediates`` pins the two multi-consumer frames (the
+    id-stitched bars and the split-adjusted bars). Each factor build
+    consumes its bar input several times (calendar, event keying, factor
+    join); without a materialization point Spark re-embeds the whole
+    upstream DAG — scan + SCD stitch + as-of union-window — into every
+    branch, so the bars get rescanned and restitched many times over.
+    Persisting (MEMORY_AND_DISK, spills cleanly at cluster scale; for a
+    100 TB run stage the same frames to a table instead) makes each
+    computed exactly once.
+    """
+
+    def pin(df: DataFrame) -> DataFrame:
+        return df.persist() if persist_intermediates else df
+
+    px = pin(attach_id(bars, security_master))
     sf = build_split_factors(px, prep_splits(splits))
-    px = apply_split_factors(px, sf)
+    px = pin(apply_split_factors(px, sf))
     gf = build_dividend_factors(px, prep_dividends(dividends), use_split_base)
     px = apply_dividend_factors(px, gf, use_split_base)
     if renormalize:

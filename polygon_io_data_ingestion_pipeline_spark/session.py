@@ -71,13 +71,20 @@ def get_spark(
         .config("spark.default.parallelism", str(cpus))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # Whole-stage codegen emits one class per plan fragment; a long
-        # session compiles hundreds. With the JVM default ~240 MB code
-        # cache, the JIT starts flushing and hot query loops drop back
-        # to the interpreter — observed as sporadic 50-150x slowdowns of
-        # a single task. A 1 GiB reserved code cache removes the cliff.
+        # session compiles hundreds. Two JIT pathologies follow: (a) the
+        # default ~240 MB code cache fills and starts flushing hot code,
+        # and (b) C2 compile storms leave fresh codegen running
+        # interpreted (~50x slow) for seconds at a time — observed as
+        # 4-14 s single-task stalls that added 40-80 s to a 5 s query.
+        # C1-only compilation (TieredStopAtLevel=1) compiles ~100x
+        # faster at ~2x lower peak code quality: the right trade for a
+        # short-lived local session running many distinct plans. A
+        # long-lived cluster executor re-running few hot plans should
+        # keep full tiered compilation instead.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-XX:TieredStopAtLevel=1",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
