@@ -96,6 +96,24 @@ def jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^31 - 1: modulus of the universal-hash family below.
+MINHASH_P = 2147483647
+
+#: Fixed (a, b) mixing pairs; the j-th minhash uses h_j = (a*h + b) mod P.
+#: a < 2^21 and h < P < 2^31 keep a*h + b < 2^52 — exact in int64 on any
+#: engine (and reproducible in the DuckDB oracles).
+MINHASH_MIX: list[tuple[int, int]] = [
+    (1000003, 12345),
+    (999983, 54321),
+    (888887, 246810),
+    (777767, 135791),
+    (666671, 975310),
+    (555557, 864209),
+    (444443, 753198),
+    (333331, 642087),
+]
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -103,16 +121,27 @@ def minhash_signatures(
     n: int = 3,
     k: int = 8,
 ) -> DataFrame:
-    """k MinHash values per document: ``min(md5(shingle + '#' + j))``.
+    """k MinHash values per document. Output: (id, mh_0..mh_{k-1}).
 
-    Wide form — one aggregation with k min columns over the shingle set
-    (no ×k row explosion, one shuffle on id). Output: (id, mh_0..mh_{k-1}).
+    One strong hash per distinct shingle (md5 -> int64), then k cheap
+    universal-hash mixes ``(a_j*h + b_j) mod P`` — integer arithmetic
+    instead of k string hashes per shingle, the standard formulation for
+    corpus-scale minhash (hashing dominates the cost at 100 TB). Wide
+    form: one aggregation with k min columns over the shingle set (no
+    ×k row explosion, one shuffle on id).
     """
+    if k > len(MINHASH_MIX):
+        raise ValueError(f"k={k} exceeds the {len(MINHASH_MIX)} mixing pairs")
     sh = shingle_set(df, text_col, id_col, n)
-    return sh.groupBy(id_col).agg(
+    h = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    hs = sh.select(F.col(id_col), h.alias("h"))
+    return hs.groupBy(id_col).agg(
         *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{j}")))).alias(f"mh_{j}")
-            for j in range(k)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
+            for j, (a, b) in enumerate(MINHASH_MIX[:k])
         ]
     )
 

@@ -690,10 +690,15 @@ sh AS (SELECT DISTINCT doc_id, s FROM (
                 unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
          FROM toks)),
-mh AS (SELECT doc_id, j, min(md5(s || '#' || j)) AS mh
-       FROM sh, range(0, 8) r2(j) GROUP BY doc_id, j),
+hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+       FROM sh),
+mix(j, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), (2, 888887, 246810),
+                        (3, 777767, 135791), (4, 666671, 975310), (5, 555557, 864209),
+                        (6, 444443, 753198), (7, 333331, 642087)),
+mh AS (SELECT doc_id, j, min((a * h + b) % 2147483647) AS mh
+       FROM hs, mix GROUP BY doc_id, j),
 bands AS (SELECT doc_id, j // 2 AS band,
-                 md5(string_agg(mh, '|' ORDER BY j)) AS bkey
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
           FROM mh GROUP BY doc_id, j // 2)
 SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
 FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
@@ -1033,10 +1038,15 @@ sh AS (SELECT DISTINCT doc_id, s FROM (
                 unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
          FROM toks)),
-mh AS (SELECT doc_id, j, min(md5(s || '#' || j)) AS mh
-       FROM sh, range(0, 8) r2(j) GROUP BY doc_id, j),
+hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+       FROM sh),
+mix(j, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), (2, 888887, 246810),
+                        (3, 777767, 135791), (4, 666671, 975310), (5, 555557, 864209),
+                        (6, 444443, 753198), (7, 333331, 642087)),
+mh AS (SELECT doc_id, j, min((a * h + b) % 2147483647) AS mh
+       FROM hs, mix GROUP BY doc_id, j),
 bands AS (SELECT doc_id, j // 2 AS band,
-                 md5(string_agg(mh, '|' ORDER BY j)) AS bkey
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
           FROM mh GROUP BY doc_id, j // 2),
 cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
          FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
