@@ -1326,3 +1326,65 @@ def tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
             _dsum(F.col("value"), 4).alias("total_value"),
         )
     )
+
+
+@q(
+    "orders_top3_per_priority",
+    oracle="""
+SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+  FROM orders)
+WHERE rnk <= 3
+""",
+    doc="Top-N-per-group by ranking window (rank keeps boundary ties "
+    "identically in both engines; ntile would be row-order dependent). "
+    "At scale this is one hash shuffle on the partition key — no global "
+    "sort, no driver-side top-k.",
+    tags=("window", "rank"),
+)
+def orders_top3_per_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@q(
+    "region_segment_cube",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region, coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n, CAST(round(sum(CAST(round(c_acctbal * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS total_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY CUBE (r_name, c_mktsegment)
+""",
+    doc="CUBE aggregation (all four grouping-set combinations of region x "
+    "market segment) with broadcast dimension joins — complements the "
+    "ROLLUP query; partial aggregation keeps the shuffle linear.",
+    tags=("agg", "cube"),
+)
+def region_segment_cube(spark: SparkSession, sf: str) -> DataFrame:
+    c = table(spark, sf, "customer")
+    n = table(spark, sf, "nation")
+    r = table(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(F.count("*").alias("n"), _dsum(F.col("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "n",
+            "total_bal",
+        )
+    )
