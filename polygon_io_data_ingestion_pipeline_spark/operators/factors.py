@@ -193,9 +193,13 @@ def build_split_factors(bars_with_id: DataFrame, splits: DataFrame) -> DataFrame
     calendar; price factor = F / F_last (1.0 on the last day), volume
     factor is its reciprocal (factor_builder.py:269-276).
     """
-    cal = bars_with_id.select("id", "ticker", "event_day").distinct()
-    days = cal.select("id", "event_day").distinct()
-    ev = _events_for_ids(cal.select("id", "ticker").distinct(), splits, "execution_date", "ratio")
+    # Two independent distincts straight off the bar table (not a
+    # distinct-of-distinct chain: each is one shuffle, and the id/ticker
+    # one is tiny — one row per listed security).
+    days = bars_with_id.select("id", "event_day").distinct()
+    ev = _events_for_ids(
+        bars_with_id.select("id", "ticker").distinct(), splits, "execution_date", "ratio"
+    )
     aligned = _align_forward(ev, days, "execution_date", "ratio")
     per_day = aligned.groupBy("id", "event_day").agg(F.product("ratio").alias("ratio"))
     e = days.join(per_day, ["id", "event_day"], "left").na.fill({"ratio": 1.0})
