@@ -3,12 +3,13 @@
 The reference's semantic core is per-security running products of
 split/dividend factors normalized so the factor is exactly 1.0 on the
 most recent bar (reference: legacy_scripts/factor_builder.py:272-276,
-334-336, 818-824, 900-904). Spark has no native cumulative product, so
-we compile it to ``exp(sum(log(x)))`` over a running window — all
-JVM-side, whole-stage-codegen friendly, one shuffle on the partition
-keys. Ratios are strictly positive in this domain; a documented
-tolerance of ~1e-12 relative vs exact sequential multiplication applies
-(the reference itself computes in float64).
+334-336, 818-824, 900-904). We compile cumprod to the native
+``product`` aggregate over a running window — JVM-side, one shuffle on
+the partition keys, and **exact** sequential float64 multiplication,
+matching pandas ``cumprod`` bit-for-bit on the common case (split
+ratios are small integers/powers of two, where the earlier
+``exp(sum(log))`` formulation picked up ~1-ulp noise that could flip a
+round-half tie).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def cumprod(col: Column | str, w: WindowSpec) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return F.exp(F.sum(F.log(c)).over(running))
+    return F.product(c).over(running)
 
 
 def normalize_to_last(col: Column | str, w: WindowSpec) -> Column:

@@ -1099,13 +1099,123 @@ def rp_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 @q(
     "corporate_actions_adjust",
-    oracle=None,  # factor pipeline is window/as-of composition — driver records rows-only
+    oracle="""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker,
+         'NOFIGI__U' || CAST(user_id AS VARCHAR) AS id,
+         ts AS datetime,
+         CAST(ts AS DATE) AS event_day,
+         value + 1.0 AS close,
+         event_id AS volume
+  FROM events WHERE event_type = 'purchase'
+),
+days AS (SELECT DISTINCT id, event_day FROM bars),
+splits AS (
+  SELECT 'NOFIGI__U' || CAST(user_id AS VARCHAR) AS id,
+         CAST(ts AS DATE) AS exec_day,
+         2.0 AS ratio
+  FROM events WHERE event_type = 'signup'
+),
+split_aligned AS (
+  SELECT s.id,
+         (SELECT min(d.event_day) FROM days d
+          WHERE d.id = s.id AND d.event_day >= s.exec_day) AS event_day,
+         s.ratio
+  FROM splits s
+),
+split_per_day AS (
+  SELECT id, event_day, exp(sum(ln(ratio))) AS ratio
+  FROM split_aligned WHERE event_day IS NOT NULL
+  GROUP BY id, event_day
+),
+cal_ratio AS (
+  SELECT d.id, d.event_day, coalesce(p.ratio, 1.0) AS ratio
+  FROM days d LEFT JOIN split_per_day p USING (id, event_day)
+),
+cum_f AS (
+  SELECT id, event_day,
+         product(ratio) OVER (PARTITION BY id ORDER BY event_day
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+  FROM cal_ratio
+),
+spfs AS (
+  SELECT id, event_day,
+         cf / last_value(cf) OVER (PARTITION BY id ORDER BY event_day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS spf
+  FROM cum_f
+),
+bars_split AS (
+  SELECT b.ticker, b.id, b.datetime, b.event_day, b.volume, s.spf,
+         b.close * s.spf AS close_split
+  FROM bars b JOIN spfs s USING (id, event_day)
+),
+cal AS (
+  SELECT id, event_day, max_by(close_split, datetime) AS base
+  FROM bars_split GROUP BY id, event_day
+),
+cal2 AS (
+  SELECT id, event_day,
+         lag(base) OVER (PARTITION BY id ORDER BY event_day) AS prior_base
+  FROM cal
+),
+divs AS (
+  SELECT 'NOFIGI__U' || CAST(user_id AS VARCHAR) AS id,
+         CAST(ts AS DATE) AS ex_day,
+         value / 1000.0 AS amount
+  FROM events WHERE event_type = 'error'
+),
+div_aligned AS (
+  SELECT v.id,
+         (SELECT min(d.event_day) FROM days d
+          WHERE d.id = v.id AND d.event_day >= v.ex_day) AS event_day,
+         v.amount
+  FROM divs v
+),
+div_per_day AS (
+  SELECT id, event_day, sum(amount) AS amount
+  FROM div_aligned WHERE event_day IS NOT NULL
+  GROUP BY id, event_day
+),
+growth AS (
+  SELECT c.id, c.event_day,
+         CASE WHEN v.amount IS NOT NULL AND c.prior_base IS NOT NULL
+                   AND c.prior_base > 0 AND (c.prior_base - v.amount) > 0
+              THEN (c.prior_base - v.amount) / c.prior_base
+              ELSE 1.0 END AS g
+  FROM cal2 c LEFT JOIN div_per_day v USING (id, event_day)
+),
+cum_g AS (
+  SELECT id, event_day,
+         product(g) OVER (PARTITION BY id ORDER BY event_day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cg
+  FROM growth
+),
+trfs AS (
+  SELECT id, event_day,
+         cg / last_value(cg) OVER (PARTITION BY id ORDER BY event_day
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS trf
+  FROM cum_g
+)
+SELECT b.ticker,
+       b.volume AS event_id,
+       round(b.spf + 1e-9, 6) AS split_price_factor,
+       round(t.trf + 1e-9, 6) AS tr_price_factor,
+       round(b.close_split + 1e-9, 6) AS close_split,
+       round(b.close_split * t.trf + 1e-9, 6) AS close_tr
+FROM bars_split b JOIN trfs t USING (id, event_day)
+""",
     bench=True,
     doc="The flagship domain operator end-to-end: SCD id stitch, forward "
     "as-of event alignment, split/TR factor windows, apply + renormalize "
     "(operators/factors.py), on a bar table derived deterministically "
-    "from the events stream. Validated against a pandas oracle in "
-    "tests/test_factors.py; not expressible as one SQL statement.",
+    "from the events stream. Also validated against a pandas oracle in "
+    "tests/test_factors.py. The SQL oracle mirrors the pipeline exactly: "
+    "forward as-of snap = correlated min() over the calendar, cumprod = "
+    "exp(sum(ln)) running window, normalize-to-last = divide by the "
+    "partition product; batch TR renormalization is an exact no-op here "
+    "(the anchor factor is 1.0 on each id's last day) so it is omitted.",
     tags=("factors", "asof", "scd"),
 )
 def corporate_actions_adjust(spark: SparkSession, sf: str) -> DataFrame:
@@ -1145,13 +1255,18 @@ def corporate_actions_adjust(spark: SparkSession, sf: str) -> DataFrame:
         [], "ticker string, composite_figi string, effective_start timestamp_ntz, effective_end timestamp_ntz"
     )
     adjusted = adjust_bars(bars, sm, splits, divs, materialize="close")
+    # The +1e-9 nudge (mirrored in the oracle) moves the systematic
+    # round-half ties off the boundary: 2-decimal closes scaled by
+    # power-of-two split factors land EXACTLY on x.xxxxxx50, where
+    # Spark's exact-BigDecimal HALF_UP and DuckDB's scaled-double round
+    # disagree on which side of the boundary the ulp noise falls.
     return adjusted.select(
         "ticker",
         F.col("volume").alias("event_id"),
-        F.round("split_price_factor", 6).alias("split_price_factor"),
-        F.round("tr_price_factor", 6).alias("tr_price_factor"),
-        F.round("close_split", 6).alias("close_split"),
-        F.round("close_tr", 6).alias("close_tr"),
+        F.round(F.col("split_price_factor") + 1e-9, 6).alias("split_price_factor"),
+        F.round(F.col("tr_price_factor") + 1e-9, 6).alias("tr_price_factor"),
+        F.round(F.col("close_split") + 1e-9, 6).alias("close_split"),
+        F.round(F.col("close_tr") + 1e-9, 6).alias("close_tr"),
     )
 
 
