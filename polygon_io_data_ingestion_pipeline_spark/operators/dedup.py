@@ -59,31 +59,95 @@ def jaccard_pairs(
     n: int = 3,
     threshold: float = 0.1,
     max_docs_per_shingle: int | None = None,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """Near-duplicate pairs by n-word-shingle Jaccard similarity.
+    """Near-duplicate pairs by n-word-shingle Jaccard similarity (exact).
+
+    Two exact physical strategies, picked by threshold when ``auto``:
+
+    - ``direct`` (low thresholds): distributed self-join of the shingle
+      postings on the shingle key, counting intersections in one
+      aggregation. Work is sum(df^2) spread across shingle keys; hot
+      keys are split by AQE skew-join handling (never a single-reducer
+      posting list — there is no collect_list). Right when prefixes
+      would be nearly the whole document (t < ~0.2, where AllPairs
+      prefix length |d|-ceil(t|d|)+1 ~ |d|).
+    - ``prefix`` (high thresholds): AllPairs/PPJoin prefix filtering.
+      Shingles are ordered rarest-first (ascending document frequency);
+      only each document's first |d|-ceil(t|d|)+1 shingles are indexed.
+      Any pair with Jaccard >= t shares an indexed prefix shingle (the
+      intersection is >= ceil(t|d|) on both sides while the unindexed
+      suffix holds only ceil(t|d|)-1), so the candidate self-join is
+      lossless; the exact intersection is then computed from the full
+      shingle sets of candidates only. Stop-shingles sort last and drop
+      out of every prefix — no hot posting list at all.
+
+    ``max_docs_per_shingle`` optionally drops ultra-hot shingles from
+    the index as a stopword cutoff for pathological corpora (lossy;
+    ``None`` = exact).
 
     Returns ``(id1, id2, jaccard)`` with id1 < id2, jaccard >= threshold.
     """
+    if strategy == "auto":
+        strategy = "prefix" if threshold >= 0.2 else "direct"
     sh = shingle_set(df, text_col, id_col, n)
-    # Inverted index: one row per distinct shingle with its posting list.
-    # Pair generation is then map-side (double explode of the posting
-    # list) instead of a shuffle self-join on the raw shingle strings —
-    # one wide shuffle fewer, and partial aggregation collapses the
-    # candidate pairs before the final shuffle.
-    inv = sh.groupBy("shingle").agg(
-        F.count("*").alias("df_"), F.collect_list(id_col).alias("docs")
-    )
-    if max_docs_per_shingle is not None:
-        inv = inv.filter(F.col("df_") <= max_docs_per_shingle)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    inter = (
-        inv.filter(F.col("df_") > 1)
-        .select(F.explode("docs").alias("id1"), F.col("docs"))
-        .select("id1", F.explode("docs").alias("id2"))
-        .filter(F.col("id1") < F.col("id2"))
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
+
+    if strategy == "direct":
+        sh_idx = sh
+        if max_docs_per_shingle is not None:
+            keep = (
+                sh.groupBy("shingle")
+                .agg(F.count("*").alias("df_"))
+                .filter(F.col("df_") <= max_docs_per_shingle)
+                .select("shingle")
+            )
+            sh_idx = sh.join(keep, "shingle", "left_semi")
+        a = sh_idx.select(F.col(id_col).alias("id1"), F.col("shingle").alias("s"))
+        b = sh_idx.select(F.col(id_col).alias("id2"), F.col("shingle").alias("s"))
+        inter = (
+            a.join(b, "s")
+            .filter(F.col("id1") < F.col("id2"))
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("inter"))
+        )
+    elif strategy == "prefix":
+        from pyspark.sql import Window
+
+        tok_df = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        ranked = (
+            sh.join(tok_df, "shingle")
+            .withColumn(
+                "rnk",
+                F.row_number().over(Window.partitionBy(id_col).orderBy("df_", "shingle")),
+            )
+            .join(sizes, id_col)
+            .filter(
+                F.col("rnk")
+                <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+            )
+        )
+        if max_docs_per_shingle is not None:
+            ranked = ranked.filter(F.col("df_") <= max_docs_per_shingle)
+        pa = ranked.select(F.col(id_col).alias("id1"), "shingle")
+        pb = ranked.select(F.col(id_col).alias("id2"), "shingle")
+        cand = (
+            pa.join(pb, "shingle")
+            .filter(F.col("id1") < F.col("id2"))
+            .select("id1", "id2")
+            .distinct()
+        )
+        s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle").alias("s"))
+        s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle").alias("s"))
+        inter = (
+            cand.join(s1, "id1")
+            .join(s2, ["id2", "s"])
+            .groupBy("id1", "id2")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        raise ValueError(f"strategy must be auto|direct|prefix, got {strategy!r}")
+
     return (
         inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")), "id1")
         .join(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")), "id2")
@@ -240,13 +304,57 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+    """Near-dup pairs by SimHash Hamming distance, via the pigeonhole
+    banded join.
 
-    Candidate generation here is all-pairs (fine for oracle scale); the
-    production pattern at 100 TB is to split the signature into
-    ``max_hamming+1`` chunks and hash-join on any exact chunk match
-    (pigeonhole), which this returns identical results to.
+    Split each signature into ``max_hamming + 1`` disjoint bit chunks:
+    two signatures within Hamming distance ``max_hamming`` must agree
+    **exactly** on at least one chunk, so candidate generation is a
+    hash join on (chunk index, chunk value) — shuffle volume linear in
+    the corpus, like MinHash-LSH banding — followed by an exact
+    Hamming verification on candidates only. Returns exactly what the
+    all-pairs formulation (:func:`simhash_pairs_allpairs`) returns,
+    without its |docs|^2 cartesian.
     """
+    sig = simhash(df, text_col, id_col, bits)
+    n_chunks = max_hamming + 1
+    width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
+    mask = (1 << width) - 1
+    chunk_entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), c * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("ckey"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    entries = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunk_entries).alias("e")
+    ).select(id_col, "simhash", F.col("e.chunk").alias("chunk"), F.col("e.ckey").alias("ckey"))
+    a = entries.select(F.col(id_col).alias("id1"), F.col("simhash").alias("h1"), "chunk", "ckey")
+    b = entries.select(F.col(id_col).alias("id2"), F.col("simhash").alias("h2"), "chunk", "ckey")
+    return (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id1", "id2", "hamming")
+        .distinct()
+    )
+
+
+def simhash_pairs_allpairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """All-pairs SimHash reference (quadratic) — the test oracle for
+    :func:`simhash_pairs`; never the production path."""
     sig = simhash(df, text_col, id_col, bits)
     a = sig.select(F.col(id_col).alias("id1"), F.col("simhash").alias("h1"))
     b = sig.select(F.col(id_col).alias("id2"), F.col("simhash").alias("h2"))

@@ -160,3 +160,70 @@ def rp_lsh_candidate_pairs(
     x = b.select(F.col(id_col).alias("id1"), "bucket")
     y = b.select(F.col(id_col).alias("id2"), "bucket")
     return x.join(y, "bucket").filter(F.col("id1") < F.col("id2")).select("id1", "id2", "bucket")
+
+
+def rp_lsh_entries(
+    df: DataFrame,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: (id, tbl, bucket) rows, one bucket per hash
+    table; table ``t`` uses global planes ``t*n_planes .. (t+1)*n_planes-1``.
+
+    Multiple independent tables are the recall lever: a true near pair
+    missed by one table's bucket is caught by another — the standard
+    multi-probe/banding trade (like MinHash-LSH bands)."""
+    entries = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for p in range(n_planes):
+            gp = t * n_planes + p
+            proj = F.expr(
+                f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1),"
+                f" d -> {_plane_component(gp, 'd')}),"
+                f" (x, r) -> CAST(x AS DOUBLE) * r), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
+    return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("e")).select(
+        id_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    )
+
+
+def cosine_neardup_lsh(
+    df: DataFrame,
+    threshold: float = 0.3,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production near-dup path: multi-table random-hyperplane LSH
+    candidate generation (hash join on (table, bucket) — shuffle linear
+    in the corpus), then **exact** cosine verification of candidates
+    only. Mirrors the MinHash route in dedup.py
+    (``lsh_candidate_pairs`` -> exact-Jaccard verify); the quadratic
+    :func:`cosine_pairs` stays as the recall baseline/test oracle.
+    """
+    entries = rp_lsh_entries(df, n_planes, n_tables, id_col, vec_col)
+    x = entries.select(F.col(id_col).alias("id1"), "tbl", "bucket")
+    y = entries.select(F.col(id_col).alias("id2"), "tbl", "bucket")
+    cand = (
+        x.join(y, ["tbl", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    e1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("e1"))
+    e2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("e2"))
+    return (
+        cand.join(e1, "id1")
+        .join(e2, "id2")
+        .withColumn("__cos", cosine("e1", "e2"))
+        .filter(F.col("__cos") >= threshold)
+        .select("id1", "id2", F.round("__cos", 6).alias("cos"))
+    )

