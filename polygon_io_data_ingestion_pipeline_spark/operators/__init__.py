@@ -17,6 +17,12 @@ from .gaps import (
     infer_gap_ratios,
     merge_declared_with_inferred,
 )
+from .minute_path import (
+    adjust_minute_bars,
+    dividend_factors_from_days,
+    effective_day_factors,
+    split_factors_from_days,
+)
 
 __all__ = [
     "asof_join",
@@ -35,4 +41,8 @@ __all__ = [
     "guess_split_ratio",
     "infer_gap_ratios",
     "merge_declared_with_inferred",
+    "adjust_minute_bars",
+    "dividend_factors_from_days",
+    "effective_day_factors",
+    "split_factors_from_days",
 ]

@@ -1527,3 +1527,284 @@ def region_segment_cube(spark: SparkSession, sf: str) -> DataFrame:
             "total_bal",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# E. Minute-path verification: gap inference, reconcile, series joins
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_split_gap_inference",
+    oracle="""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, ts,
+         value + 1.0 AS close, CAST(ts AS DATE) AS event_day
+  FROM events WHERE event_type = 'purchase'
+),
+edges AS (
+  SELECT ticker, event_day,
+         min_by(close, epoch_us(ts)) AS first_close,
+         max_by(close, epoch_us(ts)) AS last_close
+  FROM bars GROUP BY ticker, event_day
+),
+gaps AS (
+  SELECT ticker, event_day, first_close,
+         first_close / lag(last_close) OVER (PARTITION BY ticker ORDER BY event_day)
+           AS raw_gap
+  FROM edges
+),
+guess AS (
+  SELECT ticker, event_day, raw_gap,
+         CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END AS inv,
+         CASE WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 2.5 THEN 2.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 3.5 THEN 3.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 4.5 THEN 4.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 7.5 THEN 5.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 15.0 THEN 10.0
+              ELSE 20.0 END AS nearest
+  FROM gaps WHERE raw_gap IS NOT NULL
+)
+SELECT ticker, strftime(event_day, '%Y-%m-%d') AS day,
+       round(raw_gap, 6) AS raw_gap, nearest AS ratio_guess
+FROM guess
+WHERE raw_gap > 0 AND abs(inv - nearest) / nearest <= 0.15
+""",
+    doc="Split-gap inference (SURVEY §2.5 W8, factor_builder.py:746-753): "
+    "day edges -> overnight gap -> snap to the nearest canonical ratio "
+    "within 15% tolerance, as native column expressions (operators/"
+    "gaps.py). The oracle mirrors the argmin as midpoint CASE ranges "
+    "(ties take the smaller candidate, like the reference's argmin).",
+    tags=("window", "gaps"),
+)
+def split_gap_inference(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.gaps import day_edges, guess_split_ratio
+
+    ev = table(spark, sf, "events")
+    bars = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 1.0).alias("close"),
+    )
+    edges = day_edges(bars)
+    return (
+        edges.withColumn("ratio_guess", guess_split_ratio("raw_gap"))
+        .filter(F.col("ratio_guess").isNotNull())
+        .select(
+            "ticker",
+            F.date_format("event_day", "yyyy-MM-dd").alias("day"),
+            F.round("raw_gap", 6).alias("raw_gap"),
+            "ratio_guess",
+        )
+    )
+
+
+@q(
+    "events_gap_declared_reconcile",
+    oracle="""
+WITH bars AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, ts,
+         value + 1.0 AS close, CAST(ts AS DATE) AS event_day
+  FROM events WHERE event_type = 'purchase'
+),
+edges AS (
+  SELECT ticker, event_day,
+         min_by(close, epoch_us(ts)) AS first_close,
+         max_by(close, epoch_us(ts)) AS last_close
+  FROM bars GROUP BY ticker, event_day
+),
+gaps AS (
+  SELECT ticker, event_day,
+         first_close / lag(last_close) OVER (PARTITION BY ticker ORDER BY event_day)
+           AS raw_gap
+  FROM edges
+),
+inferred AS (
+  SELECT ticker, event_day AS g_day,
+         CASE WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 2.5 THEN 2.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 3.5 THEN 3.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 4.5 THEN 4.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 7.5 THEN 5.0
+              WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 15.0 THEN 10.0
+              ELSE 20.0 END AS ratio_guess
+  FROM gaps
+  WHERE raw_gap IS NOT NULL AND raw_gap > 0
+    AND abs((CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END)
+            - (CASE WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 2.5 THEN 2.0
+                    WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 3.5 THEN 3.0
+                    WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 4.5 THEN 4.0
+                    WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 7.5 THEN 5.0
+                    WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 15.0 THEN 10.0
+                    ELSE 20.0 END))
+        / (CASE WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 2.5 THEN 2.0
+                WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 3.5 THEN 3.0
+                WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 4.5 THEN 4.0
+                WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 7.5 THEN 5.0
+                WHEN (CASE WHEN raw_gap > 1 THEN raw_gap ELSE 1.0 / raw_gap END) <= 15.0 THEN 10.0
+                ELSE 20.0 END) <= 0.15
+),
+declared AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, CAST(ts AS DATE) AS event_day,
+         product(2.0) AS ratio
+  FROM events WHERE event_type = 'signup'
+  GROUP BY 1, 2
+),
+per_guess AS (
+  SELECT g.ticker, g.g_day, g.ratio_guess,
+         max(CASE WHEN d.ratio / g.ratio_guess BETWEEN 0.85 AND 1.15 THEN 1 ELSE 0 END)
+           AS sim,
+         max(CASE WHEN date_diff('day', g.g_day, d.event_day) = 1
+                   AND abs(d.ratio / g.ratio_guess - 1) <= 0.15 THEN 1 ELSE 0 END)
+           AS mov
+  FROM inferred g LEFT JOIN declared d
+    ON d.ticker = g.ticker
+   AND date_diff('day', g.g_day, d.event_day) BETWEEN -1 AND 1
+  GROUP BY g.ticker, g.g_day, g.ratio_guess
+),
+act AS (SELECT * FROM per_guess WHERE sim = 0 OR mov = 1),
+drops AS (
+  SELECT ticker, g_day AS event_day FROM act
+  UNION ALL
+  SELECT ticker, g_day + 1 AS event_day FROM act WHERE sim = 1 AND mov = 1
+),
+keep AS (
+  SELECT d.ticker, d.event_day, d.ratio FROM declared d
+  WHERE NOT EXISTS (SELECT 1 FROM drops x
+                    WHERE x.ticker = d.ticker AND x.event_day = d.event_day)
+),
+merged AS (
+  SELECT ticker, event_day, ratio FROM keep
+  UNION ALL
+  SELECT ticker, g_day AS event_day, ratio_guess AS ratio FROM act
+)
+SELECT ticker, strftime(event_day, '%Y-%m-%d') AS day, round(ratio, 6) AS ratio
+FROM merged
+""",
+    doc="Declared-vs-inferred split reconcile (SURVEY §2.5 W8, "
+    "factor_builder.py:789-814): gap-inferred ratios override dissimilar "
+    "declared ones and pull day+1 declared ratios onto the observed gap "
+    "day (operators/gaps.py merge_declared_with_inferred), set-based.",
+    tags=("gaps", "join"),
+)
+def gap_declared_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.gaps import day_edges, infer_gap_ratios, merge_declared_with_inferred
+
+    ev = table(spark, sf, "events")
+    bars = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 1.0).alias("close"),
+    )
+    inferred = infer_gap_ratios(day_edges(bars))
+    declared = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+            F.to_date("ts").alias("event_day"),
+        )
+        .groupBy("ticker", "event_day")
+        .agg(F.product(F.lit(2.0)).alias("ratio"))
+    )
+    merged = merge_declared_with_inferred(declared, inferred)
+    return merged.select(
+        "ticker",
+        F.date_format("event_day", "yyyy-MM-dd").alias("day"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
+@q(
+    "series_day_calendar_join",
+    oracle="""
+WITH un AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, ts,
+         value + 1.0 AS close, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+ad AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, CAST(ts AS DATE) AS d,
+         max(value) AS close_sa
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1, 2
+)
+SELECT un.ticker, un.event_id, round(un.close, 6) AS close,
+       strftime(un.ts, '%Y-%m-%d') AS day,
+       round(ad.close_sa, 6) AS close_sa
+FROM un LEFT JOIN ad ON ad.ticker = un.ticker AND ad.d = CAST(un.ts AS DATE)
+""",
+    doc="load_series day-granularity merge (SURVEY §2.3 J5, "
+    "lake_io.py:500-506): unadjusted rows left-joined with adjusted "
+    "columns on the calendar date (sources/series.py join_series).",
+    tags=("join", "series"),
+)
+def series_day_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.series import join_series
+
+    ev = table(spark, sf, "events")
+    un = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 1.0).alias("close"),
+        F.col("event_id").alias("volume"),
+    )
+    ad = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.min("ts").alias("datetime"), F.max("value").alias("close_sa"))
+        .select("ticker", "datetime", "close_sa")
+    )
+    out = join_series(un, ad, "day")
+    return out.select(
+        "ticker",
+        F.col("volume").alias("event_id"),
+        F.round("close", 6).alias("close"),
+        F.date_format("datetime", "yyyy-MM-dd").alias("day"),
+        F.round("close_sa", 6).alias("close_sa"),
+    )
+
+
+@q(
+    "series_minute_exact_join",
+    oracle="""
+WITH un AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, ts,
+         value + 1.0 AS close, event_id
+  FROM events WHERE event_type = 'purchase'
+),
+ad AS (
+  SELECT 'U' || CAST(user_id AS VARCHAR) AS ticker, ts,
+         (value + 1.0) * 0.5 AS close_sa
+  FROM events WHERE event_type = 'purchase' AND value > 500
+)
+SELECT un.ticker, un.event_id, round(un.close, 6) AS close,
+       round(ad.close_sa, 6) AS close_sa
+FROM un LEFT JOIN ad ON ad.ticker = un.ticker AND ad.ts = un.ts
+""",
+    doc="load_series minute-granularity merge (SURVEY §2.3 J6, "
+    "lake_io.py:509-511): left join on the exact timestamp; unmatched "
+    "rows keep null adjusted columns (sources/series.py join_series).",
+    tags=("join", "series"),
+)
+def series_minute_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..sources.series import join_series
+
+    ev = table(spark, sf, "events")
+    un = ev.filter(F.col("event_type") == "purchase").select(
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("ticker"),
+        F.col("ts").alias("datetime"),
+        (F.col("value") + 1.0).alias("close"),
+        F.col("event_id").alias("volume"),
+    )
+    ad = un.filter(F.col("close") > 501.0).select(
+        "ticker", "datetime", (F.col("close") * 0.5).alias("close_sa")
+    )
+    out = join_series(un, ad, "minute")
+    return out.select(
+        "ticker",
+        F.col("volume").alias("event_id"),
+        F.round("close", 6).alias("close"),
+        F.round("close_sa", 6).alias("close_sa"),
+    )

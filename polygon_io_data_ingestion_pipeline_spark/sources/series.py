@@ -46,6 +46,15 @@ def load_series(
     """
     un = read_lake(spark, unadj_root, tickers=tickers, start=start, end=end)
     ad = read_lake(spark, adj_root, tickers=tickers, start=start, end=end)
+    return join_series(un, ad, tf)
+
+
+def join_series(un: DataFrame, ad: DataFrame, tf: str) -> DataFrame:
+    """The load_series merge core: unadjusted bars left-joined with
+    adjusted columns — on calendar date for day granularity
+    (lake_io.py:500-506), on exact timestamp for minute (509-511).
+    Exposed separately so the join semantics are oracle-testable
+    without lake directories."""
     for src, dst in SPLIT_TO_SA.items():
         if dst not in ad.columns and src in ad.columns:
             ad = ad.withColumn(dst, F.col(src))
