@@ -90,8 +90,14 @@ def cmd_load(args: argparse.Namespace) -> int:
         spark, args.lake, args.adj, tf=args.tf, tickers=tickers, start=args.start, end=args.end
     )
     out = args.out
+    # export switch by suffix (reference lake_io.py:391-401:
+    # csv / feather / parquet)
     if out.endswith(".csv"):
         df.coalesce(1).write.option("header", True).mode("overwrite").csv(out)
+    elif out.endswith(".feather"):
+        # Feather is a single-machine analysis format; the reference
+        # writes it with pandas. Arrow conversion keeps it exact.
+        df.toPandas().to_feather(out)
     else:
         df.write.mode("overwrite").parquet(out)
     print(f"series -> {out}")

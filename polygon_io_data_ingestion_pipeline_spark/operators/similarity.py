@@ -15,6 +15,9 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -75,10 +78,6 @@ def brute_force_topk_arrow(
     expressions run interpreted per element, while this path is one
     BLAS call per batch. Results match the expression version (same
     doubles, same rounding) — asserted in tests."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as SF
-
     q_rows = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
     if not q_rows:
         raise ValueError(f"query id {query_id} not found")
@@ -86,12 +85,10 @@ def brute_force_topk_arrow(
     qn = float(np.sqrt((q * q).sum()))
     bq = df.sparkSession.sparkContext.broadcast(q)
 
-    # no type hints: postponed annotations (PEP 563) would stringify
-    # them and break pandas_udf's inference — pass the eval type instead
-    from pyspark.sql.functions import PandasUDFType
-
-    @SF.pandas_udf("double", PandasUDFType.SCALAR)
-    def score(vecs):
+    # type-hinted scalar pandas_udf (PEP 563 strings resolve against the
+    # module globals, so pd must be a module-level import)
+    @F.pandas_udf("double")
+    def score(vecs: pd.Series) -> pd.Series:
         m = np.asarray(list(vecs), dtype=np.float64)
         dots = m @ bq.value
         norms = np.sqrt((m * m).sum(axis=1))

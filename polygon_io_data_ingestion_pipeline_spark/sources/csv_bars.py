@@ -109,12 +109,33 @@ def normalize_bar_frame(
 
 def _header_signature(path: str) -> tuple[str, ...]:
     """First line of a (possibly gzipped) CSV — the reference's header
-    sniff (ingest.py:132-134)."""
+    sniff (ingest.py:132-134). Runs on executors (see _probe_headers);
+    gzip streams only the first block, so the cost per file is one
+    small read regardless of file size."""
     import gzip
 
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         return tuple(f.readline().strip().split(","))
+
+
+def _probe_headers(spark: SparkSession, files: list[str]) -> dict[tuple[str, ...], list[str]]:
+    """Group files by header signature, probing on the EXECUTORS.
+
+    The reference gzip-opens every flat file serially on one machine
+    (ingest.py:132-134 called per file); at millions of files that
+    serial driver I/O is the ingest bottleneck. Here the probe is a
+    parallelized map over the path list — driver I/O is O(1), total
+    probe work is distributed and bounded by one first-line read per
+    file. (Files must be reachable from executors — true for any
+    shared/cloud FS a cluster would ingest from.)"""
+    sc = spark.sparkContext
+    slices = max(1, min(len(files), sc.defaultParallelism * 4))
+    pairs = sc.parallelize(files, slices).map(lambda p: (_header_signature(p), p)).collect()
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for header, path in sorted(pairs, key=lambda t: t[1]):
+        groups.setdefault(header, []).append(path)
+    return groups
 
 
 def read_bar_flatfiles(
@@ -142,9 +163,7 @@ def read_bar_flatfiles(
     files = sorted({f for p in patterns for f in globmod.glob(p)})
     if not files:
         raise FileNotFoundError(f"no flat files match {patterns}")
-    groups: dict[tuple[str, ...], list[str]] = {}
-    for f in files:
-        groups.setdefault(_header_signature(f), []).append(f)
+    groups = _probe_headers(spark, files)
 
     frames = []
     for header, group in groups.items():

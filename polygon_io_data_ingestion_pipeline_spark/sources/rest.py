@@ -142,38 +142,69 @@ def _pull(
     client_factory: Callable,
     rate_limit_s: float,
     scalar: bool,
+    include_status: bool = False,
+    fail_on_missing: bool = False,
+    retry_kwargs: dict | None = None,
 ) -> DataFrame:
+    """Fetch per-ticker refdata with a full audit trail.
+
+    Every ticker produces either data rows (``fetch_status='ok'``) or
+    one status row (``not_found`` / ``retry_exhausted`` / ``error``
+    with null data columns) — mirroring the reference's ``missing``
+    list + ``fail_on_missing``/``missing_out`` contract
+    (polygon_pullers/__init__.py:95-139, run_pullers.py:65-152).
+    ``fail_on_missing`` re-raises RetryExhausted instead of recording
+    it; by default status rows are filtered out and the caller gets
+    clean data (set ``include_status`` to audit).
+    """
     tickers_df = spark_or_df
+    out_schema = schema + ", fetch_status string"
+    cols = [f.strip().split()[0] for f in out_schema.split(",")]
+    rkw = retry_kwargs or {}
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         client = client_factory()  # one client per task, like one per worker
         for batch in batches:
             rows: list[dict] = []
             for ticker in batch["ticker"]:
+                t = str(ticker)
                 try:
-                    res = retrying_call(getattr(client, method), str(ticker))
-                except Exception:
-                    continue  # missing tickers are recorded by absence
-                rows.extend([res] if scalar else res)
+                    res = retrying_call(getattr(client, method), t, **rkw)
+                except RetryExhausted:
+                    if fail_on_missing:
+                        raise
+                    rows.append({"ticker": t, "fetch_status": "retry_exhausted"})
+                    continue
+                except Exception as exc:  # noqa: BLE001 — NOT_FOUND et al.
+                    status = "not_found" if "NOT_FOUND" in str(exc) else "error"
+                    rows.append({"ticker": t, "fetch_status": status})
+                    continue
+                for r in [res] if scalar else res:
+                    rows.append({**r, "fetch_status": "ok"})
                 if rate_limit_s:
                     time.sleep(rate_limit_s)
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {f.split()[0]: pd.Series(dtype="object") for f in schema.split(", ")}
-            )
+            out = pd.DataFrame(rows)
+            for c in cols:
+                if c not in out.columns:
+                    out[c] = None
+            yield out[cols]
 
-    return tickers_df.mapInPandas(fetch, schema=schema)
-
-
-def pull_splits(tickers: DataFrame, client_factory=FakePolygonClient, rate_limit_s: float = 0.0) -> DataFrame:
-    return _pull(tickers, "list_splits", SPLITS_SCHEMA, client_factory, rate_limit_s, scalar=False)
-
-
-def pull_dividends(tickers: DataFrame, client_factory=FakePolygonClient, rate_limit_s: float = 0.0) -> DataFrame:
-    return _pull(tickers, "list_dividends", DIVIDENDS_SCHEMA, client_factory, rate_limit_s, scalar=False)
+    df = tickers_df.mapInPandas(fetch, schema=out_schema)
+    if include_status:
+        return df
+    return df.filter("fetch_status = 'ok'").drop("fetch_status")
 
 
-def pull_security_master(tickers: DataFrame, client_factory=FakePolygonClient, rate_limit_s: float = 0.0) -> DataFrame:
-    return _pull(tickers, "ticker_details", SECURITY_MASTER_SCHEMA, client_factory, rate_limit_s, scalar=True)
+def pull_splits(tickers: DataFrame, client_factory=FakePolygonClient, rate_limit_s: float = 0.0, **kw) -> DataFrame:
+    return _pull(tickers, "list_splits", SPLITS_SCHEMA, client_factory, rate_limit_s, scalar=False, **kw)
+
+
+def pull_dividends(tickers: DataFrame, client_factory=FakePolygonClient, rate_limit_s: float = 0.0, **kw) -> DataFrame:
+    return _pull(tickers, "list_dividends", DIVIDENDS_SCHEMA, client_factory, rate_limit_s, scalar=False, **kw)
+
+
+def pull_security_master(tickers: DataFrame, client_factory=FakePolygonClient, rate_limit_s: float = 0.0, **kw) -> DataFrame:
+    return _pull(tickers, "ticker_details", SECURITY_MASTER_SCHEMA, client_factory, rate_limit_s, scalar=True, **kw)
 
 
 def ticker_universe(spark: SparkSession, symbols: list[str]) -> DataFrame:

@@ -145,6 +145,31 @@ def test_watchlists(tmp_path):
     assert union_universes(a, b) == ["AAPL", "BRK.B", "MSFT", "NVDA", "TSLA"]
 
 
+def test_scrape_index_universe(tmp_path):
+    from polygon_io_data_ingestion_pipeline_spark.sources.watchlist import (
+        scrape_index_universe,
+    )
+
+    page = tmp_path / "constituents.html"
+    page.write_text(
+        """
+<html><body>
+<table><tr><th>Rank</th><th>Name</th></tr><tr><td>1</td><td>Other</td></tr></table>
+<table>
+  <tr><th>Symbol</th><th>Security</th></tr>
+  <tr><td>msft</td><td>Microsoft</td></tr>
+  <tr><td>AAPL</td><td>Apple</td></tr>
+  <tr><td>BRK.B extra</td><td>Berkshire</td></tr>
+  <tr><td>AAPL</td><td>Apple duplicate</td></tr>
+</table>
+</body></html>
+"""
+    )
+    assert scrape_index_universe(page) == ["AAPL", "BRK.B", "MSFT"]
+    with pytest.raises(ValueError, match="no table"):
+        scrape_index_universe(page, symbol_header="Ticker")
+
+
 def test_multimodal_plumbing(spark):
     rows = [
         (1, "image", b"imagebytes-1", ("image/png", 640, 480, None)),

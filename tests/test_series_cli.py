@@ -59,6 +59,19 @@ def test_cli_pipeline_and_load(spark, pipeline_dirs, tmp_path):
     assert abs(last["close_sa"] - last["close"]) < 1e-6
 
 
+def test_cli_load_feather_export(pipeline_dirs, tmp_path):
+    import pandas as pd
+
+    _, lake, _, adj = pipeline_dirs
+    out = str(tmp_path / "series.feather")
+    assert cli_main(
+        ["load", "--lake", lake, "--adj", adj, "--tf", "day", "--tickers", "MSFT", "--out", out]
+    ) == 0
+    got = pd.read_feather(out)
+    assert len(got) == 5
+    assert {"close", "close_sa", "close_tr"} <= set(got.columns)
+
+
 def test_load_events_alias_normalization(spark, pipeline_dirs):
     _, _, ref, _ = pipeline_dirs
     splits, divs = load_events(spark, ref, tickers=["AAPL", "MSFT"])
