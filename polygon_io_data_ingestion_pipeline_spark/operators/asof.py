@@ -42,6 +42,7 @@ def asof_join(
     allow_exact_matches: bool = True,
     right_prefix: str = "asof_",
     how: str = "left",
+    tiebreaker: str | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to the nearest ``right`` row per ``by`` group.
 
@@ -49,6 +50,15 @@ def asof_join(
     with ``right_prefix`` prepended; the matched ordering key itself is
     exposed as ``<right_prefix><on>``. ``how='inner'`` drops unmatched
     left rows (the reference's ``.dropna(subset=['event_day'])``).
+
+    Duplicate ``on`` values within a ``by`` group: by default ties
+    resolve by lexicographic comparison of the remaining payload fields
+    (NULL fields sort first) — deterministic but NOT pandas'
+    positional rule. Pass ``tiebreaker`` (a right column holding each
+    row's position) to reproduce ``pandas.merge_asof`` exactly: it is
+    placed as the struct's second field, so ``forward`` (min) keeps the
+    positionally FIRST duplicate and ``backward`` (max) the positionally
+    LAST — pandas' documented behavior.
     """
     if direction not in ("forward", "backward"):
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
@@ -57,11 +67,16 @@ def asof_join(
     payload_cols = [c for c in right.columns if c not in by]
     if on not in payload_cols:
         raise ValueError(f"right side must contain ordering column {on!r}")
+    if tiebreaker is not None and tiebreaker not in payload_cols:
+        raise ValueError(f"right side must contain tiebreaker column {tiebreaker!r}")
     # First struct field MUST be the ordering key: min/max over the
-    # struct then means "nearest by `on`" with payload as tiebreaker.
-    payload = F.struct(
-        F.col(on).alias(on), *[F.col(c) for c in payload_cols if c != on]
-    )
+    # struct then means "nearest by `on`"; the optional tiebreaker comes
+    # second so it decides among same-`on` duplicates before any other
+    # payload field is compared.
+    ordered = [on] + ([tiebreaker] if tiebreaker else []) + [
+        c for c in payload_cols if c not in (on, tiebreaker)
+    ]
+    payload = F.struct(*[F.col(c).alias(c) for c in ordered])
 
     # Side ordering controls exact-match visibility: the frame is
     # row-based (currentRow..following for forward, preceding..currentRow

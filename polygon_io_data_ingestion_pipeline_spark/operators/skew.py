@@ -57,7 +57,13 @@ def salted_broadcast_left(
     how: str = "inner",
 ) -> DataFrame:
     """Shuffle join with the build side replicated across ``salt_n``
-    salts so hot probe keys fan out over ``salt_n`` reducers."""
+    salts so hot probe keys fan out over ``salt_n`` reducers.
+
+    Only ``inner``/``left`` are valid: the build side exists ``salt_n``
+    times, so right/outer joins would surface each unmatched build row
+    once per salt replica."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted join supports inner|left, got {how!r}")
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1))).alias("__salt")
     build_rep = build.select("*", salts)
     probe_s = probe.withColumn("__salt", (F.rand(seed=11) * salt_n).cast("int"))

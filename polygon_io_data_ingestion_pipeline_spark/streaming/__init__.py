@@ -1,3 +1,3 @@
-from .ingest_stream import stream_ingest_bars
+from .ingest_stream import stream_ingest_bars, write_ingest_batch
 
-__all__ = ["stream_ingest_bars"]
+__all__ = ["stream_ingest_bars", "write_ingest_batch"]

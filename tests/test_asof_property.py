@@ -16,15 +16,26 @@ rows = st.lists(st.tuples(groups, keys), min_size=1, max_size=12)
 
 
 def brute(left, right, direction, allow_exact):
+    """pandas.merge_asof rule: nearest key; among duplicate keys the
+    positionally FIRST (forward) / LAST (backward) right row wins."""
     out = []
     for g, k in left:
-        cand = [rk for rg, rk in right if rg == g]
+        cand = [(rk, pos) for pos, (rg, rk) in enumerate(right) if rg == g]
         if direction == "forward":
-            cand = [c for c in cand if (c >= k if allow_exact else c > k)]
-            out.append(min(cand) if cand else None)
+            cand = [c for c in cand if (c[0] >= k if allow_exact else c[0] > k)]
+            if not cand:
+                out.append((None, None))
+                continue
+            best = min(c[0] for c in cand)
+            pos = min(p for c, p in cand if c == best)
         else:
-            cand = [c for c in cand if (c <= k if allow_exact else c < k)]
-            out.append(max(cand) if cand else None)
+            cand = [c for c in cand if (c[0] <= k if allow_exact else c[0] < k)]
+            if not cand:
+                out.append((None, None))
+                continue
+            best = max(c[0] for c in cand)
+            pos = max(p for c, p in cand if c == best)
+        out.append((best, 100 + pos))
     return out
 
 
@@ -46,14 +57,19 @@ def test_asof_matches_bruteforce(spark, left, right, direction, allow_exact):
     )
     rdf = spark.createDataFrame(
         pd.DataFrame({"g": [g for g, _ in right], "k": [k for _, k in right],
+                      "pos": range(len(right)),
                       "rv": [100 + i for i in range(len(right))]})
     )
     got = (
         asof_join(ldf, rdf, on="k", by="g", direction=direction,
-                  allow_exact_matches=allow_exact, right_prefix="m_")
+                  allow_exact_matches=allow_exact, right_prefix="m_",
+                  tiebreaker="pos")
         .toPandas()
         .sort_values("i")
     )
     want = brute(left, right, direction, allow_exact)
-    got_keys = [None if pd.isna(v) else int(v) for v in got["m_k"]]
-    assert got_keys == want
+    got_pairs = [
+        (None if pd.isna(k) else int(k), None if pd.isna(v) else int(v))
+        for k, v in zip(got["m_k"], got["m_rv"])
+    ]
+    assert got_pairs == want

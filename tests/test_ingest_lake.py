@@ -20,7 +20,10 @@ from polygon_io_data_ingestion_pipeline_spark.sources.lake import (
     read_lake,
     write_lake,
 )
-from polygon_io_data_ingestion_pipeline_spark.streaming import stream_ingest_bars
+from polygon_io_data_ingestion_pipeline_spark.streaming import (
+    stream_ingest_bars,
+    write_ingest_batch,
+)
 
 NS_DAY = 86_400_000_000_000
 BASE_NS = 1_704_153_600_000_000_000  # 2024-01-02 00:00:00 UTC in ns
@@ -113,3 +116,20 @@ def test_streaming_available_now(spark, tmp_path):
     q2.awaitTermination(120)
     # checkpoint remembers the first file: only the new one is appended
     assert read_lake(spark, lake).count() == n1 + 1
+
+
+def test_stream_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed batch must overwrite
+    its own prior output, not append duplicates."""
+    src, lake = str(tmp_path / "s"), str(tmp_path / "l")
+    _write_flatfiles(src)
+    bars = read_bar_flatfiles(spark, f"{src}/*/*/2024-01-02.csv.gz", tf="day")
+
+    write_ingest_batch(bars, 0, lake, tf="day")
+    n = read_lake(spark, lake).count()
+    assert n == 9
+    write_ingest_batch(bars, 0, lake, tf="day")  # simulated replay
+    assert read_lake(spark, lake).count() == n
+    # a genuinely new batch still appends alongside
+    write_ingest_batch(bars.limit(1), 1, lake, tf="day")
+    assert read_lake(spark, lake).count() == n + 1
