@@ -102,18 +102,23 @@ def prep_dividends(dividends: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def attach_id(bars: DataFrame, security_master: DataFrame) -> DataFrame:
+def attach_id(bars: DataFrame, security_master: DataFrame, probe_empty: bool = True) -> DataFrame:
     """Attach the point-in-time entity id to each bar.
 
     Broadcast left join on ticker, then the validity-window predicate
     ``effective_start <= event_day <= effective_end`` (open-ended end;
     rows with a null window survive), keep-last dedup per (ticker,
     datetime), and the ``NOFIGI__<TICKER>`` fallback.
+
+    ``probe_empty`` runs one tiny job on the dimension at plan-build
+    time (``isEmpty`` — a broadcast-sized table, so one footer read) to
+    take a no-join fast path when it's empty. Pass ``False`` to keep
+    plan construction action-free.
     """
     px_base = bars.withColumn("ticker", F.upper(F.trim(F.col("ticker")))).withColumn(
         "event_day", F.to_date("datetime")
     )
-    if security_master.limit(1).count() == 0:
+    if probe_empty and security_master.isEmpty():
         # no dimension -> every row falls through to the NOFIGI identity;
         # skip the join and the keep-last window entirely (two shuffles)
         return px_base.withColumn(
