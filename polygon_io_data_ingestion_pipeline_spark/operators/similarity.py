@@ -11,6 +11,12 @@
   hyperplane (sign) LSH: deterministic planes derived from md5 so the
   same buckets are reproducible in any engine; candidate generation is
   a hash join on bucket keys — the scale path for pairwise similarity.
+- :func:`ivf_assign` / :func:`ivf_topk` / :func:`write_ivf_index` —
+  IVF-flat ANN: a small broadcast codebook partitions the corpus into
+  inverted lists; a query scans only its ``nprobe`` most promising
+  lists. With the index materialized (``write_ivf_index``) the probe
+  set prunes at the *directory* level, so a 100 TB corpus reads
+  nprobe/nlist of its bytes per query.
 """
 
 from __future__ import annotations
@@ -188,6 +194,192 @@ def rp_lsh_entries(
         entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
     return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("e")).select(
         id_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN
+# ---------------------------------------------------------------------------
+
+
+def strided_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer codebook: the corpus vectors at
+    ids ``0, stride, ..., (nlist-1)*stride``, as ``(cid, vector)``.
+
+    A fixed stride keeps the codebook reproducible in the SQL oracle;
+    production training swaps in :func:`kmeans_centroids` — the IVF
+    structure (assign, probe, prune) is identical either way."""
+    rows = (
+        df.filter((F.col(id_col) % stride == 0) & (F.col(id_col) < nlist * stride))
+        .select((F.col(id_col) / stride).cast("int").alias("cid"), vec_col)
+        .collect()
+    )
+    out = sorted((int(r["cid"]), [float(v) for v in r[vec_col]]) for r in rows)
+    if len(out) < nlist:
+        raise ValueError(f"corpus has no vector at some of the {nlist} strided ids")
+    return out
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 5,
+    sample_fraction: float = 0.5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd k-means codebook trained on a driver-side sample.
+
+    This is how production IVF codebooks are built (FAISS-style: train
+    on a bounded sample regardless of corpus size — the sample, not the
+    corpus, bounds driver memory — then assign distributed).
+    Deterministic for a given seed. Cosine assignment, mean update."""
+    sample = np.asarray(
+        [r[0] for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()],
+        dtype=np.float64,
+    )
+    if len(sample) < nlist:
+        raise ValueError(f"sample of {len(sample)} rows cannot seed {nlist} centroids")
+    rng = np.random.default_rng(seed)
+    cents = sample[rng.choice(len(sample), size=nlist, replace=False)].copy()
+    sn = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    for _ in range(iters):
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        assign = (sn @ cn.T).argmax(axis=1)
+        for c in range(nlist):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return [(c, [float(v) for v in cents[c]]) for c in range(nlist)]
+
+
+def _lit_vec(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def _centroid_scores(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<cos, cid>>: this row's cosine against every codebook
+    entry. The codebook rides in the plan as literals (it is tiny —
+    nlist x dim doubles), so scoring is map-only: no join, no shuffle."""
+    vd = _as_double(F.col(vec_col))
+    vn = norm(vd)
+    entries = []
+    for cid, cvec in centroids:
+        cl = _lit_vec(cvec)
+        entries.append(
+            F.struct((dot(vd, cl) / (vn * norm(cl))).alias("cos"), F.lit(int(cid)).alias("cid"))
+        )
+    return F.array(*entries)
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``list_id``: the nearest-centroid inverted list, argmax
+    cosine over the codebook (ties -> highest cid; the SQL-oracle
+    equivalent is ``ORDER BY cos DESC, cid DESC``). Map-only."""
+    best = F.array_max(_centroid_scores(vec_col, centroids))
+    return df.withColumn("list_id", best["cid"])
+
+
+def _probe_lists(scores: Column, nprobe: int) -> Column:
+    """cids of the ``nprobe`` best-scoring centroids, best first."""
+    return F.transform(
+        F.slice(F.reverse(F.array_sort(scores)), 1, nprobe), lambda s: s["cid"]
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: exact cosine, but only over the
+    ``nprobe`` inverted lists nearest the query (work ~ nprobe/nlist of
+    a brute-force scan; ``nprobe = nlist`` degrades gracefully to exact
+    brute force). Candidate selection is a broadcast hash join of the
+    1-row query's probe set — no shuffle of the corpus."""
+    scores = _centroid_scores(vec_col, centroids)
+    assigned = ivf_assign(df, centroids, vec_col).filter(F.col(id_col) != query_id)
+    probes = df.filter(F.col(id_col) == query_id).select(
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_probe_lists(scores, nprobe)).alias("list_id"),
+    )
+    scored = assigned.join(F.broadcast(probes), "list_id").select(
+        F.col(id_col), cosine(vec_col, "__qvec").alias("__cos")
+    )
+    return (
+        scored.orderBy(F.desc("__cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cos"))
+    )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF index: the corpus written partitioned by
+    ``list_id``. Probing then prunes whole directories — a query reads
+    nprobe/nlist of the corpus bytes (PartitionFilters in the scan
+    plan; asserted in tests)."""
+    (
+        ivf_assign(df, centroids, vec_col)
+        .repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a materialized IVF index (:func:`write_ivf_index`).
+
+    The probe set is ranked driver-side (nlist dot products on one
+    vector), so the ``list_id IN (...)`` filter is a literal predicate
+    and partition pruning skips every unprobed list's files."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def cscore(cvec: list[float]) -> float:
+        c = np.asarray(cvec, dtype=np.float64)
+        return float(q @ c) / (qn * float(np.sqrt((c * c).sum())))
+
+    ranked = sorted(((cscore(cv), cid) for cid, cv in centroids), reverse=True)
+    probed = [cid for _, cid in ranked[:nprobe]]
+
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    scored = idx.select(F.col(id_col), cosine(vec_col, _lit_vec(list(q))).alias("__cos"))
+    return (
+        scored.orderBy(F.desc("__cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cos"))
     )
 
 

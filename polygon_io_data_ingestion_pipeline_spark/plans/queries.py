@@ -827,6 +827,77 @@ def emb_lsh_buckets(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.rp_lsh_buckets(table(spark, sf, "embeddings"), n_planes=8)
 
 
+#: Shared oracle CTE prelude for the IVF queries: codebook = vectors at
+#: ids 0,31,..,15*31 (strided_centroids); every vector scored against
+#: every codebook entry; argmax assignment (ties -> highest cid).
+_IVF_PRELUDE = """
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+cent AS (SELECT CAST(vec_id // 31 AS INT) AS cid, x AS c
+         FROM e WHERE vec_id % 31 = 0 AND vec_id < 496),
+sc AS (SELECT e.vec_id, cent.cid,
+              list_sum(list_transform(range(1, len(x) + 1), i -> x[i] * c[i]))
+              / (sqrt(list_sum(list_transform(x, v -> v * v)))
+                 * sqrt(list_sum(list_transform(c, v -> v * v)))) AS cos
+       FROM e, cent),
+assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn
+             FROM sc) WHERE rn = 1)
+"""
+
+
+@q(
+    "emb_ivf_list_sizes",
+    oracle=_IVF_PRELUDE
+    + """
+SELECT cid AS list_id, count(*) AS n_vectors
+FROM assign GROUP BY cid
+""",
+    doc="IVF inverted-list assignment (map-only argmax over a broadcast "
+    "codebook) + list-size audit — the index-build half of IVF-flat ANN.",
+    tags=("similarity",),
+)
+def emb_ivf_list_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    cents = SIM.strided_centroids(emb, nlist=16, stride=31)
+    return (
+        SIM.ivf_assign(emb, cents)
+        .groupBy("list_id")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@q(
+    "emb_ivf_topk",
+    oracle=_IVF_PRELUDE
+    + """,
+probe AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY cos DESC, cid DESC LIMIT 4),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+         WHERE a.vec_id <> 0),
+qv AS (SELECT x AS qe FROM e WHERE vec_id = 0),
+s AS (SELECT c.vec_id,
+             list_sum(list_transform(range(1, len(x) + 1), i -> x[i] * qe[i]))
+             / (sqrt(list_sum(list_transform(x, v -> v * v)))
+                * sqrt(list_sum(list_transform(qe, v -> v * v)))) AS raw_cos
+      FROM cand c JOIN e ON e.vec_id = c.vec_id, qv)
+SELECT vec_id, round(raw_cos, 6) AS cos
+FROM s ORDER BY cos DESC, vec_id LIMIT 10
+""",
+    bench=True,
+    doc="IVF-flat ANN top-k: the query scans only its nprobe=4 of "
+    "nlist=16 inverted lists (exact cosine within them) — the scan-"
+    "pruned scale path next to the brute-force baseline. With the "
+    "index materialized (write_ivf_index) the probe set prunes whole "
+    "directories.",
+    tags=("similarity",),
+)
+def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    cents = SIM.strided_centroids(emb, nlist=16, stride=31)
+    return SIM.ivf_topk(emb, cents, query_id=0, k=10, nprobe=4)
+
+
 # ---------------------------------------------------------------------------
 # D. Extended relational coverage + pipeline-shaped composites
 # ---------------------------------------------------------------------------
