@@ -42,6 +42,17 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+#: Default stop-shingle document-frequency cutoff. A shingle shared by
+#: df documents contributes df^2 intersect rows in the direct strategy;
+#: capping df bounds any single key's blowup at ~10^6 rows (AQE splits
+#: the rest) while a boilerplate shingle on a real web corpus (df in
+#: the millions) would otherwise dominate the whole job. Lossy ONLY for
+#: pairs whose overlap consists of ultra-hot shingles — boilerplate by
+#: definition — and far above any fixture df (sf0.1 max is ~25), so
+#: oracle parity is unaffected. Pass ``None`` for the exact operator.
+DEFAULT_MAX_DOCS_PER_SHINGLE = 1000
+
+
 def shingle_set(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
@@ -58,7 +69,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.1,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
     strategy: str = "auto",
 ) -> DataFrame:
     """Near-duplicate pairs by n-word-shingle Jaccard similarity (exact).
@@ -82,9 +93,10 @@ def jaccard_pairs(
       shingle sets of candidates only. Stop-shingles sort last and drop
       out of every prefix — no hot posting list at all.
 
-    ``max_docs_per_shingle`` optionally drops ultra-hot shingles from
-    the index as a stopword cutoff for pathological corpora (lossy;
-    ``None`` = exact).
+    ``max_docs_per_shingle`` drops ultra-hot shingles from the index as
+    a stopword cutoff — safe-by-default on skewed corpora (default
+    ``DEFAULT_MAX_DOCS_PER_SHINGLE``; lossy only for pairs overlapping
+    solely in boilerplate shingles; ``None`` = exact).
 
     Returns ``(id1, id2, jaccard)`` with id1 < id2, jaccard >= threshold.
     """
@@ -123,8 +135,14 @@ def jaccard_pairs(
             )
             .join(sizes, id_col)
             .filter(
+                # fp-guard the ceil: IEEE noise can inflate t*n past the
+                # exact integer (0.07*100 -> 7.000000000000001 -> ceil 8),
+                # which would shorten the prefix below the lossless
+                # AllPairs bound; the epsilon only ever lengthens it.
                 F.col("rnk")
-                <= F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+                <= F.col("n_sh")
+                - F.ceil(F.lit(float(threshold)) * F.col("n_sh") - F.lit(1e-9))
+                + 1
             )
         )
         if max_docs_per_shingle is not None:
