@@ -119,23 +119,92 @@ def _header_signature(path: str) -> tuple[str, ...]:
         return tuple(f.readline().strip().split(","))
 
 
-def _probe_headers(spark: SparkSession, files: list[str]) -> dict[tuple[str, ...], list[str]]:
-    """Group files by header signature, probing on the EXECUTORS.
+def list_flatfiles(spark: SparkSession, patterns: list[str]) -> DataFrame:
+    """Distributed file listing -> DataFrame[path] (no Python glob).
 
-    The reference gzip-opens every flat file serially on one machine
-    (ingest.py:132-134 called per file); at millions of files that
-    serial driver I/O is the ingest bottleneck. Here the probe is a
-    parallelized map over the path list — driver I/O is O(1), total
-    probe work is distributed and bounded by one first-line read per
-    file. (Files must be reachable from executors — true for any
-    shared/cloud FS a cluster would ingest from.)"""
-    sc = spark.sparkContext
-    slices = max(1, min(len(files), sc.defaultParallelism * 4))
-    pairs = sc.parallelize(files, slices).map(lambda p: (_header_signature(p), p)).collect()
-    groups: dict[tuple[str, ...], list[str]] = {}
-    for header, path in sorted(pairs, key=lambda t: t[1]):
-        groups.setdefault(header, []).append(path)
-    return groups
+    Listing goes through Spark's file index (``binaryFile`` with every
+    column but ``path`` pruned, so no bytes are read): above
+    ``spark.sql.sources.parallelPartitionDiscovery.threshold`` paths the
+    JVM parallelizes discovery across executors. Python driver I/O is
+    O(1) regardless of file count — the reference's serial per-file
+    driver loop (ingest.py:132-134) and round 1/2's ``glob.glob`` both
+    did O(#files) driver work."""
+    from functools import reduce
+
+    from pyspark.errors import AnalysisException
+
+    frames = []
+    for p in patterns:
+        try:
+            frames.append(spark.read.format("binaryFile").load(p).select("path"))
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in str(e) or "does not exist" in str(e):
+                continue
+            raise
+    if not frames:
+        raise FileNotFoundError(f"no flat files match {patterns}")
+    df = reduce(lambda a, b: a.unionByName(b), frames).distinct()
+    # binaryFile yields URIs; local paths keep a file: scheme the
+    # executor-side gzip probe must strip.
+    return df.select(F.regexp_replace("path", "^file:", "").alias("path"))
+
+
+def probe_headers_df(files_df: DataFrame) -> DataFrame:
+    """(path, sig) per file, header-sniffed ON THE EXECUTORS.
+
+    ``sig`` is the comma-joined first line — the group key for
+    layout-homogeneous scans. One small read per file (gzip streams
+    only its first block), Arrow-batched via ``mapInPandas``; total
+    probe work is distributed, the driver touches no file. (Files must
+    be reachable from executors — true for any shared/cloud FS a
+    cluster would ingest from.)"""
+    import pandas as pd
+
+    def probe(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "path": pdf["path"],
+                    "sig": [",".join(_header_signature(p)) for p in pdf["path"]],
+                }
+            )
+
+    return files_df.mapInPandas(probe, "path string, sig string")
+
+
+def _group_lines(sig_df: DataFrame, sig: str) -> DataFrame:
+    """Data lines (header skipped) of every file with this signature,
+    streamed on executors -> DataFrame[value: string]."""
+    import pandas as pd
+
+    def read_lines(batches):
+        import gzip
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                opener = gzip.open if path.endswith(".gz") else open
+                with opener(path, "rt") as f:
+                    f.readline()  # header
+                    chunk = [ln.rstrip("\n") for ln in f]
+                if chunk:
+                    yield pd.DataFrame({"value": chunk})
+
+    return (
+        sig_df.filter(F.col("sig") == sig)
+        .select("path")
+        .mapInPandas(read_lines, "value string")
+    )
+
+
+def _resolved_names(header: tuple[str, ...]) -> list[str]:
+    """Header -> output column names: ticker alias + shorthand renames.
+
+    Polygon's shorthand header has both `T` (ticker) and `t`
+    (timestamp); Spark's case-insensitive reader would de-duplicate
+    them to `T0`/`t1`, so names are always assigned positionally from
+    the sniffed true header."""
+    _, ticker_col, renames = resolve_bar_columns(header)
+    return ["ticker" if c == ticker_col else renames.get(c, c) for c in header]
 
 
 def read_bar_flatfiles(
@@ -144,6 +213,7 @@ def read_bar_flatfiles(
     tf: str = "day",
     only: str | None = None,
     watchlist: Iterable[str] | None = None,
+    distributed_lines: bool = False,
 ) -> DataFrame:
     """CSV.GZ flat files -> normalized bar DataFrame (batch ingest).
 
@@ -155,26 +225,51 @@ def read_bar_flatfiles(
     mirroring the reference's per-file schema-on-read. The number of
     groups is the number of distinct header layouts (a handful), so
     this stays one job per layout at any corpus size.
+
+    Listing and header probing are fully distributed (see
+    :func:`list_flatfiles` / :func:`probe_headers_df`). Two scan modes:
+
+    - default: per-group native ``spark.read.csv``. The driver streams
+      the (sig, path) manifest partition-at-a-time to hand each group
+      its path list — peak driver memory is the path strings themselves,
+      the same O(#files) metadata bound Spark's own FileIndex holds for
+      any scan, with zero driver file I/O.
+    - ``distributed_lines=True``: the driver collects only the DISTINCT
+      signatures (O(#layouts)); each group's files are opened on
+      executors, data lines streamed out via ``mapInPandas`` and parsed
+      JVM-side with ``from_csv``. O(groups) driver memory at any file
+      count — the escape hatch for pathological manifests (tens of
+      millions of files). Slower per byte than the native scan (Python
+      line streaming); bar lines never embed newlines, which this mode
+      assumes.
     """
-    import glob as globmod
     from functools import reduce
 
     patterns = [paths] if isinstance(paths, str) else list(paths)
-    files = sorted({f for p in patterns for f in globmod.glob(p)})
-    if not files:
-        raise FileNotFoundError(f"no flat files match {patterns}")
-    groups = _probe_headers(spark, files)
+    sig_df = probe_headers_df(list_flatfiles(spark, patterns))
 
     frames = []
-    for header, group in groups.items():
-        raw = spark.read.option("header", True).csv(group)
-        # Polygon's shorthand header has both `T` (ticker) and `t`
-        # (timestamp); Spark's case-insensitive reader de-duplicates
-        # them to `T0`/`t1`. Rename positionally from the sniffed true
-        # header, resolving the ticker alias so no case clash remains.
-        ts_col, ticker_col, renames = resolve_bar_columns(header)
-        raw = raw.toDF(
-            *["ticker" if c == ticker_col else renames.get(c, c) for c in header]
-        )
-        frames.append(normalize_bar_frame(raw, tf=tf, only=only, watchlist=watchlist))
+    if distributed_lines:
+        sigs = sorted(r["sig"] for r in sig_df.select("sig").distinct().collect())
+        for sig in sigs:
+            header = tuple(sig.split(","))
+            names = _resolved_names(header)
+            ddl = ", ".join(f"`{c}` STRING" for c in names)
+            raw = (
+                _group_lines(sig_df, sig)
+                .select(F.from_csv("value", ddl).alias("r"))
+                .select("r.*")
+            )
+            frames.append(normalize_bar_frame(raw, tf=tf, only=only, watchlist=watchlist))
+    else:
+        groups: dict[str, list[str]] = {}
+        for row in sig_df.toLocalIterator():
+            groups.setdefault(row["sig"], []).append(row["path"])
+        for sig in sorted(groups):
+            header = tuple(sig.split(","))
+            raw = spark.read.option("header", True).csv(sorted(groups[sig]))
+            raw = raw.toDF(*_resolved_names(header))
+            frames.append(normalize_bar_frame(raw, tf=tf, only=only, watchlist=watchlist))
+    if not frames:
+        raise FileNotFoundError(f"no flat files match {patterns}")
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), frames)

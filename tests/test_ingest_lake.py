@@ -94,6 +94,29 @@ def test_batch_ingest_roundtrip(spark, tmp_path):
     assert all(r["start"] <= r["end"] for r in mani)
 
 
+def test_distributed_lines_mode_matches_native_scan(spark, tmp_path):
+    """O(groups)-driver-memory mode: executor-side line streaming +
+    JVM from_csv parse must produce exactly the native per-group scan's
+    rows (mixed headers, mixed epoch units)."""
+    src = str(tmp_path / "src")
+    _write_flatfiles(src)
+    pat = f"{src}/*/*/*.csv.gz"
+
+    native = read_bar_flatfiles(spark, pat, tf="day").collect()
+    dist = read_bar_flatfiles(spark, pat, tf="day", distributed_lines=True).collect()
+
+    key = lambda r: (r["ticker"], r["datetime"])  # noqa: E731
+    assert sorted(map(tuple, dist), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, native), key=lambda t: (t[0], t[1])
+    )
+    assert len({key(r) for r in native}) == len(native)
+
+
+def test_missing_path_raises(spark, tmp_path):
+    with pytest.raises(FileNotFoundError):
+        read_bar_flatfiles(spark, f"{tmp_path}/nowhere/*.csv.gz")
+
+
 def test_streaming_available_now(spark, tmp_path):
     src, lake, ckpt = str(tmp_path / "s"), str(tmp_path / "l"), str(tmp_path / "c")
     _write_flatfiles(src)
