@@ -1,6 +1,9 @@
 from .binaryops import (
     MEDIA_SCHEMA,
+    PRODUCTION_DECODERS,
+    decode_audio_features,
     decode_image_features,
+    decode_wav,
     frame_sample_video,
     media_stats,
     resize_images,
@@ -8,7 +11,10 @@ from .binaryops import (
 
 __all__ = [
     "MEDIA_SCHEMA",
+    "PRODUCTION_DECODERS",
+    "decode_audio_features",
     "decode_image_features",
+    "decode_wav",
     "frame_sample_video",
     "media_stats",
     "resize_images",
