@@ -258,16 +258,16 @@ def build_dividend_factors(
     aligned = _align_forward(ev, cal.select("id", "event_day"), "ex_date", "amount")
     per_day = aligned.groupBy("id", "event_day").agg(F.sum("amount").alias("amount"))
     t = cal.join(per_day, ["id", "event_day"], "left")
-    # Guard g > 0 explicitly: a dividend >= the prior close would make
-    # g <= 0, whose log() is NULL and silently vanishes from the cumprod
-    # sum (the day would contribute factor 1.0 and every later factor
-    # would quietly diverge). Such rows keep g = 1.0 — loudly documented
-    # here rather than silently mangled downstream.
+    # Reference parity (factor_builder.py:897-899): the mask is only
+    # amount/prior_base non-null and prior_base > 0 — a dividend >= the
+    # prior close yields g <= 0 and propagates through the cumprod, as
+    # in the reference. Safe here because cumprod is F.product-based
+    # (a g <= 0 day flips/zeroes later factors identically on both
+    # sides; the old exp(sum(log)) formulation would have NULLed it).
     g = F.when(
         F.col("amount").isNotNull()
         & F.col("prior_base").isNotNull()
-        & (F.col("prior_base") > 0)
-        & ((F.col("prior_base") - F.col("amount")) > 0),
+        & (F.col("prior_base") > 0),
         (F.col("prior_base") - F.col("amount")) / F.col("prior_base"),
     ).otherwise(F.lit(1.0))
     t = t.withColumn("G", cumprod(g, wday))

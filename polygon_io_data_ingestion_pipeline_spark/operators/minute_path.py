@@ -127,11 +127,13 @@ def dividend_factors_from_days(
         .agg(F.sum("amount").alias("amount"))
     )
     t = base.join(per_day, ["ticker", "event_day"], "left")
+    # Same mask as the reference (factor_builder.py:897-899): g <= 0
+    # from an oversized dividend propagates through the F.product
+    # cumprod, mirroring pandas cumprod exactly (see factors.py).
     g = F.when(
         F.col("amount").isNotNull()
         & F.col("prior_base").isNotNull()
-        & (F.col("prior_base") > 0)
-        & ((F.col("prior_base") - F.col("amount")) > 0),
+        & (F.col("prior_base") > 0),
         (F.col("prior_base") - F.col("amount")) / F.col("prior_base"),
     ).otherwise(F.lit(1.0))
     t = t.withColumn("G", cumprod(g, w))
@@ -257,8 +259,10 @@ def adjust_minute_bars(
         for c in ("open", "high", "low"):
             if c in minute_bars.columns:
                 m = m.withColumn(f"{c}_split", F.col(c) * F.col("split_price_factor"))
-    base_col = "close_split" if use_split_base else "close"
-    m = m.withColumn("close_tr", F.col(base_col) * F.col("tr_price_factor"))
+    # TR is applied to close_split UNCONDITIONALLY, like the reference
+    # stream writer (factor_builder.py:977-979): use_split_base only
+    # controls the dividend prior_base in the factor build above.
+    m = m.withColumn("close_tr", F.col("close_split") * F.col("tr_price_factor"))
     if materialize == "ohlc":
         for c in ("open", "high", "low"):
             if f"{c}_split" in m.columns:

@@ -1326,7 +1326,7 @@ div_per_day AS (
 growth AS (
   SELECT c.id, c.event_day,
          CASE WHEN v.amount IS NOT NULL AND c.prior_base IS NOT NULL
-                   AND c.prior_base > 0 AND (c.prior_base - v.amount) > 0
+                   AND c.prior_base > 0
               THEN (c.prior_base - v.amount) / c.prior_base
               ELSE 1.0 END AS g
   FROM cal2 c LEFT JOIN div_per_day v USING (id, event_day)
@@ -1346,10 +1346,10 @@ trfs AS (
 )
 SELECT b.ticker,
        b.volume AS event_id,
-       round(b.spf + 1e-9, 6) AS split_price_factor,
-       round(t.trf + 1e-9, 6) AS tr_price_factor,
-       round(b.close_split + 1e-9, 6) AS close_split,
-       round(b.close_split * t.trf + 1e-9, 6) AS close_tr
+       round(b.spf + 1e-9, 6) + 0.0 AS split_price_factor,
+       round(t.trf + 1e-9, 6) + 0.0 AS tr_price_factor,
+       round(b.close_split + 1e-9, 6) + 0.0 AS close_split,
+       round(b.close_split * t.trf + 1e-9, 6) + 0.0 AS close_tr
 FROM bars_split b JOIN trfs t USING (id, event_day)
 """,
     bench=True,
@@ -1409,10 +1409,10 @@ def corporate_actions_adjust(spark: SparkSession, sf: str) -> DataFrame:
     return adjusted.select(
         "ticker",
         F.col("volume").alias("event_id"),
-        F.round(F.col("split_price_factor") + 1e-9, 6).alias("split_price_factor"),
-        F.round(F.col("tr_price_factor") + 1e-9, 6).alias("tr_price_factor"),
-        F.round(F.col("close_split") + 1e-9, 6).alias("close_split"),
-        F.round(F.col("close_tr") + 1e-9, 6).alias("close_tr"),
+        (F.round(F.col("split_price_factor") + 1e-9, 6) + 0.0).alias("split_price_factor"),
+        (F.round(F.col("tr_price_factor") + 1e-9, 6) + 0.0).alias("tr_price_factor"),
+        (F.round(F.col("close_split") + 1e-9, 6) + 0.0).alias("close_split"),
+        (F.round(F.col("close_tr") + 1e-9, 6) + 0.0).alias("close_tr"),
     )
 
 

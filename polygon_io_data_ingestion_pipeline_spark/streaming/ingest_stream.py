@@ -9,51 +9,100 @@ Structured Streaming's file source replaces all of it:
 - the checkpoint is the progress ledger (each file is read once);
 - ``Trigger.AvailableNow`` drains whatever has arrived then stops —
   the cron-driven batch shape the reference runs;
-- the sink (:func:`write_ingest_batch`) writes each micro-batch into
-  its own ``batch_id=`` partition subtree with dynamic overwrite, so
-  foreachBatch's at-least-once replays rewrite rather than duplicate —
-  exactly-once by overwrite, no watermark state needed (late data ==
-  recomputed partition, exactly like the reference's backfills).
+- the sink (:func:`write_ingest_batch`) merge-overwrites only the data
+  partitions a micro-batch touches, keep-last by bar key, into the SAME
+  ``ticker=/year=/month=[/day=]`` layout as the batch writer — so
+  foreachBatch's at-least-once replays rewrite rather than duplicate,
+  late/corrected files REPLACE the rows they re-deliver, and a batch
+  ``write_lake`` backfill into the same root remains layout-compatible
+  (the reference's re-run-and-overwrite contract,
+  emit_split_backfill_cmds.py:29).
 """
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Iterable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.csv_bars import normalize_bar_frame
-from ..sources.lake import PARTITION_KEYS
+from ..sources.lake import PARTITION_KEYS, write_lake
+
+#: bar identity: one row per (ticker, instant) — the reference's
+#: overwrite granularity (ingest.py:289-314 buckets by exactly this).
+BAR_KEY = ["ticker", "datetime"]
 
 
 def write_ingest_batch(batch_df: DataFrame, batch_id: int, lake_path: str, tf: str = "day") -> None:
-    """Idempotent micro-batch lake write.
+    """Idempotent merge-overwrite micro-batch lake write.
 
     ``foreachBatch`` is at-least-once: a batch whose write committed but
-    whose checkpoint offset didn't advance is re-executed on restart. A
-    plain append would duplicate those rows. Here every batch lands
-    under its own ``batch_id=<N>`` partition subtree via dynamic
-    partition overwrite, so a replayed batch REPLACES its earlier output
-    — exactly-once by overwrite, the same contract as the reference's
-    re-run-and-overwrite backfills (emit_split_backfill_cmds.py:29).
-    Readers see ``batch_id`` as one extra partition column; ticker/time
-    pruning is unaffected.
+    whose checkpoint offset didn't advance is re-executed on restart,
+    and a corrected upstream file re-delivers keys the lake already
+    holds. A plain append duplicates both. Here the sink:
+
+    1. collects the batch's touched partition tuples (O(#partitions in
+       the micro-batch) driver memory — bounded, tiny);
+    2. reads ONLY those partitions back from the lake (exact OR-of-ANDs
+       partition filter → partition-pruned scan) and eagerly
+       ``localCheckpoint``\\ s them, truncating lineage so Spark permits
+       overwriting the path it was read from, and bounding the
+       materialized footprint to the touched partitions, not the lake;
+    3. unions existing + incoming and keeps ONE row per ``BAR_KEY``,
+       incoming rows winning over lake rows, with a deterministic
+       value-column tiebreak so a replay reproduces the lake exactly;
+    4. dynamic-partition-overwrites just the touched partitions via
+       :func:`write_lake` — same layout, sort, and codec as batch
+       ingest, so stream and batch backfills interleave freely.
+
+    Net contract: exactly-once by overwrite at partition granularity;
+    late data == recomputed partition, exactly like the reference's
+    backfills (emit_split_backfill_cmds.py:29). ``batch_id`` is unused
+    (kept for the foreachBatch signature) — idempotency comes from
+    keyed merge, not batch bookkeeping.
     """
     keys = PARTITION_KEYS[tf]
     spark = batch_df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    (
-        batch_df.withColumn("batch_id", F.lit(int(batch_id)))
-        .repartition(*[F.col(k) for k in keys])
-        .sortWithinPartitions("datetime")
-        .write.partitionBy("batch_id", *keys)
-        .option("compression", "zstd")
-        .mode("overwrite")
-        .parquet(lake_path)
+    incoming = batch_df.withColumn("__src", F.lit(1))
+    touched = incoming.select(*keys).distinct().collect()
+    if not touched:
+        return
+
+    part_filter = functools.reduce(
+        lambda a, b: a | b,
+        [
+            functools.reduce(lambda a, b: a & b, [F.col(k) == row[k] for k in keys])
+            for row in touched
+        ],
     )
-    spark.catalog.refreshByPath(lake_path)
+    try:
+        existing = (
+            spark.read.option("mergeSchema", True)
+            .parquet(lake_path)
+            .filter(part_filter)
+            .withColumn("__src", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        merged = existing.unionByName(incoming, allowMissingColumns=True)
+    except AnalysisException:  # first batch: no lake yet
+        merged = incoming
+
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in sorted(merged.columns)
+        if c not in BAR_KEY and c != "__src"
+    ]
+    w = Window.partitionBy(*BAR_KEY).orderBy(F.col("__src").desc(), *tiebreak)
+    deduped = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+    write_lake(deduped, lake_path, tf=tf)
 
 
 def stream_ingest_bars(

@@ -141,18 +141,86 @@ def test_streaming_available_now(spark, tmp_path):
     assert read_lake(spark, lake).count() == n1 + 1
 
 
+def _lake_rows(spark, lake):
+    df = read_lake(spark, lake)
+    return sorted(map(tuple, df.select(*sorted(df.columns)).collect()))
+
+
 def test_stream_batch_replay_is_idempotent(spark, tmp_path):
-    """foreachBatch is at-least-once: a replayed batch must overwrite
-    its own prior output, not append duplicates."""
+    """foreachBatch is at-least-once: a replayed batch must leave the
+    lake row-identical, corrected keys must replace (not duplicate),
+    and the layout must stay batch-write_lake compatible."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
     src, lake = str(tmp_path / "s"), str(tmp_path / "l")
     _write_flatfiles(src)
     bars = read_bar_flatfiles(spark, f"{src}/*/*/2024-01-02.csv.gz", tf="day")
 
     write_ingest_batch(bars, 0, lake, tf="day")
-    n = read_lake(spark, lake).count()
-    assert n == 9
+    rows0 = _lake_rows(spark, lake)
+    assert len(rows0) == 9
     write_ingest_batch(bars, 0, lake, tf="day")  # simulated replay
-    assert read_lake(spark, lake).count() == n
-    # a genuinely new batch still appends alongside
-    write_ingest_batch(bars.limit(1), 1, lake, tf="day")
-    assert read_lake(spark, lake).count() == n + 1
+    assert _lake_rows(spark, lake) == rows0
+
+    # standard layout at root — no batch_id= level, so batch backfills
+    # into the same root see one consistent partition scheme
+    assert g.glob(f"{lake}/ticker=AAPL/year=2024/month=1/*.parquet")
+    assert not g.glob(f"{lake}/batch_id=*")
+
+    # a corrected re-delivery of an existing key REPLACES the row
+    corrected = (
+        bars.orderBy("ticker", "datetime").limit(1).withColumn("close", F.lit(999.0).cast("float"))
+    )
+    key = corrected.select("ticker", "datetime").first()
+    write_ingest_batch(corrected, 1, lake, tf="day")
+    after = read_lake(spark, lake)
+    assert after.count() == 9
+    got = after.filter(
+        (F.col("ticker") == key["ticker"]) & (F.col("datetime") == key["datetime"])
+    ).collect()
+    assert len(got) == 1 and got[0]["close"] == 999.0
+    # replaying the correction is a no-op too
+    rows1 = _lake_rows(spark, lake)
+    write_ingest_batch(corrected, 1, lake, tf="day")
+    assert _lake_rows(spark, lake) == rows1
+
+    # a genuinely new key appends; untouched partitions stay put
+    new_key = bars.orderBy("ticker", "datetime").limit(1).withColumn(
+        "datetime", F.col("datetime") + F.expr("INTERVAL 365 DAYS")
+    )
+    write_ingest_batch(new_key, 2, lake, tf="day")
+    assert read_lake(spark, lake).count() == 10
+
+
+def test_stream_then_batch_backfill_overlap(spark, tmp_path):
+    """Reference T2/T3 semantics (emit_split_backfill_cmds.py:29):
+    'overlaps are fine, re-runs just overwrite'. A batch write_lake
+    backfill whose window overlaps partitions the stream already wrote
+    must overwrite those partitions in place — and re-delivering the
+    overlapping stream batch afterwards must reproduce the lake
+    row-for-row (exactly-once by overwrite at partition level)."""
+    from pyspark.sql import functions as F
+
+    src, lake = str(tmp_path / "s"), str(tmp_path / "l")
+    _write_flatfiles(src)
+    bars = read_bar_flatfiles(spark, f"{src}/*/*/2024-01-02.csv.gz", tf="day")
+
+    write_ingest_batch(bars, 0, lake, tf="day")
+
+    # batch backfill into the same root, overlapping every stream row:
+    # same keys, revised values (the reference's re-adjust window)
+    backfill = bars.withColumn("volume", F.col("volume") + F.lit(7))
+    write_lake(backfill, lake, tf="day")
+    assert read_lake(spark, lake).count() == 9
+
+    # stream re-delivers its original (stale) batch — at-least-once
+    # replay after a backfill. Keyed merge keeps exactly one row per
+    # bar; the replayed values win (incoming > lake), matching the
+    # reference where the LAST rewrite of a partition owns it.
+    write_ingest_batch(bars, 0, lake, tf="day")
+    rows = _lake_rows(spark, lake)
+    assert len(rows) == 9
+    write_ingest_batch(bars, 0, lake, tf="day")  # and it is idempotent
+    assert _lake_rows(spark, lake) == rows
