@@ -190,21 +190,27 @@ def _align_forward(events: DataFrame, calendar: DataFrame, date_col: str, value_
 # ---------------------------------------------------------------------------
 
 
-def build_split_factors(bars_with_id: DataFrame, splits: DataFrame) -> DataFrame:
-    """(id, event_day, split_price_factor, split_volume_factor) over each
-    id's full trading calendar.
+def day_calendar(bars_with_id: DataFrame) -> DataFrame:
+    """(id, event_day, ticker, close_eod): one row per id-day, with the
+    end-of-day close (``max_by(close, datetime)`` — the last bar of the
+    day, same row the reference's ``iloc[-1]`` picks).
 
-    Same-day ratios multiply (A1); F = running product over the
-    calendar; price factor = F / F_last (1.0 on the last day), volume
-    factor is its reciprocal (factor_builder.py:269-276).
+    This is THE size-reduction point of the batch adjust pipeline: one
+    aggregate over the full bar table produces a calendar that is
+    O(ids × trading days) — ~1000× smaller than a minute-bar table —
+    and every piece of factor math downstream runs on it, never on the
+    bars.
     """
-    # Two independent distincts straight off the bar table (not a
-    # distinct-of-distinct chain: each is one shuffle, and the id/ticker
-    # one is tiny — one row per listed security).
-    days = bars_with_id.select("id", "event_day").distinct()
-    ev = _events_for_ids(
-        bars_with_id.select("id", "ticker").distinct(), splits, "execution_date", "ratio"
+    return bars_with_id.groupBy("id", "event_day").agg(
+        F.max_by("close", "datetime").alias("close_eod"),
+        F.first("ticker", ignorenulls=True).alias("ticker"),
     )
+
+
+def _split_factors_for_days(days: DataFrame, ids: DataFrame, splits: DataFrame) -> DataFrame:
+    """Split-factor math over an (id, event_day) calendar (already
+    distinct) and an (id, ticker) event-routing table."""
+    ev = _events_for_ids(ids, splits, "execution_date", "ratio")
     aligned = _align_forward(ev, days, "execution_date", "ratio")
     per_day = aligned.groupBy("id", "event_day").agg(F.product("ratio").alias("ratio"))
     e = days.join(per_day, ["id", "event_day"], "left").na.fill({"ratio": 1.0})
@@ -216,6 +222,24 @@ def build_split_factors(bars_with_id: DataFrame, splits: DataFrame) -> DataFrame
         "event_day",
         "split_price_factor",
         (F.lit(1.0) / F.col("split_price_factor")).alias("split_volume_factor"),
+    )
+
+
+def build_split_factors(bars_with_id: DataFrame, splits: DataFrame) -> DataFrame:
+    """(id, event_day, split_price_factor, split_volume_factor) over each
+    id's full trading calendar.
+
+    Same-day ratios multiply (A1); F = running product over the
+    calendar; price factor = F / F_last (1.0 on the last day), volume
+    factor is its reciprocal (factor_builder.py:269-276).
+    """
+    # Two independent distincts straight off the bar table (not a
+    # distinct-of-distinct chain: each is one shuffle, and the id/ticker
+    # one is tiny — one row per listed security).
+    return _split_factors_for_days(
+        bars_with_id.select("id", "event_day").distinct(),
+        bars_with_id.select("id", "ticker").distinct(),
+        splits,
     )
 
 
@@ -273,6 +297,55 @@ def build_dividend_factors(
     t = t.withColumn("G", cumprod(g, wday))
     return t.select(
         "id", "event_day", normalize_to_last(F.col("G"), wday).alias("tr_price_factor")
+    )
+
+
+def _dividend_factors_for_days(
+    cal: DataFrame, split_factors: DataFrame, dividends: DataFrame, use_split_base: bool = True
+) -> DataFrame:
+    """Dividend/TR factor math over the day calendar: returns
+    (id, event_day, tr_price_factor, base) with ``base`` the (optionally
+    split-adjusted) end-of-day close the growth factor was computed
+    against — kept so the caller can fold the batch renormalization in
+    at day level too.
+
+    Bit-identical to :func:`build_dividend_factors` on the full bar
+    table: ``max_by(close_split, datetime)`` there selects the same
+    end-of-day row as ``close_eod`` here, and ``close_eod * spf`` is the
+    same multiply ``close * spf`` produced per-row before aggregating.
+    """
+    if use_split_base:
+        base_expr = (
+            cal.join(
+                split_factors.select("id", "event_day", "split_price_factor"),
+                ["id", "event_day"],
+                "left",
+            )
+            .na.fill({"split_price_factor": 1.0})
+            .withColumn("base", F.col("close_eod") * F.col("split_price_factor"))
+        )
+    else:
+        base_expr = cal.withColumn("base", F.col("close_eod"))
+    wday = Window.partitionBy("id").orderBy("event_day")
+    cal2 = base_expr.withColumn("prior_base", F.lag("base").over(wday))
+    ev = _events_for_ids(cal.select("id", "ticker").distinct(), dividends, "ex_date", "amount")
+    aligned = _align_forward(ev, cal.select("id", "event_day"), "ex_date", "amount")
+    per_day = aligned.groupBy("id", "event_day").agg(F.sum("amount").alias("amount"))
+    t = cal2.join(per_day, ["id", "event_day"], "left")
+    # Same mask as the reference (factor_builder.py:897-899): g <= 0
+    # from an oversized dividend propagates through the F.product cumprod.
+    g = F.when(
+        F.col("amount").isNotNull()
+        & F.col("prior_base").isNotNull()
+        & (F.col("prior_base") > 0),
+        (F.col("prior_base") - F.col("amount")) / F.col("prior_base"),
+    ).otherwise(F.lit(1.0))
+    t = t.withColumn("G", cumprod(g, wday))
+    return t.select(
+        "id",
+        "event_day",
+        normalize_to_last(F.col("G"), wday).alias("tr_price_factor"),
+        "base",
     )
 
 
@@ -334,26 +407,91 @@ def adjust_bars(
     """Unadjusted bars + refdata -> adjusted bars (the reference's batch
     path, factor_builder.py:1125-1162, as a single linear plan).
 
-    ``persist_intermediates`` pins the two multi-consumer frames (the
-    id-stitched bars and the split-adjusted bars). Each factor build
-    consumes its bar input several times (calendar, event keying, factor
-    join); without a materialization point Spark re-embeds the whole
-    upstream DAG — scan + SCD stitch + as-of union-window — into every
-    branch, so the bars get rescanned and restitched many times over.
-    Persisting (MEMORY_AND_DISK, spills cleanly at cluster scale; for a
-    100 TB run stage the same frames to a table instead) makes each
-    computed exactly once.
+    The plan touches the full-size bar table exactly TWICE: one
+    aggregate to the day calendar (:func:`day_calendar`) and one final
+    factor-application join. Every other step — as-of alignment,
+    per-day products/sums, cumprods, normalize-to-last, and the batch
+    TR renormalization — runs on the O(ids × days) calendar, ~1000×
+    smaller than a minute lake. At 100 TB that means one full shuffle
+    (the calendar groupBy) plus one join whose build side is the small
+    effective-factor table (AQE broadcasts it when it fits); the naive
+    formulation (factor joins and datetime windows over the bars, which
+    the reference's per-group workers imply) costs ~6 full-table
+    shuffles instead.
+
+    Results are bit-identical to chaining the public single-step
+    operators (build/apply split -> build/apply dividend ->
+    renormalize_tr): the end-of-day base picks the same ``max_by``
+    row, and the per-row ``close * spf`` / ``base * (trf / renorm)``
+    multiplies happen in the same order. ``tests/test_factors.py``
+    pins this against an independent pandas oracle, and the
+    ``corporate_actions_adjust`` DuckDB oracle hash-verifies it.
+
+    One nuance: event routing (FIGI-keyed with ticker fallback) takes
+    its (id, ticker) pairs from the day calendar — one ticker per
+    id-day — rather than a full-bar distinct; they differ only if a
+    ticker changes identity mid-day, which the reference (whole files
+    per ticker-day) cannot express either.
+
+    ``persist_intermediates`` pins ONLY the day calendar — the one
+    frame that is both multi-consumer (three downstream reads) and
+    expensive to recompute (each recompute is a full-table aggregate).
+    The id-stitched bars are deliberately NOT cached: they are consumed
+    twice (calendar + final join), but each consumption is a map-only
+    scan-and-stitch — at 100 TB you rescan that, you don't cache it —
+    and the day-level factor frames are cheap to recompute from the
+    cached calendar. (Measured at sf0.1: pinning everything costs 3×
+    the wall clock of pinning just the calendar, because cached plans
+    fragment whole-stage codegen; see also
+    ``canChangeCachedPlanOutputPartitioning`` in session.py.)
     """
 
-    def pin(df: DataFrame) -> DataFrame:
-        return df.persist() if persist_intermediates else df
+    px = attach_id(bars, security_master)
+    cal = day_calendar(px)
+    if persist_intermediates:
+        cal = cal.persist()
+    sfac = _split_factors_for_days(
+        cal.select("id", "event_day"), cal.select("id", "ticker").distinct(), prep_splits(splits)
+    )
+    eff = sfac
+    if dividends is not None:
+        gfac = _dividend_factors_for_days(cal, sfac, prep_dividends(dividends), use_split_base)
+        eff = sfac.join(gfac, ["id", "event_day"])
+        if renormalize:
+            # Batch re-anchor at day level (factor_builder.py:440-455):
+            # the last bar by datetime IS the last day's end-of-day row,
+            # so last(close_tr)/last(base) over the bars equals
+            # last(base * trf)/last(base) over the calendar.
+            wall = Window.partitionBy("id").orderBy("event_day").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            renorm = F.last(F.col("base") * F.col("tr_price_factor")).over(wall) / F.last(
+                "base"
+            ).over(wall)
+            renorm = F.when(renorm.isNull() | (renorm == 0), F.lit(1.0)).otherwise(renorm)
+            eff = eff.withColumn("tr_price_factor", F.col("tr_price_factor") / renorm)
+        eff = eff.select(
+            "id", "event_day", "split_price_factor", "split_volume_factor", "tr_price_factor"
+        )
 
-    px = pin(attach_id(bars, security_master))
-    sf = build_split_factors(px, prep_splits(splits))
-    px = pin(apply_split_factors(px, sf))
-    gf = build_dividend_factors(px, prep_dividends(dividends), use_split_base)
-    px = apply_dividend_factors(px, gf, use_split_base)
-    if renormalize:
-        px = renormalize_tr(px, use_split_base)
-    cols = [c for c in _MATERIALIZE[materialize] if c in px.columns]
-    return px.select(*cols)
+    out = px.join(eff, ["id", "event_day"], "left").na.fill(
+        {
+            "split_price_factor": 1.0,
+            "split_volume_factor": 1.0,
+            **({"tr_price_factor": 1.0} if dividends is not None else {}),
+        }
+    )
+    out = out.withColumn("close_split", F.col("close") * F.col("split_price_factor")).withColumn(
+        "volume_split", F.col("volume") * F.col("split_volume_factor")
+    )
+    for c in OHLC:
+        if c in px.columns:
+            out = out.withColumn(f"{c}_split", F.col(c) * F.col("split_price_factor"))
+    if dividends is not None:
+        base_col = "close_split" if use_split_base else "close"
+        out = out.withColumn("close_tr", F.col(base_col) * F.col("tr_price_factor"))
+        for c in OHLC:
+            if f"{c}_split" in out.columns:
+                out = out.withColumn(f"{c}_tr", F.col(f"{c}_split") * F.col("tr_price_factor"))
+    cols = [c for c in _MATERIALIZE[materialize] if c in out.columns]
+    return out.select(*cols)

@@ -28,6 +28,12 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Cached frames freeze their output partitioning by default, which
+    # blocks AQE from coalescing the tiny post-shuffle partitions of
+    # everything computed downstream of a .persist() — measured 1.7x
+    # slowdown on the factor pipeline. Letting AQE re-plan cached
+    # output keeps persist() composable with adaptive execution.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
 }
 
 
