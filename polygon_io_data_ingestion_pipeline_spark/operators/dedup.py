@@ -53,13 +53,37 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 DEFAULT_MAX_DOCS_PER_SHINGLE = 1000
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Rebalance raw documents across the cluster before a row-amplifying
+    map (shingle/token explode + per-shingle hashing).
+
+    A text corpus often arrives in few dense files; Spark's byte-based
+    file splitting then hands a whole file to one task, and the ~100×
+    explode + md5 work serializes on it (measured 1 task / 4× wall at
+    sf0.1). Hash-repartitioning the raw rows is one linear shuffle of
+    the corpus — trivial next to the work it parallelizes. Skipped when
+    the scan already has enough splits (the 100 TB case: thousands of
+    input files, where this is a no-op by construction).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def shingle_set(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """Distinct (id, shingle) pairs — the inverted-index input."""
-    return (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, n)).alias("shingle"))
-        .distinct()
+    """Distinct (id, shingle) pairs — the inverted-index input.
+
+    Shingle dedup is *per document*, so it happens map-side with
+    ``array_distinct`` before the explode — no global distinct shuffle
+    (the naive ``explode().distinct()`` shuffles the full posting list
+    once just to dedup rows that were never duplicated across keys).
+    """
+    return _spread(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
     )
 
 
@@ -208,9 +232,14 @@ def minhash_signatures(
     One strong hash per distinct shingle (md5 -> int64), then k cheap
     universal-hash mixes ``(a_j*h + b_j) mod P`` — integer arithmetic
     instead of k string hashes per shingle, the standard formulation for
-    corpus-scale minhash (hashing dominates the cost at 100 TB). Wide
-    form: one aggregation with k min columns over the shingle set (no
-    ×k row explosion, one shuffle on id).
+    corpus-scale minhash (hashing dominates the cost at 100 TB).
+
+    Wide form: one aggregation with k min columns over the shingle set
+    (no ×k row explosion); the only shuffle moves (id, int64) pairs —
+    the string-side work (shingling, per-shingle md5) is map-only and
+    happens exactly once. (A fully map-side array formulation was tried
+    and is SLOWER: Catalyst collapses the projections and re-evaluates
+    the shingle-hash array once per output column — k× the md5 work.)
     """
     if k > len(MINHASH_MIX):
         raise ValueError(f"k={k} exceeds the {len(MINHASH_MIX)} mixing pairs")
@@ -283,7 +312,8 @@ def simhash(
     engine with md5 (portable to the SQL oracle).
     """
     toks = (
-        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        _spread(df)
+        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("w"))
         .withColumn("h", F.md5(F.col("tok")))
