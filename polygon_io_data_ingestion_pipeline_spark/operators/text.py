@@ -81,6 +81,83 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.lower(F.col(text_col)))
 
 
+#: BPE-style pre-tokenizer regex: letter runs, digit runs, and single
+#: punctuation marks — the coarse shape of GPT-2's pre-split, kept to
+#: RE2/Java-common syntax so Spark and SQL oracles agree exactly.
+BPE_TOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def bpe_token_count(text_col: str = "text") -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex (letter runs /
+    digit runs / single punctuation) — the LLM-pipeline token estimate,
+    vs the whitespace count of :func:`token_count`."""
+    return F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))).cast(
+        "long"
+    )
+
+
+def punct_ratio(text_col: str = "text") -> Column:
+    """Punctuation chars / total chars (ASCII punctuation class)."""
+    return F.length(
+        F.regexp_replace(F.col(text_col), "[^!-/:-@\\[-`{-~]", "")
+    ).cast("double") / F.length(text_col)
+
+
+#: Rolling-hash parameters: Horner base and Mersenne-prime modulus.
+#: Mod at every fold step keeps the accumulator < 2^31 so acc*B + c
+#: stays exact in int64 on any engine (same trick as MINHASH_MIX).
+WINNOW_B = 257
+WINNOW_M = 2147483647
+
+
+def _rolling_hashes_sql(text_col: str, k: int) -> str:
+    # The short-text guard matters: Spark's sequence(1, 0) DESCENDS
+    # ([1, 0]), it is not empty — an unguarded transform would emit
+    # bogus grams for texts shorter than k.
+    return (
+        f"CASE WHEN {text_col} IS NULL THEN NULL "
+        f"     WHEN length({text_col}) < {k} THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"     ELSE transform(sequence(1, length({text_col}) - {k - 1}), i -> "
+        f"       aggregate(sequence(0, {k - 1}), CAST(0 AS BIGINT), "
+        f"         (acc, j) -> (acc * {WINNOW_B} + ascii(substring({text_col}, i + j, 1)))"
+        f"           % {WINNOW_M})) END"
+    )
+
+
+def rolling_hashes(text_col: str = "text", k: int = 7) -> Column:
+    """Array of polynomial (Rabin-Karp family) hashes of every k-char
+    gram of the document, Horner-folded with per-step modulus.
+
+    All map-side: one ``transform`` over gram positions, one
+    ``aggregate`` (sequential fold) per gram — O(len·k) JVM work, no
+    shuffle, no UDF. The classic O(len) rolling update needs mutable
+    sequential state across grams, which a column expression cannot
+    carry; at small k the vectorized O(len·k) form is faster than any
+    row-at-a-time Python rolling implementation anyway.
+    """
+    return F.expr(_rolling_hashes_sql(text_col, k))
+
+
+def winnow_sketch(text_col: str = "text", k: int = 7, w: int = 4) -> Column:
+    """Winnowing document sketch (the MOSS fingerprinting scheme):
+    the sorted distinct set of per-window minima over the rolling-hash
+    sequence — guaranteed to share a fingerprint with any document that
+    shares a run of >= w + k - 1 characters.
+
+    The hash array is bound once as a lambda variable (single-element
+    array + transform + flatten, same trick as :func:`word_shingles`)
+    so the O(len·k) hash pass is not re-evaluated per window. Documents
+    shorter than one full window select their global minimum.
+    """
+    return F.expr(
+        f"flatten(transform(array({_rolling_hashes_sql(text_col, k)}), h -> "
+        "  CASE WHEN h IS NULL THEN NULL "
+        "       WHEN size(h) = 0 THEN CAST(array() AS ARRAY<BIGINT>) ELSE "
+        f"    array_sort(array_distinct(transform(sequence(1, greatest(size(h) - {w - 1}, 1)), "
+        f"      i -> array_min(slice(h, i, {w}))))) END))"
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics (length, word stats, stopword ratio)."""
     n_tok = token_count(text_col)
@@ -92,5 +169,7 @@ def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double") / n_tok, 6
         ).alias("avg_word_len"),
         F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        bpe_token_count(text_col).alias("n_bpe_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
         F.when(n_tok < 30, F.lit(1)).otherwise(F.lit(0)).alias("is_short"),
     )

@@ -586,11 +586,15 @@ SELECT doc_id,
          AS avg_word_len,
        round(CAST(len(list_filter(string_split(text, ' '), w -> w IN (%s))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS stopword_ratio,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       round(CAST(len(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE)
+             / len(text), 6) AS punct_ratio,
        CASE WHEN len(string_split(text, ' ')) < 30 THEN 1 ELSE 0 END AS is_short
 FROM documents
 """
     % _STOP,
-    doc="Token counting + quality scoring, all JVM-side expressions.",
+    doc="Token counting (whitespace + BPE-ish regex) + quality scoring "
+    "(length/word/stopword/punctuation ratios), all JVM-side expressions.",
     tags=("text",),
 )
 def token_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -1932,6 +1936,57 @@ def series_minute_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_winnow_fingerprints",
+    oracle="""
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL THEN NULL
+              WHEN len(text) < 7 THEN []
+              ELSE list_transform(range(1, len(text) - 5), i ->
+                list_reduce(
+                  list_prepend(CAST(0 AS BIGINT),
+                    list_transform(range(0, 7), j ->
+                      CAST(ascii(substring(text, CAST(i + j AS INT), 1)) AS BIGINT))),
+                  (acc, x) -> (acc * 257 + x) % 2147483647))
+         END AS hs
+  FROM documents
+),
+sk AS (
+  SELECT doc_id,
+         CASE WHEN hs IS NULL THEN NULL
+              WHEN len(hs) = 0 THEN []
+              ELSE list_sort(list_distinct(
+                list_transform(range(1, greatest(len(hs) - 3, 1) + 1), i ->
+                  list_min(hs[i:i+3]))))
+         END AS sketch
+  FROM h
+)
+SELECT doc_id,
+       CAST(len(sketch) AS BIGINT) AS n_fp,
+       coalesce(array_to_string(sketch, ','), '') AS fp_str
+FROM sk
+""",
+    doc="Winnowing document fingerprints (MOSS scheme): Rabin-Karp "
+    "rolling hashes of every 7-char gram, per-4-window minima, sorted "
+    "distinct sketch — guaranteed to share a fingerprint with any doc "
+    "sharing a >= 10-char run. Pure map-side column expressions "
+    "(operators/text.py winnow_sketch); the DuckDB oracle replays the "
+    "identical Horner fold via list_reduce.",
+    tags=("text", "dedup"),
+)
+def docs_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    sk = docs.select("doc_id", T.winnow_sketch("text").alias("sketch"))
+    return sk.select(
+        "doc_id",
+        F.size("sketch").cast("bigint").alias("n_fp"),
+        F.coalesce(
+            F.expr("concat_ws(',', transform(sketch, x -> CAST(x AS STRING)))"), F.lit("")
+        ).alias("fp_str"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -1954,6 +2009,9 @@ _DEFERRED_PAST_WINDOW = [
     # Grouping-set extra: CUBE twin of the windowed ROLLUP queries
     # (region_customer_rollup, region_nation_rollup_totals).
     "region_segment_cube",
+    # Round-3 addition beyond §2: fingerprinting is windowed via
+    # docs_fingerprint; the winnowing sketch is the depth variant.
+    "docs_winnow_fingerprints",
 ]
 
 
