@@ -3,10 +3,13 @@ from .binaryops import (
     PRODUCTION_DECODERS,
     decode_audio_features,
     decode_image_features,
+    decode_pnm,
     decode_wav,
+    encode_pnm,
     frame_sample_video,
     media_stats,
     resize_images,
+    resize_pnm,
 )
 
 __all__ = [
@@ -14,8 +17,11 @@ __all__ = [
     "PRODUCTION_DECODERS",
     "decode_audio_features",
     "decode_image_features",
+    "decode_pnm",
     "decode_wav",
+    "encode_pnm",
     "frame_sample_video",
     "media_stats",
     "resize_images",
+    "resize_pnm",
 ]

@@ -7,14 +7,15 @@ Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
-Codec status per modality: **audio (WAV) decode is REAL** — pure
-stdlib ``wave`` + NumPy, no external library needed (see
-:func:`decode_wav` / :func:`decode_audio_features`). Image and video
-codecs are STUBBED in this container (no Pillow/pyav installed):
-``_decode_stub`` derives a small deterministic pseudo-feature from the
-bytes so schemas, batch shapes, partitioning and tests are real
-end-to-end; swap ``_decode_stub`` for Pillow / pyav calls in
-production — every signature stays the same.
+Codec status per modality: **audio (WAV) and image (PNM) decode are
+REAL** — pure stdlib + NumPy, no external library needed (see
+:func:`decode_wav` / :func:`decode_audio_features`, :func:`decode_pnm`
+/ :func:`decode_image_features` / :func:`resize_pnm`). Compressed
+image formats and video are STUBBED in this container (no Pillow/pyav
+installed): ``_decode_stub`` derives a small deterministic
+pseudo-feature from the bytes so schemas, batch shapes, partitioning
+and tests are real end-to-end; swap ``_decode_stub`` for Pillow / pyav
+calls in production — every signature stays the same.
 """
 
 from __future__ import annotations
@@ -35,7 +36,8 @@ MEDIA_SCHEMA = (
 )
 
 #: which modalities decode real bytes vs the deterministic stub
-PRODUCTION_DECODERS = {"audio": True, "image": False, "video": False}
+#: (image = real for PNM/P5/P6; compressed formats still stub)
+PRODUCTION_DECODERS = {"audio": True, "image": True, "video": False}
 
 
 def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
@@ -115,34 +117,135 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema="media_id bigint, features array<double>")
 
 
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """REAL image decode, pure stdlib: binary PNM bytes -> uint8/uint16
+    array of shape (height, width) for P5 (grayscale) or
+    (height, width, 3) for P6 (RGB). Header comments (#...) are
+    honored; maxval > 255 means 16-bit big-endian samples per the spec.
+    Raises ``ValueError`` on malformed or non-PNM payloads."""
+    if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    channels = 3 if payload[:2] == b"P6" else 1
+    # Tokenize the header: magic, width, height, maxval — whitespace
+    # separated, with # comments running to end of line.
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PNM header")
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval, then raster
+    width, height, maxval = fields
+    if not (0 < maxval < 65536) or width <= 0 or height <= 0:
+        raise ValueError(f"bad PNM dimensions {width}x{height} maxval {maxval}")
+    dtype = np.dtype(">u2") if maxval > 255 else np.uint8
+    n = width * height * channels
+    raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
+    if raster.size < n:
+        raise ValueError("truncated PNM raster")
+    img = raster.reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+def encode_pnm(img: np.ndarray) -> bytes:
+    """Inverse of :func:`decode_pnm` (8-bit only): (H, W[, 3]) uint8 ->
+    binary P5/P6 bytes."""
+    arr = np.asarray(img, dtype=np.uint8)
+    magic = b"P6" if arr.ndim == 3 else b"P5"
+    h, w = arr.shape[:2]
+    return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
+
+
+def _image_features(payload: bytes) -> list[float]:
+    """8 real image features of a PNM payload: width, height, channels,
+    mean, std, min, max, mean |horizontal gradient| (sharpness proxy)."""
+    img = decode_pnm(payload)
+    x = img.astype(np.float64)
+    grad = float(np.mean(np.abs(np.diff(x, axis=1)))) if x.shape[1] > 1 else 0.0
+    return [
+        float(img.shape[1]),
+        float(img.shape[0]),
+        float(img.shape[2] if img.ndim == 3 else 1),
+        float(x.mean()),
+        float(x.std()),
+        float(x.min()),
+        float(x.max()),
+        grad,
+    ]
+
+
 def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
-    """(media_id, features array<double>) via Arrow-batched decode."""
+    """(media_id, features array<double>) via Arrow-batched decode.
+
+    PNM payloads (P5/P6 magic) get the REAL stdlib decode
+    (:func:`decode_pnm`): corrupt ones quarantine to null features.
+    Other formats (JPEG/PNG — no codec libs in this container) fall to
+    the deterministic stub; swap ``_decode_stub`` for Pillow in
+    production, signatures unchanged."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            feats = [
-                _decode_stub(p, n_features).tolist() if p is not None else None
-                for p in batch["payload"]
-            ]
+            feats = []
+            for p in batch["payload"]:
+                if p is None:
+                    feats.append(None)
+                elif bytes(p[:2]) in (b"P5", b"P6"):
+                    try:
+                        feats.append(_image_features(p))
+                    except ValueError:
+                        feats.append(None)
+                else:
+                    feats.append(_decode_stub(p, n_features).tolist())
             yield pd.DataFrame({"media_id": batch["media_id"], "features": feats})
 
     return df.mapInPandas(run, schema="media_id bigint, features array<double>")
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """(media_id, payload, meta) with meta rewritten to the target size.
+def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resize of an 8-bit PNM payload, pure
+    NumPy index sampling, re-encoded as PNM bytes."""
+    img = decode_pnm(payload)
+    if img.dtype != np.uint8:
+        raise ValueError("resize supports 8-bit PNM only")
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_pnm(img[rows][:, cols])
 
-    The byte transform is the stub (identity); the plumbing — schema,
-    struct rewrite, batch shape — is production-real.
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """(media_id, payload, meta) resized to the target dimensions.
+
+    PNM payloads are REALLY resized (nearest-neighbor,
+    :func:`resize_pnm`); other formats keep their bytes (stub path —
+    no codec libs) with meta rewritten, so downstream schema contracts
+    hold for every kind. Undecodable PNM bytes null out (quarantine).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
+            payloads = []
+            for p in batch["payload"]:
+                if p is not None and bytes(p[:2]) in (b"P5", b"P6"):
+                    try:
+                        payloads.append(resize_pnm(p, width, height))
+                    except ValueError:
+                        payloads.append(None)
+                else:
+                    payloads.append(p)
             meta = [
                 {**(m or {}), "width": width, "height": height} for m in batch["meta"]
             ]
             yield pd.DataFrame(
-                {"media_id": batch["media_id"], "payload": batch["payload"], "meta": meta}
+                {"media_id": batch["media_id"], "payload": payloads, "meta": meta}
             )
 
     return df.mapInPandas(
