@@ -394,6 +394,80 @@ def simhash_pairs(
     )
 
 
+def duplicate_clusters(
+    pairs: DataFrame, all_ids: DataFrame | None = None, id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters from near-dup pairs: connected components by
+    iterative min-label propagation. Output ``(doc_id, cluster_id)``
+    with ``cluster_id`` = the minimum member id of the component — the
+    canonical-document convention (keep ``doc_id == cluster_id``, drop
+    the rest).
+
+    The step every dedup pipeline needs after pair generation: pairwise
+    near-dups are not deduplicatable until transitively closed (A~B,
+    B~C means A,B,C are one group even when A~C scored below
+    threshold).
+
+    Scale shape: each round is one hash join (labels onto the
+    symmetrized edge list) + one min-aggregation — all keyed shuffles,
+    no driver-side graph. Rounds needed = O(component diameter), and
+    near-dup components are shallow (dup clusters are cliques-ish), so
+    this converges in a handful of rounds; large-star/small-star is the
+    constant-factor refinement for adversarial chain graphs. Two
+    Spark-specific guards: the per-round ``localCheckpoint`` truncates
+    the otherwise exponentially nesting iterative lineage, and
+    convergence is detected by counting changed labels (one action per
+    round, unavoidable in any driver-coordinated fixpoint).
+
+    ``all_ids`` (e.g. ``docs.select("doc_id")``) adds documents that
+    appear in no pair as singleton clusters of themselves.
+    """
+    edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+    edges = edges.union(
+        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("cluster_id", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), F.col("cluster_id").alias("nl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "node"), "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("cluster_id", "old"), "node"
+            )
+            .filter(F.col("cluster_id") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels.select(F.col("node").alias(id_col), "cluster_id")
+    if all_ids is not None:
+        singles = all_ids.select(id_col).join(out.select(id_col), id_col, "left_anti")
+        out = out.unionByName(singles.withColumn("cluster_id", F.col(id_col)))
+    return out
+
+
 def simhash_pairs_allpairs(
     df: DataFrame,
     text_col: str = "text",

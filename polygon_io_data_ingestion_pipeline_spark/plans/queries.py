@@ -1987,6 +1987,48 @@ def docs_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "dedup_duplicate_clusters",
+    oracle="""
+WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT id1, id2 FROM p JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+  WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.05),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id,
+       coalesce(l.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN labels l ON l.node = d.doc_id
+""",
+    doc="Duplicate clustering: transitive closure of near-dup pairs "
+    "(3-gram Jaccard >= 0.05) into connected components, cluster_id = "
+    "min member (the canonical-keeper convention). Spark side is "
+    "iterative min-label propagation — per round one keyed join + one "
+    "min-agg, lineage truncated by localCheckpoint "
+    "(operators/dedup.py duplicate_clusters); the oracle replays it as "
+    "a recursive CTE.",
+    tags=("dedup",),
+)
+def dedup_clusters_q(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    pairs = D.jaccard_pairs(docs, threshold=0.05)
+    return D.duplicate_clusters(pairs, all_ids=docs.select("doc_id"))
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -2009,9 +2051,12 @@ _DEFERRED_PAST_WINDOW = [
     # Grouping-set extra: CUBE twin of the windowed ROLLUP queries
     # (region_customer_rollup, region_nation_rollup_totals).
     "region_segment_cube",
-    # Round-3 addition beyond §2: fingerprinting is windowed via
-    # docs_fingerprint; the winnowing sketch is the depth variant.
+    # Round-3 additions beyond §2: fingerprinting is windowed via
+    # docs_fingerprint (winnowing = depth variant); pair generation is
+    # windowed via the jaccard/LSH queries (clustering = the transitive
+    # closure on top).
     "docs_winnow_fingerprints",
+    "dedup_duplicate_clusters",
 ]
 
 
