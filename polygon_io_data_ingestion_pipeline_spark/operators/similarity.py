@@ -416,3 +416,198 @@ def cosine_neardup_lsh(
         .filter(F.col("__cos") >= threshold)
         .select("id1", "id2", F.round("__cos", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ / ADC)
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks_strided(
+    df: DataFrame,
+    m: int = 4,
+    ncodes: int = 16,
+    stride: int = 31,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Per-subspace PQ codebooks from the strided corpus vectors'
+    slices: subspace ``s`` of a ``d``-dim corpus gets the ``ncodes``
+    strided vectors' dims ``[s*d/m, (s+1)*d/m)`` as its codes.
+
+    Deterministic (SQL-oracle reproducible), like
+    :func:`strided_centroids`; production training swaps in
+    :func:`pq_codebooks_kmeans` — encode/ADC are identical either way.
+    """
+    full = strided_centroids(df, nlist=ncodes, stride=stride, id_col=id_col, vec_col=vec_col)
+    dim = len(full[0][1])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    w = dim // m
+    return [[(cid, vec[s * w : (s + 1) * w]) for cid, vec in full] for s in range(m)]
+
+
+def pq_codebooks_kmeans(
+    df: DataFrame,
+    m: int = 4,
+    ncodes: int = 16,
+    iters: int = 5,
+    sample_fraction: float = 0.5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[tuple[int, list[float]]]]:
+    """Production PQ training: independent Lloyd k-means (L2) per
+    subspace on a driver-side sample — the FAISS recipe. The sample,
+    not the corpus, bounds driver memory; encoding stays distributed."""
+    sample = np.asarray(
+        [r[0] for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()],
+        dtype=np.float64,
+    )
+    if len(sample) < ncodes:
+        raise ValueError(f"sample of {len(sample)} rows cannot seed {ncodes} codes")
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible into {m} subspaces")
+    w = dim // m
+    rng = np.random.default_rng(seed)
+    books: list[list[tuple[int, list[float]]]] = []
+    for s in range(m):
+        sub = sample[:, s * w : (s + 1) * w]
+        cents = sub[rng.choice(len(sub), size=ncodes, replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(ncodes):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append([(c, [float(v) for v in cents[c]]) for c in range(ncodes)])
+    return books
+
+
+def _pq_codes(vec_col: str, codebooks: list[list[tuple[int, list[float]]]]) -> Column:
+    """array<int>: per-subspace nearest code by squared L2 (ties ->
+    lowest code; the SQL-oracle equivalent is ``ORDER BY d2, cid``).
+    Codebooks ride in the plan as literals — encoding is map-only."""
+    vd = _as_double(F.col(vec_col))
+    w = len(codebooks[0][0][1])
+    codes = []
+    for s, book in enumerate(codebooks):
+        sub = F.slice(vd, s * w + 1, w)
+        entries = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(sub, _lit_vec(cvec), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                F.lit(int(cid)).alias("cid"),
+            )
+            for cid, cvec in book
+        ]
+        codes.append(F.array_min(F.array(*entries))["cid"])
+    return F.array(*codes)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>): the compressed corpus representation —
+    m small ints instead of d floats (64x for d=64 float32 / m=4).
+    At 100 TB this is the table you persist: ADC queries scan codes
+    only and never touch the raw vectors."""
+    return df.select(F.col(id_col), _pq_codes(vec_col, codebooks).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k cosine: look up each subspace's
+    query-to-code dot product and code norm in tiny per-query tables
+    (computed driver-side from the codebook), then score each corpus
+    row from its codes alone — no per-row vector math at query time.
+
+    ``adc_cos = sum_s lut_dot[s][code_s] /
+    (|q| * sqrt(sum_s lut_n2[s][code_s]))`` with fixed left-to-right
+    summation order (oracle-reproducible). Pass a pre-encoded
+    ``codes_df`` (:func:`pq_encode` output) to skip in-plan encoding —
+    the production shape, where codes are a materialized table.
+    """
+    qvec = [
+        float(v) for v in df.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
+    ]
+    w = len(codebooks[0][0][1])
+
+    def fold_dot(a: list[float], b: list[float]) -> float:
+        # left-associative fold, bit-identical to list_sum/F.aggregate
+        # in the engines (np.dot's BLAS summation order is not)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    qnorm = float(np.sqrt(fold_dot(qvec, qvec)))
+    lut_dot = [
+        [fold_dot(qvec[s * w : (s + 1) * w], cvec) for _cid, cvec in book]
+        for s, book in enumerate(codebooks)
+    ]
+    lut_n2 = [[fold_dot(cvec, cvec) for _cid, cvec in book] for book in codebooks]
+
+    encoded = codes_df if codes_df is not None else pq_encode(df, codebooks, id_col, vec_col)
+    dot_expr = None
+    n2_expr = None
+    for s in range(len(codebooks)):
+        d = F.element_at(_lit_vec(lut_dot[s]), F.col("codes")[s] + 1)
+        n = F.element_at(_lit_vec(lut_n2[s]), F.col("codes")[s] + 1)
+        dot_expr = d if dot_expr is None else dot_expr + d
+        n2_expr = n if n2_expr is None else n2_expr + n
+    score = dot_expr / (F.lit(qnorm) * F.sqrt(n2_expr))
+    return (
+        encoded.filter(F.col(id_col) != query_id)
+        .select(F.col(id_col), score.alias("__adc"))
+        .orderBy(F.desc("__adc"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__adc", 6).alias("adc_cos"))
+    )
+
+
+def pq_topk_rerank(
+    df: DataFrame,
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_id: int,
+    k: int = 10,
+    refine: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_df: DataFrame | None = None,
+) -> DataFrame:
+    """Production PQ shape: ADC shortlist of ``k * refine`` candidates
+    from the compressed codes, then EXACT cosine re-rank of only those
+    rows. At 100 TB the ADC pass scans the m-byte codes table and the
+    re-rank fetches ``k * refine`` raw vectors by id — the corpus's
+    float data is never scanned. Recall approaches exact as ``refine``
+    grows; compression stays m bytes/vector at rest.
+    """
+    shortlist = pq_topk(
+        df, codebooks, query_id, k=k * refine, id_col=id_col, vec_col=vec_col, codes_df=codes_df
+    ).select(id_col)
+    qv = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
+    exact = (
+        shortlist.join(df.select(id_col, vec_col), id_col)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col(id_col), cosine(vec_col, "__qvec").alias("__cos"))
+    )
+    return (
+        exact.orderBy(F.desc("__cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cos"))
+    )
