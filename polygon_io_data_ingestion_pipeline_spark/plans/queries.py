@@ -2109,15 +2109,12 @@ _DEFERRED_PAST_WINDOW = [
     # Grouping-set extra: CUBE twin of the windowed ROLLUP queries
     # (region_customer_rollup, region_nation_rollup_totals).
     "region_segment_cube",
-    # Round-3 additions beyond §2: fingerprinting is windowed via
-    # docs_fingerprint (winnowing = depth variant); pair generation is
-    # windowed via the jaccard/LSH queries (clustering = the transitive
-    # closure on top).
-    "docs_winnow_fingerprints",
-    "dedup_duplicate_clusters",
-    # ANN is windowed via emb_ivf_topk / emb_cosine_topk; PQ is the
-    # compressed-at-rest depth variant.
-    "emb_pq_topk_rerank",
+    # Strict subsets of windowed queries: the pair/probe query computes the
+    # deferred query's result internally before joining/verifying, so the
+    # driver row on the superset covers the machinery end-to-end.
+    "dedup_simhash_signatures",  # ⊂ dedup_simhash_pairs (signs then verifies)
+    "emb_rp_lsh_buckets",  # ⊂ emb_rp_lsh_candidate_pairs (buckets then joins)
+    "emb_ivf_list_sizes",  # ⊂ emb_ivf_topk (assigns lists then probes)
 ]
 
 

@@ -31,6 +31,12 @@ MUST_BE_WINDOWED = [
     "emb_cosine_topk",
     "emb_ivf_topk",
     "docs_token_stats",
+    # Round-3 capability additions — each is a distinct operator family
+    # member (winnowing fingerprints, transitive-closure dup clustering,
+    # PQ/ADC ANN) and must hold a driver-verified slot.
+    "docs_winnow_fingerprints",
+    "dedup_duplicate_clusters",
+    "emb_pq_topk_rerank",
 ]
 
 
