@@ -468,6 +468,50 @@ def duplicate_clusters(
     return out
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Benchmark decontamination: per-document n-gram overlap with an
+    evaluation/benchmark corpus — the standard check that training data
+    does not contain test-set text (measured, like the common published
+    recipes, as the fraction of a document's distinct n-gram shingles
+    that also occur anywhere in the benchmark).
+
+    Scale shape: the benchmark side (eval suites — thousands of docs,
+    not billions) collapses to a DISTINCT shingle set and is
+    broadcast, so the 100 TB training corpus is never shuffled for the
+    probe: shingling is map-side, the membership join is a broadcast
+    hash join, and the only keyed shuffle is the per-document count
+    aggregation on ``id_col``. Returns
+    (id, n_shingles, n_overlap, overlap_ratio, is_contaminated).
+    """
+    doc_sh = shingle_set(docs, text_col, id_col, n)
+    bench_sh = shingle_set(benchmark, text_col, id_col, n).select("shingle").distinct()
+    totals = doc_sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    ratio = F.col("n_overlap").cast("double") / F.col("n_shingles")
+    return (
+        totals.join(hits, id_col, "left")
+        .na.fill({"n_overlap": 0})
+        .select(
+            id_col,
+            "n_shingles",
+            "n_overlap",
+            F.round(ratio, 6).alias("overlap_ratio"),
+            (ratio >= threshold).cast("int").alias("is_contaminated"),
+        )
+    )
+
+
 def simhash_pairs_allpairs(
     df: DataFrame,
     text_col: str = "text",

@@ -2087,6 +2087,129 @@ def emb_pq_topk_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.pq_topk_rerank(emb, books, query_id=0, k=10, refine=10)
 
 
+@q(
+    "docs_repetition_metrics",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+words AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct FROM toks),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+gm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM gc GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(w.n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_tokens, 6) AS dup_word_ratio,
+       round(CAST(gm.top_c AS DOUBLE) / gm.total, 6) AS top_bigram_frac
+FROM words w LEFT JOIN gm ON gm.doc_id = w.doc_id
+""",
+    doc="Within-document repetition metrics (the Gopher/RefinedWeb "
+    "quality-rule family): duplicate-word ratio (map-side array "
+    "expressions, zero shuffle) and top-bigram fraction (explode -> "
+    "per-(doc,gram) count -> per-doc max/sum — two partial-aggregated "
+    "keyed shuffles, no UDFs; operators/text.py repetition_stats).",
+    tags=("text",),
+)
+def docs_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    return T.repetition_stats(table(spark, sf, "documents"))
+
+
+@q(
+    "docs_decontam_overlap",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+corpus AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hit AS (SELECT c.doc_id, count(*) AS n_overlap
+        FROM corpus c JOIN bench b ON b.s = c.s GROUP BY c.doc_id)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / t.n_shingles, 6) AS overlap_ratio,
+       CAST(CASE WHEN CAST(coalesce(h.n_overlap, 0) AS DOUBLE) / t.n_shingles >= 0.2
+                 THEN 1 ELSE 0 END AS INT) AS is_contaminated
+FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
+""",
+    doc="Benchmark decontamination: fraction of each training document's "
+    "distinct 3-gram shingles that appear anywhere in a benchmark corpus "
+    "(here the deterministic doc_id % 50 == 0 slice standing in for an "
+    "eval suite). The benchmark shingle set is DISTINCT-collapsed and "
+    "broadcast, so the training corpus is probed map-side and only the "
+    "per-document count shuffles (operators/dedup.py "
+    "contamination_overlap).",
+    tags=("text", "dedup"),
+)
+def docs_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.contamination_overlap(corpus, bench, threshold=0.2)
+
+
+@q(
+    "emb_semantic_dedup_clusters",
+    oracle="""
+WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(x) + 1), d ->
+           x[d] * (CAST(('0x' || substr(md5(p || '_' || CAST(d - 1 AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 32768.0 - 1.0))) AS s
+  FROM e, range(0, 24) r(p)),
+b AS (SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT)) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, p // 6),
+cand AS (SELECT DISTINCT xx.vec_id AS id1, yy.vec_id AS id2
+         FROM b xx JOIN b yy ON xx.tbl = yy.tbl AND xx.bucket = yy.bucket
+                            AND xx.vec_id < yy.vec_id),
+s AS (SELECT c.id1, c.id2,
+             list_sum(list_transform(range(1, len(a.x) + 1), i -> a.x[i] * bb.x[i]))
+             / (sqrt(list_sum(list_transform(a.x, v -> v * v)))
+                * sqrt(list_sum(list_transform(bb.x, v -> v * v)))) AS raw_cos
+      FROM cand c JOIN e a ON a.vec_id = c.id1 JOIN e bb ON bb.vec_id = c.id2),
+pairs AS (SELECT id1, id2 FROM s WHERE raw_cos >= 0.3),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON r.node = e2.dst),
+labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node)
+SELECT em.vec_id,
+       coalesce(l.cluster_id, em.vec_id) AS cluster_id,
+       CAST(CASE WHEN em.vec_id = coalesce(l.cluster_id, em.vec_id) THEN 1 ELSE 0 END AS INT)
+         AS is_representative
+FROM embeddings em LEFT JOIN labels l ON l.node = em.vec_id
+""",
+    doc="Semantic (embedding-space) dedup end to end: RP-LSH candidate "
+    "pairs + exact cosine verify (similarity.py cosine_neardup_lsh, "
+    "same md5-derived planes as emb_cosine_neardup_pairs) transitively "
+    "closed into clusters by distributed min-label propagation "
+    "(dedup.py duplicate_clusters), keeping the minimum vec_id as the "
+    "cluster representative — the 'keep one per semantic group' "
+    "operation a training pipeline runs after embedding its corpus. "
+    "Oracle replays the planes and the closure as a recursive CTE.",
+    tags=("dedup", "similarity"),
+)
+def emb_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    pairs = SIM.cosine_neardup_lsh(emb, threshold=0.3, n_planes=6, n_tables=4)
+    clusters = D.duplicate_clusters(pairs, all_ids=emb.select("vec_id"), id_col="vec_id")
+    return clusters.select(
+        "vec_id",
+        "cluster_id",
+        (F.col("vec_id") == F.col("cluster_id")).cast("int").alias("is_representative"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -2115,6 +2238,12 @@ _DEFERRED_PAST_WINDOW = [
     "dedup_simhash_signatures",  # ⊂ dedup_simhash_pairs (signs then verifies)
     "emb_rp_lsh_buckets",  # ⊂ emb_rp_lsh_candidate_pairs (buckets then joins)
     "emb_ivf_list_sizes",  # ⊂ emb_ivf_topk (assigns lists then probes)
+    # Redundant in-window twins, demoted to make room for the round-4
+    # operator families (repetition metrics, decontamination, semantic
+    # dedup clusters):
+    "docs_fingerprint",  # md5 whole-doc fp; rolling-hash fp windowed via docs_winnow_fingerprints
+    "topk_orders",  # global TakeOrdered windowed via tpch_q03 + orders_top3_per_priority
+    "region_customer_rollup",  # ROLLUP twin of region_nation_rollup_totals
 ]
 
 

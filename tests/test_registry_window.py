@@ -37,6 +37,11 @@ MUST_BE_WINDOWED = [
     "docs_winnow_fingerprints",
     "dedup_duplicate_clusters",
     "emb_pq_topk_rerank",
+    # Round-4 additions: repetition quality metrics, benchmark
+    # decontamination, semantic dedup clustering.
+    "docs_repetition_metrics",
+    "docs_decontam_overlap",
+    "emb_semantic_dedup_clusters",
 ]
 
 

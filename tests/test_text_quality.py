@@ -1,0 +1,78 @@
+"""Unit tests for the text-quality operator family: shingle edge cases,
+repetition metrics, and benchmark decontamination — crafted fixtures
+with hand-computed expectations (the sf0.01 oracle parity replica in
+test_oracle_parity.py covers the full-corpus behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polygon_io_data_ingestion_pipeline_spark.operators.dedup import contamination_overlap
+from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+    repetition_stats,
+    word_shingles,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_short_text_guard(spark):
+    # Spark's sequence(1, 0) DESCENDS — an unguarded transform would emit
+    # bogus partial shingles for docs shorter than n tokens.
+    df = _docs(
+        spark,
+        [(1, "one"), (2, "one two"), (3, "one two three"), (4, "one two three four")],
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select("doc_id", word_shingles("text", 3).alias("sh")).collect()
+    }
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["one two three"]
+    assert got[4] == ["one two three", "two three four"]
+
+
+def test_repetition_stats_hand_computed(spark):
+    # doc 1: 4 tokens, all distinct -> dup ratio 0; bigrams all unique -> 1/3
+    # doc 2: "a a a a" -> dup ratio 3/4; single bigram "a a" x3 -> 1.0
+    # doc 3: one token -> no bigrams -> NULL top_bigram_frac
+    df = _docs(spark, [(1, "w x y z"), (2, "a a a a"), (3, "solo")])
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_tokens"] == 4
+    assert got[1]["dup_word_ratio"] == 0.0
+    assert abs(got[1]["top_bigram_frac"] - round(1 / 3, 6)) < 1e-9
+    assert got[2]["dup_word_ratio"] == 0.75
+    assert got[2]["top_bigram_frac"] == 1.0
+    assert got[3]["n_tokens"] == 1
+    assert got[3]["top_bigram_frac"] is None
+
+
+def test_contamination_overlap_counts_and_flag(spark):
+    # Benchmark doc: "q1 q2 q3 q4" -> shingles {q1 q2 q3, q2 q3 q4}.
+    # corpus doc 10 repeats the full benchmark text (4/4 shingles hit),
+    # doc 11 shares one shingle run, doc 12 shares nothing.
+    bench = _docs(spark, [(100, "q1 q2 q3 q4")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "q1 q2 q3 q4 tail1 tail2"),
+            (11, "x q1 q2 q3 y z"),
+            (12, "u v w p q r"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in contamination_overlap(corpus, bench, threshold=0.5).collect()}
+    assert (got[10]["n_overlap"], got[10]["n_shingles"]) == (2, 4)
+    assert got[10]["is_contaminated"] == 1  # 0.5 >= 0.5
+    assert (got[11]["n_overlap"], got[11]["n_shingles"]) == (1, 4)
+    assert got[11]["is_contaminated"] == 0
+    assert (got[12]["n_overlap"], got[12]["is_contaminated"]) == (0, 0)
+
+
+def test_contamination_join_is_broadcast(spark):
+    bench = _docs(spark, [(100, "q1 q2 q3 q4")])
+    corpus = _docs(spark, [(10, "q1 q2 q3 q4 t1 t2")])
+    plan = contamination_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
