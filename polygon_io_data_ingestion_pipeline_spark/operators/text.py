@@ -202,6 +202,48 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     return words.join(gram_mode, id_col, "left")
 
 
+def sequence_packing(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    capacity: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-capacity token bins — the sequence-
+    packing step that turns a filtered corpus into training batches.
+
+    Offset-based packing: documents are laid out in deterministic
+    ``id_col`` order within each ``group_col`` stream; each doc's bin is
+    its starting token offset div capacity. (True greedy packing — reset
+    the accumulator at each boundary — is a sequential fold that cannot
+    be a prefix sum; the offset formulation is the standard distributed
+    approximation, and training prep truncates straddling documents
+    anyway.)
+
+    Scale shape: one window (cumulative sum + row_number) partitioned by
+    ``group_col`` — a single keyed shuffle; token counting is map-side.
+    Partition skew = stream size; a real corpus shards ``group_col``
+    (e.g. source × date) so no partition exceeds an executor.
+
+    Returns (id, group, n_tokens, tok_offset, bin_id, pos_in_bin).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(id_col)
+    n = token_count(text_col)
+    base = df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
+    off = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    binned = base.select(
+        id_col,
+        group_col,
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / capacity).alias("bin_id"),
+    )
+    wb = W.partitionBy(group_col, "bin_id").orderBy(id_col)
+    return binned.withColumn("pos_in_bin", F.row_number().over(wb).cast("long"))
+
+
 def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics (length, word stats, stopword ratio)."""
     n_tok = token_count(text_col)

@@ -2210,6 +2210,34 @@ def emb_semantic_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_sequence_packing",
+    oracle="""
+WITH t AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM documents),
+c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+      FROM t)
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (PARTITION BY source, tok_offset // 512 ORDER BY doc_id)
+            AS BIGINT) AS pos_in_bin
+FROM c
+""",
+    doc="Sequence packing for training batches: lay documents out in "
+    "deterministic doc_id order per source stream and assign each to a "
+    "fixed 512-token-capacity bin by starting offset (cumulative token "
+    "sum window), plus its position inside the bin. One keyed shuffle "
+    "on the stream key; token counting map-side "
+    "(operators/text.py sequence_packing).",
+    tags=("text",),
+)
+def docs_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    return T.sequence_packing(table(spark, sf, "documents"), capacity=512)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -2244,6 +2272,7 @@ _DEFERRED_PAST_WINDOW = [
     "docs_fingerprint",  # md5 whole-doc fp; rolling-hash fp windowed via docs_winnow_fingerprints
     "topk_orders",  # global TakeOrdered windowed via tpch_q03 + orders_top3_per_priority
     "region_customer_rollup",  # ROLLUP twin of region_nation_rollup_totals
+    "emb_rp_lsh_candidate_pairs",  # ⊂ emb_cosine_neardup_pairs (candidates then verifies)
 ]
 
 

@@ -1,0 +1,56 @@
+"""Watermarked tumbling-window aggregation over an event stream.
+
+The streaming twin of the batch ``events_tumbling_hourly`` registry
+query (reference: the per-day/per-hour rollups the ingest pipeline
+derives from bar streams): counts and value sums per (hour window,
+event type), with late data handled by an event-time watermark instead
+of batch-job re-runs.
+
+Semantics (Structured Streaming's standard model):
+
+- The watermark trails the max observed event time by the configured
+  delay; state for a window is kept until the watermark passes the
+  window end, so events later than the delay are dropped — the
+  explicit, bounded-state trade a 100 TB/day stream needs (unbounded
+  lateness means unbounded state).
+- In append output mode a window row is emitted exactly once, when the
+  watermark finalizes it — downstream sinks (the parquet lake) never
+  see partial aggregates, so the lake stays idempotent without
+  merge-on-read bookkeeping.
+
+Scale shape: one keyed shuffle per micro-batch on (window, key) with
+map-side partial aggregation; state store size = active windows x keys,
+bounded by the watermark horizon. No Python UDFs anywhere — the whole
+pipeline is JVM window/agg expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-(tumbling window, key) count and rounded value sum with an
+    event-time watermark bounding lateness and state."""
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n",
+            "total_value",
+        )
+    )

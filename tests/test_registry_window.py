@@ -42,6 +42,7 @@ MUST_BE_WINDOWED = [
     "docs_repetition_metrics",
     "docs_decontam_overlap",
     "emb_semantic_dedup_clusters",
+    "docs_sequence_packing",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Watermarked tumbling-window streaming aggregation: append-mode
+finalization, late-data drop past the watermark, late-data acceptance
+inside it, and checkpointed state across query restarts."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from polygon_io_data_ingestion_pipeline_spark.streaming import tumbling_counts
+
+T0 = dt.datetime(2024, 1, 2, 10, 0, 0)
+MIN = dt.timedelta(minutes=1)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _drain(spark, src, ckpt):
+    emitted = []
+    stream = spark.readStream.schema("event_type string, ts timestamp, value double").parquet(
+        src
+    )
+    q = (
+        tumbling_counts(stream, "1 hour", "1 hour")
+        .writeStream.foreachBatch(lambda df, _bid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return emitted
+
+
+def test_watermark_finalizes_drops_and_accepts_late(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # Batch 1: two events in the 10:00 window, one at 12:30 that pushes
+    # the watermark to 11:30 — finalizing the 10:00 window (end 11:00).
+    _write_batch(
+        spark,
+        src,
+        [
+            ("click", T0 + 5 * MIN, 1.0),
+            ("click", T0 + 10 * MIN, 2.0),
+            ("view", T0 + 150 * MIN, 4.0),  # 12:30
+        ],
+    )
+    got1 = _drain(spark, src, ckpt)
+    final1 = {(r["window_start"], r["event_type"]): r for r in got1}
+    assert (T0, "click") in final1, got1
+    assert final1[(T0, "click")]["n"] == 2
+    assert final1[(T0, "click")]["total_value"] == 3.0
+    # 12:00 window is still open (watermark 11:30 < its end 13:00).
+    assert not any(ws == T0 + 150 * MIN for ws, _ in final1)
+
+    # Batch 2 (restarted query, state from checkpoint):
+    # - 10:20 event is later than the watermark (10:00 window already
+    #   finalized) -> dropped;
+    # - 11:45 event lands in the 11:00 window, still open -> counted;
+    # - 14:00 event advances the watermark to 13:00, finalizing both
+    #   the 11:00 and 12:00 windows.
+    _write_batch(
+        spark,
+        src,
+        [
+            ("click", T0 + 20 * MIN, 100.0),  # too late, dropped
+            ("click", T0 + 105 * MIN, 8.0),  # 11:45, accepted
+            ("view", T0 + 240 * MIN, 16.0),  # 14:00
+        ],
+    )
+    got2 = _drain(spark, src, ckpt)
+    final2 = {(r["window_start"], r["event_type"]): r for r in got2}
+    # The finalized 10:00 window is NOT re-emitted or revised: the
+    # too-late click never appears anywhere.
+    assert (T0, "click") not in final2
+    assert final2[(T0 + 60 * MIN, "click")]["n"] == 1
+    assert final2[(T0 + 60 * MIN, "click")]["total_value"] == 8.0
+    assert final2[(T0 + 150 * MIN - 30 * MIN, "view")]["n"] == 1  # 12:00 window
+    # Across both drains each (window, key) was emitted exactly once.
+    keys = [(r["window_start"], r["event_type"]) for r in got1 + got2]
+    assert len(keys) == len(set(keys))
