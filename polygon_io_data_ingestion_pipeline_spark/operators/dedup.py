@@ -424,9 +424,16 @@ def duplicate_clusters(
     appear in no pair as singleton clusters of themselves.
     """
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    edges = edges.union(
-        pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
-    ).distinct()
+    # Materialize the symmetrized edge list ONCE: it embeds the whole
+    # pair-generation lineage (shingle joins / LSH + exact verify) and is
+    # consumed by every propagation round — without this checkpoint each
+    # round re-executes pair generation from the raw corpus (measured:
+    # minutes instead of seconds at sf0.1).
+    edges = (
+        edges.union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("cluster_id", F.col("node"))

@@ -125,12 +125,52 @@ def cosine_pairs(
     )
 
 
-def _plane_component(plane: int, dim: int) -> str:
-    """Deterministic pseudo-random plane component in [-1, 1): derived
-    from md5 so it is engine-portable (same planes in the SQL oracle)."""
+def _plane_value(plane: int, dim: int) -> float:
+    """Deterministic pseudo-random plane component in [-1, 1): first 4
+    md5 hex chars of ``"<plane>_<dim>"`` as an int, scaled. Identical to
+    the SQL oracles' ``conv(substr(md5(...), 1, 4), 16, 10)/32768 - 1``
+    — engine-portable, and computable driver-side so the plan carries
+    plane LITERALS instead of re-deriving md5 per row x plane x dim
+    (the expression form ran interpreted inside higher-order lambdas:
+    measured 33 s -> 1.5 s for the sf0.1 neardup pair generation)."""
+    import hashlib
+
+    return int(hashlib.md5(f"{plane}_{dim}".encode()).hexdigest()[:4], 16) / 32768.0 - 1.0
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, probed from one row (LIMIT 1 scan —
+    O(1) work at any corpus size)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None else 0
+
+
+def _bucket_expr(vec_col: str, planes: list[int], dim: int) -> str:
+    """Sign-LSH bucket id as ONE compact SQL expression: the plane
+    matrix is a constant ``array<array<double>>`` literal, projections
+    are a per-plane zip_with/aggregate fold (left-to-right — same float
+    association as DuckDB's replay), and the bucket packs projection
+    signs into bits.
+
+    Why a literal + single expression: deriving plane components
+    per-row (md5 in a lambda) or unrolling per-dimension Column
+    arithmetic both blow up — the former does rows x planes x dims
+    hash calls at execute time, the latter builds a ~40k-node
+    expression tree that costs ~13 s of driver/py4j time and seconds
+    of Catalyst analysis per join branch. A constant literal keeps the
+    tree tiny and the per-row work a pure multiply-add loop."""
+    mat = ",".join(
+        "array(" + ",".join(repr(_plane_value(p, d)) for d in range(dim)) + ")" for p in planes
+    )
     return (
-        f"(CAST(conv(substr(md5('{plane}_' || CAST({dim} AS STRING)), 1, 4), 16, 10) AS DOUBLE)"
-        f" / 32768.0 - 1.0)"
+        f"aggregate(zip_with("
+        f"  transform(array({mat}), pl -> "
+        f"    aggregate(zip_with({vec_col}, pl, (x, r) -> CAST(x AS DOUBLE) * r),"
+        f"              CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)),"
+        f"  sequence(0, {len(planes) - 1}),"
+        f"  (pj, i) -> IF(pj >= 0, shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)),"
+        f"             CAST(0 AS BIGINT))),"
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 
@@ -141,15 +181,10 @@ def rp_lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH bucket id (0..2^n_planes-1) per vector."""
-    sig = F.lit(0).cast("long")
-    for p in range(n_planes):
-        proj = F.expr(
-            f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1),"
-            f" d -> {_plane_component(p, 'd')}),"
-            f" (x, r) -> CAST(x AS DOUBLE) * r), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col), sig.alias("bucket"))
+    dim = _vec_dim(df, vec_col)
+    return df.select(
+        F.col(id_col), F.expr(_bucket_expr(vec_col, list(range(n_planes)), dim)).alias("bucket")
+    )
 
 
 def rp_lsh_candidate_pairs(
@@ -178,19 +213,11 @@ def rp_lsh_entries(
     Multiple independent tables are the recall lever: a true near pair
     missed by one table's bucket is caught by another — the standard
     multi-probe/banding trade (like MinHash-LSH bands)."""
+    dim = _vec_dim(df, vec_col)
     entries = []
     for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for p in range(n_planes):
-            gp = t * n_planes + p
-            proj = F.expr(
-                f"aggregate(zip_with({vec_col}, transform(sequence(0, size({vec_col}) - 1),"
-                f" d -> {_plane_component(gp, 'd')}),"
-                f" (x, r) -> CAST(x AS DOUBLE) * r), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            sig = sig + F.when(proj >= 0, F.lit(1 << p).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+        planes = [t * n_planes + p for p in range(n_planes)]
+        sig = F.expr(_bucket_expr(vec_col, planes, dim))
         entries.append(F.struct(F.lit(t).alias("tbl"), sig.alias("bucket")))
     return df.select(F.col(id_col), F.explode(F.array(*entries)).alias("e")).select(
         id_col, F.col("e.tbl").alias("tbl"), F.col("e.bucket").alias("bucket")
@@ -407,12 +434,21 @@ def cosine_neardup_lsh(
         .select("id1", "id2")
         .distinct()
     )
-    e1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("e1"))
-    e2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("e2"))
+    # Cast-to-double and the norm are per-VECTOR quantities: compute
+    # them once map-side before the candidate join instead of per pair
+    # (a bucket-degree-D vector would otherwise redo them D times).
+    # cos = dot/(n1*n2) is the literally identical float expression the
+    # inline form produced, so oracle parity is unaffected.
+    ed = df.select(
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("ev"),
+    ).select(id_col, "ev", norm(F.col("ev")).alias("nv"))
+    e1 = ed.select(F.col(id_col).alias("id1"), F.col("ev").alias("e1"), F.col("nv").alias("n1"))
+    e2 = ed.select(F.col(id_col).alias("id2"), F.col("ev").alias("e2"), F.col("nv").alias("n2"))
     return (
         cand.join(e1, "id1")
         .join(e2, "id2")
-        .withColumn("__cos", cosine("e1", "e2"))
+        .withColumn("__cos", dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")))
         .filter(F.col("__cos") >= threshold)
         .select("id1", "id2", F.round("__cos", 6).alias("cos"))
     )
