@@ -2103,6 +2103,7 @@ SELECT w.doc_id,
        round(CAST(gm.top_c AS DOUBLE) / gm.total, 6) AS top_bigram_frac
 FROM words w LEFT JOIN gm ON gm.doc_id = w.doc_id
 """,
+    bench=True,
     doc="Within-document repetition metrics (the Gopher/RefinedWeb "
     "quality-rule family): duplicate-word ratio (map-side array "
     "expressions, zero shuffle) and top-bigram fraction (explode -> "
@@ -2136,6 +2137,7 @@ SELECT t.doc_id,
                  THEN 1 ELSE 0 END AS INT) AS is_contaminated
 FROM tot t LEFT JOIN hit h ON h.doc_id = t.doc_id
 """,
+    bench=True,
     doc="Benchmark decontamination: fraction of each training document's "
     "distinct 3-gram shingles that appear anywhere in a benchmark corpus "
     "(here the deterministic doc_id % 50 == 0 slice standing in for an "
