@@ -2240,6 +2240,37 @@ def docs_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
     return T.sequence_packing(table(spark, sf, "documents"), capacity=512)
 
 
+@q(
+    "docs_split_and_sample",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 100 AS sb,
+         CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 10000 AS kb
+  FROM documents)
+SELECT doc_id, source,
+       CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
+FROM b
+WHERE kb < CAST((CASE WHEN source = 'src0' THEN 0.25
+                      WHEN source = 'src1' THEN 0.5 ELSE 1.0 END) * 10000.0 AS BIGINT)
+""",
+    doc="Deterministic train/val/test split assignment plus stratified "
+    "mixture sampling (down-weight src0 to 25% and src1 to 50%), both "
+    "keyed on md5 buckets of doc_id so re-runs, repartitions and a "
+    "DuckDB audit agree row-for-row — map-side only, no shuffle "
+    "(operators/sampling.py hash_split / stratified_sample).",
+    tags=("text", "sampling"),
+)
+def docs_split_and_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import hash_split, stratified_sample
+
+    docs = table(spark, sf, "documents")
+    sampled = stratified_sample(docs, {"src0": 0.25, "src1": 0.5})
+    return hash_split(sampled).select("doc_id", "source", "split")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------

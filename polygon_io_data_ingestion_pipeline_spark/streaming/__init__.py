@@ -1,9 +1,10 @@
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
 from .sessionize_stream import SESSION_SCHEMA, sessionize_stream
-from .windowed_stream import tumbling_counts
+from .windowed_stream import dedup_stream, tumbling_counts
 
 __all__ = [
     "SESSION_SCHEMA",
+    "dedup_stream",
     "sessionize_stream",
     "stream_ingest_bars",
     "tumbling_counts",

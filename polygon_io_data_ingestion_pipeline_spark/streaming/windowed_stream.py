@@ -30,6 +30,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-by-key: drop re-delivered events across
+    micro-batches (at-least-once sources — REST pollers, file
+    re-drops — become exactly-once downstream).
+
+    The watermark bounds the dedup state: a key's fingerprint is kept
+    until the watermark passes its event time, so replays inside the
+    lateness horizon are suppressed while state stays
+    O(keys per horizon) instead of O(all keys ever) — the only shape
+    that survives an unbounded stream.
+    """
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(list(key_cols))
+
+
 def tumbling_counts(
     stream: DataFrame,
     window_duration: str = "1 hour",

@@ -1,0 +1,48 @@
+"""Deterministic sampling/split operators: reproducibility under
+repartitioning, leak-proof split stability, and stratum rates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polygon_io_data_ingestion_pipeline_spark.operators.sampling import (
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+
+
+def test_split_deterministic_and_stable_under_growth(spark):
+    small = hash_split(_docs(spark, 200)).collect()
+    big = hash_split(_docs(spark, 400).repartition(7)).collect()
+    small_map = {r["doc_id"]: r["split"] for r in small}
+    big_map = {r["doc_id"]: r["split"] for r in big}
+    # A document's split never changes when the corpus grows or the
+    # partitioning differs — the leak-proof property.
+    for doc_id, split in small_map.items():
+        assert big_map[doc_id] == split
+    # All three splits materialize with roughly the configured mass.
+    from collections import Counter
+
+    c = Counter(big_map.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] and c["train"] > c["test"]
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    docs = _docs(spark, 400)  # 100 docs per source
+    out1 = stratified_sample(docs, {"src0": 0.2, "src1": 0.6}).collect()
+    out2 = stratified_sample(docs.repartition(13), {"src0": 0.2, "src1": 0.6}).collect()
+    assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+    from collections import Counter
+
+    kept = Counter(r["source"] for r in out1)
+    assert kept["src2"] == 100 and kept["src3"] == 100  # default rate 1.0
+    assert 5 <= kept["src0"] <= 40  # ~20 of 100, hash-bucket tolerance
+    assert 40 <= kept["src1"] <= 80  # ~60 of 100

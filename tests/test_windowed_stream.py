@@ -1,13 +1,13 @@
-"""Watermarked tumbling-window streaming aggregation: append-mode
-finalization, late-data drop past the watermark, late-data acceptance
-inside it, and checkpointed state across query restarts."""
+"""Watermarked streaming operators: tumbling-window aggregation
+(append-mode finalization, late-drop/late-accept, checkpointed restart)
+and exactly-once-by-key dedup of re-delivered events."""
 
 from __future__ import annotations
 
 import datetime as dt
 import os
 
-from polygon_io_data_ingestion_pipeline_spark.streaming import tumbling_counts
+from polygon_io_data_ingestion_pipeline_spark.streaming import dedup_stream, tumbling_counts
 
 T0 = dt.datetime(2024, 1, 2, 10, 0, 0)
 MIN = dt.timedelta(minutes=1)
@@ -85,3 +85,47 @@ def test_watermark_finalizes_drops_and_accepts_late(spark, tmp_path):
     # Across both drains each (window, key) was emitted exactly once.
     keys = [(r["window_start"], r["event_type"]) for r in got1 + got2]
     assert len(keys) == len(set(keys))
+
+
+def _drain_dedup(spark, src, ckpt):
+    emitted = []
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        dedup_stream(stream, key_cols=("event_id",))
+        .writeStream.foreachBatch(lambda df, _bid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return emitted
+
+
+def _write_dedup_batch(spark, path, rows):
+    spark.createDataFrame(rows, "event_id bigint, ts timestamp, value double").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_dedup_suppresses_redelivery_across_batches(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # Batch 1: event 1 delivered twice inside one batch, event 2 once.
+    _write_dedup_batch(
+        spark,
+        src,
+        [(1, T0, 1.0), (1, T0, 1.0), (2, T0 + 5 * MIN, 2.0)],
+    )
+    got1 = _drain_dedup(spark, src, ckpt)
+    assert sorted(r["event_id"] for r in got1) == [1, 2]
+
+    # Batch 2 (restart, state from checkpoint): event 1 re-delivered —
+    # its key is still inside the watermark horizon -> suppressed;
+    # event 3 is new -> emitted once.
+    _write_dedup_batch(spark, src, [(1, T0, 1.0), (3, T0 + 10 * MIN, 3.0)])
+    got2 = _drain_dedup(spark, src, ckpt)
+    assert sorted(r["event_id"] for r in got2) == [3]
