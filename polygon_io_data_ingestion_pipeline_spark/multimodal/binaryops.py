@@ -7,15 +7,17 @@ Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
-Codec status per modality: **audio (WAV) and image (PNM) decode are
-REAL** — pure stdlib + NumPy, no external library needed (see
-:func:`decode_wav` / :func:`decode_audio_features`, :func:`decode_pnm`
-/ :func:`decode_image_features` / :func:`resize_pnm`). Compressed
-image formats and video are STUBBED in this container (no Pillow/pyav
+Codec status per modality: **audio (WAV), image (PNM) and video (the
+PNMV intra-only container) decode REAL bytes** — pure stdlib + NumPy,
+no external library needed (see :func:`decode_wav` /
+:func:`decode_audio_features`, :func:`decode_pnm` /
+:func:`decode_image_features` / :func:`resize_pnm`,
+:func:`decode_pnmv` / :func:`frame_sample_video`). Compressed formats
+(JPEG/MP4/...) are STUBBED in this container (no Pillow/pyav
 installed): ``_decode_stub`` derives a small deterministic
 pseudo-feature from the bytes so schemas, batch shapes, partitioning
-and tests are real end-to-end; swap ``_decode_stub`` for Pillow / pyav
-calls in production — every signature stays the same.
+and tests are real end-to-end; swap the stub for Pillow / pyav calls
+in production — every signature stays the same.
 """
 
 from __future__ import annotations
@@ -36,8 +38,9 @@ MEDIA_SCHEMA = (
 )
 
 #: which modalities decode real bytes vs the deterministic stub
-#: (image = real for PNM/P5/P6; compressed formats still stub)
-PRODUCTION_DECODERS = {"audio": True, "image": True, "video": False}
+#: (image = real for PNM/P5/P6; video = real for the PNMV intra-only
+#: container; compressed formats still stub)
+PRODUCTION_DECODERS = {"audio": True, "image": True, "video": True}
 
 
 def _decode_stub(payload: bytes, n_features: int = 8) -> np.ndarray:
@@ -117,18 +120,16 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema="media_id bigint, features array<double>")
 
 
-def decode_pnm(payload: bytes) -> np.ndarray:
-    """REAL image decode, pure stdlib: binary PNM bytes -> uint8/uint16
-    array of shape (height, width) for P5 (grayscale) or
-    (height, width, 3) for P6 (RGB). Header comments (#...) are
-    honored; maxval > 255 means 16-bit big-endian samples per the spec.
-    Raises ``ValueError`` on malformed or non-PNM payloads."""
-    if len(payload) < 2 or payload[:2] not in (b"P5", b"P6"):
+def _pnm_header(payload: bytes, offset: int = 0) -> tuple[int, int, int, int, int]:
+    """Parse one binary PNM header starting at ``offset``: returns
+    (width, height, maxval, channels, raster_offset). Header comments
+    (#...) are honored; raises ``ValueError`` on malformed payloads."""
+    if len(payload) < offset + 2 or payload[offset : offset + 2] not in (b"P5", b"P6"):
         raise ValueError("not a binary PNM payload")
-    channels = 3 if payload[:2] == b"P6" else 1
+    channels = 3 if payload[offset : offset + 2] == b"P6" else 1
     # Tokenize the header: magic, width, height, maxval — whitespace
     # separated, with # comments running to end of line.
-    pos, fields = 2, []
+    pos, fields = offset + 2, []
     while len(fields) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
@@ -146,6 +147,15 @@ def decode_pnm(payload: bytes) -> np.ndarray:
     width, height, maxval = fields
     if not (0 < maxval < 65536) or width <= 0 or height <= 0:
         raise ValueError(f"bad PNM dimensions {width}x{height} maxval {maxval}")
+    return width, height, maxval, channels, pos
+
+
+def decode_pnm(payload: bytes, offset: int = 0) -> np.ndarray:
+    """REAL image decode, pure stdlib: binary PNM bytes -> uint8/uint16
+    array of shape (height, width) for P5 (grayscale) or
+    (height, width, 3) for P6 (RGB); maxval > 255 means 16-bit
+    big-endian samples per the spec."""
+    width, height, maxval, channels, pos = _pnm_header(payload, offset)
     dtype = np.dtype(">u2") if maxval > 255 else np.uint8
     n = width * height * channels
     raster = np.frombuffer(payload, dtype=dtype, count=n, offset=pos)
@@ -153,6 +163,12 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         raise ValueError("truncated PNM raster")
     img = raster.reshape(height, width, channels)
     return img[:, :, 0] if channels == 1 else img
+
+
+def _pnm_end(payload: bytes, offset: int = 0) -> int:
+    """Byte offset one past the PNM frame starting at ``offset``."""
+    width, height, maxval, channels, pos = _pnm_header(payload, offset)
+    return pos + width * height * channels * (2 if maxval > 255 else 1)
 
 
 def encode_pnm(img: np.ndarray) -> bytes:
@@ -255,15 +271,57 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     )
 
 
+def encode_pnmv(frames: list[np.ndarray], frame_ms: int = 1000) -> bytes:
+    """REAL (toy but honest) video container, pure stdlib: ``PNMV``
+    magic + frame count + per-frame duration, then concatenated binary
+    PNM frames. Stands in for an MJPEG-style intra-only stream so the
+    whole video path — container parse, frame boundary walk, per-frame
+    decode — exercises real bytes without pyav."""
+    body = b"".join(encode_pnm(f) for f in frames)
+    return b"PNMV\n%d %d\n" % (len(frames), frame_ms) + body
+
+
+def decode_pnmv(payload: bytes) -> tuple[int, list[tuple[int, bytes]]]:
+    """Parse a PNMV container: returns (frame_ms, [(ts_ms, pnm_bytes)])
+    by walking real PNM frame boundaries (header + raster length)."""
+    if not payload or not payload.startswith(b"PNMV\n"):
+        raise ValueError("not a PNMV payload")
+    nl = payload.index(b"\n", 5)
+    n_frames, frame_ms = (int(x) for x in payload[5:nl].split())
+    frames, pos = [], nl + 1
+    for i in range(n_frames):
+        end = _pnm_end(payload, pos)
+        if end > len(payload):
+            raise ValueError("truncated PNMV frame")
+        frames.append((i * frame_ms, payload[pos:end]))
+        pos = end
+    return frame_ms, frames
+
+
 def frame_sample_video(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Explode videos into sampled frame rows (media_id, frame_idx,
-    frame_ts_ms, frame binary). Frame bytes are stubbed; the row
-    explosion, timestamps and shapes follow the metadata for real."""
+    frame_ts_ms, frame binary).
+
+    PNMV payloads take the REAL path: the container is parsed, frame
+    boundaries walked, and each sample timestamp emits the actual PNM
+    bytes of the frame covering it (``ts // frame_ms``). Non-PNMV
+    payloads (real codecs absent in this container) keep the honest
+    stub: correct row explosion/timestamps from metadata, digest bytes.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for mid, payload, meta in zip(batch["media_id"], batch["payload"], batch["meta"]):
+                if payload is not None and payload.startswith(b"PNMV\n"):
+                    frame_ms, frames = decode_pnmv(bytes(payload))
+                    duration = frame_ms * len(frames)
+                    for idx, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_ts_ms"].append(ts)
+                        out["frame"].append(frames[min(ts // frame_ms, len(frames) - 1)][1])
+                    continue
                 duration = int((meta or {}).get("duration_ms") or 0)
                 for idx, ts in enumerate(range(0, max(duration, 1), every_ms)):
                     out["media_id"].append(mid)
