@@ -454,6 +454,65 @@ def cosine_neardup_lsh(
     )
 
 
+def knn_join_lsh(
+    df: DataFrame,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN JOIN: for EVERY vector, its k most-cosine-similar
+    neighbours among its multi-table LSH candidates — the batch kNN
+    graph that semantic dedup, clustering and retrieval-index builds
+    consume (vs :func:`brute_force_topk`, which answers one query).
+
+    Scale shape: candidates come from the same (table, bucket) equi
+    hash join as :func:`cosine_neardup_lsh` (shuffle linear in the
+    corpus, never all-pairs); exact cosines verify candidates only,
+    with per-vector casts/norms computed once map-side; the top-k is a
+    rank window per query id — no global sort. Recall is tuned with
+    n_tables/n_planes exactly like the near-dup path.
+
+    Returns (id, neighbor_id, rank, cos), rank 1..k, ties broken by
+    neighbor id.
+    """
+    from pyspark.sql import Window as W
+
+    entries = rp_lsh_entries(df, n_planes, n_tables, id_col, vec_col)
+    q = entries.select(F.col(id_col).alias("qid"), "tbl", "bucket")
+    nb = entries.select(F.col(id_col).alias("nid"), "tbl", "bucket")
+    cand = (
+        q.join(nb, ["tbl", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    ed = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("ev")).select(
+        id_col, "ev", norm(F.col("ev")).alias("nv")
+    )
+    e1 = ed.select(F.col(id_col).alias("qid"), F.col("ev").alias("e1"), F.col("nv").alias("n1"))
+    e2 = ed.select(F.col(id_col).alias("nid"), F.col("ev").alias("e2"), F.col("nv").alias("n2"))
+    scored = (
+        cand.join(e1, "qid")
+        .join(e2, "nid")
+        .withColumn(
+            "cos", F.round(dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2")), 6)
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias(id_col),
+            F.col("nid").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cos",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ / ADC)
 # ---------------------------------------------------------------------------

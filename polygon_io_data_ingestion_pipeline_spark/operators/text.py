@@ -244,6 +244,49 @@ def sequence_packing(
     return binned.withColumn("pos_in_bin", F.row_number().over(wb).cast("long"))
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (``tf * ln((N + 1) / (df + 1))``), ties broken lexicographically —
+    the keyword-extraction primitive for corpus exploration and topic
+    tagging.
+
+    Scale shape: term frequencies are one partial-aggregated shuffle on
+    (doc, term); document frequencies aggregate the same exploded rows
+    on term (distinct per doc is map-side via ``array_distinct``); the
+    corpus size N is a 1-row aggregate broadcast into the join. The
+    final top-k is a rank window over each doc's terms — no global
+    sort, no collected vocabulary.
+    """
+    from pyspark.sql import Window as W
+
+    terms = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+    )
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = terms.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6),
+        )
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", F.col("rank").cast("long").alias("rank"), "tfidf")
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics (length, word stats, stopword ratio)."""
     n_tok = token_count(text_col)

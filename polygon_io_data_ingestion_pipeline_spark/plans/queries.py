@@ -2271,6 +2271,80 @@ def docs_split_and_sample(spark: SparkSession, sf: str) -> DataFrame:
     return hash_split(sampled).select("doc_id", "source", "split")
 
 
+@q(
+    "docs_tfidf_top_terms",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(t) AS term FROM toks) GROUP BY doc_id, term),
+dfq AS (SELECT term, count(*) AS df
+        FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks) GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * ln((n.n_docs + 1.0) / (dfq.df + 1.0)), 6) AS tfidf
+           FROM tf JOIN dfq USING (term), n),
+ranked AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+           FROM scored)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank, tfidf
+FROM ranked WHERE rank <= 3
+""",
+    doc="Top-3 characteristic terms per document by smoothed TF-IDF — "
+    "keyword extraction for corpus exploration. TF is one "
+    "partial-aggregated shuffle on (doc, term); DF aggregates map-side-"
+    "deduped terms on term; N broadcasts as a 1-row aggregate; top-k is "
+    "a per-doc rank window (operators/text.py tfidf_top_terms).",
+    tags=("text",),
+)
+def docs_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    return T.tfidf_top_terms(table(spark, sf, "documents"), k=3)
+
+
+@q(
+    "emb_knn_join",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(x) + 1), d ->
+           x[d] * (CAST(('0x' || substr(md5(p || '_' || CAST(d - 1 AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 32768.0 - 1.0))) AS s
+  FROM e, range(0, 24) r(p)),
+b AS (SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT)) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, p // 6),
+cand AS (SELECT DISTINCT q.vec_id AS qid, nb.vec_id AS nid
+         FROM b q JOIN b nb ON q.tbl = nb.tbl AND q.bucket = nb.bucket
+                           AND q.vec_id <> nb.vec_id),
+s AS (SELECT c.qid, c.nid,
+             round(list_sum(list_transform(range(1, len(a.x) + 1), i -> a.x[i] * bb.x[i]))
+             / (sqrt(list_sum(list_transform(a.x, v -> v * v)))
+                * sqrt(list_sum(list_transform(bb.x, v -> v * v)))), 6) AS cos
+      FROM cand c JOIN e a ON a.vec_id = c.qid JOIN e bb ON bb.vec_id = c.nid),
+ranked AS (SELECT qid, nid, cos,
+                  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rank
+           FROM s)
+SELECT qid AS vec_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank, cos
+FROM ranked WHERE rank <= 5
+""",
+    doc="Approximate kNN JOIN: every vector's top-5 cosine neighbours "
+    "among its multi-table RP-LSH candidates (same md5-derived planes "
+    "as the near-dup path) — the batch kNN graph semantic dedup and "
+    "retrieval-index builds consume. Candidates via (table, bucket) "
+    "equi hash join, exact cosine verify with per-vector norms "
+    "computed once map-side, per-query rank window "
+    "(operators/similarity.py knn_join_lsh).",
+    tags=("similarity",),
+)
+def emb_knn_join(spark: SparkSession, sf: str) -> DataFrame:
+    return SIM.knn_join_lsh(
+        table(spark, sf, "embeddings"), k=5, n_planes=6, n_tables=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
