@@ -58,11 +58,22 @@ def brute_force_topk(
     The 1-row query side is broadcast; scoring is map-side over the
     corpus scan, then a global top-k (TakeOrdered — no full sort).
     """
-    q = df.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("__qvec"))
-    cand = df.filter(F.col(id_col) != query_id)
+    # The query's double cast and norm are constants: compute them on
+    # the 1-row side BEFORE the broadcast instead of per corpus row
+    # (same fold expression -> bit-identical cosines).
+    q = df.filter(F.col(id_col) == query_id).select(
+        _as_double(F.col(vec_col)).alias("__qvec")
+    )
+    q = q.select("__qvec", norm(F.col("__qvec")).alias("__qn"))
+    cand = df.filter(F.col(id_col) != query_id).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__cvec")
+    )
     scored = cand.join(F.broadcast(q)).select(
         F.col(id_col),
-        cosine(vec_col, "__qvec").alias("__cos"),
+        (
+            dot(F.col("__cvec"), F.col("__qvec"))
+            / (norm(F.col("__cvec")) * F.col("__qn"))
+        ).alias("__cos"),
     )
     return (
         scored.orderBy(F.desc("__cos"), F.col(id_col))
