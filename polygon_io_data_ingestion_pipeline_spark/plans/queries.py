@@ -2345,6 +2345,70 @@ def emb_knn_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "events_funnel_conversion",
+    oracle="""
+WITH su AS (SELECT user_id, min(epoch_us(ts)) AS s_ts
+            FROM events WHERE event_type = 'signup' GROUP BY user_id),
+cl AS (SELECT e.user_id, min(epoch_us(e.ts)) AS c_ts
+       FROM events e JOIN su ON su.user_id = e.user_id
+       WHERE e.event_type = 'click' AND epoch_us(e.ts) > su.s_ts
+       GROUP BY e.user_id),
+pu AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts
+       FROM events e JOIN cl ON cl.user_id = e.user_id
+       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > cl.c_ts
+       GROUP BY e.user_id),
+staged AS (SELECT su.user_id,
+                  CASE WHEN pu.user_id IS NOT NULL THEN 3
+                       WHEN cl.user_id IS NOT NULL THEN 2
+                       ELSE 1 END AS stage
+           FROM su LEFT JOIN cl ON cl.user_id = su.user_id
+                   LEFT JOIN pu ON pu.user_id = su.user_id)
+SELECT stage, CAST(count(*) AS BIGINT) AS n_users
+FROM staged GROUP BY stage
+""",
+    doc="Ordered funnel analysis: users who signed up, then clicked "
+    "after signing up, then purchased after that click — the staged "
+    "conversion rollup every event-analytics stack ships. Each stage is "
+    "one filtered aggregate joined forward on the user key (min-after-"
+    "predecessor = the as-of-forward pattern of J2 applied to streams); "
+    "all equi joins on user_id, partial-aggregated.",
+    tags=("agg", "asof"),
+)
+def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").select("user_id", "event_type", "ts_us")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("s_ts"))
+    )
+    cl = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts_us") > F.col("s_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("c_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(cl, "user_id")
+        .filter(F.col("ts_us") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("p_ts"))
+    )
+    staged = (
+        su.join(cl.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
+        .join(pu.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
+        .select(
+            F.when(F.col("__p").isNotNull(), F.lit(3))
+            .when(F.col("__c").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("stage")
+        )
+    )
+    return staged.groupBy("stage").agg(F.count("*").cast("long").alias("n_users"))
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
