@@ -2444,6 +2444,18 @@ _DEFERRED_PAST_WINDOW = [
     "topk_orders",  # global TakeOrdered windowed via tpch_q03 + orders_top3_per_priority
     "region_customer_rollup",  # ROLLUP twin of region_nation_rollup_totals
     "emb_rp_lsh_candidate_pairs",  # ⊂ emb_cosine_neardup_pairs (candidates then verifies)
+    # Round-5 demotions making room for the round-4 capability additions
+    # (split/mixture sampling, TF-IDF, kNN join, funnel conversion).  Each
+    # demoted query is a relational-shape twin/subset of a query that stays
+    # windowed; region_nation_rollup_totals stays in so the window keeps a
+    # grouping-set demo, and customers_with_orders_semi keeps the semi/anti
+    # family represented:
+    "tpch_q07_nation_pairs",  # multi-join agg shape ⊂ tpch_q05 (+ q03 windowed)
+    "tpch_q10_returned_revenue",  # join+agg+topk shape ⊂ tpch_q03 + tpch_q05
+    "customers_without_orders_anti",  # anti twin of windowed customers_with_orders_semi
+    "events_grouped_product",  # A1 exp(sum(ln)) grouped product ⊂ windowed
+    # events_cumprod_normalized_factor (its PARTITION BY total is the same
+    # grouped product) and ⊂ corporate_actions_adjust's per-day split product.
 ]
 
 

@@ -43,7 +43,37 @@ MUST_BE_WINDOWED = [
     "docs_decontam_overlap",
     "emb_semantic_dedup_clusters",
     "docs_sequence_packing",
+    # Round-4 additions windowed in round 5 (the round-4 verdict's defect):
+    # deterministic split/mixture sampling, TF-IDF keyword extraction,
+    # approximate kNN join, funnel conversion.
+    "docs_split_and_sample",
+    "docs_tfidf_top_terms",
+    "emb_knn_join",
+    "events_funnel_conversion",
+    # Window-composition constraints from the round-4 verdict: keep one
+    # grouping-set demo and one semi/anti demo externally verified.
+    "region_nation_rollup_totals",
+    "customers_with_orders_semi",
 ]
+
+
+def test_every_new_capability_is_pinned():
+    """Every registered query must be pinned: either named in
+    MUST_BE_WINDOWED (external driver row) or explicitly listed in
+    _DEFERRED_PAST_WINDOW (in-repo parity only).  A query in neither list is
+    an unreviewed window decision — exactly the round-2/round-4 defect where
+    new capabilities silently fell outside the verified window."""
+    pinned = set(MUST_BE_WINDOWED) | set(_DEFERRED_PAST_WINDOW)
+    window = set(window_names())
+    # Long-standing windowed queries registered before this gate existed are
+    # grandfathered only if they are inside the window (so any future
+    # registration that pushes one out fails test_required_queries_inside_
+    # driver_window or this assertion and forces a deliberate choice).
+    unpinned_outside = [n for n in REGISTRY if n not in pinned and n not in window]
+    assert not unpinned_outside, (
+        "queries outside the driver window but not deliberately deferred: "
+        f"{unpinned_outside}"
+    )
 
 
 def window_names() -> list[str]:
