@@ -315,6 +315,12 @@ def frame_sample_video(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             for mid, payload, meta in zip(batch["media_id"], batch["payload"], batch["meta"]):
                 if payload is not None and payload.startswith(b"PNMV\n"):
                     frame_ms, frames = decode_pnmv(bytes(payload))
+                    if not frames:
+                        # A valid zero-frame container has nothing to
+                        # sample; without this guard max(duration, 1)
+                        # would force one sample that indexes frames[-1]
+                        # of an empty list and kill the task.
+                        continue
                     duration = frame_ms * len(frames)
                     for idx, ts in enumerate(range(0, max(duration, 1), every_ms)):
                         out["media_id"].append(mid)

@@ -56,12 +56,19 @@ def stratified_sample(
     salt: str = "sample",
 ) -> DataFrame:
     """Keep each row with its stratum's rate, deterministically:
-    ``bucket(key) < rate * 10000``. The per-stratum rates are the
+    ``bucket(key) < round(rate * 10000)``. The per-stratum rates are the
     mixture weights a training recipe assigns to each source; keeping
     the decision keyed (not ``rand()``) makes the sample stable under
-    re-partitioning, retries, and incremental re-runs."""
+    re-partitioning, retries, and incremental re-runs.
+
+    The integer threshold is computed in Python (``int(round(...))``)
+    and compared as a literal: thresholding via ``(rate * 10000.0)
+    .cast('long')`` would truncate in Spark while a DuckDB audit's CAST
+    rounds, so rates whose scaled value is inexact in binary floating
+    point (0.07 -> 699.999...) would disagree between engines."""
     b = hash_bucket(key_col, salt, 10000)
-    rate = F.lit(float(default_rate))
+    threshold = F.lit(int(round(float(default_rate) * 10000)))
     for stratum, r in sorted(rates.items()):
-        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
-    return df.filter(b < (rate * 10000.0).cast("long"))
+        thr = int(round(float(r) * 10000))
+        threshold = F.when(F.col(stratum_col) == stratum, F.lit(thr)).otherwise(threshold)
+    return df.filter(b < threshold)

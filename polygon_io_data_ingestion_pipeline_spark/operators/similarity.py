@@ -150,10 +150,20 @@ def _plane_value(plane: int, dim: int) -> float:
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality, probed from one row (LIMIT 1 scan —
-    O(1) work at any corpus size)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row["d"]) if row is not None else 0
+    """Embedding dimensionality, probed from one non-null row (LIMIT 1
+    scan — O(1) work at any corpus size).
+
+    Null embeddings are skipped in the probe (a null first row would
+    make the old ``first()`` raise), and all LSH callers require the
+    surviving vectors to share this dimensionality: shorter/ragged rows
+    would zip against a fixed-dim plane literal and null-propagate into
+    their buckets instead of erroring."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return int(row["d"]) if row is not None and row["d"] is not None else 0
 
 
 def _bucket_expr(vec_col: str, planes: list[int], dim: int) -> str:

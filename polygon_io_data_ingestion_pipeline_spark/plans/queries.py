@@ -2253,8 +2253,8 @@ WITH b AS (
 SELECT doc_id, source,
        CASE WHEN sb < 80 THEN 'train' WHEN sb < 90 THEN 'val' ELSE 'test' END AS split
 FROM b
-WHERE kb < CAST((CASE WHEN source = 'src0' THEN 0.25
-                      WHEN source = 'src1' THEN 0.5 ELSE 1.0 END) * 10000.0 AS BIGINT)
+WHERE kb < (CASE WHEN source = 'src0' THEN 2500
+                 WHEN source = 'src1' THEN 5000 ELSE 10000 END)
 """,
     doc="Deterministic train/val/test split assignment plus stratified "
     "mixture sampling (down-weight src0 to 25% and src1 to 50%), both "

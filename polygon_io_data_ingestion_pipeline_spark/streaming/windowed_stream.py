@@ -45,8 +45,16 @@ def dedup_stream(
     lateness horizon are suppressed while state stays
     O(keys per horizon) instead of O(all keys ever) — the only shape
     that survives an unbounded stream.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark >= 3.5): plain
+    ``dropDuplicates`` only evicts state when the event-time column is
+    itself part of the dedup key, so keying on ``event_id`` alone would
+    accumulate one fingerprint per key forever despite the watermark —
+    the exact unbounded-state failure this operator exists to prevent.
     """
-    return stream.withWatermark(ts_col, watermark_delay).dropDuplicates(list(key_cols))
+    return stream.withWatermark(ts_col, watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
 
 
 def tumbling_counts(

@@ -43,6 +43,24 @@ def test_frame_sample_video_real_path(spark):
         assert np.array_equal(decode_pnm(bytes(got[ts]["frame"])), orig)
 
 
+def test_frame_sample_video_zero_frames(spark):
+    # A valid zero-frame container must yield no sample rows (it used to
+    # index frames[-1] of an empty list and kill the task); other rows in
+    # the same batch still sample normally.
+    empty = encode_pnmv([], frame_ms=500)
+    full = encode_pnmv(_frames(), frame_ms=500)
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(empty), ("video/pnmv", 0, 0, 0)),
+            (2, "video", bytearray(full), ("video/pnmv", 3, 4, 1500)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample_video(df, every_ms=500).collect()
+    assert sorted({r["media_id"] for r in rows}) == [2]
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 500, 1000]
+
+
 def test_frame_sample_video_stub_fallback(spark):
     df = spark.createDataFrame(
         [(2, "video", bytearray(b"\x00\x01notapnmv"), ("video/mp4", 0, 0, 2000))],

@@ -46,3 +46,34 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert kept["src2"] == 100 and kept["src3"] == 100  # default rate 1.0
     assert 5 <= kept["src0"] <= 40  # ~20 of 100, hash-bucket tolerance
     assert 40 <= kept["src1"] <= 80  # ~60 of 100
+
+
+def test_stratified_sample_inexact_rate_matches_duckdb(spark):
+    """Rates whose scaled value is inexact in binary floating point
+    (0.07 * 10000 = 699.999...) must produce the same keep set as a
+    DuckDB audit of the same parquet: the threshold is computed once in
+    Python as int(round(...)), so neither engine's float cast semantics
+    (Spark truncates, DuckDB rounds) can enter the comparison."""
+    import duckdb
+
+    docs = _docs(spark, 400)
+    kept_spark = sorted(
+        r["doc_id"] for r in stratified_sample(docs, {"src0": 0.07, "src1": 0.123}).collect()
+    )
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    kept_duck = [
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 10000
+                  < (CASE WHEN source = 'src0' THEN 700
+                          WHEN source = 'src1' THEN 1230 ELSE 10000 END)
+            ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    assert kept_spark == kept_duck
