@@ -39,22 +39,28 @@ def main() -> None:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
-    # Best-of-N per query: the sandbox shows rare 50-300s stalls of a
-    # single task (same plan, same data — a JIT/scheduler pathology, not
-    # the query). Two reps normally; if both look stalled relative to
-    # this data size, take extra reps so the recorded number reflects
-    # the plan, not the pathology.
+    # Median-of-3 per query, per-run times recorded: a single-shot
+    # number lets one JIT-tiering / scheduler stall write the round's
+    # history as a phantom regression (round 4's +37% minhash line),
+    # while best-of hides real plan changes behind one lucky run. The
+    # median of three is robust to one outlier in either direction; the
+    # raw runs stay in the JSON so any reader can see the spread. If a
+    # run looks stalled relative to this data size, extra reps are taken
+    # so the median reflects the plan, not the pathology.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     stall_threshold_s = 12.0
     for name, spec in bench_queries.items():
         reps: list[float] = []
-        for rep in range(4):
+        for rep in range(5):
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
-            if rep >= 1 and min(reps) < stall_threshold_s:
+            if len(reps) >= 3 and sorted(reps)[1] < stall_threshold_s:
                 break
-        timings[name] = round(min(reps), 3)
+        reps_sorted = sorted(reps)
+        timings[name] = round(reps_sorted[(len(reps_sorted) - 1) // 2], 3)
+        runs[name] = [round(r, 3) for r in reps]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -64,6 +70,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
