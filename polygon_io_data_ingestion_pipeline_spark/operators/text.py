@@ -208,6 +208,7 @@ def sequence_packing(
     id_col: str = "doc_id",
     group_col: str = "source",
     capacity: int = 512,
+    shard_span: int = 4096,
 ) -> DataFrame:
     """Assign documents to fixed-capacity token bins — the sequence-
     packing step that turns a filtered corpus into training batches.
@@ -220,25 +221,54 @@ def sequence_packing(
     approximation, and training prep truncates straddling documents
     anyway.)
 
-    Scale shape: one window (cumulative sum + row_number) partitioned by
-    ``group_col`` — a single keyed shuffle; token counting is map-side.
-    Partition skew = stream size; a real corpus shards ``group_col``
-    (e.g. source × date) so no partition exceeds an executor.
+    Scale shape — two-level prefix sum, shard-safe by construction:
+    ``group_col`` is typically a handful of sources, so a cumulative sum
+    partitioned by group alone would serialize each whole stream onto
+    one reducer. Instead the numeric ``id_col`` is cut into contiguous
+    shards of ``shard_span`` ids (``floor(id / span)`` is monotone in
+    id, so shard order == id order); per-(group, shard) token totals are
+    one partial-aggregated shuffle over corpus_rows/span tiny rows; the
+    group-only cumulative window runs on THAT aggregate (bounded by the
+    shard count, never the corpus); and the full-data cumulative window
+    is partitioned by (group, shard) — parallelism = number of shards.
+    The result is bit-identical to the single-window formulation.
+    ``id_col`` must be numeric (the shard cut is an arithmetic floor).
 
     Returns (id, group, n_tokens, tok_offset, bin_id, pos_in_bin).
     """
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(group_col).orderBy(id_col)
     n = token_count(text_col)
-    base = df.select(F.col(id_col), F.col(group_col), n.alias("n_tokens"))
-    off = F.sum("n_tokens").over(w) - F.col("n_tokens")
-    binned = base.select(
-        id_col,
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        n.alias("n_tokens"),
+        F.floor(F.col(id_col) / shard_span).alias("__pack_shard"),
+    )
+    shard_tot = base.groupBy(group_col, "__pack_shard").agg(
+        F.sum("n_tokens").alias("__shard_tokens")
+    )
+    w_sh = W.partitionBy(group_col).orderBy("__pack_shard")
+    shard_base = shard_tot.select(
         group_col,
-        "n_tokens",
-        off.alias("tok_offset"),
-        F.floor(off / capacity).alias("bin_id"),
+        "__pack_shard",
+        (F.sum("__shard_tokens").over(w_sh) - F.col("__shard_tokens")).alias("__shard_base"),
+    )
+    # Shuffle join on (group, shard); AQE broadcasts the shard table when
+    # it is small (the common case), and it stays a plain hash join when
+    # a sparse 100 TB id space makes it large.
+    w_in = W.partitionBy(group_col, "__pack_shard").orderBy(id_col)
+    local_off = F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    off = F.col("__shard_base") + local_off
+    binned = (
+        base.join(shard_base, [group_col, "__pack_shard"])
+        .select(
+            id_col,
+            group_col,
+            "n_tokens",
+            off.alias("tok_offset"),
+            F.floor(off / capacity).alias("bin_id"),
+        )
     )
     wb = W.partitionBy(group_col, "bin_id").orderBy(id_col)
     return binned.withColumn("pos_in_bin", F.row_number().over(wb).cast("long"))

@@ -76,3 +76,74 @@ def test_contamination_join_is_broadcast(spark):
     corpus = _docs(spark, [(10, "q1 q2 q3 q4 t1 t2")])
     plan = contamination_overlap(corpus, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sequence_packing_two_level_matches_single_window(spark):
+    """The sharded two-level prefix sum must be bit-identical to the
+    naive single-window formulation, including across shard boundaries
+    and with sparse/non-contiguous doc ids."""
+    import random
+
+    from pyspark.sql import Window as W
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        sequence_packing,
+        token_count,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    next_id = 0
+    for _ in range(240):
+        next_id += rng.randint(1, 9)  # sparse, non-contiguous ids
+        words = " ".join("w%d" % k for k in range(rng.randint(1, 12)))
+        rows.append((next_id, words, "src%d" % (next_id % 3)))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # shard_span=16 forces many shards per group; capacity=20 forces
+    # bins that straddle shard boundaries.
+    got = sequence_packing(df, capacity=20, shard_span=16).collect()
+
+    w = W.partitionBy("source").orderBy("doc_id")
+    base = df.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    off = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    naive = base.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        off.alias("tok_offset"),
+        F.floor(off / 20).alias("bin_id"),
+    )
+    wb = W.partitionBy("source", "bin_id").orderBy("doc_id")
+    want = naive.withColumn("pos_in_bin", F.row_number().over(wb).cast("long")).collect()
+
+    key = lambda r: (r["source"], r["doc_id"])
+    assert sorted(map(tuple, got), key=lambda t: (t[1], t[0])) == sorted(
+        map(tuple, want), key=lambda t: (t[1], t[0])
+    )
+
+
+def test_sequence_packing_no_single_task_owns_a_group(spark):
+    """Scale guard: the corpus-sized cumulative window must be
+    partitioned by (group, shard), never by the low-cardinality group
+    alone — otherwise one reducer owns a whole source's stream."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import sequence_packing
+
+    df = spark.createDataFrame(
+        [(i, "a b c", "only_source") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    plan = sequence_packing(df, shard_span=16)._jdf.queryExecution().executedPlan().toString()
+    specs = [ln for ln in plan.splitlines() if "windowspecdefinition" in ln]
+    assert specs, plan
+    for ln in specs:
+        spec = ln[ln.index("windowspecdefinition") :]
+        head = spec[: spec.index("ASC")] if "ASC" in spec else spec
+        if "n_tokens" in ln and "__shard_tokens" not in ln:
+            # the corpus-sized token cumsum: must carry the shard key
+            assert "__pack_shard" in head, ln
+        # every remaining group-only window must be the one over the
+        # per-shard aggregate (its input column is __shard_tokens) or
+        # the per-bin row_number (keyed by bin_id).
+        if "__pack_shard" not in head:
+            assert "__shard_tokens" in ln or "bin_id" in head, ln
