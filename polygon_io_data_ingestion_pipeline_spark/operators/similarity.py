@@ -493,7 +493,10 @@ def knn_join_lsh(
     corpus, never all-pairs); exact cosines verify candidates only,
     with per-vector casts/norms computed once map-side; the top-k is a
     rank window per query id — no global sort. Recall is tuned with
-    n_tables/n_planes exactly like the near-dup path.
+    n_tables/n_planes exactly like the near-dup path; the floor is
+    asserted against an exact numpy kNN oracle in
+    tests/test_knn_join_recall.py (~0.98 recall@5 at 3 planes x 16
+    tables on the driver testdata; emitted cosines always exact).
 
     Returns (id, neighbor_id, rank, cos), rank 1..k, ties broken by
     neighbor id.
