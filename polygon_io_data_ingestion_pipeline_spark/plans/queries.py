@@ -2372,41 +2372,16 @@ FROM staged GROUP BY stage
     "conversion rollup every event-analytics stack ships. Each stage is "
     "one filtered aggregate joined forward on the user key (min-after-"
     "predecessor = the as-of-forward pattern of J2 applied to streams); "
-    "all equi joins on user_id, partial-aggregated.",
+    "all equi joins on user_id, partial-aggregated. A 3-stage instance "
+    "of the N-stage operators/funnel.py, property-tested against a "
+    "per-user oracle in tests/test_funnel.py.",
     tags=("agg", "asof"),
 )
 def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.funnel import funnel_conversion
+
     ev = table(spark, sf, "events").select("user_id", "event_type", "ts_us")
-    su = (
-        ev.filter(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("s_ts"))
-    )
-    cl = (
-        ev.filter(F.col("event_type") == "click")
-        .join(su, "user_id")
-        .filter(F.col("ts_us") > F.col("s_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("c_ts"))
-    )
-    pu = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(cl, "user_id")
-        .filter(F.col("ts_us") > F.col("c_ts"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("p_ts"))
-    )
-    staged = (
-        su.join(cl.select("user_id", F.lit(1).alias("__c")), "user_id", "left")
-        .join(pu.select("user_id", F.lit(1).alias("__p")), "user_id", "left")
-        .select(
-            F.when(F.col("__p").isNotNull(), F.lit(3))
-            .when(F.col("__c").isNotNull(), F.lit(2))
-            .otherwise(F.lit(1))
-            .alias("stage")
-        )
-    )
-    return staged.groupBy("stage").agg(F.count("*").cast("long").alias("n_users"))
+    return funnel_conversion(ev, ["signup", "click", "purchase"])
 
 
 # ---------------------------------------------------------------------------
