@@ -104,6 +104,20 @@ def cmd_load(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_index(args: argparse.Namespace) -> int:
+    """Explicit ANN index build: embeddings parquet -> materialized IVF
+    index (corpus partitioned by inverted list + codebook.json sidecar)
+    at a lake path. Probing via ivf_topk_indexed then partition-prunes
+    to nprobe/nlist of the corpus."""
+    from .operators.similarity import build_ivf_index
+
+    spark = get_spark("poly-index", master=args.master)
+    emb = spark.read.parquet(args.embeddings)
+    build_ivf_index(emb, args.out, nlist=args.nlist, stride=args.stride)
+    print(f"ivf index -> {args.out}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="polygon-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -142,6 +156,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     _add_common(p)
     p.set_defaults(fn=cmd_load)
+
+    p = sub.add_parser("index", help="embeddings parquet -> materialized IVF ANN index")
+    p.add_argument("--embeddings", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--nlist", type=int, default=16)
+    p.add_argument("--stride", type=int, default=31)
+    _add_common(p)
+    p.set_defaults(fn=cmd_index)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -21,6 +21,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -392,6 +394,37 @@ def write_ivf_index(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    stride: int = 31,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Explicit index-build step: materialize the IVF index at a LAKE
+    path together with its codebook (``_codebook.json`` sidecar (underscore-prefixed so the parquet scan ignores it)), so the
+    index is a self-contained artifact any session can probe without
+    recomputing centroids — the cluster-correct replacement for caching
+    in a driver-local tmp dir. Returns the codebook used."""
+    import json
+
+    if centroids is None:
+        centroids = strided_centroids(df, nlist=nlist, stride=stride, vec_col=vec_col)
+    write_ivf_index(df, path, centroids, vec_col)
+    with open(os.path.join(path, "_codebook.json"), "w") as fh:
+        json.dump([[cid, vec] for cid, vec in centroids], fh)
+    return centroids
+
+
+def read_ivf_codebook(path: str) -> list[tuple[int, list[float]]]:
+    """Load the codebook sidecar written by :func:`build_ivf_index`."""
+    import json
+
+    with open(os.path.join(path, "_codebook.json")) as fh:
+        return [(int(cid), [float(v) for v in vec]) for cid, vec in json.load(fh)]
 
 
 def ivf_topk_indexed(

@@ -19,7 +19,6 @@ from __future__ import annotations
 import glob
 import hashlib
 import os
-import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -890,11 +889,16 @@ def _ivf_query_state(
     Index builds are a preprocessing step (like any index), so the
     benched/verified query measures probe latency, not build cost — the
     same way an ANN service holds its codebook in memory and its
-    inverted lists on disk. The on-disk cache key covers the source
-    files' (path, mtime, size) and the codebook, so a changed corpus or
-    codebook rebuilds; a `_SUCCESS` marker gates reuse so a torn build
-    is rewritten. The in-process memo additionally skips the codebook /
-    query-vector collects on repeat queries."""
+    inverted lists on disk. The index lives in the LAKE (the session's
+    warehouse dir, ``ivf_indexes/``) via the explicit
+    :func:`~..operators.similarity.build_ivf_index` step — also exposed
+    as the ``index`` CLI command — not in a driver-local tmp dir; its
+    ``codebook.json`` sidecar makes it probeable by any session. The
+    dir name carries a signature over the source files' (path, mtime,
+    size), so a changed corpus builds a NEW index dir; a `_SUCCESS`
+    marker gates reuse so a torn build is rewritten. The in-process
+    memo additionally skips the codebook / query-vector collects on
+    repeat queries."""
     src = os.path.join(sf, "embeddings.parquet")
     paths = [src]
     if os.path.isdir(src):
@@ -908,15 +912,17 @@ def _ivf_query_state(
     if key in _IVF_MEMO:
         return _IVF_MEMO[key]
     emb = table(spark, sf, "embeddings")
-    cents = SIM.strided_centroids(emb, nlist=nlist, stride=stride)
     qvec = [
         float(v)
         for v in emb.filter(F.col("vec_id") == query_id).select("embedding").first()[0]
     ]
-    sig = hashlib.md5((statsig + repr(cents)).encode()).hexdigest()[:16]
-    idx = os.path.join(tempfile.gettempdir(), f"spark_graft_ivf_{sig}")
-    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
-        SIM.write_ivf_index(emb, idx, cents)
+    sig = hashlib.md5(f"{statsig};nlist={nlist};stride={stride}".encode()).hexdigest()[:16]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    idx = os.path.join(warehouse, "ivf_indexes", f"ivf_{sig}")
+    if os.path.exists(os.path.join(idx, "_SUCCESS")):
+        cents = SIM.read_ivf_codebook(idx)
+    else:
+        cents = SIM.build_ivf_index(emb, idx, nlist=nlist, stride=stride)
     _IVF_MEMO[key] = (idx, cents, qvec)
     return _IVF_MEMO[key]
 

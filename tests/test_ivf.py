@@ -89,3 +89,51 @@ def test_ivf_index_prunes_partitions(spark, sf_dir, tmp_path):
     # same answer as the single-plan IVF path
     inline = ivf_topk(emb, cents, query_id=0, k=10, nprobe=4).collect()
     assert _ids(got.collect()) == _ids(inline)
+
+
+def test_build_ivf_index_is_self_contained_lake_artifact(spark, sf_dir, tmp_path):
+    """build_ivf_index writes the index + codebook sidecar so a fresh
+    session (or the CLI `index` command) can probe without recomputing
+    centroids; results match the inline IVF path exactly."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        read_ivf_codebook,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "lake_ivf")
+    built = build_ivf_index(emb, idx, nlist=16, stride=31)
+    reloaded = read_ivf_codebook(idx)
+    assert reloaded == [(cid, [float(v) for v in vec]) for cid, vec in built]
+
+    qvec = [float(v) for v in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    got = ivf_topk_indexed(spark, idx, reloaded, qvec, k=10, nprobe=4, exclude_id=0)
+    inline = ivf_topk(emb, built, query_id=0, k=10, nprobe=4).collect()
+    assert _ids(got.collect()) == _ids(inline)
+
+
+def test_index_cli_builds_probeable_index(spark, sf_dir, tmp_path):
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        read_ivf_codebook,
+    )
+
+    out = str(tmp_path / "cli_ivf")
+    rc = main(
+        [
+            "index",
+            "--embeddings",
+            f"{sf_dir}/embeddings.parquet",
+            "--out",
+            out,
+            "--nlist",
+            "16",
+        ]
+    )
+    assert rc == 0
+    cents = read_ivf_codebook(out)
+    assert len(cents) == 16
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    got = ivf_topk_indexed(spark, out, cents, qvec, k=10, nprobe=4, exclude_id=0)
+    assert len(got.collect()) == 10
