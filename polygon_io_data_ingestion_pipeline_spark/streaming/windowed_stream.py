@@ -60,16 +60,22 @@ def dedup_stream(
 def tumbling_counts(
     stream: DataFrame,
     window_duration: str = "1 hour",
-    watermark_delay: str = "1 hour",
+    watermark_delay: str | None = "1 hour",
     ts_col: str = "ts",
     key_col: str = "event_type",
     value_col: str = "value",
 ) -> DataFrame:
     """Per-(tumbling window, key) count and rounded value sum with an
-    event-time watermark bounding lateness and state."""
+    event-time watermark bounding lateness and state.
+
+    Pass ``watermark_delay=None`` when the stream already carries a
+    watermark (e.g. chained after :func:`dedup_stream`): Spark allows
+    multiple stateful operators in one query but forbids redefining the
+    watermark mid-pipeline."""
+    if watermark_delay is not None:
+        stream = stream.withWatermark(ts_col, watermark_delay)
     return (
-        stream.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        stream.groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
         .agg(
             F.count("*").alias("n"),
             F.round(F.sum(value_col), 6).alias("total_value"),
