@@ -674,6 +674,39 @@ def pq_encode(
     return df.select(F.col(id_col), _pq_codes(vec_col, codebooks).alias("codes"))
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    # left-associative fold, bit-identical to list_sum/F.aggregate
+    # in the engines (np.dot's BLAS summation order is not)
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _adc_score(
+    query_vec: list[float], codebooks: list[list[tuple[int, list[float]]]]
+) -> Column:
+    """ADC cosine score over a ``codes`` column for one query vector:
+    ``sum_s lut_dot[s][code_s] / (|q| * sqrt(sum_s lut_n2[s][code_s]))``
+    with fixed left-to-right summation order (oracle-reproducible); the
+    per-subspace lookup tables ride in the plan as literals."""
+    w = len(codebooks[0][0][1])
+    qnorm = float(np.sqrt(_fold_dot(query_vec, query_vec)))
+    lut_dot = [
+        [_fold_dot(query_vec[s * w : (s + 1) * w], cvec) for _cid, cvec in book]
+        for s, book in enumerate(codebooks)
+    ]
+    lut_n2 = [[_fold_dot(cvec, cvec) for _cid, cvec in book] for book in codebooks]
+    dot_expr = None
+    n2_expr = None
+    for s in range(len(codebooks)):
+        d = F.element_at(_lit_vec(lut_dot[s]), F.col("codes")[s] + 1)
+        n = F.element_at(_lit_vec(lut_n2[s]), F.col("codes")[s] + 1)
+        dot_expr = d if dot_expr is None else dot_expr + d
+        n2_expr = n if n2_expr is None else n2_expr + n
+    return dot_expr / (F.lit(qnorm) * F.sqrt(n2_expr))
+
+
 def pq_topk(
     df: DataFrame,
     codebooks: list[list[tuple[int, list[float]]]],
@@ -686,43 +719,16 @@ def pq_topk(
     """PQ/ADC approximate top-k cosine: look up each subspace's
     query-to-code dot product and code norm in tiny per-query tables
     (computed driver-side from the codebook), then score each corpus
-    row from its codes alone — no per-row vector math at query time.
-
-    ``adc_cos = sum_s lut_dot[s][code_s] /
-    (|q| * sqrt(sum_s lut_n2[s][code_s]))`` with fixed left-to-right
-    summation order (oracle-reproducible). Pass a pre-encoded
-    ``codes_df`` (:func:`pq_encode` output) to skip in-plan encoding —
-    the production shape, where codes are a materialized table.
+    row from its codes alone — no per-row vector math at query time
+    (:func:`_adc_score`). Pass a pre-encoded ``codes_df``
+    (:func:`pq_encode` output) to skip in-plan encoding — the
+    production shape, where codes are a materialized table.
     """
     qvec = [
         float(v) for v in df.filter(F.col(id_col) == query_id).select(vec_col).first()[0]
     ]
-    w = len(codebooks[0][0][1])
-
-    def fold_dot(a: list[float], b: list[float]) -> float:
-        # left-associative fold, bit-identical to list_sum/F.aggregate
-        # in the engines (np.dot's BLAS summation order is not)
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc += x * y
-        return acc
-
-    qnorm = float(np.sqrt(fold_dot(qvec, qvec)))
-    lut_dot = [
-        [fold_dot(qvec[s * w : (s + 1) * w], cvec) for _cid, cvec in book]
-        for s, book in enumerate(codebooks)
-    ]
-    lut_n2 = [[fold_dot(cvec, cvec) for _cid, cvec in book] for book in codebooks]
-
     encoded = codes_df if codes_df is not None else pq_encode(df, codebooks, id_col, vec_col)
-    dot_expr = None
-    n2_expr = None
-    for s in range(len(codebooks)):
-        d = F.element_at(_lit_vec(lut_dot[s]), F.col("codes")[s] + 1)
-        n = F.element_at(_lit_vec(lut_n2[s]), F.col("codes")[s] + 1)
-        dot_expr = d if dot_expr is None else dot_expr + d
-        n2_expr = n if n2_expr is None else n2_expr + n
-    score = dot_expr / (F.lit(qnorm) * F.sqrt(n2_expr))
+    score = _adc_score(qvec, codebooks)
     return (
         encoded.filter(F.col(id_col) != query_id)
         .select(F.col(id_col), score.alias("__adc"))
@@ -757,6 +763,126 @@ def pq_topk_rerank(
         shortlist.join(df.select(id_col, vec_col), id_col)
         .crossJoin(F.broadcast(qv))
         .select(F.col(id_col), cosine(vec_col, "__qvec").alias("__cos"))
+    )
+    return (
+        exact.orderBy(F.desc("__cos"), F.col(id_col))
+        .limit(k)
+        .select(id_col, F.round("__cos", 6).alias("cos"))
+    )
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    nlist: int = 16,
+    m: int = 4,
+    ncodes: int = 16,
+    stride: int = 31,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    codebooks: list[list[tuple[int, list[float]]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Materialize the combined IVF+PQ index — the FAISS ``IVFPQ``
+    shape, composed from this module's two halves: the corpus written
+    partitioned by inverted list (directory pruning per probe) with
+    each row carrying BOTH its PQ ``codes`` (the columns an ADC scan
+    reads) and its raw vector (fetched only for the re-rank shortlist;
+    column pruning keeps it unread during the ADC pass). Coarse
+    centroids and per-subspace codebooks ship in a ``_ivfpq.json``
+    sidecar, so the index is a self-contained lake artifact."""
+    import json
+
+    if centroids is None:
+        centroids = strided_centroids(df, nlist=nlist, stride=stride, id_col=id_col, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_codebooks_strided(df, m=m, ncodes=ncodes, stride=stride, id_col=id_col, vec_col=vec_col)
+    (
+        ivf_assign(df, centroids, vec_col)
+        .withColumn("codes", _pq_codes(vec_col, codebooks))
+        .repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    with open(os.path.join(path, "_ivfpq.json"), "w") as fh:
+        json.dump(
+            {
+                "centroids": [[cid, vec] for cid, vec in centroids],
+                "codebooks": [[[cid, vec] for cid, vec in book] for book in codebooks],
+            },
+            fh,
+        )
+    return centroids, codebooks
+
+
+def read_ivfpq_meta(
+    path: str,
+) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
+    """Load the (centroids, codebooks) sidecar from
+    :func:`build_ivfpq_index`."""
+    import json
+
+    with open(os.path.join(path, "_ivfpq.json")) as fh:
+        meta = json.load(fh)
+    cents = [(int(cid), [float(v) for v in vec]) for cid, vec in meta["centroids"]]
+    books = [
+        [(int(cid), [float(v) for v in vec]) for cid, vec in book]
+        for book in meta["codebooks"]
+    ]
+    return cents, books
+
+
+def ivfpq_topk_rerank(
+    spark,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[tuple[int, list[float]]]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = 10,
+    exclude_id: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k against a materialized IVF+PQ index — the full 100 TB ANN
+    read path, three prunings multiplied together:
+
+    1. **partition pruning** (IVF): the probe set is ranked driver-side
+       (nlist dot products), so only ``nprobe/nlist`` of the corpus
+       directories are touched;
+    2. **column pruning** (PQ/ADC): the shortlist pass selects only
+       (id, codes) — m small ints per row, never the raw floats — and
+       scores via the ADC lookup tables riding as plan literals;
+    3. **row pruning** (re-rank): exact cosines are computed for the
+       ``k * refine`` shortlist only, fetched back from the SAME
+       partition-pruned index scan by id.
+
+    A query therefore reads nprobe/nlist of the codes bytes plus
+    k*refine raw vectors, independent of corpus size.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum()))
+
+    def cscore(cvec: list[float]) -> float:
+        c = np.asarray(cvec, dtype=np.float64)
+        return float(q @ c) / (qn * float(np.sqrt((c * c).sum())))
+
+    ranked = sorted(((cscore(cv), cid) for cid, cv in centroids), reverse=True)
+    probed = [cid for _, cid in ranked[:nprobe]]
+
+    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    shortlist = (
+        idx.select(F.col(id_col), _adc_score(list(map(float, q)), codebooks).alias("__adc"))
+        .orderBy(F.desc("__adc"), F.col(id_col))
+        .limit(k * refine)
+        .select(id_col)
+    )
+    exact = shortlist.join(idx.select(id_col, vec_col), id_col).select(
+        F.col(id_col), cosine(vec_col, _lit_vec(list(map(float, q)))).alias("__cos")
     )
     return (
         exact.orderBy(F.desc("__cos"), F.col(id_col))

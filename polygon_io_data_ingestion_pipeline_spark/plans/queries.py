@@ -899,15 +899,7 @@ def _ivf_query_state(
     marker gates reuse so a torn build is rewritten. The in-process
     memo additionally skips the codebook / query-vector collects on
     repeat queries."""
-    src = os.path.join(sf, "embeddings.parquet")
-    paths = [src]
-    if os.path.isdir(src):
-        paths += sorted(glob.glob(os.path.join(src, "*")))
-    parts = [os.path.abspath(src)]
-    for p in paths:
-        st = os.stat(p)
-        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
-    statsig = ";".join(parts)
+    statsig = _corpus_statsig(sf)
     key = (statsig, query_id, nlist, stride)
     if key in _IVF_MEMO:
         return _IVF_MEMO[key]
@@ -917,13 +909,66 @@ def _ivf_query_state(
         for v in emb.filter(F.col("vec_id") == query_id).select("embedding").first()[0]
     ]
     sig = hashlib.md5(f"{statsig};nlist={nlist};stride={stride}".encode()).hexdigest()[:16]
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    idx = os.path.join(warehouse, "ivf_indexes", f"ivf_{sig}")
+    idx = os.path.join(_index_root(spark), f"ivf_{sig}")
     if os.path.exists(os.path.join(idx, "_SUCCESS")):
         cents = SIM.read_ivf_codebook(idx)
     else:
         cents = SIM.build_ivf_index(emb, idx, nlist=nlist, stride=stride)
     _IVF_MEMO[key] = (idx, cents, qvec)
+    return _IVF_MEMO[key]
+
+
+def _corpus_statsig(sf: str) -> str:
+    """Signature over the embeddings source files' (path, mtime, size)
+    so a changed corpus names a NEW index dir."""
+    src = os.path.join(sf, "embeddings.parquet")
+    paths = [src]
+    if os.path.isdir(src):
+        paths += sorted(glob.glob(os.path.join(src, "*")))
+    parts = [os.path.abspath(src)]
+    for p in paths:
+        st = os.stat(p)
+        parts.append(f"{p}:{st.st_mtime_ns}:{st.st_size}")
+    return ";".join(parts)
+
+
+def _index_root(spark: SparkSession) -> str:
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return os.path.join(warehouse, "ivf_indexes")
+
+
+def _ivfpq_query_state(
+    spark: SparkSession,
+    sf: str,
+    query_id: int = 0,
+    nlist: int = 16,
+    m: int = 16,
+    ncodes: int = 16,
+    stride: int = 31,
+) -> tuple[str, list, list, list[float]]:
+    """(index_path, centroids, codebooks, query_vector) for the
+    combined IVF+PQ index — same lake-resident caching discipline as
+    :func:`_ivf_query_state`."""
+    statsig = _corpus_statsig(sf)
+    key = (statsig, "ivfpq", query_id, nlist, m, ncodes, stride)
+    if key in _IVF_MEMO:
+        return _IVF_MEMO[key]
+    emb = table(spark, sf, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == query_id).select("embedding").first()[0]
+    ]
+    sig = hashlib.md5(
+        f"{statsig};ivfpq;nlist={nlist};m={m};ncodes={ncodes};stride={stride}".encode()
+    ).hexdigest()[:16]
+    idx = os.path.join(_index_root(spark), f"ivfpq_{sig}")
+    if os.path.exists(os.path.join(idx, "_SUCCESS")):
+        cents, books = SIM.read_ivfpq_meta(idx)
+    else:
+        cents, books = SIM.build_ivfpq_index(
+            emb, idx, nlist=nlist, m=m, ncodes=ncodes, stride=stride
+        )
+    _IVF_MEMO[key] = (idx, cents, books, qvec)
     return _IVF_MEMO[key]
 
 
@@ -957,6 +1002,64 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 10
 def emb_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     idx, cents, qvec = _ivf_query_state(spark, sf, query_id=0)
     return SIM.ivf_topk_indexed(spark, idx, cents, qvec, k=10, nprobe=4, exclude_id=0)
+
+
+@q(
+    "emb_ivfpq_topk",
+    oracle=_IVF_PRELUDE
+    + """,
+probe AS (SELECT cid FROM sc WHERE vec_id = 0 ORDER BY cos DESC, cid DESC LIMIT 4),
+cand AS (SELECT a.vec_id FROM assign a JOIN probe p ON a.cid = p.cid
+         WHERE a.vec_id <> 0),
+sub AS (SELECT CAST(s AS INT) AS s FROM range(0, 16) t(s)),
+dist AS (SELECT e.vec_id, sub.s, cent.cid,
+           list_sum(list_transform(range(1, 5),
+                                   i -> (x[sub.s*4+i] - c[sub.s*4+i]) ^ 2)) AS d2
+         FROM e JOIN cand USING (vec_id), cent, sub),
+codes AS (SELECT vec_id, s, cid AS code FROM (
+            SELECT vec_id, s, cid,
+                   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+            FROM dist) WHERE rn = 1),
+cl AS (SELECT vec_id, list(code ORDER BY s) AS codes FROM codes GROUP BY vec_id),
+q AS (SELECT x AS qx FROM e WHERE vec_id = 0),
+lut AS (SELECT sub.s, cent.cid,
+          list_sum(list_transform(range(1, 5), i -> qx[sub.s*4+i] * c[sub.s*4+i])) AS dotp,
+          list_sum(list_transform(range(1, 5), i -> c[sub.s*4+i] * c[sub.s*4+i])) AS n2
+        FROM cent, sub, q),
+lut2 AS (SELECT list(dl ORDER BY s) AS ld, list(nl ORDER BY s) AS ln FROM (
+           SELECT s, list(dotp ORDER BY cid) AS dl, list(n2 ORDER BY cid) AS nl
+           FROM lut GROUP BY s)),
+qn AS (SELECT sqrt(list_sum(list_transform(qx, v -> v * v))) AS qnorm FROM q),
+scored AS (SELECT cl.vec_id,
+             list_sum(list_transform(range(0, 16),
+               s -> ld[CAST(s + 1 AS INT)][codes[CAST(s + 1 AS INT)] + 1]))
+             / (qnorm * sqrt(list_sum(list_transform(range(0, 16),
+               s -> ln[CAST(s + 1 AS INT)][codes[CAST(s + 1 AS INT)] + 1])))) AS adc
+           FROM cl, lut2, qn),
+short AS (SELECT vec_id FROM scored ORDER BY adc DESC, vec_id LIMIT 100),
+ex AS (SELECT sh.vec_id,
+         list_sum(list_transform(range(1, len(x) + 1), i -> x[i] * qx[i]))
+         / (sqrt(list_sum(list_transform(x, v -> v * v)))
+            * sqrt(list_sum(list_transform(qx, v -> v * v)))) AS cos
+       FROM short sh JOIN e ON e.vec_id = sh.vec_id, q)
+SELECT vec_id, round(cos, 6) AS cos FROM ex ORDER BY cos DESC, vec_id LIMIT 10
+""",
+    doc="Combined IVF+PQ ANN (the FAISS IVFPQ shape) against a "
+    "materialized self-contained index: partition pruning (only the "
+    "nprobe/nlist probed list directories are read), column pruning "
+    "(the ADC pass scans m-int codes, never raw floats), and row "
+    "pruning (exact cosine re-rank of the k*refine shortlist only) "
+    "multiply together — a query reads nprobe/nlist of the codes bytes "
+    "plus k*refine vectors, independent of corpus size "
+    "(operators/similarity.py build_ivfpq_index / ivfpq_topk_rerank; "
+    "recall + pruning plan-asserted in tests/test_pq.py).",
+    tags=("similarity",),
+)
+def emb_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    idx, cents, books, qvec = _ivfpq_query_state(spark, sf, query_id=0)
+    return SIM.ivfpq_topk_rerank(
+        spark, idx, cents, books, qvec, k=10, nprobe=4, refine=10, exclude_id=0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2431,6 +2534,8 @@ _DEFERRED_PAST_WINDOW = [
     # windowed; region_nation_rollup_totals stays in so the window keeps a
     # grouping-set demo, and customers_with_orders_semi keeps the semi/anti
     # family represented:
+    "emb_ivfpq_topk",  # IVF⊗PQ composition of emb_ivf_topk + emb_pq_topk_rerank,
+    # both of which hold windowed driver rows; in-repo oracle parity only.
     "tpch_q07_nation_pairs",  # multi-join agg shape ⊂ tpch_q05 (+ q03 windowed)
     "tpch_q10_returned_revenue",  # join+agg+topk shape ⊂ tpch_q03 + tpch_q05
     "customers_without_orders_anti",  # anti twin of windowed customers_with_orders_semi

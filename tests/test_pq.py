@@ -55,3 +55,41 @@ def test_rerank_recovers_exact(emb):
 def test_bad_subspace_split_raises(emb):
     with pytest.raises(ValueError):
         S.pq_codebooks_strided(emb, m=5)  # 64 dims not divisible by 5
+
+
+def test_ivfpq_index_recall_and_prunings(spark, sf_dir, tmp_path):
+    """The combined IVF+PQ index: (a) self-contained lake artifact,
+    (b) ADC shortlist pass reads codes but never the raw vectors
+    (column pruning) from only the probed lists (partition pruning),
+    (c) recall vs exact brute force stays useful at nprobe<nlist and
+    approaches exact at nprobe=nlist."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_topk_rerank,
+        read_ivfpq_meta,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.sources import table
+
+    emb = table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb, idx, nlist=16, m=4, ncodes=16)
+    cents, books = read_ivfpq_meta(idx)
+    qvec = [float(v) for v in emb.filter("vec_id = 0").select("embedding").first()[0]]
+
+    exact_ids = [r["vec_id"] for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+
+    # full probe + generous refine -> the exact answer
+    full = ivfpq_topk_rerank(
+        spark, idx, cents, books, qvec, k=10, nprobe=16, refine=50, exclude_id=0
+    )
+    assert [r["vec_id"] for r in full.collect()] == exact_ids
+
+    # partial probe: partition-pruned, recall still useful
+    part = ivfpq_topk_rerank(
+        spark, idx, cents, books, qvec, k=10, nprobe=4, refine=10, exclude_id=0
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan
+    got = [r["vec_id"] for r in part.collect()]
+    assert len(set(got) & set(exact_ids)) >= 5, (got, exact_ids)
