@@ -317,6 +317,71 @@ def tfidf_top_terms(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_dup_word_ratio: float = 0.6,
+    max_top_bigram_frac: float = 0.5,
+) -> DataFrame:
+    """Composite Gopher/RefinedWeb-style document quality gate: the
+    keep/drop decision a training pipeline applies before dedup, with
+    one audit flag per rule family so filter rates are attributable.
+
+    Rules (each a boolean column, ``keep`` their conjunction):
+
+    - ``ok_length``     — token count in [min_tokens, max_tokens];
+    - ``ok_word_len``   — mean word length in [min, max] (Gopher 3-10);
+    - ``ok_stopwords``  — at least one stopword present (the Gopher
+      "natural language" signal; gibberish and code score zero);
+    - ``ok_repetition`` — duplicate-word ratio and top-bigram fraction
+      below their caps (boilerplate/spam score high on both). A doc too
+      short to have a bigram passes the bigram half vacuously.
+
+    Scale shape: everything is map-side except the top-bigram mode
+    (two partial-aggregated shuffles via :func:`repetition_stats`) and
+    one join back on ``id_col``. Thresholds are compared on values
+    rounded to 6 decimals so any SQL audit of the same parquet agrees
+    exactly at the cut.
+    """
+    rep = repetition_stats(df, text_col, id_col)
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
+            / token_count(text_col),
+            6,
+        ).alias("avg_word_len"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+    )
+    out = rep.join(base, id_col)
+    ok_length = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
+    ok_word_len = (F.col("avg_word_len") >= min_avg_word_len) & (
+        F.col("avg_word_len") <= max_avg_word_len
+    )
+    ok_stop = F.col("stopword_ratio") > 0.0
+    ok_rep = (F.col("dup_word_ratio") <= max_dup_word_ratio) & (
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "avg_word_len",
+        "stopword_ratio",
+        "dup_word_ratio",
+        "top_bigram_frac",
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_length & ok_word_len & ok_stop & ok_rep).alias("keep"),
+    )
+
+
 def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality metrics (length, word stats, stopword ratio)."""
     n_tok = token_count(text_col)

@@ -2225,6 +2225,53 @@ def docs_repetition_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_quality_filter",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+words AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct FROM toks),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+gm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM gc GROUP BY doc_id),
+base AS (SELECT doc_id,
+           round(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(t), 6) AS avg_word_len,
+           round(CAST(len(list_filter(t, w -> w IN (%s))) AS DOUBLE) / len(t), 6)
+             AS stopword_ratio
+         FROM toks),
+m AS (SELECT w.doc_id,
+        CAST(w.n_tokens AS BIGINT) AS n_tokens,
+        b.avg_word_len, b.stopword_ratio,
+        round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_tokens, 6) AS dup_word_ratio,
+        round(CAST(gm.top_c AS DOUBLE) / gm.total, 6) AS top_bigram_frac
+      FROM words w JOIN base b ON b.doc_id = w.doc_id
+                   LEFT JOIN gm ON gm.doc_id = w.doc_id)
+SELECT doc_id, n_tokens, avg_word_len, stopword_ratio, dup_word_ratio, top_bigram_frac,
+       (n_tokens >= 20 AND n_tokens <= 100000) AS ok_length,
+       (avg_word_len >= 3.0 AND avg_word_len <= 10.0) AS ok_word_len,
+       (stopword_ratio > 0.0) AS ok_stopwords,
+       (dup_word_ratio <= 0.6 AND coalesce(top_bigram_frac, 0.0) <= 0.5) AS ok_repetition,
+       ((n_tokens >= 20 AND n_tokens <= 100000)
+        AND (avg_word_len >= 3.0 AND avg_word_len <= 10.0)
+        AND (stopword_ratio > 0.0)
+        AND (dup_word_ratio <= 0.6 AND coalesce(top_bigram_frac, 0.0) <= 0.5)) AS keep
+FROM m
+"""
+    % _STOP,
+    doc="Composite Gopher/RefinedWeb quality gate: per-document keep/"
+    "drop decision with one audit flag per rule family (length bounds, "
+    "mean word length, stopword presence, repetition caps) — the filter "
+    "step a training pipeline runs before dedup. Map-side metrics plus "
+    "the two partial-agg bigram shuffles of repetition_stats; "
+    "thresholds compare 6-decimal-rounded values so the SQL audit "
+    "agrees exactly at the cut (operators/text.py quality_filter).",
+    tags=("text",),
+)
+def docs_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    return T.quality_filter(table(spark, sf, "documents"))
+
+
+@q(
     "docs_decontam_overlap",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2536,6 +2583,8 @@ _DEFERRED_PAST_WINDOW = [
     # family represented:
     "emb_ivfpq_topk",  # IVF⊗PQ composition of emb_ivf_topk + emb_pq_topk_rerank,
     # both of which hold windowed driver rows; in-repo oracle parity only.
+    "docs_quality_filter",  # conjunction of docs_token_stats +
+    # docs_repetition_metrics rule families, both windowed; parity only.
     "tpch_q07_nation_pairs",  # multi-join agg shape ⊂ tpch_q05 (+ q03 windowed)
     "tpch_q10_returned_revenue",  # join+agg+topk shape ⊂ tpch_q03 + tpch_q05
     "customers_without_orders_anti",  # anti twin of windowed customers_with_orders_semi

@@ -147,3 +147,30 @@ def test_sequence_packing_no_single_task_owns_a_group(spark):
         # the per-bin row_number (keyed by bin_id).
         if "__pack_shard" not in head:
             assert "__shard_tokens" in ln or "bin_id" in head, ln
+
+
+def test_quality_filter_flags_hand_computed(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import quality_filter
+
+    good = "the quick brown fox jumps over a lazy dog near the quiet river bank " * 2
+    df = _docs(
+        spark,
+        [
+            (1, good.strip()),                      # passes everything
+            (2, "the " + "spam spam " * 15),        # repetition: dup + bigram
+            (3, "zz yy xx ww vv uu tt ss rr qq " * 3),  # no stopwords
+            (4, "the of a to and"),                 # too short (< 20 tokens)
+        ],
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(df).collect()}
+    assert rows[1]["keep"] is True and all(
+        rows[1][f] for f in ("ok_length", "ok_word_len", "ok_stopwords", "ok_repetition")
+    )
+    assert rows[2]["keep"] is False and rows[2]["ok_repetition"] is False
+    assert rows[3]["keep"] is False and rows[3]["ok_stopwords"] is False
+    assert rows[4]["keep"] is False and rows[4]["ok_length"] is False
+    # every drop is attributable: keep == conjunction of the flags
+    for r in rows.values():
+        assert r["keep"] == (
+            r["ok_length"] and r["ok_word_len"] and r["ok_stopwords"] and r["ok_repetition"]
+        )
