@@ -2272,6 +2272,83 @@ def docs_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_corpus_prep",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t, text FROM documents),
+words AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct FROM toks),
+grams AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS g
+          FROM toks),
+gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g),
+gm AS (SELECT doc_id, max(c) AS top_c, sum(c) AS total FROM gc GROUP BY doc_id),
+base AS (SELECT doc_id,
+           round(CAST(len(replace(text, ' ', '')) AS DOUBLE) / len(t), 6) AS avg_word_len,
+           round(CAST(len(list_filter(t, w -> w IN (%s))) AS DOUBLE) / len(t), 6)
+             AS stopword_ratio
+         FROM toks),
+keepers AS (SELECT w.doc_id
+            FROM words w JOIN base b ON b.doc_id = w.doc_id
+                         LEFT JOIN gm ON gm.doc_id = w.doc_id
+            WHERE w.n_tokens >= 20 AND w.n_tokens <= 100000
+              AND b.avg_word_len >= 3.0 AND b.avg_word_len <= 10.0
+              AND b.stopword_ratio > 0.0
+              AND round(1.0 - CAST(w.n_distinct AS DOUBLE) / w.n_tokens, 6) <= 0.6
+              AND coalesce(round(CAST(gm.top_c AS DOUBLE) / gm.total, 6), 0.0) <= 0.5),
+kept AS (SELECT d.doc_id, d.source, d.text, md5(lower(d.text)) AS fp
+         FROM documents d JOIN keepers k ON k.doc_id = d.doc_id),
+reps AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY fp),
+surv AS (SELECT kt.doc_id, kt.source, kt.text FROM kept kt JOIN reps r ON r.doc_id = kt.doc_id),
+samp AS (SELECT doc_id, source, text FROM surv
+         WHERE CAST(('0x' || substr(md5('sample' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) %% 10000
+               < (CASE WHEN source = 'src0' THEN 2500
+                       WHEN source = 'src1' THEN 5000 ELSE 10000 END)),
+train AS (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens FROM samp
+          WHERE (CASE WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) %% 100 < 80 THEN 'train'
+                      WHEN CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) %% 100 < 90 THEN 'val'
+                      ELSE 'test' END) = 'train'),
+c AS (SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_offset
+      FROM train)
+SELECT doc_id, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(tok_offset AS BIGINT) AS tok_offset,
+       CAST(tok_offset // 512 AS BIGINT) AS bin_id,
+       CAST(row_number() OVER (PARTITION BY source, tok_offset // 512 ORDER BY doc_id)
+            AS BIGINT) AS pos_in_bin
+FROM c
+"""
+    % _STOP,
+    doc="End-to-end training-corpus preparation — the whole pipeline "
+    "this engine exists for, as ONE declarative plan: Gopher-style "
+    "quality gate (quality_filter keep) -> exact dedup keeping the "
+    "min-id representative per md5 fingerprint -> stratified mixture "
+    "down-sampling (src0 25%%, src1 50%%) -> deterministic train split "
+    "-> fixed-capacity sequence packing of the surviving train stream. "
+    "Every stage is a windowed-query's machinery composed (quality/"
+    "repetition shuffles, one fingerprint agg, map-side sampling, the "
+    "shard-safe packing windows); Catalyst pipelines the map-side "
+    "stages into the same scans, so the composite costs barely more "
+    "than its heaviest stage.",
+    tags=("text", "sampling", "dedup"),
+)
+def docs_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import hash_split, stratified_sample
+
+    docs = table(spark, sf, "documents")
+    keep = T.quality_filter(docs).filter(F.col("keep")).select("doc_id")
+    kept = docs.join(keep, "doc_id").withColumn("fp", F.md5(F.lower(F.col("text"))))
+    reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    surv = kept.join(reps, "doc_id").select("doc_id", "source", "text")
+    sampled = stratified_sample(surv, {"src0": 0.25, "src1": 0.5})
+    train = hash_split(sampled).filter(F.col("split") == "train")
+    return T.sequence_packing(train, capacity=512)
+
+
+@q(
     "docs_decontam_overlap",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -2585,6 +2662,8 @@ _DEFERRED_PAST_WINDOW = [
     # both of which hold windowed driver rows; in-repo oracle parity only.
     "docs_quality_filter",  # conjunction of docs_token_stats +
     # docs_repetition_metrics rule families, both windowed; parity only.
+    "docs_corpus_prep",  # end-to-end composition of five windowed stages
+    # (quality gate, exact dedup, sampling, split, packing); parity only.
     "tpch_q07_nation_pairs",  # multi-join agg shape ⊂ tpch_q05 (+ q03 windowed)
     "tpch_q10_returned_revenue",  # join+agg+topk shape ⊂ tpch_q03 + tpch_q05
     "customers_without_orders_anti",  # anti twin of windowed customers_with_orders_semi
