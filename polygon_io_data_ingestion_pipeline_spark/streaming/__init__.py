@@ -1,3 +1,4 @@
+from .funnel_stream import funnel_stream
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
 from .sessionize_stream import SESSION_SCHEMA, sessionize_stream
 from .windowed_stream import dedup_stream, tumbling_counts
@@ -5,6 +6,7 @@ from .windowed_stream import dedup_stream, tumbling_counts
 __all__ = [
     "SESSION_SCHEMA",
     "dedup_stream",
+    "funnel_stream",
     "sessionize_stream",
     "stream_ingest_bars",
     "tumbling_counts",
