@@ -209,9 +209,16 @@ def sequence_packing(
     group_col: str = "source",
     capacity: int = 512,
     shard_span: int = 4096,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Assign documents to fixed-capacity token bins — the sequence-
     packing step that turns a filtered corpus into training batches.
+
+    Pass ``count_col`` naming a precomputed token-count column to skip
+    re-tokenizing ``text_col`` — upstream stages (e.g. the quality
+    gate) usually computed it already, and carrying one long through
+    the pipeline beats re-scanning the text twice (this operator's
+    prefix-sum and join branches each evaluate their input).
 
     Offset-based packing: documents are laid out in deterministic
     ``id_col`` order within each ``group_col`` stream; each doc's bin is
@@ -238,7 +245,7 @@ def sequence_packing(
     """
     from pyspark.sql import Window as W
 
-    n = token_count(text_col)
+    n = F.col(count_col).cast("long") if count_col else token_count(text_col)
     base = df.select(
         F.col(id_col),
         F.col(group_col),
@@ -327,6 +334,7 @@ def quality_filter(
     max_avg_word_len: float = 10.0,
     max_dup_word_ratio: float = 0.6,
     max_top_bigram_frac: float = 0.5,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite Gopher/RefinedWeb-style document quality gate: the
     keep/drop decision a training pipeline applies before dedup, with
@@ -342,15 +350,24 @@ def quality_filter(
       below their caps (boilerplate/spam score high on both). A doc too
       short to have a bigram passes the bigram half vacuously.
 
-    Scale shape: everything is map-side except the top-bigram mode
-    (two partial-aggregated shuffles via :func:`repetition_stats`) and
-    one join back on ``id_col``. Thresholds are compared on values
-    rounded to 6 decimals so any SQL audit of the same parquet agrees
-    exactly at the cut.
+    Scale shape: ONE map-side scan computes every word-level metric
+    (the same expressions as :func:`repetition_stats` /
+    :func:`quality_stats`, fused); the top-bigram mode adds its two
+    partial-aggregated shuffles and one join back on ``id_col`` — two
+    corpus scans total. ``keep_cols`` pass extra columns (e.g. the text
+    itself) through the gate so downstream stages don't re-scan the
+    corpus to rejoin them. Thresholds are compared on values rounded to
+    6 decimals so any SQL audit of the same parquet agrees exactly at
+    the cut.
     """
-    rep = repetition_stats(df, text_col, id_col)
+    t = tokens(text_col)
     base = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        token_count(text_col).alias("n_tokens"),
+        F.round(
+            1.0 - F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
+        ).alias("dup_word_ratio"),
         F.round(
             F.length(F.regexp_replace(F.col(text_col), " ", "")).cast("double")
             / token_count(text_col),
@@ -358,7 +375,15 @@ def quality_filter(
         ).alias("avg_word_len"),
         F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
     )
-    out = rep.join(base, id_col)
+    gram_counts = (
+        df.select(F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("g"))
+        .groupBy(id_col, "g")
+        .count()
+    )
+    gram_mode = gram_counts.groupBy(id_col).agg(
+        F.round(F.max("count").cast("double") / F.sum("count"), 6).alias("top_bigram_frac")
+    )
+    out = base.join(gram_mode, id_col, "left")
     ok_length = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
     ok_word_len = (F.col("avg_word_len") >= min_avg_word_len) & (
         F.col("avg_word_len") <= max_avg_word_len
@@ -369,6 +394,7 @@ def quality_filter(
     )
     return out.select(
         id_col,
+        *keep_cols,
         "n_tokens",
         "avg_word_len",
         "stopword_ratio",

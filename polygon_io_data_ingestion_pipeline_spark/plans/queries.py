@@ -2330,22 +2330,33 @@ FROM c
     "-> fixed-capacity sequence packing of the surviving train stream. "
     "Every stage is a windowed-query's machinery composed (quality/"
     "repetition shuffles, one fingerprint agg, map-side sampling, the "
-    "shard-safe packing windows); Catalyst pipelines the map-side "
-    "stages into the same scans, so the composite costs barely more "
-    "than its heaviest stage.",
+    "shard-safe packing windows). The corpus text is scanned exactly "
+    "TWICE (the fused word-metric pass — which also derives the md5 "
+    "fingerprint map-side and carries it through the gate via "
+    "keep_cols — and the bigram explode); the narrow post-gate frame "
+    "(id, source, n_tokens, fp) is persisted so the dedup/sample/pack "
+    "branches replay IT, not the corpus lineage (Spark has no "
+    "cross-branch CSE), and packing reuses the gate's token counts "
+    "instead of re-tokenizing.",
     tags=("text", "sampling", "dedup"),
 )
 def docs_corpus_prep(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.sampling import hash_split, stratified_sample
 
-    docs = table(spark, sf, "documents")
-    keep = T.quality_filter(docs).filter(F.col("keep")).select("doc_id")
-    kept = docs.join(keep, "doc_id").withColumn("fp", F.md5(F.lower(F.col("text"))))
+    docs = table(spark, sf, "documents").withColumn(
+        "fp", F.md5(F.lower(F.col("text")))
+    )
+    kept = (
+        T.quality_filter(docs, keep_cols=("source", "fp"))
+        .filter(F.col("keep"))
+        .select("doc_id", "source", "n_tokens", "fp")
+        .persist()
+    )
     reps = kept.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    surv = kept.join(reps, "doc_id").select("doc_id", "source", "text")
+    surv = kept.join(reps, "doc_id").select("doc_id", "source", "n_tokens")
     sampled = stratified_sample(surv, {"src0": 0.25, "src1": 0.5})
     train = hash_split(sampled).filter(F.col("split") == "train")
-    return T.sequence_packing(train, capacity=512)
+    return T.sequence_packing(train, capacity=512, count_col="n_tokens")
 
 
 @q(
