@@ -34,9 +34,12 @@ def write_lake(df: DataFrame, path: str, tf: str = "day", mode: str = "overwrite
     keys = PARTITION_KEYS[tf]
     spark = df.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Partition keys lead the sort: FileFormatWriter requires its input
+    # ordered by the partition columns and would otherwise insert its
+    # own (non-stable) sort, destroying the in-file datetime order.
     (
         df.repartition(*[F.col(k) for k in keys])
-        .sortWithinPartitions("datetime")
+        .sortWithinPartitions(*[F.col(k) for k in keys], "datetime")
         .write.partitionBy(*keys)
         .option("compression", "zstd")
         .mode(mode)
@@ -112,3 +115,82 @@ def lake_manifest(spark: SparkSession, path: str) -> DataFrame:
         F.max("datetime").alias("end"),
         F.count("*").alias("rows"),
     )
+
+
+def compact_lake(
+    spark: SparkSession,
+    path: str,
+    tf: str = "day",
+    max_records_per_file: int = 5_000_000,
+    small_file_bytes: int = 32 * 1024 * 1024,
+) -> dict[str, int]:
+    """Lake maintenance: rewrite partitions fragmented into many small
+    files as one-(or-few)-sorted-files-per-partition — the small-file
+    compaction every long-lived 100 TB lake needs (streaming ingest and
+    frequent backfills each commit a file per trigger per partition,
+    and scan throughput collapses when file count >> row groups).
+
+    Only partitions that are actually fragmented (more than one file,
+    or any file under ``small_file_bytes``) are rewritten, via dynamic
+    partition overwrite — untouched partitions keep their files, so
+    compaction cost is proportional to the fragmentation, not the lake.
+    The rewrite preserves the lake contract (in-file datetime ordering,
+    zstd, ``max_records_per_file`` cap) and is idempotent.
+
+    Returns {"partitions_compacted": n, "files_before": m}.
+    """
+    keys = PARTITION_KEYS[tf]
+    df = spark.read.parquet(path)
+    per_file = (
+        df.select(*[F.col(k) for k in keys], F.input_file_name().alias("__file"))
+        .groupBy(*keys, "__file")
+        .agg(F.count("*").alias("__rows"))
+    )
+    # File sizes come from the driver-side listing (one stat per file —
+    # metadata-scale work, like any table-maintenance planner).
+    import os as _os
+
+    frag = (
+        per_file.groupBy(*keys)
+        .agg(F.count("*").alias("__nfiles"), F.collect_list("__file").alias("__files"))
+        .collect()
+    )
+
+    def _local(p: str) -> str:
+        return p.removeprefix("file:")
+
+    todo = []
+    files_before = 0
+    for r in frag:
+        files_before += r["__nfiles"]
+        small = any(
+            _os.path.getsize(_local(f)) < small_file_bytes
+            for f in r["__files"]
+            if _os.path.exists(_local(f))
+        )
+        if r["__nfiles"] > 1 or small:
+            todo.append(tuple(r[k] for k in keys))
+    if not todo:
+        return {"partitions_compacted": 0, "files_before": files_before}
+
+    cond = None
+    for vals in todo:
+        this = None
+        for k, v in zip(keys, vals):
+            c = F.col(k) == F.lit(v)
+            this = c if this is None else (this & c)
+        cond = this if cond is None else (cond | this)
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    (
+        df.filter(cond)
+        .repartition(*[F.col(k) for k in keys])
+        .sortWithinPartitions(*[F.col(k) for k in keys], "datetime")
+        .write.partitionBy(*keys)
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark.catalog.refreshByPath(path)
+    return {"partitions_compacted": len(todo), "files_before": files_before}
