@@ -1,0 +1,61 @@
+"""Sketch aggregates vs exact answers: the error bound IS the
+contract, so it is what gets asserted — on the driver testdata
+documents/embeddings at sf0.01."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from polygon_io_data_ingestion_pipeline_spark.operators.sketches import (
+    approx_distinct,
+    approx_quantiles,
+)
+from polygon_io_data_ingestion_pipeline_spark.sources import table
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_approx_distinct_within_rsd(spark):
+    docs = table(spark, SF, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.select(F.countDistinct("tok").alias("n")).first()["n"]
+    approx = approx_distinct(toks, "tok", rsd=0.02).first()["n_distinct_approx"]
+    assert abs(approx - exact) <= 5 * 0.02 * exact  # 5 sigma of the rsd
+
+    # grouped form: per-source distinct token counts
+    per_src = {
+        r["source"]: r["n_distinct_approx"]
+        for r in approx_distinct(
+            docs.select("source", F.explode(F.split("text", " ")).alias("tok")),
+            "tok",
+            group_cols=("source",),
+        ).collect()
+    }
+    exact_src = {
+        r["source"]: r["n"]
+        for r in docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    assert set(per_src) == set(exact_src)
+    for src, n in exact_src.items():
+        assert abs(per_src[src] - n) <= 5 * 0.02 * n, src
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    docs = table(spark, SF, "documents")
+    probs = (0.25, 0.5, 0.9)
+    got = approx_quantiles(
+        docs, "n_chars", probabilities=probs, relative_error=0.01
+    ).first()["quantiles"]
+    values = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    n = len(values)
+    for p, q in zip(probs, got):
+        # rank of the sketch answer must be within relative_error*n of p*n
+        import bisect
+
+        lo = bisect.bisect_left(values, q)
+        hi = bisect.bisect_right(values, q)
+        target = p * n
+        assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (p, q)
