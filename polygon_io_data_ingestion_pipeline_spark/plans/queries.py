@@ -933,8 +933,23 @@ def _corpus_statsig(sf: str) -> str:
 
 
 def _index_root(spark: SparkSession) -> str:
+    """Lake location for ANN indexes: the session warehouse dir. If the
+    hosting session's warehouse isn't writable (e.g. a driver launched
+    from a read-only CWD), fall back to a per-user temp root rather
+    than failing the query — the index is a rebuildable cache."""
+    import tempfile
+
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    return os.path.join(warehouse, "ivf_indexes")
+    root = os.path.join(warehouse, "ivf_indexes")
+    try:
+        os.makedirs(root, exist_ok=True)
+        probe = os.path.join(root, ".write_probe")
+        with open(probe, "w") as fh:
+            fh.write("")
+        os.remove(probe)
+        return root
+    except OSError:
+        return os.path.join(tempfile.gettempdir(), "spark_graft_ivf_indexes")
 
 
 def _ivfpq_query_state(
