@@ -519,6 +519,55 @@ def contamination_overlap(
     )
 
 
+def duplicated_ngram_fraction(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Cross-corpus duplicated n-gram fraction: for each document, the
+    share of its distinct n-gram shingles that also occur in at least
+    ``min_doc_freq - 1`` OTHER documents — the corpus-level repetition
+    signal the published web-corpus recipes use alongside the
+    within-document rules of :func:`~..operators.text.repetition_stats`
+    (boilerplate, licence blocks and mirrored pages all surface as a
+    high duplicated-n-gram share long before they are exact or
+    near-duplicates).
+
+    Unlike :func:`contamination_overlap`, the reference set here is the
+    corpus itself, so nothing is broadcast: the document-frequency side
+    is the full shingle posting table. Scale shape: per-document
+    shingle dedup is map-side (``array_distinct`` before the explode),
+    the DF count is one partial-agg shuffle on the shingle, the
+    frequent-set membership is a keyed equi join on the same shingle
+    key (AQE handles hot shingles), and the only other shuffle is the
+    per-document count. Total-shingle counts never touch the join —
+    they are computed map-side from the document itself.
+
+    Returns (id, n_shingles, n_dup, dup_ratio).
+    """
+    sh = shingle_set(docs, text_col, id_col, n)
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
+    )
+    frequent = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+        .select("shingle")
+    )
+    dup = sh.join(frequent, "shingle").groupBy(id_col).agg(F.count("*").alias("n_dup"))
+    ratio = F.col("n_dup").cast("double") / F.col("n_shingles")
+    return (
+        totals.join(dup, id_col, "left")
+        .na.fill({"n_dup": 0})
+        .filter(F.col("n_shingles") > 0)
+        .select(id_col, "n_shingles", "n_dup", F.round(ratio, 6).alias("dup_ratio"))
+    )
+
+
 def simhash_pairs_allpairs(
     df: DataFrame,
     text_col: str = "text",

@@ -14,7 +14,7 @@ no UDF — at 100 TB these run at scan speed inside whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -72,3 +72,50 @@ def stratified_sample(
         thr = int(round(float(r) * 10000))
         threshold = F.when(F.col(stratum_col) == stratum, F.lit(thr)).otherwise(threshold)
     return df.filter(b < threshold)
+
+
+def mixture_weights(
+    df: DataFrame,
+    size: Column,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled mixture weights per stratum: the standard
+    recipe for balancing a multi-source / multilingual training corpus
+    (sample source s with probability proportional to ``p_s ** alpha``,
+    ``p_s`` = the source's share of total tokens; ``alpha < 1`` upsamples
+    the tail, ``alpha = 1`` is natural frequency). The output feeds
+    :func:`stratified_sample` as its per-stratum rates.
+
+    Scale shape: one partial-agg shuffle collapses the corpus to one
+    row per stratum (map-side combine does the heavy lifting); the
+    global windows that normalize shares run on that collapsed frame —
+    O(strata) rows on one reducer, which is the correct plan at any
+    corpus size because strata are sources/languages, not documents.
+
+    Engine-portability: shares are rounded before scaling; the
+    temperature map uses ``sqrt`` for ``alpha = 0.5`` (IEEE
+    correctly-rounded, bit-identical across engines, unlike ``pow``);
+    and both normalizations sum exact integers (round(x * 1e6) as
+    BIGINT), so a DuckDB audit of the same parquet reproduces every
+    weight bit-for-bit. For other alphas ``pow`` may differ in the last
+    ULP across engines — fine for training, but not hash-comparable.
+
+    Returns (stratum, n_docs, n_tokens, p_raw, weight).
+    """
+    per = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size.cast("long")).alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    p_raw = F.round(F.col("n_tokens") / F.sum("n_tokens").over(w), 6)
+    per = per.withColumn("p_raw", p_raw)
+    temp = F.sqrt(F.col("p_raw")) if alpha == 0.5 else F.pow(F.col("p_raw"), F.lit(alpha))
+    per = per.withColumn("_t", F.round(temp * F.lit(1000000.0), 0).cast("long"))
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "n_tokens",
+        "p_raw",
+        F.round(F.col("_t") / F.sum("_t").over(w), 6).alias("weight"),
+    )

@@ -423,3 +423,51 @@ def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
         F.when(n_tok < 30, F.lit(1)).otherwise(F.lit(0)).alias("is_short"),
     )
+
+
+# (rule_name, regex, replacement_tag). Ordered: the earlier rule wins
+# where patterns overlap (an email contains digit runs; an IPv4 contains
+# dot-separated digits that a bare ID-run rule would otherwise hit), so
+# each rule counts/replaces only what the previous rules left behind.
+# The patterns stay inside the Java-regex/RE2 common subset (no
+# backreferences, no lookaround) so a DuckDB audit runs them verbatim.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # Digit groups joined by space/dash (optionally +CC): separators are
+    # REQUIRED so a bare numeric identifier falls to the id rule below.
+    ("phone", r"\+?[0-9]{1,4}([ \-][0-9]{2,4}){2,}", "<PHONE>"),
+    ("id", r"[0-9]{6,}", "<ID>"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Rule-based PII scrubbing — the standard pre-training hygiene pass
+    (emails, IPs, phone numbers, long numeric identifiers replaced by
+    typed tags), applied as a sequential ``regexp_replace`` chain with a
+    per-rule match count audited alongside.
+
+    Counts are taken on the text as the PREVIOUS rules left it, so an
+    address redacted as ``<EMAIL>`` is not double-counted by the digit
+    rules. Everything is a map-side column expression inside
+    whole-stage codegen — no UDF, no shuffle; at 100 TB this runs at
+    scan speed and the per-rule counts aggregate with a plain sum.
+
+    Returns the input plus (n_<rule> per rule, n_redactions, out_col).
+    """
+    cur = F.col(text_col)
+    out = df
+    count_cols = []
+    for name, pat, tag in rules:
+        out = out.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)).cast("long"))
+        count_cols.append(f"n_{name}")
+        cur = F.regexp_replace(cur, pat, tag)
+    total = None
+    for c in count_cols:
+        total = F.col(c) if total is None else total + F.col(c)
+    return out.withColumn("n_redactions", total).withColumn(out_col, cur)

@@ -2456,6 +2456,116 @@ def docs_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_dup_ngram_fraction",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+dfq AS (SELECT s FROM (SELECT s, count(*) AS df FROM sh GROUP BY s) WHERE df >= 2),
+dup AS (SELECT sh.doc_id, count(*) AS n_dup
+        FROM sh JOIN dfq ON dfq.s = sh.s GROUP BY sh.doc_id)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup,
+       round(CAST(coalesce(d.n_dup, 0) AS DOUBLE) / t.n_shingles, 6) AS dup_ratio
+FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+""",
+    bench=True,
+    doc="Cross-corpus duplicated n-gram fraction: the share of each "
+    "document's distinct 3-gram shingles that occur in >= 2 documents — "
+    "the corpus-level repetition signal (boilerplate, mirrors, licence "
+    "blocks) that complements the within-document rules of "
+    "docs_repetition_metrics. Unlike decontamination there is no small "
+    "side to broadcast (the reference set is the corpus itself): "
+    "per-doc shingle dedup is map-side, then one partial-agg shuffle "
+    "counts document frequency, one keyed equi join marks frequent "
+    "shingles (AQE handles hot keys), one agg per document "
+    "(operators/dedup.py duplicated_ngram_fraction).",
+    tags=("text", "dedup"),
+)
+def docs_dup_ngram_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    return D.duplicated_ngram_fraction(table(spark, sf, "documents"))
+
+
+@q(
+    "docs_mixture_weights",
+    oracle="""
+WITH per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+             FROM documents GROUP BY source),
+p AS (SELECT source, n_docs, n_tokens,
+             round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6) AS p_raw
+      FROM per),
+t AS (SELECT *, CAST(round(sqrt(p_raw) * 1000000.0, 0) AS BIGINT) AS tt FROM p)
+SELECT source, n_docs, n_tokens, p_raw,
+       round(CAST(tt AS DOUBLE) / sum(tt) OVER (), 6) AS weight
+FROM t
+""",
+    doc="Temperature-scaled source mixture weights (alpha = 0.5): the "
+    "standard multi-source/multilingual balancing recipe — sample "
+    "source s proportional to its token share raised to alpha, "
+    "upsampling the tail. One partial-agg shuffle collapses the corpus "
+    "to a row per source; the normalizing windows run on that "
+    "O(sources) frame. sqrt (correctly-rounded IEEE) + integer-scaled "
+    "normalization keep the weights bit-identical across engines "
+    "(operators/sampling.py mixture_weights). Output feeds "
+    "stratified_sample as its per-stratum rates.",
+    tags=("sampling",),
+)
+def docs_mixture_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import mixture_weights
+
+    docs = table(spark, sf, "documents")
+    return mixture_weights(docs, T.token_count("text"), "source", alpha=0.5)
+
+
+def _pii_oracle() -> str:
+    """The DuckDB twin of text.pii_redact's replace chain, generated
+    from the SAME rule table so the two engines cannot drift."""
+    sql = "WITH s0 AS (SELECT c_custkey, c_name AS t FROM customer)"
+    for i, (name, pat, tag) in enumerate(T.PII_RULES, 1):
+        sql += f""",
+s{i} AS (SELECT * EXCLUDE (t),
+         CAST(len(regexp_extract_all(t, '{pat}')) AS BIGINT) AS n_{name},
+         regexp_replace(t, '{pat}', '{tag}', 'g') AS t FROM s{i - 1})"""
+    counts = " + ".join(f"n_{name}" for name, _, _ in T.PII_RULES)
+    cols = ", ".join(f"n_{name}" for name, _, _ in T.PII_RULES)
+    return (
+        sql
+        + f"""
+SELECT c_custkey, {cols}, {counts} AS n_redactions, t AS redacted FROM s{len(T.PII_RULES)}"""
+    )
+
+
+@q(
+    "customers_pii_scrub",
+    oracle=_pii_oracle(),
+    doc="Rule-based PII scrubbing (emails, IPs, phones, long numeric "
+    "identifiers -> typed tags) with per-rule audit counts — the "
+    "pre-training hygiene pass, run over the customer names whose "
+    "embedded account-number digit runs give the id rule real matches. "
+    "A sequential regexp_replace chain evaluated entirely map-side in "
+    "whole-stage codegen (no UDF, no shuffle); the oracle SQL is "
+    "GENERATED from the same rule table (operators/text.py PII_RULES) "
+    "so the two engines run literally identical patterns.",
+    tags=("text",),
+)
+def customers_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer").select("c_custkey", "c_name")
+    red = T.pii_redact(cust, text_col="c_name")
+    return red.select(
+        "c_custkey",
+        *[f"n_{name}" for name, _, _ in T.PII_RULES],
+        "n_redactions",
+        "redacted",
+    )
+
+
+@q(
     "emb_semantic_dedup_clusters",
     oracle="""
 WITH RECURSIVE e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
@@ -2742,6 +2852,17 @@ _DEFERRED_PAST_WINDOW = [
     "events_grouped_product",  # A1 exp(sum(ln)) grouped product ⊂ windowed
     # events_cumprod_normalized_factor (its PARTITION BY total is the same
     # grouped product) and ⊂ corporate_actions_adjust's per-day split product.
+    # Demotions making room for the second batch of round-5 capabilities
+    # (duplicated-n-gram fraction, mixture weights, PII scrubbing). Each
+    # demoted query is a shape twin of queries that stay windowed:
+    "orders_top3_per_priority",  # rank-window top-k per group ⊂ windowed
+    # docs_tfidf_top_terms (rank per doc) + emb_knn_join (rank per query)
+    "docs_length_percentiles",  # groupBy percentile agg; the agg shape is
+    # windowed many times over and the sketch family is error-bound
+    # pytest-verified (test_sketches.py)
+    "events_tumbling_hourly",  # batch date_trunc agg twin of the
+    # pytest-verified streaming tumbling window; plain keyed agg shape
+    # ⊂ tpch_q01 and events_manifest_stats
 ]
 
 

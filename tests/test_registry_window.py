@@ -60,6 +60,11 @@ MUST_BE_WINDOWED = [
     "customers_with_orders_semi",
     # Round-5 addition: the only registry query on the part table.
     "tpch_q14_promo_revenue",
+    # Round-5 additions, second batch: cross-corpus duplicated-n-gram
+    # fraction, temperature-scaled mixture weights, PII scrubbing.
+    "docs_dup_ngram_fraction",
+    "docs_mixture_weights",
+    "customers_pii_scrub",
 ]
 
 

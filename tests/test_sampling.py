@@ -77,3 +77,25 @@ def test_stratified_sample_inexact_rate_matches_duckdb(spark):
         ).fetchall()
     ]
     assert kept_spark == kept_duck
+
+
+def test_mixture_weights_hand_case(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.sampling import mixture_weights
+    import pyspark.sql.functions as F2
+
+    # Two strata with a 9:1 token split. alpha=0.5 pulls 0.9/0.1 toward
+    # sqrt(0.9)/sqrt(0.1) normalized = 0.75/0.25.
+    rows = [("a", 90), ("b", 10)]
+    df = spark.createDataFrame(rows, "source string, n_tok int")
+    out = {
+        r["source"]: r
+        for r in mixture_weights(df, F2.col("n_tok"), "source", alpha=0.5).collect()
+    }
+    assert out["a"]["n_tokens"] == 90 and out["b"]["n_tokens"] == 10
+    assert out["a"]["p_raw"] == 0.9 and out["b"]["p_raw"] == 0.1
+    assert abs(out["a"]["weight"] - 0.75) < 1e-6
+    assert abs(out["b"]["weight"] - 0.25) < 1e-6
+    # Weights always renormalize to 1 and compress the raw skew.
+    assert abs(out["a"]["weight"] + out["b"]["weight"] - 1.0) < 1e-9
+    assert out["a"]["weight"] < out["a"]["p_raw"]
+    assert out["b"]["weight"] > out["b"]["p_raw"]

@@ -174,3 +174,26 @@ def test_quality_filter_flags_hand_computed(spark):
         assert r["keep"] == (
             r["ok_length"] and r["ok_word_len"] and r["ok_stopwords"] and r["ok_repetition"]
         )
+
+
+def test_duplicated_ngram_fraction_hand_case(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        duplicated_ngram_fraction,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps"),  # shares "the quick brown"+"quick brown fox" with doc 1
+        (1, "the quick brown fox sleeps"),
+        (2, "entirely different words here now"),
+        (3, "too short"),  # < 3 tokens -> no shingles, dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_ngram_fraction(df).collect()}
+    assert set(out) == {0, 1, 2}
+    # Docs 0/1: 3 distinct trigrams each, 2 shared ("the quick brown",
+    # "quick brown fox").
+    for d in (0, 1):
+        assert out[d]["n_shingles"] == 3
+        assert out[d]["n_dup"] == 2
+        assert abs(out[d]["dup_ratio"] - round(2 / 3, 6)) < 1e-9
+    assert out[2]["n_dup"] == 0 and out[2]["dup_ratio"] == 0.0
