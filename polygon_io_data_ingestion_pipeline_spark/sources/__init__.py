@@ -1,5 +1,6 @@
 from .tables import TESTDATA_TABLES, table
 from .csv_bars import read_bar_flatfiles, resolve_bar_columns
+from .jsonl import read_jsonl, write_jsonl
 from .lake import lake_manifest, read_lake, write_lake
 from .watchlist import load_watchlist, union_universes
 
@@ -8,6 +9,8 @@ __all__ = [
     "table",
     "read_bar_flatfiles",
     "resolve_bar_columns",
+    "read_jsonl",
+    "write_jsonl",
     "lake_manifest",
     "read_lake",
     "write_lake",
