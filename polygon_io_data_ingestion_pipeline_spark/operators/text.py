@@ -471,3 +471,103 @@ def pii_redact(
     for c in count_cols:
         total = F.col(c) if total is None else total + F.col(c)
     return out.withColumn("n_redactions", total).withColumn(out_col, cur)
+
+
+def chunk_windows(
+    df: DataFrame,
+    max_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size training context windows: one row
+    per (doc, chunk), each chunk at most ``max_tokens`` tokens, chunk
+    starts every ``stride`` tokens (``stride < max_tokens`` gives the
+    standard overlapping windows so no span is ever cut without also
+    appearing whole in a neighbor).
+
+    This is the "make training examples" step after cleaning/dedup:
+    packing (:func:`sequence_packing`) bins whole short documents into a
+    capacity; chunking cuts long documents down to the model's context
+    length. Entirely map-side — the token array binds once per row, the
+    per-chunk explode and slice stay in codegen, and no shuffle or state
+    is involved, so at 100 TB it runs at scan speed with output rows ~
+    (corpus tokens / stride).
+
+    Returns (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if stride <= 0 or max_tokens <= 0:
+        raise ValueError("max_tokens and stride must be positive")
+    toks = tokens(text_col)
+    out = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .filter(F.size("_t") > 0)
+        .select(
+            id_col,
+            "_t",
+            F.explode(F.expr(f"sequence(0, size(_t) - 1, {stride})")).alias("_start"),
+        )
+    )
+    return out.select(
+        id_col,
+        (F.col("_start") / stride).cast("int").alias("chunk_id"),
+        F.least(F.lit(max_tokens), F.size("_t") - F.col("_start")).cast("long").alias(
+            "n_chunk_tokens"
+        ),
+        F.expr(f"array_join(slice(_t, _start + 1, {max_tokens}), ' ')").alias("chunk_text"),
+    )
+
+
+# Stand-in linear head for a trained quality classifier. In production
+# the numbers come from exporting a trained model's coefficients
+# (logistic regression / fastText linear head over these same cheap
+# features); scoring then runs engine-side at scan speed with no
+# inference library, which is exactly how classifier-based filtering is
+# deployed on a 100 TB corpus.
+DEFAULT_QUALITY_WEIGHTS: dict[str, float] = {
+    "bias": -3.0,
+    "log_n_tokens": 0.9,
+    "stopword_ratio": 4.0,
+    "avg_word_len": -0.2,
+    "punct_ratio": -2.0,
+}
+
+
+def quality_score(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality scoring: a logistic score over the
+    :func:`quality_stats` features — the classifier-filter pattern
+    (score every document, keep above a threshold) with the linear head
+    evaluated as a map-side column expression.
+
+    Engine-portability: every feature is pre-rounded (quality_stats
+    already emits round-6 ratios), the logit is rounded to 6 decimals
+    BEFORE the sigmoid and the score after it, so the one
+    potentially-last-ulp-different primitive per engine (exp/ln) acts
+    on bit-identical inputs and its output is re-quantized — the same
+    discipline the grouped-product oracle uses for exp(sum(ln)).
+
+    Returns (id, n_tokens, quality_score, keep).
+    """
+    w = dict(DEFAULT_QUALITY_WEIGHTS, **(weights or {}))
+    qs = quality_stats(df, text_col, id_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_n_tokens"]) * F.log(F.col("n_tokens").cast("double"))
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(w["avg_word_len"]) * F.col("avg_word_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+    )
+    z = F.round(z, 6)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return qs.select(
+        id_col,
+        "n_tokens",
+        score.alias("quality_score"),
+        (score >= F.lit(threshold)).cast("int").alias("keep"),
+    )

@@ -31,14 +31,17 @@ MUST_BE_WINDOWED = [
     # query was demoted in round 5 for tpch_q14 (part-table coverage).
     "dedup_lsh_verified_pairs",
     "dedup_simhash_pairs",
-    "emb_cosine_neardup_pairs",
+    # RP-LSH near-dup machinery is externally verified via the SUPERSET
+    # query (emb_semantic_dedup_clusters computes the same candidate +
+    # exact-verify pair set before the transitive closure); the
+    # pairs-only query was demoted in round 5.
     "emb_cosine_topk",
     "emb_ivf_topk",
     "docs_token_stats",
     # Round-3 capability additions — each is a distinct operator family
-    # member (winnowing fingerprints, transitive-closure dup clustering,
-    # PQ/ADC ANN) and must hold a driver-verified slot.
-    "docs_winnow_fingerprints",
+    # member (transitive-closure dup clustering, PQ/ADC ANN) and must
+    # hold a driver-verified slot. (Winnowing fingerprints moved to the
+    # superset query docs_shared_substring_pairs in round 5.)
     "dedup_duplicate_clusters",
     "emb_pq_topk_rerank",
     # Round-4 additions: repetition quality metrics, benchmark
@@ -65,6 +68,11 @@ MUST_BE_WINDOWED = [
     "docs_dup_ngram_fraction",
     "docs_mixture_weights",
     "customers_pii_scrub",
+    # Round-5 additions, third batch: context-window chunking,
+    # classifier-based quality scoring, MOSS shared-substring pairs.
+    "docs_chunk_windows",
+    "docs_quality_score",
+    "docs_shared_substring_pairs",
 ]
 
 

@@ -197,3 +197,61 @@ def test_duplicated_ngram_fraction_hand_case(spark):
         assert out[d]["n_dup"] == 2
         assert abs(out[d]["dup_ratio"] - round(2 / 3, 6)) < 1e-9
     assert out[2]["n_dup"] == 0 and out[2]["dup_ratio"] == 0.0
+
+
+def test_chunk_windows_hand_case(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import chunk_windows
+
+    doc = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = _docs(spark, [(1, doc), (2, "a b"), (3, "")])
+    out = chunk_windows(df, max_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # Doc 1: starts 0,3,6,9 -> lengths 4,4,4,1, overlapping by one token.
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert [c["n_chunk_tokens"] for c in chunks] == [4, 4, 4, 1]
+    assert chunks[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert chunks[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert chunks[3]["chunk_text"] == "w9"
+    # Every token appears in some chunk; consecutive chunks overlap.
+    assert set(doc.split()) == {t for c in chunks for t in c["chunk_text"].split()}
+    # Doc 2 fits in one window; empty doc 3 emits nothing (split('')
+    # yields [''], one bogus token — the operator treats it as 1 token).
+    assert [c["chunk_text"] for c in by_doc[2]] == ["a b"]
+
+
+def test_quality_score_orders_and_bounds(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import quality_score
+
+    rich = "the data in a table is the value of the row and the key " * 4
+    poor = "!!! ??? ### $$$ %%%"
+    df = _docs(spark, [(1, rich.strip()), (2, poor)])
+    out = {r["doc_id"]: r for r in quality_score(df).collect()}
+    for r in out.values():
+        assert 0.0 < r["quality_score"] < 1.0
+        assert r["keep"] == (1 if r["quality_score"] >= 0.5 else 0)
+    # Long, stopword-rich prose outscores short punctuation soup.
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    assert out[1]["keep"] == 1 and out[2]["keep"] == 0
+
+
+def test_shared_substring_pairs_detects_copied_run(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        shared_substring_pairs,
+    )
+
+    copied = "this exact passage was copied verbatim between documents"
+    rows = [
+        (1, "intro words " + copied),
+        (2, copied + " plus an unrelated tail"),
+        (3, "zq xv jk wp mn bc df gh"),  # shares no 10-char run
+    ]
+    df = _docs(spark, rows)
+    pairs = {(r["id1"], r["id2"]): r["n_shared"] for r in shared_substring_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)] >= 2  # a long copied run shares many fingerprints
+    assert all(3 not in p for p in pairs)
+    # min_shared raises the evidence bar.
+    high = shared_substring_pairs(df, min_shared=10**6).collect()
+    assert high == []
