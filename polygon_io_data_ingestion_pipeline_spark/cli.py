@@ -118,6 +118,61 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_corpus(args: argparse.Namespace) -> int:
+    """Training-corpus prep, end to end: JSONL/parquet documents in ->
+    PII scrub (optional) -> quality gate -> exact dedup (min-id
+    representative) -> leak-proof hash split -> partitioned parquet (or
+    JSONL) out, with the corpus accounting printed (read / quarantined
+    / gated / unique / per-split). The same composition the
+    docs_corpus_prep registry plan verifies against its SQL oracle,
+    wired to real files."""
+    import pyspark.sql.functions as F
+
+    from .operators.dedup import exact_duplicates
+    from .operators.sampling import hash_split
+    from .operators.text import pii_redact, quality_filter
+    from .sources.jsonl import read_jsonl, write_jsonl
+
+    spark = get_spark("poly-corpus", master=args.master)
+    if args.src.endswith(".parquet") or args.input_format == "parquet":
+        docs = spark.read.parquet(args.src)
+        n_quarantined = 0
+    else:
+        docs, bad = read_jsonl(spark, args.src)
+        n_quarantined = bad.count()
+    n_read = docs.count()
+
+    if args.redact_pii:
+        from .operators.text import PII_RULES
+
+        red = pii_redact(docs, text_col="text")
+        audit_cols = [f"n_{name}" for name, _, _ in PII_RULES] + ["n_redactions"]
+        docs = red.drop("text", *audit_cols).withColumnRenamed("redacted", "text")
+
+    passthrough = tuple(c for c in docs.columns if c != "doc_id")
+    gated = quality_filter(docs, keep_cols=passthrough)
+    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough)
+
+    reps = exact_duplicates(kept.select("doc_id", "text")).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    unique = kept.join(reps, "doc_id", "left_semi")
+
+    out = hash_split(unique).persist()
+    n_unique = out.count()
+    split_counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    if args.format == "jsonl":
+        write_jsonl(out, args.out, target_partitions=args.partitions)
+    else:
+        out.write.mode("overwrite").partitionBy("split").parquet(args.out)
+    print(
+        f"corpus -> {args.out}: read={n_read} quarantined={n_quarantined} "
+        f"unique_kept={n_unique} splits={split_counts}"
+    )
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="polygon-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -164,6 +219,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--stride", type=int, default=31)
     _add_common(p)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser(
+        "corpus", help="documents (jsonl/parquet) -> scrubbed, gated, deduped, split corpus"
+    )
+    p.add_argument("--src", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--input-format", choices=["jsonl", "parquet"], default="jsonl")
+    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
+    p.add_argument("--redact-pii", action="store_true")
+    p.add_argument("--partitions", type=int, default=None)
+    _add_common(p)
+    p.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -47,6 +47,7 @@ def read_jsonl(
     spark: SparkSession,
     path: str,
     schema: S.StructType = DOCS_SCHEMA,
+    strict: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Read a JSONL corpus -> (good_rows, quarantined_lines).
 
@@ -54,6 +55,20 @@ def read_jsonl(
     (``raw_line``) holding each unparseable line verbatim for triage.
     A line is quarantined, never dropped or fatal: corpus-size
     accounting must see it.
+
+    ``strict`` picks between two honest-but-different contracts:
+
+    - ``True`` (default): good/bad are exact complements under the FULL
+      declared schema — a type mismatch anywhere in the row quarantines
+      it, whatever the caller projects or counts downstream. This is
+      what corpus accounting needs, and it necessarily parses every
+      declared field (no column pruning at the scan).
+    - ``False``: Spark's native projection semantics — a row is good if
+      the fields you actually read parsed. Column pruning reaches the
+      JSON parser (reading ``doc_id, lang`` skips the heavy ``text``
+      field entirely), but ``good``/``bad`` are no longer complements
+      and counts depend on the projection. Right for extract-a-column
+      scans where per-row accounting doesn't matter.
     """
     read_schema = S.StructType(list(schema.fields) + [S.StructField(_CORRUPT, S.StringType())])
     df = (
@@ -62,19 +77,24 @@ def read_jsonl(
         .option("columnNameOfCorruptRecord", _CORRUPT)
         .json(path)
     )
-    good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    # The quarantine side must keep every schema field in the scan's
-    # requiredSchema, for two reasons at once: Spark (correctly) refuses
-    # a query whose JSON scan reads ONLY the corrupt column, and a scan
-    # pruned to fewer fields would not PARSE the pruned fields — so a
-    # type mismatch in them would silently stop counting as corrupt.
-    # The guard below is tautological (greatest of 0/1 ints >= 0) but
-    # not constant-foldable, so column pruning must retain every field
-    # and the reader parses the full declared row. No cache, no second
-    # format: the audit pass stays one lazy scan.
+    # In strict mode both branches must keep every schema field in the
+    # scan's requiredSchema, for two reasons at once: a scan pruned to
+    # fewer fields does not PARSE the pruned fields, so a type mismatch
+    # in them silently stops counting as corrupt (good.count() would
+    # include mismatched rows; bad would miss them), and Spark
+    # (correctly) refuses a query whose JSON scan reads ONLY the
+    # corrupt column. The guard is tautological (greatest of 0/1 ints
+    # >= 0) but not constant-foldable, so column pruning must retain
+    # every field and the reader parses the full declared row whatever
+    # the caller projects or counts downstream. No cache, no second
+    # format: each branch stays one lazy scan.
     full_parse_guard = (
         F.greatest(*[F.col(f.name).isNotNull().cast("int") for f in schema.fields]) >= 0
     )
+    good_cond = F.col(_CORRUPT).isNull()
+    if strict:
+        good_cond = good_cond & full_parse_guard
+    good = df.filter(good_cond).drop(_CORRUPT)
     bad = df.filter(F.col(_CORRUPT).isNotNull() & full_parse_guard).select(
         F.col(_CORRUPT).alias("raw_line")
     )

@@ -1,0 +1,49 @@
+"""The `corpus` CLI journey: JSONL in -> PII scrub -> quality gate ->
+exact dedup -> hash split -> partitioned parquet out, with quarantine
+and dedup visible in the accounting."""
+
+from __future__ import annotations
+
+import json
+
+from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+
+GOOD = (
+    "the data in a table is the value of the row and the key for the "
+    "batch while the line in a window is the part of the sort"
+)
+
+
+def _line(doc_id, text, source="srcA"):
+    return json.dumps(
+        {"doc_id": doc_id, "text": text, "lang": "en", "source": source, "n_chars": len(text)}
+    )
+
+
+def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        _line(1, GOOD),
+        _line(2, GOOD),  # exact duplicate of 1 -> deduped, rep is min id
+        _line(3, GOOD + " reach me at spam@example.com today"),  # PII, still good
+        _line(4, "short junk"),  # fails the length gate
+        "{broken line",  # quarantined
+    ]
+    (src / "docs.jsonl").write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "out")
+
+    rc = main(["corpus", "--src", str(src), "--out", out, "--redact-pii"])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "read=4" in msg and "quarantined=1" in msg and "unique_kept=2" in msg
+
+    result = spark.read.parquet(out)
+    rows = {r["doc_id"]: r for r in result.collect()}
+    # Dup class {1,2} keeps the min id; junk and the broken line are gone.
+    assert set(rows) == {1, 3}
+    assert "spam@example.com" not in rows[3]["text"]
+    assert "<EMAIL>" in rows[3]["text"]
+    # Split column materialized and partition-pruned on disk.
+    assert set(result.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}

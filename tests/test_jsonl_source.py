@@ -62,7 +62,8 @@ def test_gzip_lines_readable_by_stdlib(spark, tmp_path):
 def test_projection_prunes_json_read_schema(spark, sf_dir, tmp_path):
     out = str(tmp_path / "proj")
     write_jsonl(table(spark, sf_dir, "documents"), out, compression=None)
-    good, _ = read_jsonl(spark, out)
+    # strict=False trades complement accounting for scan-level pruning.
+    good, _ = read_jsonl(spark, out, strict=False)
     plan = good.select("doc_id", "lang").groupBy("lang").count()._jdf.queryExecution().executedPlan().toString()
     # The scan's ReadSchema must carry only the projected fields (plus the
     # corrupt-record channel), not text/n_chars — Jackson then skips the
@@ -70,6 +71,30 @@ def test_projection_prunes_json_read_schema(spark, sf_dir, tmp_path):
     scan_line = [ln for ln in plan.split("\n") if "ReadSchema" in ln]
     assert scan_line, plan
     assert "text" not in scan_line[0]
+
+
+def test_strict_mode_full_accounting_any_projection(spark, tmp_path):
+    # In strict mode good/bad are complements even when the caller only
+    # counts or projects one column: the mismatch row below is excluded
+    # from good regardless of what is read.
+    p = tmp_path / "acct"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": "t", "lang": "en", "source": "s", "n_chars": 1})
+        + "\n"
+        + json.dumps({"doc_id": 2, "text": "t", "lang": "en", "source": "s", "n_chars": "x"})
+        + "\n"
+    )
+    good, bad = read_jsonl(spark, str(p))
+    assert good.count() == 1
+    assert [r["doc_id"] for r in good.select("doc_id").collect()] == [1]
+    assert bad.count() == 1
+    loose_good, _ = read_jsonl(spark, str(p), strict=False)
+    # Native semantics: projecting only doc_id, the n_chars mismatch is
+    # invisible and both rows parse. (collect, not count: a bare count
+    # would prune every field and trip Spark's corrupt-column-only
+    # restriction — loose mode inherits the engine's native limits.)
+    assert len(loose_good.select("doc_id").collect()) == 2
 
 
 def test_explicit_schema_no_inference_pass(spark, tmp_path):
