@@ -116,3 +116,29 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     assert "isFinalPlan=true" in plan
     # `*(n)` prefixes mark whole-stage-codegen spans in the tree string
     assert "*(" in plan
+
+
+def test_map_side_operators_have_no_exchange(spark, sf_dir):
+    """Chunking and PII scrubbing are pure map-side column expressions:
+    any Exchange in their plans means a shuffle crept into what should
+    run at scan speed."""
+    for name in ("docs_chunk_windows", "customers_pii_scrub"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+
+
+def test_shared_substring_pairs_no_cartesian(spark, sf_dir):
+    """The winnow posting self-join must stay an equi hash join on the
+    fingerprint key."""
+    plan = plan_of(REGISTRY["docs_shared_substring_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_ngram_fraction_totals_computed_map_side(spark, sf_dir):
+    """Per-document shingle totals come from array_distinct on the doc
+    itself (map-side), never from re-aggregating the posting table; and
+    the frequent-set membership stays an equi join."""
+    plan = plan_of(REGISTRY["docs_dup_ngram_fraction"].fn(spark, sf_dir))
+    assert "array_distinct" in plan
+    assert "CartesianProduct" not in plan
