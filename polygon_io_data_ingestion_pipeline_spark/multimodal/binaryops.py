@@ -7,17 +7,17 @@ Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
-Codec status per modality: **audio (WAV), image (PNM) and video (the
-PNMV intra-only container) decode REAL bytes** — pure stdlib + NumPy,
-no external library needed (see :func:`decode_wav` /
-:func:`decode_audio_features`, :func:`decode_pnm` /
-:func:`decode_image_features` / :func:`resize_pnm`,
-:func:`decode_pnmv` / :func:`frame_sample_video`). Compressed formats
-(JPEG/MP4/...) are STUBBED in this container (no Pillow/pyav
-installed): ``_decode_stub`` derives a small deterministic
-pseudo-feature from the bytes so schemas, batch shapes, partitioning
-and tests are real end-to-end; swap the stub for Pillow / pyav calls
-in production — every signature stays the same.
+Codec status per modality: **audio (WAV), image (PNM AND baseline
+JPEG) and video (the PNMV intra-only container) decode REAL bytes** —
+pure stdlib + NumPy, no external library needed (see
+:func:`decode_wav` / :func:`decode_audio_features`, :func:`decode_pnm`
+/ the baseline JFIF codec in :mod:`.jpeg` / :func:`decode_image_features`
+/ :func:`resize_pnm`, :func:`decode_pnmv` / :func:`frame_sample_video`).
+Remaining stubbed formats (PNG/MP4/progressive or subsampled JPEG):
+``_decode_stub`` derives a small deterministic pseudo-feature from the
+bytes so schemas, batch shapes, partitioning and tests stay real
+end-to-end; swap the stub for Pillow / pyav calls in production —
+every signature stays the same.
 """
 
 from __future__ import annotations
@@ -38,8 +38,8 @@ MEDIA_SCHEMA = (
 )
 
 #: which modalities decode real bytes vs the deterministic stub
-#: (image = real for PNM/P5/P6; video = real for the PNMV intra-only
-#: container; compressed formats still stub)
+#: (image = real for PNM/P5/P6 and baseline 4:4:4/grayscale JFIF;
+#: video = real for the PNMV intra-only container; PNG/MP4 still stub)
 PRODUCTION_DECODERS = {"audio": True, "image": True, "video": True}
 
 
@@ -180,10 +180,28 @@ def encode_pnm(img: np.ndarray) -> bytes:
     return magic + f"\n{w} {h}\n255\n".encode() + arr.tobytes()
 
 
+def _decode_any_image(payload: bytes) -> np.ndarray:
+    """REAL decode for the supported raster formats: PNM (P5/P6) via
+    :func:`decode_pnm`, baseline JFIF via :mod:`.jpeg`. Raises
+    ValueError/JpegFormatError on anything else (callers quarantine)."""
+    if bytes(payload[:2]) in (b"P5", b"P6"):
+        return decode_pnm(payload)
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
+    raise ValueError("unsupported raster format")
+
+
+def _is_real_image(payload) -> bool:
+    return payload is not None and bytes(payload[:2]) in (b"P5", b"P6", b"\xff\xd8")
+
+
 def _image_features(payload: bytes) -> list[float]:
-    """8 real image features of a PNM payload: width, height, channels,
-    mean, std, min, max, mean |horizontal gradient| (sharpness proxy)."""
-    img = decode_pnm(payload)
+    """8 real image features of a PNM or baseline-JPEG payload: width,
+    height, channels, mean, std, min, max, mean |horizontal gradient|
+    (sharpness proxy)."""
+    img = _decode_any_image(payload)
     x = img.astype(np.float64)
     grad = float(np.mean(np.abs(np.diff(x, axis=1)))) if x.shape[1] > 1 else 0.0
     return [
@@ -201,11 +219,12 @@ def _image_features(payload: bytes) -> list[float]:
 def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     """(media_id, features array<double>) via Arrow-batched decode.
 
-    PNM payloads (P5/P6 magic) get the REAL stdlib decode
-    (:func:`decode_pnm`): corrupt ones quarantine to null features.
-    Other formats (JPEG/PNG — no codec libs in this container) fall to
-    the deterministic stub; swap ``_decode_stub`` for Pillow in
-    production, signatures unchanged."""
+    PNM payloads (P5/P6 magic) and baseline JPEG (FFD8 magic) get the
+    REAL decode (:func:`decode_pnm` / :mod:`.jpeg`): corrupt or
+    unsupported-variant payloads quarantine to null features. Remaining
+    formats (PNG — no codec in this container) fall to the
+    deterministic stub; swap ``_decode_stub`` for Pillow in production,
+    signatures unchanged."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -213,7 +232,7 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
             for p in batch["payload"]:
                 if p is None:
                     feats.append(None)
-                elif bytes(p[:2]) in (b"P5", b"P6"):
+                elif _is_real_image(p):
                     try:
                         feats.append(_image_features(p))
                     except ValueError:
@@ -237,13 +256,26 @@ def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
     return encode_pnm(img[rows][:, cols])
 
 
+def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
+    """REAL JPEG resize: decode (baseline JFIF), nearest-neighbor
+    sample, re-encode at quality 90 — output is a valid JPEG."""
+    from .jpeg import encode_jpeg
+
+    img = _decode_any_image(payload)
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_jpeg(img[rows][:, cols], quality=90)
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """(media_id, payload, meta) resized to the target dimensions.
 
-    PNM payloads are REALLY resized (nearest-neighbor,
-    :func:`resize_pnm`); other formats keep their bytes (stub path —
-    no codec libs) with meta rewritten, so downstream schema contracts
-    hold for every kind. Undecodable PNM bytes null out (quarantine).
+    PNM and baseline-JPEG payloads are REALLY resized
+    (nearest-neighbor; JPEG is decoded, resized and re-encoded at
+    quality 90, staying a valid JPEG); other formats keep their bytes
+    (stub path) with meta rewritten, so downstream schema contracts
+    hold for every kind. Undecodable payloads null out (quarantine).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -253,6 +285,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 if p is not None and bytes(p[:2]) in (b"P5", b"P6"):
                     try:
                         payloads.append(resize_pnm(p, width, height))
+                    except ValueError:
+                        payloads.append(None)
+                elif p is not None and bytes(p[:2]) == b"\xff\xd8":
+                    try:
+                        payloads.append(resize_jpeg(p, width, height))
                     except ValueError:
                         payloads.append(None)
                 else:

@@ -1,0 +1,541 @@
+"""Baseline JFIF (JPEG) codec in pure NumPy + stdlib — no Pillow, no
+libjpeg. Closes the "compressed codecs stubbed" gap honestly: the
+multimodal operators decode REAL compressed bytes.
+
+Scope (and honest limits):
+
+- **Encoder**: baseline sequential DCT (SOF0), 4:4:4 sampling (no
+  chroma subsampling), standard Annex-K quantization tables scaled by
+  the libjpeg quality formula, standard Huffman tables, JFIF APP0.
+- **Decoder**: baseline sequential (SOF0) with any per-file DQT/DHT
+  (tables are READ FROM THE STREAM, not assumed), grayscale or 3-component
+  4:4:4, restart markers honored. Progressive (SOF2), arithmetic
+  coding, 12-bit precision and subsampled chroma are rejected with a
+  clear error — callers quarantine, exactly like every other corrupt
+  payload in multimodal/binaryops.py.
+
+The format is self-describing (quant + Huffman tables travel in
+DQT/DHT segments), so encode->decode fidelity is provable in-repo;
+interop additionally works for any baseline 4:4:4/grayscale JPEG.
+
+Per-pixel work is vectorized NumPy (blockwise DCT as two 8x8 matrix
+multiplies over all blocks at once); only the entropy coder is a
+Python loop, which is the honest cost of a stdlib-only container —
+and it runs inside Arrow-batched ``mapInPandas`` workers, so the
+cluster scales it out like any other decode.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- constants -------------------------------------------------------------
+
+#: Annex K.1/K.2 quantization tables (row-major 8x8).
+QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+
+def _zigzag_order() -> np.ndarray:
+    """Row-major indices in zigzag scan order, generated (not recalled)."""
+    out = []
+    for s in range(15):
+        rs = range(max(0, s - 7), min(s, 7) + 1)
+        for r in rs if s % 2 == 1 else reversed(list(rs)):
+            out.append(r * 8 + (s - r))
+    return np.array(out, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Standard Huffman table specs (bits-per-length, then symbols). The
+# DECODER never uses these — it builds tables from the file's DHT — so
+# roundtrip correctness is independent of them; they only have to be a
+# valid canonical code, which the builder asserts.
+DC_LUMA_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUMA_VALS = list(range(12))
+DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROMA_VALS = list(range(12))
+AC_LUMA_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUMA_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+for _bits, _vals in (
+    (DC_LUMA_BITS, DC_LUMA_VALS),
+    (DC_CHROMA_BITS, DC_CHROMA_VALS),
+    (AC_LUMA_BITS, AC_LUMA_VALS),
+    (AC_CHROMA_BITS, AC_CHROMA_VALS),
+):
+    assert sum(_bits) == len(_vals), "huffman spec bits/vals mismatch"
+
+#: 8x8 DCT-II basis; DCT = C @ block @ C.T, IDCT = C.T @ coef @ C.
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+class JpegFormatError(ValueError):
+    """Unsupported or corrupt JPEG stream."""
+
+
+# --- huffman ---------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) for a canonical JPEG Huffman table."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # 1-fill, per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise JpegFormatError("entropy stream truncated")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise JpegFormatError("entropy stream truncated at 0xFF")
+            marker = self.data[self.pos]
+            if marker == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                raise JpegFormatError(f"unexpected marker 0xFF{marker:02X} in scan")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_restart(self) -> None:
+        """Skip to just past the next RSTn marker (pos already points at
+        the 0xFF because bit() raised... instead callers use this after
+        catching a marker in _fill is not possible — so we scan raw)."""
+        self.n = 0
+        while self.pos < len(self.data):
+            if (
+                self.data[self.pos] == 0xFF
+                and self.pos + 1 < len(self.data)
+                and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+            ):
+                self.pos += 2
+                return
+            self.pos += 1
+        raise JpegFormatError("restart marker not found")
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise JpegFormatError("invalid huffman code")
+
+
+def _extend(v: int, s: int) -> int:
+    """JPEG EXTEND: map s-bit magnitude to signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# --- color -----------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0], img[..., 1], img[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    y, cb, cr = img[..., 0], img[..., 1] - 128.0, img[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+# --- blocking --------------------------------------------------------------
+
+
+def _to_blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """channel (H, W) -> (n_blocks, 8, 8) with edge-replicate padding,
+    blocks in raster order; returns (blocks, blocks_h, blocks_w)."""
+    h, w = chan.shape
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = np.pad(chan, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
+    )
+    return blocks, bh, bw
+
+
+def _from_blocks(blocks: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.ndarray:
+    return (
+        blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
+    )
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((table * scale + 50) // 100, 1, 255).astype(np.int32)
+
+
+# --- encoder ---------------------------------------------------------------
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 image (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF
+    bytes (4:4:4, standard tables at the given quality)."""
+    arr = np.asarray(img)
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    gray = arr.ndim == 2
+    if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
+        raise ValueError("expects (H,W) or (H,W,3)")
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr.astype(np.float64)]
+    else:
+        ycc = _rgb_to_ycbcr(arr.astype(np.float64))
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+
+    qluma = _quality_scale(QUANT_LUMA, quality)
+    qchroma = _quality_scale(QUANT_CHROMA, quality)
+    qtabs = [qluma] + ([qchroma] if not gray else [])
+
+    # DCT + quantization, all blocks at once per plane.
+    coef_planes = []
+    for ci, plane in enumerate(planes):
+        blocks, bh, bw = _to_blocks(plane - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
+        q = qluma if ci == 0 else qchroma
+        coef_planes.append(np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG])
+
+    dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_tabs.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_tabs.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    bwtr = _BitWriter()
+    pred = [0] * len(planes)
+    n_mcu = coef_planes[0].shape[0]
+    for m in range(n_mcu):
+        for ci in range(len(planes)):
+            zz = coef_planes[ci][m]
+            ti = 0 if ci == 0 else 1
+            dc_codes, ac_codes = dc_tabs[ti], ac_tabs[ti]
+            diff = int(zz[0]) - pred[ci]
+            pred[ci] = int(zz[0])
+            s = _category(diff)
+            code, ln = dc_codes[s]
+            bwtr.write(code, ln)
+            if s:
+                bwtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bwtr.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bwtr.write(code, ln)
+                bwtr.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+                if k == last_nz:
+                    break
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bwtr.write(code, ln)
+    entropy = bwtr.flush()
+
+    # --- markers
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(int(x) for x in q.reshape(-1)[ZIGZAG])
+    nc = 1 if gray else 3
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    huff_specs = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if not gray:
+        huff_specs += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --- decoder ---------------------------------------------------------------
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> uint8 array (H, W) or (H, W, 3).
+
+    Tables come from the stream's own DQT/DHT segments. Raises
+    :class:`JpegFormatError` on progressive/subsampled/corrupt input —
+    including truncated buffers, whose raw IndexError/struct.error are
+    converted so callers have ONE quarantine exception type.
+    """
+    try:
+        return _decode_markers(payload)
+    except (IndexError, struct.error, KeyError) as e:
+        raise JpegFormatError(f"corrupt JPEG stream: {e!r}") from e
+
+
+def _decode_markers(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"\xff\xd8":
+        raise JpegFormatError("missing SOI")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    restart_interval = 0
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegFormatError("marker expected")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        seglen = struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0xF
+                if pq != 0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                zz = np.frombuffer(seg[off + 1 : off + 65], dtype=np.uint8).astype(np.int32)
+                q = np.zeros(64, dtype=np.int32)
+                q[ZIGZAG] = zz
+                qtabs[tq] = q.reshape(8, 8)
+                off += 65
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(seg):
+                tc, th = seg[off] >> 4, seg[off] & 0xF
+                bits = list(seg[off + 1 : off + 17])
+                nv = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nv])
+                htabs[(tc, th)] = _decode_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
+                ">H", seg[3:5]
+            )[0], seg[5]
+            if prec != 8:
+                raise JpegFormatError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
+                if hv != 0x11:
+                    raise JpegFormatError("subsampled chroma unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(f"non-baseline frame 0xFF{marker:02X} unsupported")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise JpegFormatError("SOS before SOF0")
+            ns = seg[0]
+            scan_tabs = []
+            for ci in range(ns):
+                td, ta = seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 0xF
+                scan_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
+            data = payload[pos + seglen :]
+            return _decode_scan(data, frame, qtabs, scan_tabs, restart_interval)
+        pos += seglen
+    raise JpegFormatError("no scan data")
+
+
+def _decode_scan(data, frame, qtabs, scan_tabs, restart_interval) -> np.ndarray:
+    fh, fw, comps = frame
+    nc = len(comps)
+    bh, bw = -(-fh // 8), -(-fw // 8)
+    n_mcu = bh * bw
+    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
+    reader = _BitReader(data)
+    pred = [0] * nc
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            reader.align_to_restart()
+            pred = [0] * nc
+        for ci in range(nc):
+            dc_tab, ac_tab = scan_tabs[ci]
+            s = _huff_decode(reader, dc_tab)
+            diff = _extend(reader.bits(s), s) if s else 0
+            pred[ci] += diff
+            zz = coefs[ci][m]
+            zz[0] = pred[ci]
+            k = 1
+            while k < 64:
+                rs = _huff_decode(reader, ac_tab)
+                run, size = rs >> 4, rs & 0xF
+                if size == 0:
+                    if run == 15:  # ZRL
+                        k += 16
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise JpegFormatError("AC run past block end")
+                zz[k] = _extend(reader.bits(size), size)
+                k += 1
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        q = qtabs[tq].reshape(-1)
+        dez = coefs[ci][:, UNZIGZAG] * q[UNZIGZAG]
+        blocks = dez.reshape(-1, 8, 8).astype(np.float64)
+        spatial = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
+        planes.append(_from_blocks(spatial, bh, bw, fh, fw))
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    return np.clip(np.round(_ycbcr_to_rgb(ycc)), 0, 255).astype(np.uint8)

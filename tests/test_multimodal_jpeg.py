@@ -1,0 +1,126 @@
+"""Baseline JFIF codec on REAL bytes: roundtrip fidelity, marker
+structure, self-describing tables, unsupported-variant rejection, and
+the Spark feature/resize integration."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import (
+    JpegFormatError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _gradient(h, w):
+    x = np.linspace(0, 255, w)[None, :] + np.linspace(0, 255, h)[:, None]
+    return (x / 2).astype(np.uint8)
+
+
+def test_color_roundtrip_high_fidelity():
+    g = _gradient(64, 64)
+    img = np.stack([g, 255 - g, np.roll(g, 8, axis=0)], axis=-1)
+    enc = encode_jpeg(img, quality=90)
+    assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+    dec = decode_jpeg(enc)
+    assert dec.shape == img.shape and dec.dtype == np.uint8
+    assert _psnr(dec, img) > 38
+
+
+def test_gray_roundtrip_odd_dimensions():
+    img = _gradient(50, 47)  # not multiples of 8: pad-and-crop path
+    dec = decode_jpeg(encode_jpeg(img, quality=75))
+    assert dec.shape == (50, 47)
+    assert _psnr(dec, img) > 35
+
+
+def test_quality_100_near_lossless_on_noise():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=100))
+    # all-ones quant tables: worst case error is DCT float rounding
+    assert int(np.max(np.abs(dec.astype(int) - img.astype(int)))) <= 1
+
+
+def test_quality_trades_size_for_fidelity():
+    # Smooth channels (no wrap-around edges: a 255->0 jump rings at any
+    # quality and flattens the PSNR curve — real JPEG behavior).
+    g = _gradient(64, 64)
+    img = np.stack([g, 255 - g, g.T], axis=-1)
+    lo, hi = encode_jpeg(img, quality=20), encode_jpeg(img, quality=95)
+    assert len(lo) < len(hi)
+    assert _psnr(decode_jpeg(hi), img) > _psnr(decode_jpeg(lo), img)
+
+
+def test_tables_are_read_from_stream_not_assumed():
+    # Patch one DQT entry in the encoded bytes; the decoder must honor
+    # the modified table (self-describing format), changing the output.
+    img = _gradient(16, 16)
+    enc = bytearray(encode_jpeg(img, quality=90))
+    dqt = enc.find(b"\xff\xdb")
+    assert dqt > 0
+    base = decode_jpeg(bytes(enc))
+    enc[dqt + 5] = 255  # first quant value (DC) -> 255
+    patched = decode_jpeg(bytes(enc))
+    assert not np.array_equal(base, patched)
+
+
+def test_unsupported_and_corrupt_rejected():
+    img = _gradient(16, 16)
+    enc = bytearray(encode_jpeg(img))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05trunc")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"not a jpeg at all")
+    # entropy truncation
+    full = encode_jpeg(img)
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(full[: len(full) // 2])
+
+
+def test_spark_image_features_use_real_jpeg_decode(spark):
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.binaryops import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    img = _gradient(24, 24)
+    payload = encode_jpeg(img, quality=90)
+    rows = [
+        (1, "image", bytearray(payload), {"mime": "image/jpeg", "width": 24, "height": 24, "duration_ms": None}),
+        (2, "image", bytearray(b"\xff\xd8corrupt"), {"mime": "image/jpeg", "width": 0, "height": 0, "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"] for r in decode_image_features(df).collect()}
+    # Real decode: geometry features are the actual image dimensions.
+    assert out[1][0] == 24.0 and out[1][1] == 24.0 and out[1][2] == 1.0
+    assert abs(out[1][3] - float(img.mean())) < 3.0  # mean within JPEG loss
+    # Corrupt payload quarantines to null, not a task failure.
+    assert out[2] is None
+
+
+def test_spark_resize_reencodes_valid_jpeg(spark):
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.binaryops import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    g = _gradient(32, 32)
+    img = np.stack([g, g, g], axis=-1)
+    rows = [(1, "image", bytearray(encode_jpeg(img)), {"mime": "image/jpeg", "width": 32, "height": 32, "duration_ms": None})]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = resize_images(df, width=16, height=8).collect()[0]
+    resized = decode_jpeg(bytes(out["payload"]))
+    assert resized.shape == (8, 16, 3)
+    assert out["meta"]["width"] == 16 and out["meta"]["height"] == 8
