@@ -7,13 +7,14 @@ Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
-Codec status per modality: **audio (WAV), image (PNM AND baseline
-JPEG) and video (the PNMV intra-only container) decode REAL bytes** —
+Codec status per modality: **audio (WAV), image (PNM, baseline JPEG
+AND PNG) and video (the PNMV intra-only container) decode REAL
+bytes** —
 pure stdlib + NumPy, no external library needed (see
 :func:`decode_wav` / :func:`decode_audio_features`, :func:`decode_pnm`
 / the baseline JFIF codec in :mod:`.jpeg` / :func:`decode_image_features`
 / :func:`resize_pnm`, :func:`decode_pnmv` / :func:`frame_sample_video`).
-Remaining stubbed formats (PNG/MP4/progressive or subsampled JPEG):
+Remaining stubbed formats (MP4/progressive or subsampled JPEG):
 ``_decode_stub`` derives a small deterministic pseudo-feature from the
 bytes so schemas, batch shapes, partitioning and tests stay real
 end-to-end; swap the stub for Pillow / pyav calls in production —
@@ -38,8 +39,9 @@ MEDIA_SCHEMA = (
 )
 
 #: which modalities decode real bytes vs the deterministic stub
-#: (image = real for PNM/P5/P6 and baseline 4:4:4/grayscale JFIF;
-#: video = real for the PNMV intra-only container; PNG/MP4 still stub)
+#: (image = real for PNM/P5/P6, baseline 4:4:4/grayscale JFIF, and
+#: 8-bit PNG; video = real for the PNMV intra-only container; MP4 and
+#: exotic JPEG/PNG variants still stub/quarantine)
 PRODUCTION_DECODERS = {"audio": True, "image": True, "video": True}
 
 
@@ -190,11 +192,17 @@ def _decode_any_image(payload: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if bytes(payload[:4]) == b"\x89PNG":
+        from .png import decode_png
+
+        return decode_png(payload)
     raise ValueError("unsupported raster format")
 
 
 def _is_real_image(payload) -> bool:
-    return payload is not None and bytes(payload[:2]) in (b"P5", b"P6", b"\xff\xd8")
+    return payload is not None and (
+        bytes(payload[:2]) in (b"P5", b"P6", b"\xff\xd8") or bytes(payload[:4]) == b"\x89PNG"
+    )
 
 
 def _image_features(payload: bytes) -> list[float]:
@@ -219,12 +227,11 @@ def _image_features(payload: bytes) -> list[float]:
 def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     """(media_id, features array<double>) via Arrow-batched decode.
 
-    PNM payloads (P5/P6 magic) and baseline JPEG (FFD8 magic) get the
-    REAL decode (:func:`decode_pnm` / :mod:`.jpeg`): corrupt or
-    unsupported-variant payloads quarantine to null features. Remaining
-    formats (PNG — no codec in this container) fall to the
-    deterministic stub; swap ``_decode_stub`` for Pillow in production,
-    signatures unchanged."""
+    PNM (P5/P6 magic), baseline JPEG (FFD8) and PNG (\x89PNG) payloads
+    get the REAL decode (:func:`decode_pnm` / :mod:`.jpeg` /
+    :mod:`.png`): corrupt or unsupported-variant payloads quarantine to
+    null features. Anything else falls to the deterministic stub; swap
+    ``_decode_stub`` for Pillow in production, signatures unchanged."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -268,10 +275,22 @@ def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
     return encode_jpeg(img[rows][:, cols], quality=90)
 
 
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """REAL lossless PNG resize: decode, nearest-neighbor sample,
+    re-encode (exact — PNG has no quality loss)."""
+    from .png import encode_png
+
+    img = _decode_any_image(payload)
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return encode_png(img[rows][:, cols])
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """(media_id, payload, meta) resized to the target dimensions.
 
-    PNM and baseline-JPEG payloads are REALLY resized
+    PNM, baseline-JPEG and PNG payloads are REALLY resized
     (nearest-neighbor; JPEG is decoded, resized and re-encoded at
     quality 90, staying a valid JPEG); other formats keep their bytes
     (stub path) with meta rewritten, so downstream schema contracts
@@ -290,6 +309,11 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
                 elif p is not None and bytes(p[:2]) == b"\xff\xd8":
                     try:
                         payloads.append(resize_jpeg(p, width, height))
+                    except ValueError:
+                        payloads.append(None)
+                elif p is not None and bytes(p[:4]) == b"\x89PNG":
+                    try:
+                        payloads.append(resize_png(p, width, height))
                     except ValueError:
                         payloads.append(None)
                 else:

@@ -52,7 +52,7 @@ def test_image_features_end_to_end(spark):
     rows = [
         (1, "image", encode_pnm(rgb), ("image/x-portable-pixmap", 16, 8, None)),
         (2, "image", b"P6\n4 4\n255\ntrunc", ("image/x-portable-pixmap", 4, 4, None)),
-        (3, "image", b"\x89PNG\r\n....", ("image/png", 4, 4, None)),  # stub path
+        (3, "image", b"GIF89a......", ("image/gif", 4, 4, None)),  # stub path (no GIF codec)
         (4, "image", None, ("image/png", None, None, None)),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -81,7 +81,7 @@ def test_resize_real_pixels(spark):
     df = spark.createDataFrame(
         [
             (1, "image", encode_pnm(rgb), ("image/x-portable-pixmap", 16, 8, None)),
-            (2, "image", b"\x89PNG\r\n..", ("image/png", 9, 9, None)),
+            (2, "image", b"GIF89a..", ("image/gif", 9, 9, None)),
         ],
         MEDIA_SCHEMA,
     )
@@ -89,5 +89,5 @@ def test_resize_real_pixels(spark):
     got = decode_pnm(bytes(out[1]["payload"]))
     assert np.array_equal(got, want)
     assert out[1]["meta"]["width"] == 6 and out[1]["meta"]["height"] == 4
-    assert bytes(out[2]["payload"]) == b"\x89PNG\r\n.."  # stub path: bytes kept
+    assert bytes(out[2]["payload"]) == b"GIF89a.."  # stub path: bytes kept
     assert out[2]["meta"]["width"] == 6
