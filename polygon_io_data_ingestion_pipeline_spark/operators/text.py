@@ -324,6 +324,44 @@ def tfidf_top_terms(
     )
 
 
+def top_bigram_frac_expr(text_col: str = "text") -> Column:
+    """Map-side top-bigram fraction: sort the 2-shingle array, fold to
+    the longest run of equal adjacent values (= the mode count), divide
+    by total bigrams. Identical output to the explode+groupBy
+    formulation (equality-tested), with NO shuffle and NO state — the
+    per-row cost is one O(n log n) array sort, bounded by document
+    length. This is the form a STREAMING quality gate needs (a
+    streaming groupBy would hold per-doc state), and a fine choice for
+    batch too when bigram skew isn't a concern."""
+    return F.expr(
+        f"""CASE WHEN size({_BG}) = 0 THEN NULL ELSE round(
+              aggregate(array_sort({_BG}),
+                        struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best),
+                        (acc, x) -> struct(
+                          x,
+                          IF(x = acc.prev, acc.run + 1, 1),
+                          greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))),
+                        acc -> CAST(acc.best AS DOUBLE)) / size({_BG}), 6)
+            END""".replace(
+            _BG, _bigrams_sql(text_col)
+        )
+    )
+
+
+_BG = "__BIGRAMS__"
+
+
+def _bigrams_sql(text_col: str) -> str:
+    """The word_shingles(n=2) expression as inline SQL (single binding
+    via transform-over-singleton, same guard as word_shingles)."""
+    return (
+        f"flatten(transform(array(split({text_col}, ' ')), t -> "
+        f"CASE WHEN size(t) < 2 THEN CAST(array() AS ARRAY<STRING>) ELSE "
+        f"transform(sequence(1, size(t) - 1), "
+        f"i -> concat_ws(' ', t[i - 1 + 0], t[i - 1 + 1])) END))"
+    )
+
+
 def quality_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -335,6 +373,7 @@ def quality_filter(
     max_dup_word_ratio: float = 0.6,
     max_top_bigram_frac: float = 0.5,
     keep_cols: tuple[str, ...] = (),
+    bigram: str = "shuffle",
 ) -> DataFrame:
     """Composite Gopher/RefinedWeb-style document quality gate: the
     keep/drop decision a training pipeline applies before dedup, with
@@ -361,7 +400,7 @@ def quality_filter(
     the cut.
     """
     t = tokens(text_col)
-    base = df.select(
+    base_cols = [
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         token_count(text_col).alias("n_tokens"),
@@ -374,16 +413,25 @@ def quality_filter(
             6,
         ).alias("avg_word_len"),
         F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-    )
-    gram_counts = (
-        df.select(F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("g"))
-        .groupBy(id_col, "g")
-        .count()
-    )
-    gram_mode = gram_counts.groupBy(id_col).agg(
-        F.round(F.max("count").cast("double") / F.sum("count"), 6).alias("top_bigram_frac")
-    )
-    out = base.join(gram_mode, id_col, "left")
+    ]
+    if bigram == "mapside":
+        # Shuffle-free, state-free: required for streaming (a streaming
+        # groupBy would hold per-doc state), equality-tested vs the
+        # shuffle path; computed in the same map-side projection as the
+        # other word metrics.
+        base_cols.append(top_bigram_frac_expr(text_col).alias("top_bigram_frac"))
+        out = df.select(*base_cols)
+    else:
+        base = df.select(*base_cols)
+        gram_counts = (
+            df.select(F.col(id_col), F.explode(word_shingles(text_col, 2)).alias("g"))
+            .groupBy(id_col, "g")
+            .count()
+        )
+        gram_mode = gram_counts.groupBy(id_col).agg(
+            F.round(F.max("count").cast("double") / F.sum("count"), 6).alias("top_bigram_frac")
+        )
+        out = base.join(gram_mode, id_col, "left")
     ok_length = (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens)
     ok_word_len = (F.col("avg_word_len") >= min_avg_word_len) & (
         F.col("avg_word_len") <= max_avg_word_len

@@ -1,0 +1,126 @@
+"""Incremental training-corpus ingestion: JSONL files land -> streaming
+exact dedup -> quality gate -> parquet corpus lake, exactly once.
+
+The batch `corpus` CLI (cli.py cmd_corpus) is the full-rebuild shape;
+this is the keep-it-fresh shape a production corpus actually runs: a
+scrape keeps dropping JSONL shards into a directory, and the pipeline
+must ingest each exactly once, drop documents it has already accepted
+(re-delivered shards, mirrored pages), gate quality, and append — with
+a restart recovering mid-stream from the checkpoint.
+
+Composition of proven pieces, nothing bespoke:
+
+- file-source streaming with an explicit schema (same contract as
+  sources/jsonl.py: inference would re-scan and could widen columns);
+- content-fingerprint dedup via ``dropDuplicatesWithinWatermark``
+  (windowed_stream.dedup_stream rationale: state bounded by the
+  watermark horizon, not O(all docs ever));
+- the same map-side quality gate as the batch path
+  (text.quality_filter), applied INSIDE the stream — stateless, so it
+  adds no streaming state;
+- an append-mode parquet sink. Append (not merge-overwrite like the
+  bars lake): the dedup stage already guarantees each fingerprint
+  passes at most once per horizon, and corpus rows are immutable facts
+  (a re-scraped page is a NEW fingerprint), so the bar-lake's
+  keep-last-by-key rewrite machinery would be paying for semantics
+  documents don't have. foreachBatch replays after a commit-without-
+  checkpoint are suppressed by batch-id tracking in the sink dir.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.text import quality_filter
+from ..sources.jsonl import DOCS_SCHEMA
+
+
+def read_corpus_stream(
+    spark: SparkSession,
+    src_dir: str,
+    ingest_ts_col: str = "ingest_ts",
+) -> DataFrame:
+    """Streaming JSONL document source with the declared corpus schema.
+
+    Adds a processing-time ``ingest_ts`` column: documents carry no
+    event time, so dedup state is bounded by arrival time — the
+    watermark horizon is "how late can a shard re-deliver", which for
+    file drops is a deployment constant, not a data property."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .json(src_dir)
+        .withColumn(ingest_ts_col, F.current_timestamp())
+    )
+
+
+def corpus_pipeline(
+    stream: DataFrame,
+    watermark_delay: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """dedup (by content fingerprint, watermark-bounded state) ->
+    quality gate (stateless map-side) -> accepted documents with their
+    fingerprint kept for audit."""
+    deduped = (
+        stream.withColumn("fp", F.md5(F.lower(F.col(text_col))))
+        .withWatermark("ingest_ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    gated = quality_filter(
+        deduped,
+        text_col=text_col,
+        keep_cols=("text", "lang", "source", "fp"),
+        bigram="mapside",  # shuffle-free and STATE-free: the groupBy
+        # formulation would be a streaming aggregation holding per-doc
+        # state; the map-side fold is equality-tested against it
+    )
+    return gated.filter(F.col("keep")).select(
+        "doc_id", "text", "lang", "source", "fp", "n_tokens"
+    )
+
+
+def write_corpus_batch(batch_df: DataFrame, batch_id: int, lake_path: str) -> None:
+    """Append-mode sink with replay suppression.
+
+    foreachBatch is at-least-once: a batch whose parquet append
+    committed but whose checkpoint offset did not advance re-executes
+    on restart and would double-append. A tiny committed-batch ledger
+    (one JSON line per batch id, written AFTER the append) makes the
+    replay a no-op. O(1) driver work per batch; the ledger lives next
+    to the data so a fresh checkpoint starts a fresh ledger."""
+    ledger = os.path.join(lake_path, "_committed_batches.json")
+    done: set[int] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
+    if batch_id in done:
+        return
+    batch_df.write.mode("append").partitionBy("source").parquet(lake_path)
+    with open(ledger, "a") as fh:
+        fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+
+
+def start_corpus_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    lake_path: str,
+    checkpoint: str,
+    watermark_delay: str = "10 minutes",
+):
+    """Drain available JSONL shards into the corpus lake, exactly once
+    (AvailableNow trigger — the cron-driven batch shape)."""
+    import functools
+
+    out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)
+    return (
+        out.writeStream.foreachBatch(
+            functools.partial(write_corpus_batch, lake_path=lake_path)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
