@@ -73,6 +73,10 @@ MUST_BE_WINDOWED = [
     "docs_chunk_windows",
     "docs_quality_score",
     "docs_shared_substring_pairs",
+    # Round-5 additions, fourth batch: exact column profiling and the
+    # constraint-report quality gate.
+    "orders_profile",
+    "orders_quality_report",
 ]
 
 
