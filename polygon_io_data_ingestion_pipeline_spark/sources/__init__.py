@@ -1,7 +1,7 @@
 from .tables import TESTDATA_TABLES, table
 from .csv_bars import read_bar_flatfiles, resolve_bar_columns
 from .jsonl import read_jsonl, write_jsonl
-from .lake import lake_manifest, read_lake, write_lake
+from .lake import lake_manifest, read_lake, write_lake, write_lake_zordered, zorder_key
 from .watchlist import load_watchlist, union_universes
 
 __all__ = [
@@ -14,6 +14,8 @@ __all__ = [
     "lake_manifest",
     "read_lake",
     "write_lake",
+    "write_lake_zordered",
+    "zorder_key",
     "load_watchlist",
     "union_universes",
 ]

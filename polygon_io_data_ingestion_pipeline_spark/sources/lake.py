@@ -194,3 +194,79 @@ def compact_lake(
     )
     spark.catalog.refreshByPath(path)
     return {"partitions_compacted": len(todo), "files_before": files_before}
+
+
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8, sample_fraction: float | None = None
+) -> DataFrame:
+    """Add a ``__zorder`` column: the Morton (Z-order) interleave of the
+    given columns' quantile-bucket ranks.
+
+    Why: sorting a lake by ONE column gives perfect file-level min/max
+    pruning on that column and none on any other. Interleaving the bit
+    representations of per-column ranks clusters rows that are close in
+    EVERY dimension into the same files, so parquet min/max (and
+    partition-level) skipping works for predicates on any of the
+    z-ordered columns at once — the layout trick production lakehouses
+    use for multi-dimensional pruning at 100 TB.
+
+    Mechanics: per column, 2^bits approximate quantile cut points are
+    computed in one pass (``approx_percentile``: mergeable sketches,
+    collected driver-side as a tiny literal array), each value maps to
+    its bucket rank map-side (a literal-array comparison fold inside
+    codegen — no join, no second shuffle), and ranks interleave
+    bit-by-bit into one BIGINT. Quantile (not min/max-linear) bucketing
+    makes the curve robust to skew: each bucket holds ~equal row mass.
+
+    ``sample_fraction`` bounds the cut-point pass on huge inputs (the
+    sketch is already one pass; sampling just cuts bytes scanned).
+    """
+    if len(cols) * bits > 63:
+        raise ValueError("len(cols) * bits must fit in a signed 64-bit key")
+    n_buckets = 1 << bits
+    src = df.sample(sample_fraction) if sample_fraction else df
+    pcts = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = src.select(
+        *[
+            F.expr(
+                f"approx_percentile(CAST({c} AS DOUBLE), array({', '.join(str(p) for p in pcts)}))"
+            ).alias(c)
+            for c in cols
+        ]
+    ).first()
+    key = None
+    for ci, c in enumerate(cols):
+        cuts = [float(x) for x in (cuts_row[c] or [])]
+        lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cuts)
+        rank = F.expr(
+            f"size(filter(array({lits}), t -> t <= CAST({c} AS DOUBLE)))"
+        ).cast("long")
+        # interleave: bit b of this column's rank lands at position
+        # b * n_cols + ci of the key
+        for b in range(bits):
+            bit = F.shiftright(rank, b).bitwiseAND(F.lit(1))
+            placed = F.shiftleft(bit, b * len(cols) + ci)
+            key = placed if key is None else key.bitwiseOR(placed)
+    return df.withColumn("__zorder", key)
+
+
+def write_lake_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Write a Z-order-clustered parquet lake: range-partition on the
+    Morton key (contiguous curve segments per file), sort within each
+    file by the key, drop the helper column. Downstream scans prune
+    files via parquet min/max on ANY of the z-ordered columns."""
+    keyed = zorder_key(df, cols, bits=bits)
+    (
+        keyed.repartitionByRange(n_files, "__zorder")
+        .sortWithinPartitions("__zorder")
+        .drop("__zorder")
+        .write.option("compression", "zstd")
+        .mode("overwrite")
+        .parquet(path)
+    )
