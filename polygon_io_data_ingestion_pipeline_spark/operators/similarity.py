@@ -419,6 +419,36 @@ def build_ivf_index(
     return centroids
 
 
+def append_to_ivf_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors to the
+    EXISTING codebook and append them into the index's partition
+    directories — no rebuild, no touch of resident data.
+
+    This is how a growing corpus keeps its ANN index fresh at 100 TB:
+    rebuilding reclusters everything (quadratic over time); appending
+    is one map-side assignment against the frozen centroid literals
+    plus a partitioned append of only the new rows. The recall
+    trade-off is honest and standard (FAISS `add` does the same):
+    frozen centroids drift from the true clustering as the
+    distribution shifts, so periodically re-train and rebuild; until
+    then every appended vector is still reachable through its nearest
+    frozen centroid, and `ivf_topk_indexed` probes appended rows with
+    zero changes. Daily small-file buildup is `compact_lake`'s job.
+    """
+    centroids = read_ivf_codebook(path)
+    (
+        ivf_assign(df, centroids, vec_col)
+        .repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("append")
+        .parquet(path)
+    )
+
+
 def read_ivf_codebook(path: str) -> list[tuple[int, list[float]]]:
     """Load the codebook sidecar written by :func:`build_ivf_index`."""
     import json

@@ -137,3 +137,40 @@ def test_index_cli_builds_probeable_index(spark, sf_dir, tmp_path):
     qvec = [float(v) for v in emb.filter("vec_id = 0").select("embedding").first()[0]]
     got = ivf_topk_indexed(spark, out, cents, qvec, k=10, nprobe=4, exclude_id=0)
     assert len(got.collect()) == 10
+
+
+def test_append_to_ivf_index_incremental_maintenance(spark, sf_dir, tmp_path):
+    """Appending new vectors against the frozen codebook yields the
+    SAME index contents as building once over the full corpus with
+    that codebook — no rebuild, and probes reach appended rows."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    first, rest = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+
+    # Codebook trained once (the historical corpus) and FROZEN; index
+    # built on the first half, then the second half APPENDED.
+    cents = strided_centroids(emb, nlist=16, stride=31)
+    idx = str(tmp_path / "ivf_inc")
+    build_ivf_index(first, idx, nlist=16, stride=31, centroids=cents)
+    append_to_ivf_index(rest, idx)
+
+    # Reference: one-shot build over everything with the same codebook.
+    ref = str(tmp_path / "ivf_ref")
+    build_ivf_index(emb, ref, nlist=16, stride=31, centroids=cents)
+
+    a = spark.read.parquet(idx).select("vec_id", "list_id")
+    b = spark.read.parquet(ref).select("vec_id", "list_id")
+    assert a.count() == emb.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # Probing the incrementally-maintained index returns appended
+    # (odd-id) neighbors identically to the one-shot index.
+    qvec = [float(v) for v in emb.filter("vec_id = 1").select("embedding").first()[0]]
+    got = ivf_topk_indexed(spark, idx, cents, qvec, k=10, nprobe=4, exclude_id=1)
+    want = ivf_topk_indexed(spark, ref, cents, qvec, k=10, nprobe=4, exclude_id=1)
+    assert _ids(got.collect()) == _ids(want.collect())
+    assert any(i % 2 == 1 for i in _ids(got.collect()))  # appended rows reachable
