@@ -619,3 +619,47 @@ def quality_score(
         score.alias("quality_score"),
         (score >= F.lit(threshold)).cast("int").alias("keep"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model quality proxy (the CCNet recipe, unigram order):
+    score each document by the mean log-probability of its tokens under
+    the corpus's own unigram distribution. Documents full of rare or
+    out-of-distribution tokens (gibberish, foreign-corpus leaks, OCR
+    noise) score low; middle-of-the-distribution prose scores high —
+    the cheap stand-in for KenLM perplexity filtering, with
+    ``ppl_proxy = exp(-avg_logprob)`` reported in perplexity units.
+
+    Scale shape: token explode -> one partial-agg shuffle for corpus
+    counts -> keyed join back on the token (the vocabulary can be
+    large: never broadcast) -> one per-document aggregation. The corpus
+    total rides along as a 1-row broadcast cross join.
+
+    Engine-portability: each ln() is quantized to 6 decimals and summed
+    as exact integers, so the per-doc mean is association-order
+    independent and a DuckDB audit matches bit-for-bit (same discipline
+    as the grouped-product/quality-score oracles).
+
+    Returns (id, n_tokens, avg_logprob, ppl_proxy).
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    scored = tok.join(counts, "w").crossJoin(F.broadcast(total))
+    slp = F.round(F.log(F.col("c").cast("double") / F.col("t")) * 1e6, 0).cast("long")
+    per = (
+        scored.select(F.col(id_col), slp.alias("slp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("slp").alias("s"))
+    )
+    avg = F.round(F.col("s") / F.lit(1e6) / F.col("n_tokens"), 6)
+    return per.withColumn("avg_logprob", avg).select(
+        id_col,
+        "n_tokens",
+        "avg_logprob",
+        F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl_proxy"),
+    )

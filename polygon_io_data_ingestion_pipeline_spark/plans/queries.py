@@ -2725,6 +2725,69 @@ def orders_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_unigram_logprob",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM cnt),
+lp AS (SELECT doc_id,
+              CAST(round(ln(CAST(c AS DOUBLE) / t) * 1000000.0, 0) AS BIGINT) AS slp
+       FROM tok JOIN cnt ON cnt.w = tok.w, tot),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(CAST(sum(slp) AS DOUBLE) / 1000000.0 / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id)
+SELECT doc_id, n_tokens, avg_logprob,
+       round(exp(-avg_logprob), 6) AS ppl_proxy
+FROM per
+""",
+    doc="Language-model quality proxy (the CCNet recipe at unigram "
+    "order): mean log-probability of each document's tokens under the "
+    "corpus's own unigram distribution, with exp(-avg) reported in "
+    "perplexity units — gibberish and out-of-distribution docs score "
+    "low. Token counts are one partial-agg shuffle; the probability "
+    "join is keyed on the token (vocabularies are large: never "
+    "broadcast); per-token ln() is integer-quantized before the "
+    "per-doc mean so the result is association-order independent and "
+    "engine-exact (operators/text.py unigram_logprob).",
+    tags=("text",),
+)
+def docs_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    return T.unigram_logprob(table(spark, sf, "documents"))
+
+
+@q(
+    "events_retention_cohorts",
+    oracle="""
+WITH act AS (SELECT DISTINCT user_id AS u,
+                    CAST(date_trunc('week', ts) AS DATE) AS p
+             FROM events),
+fst AS (SELECT u, min(p) AS cohort FROM act GROUP BY u),
+j AS (SELECT act.u, fst.cohort,
+             CAST((act.p - fst.cohort) / 7 AS INT) AS week_offset
+      FROM act JOIN fst ON fst.u = act.u),
+sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_size FROM fst GROUP BY cohort),
+m AS (SELECT cohort, week_offset, CAST(count(DISTINCT u) AS BIGINT) AS n_active
+      FROM j GROUP BY cohort, week_offset)
+SELECT CAST(m.cohort AS VARCHAR) AS cohort, m.week_offset, m.n_active, s.cohort_size,
+       round(CAST(m.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM m JOIN sizes s ON s.cohort = m.cohort
+""",
+    doc="Cohort retention matrix: users grouped by first-seen ISO week; "
+    "for each cohort, how many were active k weeks later — the "
+    "product-analytics rollup an event warehouse serves. Two keyed "
+    "aggregations (first-seen per user; distinct-active per cohort x "
+    "offset) and one user-keyed join; the matrix itself is O(weeks^2) "
+    "rows (operators/retention.py retention_matrix).",
+    tags=("events",),
+)
+def events_retention_cohorts(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.retention import retention_matrix
+
+    ev = table(spark, sf, "events").select("user_id", "ts")
+    return retention_matrix(ev)
+
+
+@q(
     "orders_quality_report",
     oracle="""
 SELECT 'totalprice_positive' AS "check",
@@ -3105,8 +3168,9 @@ _DEFERRED_PAST_WINDOW = [
     # before the transitive closure)
     "events_overnight_gap",  # W7 ⊂ events_split_gap_inference (the W8
     # heuristic computes the raw overnight gap as its input signal)
-    # Demotions for the fourth round-5 batch (column profiling,
-    # constraint-report quality gate):
+    # Demotions for the fourth and fifth round-5 batches (column
+    # profiling + constraint gate; unigram-LM scoring + retention
+    # cohorts):
     "tpch_q03_top_orders",  # join+agg shape ⊂ tpch_q05 (6-way join
     # windowed); its TakeOrdered top-k plan shape is plan-asserted via
     # emb_cosine_topk (windowed). Still benched every round.
@@ -3114,6 +3178,11 @@ _DEFERRED_PAST_WINDOW = [
     # windowed events_window_lag_ratio (lag) and
     # events_cumprod_normalized_factor (running windows); the streaming
     # twin is independently pytest-verified (sessionize_stream).
+    "events_day_edges",  # W6 ⊂ events_split_gap_inference: the W8
+    # heuristic's chain (day_edges -> overnight_gap -> inference)
+    # computes these exact edges first — same precedent as W7.
+    "events_window_lag_ratio",  # W1 lag ⊂ windowed events_autocorr_qa
+    # (its per-user prev_value IS F.lag over the same ordered window).
 ]
 
 

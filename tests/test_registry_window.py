@@ -77,6 +77,10 @@ MUST_BE_WINDOWED = [
     # constraint-report quality gate.
     "orders_profile",
     "orders_quality_report",
+    # Round-5 additions, fifth batch: unigram-LM quality scoring and
+    # cohort retention analysis.
+    "docs_unigram_logprob",
+    "events_retention_cohorts",
 ]
 
 
