@@ -270,3 +270,59 @@ def write_lake_zordered(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def delete_from_lake(
+    spark: SparkSession,
+    path: str,
+    keys_df: DataFrame,
+    key_col: str,
+    partition_cols: list[str],
+) -> int:
+    """Targeted row deletion from a partitioned parquet lake — the
+    takedown / right-to-be-forgotten primitive a training-data store
+    must serve (copyright removals, PII erasure, opt-outs).
+
+    Without a table format the unit of rewrite is the partition, so the
+    job is: find the partitions that actually hold matching keys (one
+    semi-join aggregation — O(touched partitions) driver memory), read
+    ONLY those back (exact OR-of-ANDs partition filter -> pruned scan),
+    anti-join the keys out, eagerly ``localCheckpoint`` (Spark must not
+    lazily re-read the files it is about to replace), and
+    dynamic-partition-overwrite just the touched partitions. Untouched
+    partitions keep their files byte-for-byte (mtime-asserted in
+    tests) — at 100 TB a deletion of k documents costs the partitions
+    they live in, not the lake. Returns the number of rows deleted.
+
+    Same machinery as the streaming sink's merge-overwrite
+    (streaming/ingest_stream.py write_ingest_batch); deletion is the
+    subtractive case.
+    """
+    lake = spark.read.parquet(path)
+    keys = keys_df.select(F.col(key_col)).distinct()
+    touched = (
+        lake.join(F.broadcast(keys), key_col, "left_semi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return 0
+    part_filter = None
+    for row in touched:
+        clause = None
+        for c in partition_cols:
+            cond = F.col(c) == row[c]
+            clause = cond if clause is None else clause & cond
+        part_filter = clause if part_filter is None else part_filter | clause
+    affected = lake.filter(part_filter)
+    n_before = affected.count()
+    kept = affected.join(F.broadcast(keys), key_col, "left_anti").localCheckpoint()
+    n_deleted = n_before - kept.count()
+    (
+        kept.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+    return n_deleted
