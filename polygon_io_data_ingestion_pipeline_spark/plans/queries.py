@@ -2725,6 +2725,63 @@ def orders_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_pagerank_centrality",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+pairs AS (
+  SELECT id1, id2 FROM p JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+  WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.05),
+sym AS (SELECT id1 AS u, id2 AS v FROM pairs UNION ALL SELECT id2, id1 FROM pairs),
+deg AS (SELECT u, count(*) AS degree FROM sym GROUP BY u),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+r0 AS (SELECT u, degree, round(1.0 / n, 12) AS rank FROM deg, nn),
+e1 AS (SELECT sym.u, CAST(round(r.rank / r.degree * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM sym JOIN r0 r ON r.u = sym.v),
+s1 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e1 GROUP BY u),
+r1 AS (SELECT d.u, d.degree, round(0.15 / nn.n + 0.85 * (s1.s / 1000000000000.0), 12) AS rank
+       FROM deg d JOIN s1 ON s1.u = d.u, nn),
+e2 AS (SELECT sym.u, CAST(round(r.rank / r.degree * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM sym JOIN r1 r ON r.u = sym.v),
+s2 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e2 GROUP BY u),
+r2 AS (SELECT d.u, d.degree, round(0.15 / nn.n + 0.85 * (s2.s / 1000000000000.0), 12) AS rank
+       FROM deg d JOIN s2 ON s2.u = d.u, nn),
+e3 AS (SELECT sym.u, CAST(round(r.rank / r.degree * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM sym JOIN r2 r ON r.u = sym.v),
+s3 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e3 GROUP BY u),
+r3 AS (SELECT d.u, d.degree, round(0.15 / nn.n + 0.85 * (s3.s / 1000000000000.0), 12) AS rank
+       FROM deg d JOIN s3 ON s3.u = d.u, nn)
+SELECT u AS node, CAST(degree AS BIGINT) AS degree, rank FROM r3
+""",
+    doc="PageRank centrality over the n-gram-Jaccard near-dup graph "
+    "(threshold 0.05, the dedup_duplicate_clusters edge set): "
+    "high-centrality nodes are the template/boilerplate HUBS — "
+    "documents that partially overlap many others without being exact "
+    "duplicates of any one — which per-pair dedup never surfaces. "
+    "Three power iterations, each one keyed join + one partial-agg "
+    "shuffle; ranks quantize to 12 decimals per iteration and "
+    "contributions sum as scaled BIGINTs, so the oracle (the SAME "
+    "iterations unrolled in SQL) reproduces the trajectory exactly "
+    "(operators/graph.py pagerank).",
+    tags=("graph", "dedup"),
+)
+def docs_pagerank_centrality(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank
+
+    docs = table(spark, sf, "documents")
+    edges = D.jaccard_pairs(docs, threshold=0.05).select("id1", "id2")
+    return pagerank(edges, iters=3)
+
+
+@q(
     "docs_unigram_logprob",
     oracle="""
 WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
@@ -3183,6 +3240,12 @@ _DEFERRED_PAST_WINDOW = [
     # computes these exact edges first — same precedent as W7.
     "events_window_lag_ratio",  # W1 lag ⊂ windowed events_autocorr_qa
     # (its per-user prev_value IS F.lag over the same ordered window).
+    # Demotion for the sixth round-5 batch (PageRank centrality):
+    "tpch_q05_local_supplier_volume",  # 6-way broadcast-join + agg
+    # demo; the BHJ chain is plan-asserted (test_dimension_joins_
+    # broadcast) and the reference's real join pipeline holds driver
+    # rows via corporate_actions_adjust and the series joins. tpch_q01
+    # and tpch_q14 keep TPC-H externally verified; q05 stays benched.
 ]
 
 

@@ -81,6 +81,9 @@ MUST_BE_WINDOWED = [
     # cohort retention analysis.
     "docs_unigram_logprob",
     "events_retention_cohorts",
+    # Round-5 additions, sixth batch: iterative graph centrality with a
+    # fully unrolled SQL oracle.
+    "docs_pagerank_centrality",
 ]
 
 
