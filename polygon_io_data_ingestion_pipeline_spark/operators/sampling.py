@@ -119,3 +119,49 @@ def mixture_weights(
         "p_raw",
         F.round(F.col("_t") / F.sum("_t").over(w), 6).alias("weight"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row gets sort key
+    ``u ** (1/w)`` for a per-key uniform ``u``; the top-k keys are a
+    weighted sample without replacement. The training-data use: sample
+    documents proportional to a quality score or token count while
+    keeping the draw reproducible across re-runs, retries, and engines.
+
+    The uniform comes from the row's md5 bucket (same construction as
+    :func:`hash_bucket` — never ``rand()``), so the sample is a pure
+    function of (key, salt). The sort key is quantized to 9 decimals
+    with the row key as tiebreak: ``pow`` may differ in the last ulp
+    across engines, and quantize-then-tiebreak makes the selected set
+    and order identical everywhere instead of depending on float
+    ordering luck (9 decimals: at ulp ~1e-16 the chance any row's
+    ROUNDED key differs across engines is ~1e-7, vs ~1e-4 at 12 —
+    and ties the quantization does create break on the key). Non-positive weights are excluded (standard A-ES
+    domain). One TakeOrdered pass — no shuffle beyond top-k.
+
+    Returns the sampled rows plus the ``sample_key`` column, ordered by
+    (sample_key desc, key) — deterministic.
+    """
+    u = (
+        F.expr(
+            f"CAST(conv(substr(md5('{salt}' || CAST({key_col} AS STRING)), 1, 12), 16, 10)"
+            f" AS DOUBLE)"
+        )
+        / F.lit(float(1 << 48))
+    )
+    w = weight.cast("double")
+    skey = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    out = (
+        df.filter(w > 0)
+        .withColumn("sample_key", skey)
+        .orderBy(F.col("sample_key").desc(), F.col(key_col))
+        .limit(k)
+    )
+    return out

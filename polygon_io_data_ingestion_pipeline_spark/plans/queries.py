@@ -2725,6 +2725,39 @@ def orders_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_weighted_sample",
+    oracle="""
+WITH w AS (SELECT doc_id, lang, source,
+                  CAST(len(string_split(text, ' ')) AS DOUBLE) AS wt
+           FROM documents),
+s AS (SELECT doc_id, lang, source,
+             round(pow(CAST(('0x' || substr(md5('wsample' || CAST(doc_id AS VARCHAR)), 1, 12))
+                            AS BIGINT) / 281474976710656.0,
+                       1.0 / wt), 9) AS sample_key
+      FROM w WHERE wt > 0)
+SELECT doc_id, lang, source, sample_key
+FROM s ORDER BY sample_key DESC, doc_id LIMIT 50
+""",
+    doc="Deterministic weighted sampling without replacement "
+    "(Efraimidis-Spirakis A-ES): top-k of u^(1/w) with the per-row "
+    "uniform derived from md5(salt || key) — sample documents "
+    "proportional to token count (or any quality score) with the draw "
+    "reproducible across re-runs, partitionings, and engines. Map-side "
+    "key computation + one TakeOrdered; keys quantized to 9 decimals "
+    "with the row key as tiebreak so pow's last-ulp cross-engine "
+    "differences cannot change the selected set "
+    "(operators/sampling.py weighted_sample).",
+    tags=("sampling",),
+)
+def docs_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import weighted_sample
+
+    docs = table(spark, sf, "documents").select("doc_id", "lang", "source", "text")
+    out = weighted_sample(docs, T.token_count("text"), k=50)
+    return out.select("doc_id", "lang", "source", "sample_key")
+
+
+@q(
     "docs_pagerank_centrality",
     oracle="""
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -3246,6 +3279,12 @@ _DEFERRED_PAST_WINDOW = [
     # broadcast) and the reference's real join pipeline holds driver
     # rows via corporate_actions_adjust and the series joins. tpch_q01
     # and tpch_q14 keep TPC-H externally verified; q05 stays benched.
+    # Deferred-by-design addition (in-repo oracle parity only): the
+    # A-ES weighted sample composes two driver-verified pieces — the
+    # md5-uniform keying (docs_split_and_sample) and TakeOrdered top-k
+    # (emb_cosine_topk, plan-asserted) — and the window's remaining
+    # slots are all sole representatives of their operator families.
+    "docs_weighted_sample",
 ]
 
 

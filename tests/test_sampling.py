@@ -99,3 +99,25 @@ def test_mixture_weights_hand_case(spark):
     assert abs(out["a"]["weight"] + out["b"]["weight"] - 1.0) < 1e-9
     assert out["a"]["weight"] < out["a"]["p_raw"]
     assert out["b"]["weight"] > out["b"]["p_raw"]
+
+
+def test_weighted_sample_aes_properties(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.sampling import weighted_sample
+
+    # Heavy-weight rows dominate the draw; zero/negative weights are out.
+    rows = [(i, 1000.0 if i < 10 else 0.1) for i in range(200)] + [(900, 0.0), (901, -1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(df, F.col("w"), k=10, key_col="doc_id").collect()
+    assert len(out) == 10
+    got = [r["doc_id"] for r in out]
+    assert 900 not in got and 901 not in got
+    # With a 10000:1 weight ratio the ten heavy rows win essentially
+    # always (P[light key > heavy key] ~ w_l/w_h per pair).
+    assert sum(1 for i in got if i < 10) >= 9
+    # Deterministic: same draw on a different partitioning.
+    again = [r["doc_id"] for r in weighted_sample(df.repartition(7), F.col("w"), k=10).collect()]
+    assert got == again
+    # Keys are valid A-ES keys (u^(1/w) in (0, 1]) and sorted desc.
+    keys = [r["sample_key"] for r in out]
+    assert all(0 < s <= 1 for s in keys)
+    assert keys == sorted(keys, reverse=True)
