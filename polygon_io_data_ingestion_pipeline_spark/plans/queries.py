@@ -1202,6 +1202,151 @@ def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "tpch_q04_priority_exists",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (adapted to the testdata's columns: the EXISTS "
+    "predicate is 'has a returned line' since l_commitdate/l_receiptdate "
+    "are absent): order counts by priority for orders with at least one "
+    "matching lineitem. The Spark side is the literal correlated-EXISTS "
+    "SQL — Catalyst decorrelates it into a left-semi hash join (no "
+    "per-order probe, one keyed shuffle), which "
+    "tests/test_decorrelation.py plan-asserts. Counts only, so no float "
+    "discipline is needed.",
+    tags=("join", "subquery"),
+)
+def tpch_q04(spark: SparkSession, sf: str) -> DataFrame:
+    table(spark, sf, "orders").createOrReplaceTempView("__q04_orders")
+    table(spark, sf, "lineitem").createOrReplaceTempView("__q04_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM __q04_orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate < TIMESTAMP '1997-07-01'
+          AND EXISTS (SELECT 1 FROM __q04_lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (SELECT l_partkey,
+                   sum(CAST(round(l_quantity * 1000000) AS BIGINT)) AS sq,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0 / 7.0,
+             2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#23'
+  AND 5 * CAST(round(l_quantity * 1000000) AS BIGINT) * cnt < sq
+""",
+    doc="TPC-H Q17 small-quantity-order revenue: the classic correlated "
+    "scalar subquery (l_quantity < 0.2 * per-part average) decorrelated "
+    "into a per-part aggregate joined back to the fact — the rewrite "
+    "Catalyst itself applies, expressed explicitly so the threshold can "
+    "use exact integer math: q < 0.2*sum/cnt compares as "
+    "5*q_scaled*cnt < sum_scaled (all BIGINT), so the knife-edge rows "
+    "agree bit-for-bit across engines instead of hanging on a double "
+    "division. Part is broadcast; the per-part aggregate is one partial-"
+    "agg shuffle on l_partkey reused by the join (AQE-planned).",
+    tags=("join", "subquery", "agg"),
+)
+def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_brand") == "Brand#23")
+        .select("p_partkey")
+    )
+    qs = F.round(F.col("l_quantity") * 1000000).cast("long")
+    pa = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_quantity") * 1000000).cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(pa, "l_partkey")
+        .filter(F.lit(5) * qs * F.col("cnt") < F.col("sq"))
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 1000000).cast("long"))
+                / 1000000.0
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@q(
+    "tpch_q22_idle_balance",
+    oracle="""
+WITH pos AS (SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+                    count(*) AS n
+             FROM customer WHERE c_acctbal > 0.0)
+SELECT c_nationkey,
+       count(*) AS numcust,
+       round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS totacctbal
+FROM customer, pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""",
+    doc="TPC-H Q22 shape (country code adapted to c_nationkey — no phone "
+    "column in the testdata — and 'never ordered' adapted to 'no order "
+    "since 2000', since every testdata customer has some order): lapsed "
+    "customers whose balance beats the global positive average. Composes "
+    "the uncorrelated scalar subquery (a 1-row aggregate, broadcast into "
+    "every comparison) with NOT EXISTS (decorrelated to a left-anti join "
+    "on the customer key against the date-filtered orders). acctbal has "
+    "2 decimals so *100 scaling is exact, and the above-average test "
+    "compares bal_scaled * n > sum_scaled in pure BIGINTs — the "
+    "global-average knife edge cannot flip between engines.",
+    tags=("join", "subquery", "agg"),
+)
+def tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = (
+        table(spark, sf, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("o_custkey")
+    )
+    bal = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(bal * F.col("n") > F.col("s"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0, 2
+            ).alias("totacctbal"),
+        )
+    )
+
+
+@q(
     "orders_end_of_day_bound",
     oracle="""
 SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate
@@ -3285,6 +3430,17 @@ _DEFERRED_PAST_WINDOW = [
     # (emb_cosine_topk, plan-asserted) — and the window's remaining
     # slots are all sole representatives of their operator families.
     "docs_weighted_sample",
+    # Correlated-subquery family (round 5, seventh batch), deferred by
+    # design: each decorrelates to physical shapes that already hold
+    # windowed rows — EXISTS -> left-semi join (customers_with_orders_
+    # semi), NOT EXISTS -> left-anti (pytest + the semi's twin), the
+    # correlated scalar -> per-key aggregate re-joined (the windowed
+    # corporate_actions_adjust does this grouped-agg-back-to-fact merge
+    # throughout). The decorrelation itself is plan-asserted in
+    # tests/test_decorrelation.py; in-repo oracle parity covers values.
+    "tpch_q04_priority_exists",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q22_idle_balance",
 ]
 
 

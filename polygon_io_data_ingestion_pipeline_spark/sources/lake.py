@@ -308,21 +308,149 @@ def delete_from_lake(
     )
     if not touched:
         return 0
+    part_filter = _partition_filter(touched, partition_cols)
+    affected = lake.filter(part_filter)
+    n_before = affected.count()
+    kept = affected.join(F.broadcast(keys), key_col, "left_anti").localCheckpoint()
+    n_deleted = n_before - kept.count()
+    # Dynamic partition overwrite only replaces partitions PRESENT in the
+    # written data — it cannot represent "this partition is now empty".
+    # A takedown that deletes every row of a partition must therefore
+    # remove that partition's directory explicitly, or the old files
+    # silently survive (the one failure mode a right-to-be-forgotten
+    # primitive cannot have). Resolve the emptied partitions' actual
+    # leaf directories from their files (sidesteps partition-path value
+    # escaping) and delete them through the Hadoop FileSystem API, which
+    # works on any scheme (file://, hdfs://, s3a://) — not just local.
+    survivors = {
+        tuple(r[c] for c in partition_cols)
+        for r in kept.select(*partition_cols).distinct().collect()
+    }
+    emptied = [
+        row for row in touched if tuple(row[c] for c in partition_cols) not in survivors
+    ]
+    empty_dirs = _partition_dirs(lake, emptied, partition_cols)
+    if kept.take(1):
+        (
+            kept.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(path)
+        )
+    _delete_dirs(spark, empty_dirs)
+    spark.catalog.refreshByPath(path)
+    return n_deleted
+
+
+def _partition_filter(rows, partition_cols: list[str]):
+    """OR-of-ANDs Column matching exactly the given partition tuples."""
     part_filter = None
-    for row in touched:
+    for row in rows:
         clause = None
         for c in partition_cols:
             cond = F.col(c) == row[c]
             clause = cond if clause is None else clause & cond
         part_filter = clause if part_filter is None else part_filter | clause
-    affected = lake.filter(part_filter)
-    n_before = affected.count()
-    kept = affected.join(F.broadcast(keys), key_col, "left_anti").localCheckpoint()
-    n_deleted = n_before - kept.count()
+    return part_filter
+
+
+def _partition_dirs(lake: DataFrame, rows, partition_cols: list[str]) -> set[str]:
+    """Resolve partition tuples to their on-disk leaf directories via the
+    partitions' actual file paths — sidesteps partition-path value
+    escaping entirely."""
+    if not rows:
+        return set()
+    return {
+        r["f"].rsplit("/", 1)[0]
+        for r in lake.filter(_partition_filter(rows, partition_cols))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+
+
+def _delete_dirs(spark: SparkSession, dirs: set[str]) -> None:
+    """Recursively delete directories through the Hadoop FileSystem API —
+    works on any scheme (file://, hdfs://, s3a://), not just local."""
+    for d in dirs:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(d)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+
+
+def merge_into_lake(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_col: str,
+    partition_cols: list[str],
+) -> dict:
+    """Keyed upsert (lakehouse ``MERGE``) into a plain-parquet
+    partitioned lake: rows in ``updates`` REPLACE the lake's rows with
+    the same key (wherever they live — a key may move partitions) and
+    keys the lake has never seen are inserted. Copy-on-write at
+    partition granularity, the additive twin of :func:`delete_from_lake`.
+
+    The rewrite set is exactly (a) partitions holding a stale version of
+    an updated key, plus (b) target partitions of the updates that
+    already exist in the lake (dynamic overwrite would otherwise replace
+    them with ONLY the update rows, dropping their resident data). Both
+    come from one broadcast semi-join each — O(touched partitions)
+    driver memory. A partition left with no rows at all (its only key
+    moved elsewhere) is deleted explicitly, since dynamic overwrite
+    cannot express emptiness. Untouched partitions keep their files
+    byte-for-byte.
+
+    ``updates`` must carry the full lake row (data + partition columns)
+    and at most one row per key — upsert with multiple versions per key
+    is ambiguous; pre-dedup with keep-last if needed. Returns
+    ``{"rows_updated": ..., "rows_inserted": ...}``.
+    """
+    lake = spark.read.parquet(path)
+    updates = updates.select(*lake.columns).localCheckpoint()
+    keys = updates.select(F.col(key_col)).distinct()
+    stale = (
+        lake.join(F.broadcast(keys), key_col, "left_semi")
+        .select(*partition_cols)
+        .distinct()
+        .collect()
+    )
+    target = updates.select(*partition_cols).distinct().collect()
+    if not target:
+        return {"rows_updated": 0, "rows_inserted": 0}
+    tgt_filter = _partition_filter(target, partition_cols)
+    existing_targets = (
+        lake.filter(tgt_filter).select(*partition_cols).distinct().collect()
+    )
+    seen: set[tuple] = set()
+    touched = []
+    for row in list(stale) + list(existing_targets):
+        key = tuple(row[c] for c in partition_cols)
+        if key not in seen:
+            seen.add(key)
+            touched.append(row)
+    n_updated = lake.join(F.broadcast(keys), key_col, "left_semi").count()
+    n_inserted = updates.count() - n_updated
+    if touched:
+        affected = lake.filter(_partition_filter(touched, partition_cols))
+        survivors = affected.join(F.broadcast(keys), key_col, "left_anti")
+        out = survivors.unionByName(updates).localCheckpoint()
+    else:
+        out = updates
+    out_parts = {
+        tuple(r[c] for c in partition_cols)
+        for r in out.select(*partition_cols).distinct().collect()
+    }
+    emptied = [
+        row for row in touched if tuple(row[c] for c in partition_cols) not in out_parts
+    ]
+    empty_dirs = _partition_dirs(lake, emptied, partition_cols)
     (
-        kept.write.mode("overwrite")
+        out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(*partition_cols)
         .parquet(path)
     )
-    return n_deleted
+    _delete_dirs(spark, empty_dirs)
+    spark.catalog.refreshByPath(path)
+    return {"rows_updated": n_updated, "rows_inserted": n_inserted}

@@ -56,6 +56,32 @@ def test_delete_rewrites_only_touched_partitions(spark, tmp_path):
             assert f in after and after[f] == mt, f"untouched partition rewritten: {f}"
 
 
+def test_delete_emptying_a_partition_removes_its_files(spark, tmp_path):
+    """Dynamic overwrite cannot represent an empty partition; the
+    operator must remove the emptied partition's directory itself or a
+    full-partition takedown silently leaves the data on disk."""
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    lake = str(tmp_path / "corpus")
+    docs.write.partitionBy("source").parquet(lake)
+
+    # Take down EVERY document of src0 plus one from src1.
+    victims = docs.filter(
+        (F.col("source") == "src0")
+        | ((F.col("source") == "src1") & (F.col("doc_id") % 7 == 0))
+    ).select("doc_id")
+    n_victims = victims.count()
+    keys = spark.createDataFrame([(r["doc_id"],) for r in victims.collect()], "doc_id long")
+
+    assert delete_from_lake(spark, lake, keys, "doc_id", ["source"]) == n_victims
+
+    # The src0 partition directory is gone from disk, not just unread.
+    assert not glob.glob(os.path.join(lake, "source=src0", "*.parquet"))
+    after_df = spark.read.parquet(lake).select(*docs.columns)
+    assert after_df.filter(F.col("source") == "src0").count() == 0
+    want = docs.join(keys, "doc_id", "left_anti")
+    assert after_df.exceptAll(want).count() == 0 and want.exceptAll(after_df).count() == 0
+
+
 def test_delete_missing_keys_is_noop(spark, tmp_path):
     docs = table(spark, "/root/testdata/sf0.001", "documents")
     lake = str(tmp_path / "corpus")
