@@ -670,25 +670,38 @@ def pq_codebooks_kmeans(
 def _pq_codes(vec_col: str, codebooks: list[list[tuple[int, list[float]]]]) -> Column:
     """array<int>: per-subspace nearest code by squared L2 (ties ->
     lowest code; the SQL-oracle equivalent is ``ORDER BY d2, cid``).
-    Codebooks ride in the plan as literals — encoding is map-only."""
-    vd = _as_double(F.col(vec_col))
+    Codebooks ride in the plan as ONE nested array literal inside one
+    compact ``F.expr`` — the `_bucket_expr` discipline. The obvious
+    alternative (m x ncodes separate aggregate/zip_with Column objects)
+    builds a ~256-branch expression tree that costs ~9 s of driver/py4j
+    and Catalyst-analysis time PER CALL before a single row is scanned;
+    the literal keeps plan construction milliseconds and the per-row
+    work identical."""
     w = len(codebooks[0][0][1])
-    codes = []
-    for s, book in enumerate(codebooks):
-        sub = F.slice(vd, s * w + 1, w)
-        entries = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(sub, _lit_vec(cvec), lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                F.lit(int(cid)).alias("cid"),
-            )
-            for cid, cvec in book
-        ]
-        codes.append(F.array_min(F.array(*entries))["cid"])
-    return F.array(*codes)
+    m = len(codebooks)
+    cb = "array(" + ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(v)) for v in cvec) + ")" for _cid, cvec in book
+        )
+        + ")"
+        for book in codebooks
+    ) + ")"
+    cids = "array(" + ",".join(
+        "array(" + ",".join(str(int(cid)) for cid, _ in book) + ")" for book in codebooks
+    ) + ")"
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), s -> "
+        f"  array_min(zip_with("
+        f"    element_at({cb}, s + 1),"
+        f"    element_at({cids}, s + 1),"
+        f"    (cv, cid) -> named_struct("
+        f"      'd2', aggregate(zip_with(slice({vec_col}, s * {w} + 1, {w}), cv,"
+        f"              (a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)),"
+        f"            CAST(0.0 AS DOUBLE), (acc, x) -> acc + x),"
+        f"      'cid', cid)"
+        f"  )).cid)"
+    )
 
 
 def pq_encode(
@@ -727,13 +740,30 @@ def _adc_score(
         for s, book in enumerate(codebooks)
     ]
     lut_n2 = [[_fold_dot(cvec, cvec) for _cid, cvec in book] for book in codebooks]
-    dot_expr = None
-    n2_expr = None
-    for s in range(len(codebooks)):
-        d = F.element_at(_lit_vec(lut_dot[s]), F.col("codes")[s] + 1)
-        n = F.element_at(_lit_vec(lut_n2[s]), F.col("codes")[s] + 1)
-        dot_expr = d if dot_expr is None else dot_expr + d
-        n2_expr = n if n2_expr is None else n2_expr + n
+
+    # One compact expr per table (the `_bucket_expr` discipline, see
+    # _pq_codes): zip the codes array against the per-subspace lookup
+    # rows and fold left-to-right — the same ascending-s summation
+    # order as the unrolled form, so oracles replay bit-for-bit.
+    def _lut2(rows: list[list[float]]) -> str:
+        return (
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) for x in row) + ")" for row in rows
+            )
+            + ")"
+        )
+
+    dot_expr = F.expr(
+        f"aggregate(zip_with(codes, {_lut2(lut_dot)},"
+        f"  (c, tbl) -> element_at(tbl, c + 1)),"
+        f"  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    n2_expr = F.expr(
+        f"aggregate(zip_with(codes, {_lut2(lut_n2)},"
+        f"  (c, tbl) -> element_at(tbl, c + 1)),"
+        f"  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
     return dot_expr / (F.lit(qnorm) * F.sqrt(n2_expr))
 
 
