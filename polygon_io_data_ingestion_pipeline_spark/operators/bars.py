@@ -1,0 +1,113 @@
+"""Time-series bar analytics: OHLC resampling across timeframes and
+RANGE-framed rolling statistics — the two rollups every market-data
+consumer runs downstream of a bar lake (the reference ships minute and
+day bars and leaves resampling to its notebooks; here they are
+first-class operators).
+
+Scale shapes:
+
+- :func:`resample_bars` is ONE partial aggregation keyed on
+  (key, time bucket): ``min_by``/``max_by`` give open/close without a
+  sort or a window (both are ordinary mergeable aggregates — map-side
+  combine applies, the only shape that rolls 100 TB of ticks into
+  bars). Never ``first()`` over a window: that shuffles every row into
+  a per-key sort just to keep one value per bucket.
+- :func:`rolling_range_stats` uses a RANGE frame over an integer
+  ordering key (``rangeBetween(-(n-1), 0)``), which is gap-correct: a
+  key with missing days still averages over the trailing *n days*, not
+  the trailing n rows — the difference between rolling volatility and
+  a wrong number. One window per key partition; the input is already
+  one-row-per-(key, day) after the daily rollup, so partitions are
+  small regardless of raw event volume.
+
+Engine-exactness: sums accumulate as scaled BIGINTs, and rolling
+variance is computed as ``(n*S2 - S1^2) / n^2`` on those exact
+integers, so the final float division (and its sqrt) is bit-identical
+across engines — the repo's standard oracle discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_bars(
+    df: DataFrame,
+    every: str,
+    key_col: str = "ticker",
+    ts_col: str = "datetime",
+    price_col: str = "close",
+    volume_col: str | None = "volume",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Roll (key, ts, price[, volume]) rows up into OHLC bars of width
+    ``every`` (any Spark interval: '5 minutes', '1 hour', '1 day').
+
+    Open/close come from ``min_by``/``max_by`` on the timestamp — plain
+    mergeable aggregates, so the whole resample is one partial-agg
+    shuffle on (key, bucket). Timestamps must be unique per key for a
+    deterministic open/close; pass ``tiebreak_col`` (e.g. a sequence
+    id) to break exact-timestamp ties by (ts, tiebreak) instead.
+    """
+    order: Column = F.col(ts_col)
+    if tiebreak_col is not None:
+        order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    aggs = [
+        F.min_by(F.col(price_col), order).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(F.col(price_col), order).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    ]
+    if volume_col is not None:
+        aggs.append(F.sum(volume_col).alias("volume"))
+    return (
+        df.groupBy(
+            F.col(key_col), F.window(ts_col, every)["start"].alias("bar_ts")
+        ).agg(*aggs)
+    )
+
+
+def rolling_range_stats(
+    df: DataFrame,
+    n: int,
+    key_col: str,
+    ord_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> DataFrame:
+    """Trailing-``n`` rolling stats with a RANGE frame over an INTEGER
+    ordering column (day number, bar number): mean, min, max,
+    volatility (population std) and the actual count of rows in the
+    frame. RANGE, not ROWS: gaps in the ordering key shrink the frame
+    (5 rows in a 7-day window average over 5), which is the correct
+    trailing-window semantics for sparse series.
+
+    ``value_col`` is quantized to ``scale`` (default cents) so the
+    frame's S1/S2 sums are exact BIGINTs; mean and variance divide the
+    exact integers, making the floats engine-identical. S2 terms are
+    (|v|*scale)^2 — keep ``scale * max|value|`` under ~3e9 (then each
+    term < 9.2e18 / frame) or lower the scale.
+    """
+    v = F.round(F.col(value_col) * scale).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ord_col).cast("long"))
+        .rangeBetween(-(n - 1), 0)
+    )
+    s1 = F.sum(v).over(w)
+    s2 = F.sum(v * v).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    mean = s1 / cnt / scale
+    var = (cnt * s2 - s1 * s1) / (cnt * cnt) / (scale * scale)
+    return df.select(
+        key_col,
+        ord_col,
+        value_col,
+        F.round(mean, 6).alias("roll_mean"),
+        F.round(F.min(F.col(value_col)).over(w), 6).alias("roll_min"),
+        F.round(F.max(F.col(value_col)).over(w), 6).alias("roll_max"),
+        F.round(F.sqrt(var), 6).alias("roll_vol"),
+        cnt.alias("n_in_frame"),
+    )

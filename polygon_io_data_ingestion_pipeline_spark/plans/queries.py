@@ -1905,6 +1905,110 @@ def tumbling_hourly(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "events_ohlc_hourly",
+    oracle="""
+SELECT user_id,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS bar_hour,
+       arg_min(value, ts) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       arg_max(value, ts) AS close,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+    doc="OHLC bar resampling (operators/bars.py resample_bars): roll the "
+    "per-user value stream into hourly open/high/low/close bars. "
+    "Open/close via min_by/max_by on the timestamp — ordinary mergeable "
+    "aggregates, so the whole resample is ONE partial-agg shuffle on "
+    "(key, bucket) with map-side combine; no per-key sort, no window "
+    "function. O/H/L/C are raw untouched doubles (no arithmetic), so "
+    "no float discipline is needed; (user_id, ts) is unique in the "
+    "testdata, making the time-ordered pick deterministic (the operator "
+    "takes a tiebreak column for streams where it is not).",
+    tags=("agg", "time", "bars"),
+)
+def events_ohlc_hourly(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bars import resample_bars
+
+    ev = table(spark, sf, "events")
+    bars = resample_bars(
+        ev, "1 hour", key_col="user_id", ts_col="ts", price_col="value", volume_col=None
+    )
+    return bars.select(
+        "user_id",
+        F.date_format("bar_ts", "yyyy-MM-dd HH:00").alias("bar_hour"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )
+
+
+@q(
+    "events_rolling_7d",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS day_num,
+         CAST(round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS DOUBLE) AS daily_total
+  FROM events GROUP BY 1, 2),
+q AS (SELECT user_id, day_num, CAST(round(daily_total * 100) AS BIGINT) AS v FROM daily),
+r AS (SELECT user_id, day_num, v,
+        sum(v)     OVER w AS s1,
+        sum(v * v) OVER w AS s2,
+        count(*)   OVER w AS cnt,
+        min(v)     OVER w AS mn,
+        max(v)     OVER w AS mx
+      FROM q
+      WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+SELECT user_id, day_num,
+       round(CAST(v AS DOUBLE) / 100.0, 2) AS daily_total,
+       round(CAST(s1 AS DOUBLE) / cnt / 100, 6) AS roll_mean,
+       round(CAST(mn AS DOUBLE) / 100.0, 6) AS roll_min,
+       round(CAST(mx AS DOUBLE) / 100.0, 6) AS roll_max,
+       round(sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * cnt) / 10000), 6) AS roll_vol,
+       cnt AS n_in_frame
+FROM r
+""",
+    doc="Trailing-7-day rolling statistics with a RANGE frame "
+    "(operators/bars.py rolling_range_stats): per-user daily totals, "
+    "then mean/min/max/volatility over the trailing seven CALENDAR "
+    "days. RANGE (not ROWS) over the integer day number is the "
+    "gap-correct semantics — a user active 5 of the last 7 days "
+    "averages over 5. The daily rollup is one partial-agg shuffle; the "
+    "window then runs over one-row-per-(user, day) frames, so window "
+    "partition size is bounded by the date span, not event volume. "
+    "S1/S2 accumulate as exact cent-scaled BIGINTs and variance is "
+    "(n*S2 - S1^2)/n^2 on those integers, so mean/vol are bit-identical "
+    "across engines.",
+    tags=("window", "time", "bars"),
+)
+def events_rolling_7d(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bars import rolling_range_stats
+
+    ev = table(spark, sf, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("timestamp_ntz"))
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2
+            ).alias("daily_total")
+        )
+    )
+    return rolling_range_stats(
+        daily, n=7, key_col="user_id", ord_col="day_num", value_col="daily_total"
+    )
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3441,6 +3545,17 @@ _DEFERRED_PAST_WINDOW = [
     "tpch_q04_priority_exists",
     "tpch_q17_small_quantity_revenue",
     "tpch_q22_idle_balance",
+    # Bar-analytics family (round 5, seventh batch), deferred by design:
+    # the OHLC resample is a plain keyed partial aggregation (shape
+    # windowed via tpch_q01/events_manifest_stats; min_by/max_by are
+    # A4 "grouped last" twins, windowed via
+    # events_cumprod_normalized_factor), and the RANGE-framed rolling
+    # window's machinery is ordered-window + exact-integer sums, both
+    # families windowed (events_cumprod_normalized_factor,
+    # events_autocorr_qa). In-repo oracle parity covers values at
+    # sf0.001 and sf0.01.
+    "events_ohlc_hourly",
+    "events_rolling_7d",
 ]
 
 
