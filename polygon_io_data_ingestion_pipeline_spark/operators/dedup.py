@@ -553,6 +553,12 @@ def shared_substring_pairs(
     fp = df.select(
         F.col(id_col), F.explode(winnow_sketch(text_col, k, w)).alias("fp")
     )
+    # Three consumers below (the df-cap aggregate and both self-join
+    # sides) and Spark has no cross-branch CSE: without truncation the
+    # rolling-hash sketch recomputes once per consumer — the dominant
+    # cost of the whole operator. localCheckpoint materializes the
+    # exploded postings once (same discipline as duplicate_clusters).
+    fp = fp.localCheckpoint()
     if max_docs_per_fp is not None:
         keep = (
             fp.groupBy("fp")
