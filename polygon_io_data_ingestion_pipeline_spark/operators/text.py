@@ -663,3 +663,81 @@ def unigram_logprob(
         "avg_logprob",
         F.round(F.exp(-F.col("avg_logprob")), 6).alias("ppl_proxy"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 ranked retrieval: the top-``k`` documents for a bag-of-words
+    query — the lexical search primitive for corpus curation (find the
+    documents about X, pull exemplars for a classifier, spot-check a
+    topic's coverage) and the sparse half of hybrid search next to the
+    ANN operators in :mod:`.similarity`.
+
+    Scale shape: the corpus is touched by two partial-agg shuffles
+    (per-doc lengths; per-(doc, term) frequencies for the query's terms
+    ONLY — the term filter prunes the explode before any shuffle).
+    Document frequencies for the handful of query terms and the
+    (N, total-length) pair are tiny 1-row/`|q|`-row broadcasts. The
+    final ranking is a TakeOrdered top-k, not a full sort.
+
+    Engine-exactness: idf = ln((N - df + 0.5)/(df + 0.5) + 1) is
+    quantized to 6 decimals (ln is the one op engines disagree on in
+    the last ulp), the remaining per-term arithmetic is IEEE-identical
+    given identical inputs, each per-term score is quantized and the
+    per-doc sum accumulates as exact scaled BIGINTs — the
+    unigram_logprob discipline.
+
+    Returns (id, score, n_terms_hit) ordered by (score desc, id).
+    """
+    terms = [t for t in query_terms]
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
+    corpus = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    hits = tok.filter(F.col("w").isin(terms))
+    dfreq = hits.select(id_col, "w").distinct().groupBy("w").agg(
+        F.count("*").alias("df_t")
+    )
+    tf = hits.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    scored = (
+        tf.join(dl, id_col)
+        .join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5) + 1.0
+        ),
+        6,
+    )
+    # dl / avgdl == dl * n_docs / total_len (avoids materializing the
+    # average as a separately-rounded intermediate)
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") * F.col("n_docs") / F.col("total_len")
+    )
+    term_score = F.round(idf * (F.col("tf") * (k1 + 1.0)) / denom, 6)
+    per_doc = (
+        scored.select(
+            F.col(id_col),
+            F.round(term_score * 1e6, 0).cast("long").alias("ts"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("ts").alias("s"), F.count("*").alias("n_terms_hit"))
+    )
+    return (
+        per_doc.select(
+            id_col,
+            F.round(F.col("s") / F.lit(1e6), 6).alias("score"),
+            "n_terms_hit",
+        )
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )

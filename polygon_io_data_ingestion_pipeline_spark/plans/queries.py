@@ -2045,6 +2045,45 @@ def customers_fuzzy_name_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_bm25_search",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+hits AS (SELECT doc_id, w FROM tok WHERE w IN ('spark', 'shuffle', 'stream')),
+dfreq AS (SELECT w, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY w),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+sc AS (SELECT tf.doc_id,
+         CAST(round(
+           round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 6)
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs / total_len)),
+           6) * 1000000 AS BIGINT) AS ts
+       FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+               JOIN dfreq ON dfreq.w = tf.w, corpus)
+SELECT doc_id, round(sum(ts) / 1000000.0, 6) AS score,
+       count(*) AS n_terms_hit
+FROM sc GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+""",
+    doc="BM25 ranked retrieval (operators/text.py bm25_topk): top-10 "
+    "documents for the query {spark, shuffle, stream} — the lexical "
+    "search primitive for corpus curation and the sparse half of "
+    "hybrid search next to the ANN family. Corpus touched by two "
+    "partial-agg shuffles (doc lengths; per-(doc, term) counts for the "
+    "query's terms only — the term filter prunes the explode before "
+    "any shuffle); df/N ride as tiny broadcasts; ranking is "
+    "TakeOrdered. idf's ln is quantized to 6 decimals and per-term "
+    "scores sum as scaled BIGINTs (the unigram_logprob discipline), so "
+    "the oracle replays exactly.",
+    tags=("text", "search"),
+)
+def docs_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents")
+    return T.bm25_topk(docs, ["spark", "shuffle", "stream"], k=10)
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3600,6 +3639,13 @@ _DEFERRED_PAST_WINDOW = [
     # oracle parity covers values (integer edit distances, no float
     # risk at all).
     "customers_fuzzy_name_pairs",
+    # BM25 search (round 5, seventh batch), deferred by design: its
+    # physical pieces — filtered explode, partial-agg shuffles,
+    # broadcast dims, quantized-ln scaled-BIGINT scoring, TakeOrdered
+    # top-k — each hold windowed rows (docs_token_stats,
+    # docs_unigram_logprob, emb_cosine_topk); in-repo oracle parity
+    # covers the composition.
+    "docs_bm25_search",
 ]
 
 
