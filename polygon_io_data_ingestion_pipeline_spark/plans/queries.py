@@ -2084,6 +2084,77 @@ def docs_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "orders_drift_report",
+    oracle="""
+WITH ref AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+cur AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+num AS (
+  SELECT 'o_totalprice' AS feature, b,
+         count(*) FILTER (side = 'r') AS rc,
+         count(*) FILTER (side = 'c') AS cc
+  FROM (
+    SELECT 'r' AS side,
+           CASE WHEN o_totalprice IS NULL THEN -1
+                ELSE len(list_filter([100000.0, 200000.0, 300000.0, 400000.0],
+                                     t -> t <= CAST(o_totalprice AS DOUBLE))) END AS b
+    FROM ref
+    UNION ALL
+    SELECT 'c',
+           CASE WHEN o_totalprice IS NULL THEN -1
+                ELSE len(list_filter([100000.0, 200000.0, 300000.0, 400000.0],
+                                     t -> t <= CAST(o_totalprice AS DOUBLE))) END
+    FROM cur) GROUP BY b),
+cat AS (
+  SELECT 'o_orderpriority' AS feature, o_orderpriority AS b,
+         count(*) FILTER (side = 'r') AS rc,
+         count(*) FILTER (side = 'c') AS cc
+  FROM (SELECT 'r' AS side, o_orderpriority FROM ref
+        UNION ALL SELECT 'c', o_orderpriority FROM cur) GROUP BY b),
+terms AS (
+  SELECT feature, rc, cc,
+         sum(rc) OVER w AS rt, sum(cc) OVER w AS ct, count(*) OVER w AS k
+  FROM (SELECT feature, rc, cc FROM num UNION ALL SELECT feature, rc, cc FROM cat)
+  WINDOW w AS (PARTITION BY feature)),
+scored AS (
+  SELECT feature, rt, ct, k,
+         CAST(round(round((CAST(rc + 1 AS DOUBLE) / (rt + k) - CAST(cc + 1 AS DOUBLE) / (ct + k))
+           * round(ln((CAST(rc + 1 AS DOUBLE) / (rt + k)) / (CAST(cc + 1 AS DOUBLE) / (ct + k))), 6),
+           9) * 1000000000) AS BIGINT) AS t
+  FROM terms)
+SELECT feature,
+       round(sum(t) / 1000000000.0, 6) AS psi,
+       CAST(k AS BIGINT) AS n_buckets,
+       CAST(rt AS BIGINT) AS n_ref,
+       CAST(ct AS BIGINT) AS n_cur,
+       CAST(CASE WHEN round(sum(t) / 1000000000.0, 6) >= 0.25 THEN 1 ELSE 0 END AS INT) AS drifted
+FROM scored GROUP BY feature, rt, ct, k
+""",
+    doc="Distribution-drift report (operators/drift.py): PSI between "
+    "the 1996 order book (reference) and the post-2000 slice (current) "
+    "for a bucketed numeric feature (o_totalprice, literal edges) and "
+    "a categorical one (o_orderpriority). Bucket assignment is a "
+    "map-side literal-array fold; each side collapses to one "
+    "per-bucket count aggregation (two partial-agg shuffles total) and "
+    "all PSI math runs on the O(buckets) table. Laplace +1 smoothing "
+    "keeps empty buckets finite; ln quantized to 6 decimals, terms "
+    "summed as scaled BIGINTs.",
+    tags=("agg", "quality", "drift"),
+)
+def orders_drift_report(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.drift import drift_report
+
+    orders = table(spark, sf, "orders")
+    ref = orders.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    cur = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+    return drift_report(
+        ref,
+        cur,
+        numeric={"o_totalprice": [100000.0, 200000.0, 300000.0, 400000.0]},
+        categorical=["o_orderpriority"],
+    )
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3646,6 +3717,12 @@ _DEFERRED_PAST_WINDOW = [
     # docs_unigram_logprob, emb_cosine_topk); in-repo oracle parity
     # covers the composition.
     "docs_bm25_search",
+    # PSI drift report (round 5, seventh batch), deferred by design:
+    # bucket-fold + two partial-agg shuffles + quantized-ln scaled-sum
+    # are each windowed elsewhere (zorder-style fold plan-asserted,
+    # docs_unigram_logprob, orders_profile); in-repo oracle parity
+    # covers the composition at both scales.
+    "orders_drift_report",
 ]
 
 
