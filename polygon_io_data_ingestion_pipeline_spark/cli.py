@@ -173,6 +173,37 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_lake(args: argparse.Namespace) -> int:
+    """Lake maintenance: small-file compaction, takedown deletion, and
+    keyed upsert (MERGE) — the operational verbs a long-lived
+    partitioned store needs, each rewriting only the partitions it
+    touches."""
+    spark = get_spark("poly-lake", master=args.master)
+    if args.op == "compact":
+        from .sources.lake import compact_lake
+
+        stats = compact_lake(spark, args.path, tf=args.tf)
+        print(f"compacted {stats['partitions_compacted']} partitions "
+              f"({stats['files_before']} files before)")
+    elif args.op == "delete":
+        from .sources.lake import delete_from_lake
+
+        keys = spark.read.parquet(args.keys)
+        n = delete_from_lake(
+            spark, args.path, keys, args.key_col, args.partition_cols.split(",")
+        )
+        print(f"deleted {n} rows")
+    else:  # merge
+        from .sources.lake import merge_into_lake
+
+        updates = spark.read.parquet(args.updates)
+        stats = merge_into_lake(
+            spark, args.path, updates, args.key_col, args.partition_cols.split(",")
+        )
+        print(f"updated {stats['rows_updated']} inserted {stats['rows_inserted']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="polygon-spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -232,7 +263,27 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
     p.set_defaults(fn=cmd_corpus)
 
+    p = sub.add_parser(
+        "lake", help="lake maintenance: compact | delete (takedown) | merge (upsert)"
+    )
+    p.add_argument("op", choices=["compact", "delete", "merge"])
+    p.add_argument("--path", required=True)
+    p.add_argument("--tf", choices=["day", "minute"], default="day",
+                   help="compact: bar-lake timeframe (partition layout)")
+    p.add_argument("--keys", default=None, help="delete: parquet of keys to remove")
+    p.add_argument("--updates", default=None, help="merge: parquet of full replacement rows")
+    p.add_argument("--key-col", default="doc_id")
+    p.add_argument("--partition-cols", default="source",
+                   help="comma-separated partition columns (delete/merge)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_lake)
+
     args = ap.parse_args(argv)
+    if getattr(args, "fn", None) is cmd_lake:
+        if args.op == "delete" and not args.keys:
+            ap.error("lake delete requires --keys")
+        if args.op == "merge" and not args.updates:
+            ap.error("lake merge requires --updates")
     return args.fn(args)
 
 
