@@ -90,3 +90,68 @@ def pagerank(
             )
         )
     return ranks.select(F.col("u").alias("node"), "degree", "rank")
+
+
+def triangle_stats(
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+) -> DataFrame:
+    """Per-node triangle participation and local clustering coefficient
+    over an undirected graph given as canonical (src < dst) pairs.
+
+    On a near-duplicate graph this separates *chains* (A~B~C where A
+    and C differ too much to pair — transitive-closure clusters catch
+    these) from *cliques* (every pair close — true template families):
+    high clustering marks the boilerplate sets worth a single canonical
+    representative, low clustering marks drift chains that need the
+    more careful review.
+
+    Scale shape — the standard distributed triangle enumeration: with
+    edges ordered (a < b), every triangle a<b<c is found EXACTLY once
+    by joining wedges (a,b)+(b,c) on the middle node and closing with
+    an equi join on (a,c). Two keyed joins, no driver-side graph; the
+    wedge join's fan-out is sum of deg², the quantity a degree cap
+    bounds on skewed graphs (cap hubs upstream — e.g. the df caps the
+    dedup family already applies — before counting triangles).
+
+    Returns (node, degree, n_triangles, clustering) where clustering =
+    2*t / (deg*(deg-1)) — exact-integer inputs to one IEEE division, so
+    oracles replay exactly.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    wedges = e.alias("e1").join(
+        e.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2"), "b"
+    )
+    tri = wedges.join(
+        e.select(F.col("a").alias("a"), F.col("b").alias("c")).alias("e3"),
+        ["a", "c"],
+    ).select("a", "b", "c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )
+    return out.withColumn(
+        "clustering",
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ),
+    )

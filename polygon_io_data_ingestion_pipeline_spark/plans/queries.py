@@ -2155,6 +2155,59 @@ def orders_drift_report(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "customers_name_graph_triangles",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey, c_name,
+         unnest(list_distinct(list_append(
+           list_transform(range(1, length(c_name) + 1),
+                          i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1)),
+           c_name))) AS var
+  FROM customer),
+cand AS (SELECT DISTINCT a.c_custkey AS id1, b.c_custkey AS id2,
+                a.c_name AS n1, b.c_name AS n2
+         FROM v a JOIN v b ON a.var = b.var AND a.c_custkey < b.c_custkey),
+e AS (SELECT id1 AS a, id2 AS b FROM cand WHERE levenshtein(n1, n2) <= 1),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node),
+tri AS (SELECT e1.a, e1.b, e2.c
+        FROM e e1
+        JOIN (SELECT a AS b, b AS c FROM e) e2 USING (b)
+        JOIN (SELECT a, b AS c FROM e) e3 USING (a, c)),
+pernode AS (SELECT node, count(*) AS n_tri FROM (
+              SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+              UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN d.degree >= 2
+                  THEN 2.0 * coalesce(p.n_tri, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg d LEFT JOIN pernode p ON p.node = d.node
+""",
+    doc="Per-node triangle counts + local clustering coefficient "
+    "(operators/graph.py triangle_stats) over the customer fuzzy-name "
+    "graph (edit-distance-1 edges from the lossless deletion-"
+    "neighborhood blocking). On a near-dup graph, high clustering "
+    "separates true template cliques from pairwise drift chains — the "
+    "signal transitive-closure clustering alone cannot give. Standard "
+    "distributed enumeration: ordered edges, wedge join on the middle "
+    "node, closing equi join — each a<b<c triangle found exactly once; "
+    "two keyed joins, no driver-side graph. clustering = "
+    "2t/(deg*(deg-1)) divides exact integers, so the oracle replays "
+    "bit-for-bit.",
+    tags=("graph", "dedup"),
+)
+def customers_name_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import triangle_stats
+    from ..operators.linkage import fuzzy_pairs
+
+    edges = fuzzy_pairs(
+        table(spark, sf, "customer"), name_col="c_name", id_col="c_custkey", max_dist=1
+    ).select("id1", "id2")
+    return triangle_stats(edges).withColumnRenamed("node", "node")
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3723,6 +3776,13 @@ _DEFERRED_PAST_WINDOW = [
     # docs_unigram_logprob, orders_profile); in-repo oracle parity
     # covers the composition at both scales.
     "orders_drift_report",
+    # Triangle/clustering stats (round 5, seventh batch), deferred by
+    # design: two keyed equi joins + keyed counts, the most windowed
+    # physical shape in the registry; the graph-family discipline
+    # (checkpointed edges, no driver graph) already holds an external
+    # row via docs_pagerank_centrality. Hand-graph pytest pins the
+    # combinatorics; in-repo oracle parity covers values.
+    "customers_name_graph_triangles",
 ]
 
 

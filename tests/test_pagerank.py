@@ -38,3 +38,21 @@ def test_star_center_is_the_hub(spark):
     assert all(center > lr for lr in leaves)
     assert len({round(lr, 12) for lr in leaves}) == 1  # leaves identical
     assert out[0]["degree"] == 6
+
+
+def test_triangle_stats_hand_graph(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.graph import triangle_stats
+
+    # K4 on {1,2,3,4} (every node in 3 triangles, clustering 1.0) plus a
+    # pendant chain 4-5-6 (no triangles; 5 has degree 2, clustering 0).
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r["node"]: r.asDict() for r in triangle_stats(df).collect()}
+    assert got[1]["n_triangles"] == 3 and got[1]["clustering"] == 1.0
+    assert got[2]["n_triangles"] == 3 and got[3]["n_triangles"] == 3
+    # Node 4 sits in the K4 triangles only; degree 4 (1,2,3,5) ->
+    # clustering 3*2/(4*3) = 0.5.
+    assert got[4]["degree"] == 4 and got[4]["n_triangles"] == 3
+    assert got[4]["clustering"] == 0.5
+    assert got[5] == {"node": 5, "degree": 2, "n_triangles": 0, "clustering": 0.0}
+    assert got[6]["degree"] == 1 and got[6]["clustering"] == 0.0
