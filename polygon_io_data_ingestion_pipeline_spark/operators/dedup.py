@@ -606,7 +606,14 @@ def duplicated_ngram_fraction(
 
     Returns (id, n_shingles, n_dup, dup_ratio).
     """
-    sh = shingle_set(docs, text_col, id_col, n)
+    # Two consumers of the exploded shingles (the DF aggregate and the
+    # membership join side); no cross-branch CSE in Spark, so without
+    # truncation the shingle explode runs twice. localCheckpoint
+    # materializes the postings once (same fix as
+    # shared_substring_pairs). The per-doc totals stay a separate
+    # map-side scan of the raw documents — cheaper than aggregating
+    # the posting table a third time.
+    sh = shingle_set(docs, text_col, id_col, n).localCheckpoint()
     totals = docs.select(
         F.col(id_col),
         F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
