@@ -126,7 +126,12 @@ def jaccard_pairs(
     """
     if strategy == "auto":
         strategy = "prefix" if threshold >= 0.2 else "direct"
-    sh = shingle_set(df, text_col, id_col, n)
+    # The exploded postings feed 4 (direct) / 5 (prefix) consumers —
+    # sizes, the df cap/ranking, and both join sides; Spark re-executes
+    # lineage per consumer, so without truncation the shingle explode
+    # runs that many times over the corpus. Materialize it once
+    # (same fix as shared_substring_pairs / duplicated_ngram_fraction).
+    sh = shingle_set(df, text_col, id_col, n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if strategy == "direct":
