@@ -297,6 +297,11 @@ def lsh_candidate_pairs(
     bands = mh.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
         id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
     )
+    # Both self-join sides consume the band table; without truncation
+    # the full minhash lineage (shingle explode + per-shingle md5 + the
+    # k-min aggregation) executes twice. The band table is tiny
+    # (n_bands rows per document) — materialize it once.
+    bands = bands.localCheckpoint()
     a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
     b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")
     return (
