@@ -2208,6 +2208,78 @@ def customers_name_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "events_session_incident_overlap",
+    oracle="""
+WITH se AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+  FROM events),
+sx AS (
+  SELECT user_id, ts_us,
+         CAST(sum(CASE WHEN prev IS NULL OR ts_us - prev > 1800000000 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess
+  FROM se),
+sessions AS (
+  SELECT user_id, sess, min(ts_us) AS s_start, max(ts_us) AS s_end
+  FROM sx GROUP BY user_id, sess),
+incidents AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS i_start,
+         epoch_us(date_trunc('hour', ts)) + 3599999999 AS i_end,
+         count(*) AS n_errors
+  FROM events WHERE event_type = 'error'
+  GROUP BY 1, 2 HAVING count(*) >= 3)
+SELECT s.user_id, s.sess, s.s_start, i.i_start,
+       CAST(i.n_errors AS BIGINT) AS n_errors
+FROM sessions s JOIN incidents i
+  ON s.s_start <= i.i_end AND i.i_start <= s.s_end
+""",
+    doc="Interval overlap join (operators/intervals.py): user sessions "
+    "(gap-based, 30-min inactivity) joined to incident windows (hours "
+    "with >= 3 error events) they overlap — 'which sessions were "
+    "exposed to an incident'. A naive range-predicate join has no equi "
+    "key and Spark plans BroadcastNestedLoopJoin (per-pair work); the "
+    "operator bucketizes time (1 h buckets here), explodes intervals "
+    "over covered buckets, equi-joins on the bucket, and emits each "
+    "pair only in the bucket of max(starts) — exact overlap with one "
+    "linear hash shuffle and structural (dedup-free) uniqueness. All "
+    "integer epoch-micros math; the DuckDB oracle uses its native "
+    "inequality join, so the two engines find the same pairs by "
+    "entirely different physical strategies.",
+    tags=("join", "time", "intervals"),
+)
+def events_session_incident_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.intervals import interval_overlap_join
+
+    ev = table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = F.lag("ts_us").over(w)
+    new_sess = F.when(prev.isNull() | (F.col("ts_us") - prev > 1_800_000_000), 1).otherwise(0)
+    sessions = (
+        ev.select("user_id", "ts_us", "event_id")
+        .withColumn("sess", F.sum(new_sess).over(run).cast("long"))
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts_us").alias("s_start"), F.max("ts_us").alias("s_end"))
+    )
+    hour_us = (F.floor(F.col("ts_us") / 3_600_000_000) * 3_600_000_000).cast("long")
+    incidents = (
+        ev.filter(F.col("event_type") == "error")
+        .select(hour_us.alias("i_start"))
+        .groupBy("i_start")
+        .agg(F.count("*").alias("n_errors"))
+        .filter(F.col("n_errors") >= 3)
+        .select("i_start", (F.col("i_start") + 3_599_999_999).alias("i_end"), "n_errors")
+    )
+    return interval_overlap_join(
+        sessions, incidents, "s_start", "s_end", "i_start", "i_end",
+        bucket_width=3_600_000_000,
+    ).select("user_id", "sess", "s_start", "i_start", "n_errors")
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3783,6 +3855,14 @@ _DEFERRED_PAST_WINDOW = [
     # row via docs_pagerank_centrality. Hand-graph pytest pins the
     # combinatorics; in-repo oracle parity covers values.
     "customers_name_graph_triangles",
+    # Interval overlap join (round 5, seventh batch), deferred by
+    # design: explode -> equi join -> filter is the LSH/banding
+    # physical shape (windowed many times over); what is new — the
+    # bucketization being exact and emit-once — is pinned by
+    # tests/test_intervals.py property tests vs brute force, and
+    # in-repo oracle parity (DuckDB's native inequality join as the
+    # independent strategy) covers values.
+    "events_session_incident_overlap",
 ]
 
 
