@@ -43,6 +43,7 @@ def asof_join(
     right_prefix: str = "asof_",
     how: str = "left",
     tiebreaker: str | None = None,
+    tolerance: int | float | None = None,
 ) -> DataFrame:
     """As-of join ``left`` to the nearest ``right`` row per ``by`` group.
 
@@ -59,7 +60,15 @@ def asof_join(
     placed as the struct's second field, so ``forward`` (min) keeps the
     positionally FIRST duplicate and ``backward`` (max) the positionally
     LAST — pandas' documented behavior.
+
+    ``tolerance`` (pandas ``merge_asof(tolerance=...)``): a match
+    further than this from the probe (in ``on`` units — use a numeric
+    ordering key such as epoch micros) is treated as no match. Applied
+    as a map-side post-filter on the matched key, so it adds zero
+    shuffles; with ``how='inner'`` out-of-tolerance rows drop.
     """
+    if tolerance is not None and tolerance < 0:
+        raise ValueError("tolerance must be non-negative")
     if direction not in ("forward", "backward"):
         raise ValueError(f"direction must be forward|backward, got {direction!r}")
     by = [by] if isinstance(by, str) else list(by)
@@ -112,11 +121,17 @@ def asof_join(
         .filter(F.col("__is_right") == 0)
         .drop(_PAYLOAD, _SIDE, "__is_right")
     )
+    match_col = F.col(f"__match.{on}")
+    if tolerance is not None:
+        gap = (match_col - F.col(on)) if direction == "forward" else (F.col(on) - match_col)
+        keep = match_col.isNotNull() & (gap <= F.lit(tolerance))
+    else:
+        keep = F.lit(True)
     out = out.select(
         *left.columns,
-        F.col(f"__match.{on}").alias(f"{right_prefix}{on}"),
+        F.when(keep, match_col).alias(f"{right_prefix}{on}"),
         *[
-            F.col(f"__match.{c}").alias(f"{right_prefix}{c}")
+            F.when(keep, F.col(f"__match.{c}")).alias(f"{right_prefix}{c}")
             for c in payload_cols
             if c != on
         ],

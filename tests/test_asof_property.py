@@ -15,7 +15,7 @@ groups = st.sampled_from(["a", "b", "c"])
 rows = st.lists(st.tuples(groups, keys), min_size=1, max_size=12)
 
 
-def brute(left, right, direction, allow_exact):
+def brute(left, right, direction, allow_exact, tolerance=None):
     """pandas.merge_asof rule: nearest key; among duplicate keys the
     positionally FIRST (forward) / LAST (backward) right row wins."""
     out = []
@@ -35,6 +35,9 @@ def brute(left, right, direction, allow_exact):
                 continue
             best = max(c[0] for c in cand)
             pos = max(p for c, p in cand if c == best)
+        if tolerance is not None and abs(best - k) > tolerance:
+            out.append((None, None))
+            continue
         out.append((best, 100 + pos))
     return out
 
@@ -49,8 +52,9 @@ def brute(left, right, direction, allow_exact):
     right=rows,
     direction=st.sampled_from(["forward", "backward"]),
     allow_exact=st.booleans(),
+    tolerance=st.sampled_from([None, 0, 3, 10]),
 )
-def test_asof_matches_bruteforce(spark, left, right, direction, allow_exact):
+def test_asof_matches_bruteforce(spark, left, right, direction, allow_exact, tolerance):
     ldf = spark.createDataFrame(
         pd.DataFrame({"g": [g for g, _ in left], "k": [k for _, k in left],
                       "i": range(len(left))})
@@ -63,11 +67,11 @@ def test_asof_matches_bruteforce(spark, left, right, direction, allow_exact):
     got = (
         asof_join(ldf, rdf, on="k", by="g", direction=direction,
                   allow_exact_matches=allow_exact, right_prefix="m_",
-                  tiebreaker="pos")
+                  tiebreaker="pos", tolerance=tolerance)
         .toPandas()
         .sort_values("i")
     )
-    want = brute(left, right, direction, allow_exact)
+    want = brute(left, right, direction, allow_exact, tolerance)
     got_pairs = [
         (None if pd.isna(k) else int(k), None if pd.isna(v) else int(v))
         for k, v in zip(got["m_k"], got["m_rv"])
