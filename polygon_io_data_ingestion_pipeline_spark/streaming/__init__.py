@@ -1,3 +1,4 @@
+from .drift_stream import psi_stream
 from .corpus_stream import corpus_pipeline, start_corpus_ingest, write_corpus_batch
 from .funnel_stream import funnel_stream
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
@@ -5,6 +6,7 @@ from .sessionize_stream import SESSION_SCHEMA, sessionize_stream
 from .windowed_stream import dedup_stream, tumbling_counts
 
 __all__ = [
+    "psi_stream",
     "SESSION_SCHEMA",
     "corpus_pipeline",
     "start_corpus_ingest",
