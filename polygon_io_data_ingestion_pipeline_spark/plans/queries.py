@@ -2066,6 +2066,7 @@ SELECT doc_id, round(sum(ts) / 1000000.0, 6) AS score,
 FROM sc GROUP BY doc_id
 ORDER BY score DESC, doc_id LIMIT 10
 """,
+    bench=True,
     doc="BM25 ranked retrieval (operators/text.py bm25_topk): top-10 "
     "documents for the query {spark, shuffle, stream} — the lexical "
     "search primitive for corpus curation and the sparse half of "
@@ -2234,6 +2235,7 @@ SELECT s.user_id, s.sess, s.s_start, i.i_start,
 FROM sessions s JOIN incidents i
   ON s.s_start <= i.i_end AND i.i_start <= s.s_end
 """,
+    bench=True,
     doc="Interval overlap join (operators/intervals.py): user sessions "
     "(gap-based, 30-min inactivity) joined to incident windows (hours "
     "with >= 3 error events) they overlap — 'which sessions were "

@@ -8,12 +8,17 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from polygon_io_data_ingestion_pipeline_spark.plans.lint import (
+    assert_scalable,
+    lint_plan,
+    plan_text,
+)
 from polygon_io_data_ingestion_pipeline_spark.plans.queries import REGISTRY
 from polygon_io_data_ingestion_pipeline_spark.sources import table
 
 
 def plan_of(df) -> str:
-    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    return plan_text(df)
 
 
 def test_filter_pushdown_reaches_parquet(spark, sf_dir):
@@ -47,6 +52,52 @@ def test_no_python_udfs_in_jvm_pipelines(spark, sf_dir):
         if "EvalPython" in plan:
             offenders.append(name)
     assert not offenders, f"Python in the hot path: {offenders}"
+
+
+def test_registry_passes_the_plan_linter(spark, sf_dir):
+    """Every registry query clears the packaged lint gate: no
+    error-class scale-killer (row-Python, cartesian, nested-loop) in
+    any plan. The linter IS the per-query mechanism; this keeps the
+    library check and the test suite from drifting apart.
+
+    One acknowledged suppression: tpch_q22's global-average threshold
+    is a filter against a broadcast 1-ROW aggregate; Catalyst fuses the
+    filter into the nested-loop join's condition, which the linter
+    cannot tell apart from a real range join (cardinality is not in
+    the plan text). Per-pair cost with |build| = 1 is linear — fine."""
+    allowed = {"tpch_q22_idle_balance": ("nested-loop-join",)}
+    for name, spec in REGISTRY.items():
+        assert_scalable(spec.fn(spark, sf_dir), allow=allowed.get(name, ()))
+
+
+def test_linter_catches_planted_scale_killers(spark, sf_dir):
+    """The linter must actually fire on the shapes it claims to catch."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # Pure inequality join -> BroadcastNestedLoopJoin.
+    bad_join = c.join(o, c.c_acctbal < o.o_totalprice)
+    rules = {f.rule for f in lint_plan(bad_join)}
+    assert "nested-loop-join" in rules or "cartesian-product" in rules
+    with pytest.raises(AssertionError, match="scale-killer"):
+        assert_scalable(bad_join)
+
+    # Row-at-a-time Python UDF -> BatchEvalPython.
+    from pyspark.sql.types import LongType
+
+    plus = F.udf(lambda x: x + 1, LongType())
+    bad_udf = c.select(plus("c_custkey").alias("k"))
+    assert {f.rule for f in lint_plan(bad_udf)} >= {"python-row-udf"}
+
+    # Un-partitioned window -> single-partition exchange (warn only).
+    from pyspark.sql import Window
+
+    w = Window.orderBy("c_custkey")
+    global_win = c.select(F.row_number().over(w).alias("rn"))
+    findings = assert_scalable(global_win)  # warns must NOT raise
+    assert "single-partition-exchange" in {f.rule for f in findings}
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
