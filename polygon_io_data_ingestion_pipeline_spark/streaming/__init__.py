@@ -3,10 +3,11 @@ from .corpus_stream import corpus_pipeline, start_corpus_ingest, write_corpus_ba
 from .funnel_stream import funnel_stream
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
 from .sessionize_stream import SESSION_SCHEMA, sessionize_stream
-from .windowed_stream import dedup_stream, tumbling_counts
+from .windowed_stream import dedup_stream, session_counts, tumbling_counts
 
 __all__ = [
     "psi_stream",
+    "session_counts",
     "SESSION_SCHEMA",
     "corpus_pipeline",
     "start_corpus_ingest",

@@ -87,3 +87,44 @@ def tumbling_counts(
             "total_value",
         )
     )
+
+
+def session_counts(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Gap-based session aggregation with Spark's NATIVE
+    ``session_window`` — sessions close after ``gap`` of inactivity and
+    emit exactly once when the watermark passes their end.
+
+    This is the JVM-native twin of ``sessionize_stream`` (the
+    ``applyInPandasWithState`` operator): for the common
+    count/sum-per-session case the built-in session window keeps the
+    whole pipeline in Tungsten state management — no Python workers, no
+    Arrow hops, state merged by the engine (two sessions bridged by a
+    late event merge automatically, which hand-rolled state must code
+    for). Reach for the Pandas-state operator only when the per-session
+    logic genuinely exceeds aggregation (custom eviction, model state).
+
+    Returns (key, session_start, session_end, n, total_value), append
+    mode.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap).alias("__s"), F.col(key_col))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(value_col), 6).alias("total_value"),
+        )
+        .select(
+            key_col,
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )

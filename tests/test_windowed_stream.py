@@ -129,3 +129,87 @@ def test_stream_dedup_suppresses_redelivery_across_batches(spark, tmp_path):
     _write_dedup_batch(spark, src, [(1, T0, 1.0), (3, T0 + 10 * MIN, 3.0)])
     got2 = _drain_dedup(spark, src, ckpt)
     assert sorted(r["event_id"] for r in got2) == [3]
+
+
+def _drain_sessions(spark, src, ckpt, gap="30 minutes"):
+    from polygon_io_data_ingestion_pipeline_spark.streaming.windowed_stream import (
+        session_counts,
+    )
+
+    emitted = []
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(src)
+    q = (
+        session_counts(stream, gap, "1 hour", "ts", "user_id", "value")
+        .writeStream.foreachBatch(lambda df, _bid: emitted.extend(df.collect()))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return emitted
+
+
+def _write_session_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_native_session_window_gap_split_and_merge(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    # User 1: two bursts 40 min apart -> two sessions under a 30-min gap.
+    # User 2: one burst. A far-future event closes everything.
+    _write_session_batch(
+        spark,
+        src,
+        [
+            (1, T0, 1.0),
+            (1, T0 + 10 * MIN, 2.0),
+            (1, T0 + 50 * MIN, 4.0),
+            (2, T0 + 5 * MIN, 8.0),
+            (9, T0 + dt.timedelta(hours=6), 0.0),
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_start"]): r for r in _drain_sessions(spark, src, ckpt)
+    }
+    s1a = got[(1, T0)]
+    assert s1a["n"] == 2 and s1a["total_value"] == 3.0
+    # Session end = last event + gap (native session-window semantics).
+    assert s1a["session_end"] == T0 + 40 * MIN
+    s1b = got[(1, T0 + 50 * MIN)]
+    assert s1b["n"] == 1 and s1b["total_value"] == 4.0
+    assert (2, T0 + 5 * MIN) in got
+
+
+def test_native_session_window_bridging_event_merges_sessions(spark, tmp_path):
+    """An event landing inside the gap between two provisional sessions
+    must MERGE them — the case hand-rolled state usually gets wrong and
+    the native operator handles by construction."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+
+    _write_session_batch(
+        spark,
+        src,
+        [
+            (1, T0, 1.0),
+            (1, T0 + 45 * MIN, 4.0),   # > 30 min after T0: separate...
+            (1, T0 + 20 * MIN, 2.0),   # ...until this bridges the gap
+            (9, T0 + dt.timedelta(hours=6), 0.0),
+        ],
+    )
+    got = [
+        r
+        for r in _drain_sessions(spark, src, ckpt)
+        if r["user_id"] == 1
+    ]
+    assert len(got) == 1
+    assert got[0]["n"] == 3 and got[0]["total_value"] == 7.0
+    assert got[0]["session_start"] == T0
+    assert got[0]["session_end"] == T0 + 75 * MIN
