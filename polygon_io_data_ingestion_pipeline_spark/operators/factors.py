@@ -102,6 +102,29 @@ def prep_dividends(dividends: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _statically_empty(df: DataFrame) -> bool:
+    """True when the OPTIMIZED logical plan is provably zero rows —
+    recognizable from the driver without running any job.
+
+    Sound rule: rows only enter a plan through its LEAVES, so if every
+    leaf is an empty relation (``LocalRelation <empty>`` or a zero-row
+    ``Range``) the whole tree is empty whatever operators sit above.
+    Any leaf we cannot classify makes the answer ``False``
+    (conservative: the caller falls back to a real probe)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+    leaves = [
+        ln
+        for ln in plan.splitlines()
+        if "LocalRelation" in ln or "Range (" in ln or "Relation" in ln or "Scan" in ln
+    ]
+    if not leaves:
+        return False
+    return all("LocalRelation <empty>" in ln or "Range (0, 0" in ln for ln in leaves)
+
+
 def attach_id(bars: DataFrame, security_master: DataFrame, probe_empty: bool = True) -> DataFrame:
     """Attach the point-in-time entity id to each bar.
 
@@ -110,15 +133,19 @@ def attach_id(bars: DataFrame, security_master: DataFrame, probe_empty: bool = T
     rows with a null window survive), keep-last dedup per (ticker,
     datetime), and the ``NOFIGI__<TICKER>`` fallback.
 
-    ``probe_empty`` runs one tiny job on the dimension at plan-build
-    time (``isEmpty`` — a broadcast-sized table, so one footer read) to
-    take a no-join fast path when it's empty. Pass ``False`` to keep
-    plan construction action-free.
+    ``probe_empty`` checks the dimension at plan-build time to take a
+    no-join fast path when it's empty: first structurally (an optimized
+    plan that is a ``LocalRelation <empty>`` / zero-row ``Range`` costs
+    zero jobs to recognize — and ``isEmpty`` on an EMPTY many-partition
+    frame is the worst case of ``take(1)``'s scale-up rounds, measured
+    seconds of empty tasks), then via ``isEmpty`` (a broadcast-sized
+    table: one footer read). Pass ``False`` to keep plan construction
+    fully action-free.
     """
     px_base = bars.withColumn("ticker", F.upper(F.trim(F.col("ticker")))).withColumn(
         "event_day", F.to_date("datetime")
     )
-    if probe_empty and security_master.isEmpty():
+    if probe_empty and (_statically_empty(security_master) or security_master.isEmpty()):
         # no dimension -> every row falls through to the NOFIGI identity;
         # skip the join and the keep-last window entirely (two shuffles)
         return px_base.withColumn(

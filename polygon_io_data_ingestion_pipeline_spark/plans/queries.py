@@ -1712,8 +1712,16 @@ def corporate_actions_adjust(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("value") / 1000.0).alias("cash_amount"),
         )
     )
-    sm = spark.createDataFrame(
-        [], "ticker string, composite_figi string, effective_start timestamp_ntz, effective_end timestamp_ntz"
+    # WHERE 1=0 folds to a LocalRelation <empty>, which attach_id's
+    # empty-dimension fast path recognizes STRUCTURALLY — a zero-job
+    # plan-build. (createDataFrame([], schema) builds a 32-partition
+    # empty RDD instead, and isEmpty() on that is take(1)'s scale-up
+    # worst case: seconds of empty tasks on every plan construction.)
+    sm = spark.sql(
+        "SELECT CAST(NULL AS STRING) AS ticker,"
+        " CAST(NULL AS STRING) AS composite_figi,"
+        " CAST(NULL AS TIMESTAMP_NTZ) AS effective_start,"
+        " CAST(NULL AS TIMESTAMP_NTZ) AS effective_end WHERE 1=0"
     )
     adjusted = adjust_bars(bars, sm, splits, divs, materialize="close")
     # The +1e-9 nudge (mirrored in the oracle) moves the systematic
