@@ -2290,6 +2290,52 @@ def events_session_incident_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "events_impute_winsorize",
+    oracle="""
+WITH base AS (SELECT event_id, event_type,
+                     CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v
+              FROM events),
+m AS (SELECT event_type,
+             round(sum(CAST(round(v * 1000000) AS BIGINT)) / count(*) / 1000000, 6) AS gmean
+      FROM base WHERE v IS NOT NULL GROUP BY event_type),
+imp AS (SELECT b.event_id, b.event_type,
+               coalesce(b.v, m.gmean) AS v2,
+               CAST(CASE WHEN b.v IS NULL AND m.gmean IS NOT NULL
+                         THEN 1 ELSE 0 END AS INT) AS was_imputed
+        FROM base b LEFT JOIN m USING (event_type))
+SELECT event_id, event_type,
+       CASE WHEN v2 < 10.0 THEN 10.0
+            WHEN v2 > 150.0 THEN 150.0 ELSE v2 END AS value,
+       was_imputed,
+       CAST(CASE WHEN v2 IS NOT NULL AND (v2 < 10.0 OR v2 > 150.0)
+                 THEN 1 ELSE 0 END AS INT) AS was_clipped
+FROM imp
+""",
+    doc="Feature repair (operators/impute.py): deterministically "
+    "null-out a slice of event values (event_id % 13), impute each "
+    "null from its event-type group mean (one partial-agg shuffle + "
+    "one keyed join; groups with no observations keep their nulls, "
+    "flagged), then winsorize into [10, 150] map-side — with "
+    "was_imputed/was_clipped audit flags so downstream can weigh or "
+    "drop repaired rows. Group means divide scaled-BIGINT sums by "
+    "exact counts, so imputed values replay bit-for-bit in the oracle.",
+    tags=("quality", "agg"),
+)
+def events_impute_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.impute import impute_group_mean, winsorize
+
+    ev = table(spark, sf, "events").select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, F.lit(None)).otherwise(F.col("value")).alias("value"),
+    )
+    repaired = impute_group_mean(ev, "value", ["event_type"])
+    return winsorize(repaired, "value", 10.0, 150.0).select(
+        "event_id", "event_type", "value", "was_imputed", "was_clipped"
+    )
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3873,6 +3919,11 @@ _DEFERRED_PAST_WINDOW = [
     # in-repo oracle parity (DuckDB's native inequality join as the
     # independent strategy) covers values.
     "events_session_incident_overlap",
+    # Feature repair (round 5, seventh batch), deferred by design:
+    # keyed-agg-join-back + map-side CASE are the registry's most
+    # windowed shapes; the audit-flag contract is pinned by
+    # tests/test_impute.py and in-repo oracle parity covers values.
+    "events_impute_winsorize",
 ]
 
 
