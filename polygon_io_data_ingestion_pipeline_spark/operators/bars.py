@@ -79,8 +79,10 @@ def rolling_range_stats(
 ) -> DataFrame:
     """Trailing-``n`` rolling stats with a RANGE frame over an INTEGER
     ordering column (day number, bar number): mean, min, max,
-    volatility (population std) and the actual count of rows in the
-    frame. RANGE, not ROWS: gaps in the ordering key shrink the frame
+    volatility (population std) and ``n_in_frame`` — the count of
+    OBSERVED (non-null) values in the frame, consistent with the
+    null-skipping sums (a frame with only nulls yields null stats).
+    RANGE, not ROWS: gaps in the ordering key shrink the frame
     (5 rows in a 7-day window average over 5), which is the correct
     trailing-window semantics for sparse series.
 
@@ -98,7 +100,10 @@ def rolling_range_stats(
     )
     s1 = F.sum(v).over(w)
     s2 = F.sum(v * v).over(w)
-    cnt = F.count(F.lit(1)).over(w)
+    # Count OBSERVED values, consistently with the null-skipping sums:
+    # count(*) would deflate the mean and corrupt the variance whenever
+    # the frame holds a null value row.
+    cnt = F.count(v).over(w)
     mean = s1 / cnt / scale
     var = (cnt * s2 - s1 * s1) / (cnt * cnt) / (scale * scale)
     return df.select(

@@ -77,9 +77,14 @@ def psi_categorical(
 
 
 def _psi_from_counts(rb: DataFrame, cb: DataFrame, feature: str) -> DataFrame:
-    both = rb.join(cb, "b", "full_outer").select(
-        F.coalesce("rc", F.lit(0)).alias("rc"),
-        F.coalesce("cc", F.lit(0)).alias("cc"),
+    # Null-SAFE bucket equality: a NULL category present on both sides
+    # must be ONE bucket. A plain full-outer join on the key never
+    # matches NULL==NULL, which would split it into two phantom
+    # single-sided buckets — inflating k and reporting spurious drift
+    # on exactly the dirty data this operator audits.
+    both = rb.join(cb, rb["b"].eqNullSafe(cb["b"]), "full_outer").select(
+        F.coalesce(rb["rc"], F.lit(0)).alias("rc"),
+        F.coalesce(cb["cc"], F.lit(0)).alias("cc"),
     )
     tot = both.agg(
         F.sum("rc").alias("rt"), F.sum("cc").alias("ct"), F.count("*").alias("k")

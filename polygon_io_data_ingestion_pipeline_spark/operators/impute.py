@@ -74,7 +74,15 @@ def impute_group_mean(
             F.round(F.sum(vs) / F.count(F.lit(1)) / scale, 6).alias("__gmean")
         )
     )
-    out = df.join(means, group_cols, "left")
+    # Null-SAFE key equality: groupBy keeps NULL as a group, so a NULL
+    # group key with observed values HAS a mean — but a name-list join
+    # (null-unsafe) could never match it back, silently breaking the
+    # documented contract for the NULL group.
+    cond = None
+    for c in group_cols:
+        eq = df[c].eqNullSafe(means[c])
+        cond = eq if cond is None else cond & eq
+    out = df.join(means, cond, "left").drop(*[means[c] for c in group_cols])
     filled = F.coalesce(F.col(value_col), F.col("__gmean"))
     return (
         out.withColumn(

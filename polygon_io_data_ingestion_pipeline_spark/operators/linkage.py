@@ -63,6 +63,10 @@ def fuzzy_pairs(
     v = df.select(
         F.col(id_col), F.col(name_col), F.explode(deletion_variants(name_col, max_dist)).alias("var")
     )
+    # Both self-join sides consume the variant explode (~len*d rows per
+    # record, the dominant map-side cost); materialize it once — the
+    # same no-cross-branch-CSE discipline as the dedup posting tables.
+    v = v.localCheckpoint()
     a = v.select(F.col(id_col).alias("id1"), F.col(name_col).alias("n1"), "var")
     b = v.select(F.col(id_col).alias("id2"), F.col(name_col).alias("n2"), "var")
     cand = (
@@ -110,6 +114,10 @@ def link_best_match(
         .withColumn("dist", F.levenshtein("__lname", "__rname").cast("int"))
         .filter(F.col("dist") <= max_dist)
     )
+    # Two consumers below (the best-match aggregate and the final
+    # join): materialize the verified candidates once so the whole
+    # explode-join-distinct-levenshtein stage does not run twice.
+    cand = cand.localCheckpoint()
     best = cand.groupBy("__lid").agg(
         F.min(F.struct("dist", "__rid")).alias("__best")
     )

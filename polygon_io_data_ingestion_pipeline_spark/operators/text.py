@@ -680,10 +680,12 @@ def bm25_topk(
     topic's coverage) and the sparse half of hybrid search next to the
     ANN operators in :mod:`.similarity`.
 
-    Scale shape: the corpus is touched by two partial-agg shuffles
-    (per-doc lengths; per-(doc, term) frequencies for the query's terms
-    ONLY — the term filter prunes the explode before any shuffle).
-    Document frequencies for the handful of query terms and the
+    Scale shape: the corpus is tokenized ONCE (the posting table is
+    materialized — four downstream consumers would otherwise each
+    re-run the corpus-wide explode), then reduced by partial-agg
+    shuffles: per-doc lengths, and per-(doc, term) frequencies with
+    the query-term filter applied before the shuffle. Document
+    frequencies for the handful of query terms and the
     (N, total-length) pair are tiny 1-row/`|q|`-row broadcasts. The
     final ranking is a TakeOrdered top-k, not a full sort.
 
@@ -698,6 +700,12 @@ def bm25_topk(
     """
     terms = [t for t in query_terms]
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    # Four consumers derive from the token explode (lengths, corpus
+    # totals via lengths, document frequencies, term frequencies); with
+    # no cross-branch CSE the corpus-wide tokenize would re-run per
+    # consumer. Materialize the postings once — the dedup-family
+    # discipline.
+    tok = tok.localCheckpoint()
     dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")

@@ -117,32 +117,57 @@ def lint_plan(df: DataFrame, allow_arrow_python: bool = True) -> list[Finding]:
                 "a two-level formulation",
             )
         )
-    # A Filter node whose child scan pushed nothing: the scan reads rows
-    # the filter immediately drops. (Non-pushable predicates — UDF-ish
-    # expressions, OR-of-ANDs over many columns — land here too; the
-    # warn asks "did you mean this".)
-    for scan in re.finditer(r"PushedFilters: \[\]", plan):
-        if "* Filter" in plan or "+- Filter" in plan:
+    # A Filter node sitting directly over a scan that pushed nothing:
+    # the scan reads rows the filter immediately drops. Matched
+    # STRUCTURALLY in the tree text — a Filter line whose next tree
+    # line is that scan — then the scan's detail block is checked for
+    # an empty PushedFilters. (Pairing "any empty-pushdown scan" with
+    # "any Filter anywhere" would false-positive on every join with a
+    # predicate-free dimension scan plus an unrelated post-join
+    # filter.) Non-pushable predicates — casts/functions over the
+    # scanned column — land here too; the warn asks "did you mean
+    # this".
+    tree_lines = [ln for ln in plan.splitlines() if re.search(r"\(\d+\)", ln)]
+    for i, ln in enumerate(tree_lines[:-1]):
+        if re.search(r"\bFilter \(\d+\)", ln):
+            nxt = tree_lines[i + 1]
+            m = re.search(r"Scan \w+ .*\((\d+)\)", nxt)
+            if not m:
+                # codegen/ColumnarToRow wrappers may sit between
+                for nxt2 in tree_lines[i + 1 : i + 3]:
+                    m = re.search(r"Scan \w+ .*\((\d+)\)", nxt2)
+                    if m:
+                        break
+            if m:
+                detail = re.search(
+                    rf"\({m.group(1)}\) Scan.*?(?=\n\(\d+\)|\Z)", plan, re.DOTALL
+                )
+                if detail and "PushedFilters: []" in detail.group(0):
+                    out.append(
+                        Finding(
+                            "unpushed-filter",
+                            "warn",
+                            "a Filter sits directly over a scan that pushed "
+                            "no filters — check the predicate is pushable "
+                            "(no casts/functions over the scanned column)",
+                        )
+                    )
+                    break
+    # A Sort node DIRECTLY feeding a global limit (bare "Sort" substring
+    # would false-positive on every SortMergeJoin/SortAggregate in a
+    # plan that happens to contain a limit).
+    for i, ln in enumerate(tree_lines[:-1]):
+        if "GlobalLimit" in ln and re.search(r"\bSort \(\d+\)", tree_lines[i + 1]):
             out.append(
                 Finding(
-                    "unpushed-filter",
+                    "sort-for-limit",
                     "warn",
-                    "a scan pushed no filters while the plan filters rows "
-                    "above it — check the predicate is pushable (no casts/"
-                    "functions over the scanned column)",
+                    "global sort feeding a limit — orderBy(...).limit(k) "
+                    "compiles to TakeOrdered when adjacent; something "
+                    "between them forced a full sort",
                 )
             )
             break
-    if re.search(r"GlobalLimit", plan) and "Sort" in plan and "TakeOrdered" not in plan:
-        out.append(
-            Finding(
-                "sort-for-limit",
-                "warn",
-                "global sort feeding a limit — orderBy(...).limit(k) compiles "
-                "to TakeOrdered when adjacent; something between them forced "
-                "a full sort",
-            )
-        )
     return out
 
 

@@ -2213,7 +2213,7 @@ def customers_name_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     edges = fuzzy_pairs(
         table(spark, sf, "customer"), name_col="c_name", id_col="c_custkey", max_dist=1
     ).select("id1", "id2")
-    return triangle_stats(edges).withColumnRenamed("node", "node")
+    return triangle_stats(edges)
 
 
 @q(

@@ -404,17 +404,27 @@ def merge_into_lake(
     ``updates`` must carry the full lake row (data + partition columns)
     and at most one row per key — upsert with multiple versions per key
     is ambiguous; pre-dedup with keep-last if needed. Returns
-    ``{"rows_updated": ..., "rows_inserted": ...}``.
+    ``{"rows_updated": ..., "rows_inserted": ...}`` counted in KEYS
+    (a lake row duplicated per key collapses to the one update row and
+    still counts once).
     """
     lake = spark.read.parquet(path)
     updates = updates.select(*lake.columns).localCheckpoint()
     keys = updates.select(F.col(key_col)).distinct()
-    stale = (
+    # ONE lake scan: the semi-join result (at most the updated rows, a
+    # tiny frame) is materialized and answers both questions — which
+    # partitions hold stale versions, and which update KEYS matched.
+    # rows_updated counts matched keys, not matched lake rows: a lake
+    # holding duplicate rows per key (plain appends before adopting
+    # merge) would otherwise inflate the count and drive rows_inserted
+    # negative, while the merge itself (correctly) collapses the
+    # duplicates to the single update row.
+    matched = (
         lake.join(F.broadcast(keys), key_col, "left_semi")
-        .select(*partition_cols)
-        .distinct()
-        .collect()
+        .select(key_col, *partition_cols)
+        .localCheckpoint()
     )
+    stale = matched.select(*partition_cols).distinct().collect()
     target = updates.select(*partition_cols).distinct().collect()
     if not target:
         return {"rows_updated": 0, "rows_inserted": 0}
@@ -429,7 +439,7 @@ def merge_into_lake(
         if key not in seen:
             seen.add(key)
             touched.append(row)
-    n_updated = lake.join(F.broadcast(keys), key_col, "left_semi").count()
+    n_updated = matched.select(key_col).distinct().count()
     n_inserted = updates.count() - n_updated
     if touched:
         affected = lake.filter(_partition_filter(touched, partition_cols))

@@ -86,3 +86,18 @@ def test_rolling_variance_matches_numpy(spark):
     last = out.filter(F.col("d") == 4).first()
     assert abs(last["roll_vol"] - float(np.std(vals))) < 1e-6
     assert abs(last["roll_mean"] - float(np.mean(vals))) < 1e-6
+
+
+def test_rolling_stats_ignore_null_values_consistently(spark):
+    """Sums skip nulls, so the count must too — otherwise a null row
+    deflates the mean and fabricates variance."""
+    df = spark.createDataFrame(
+        [("u", 0, 10.0), ("u", 1, None), ("u", 2, 10.0)],
+        "k string, d long, val double",
+    )
+    out = {
+        r["d"]: r.asDict()
+        for r in rolling_range_stats(df, n=3, key_col="k", ord_col="d", value_col="val").collect()
+    }
+    assert out[2]["n_in_frame"] == 2
+    assert out[2]["roll_mean"] == 10.0 and out[2]["roll_vol"] == 0.0

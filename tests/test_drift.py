@@ -56,3 +56,14 @@ def test_report_one_row_per_feature(spark):
     got = {r["feature"]: r for r in rep.collect()}
     assert set(got) == {"x", "c"}
     assert all(r["n_ref"] == 2 and r["n_cur"] == 2 for r in got.values())
+
+
+def test_null_category_on_both_sides_is_one_bucket(spark):
+    """NULL==NULL never matches in a plain join; the PSI bucket join
+    must be null-safe or a NULL category present on both sides splits
+    into two phantom single-sided buckets and reports spurious drift."""
+    ref = spark.createDataFrame([("a",)] * 5 + [(None,)] * 5, "c string")
+    cur = spark.createDataFrame([("a",)] * 5 + [(None,)] * 5, "c string")
+    row = psi_categorical(ref, cur, "c").first()
+    assert row["n_buckets"] == 2
+    assert row["psi"] == 0.0 and row["drifted"] == 0

@@ -47,3 +47,16 @@ def test_winsorize_clips_and_flags(spark):
     assert got[4] == (None, 0)  # nulls pass through unflagged
     with pytest.raises(ValueError):
         winsorize(df, "v", 10.0, 0.0)
+
+
+def test_null_group_key_still_imputes(spark):
+    """groupBy keeps NULL as a group; the join back must be null-safe
+    or the NULL group's mean can never reach its rows."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), (None, None), ("a", 7.0)],
+        "g string, v double",
+    )
+    rows = impute_group_mean(df, "v", ["g"]).collect()
+    null_rows = [r for r in rows if r["g"] is None]
+    assert sorted(r["v"] for r in null_rows) == [1.0, 2.0, 3.0]
+    assert sum(r["was_imputed"] for r in null_rows) == 1
