@@ -151,7 +151,11 @@ def cmd_corpus(args: argparse.Namespace) -> int:
 
     passthrough = tuple(c for c in docs.columns if c != "doc_id")
     gated = quality_filter(docs, keep_cols=passthrough)
-    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough)
+    # Multi-consumer frame (the dedup-representatives branch AND the
+    # semi-join back) atop the full parse+scrub+gate lineage — persist
+    # it or the whole corpus re-reads once per consumer, exactly the
+    # cost the registry twin docs_corpus_prep pins with its .persist().
+    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough).persist()
 
     reps = exact_duplicates(kept.select("doc_id", "text")).select(
         F.col("canonical_id").alias("doc_id")

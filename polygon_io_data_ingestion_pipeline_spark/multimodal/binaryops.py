@@ -251,16 +251,22 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
     return df.mapInPandas(run, schema="media_id bigint, features array<double>")
 
 
+def _resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor index sampling — the ONE resize kernel every
+    format-specific path shares (a sampling-math fix lands once)."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(height) * h) // height, h - 1)
+    cols = np.minimum((np.arange(width) * w) // width, w - 1)
+    return img[rows][:, cols]
+
+
 def resize_pnm(payload: bytes, width: int, height: int) -> bytes:
     """REAL nearest-neighbor resize of an 8-bit PNM payload, pure
     NumPy index sampling, re-encoded as PNM bytes."""
     img = decode_pnm(payload)
     if img.dtype != np.uint8:
         raise ValueError("resize supports 8-bit PNM only")
-    h, w = img.shape[:2]
-    rows = np.minimum((np.arange(height) * h) // height, h - 1)
-    cols = np.minimum((np.arange(width) * w) // width, w - 1)
-    return encode_pnm(img[rows][:, cols])
+    return encode_pnm(_resize_nn(img, width, height))
 
 
 def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
@@ -268,11 +274,7 @@ def resize_jpeg(payload: bytes, width: int, height: int) -> bytes:
     sample, re-encode at quality 90 — output is a valid JPEG."""
     from .jpeg import encode_jpeg
 
-    img = _decode_any_image(payload)
-    h, w = img.shape[:2]
-    rows = np.minimum((np.arange(height) * h) // height, h - 1)
-    cols = np.minimum((np.arange(width) * w) // width, w - 1)
-    return encode_jpeg(img[rows][:, cols], quality=90)
+    return encode_jpeg(_resize_nn(_decode_any_image(payload), width, height), quality=90)
 
 
 def resize_png(payload: bytes, width: int, height: int) -> bytes:
@@ -280,11 +282,16 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     re-encode (exact — PNG has no quality loss)."""
     from .png import encode_png
 
-    img = _decode_any_image(payload)
-    h, w = img.shape[:2]
-    rows = np.minimum((np.arange(height) * h) // height, h - 1)
-    cols = np.minimum((np.arange(width) * w) // width, w - 1)
-    return encode_png(img[rows][:, cols])
+    return encode_png(_resize_nn(_decode_any_image(payload), width, height))
+
+
+#: magic-byte predicate -> real resizer; resize_images dispatches here
+#: (adding a decodable format = one entry, not a new if/elif branch).
+_RESIZERS: list[tuple] = [
+    (lambda p: bytes(p[:2]) in (b"P5", b"P6"), resize_pnm),
+    (lambda p: bytes(p[:2]) == b"\xff\xd8", resize_jpeg),
+    (lambda p: bytes(p[:4]) == b"\x89PNG", resize_png),
+]
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
@@ -301,23 +308,16 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         for batch in batches:
             payloads = []
             for p in batch["payload"]:
-                if p is not None and bytes(p[:2]) in (b"P5", b"P6"):
-                    try:
-                        payloads.append(resize_pnm(p, width, height))
-                    except ValueError:
-                        payloads.append(None)
-                elif p is not None and bytes(p[:2]) == b"\xff\xd8":
-                    try:
-                        payloads.append(resize_jpeg(p, width, height))
-                    except ValueError:
-                        payloads.append(None)
-                elif p is not None and bytes(p[:4]) == b"\x89PNG":
-                    try:
-                        payloads.append(resize_png(p, width, height))
-                    except ValueError:
-                        payloads.append(None)
-                else:
-                    payloads.append(p)
+                out = p
+                if p is not None:
+                    for matches, resizer in _RESIZERS:
+                        if matches(p):
+                            try:
+                                out = resizer(p, width, height)
+                            except ValueError:
+                                out = None
+                            break
+                payloads.append(out)
             meta = [
                 {**(m or {}), "width": width, "height": height} for m in batch["meta"]
             ]

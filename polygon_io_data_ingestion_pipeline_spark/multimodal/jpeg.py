@@ -421,7 +421,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """
     try:
         return _decode_markers(payload)
-    except (IndexError, struct.error, KeyError) as e:
+    except (IndexError, struct.error, KeyError, ValueError) as e:
+        if isinstance(e, JpegFormatError):
+            raise
         raise JpegFormatError(f"corrupt JPEG stream: {e!r}") from e
 
 
@@ -531,7 +533,12 @@ def _decode_scan(data, frame, qtabs, scan_tabs, restart_interval) -> np.ndarray:
     planes = []
     for ci, (_cid, tq) in enumerate(comps):
         q = qtabs[tq].reshape(-1)
-        dez = coefs[ci][:, UNZIGZAG] * q[UNZIGZAG]
+        # coefs arrive in ZIGZAG scan order; [:, UNZIGZAG] restores the
+        # natural order, where the quantizer for position i is q[i] —
+        # applying q[UNZIGZAG] here would dequantize every AC
+        # coefficient with the wrong table entry (the encoder divides
+        # by q in natural order, jpeg.py:334).
+        dez = coefs[ci][:, UNZIGZAG] * q
         blocks = dez.reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
         planes.append(_from_blocks(spatial, bh, bw, fh, fw))

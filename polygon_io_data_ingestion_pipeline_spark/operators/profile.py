@@ -27,6 +27,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for embedding in a SQL expression."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _sq(s: str) -> str:
+    """Escape a string for embedding as a single-quoted SQL literal."""
+    return s.replace("\\", "\\\\").replace("'", "\\'")
+
+
 def profile_columns(df: DataFrame, cols: list[str], exact: bool = False) -> DataFrame:
     """Per-column profile: (column, n_rows, n_nulls, n_distinct,
     min_value, max_value) with min/max rendered as strings so the
@@ -66,9 +76,12 @@ def profile_columns(df: DataFrame, cols: list[str], exact: bool = False) -> Data
             F.max(F.col(c)).cast("string").alias(f"__mx_{c}"),
         ]
     one = df.agg(*aggs)
+    # Backtick-quote generated aliases and escape the label literal:
+    # a column name with a space/dash/quote is otherwise parsed as SQL
+    # by the map expression and crashes the report.
     stacked = ", ".join(
-        f"'{c}', struct(__nn_{c} AS n_nulls, __nd_{c} AS n_distinct, "
-        f"__mn_{c} AS min_value, __mx_{c} AS max_value)"
+        f"'{_sq(c)}', struct({_bq('__nn_' + c)} AS n_nulls, {_bq('__nd_' + c)} AS n_distinct, "
+        f"{_bq('__mn_' + c)} AS min_value, {_bq('__mx_' + c)} AS max_value)"
         for c in cols
     )
     return one.select(
@@ -85,7 +98,10 @@ def check_constraints(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
         for name, cond in rules.items()
     ]
     one = df.agg(*aggs)
-    stacked = ", ".join(f"'{name}', {name}" for name in rules)
+    # Rule names are free text ("price > 0"): quote the identifier
+    # reference and escape the label literal or the map expression
+    # parses the name as SQL.
+    stacked = ", ".join(f"'{_sq(name)}', {_bq(name)}" for name in rules)
     out = one.select(F.expr(f"explode(map({stacked}))").alias("check", "n_violations"))
     return out.select(
         "check", "n_violations", (F.col("n_violations") == 0).cast("int").alias("passed")

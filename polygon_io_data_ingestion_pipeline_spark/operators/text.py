@@ -482,9 +482,21 @@ def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 PII_RULES: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    # Digit groups joined by space/dash (optionally +CC): separators are
-    # REQUIRED so a bare numeric identifier falls to the id rule below.
-    ("phone", r"\+?[0-9]{1,4}([ \-][0-9]{2,4}){2,}", "<PHONE>"),
+    # Digit groups joined by space/dash: separators are REQUIRED so a
+    # bare numeric identifier falls to the id rule below, and the
+    # grouping must look like a PHONE, not a date — three RE2-safe
+    # (lookahead-free, so the generated DuckDB oracles can run the
+    # SAME pattern) alternatives: +CC-prefixed with >=2 more groups,
+    # the NANP 3-3-4 shape, or >=4 separated groups. An ISO date
+    # (4-2-2: two groups after the first, no +, not 3-3-4) and a
+    # dash-separated range like 10-20-30 match none of them.
+    (
+        "phone",
+        r"(\+[0-9]{1,4}([ \-][0-9]{2,4}){2,})"
+        r"|([0-9]{3}[ \-][0-9]{3}[ \-][0-9]{4})"
+        r"|([0-9]{2,4}([ \-][0-9]{2,4}){3,})",
+        "<PHONE>",
+    ),
     ("id", r"[0-9]{6,}", "<ID>"),
 )
 

@@ -895,8 +895,9 @@ def _ivf_query_state(
     as the ``index`` CLI command — not in a driver-local tmp dir; its
     ``codebook.json`` sidecar makes it probeable by any session. The
     dir name carries a signature over the source files' (path, mtime,
-    size), so a changed corpus builds a NEW index dir; a `_SUCCESS`
-    marker gates reuse so a torn build is rewritten. The in-process
+    size), so a changed corpus builds a NEW index dir; reuse requires
+    BOTH the parquet `_SUCCESS` marker and the codebook sidecar (the
+    last artifact written), so a torn build is rewritten. The in-process
     memo additionally skips the codebook / query-vector collects on
     repeat queries."""
     statsig = _corpus_statsig(sf)
@@ -910,7 +911,14 @@ def _ivf_query_state(
     ]
     sig = hashlib.md5(f"{statsig};nlist={nlist};stride={stride}".encode()).hexdigest()[:16]
     idx = os.path.join(_index_root(spark), f"ivf_{sig}")
-    if os.path.exists(os.path.join(idx, "_SUCCESS")):
+    # A build is complete only when BOTH artifacts exist: Spark's
+    # _SUCCESS (parquet committed) AND the codebook sidecar (written
+    # after it). Gating on _SUCCESS alone leaves a torn build — died
+    # between the two writes — permanently unloadable, since the dir
+    # name is deterministic and would never be rebuilt.
+    if os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(
+        os.path.join(idx, "_codebook.json")
+    ):
         cents = SIM.read_ivf_codebook(idx)
     else:
         cents = SIM.build_ivf_index(emb, idx, nlist=nlist, stride=stride)
@@ -977,7 +985,11 @@ def _ivfpq_query_state(
         f"{statsig};ivfpq;nlist={nlist};m={m};ncodes={ncodes};stride={stride}".encode()
     ).hexdigest()[:16]
     idx = os.path.join(_index_root(spark), f"ivfpq_{sig}")
-    if os.path.exists(os.path.join(idx, "_SUCCESS")):
+    # Same torn-build gate as _ivf_query_state: complete iff parquet
+    # _SUCCESS AND the meta sidecar both exist.
+    if os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(
+        os.path.join(idx, "_ivfpq.json")
+    ):
         cents, books = SIM.read_ivfpq_meta(idx)
     else:
         cents, books = SIM.build_ivfpq_index(

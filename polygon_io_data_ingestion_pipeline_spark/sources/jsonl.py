@@ -88,8 +88,14 @@ def read_jsonl(
     # every field and the reader parses the full declared row whatever
     # the caller projects or counts downstream. No cache, no second
     # format: each branch stays one lazy scan.
+    # F.lit(0) pads the operand list: Spark's greatest() requires two
+    # arguments, so a single-field schema (a legitimate
+    # extract-one-column read) would otherwise fail at plan time.
     full_parse_guard = (
-        F.greatest(*[F.col(f.name).isNotNull().cast("int") for f in schema.fields]) >= 0
+        F.greatest(
+            F.lit(0), *[F.col(f.name).isNotNull().cast("int") for f in schema.fields]
+        )
+        >= 0
     )
     good_cond = F.col(_CORRUPT).isNull()
     if strict:

@@ -84,14 +84,19 @@ def corpus_pipeline(
 
 
 def write_corpus_batch(batch_df: DataFrame, batch_id: int, lake_path: str) -> None:
-    """Append-mode sink with replay suppression.
+    """Idempotent batch sink: exactly-once by construction.
 
-    foreachBatch is at-least-once: a batch whose parquet append
-    committed but whose checkpoint offset did not advance re-executes
-    on restart and would double-append. A tiny committed-batch ledger
-    (one JSON line per batch id, written AFTER the append) makes the
-    replay a no-op. O(1) driver work per batch; the ledger lives next
-    to the data so a fresh checkpoint starts a fresh ledger."""
+    foreachBatch is at-least-once: a batch whose output committed but
+    whose checkpoint offset did not advance re-executes on restart.
+    The output path is therefore KEYED BY BATCH ID
+    (``batch_id=N/source=.../``) and written with overwrite — a replay
+    rewrites the same directory with the same deterministic rows, so
+    there is no ordering window at all (a bare append guarded by an
+    after-the-fact ledger still double-appends when the crash lands
+    between the append commit and the ledger line). ``batch_id``
+    surfaces on read as a partition column — useful ingest lineage.
+    The ledger remains as a cheap skip of already-committed replays
+    (saves the rewrite, never needed for correctness)."""
     ledger = os.path.join(lake_path, "_committed_batches.json")
     done: set[int] = set()
     if os.path.exists(ledger):
@@ -99,7 +104,11 @@ def write_corpus_batch(batch_df: DataFrame, batch_id: int, lake_path: str) -> No
             done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
     if batch_id in done:
         return
-    batch_df.write.mode("append").partitionBy("source").parquet(lake_path)
+    (
+        batch_df.write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+    )
     with open(ledger, "a") as fh:
         fh.write(json.dumps({"batch_id": batch_id}) + "\n")
 

@@ -45,14 +45,22 @@ def funnel_stream(
     type_col: str = "event_type",
     ts_col: str = "ts",
 ) -> DataFrame:
-    """Streaming DataFrame of per-user funnel snapshots
-    ``(user_id, deepest_stage, ts_1 .. ts_N as epoch-ns longs)``.
-    Write with ``outputMode("update")``.
+    """Streaming DataFrame of per-key funnel snapshots
+    ``(<key_col>, deepest_stage, ts_1 .. ts_N as epoch-ns longs)`` —
+    the key column keeps the input's name and type. Write with
+    ``outputMode("update")``.
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
     n = len(stages)
-    out_schema = "user_id bigint, deepest_stage int, " + ", ".join(
+    # The output key column mirrors the INPUT key column in both name
+    # and type — hardcoding "user_id bigint" would break any stream
+    # keyed by a string session id (or mislabel an integer custom key).
+    key_sql = events.schema[key_col].dataType.simpleString()
+    key_np = {"bigint": "int64", "int": "int32", "smallint": "int16"}.get(
+        key_sql, "object"
+    )
+    out_schema = f"{key_col} {key_sql}, deepest_stage int, " + ", ".join(
         f"ts_{i} bigint" for i in range(1, n + 1)
     )
     state_schema = ", ".join(f"t{i} bigint" for i in range(1, n + 1))
@@ -85,7 +93,7 @@ def funnel_stream(
             deepest = max(i + 1 for i, t in enumerate(times) if t is not None)
             yield pd.DataFrame(
                 {
-                    "user_id": pd.array([uid], dtype="int64"),
+                    key_col: pd.array([uid], dtype=key_np),
                     "deepest_stage": pd.array([deepest], dtype="int32"),
                     **{
                         f"ts_{i + 1}": pd.array([times[i]], dtype="Int64")
@@ -96,7 +104,7 @@ def funnel_stream(
         else:
             yield pd.DataFrame(
                 {
-                    "user_id": pd.array([], dtype="int64"),
+                    key_col: pd.array([], dtype=key_np),
                     "deepest_stage": pd.array([], dtype="int32"),
                     **{f"ts_{i + 1}": pd.array([], dtype="Int64") for i in range(n)},
                 }

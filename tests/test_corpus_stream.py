@@ -62,8 +62,14 @@ def test_corpus_stream_end_to_end(spark, tmp_path):
     _drain(spark, src, lake, ckpt)
     assert {r["doc_id"] for r in spark.read.parquet(lake).collect()} == {1, 10, 20}
 
-    # Lake is partitioned by source for pruned downstream scans.
-    assert os.path.isdir(os.path.join(lake, "source=web"))
+    # Lake layout: batch-keyed (the idempotent exactly-once unit), then
+    # source for pruned downstream scans; both surface as partition
+    # columns on read.
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(lake, "batch_id=*", "source=web"))
+    read_cols = set(spark.read.parquet(lake).columns)
+    assert {"batch_id", "source"} <= read_cols
 
 
 def test_foreachbatch_replay_is_suppressed(spark, tmp_path):
@@ -108,3 +114,22 @@ def test_stream_gate_equals_batch_gate(spark, tmp_path):
     want = {r["doc_id"] for r in reps.collect()}
     # Single ordered shard: stream first-arrival == batch min doc_id.
     assert got == want and len(got) > 0
+
+
+def test_replay_after_lost_ledger_line_still_exactly_once(spark, tmp_path):
+    """The crash window the ledger alone cannot close: output committed
+    but the ledger line never landed. Because the output path is keyed
+    by batch id and overwritten, the replay rewrites the same directory
+    instead of double-appending."""
+    import pandas as pd
+
+    lake = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"], "lang": ["en"],
+                      "source": ["web"], "fp": ["f"], "n_tokens": [25]})
+    )
+    write_corpus_batch(df, 7, lake)
+    # Simulate the torn state: data committed, ledger lost.
+    os.remove(os.path.join(lake, "_committed_batches.json"))
+    write_corpus_batch(df, 7, lake)  # at-least-once replay
+    assert spark.read.parquet(lake).count() == 1

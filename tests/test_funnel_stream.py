@@ -79,3 +79,42 @@ def test_funnel_stream_matches_batch_operator(spark, tmp_path):
     assert latest == want
     assert 4 not in latest  # no stage-1 completion, no snapshot
     assert latest[1][0] == 3 and latest[2][0] == 2 and latest[3][0] == 1
+
+
+def test_string_session_key(spark, tmp_path):
+    """Regression: the output key column must mirror the input key's
+    name AND type — a string session key used to crash the state
+    function (hardcoded int64) and mislabel the column."""
+    import datetime as dt
+    import os
+
+    from polygon_io_data_ingestion_pipeline_spark.streaming.funnel_stream import (
+        funnel_stream,
+    )
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 2, 10, 0, 0)
+    spark.createDataFrame(
+        [
+            ("sess-a", "signup", t0),
+            ("sess-a", "click", t0 + dt.timedelta(minutes=1)),
+            ("sess-b", "click", t0),
+        ],
+        "session_id string, event_type string, ts timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "session_id string, event_type string, ts timestamp"
+    ).parquet(src)
+    emitted = []
+    q = (
+        funnel_stream(stream, ["signup", "click"], key_col="session_id")
+        .writeStream.foreachBatch(lambda df, _b: emitted.extend(df.collect()))
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["session_id"]: r["deepest_stage"] for r in emitted}
+    assert got == {"sess-a": 2}  # sess-b never signed up -> no snapshot

@@ -113,3 +113,19 @@ def test_explicit_schema_no_inference_pass(spark, tmp_path):
     assert [r["doc_id"] for r in good.collect()] == [7]
     assert bad.count() == 1
     assert dict(good.dtypes)["doc_id"] == "bigint"
+
+
+def test_single_field_schema_reads(spark, tmp_path):
+    """greatest() needs two operands; a one-field schema (extract one
+    column) must still plan and read."""
+    import json as _json
+
+    from pyspark.sql import types as S
+
+    p = tmp_path / "one.jsonl"
+    p.write_text("\n".join(_json.dumps({"text": t}) for t in ("a", "b")) + "\n")
+    good, bad = read_jsonl(
+        spark, str(p), schema=S.StructType([S.StructField("text", S.StringType())])
+    )
+    assert sorted(r["text"] for r in good.collect()) == ["a", "b"]
+    assert bad.count() == 0

@@ -124,3 +124,39 @@ def test_spark_resize_reencodes_valid_jpeg(spark):
     resized = decode_jpeg(bytes(out["payload"]))
     assert resized.shape == (8, 16, 3)
     assert out["meta"]["width"] == 16 and out["meta"]["height"] == 8
+
+
+def test_high_frequency_content_dequantizes_correctly():
+    """Regression: the decoder dequantized through the wrong
+    permutation (q[UNZIGZAG] instead of q in natural order), which
+    gradients and all-ones q100 tables cannot see — a mid-frequency
+    sine pattern can. With the correct table the roundtrip error at
+    quality 90 stays tight; the permuted form measured ~10x worse."""
+    import numpy as np
+
+    y, x = np.mgrid[0:64, 0:64]
+    img = (127.5 + 100.0 * np.sin(x * 0.7) * np.cos(y * 0.5)).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(img, quality=90))
+    err = np.abs(dec.astype(np.int32) - img.astype(np.int32))
+    assert err.max() <= 8 and err.mean() <= 1.5
+
+
+def test_truncated_dqt_raises_the_quarantine_type():
+    """A short DQT body hits numpy shape-mismatch (ValueError); the
+    decoder must convert it to JpegFormatError, not leak a raw
+    ValueError past the documented single-quarantine-type contract."""
+    import numpy as np
+    import pytest
+
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import JpegFormatError
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8) * 3).astype(np.uint8)
+    enc = bytearray(encode_jpeg(img, quality=90))
+    dqt = enc.find(b"\xff\xdb")
+    assert dqt > 0
+    # Shrink the declared DQT segment length so the table body is short.
+    seg_len = int.from_bytes(enc[dqt + 2 : dqt + 4], "big")
+    truncated = enc[: dqt + 4] + enc[dqt + 4 : dqt + 2 + seg_len - 10] + enc[dqt + 2 + seg_len :]
+    truncated[dqt + 2 : dqt + 4] = (seg_len - 10).to_bytes(2, "big")
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(truncated))

@@ -56,3 +56,22 @@ def test_multiple_matches_counted(spark):
     r = _redact_one(spark, "a@b.io c@d.io e@f.io")
     assert r["n_email"] == 3
     assert r["redacted"] == "<EMAIL> <EMAIL> <EMAIL>"
+
+
+def test_dates_and_numeric_ranges_are_not_phones(spark):
+    """Regression: the old phone rule ate every ISO date and dash
+    range. Dates/ranges must survive; real phone shapes must not."""
+    rows = [
+        (1, "released on 2026-08-14 in prod"),
+        (2, "versions 10-20-30 rolled back"),
+        (3, "call 555-123-4567 now"),
+        (4, "intl +44 20 7946 0958 line"),
+        (5, "eu 12 34 56 78 90 form"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["redacted"], r["n_phone"]) for r in pii_redact(df).collect()}
+    assert got[1] == ("released on 2026-08-14 in prod", 0)
+    assert got[2] == ("versions 10-20-30 rolled back", 0)
+    assert got[3] == ("call <PHONE> now", 1)
+    assert got[4] == ("intl <PHONE> line", 1)
+    assert got[5] == ("eu <PHONE> form", 1)

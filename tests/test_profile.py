@@ -78,3 +78,22 @@ def test_unique_and_fk_checks(spark):
         [check_unique(df, ["k"]), check_foreign_key(df, parent, "k", "pk")]
     ).collect()
     assert {r["check"] for r in report} == {"unique_k", "fk_k"}
+
+
+def test_free_text_rule_names_and_odd_column_names(spark):
+    """Rule names are labels, not identifiers: 'price > 0' or a dashed
+    name must not be parsed as SQL by the report expression."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1.0,), (-2.0,)], "price double")
+    rep = {
+        r["check"]: r["n_violations"]
+        for r in check_constraints(
+            df, {"price > 0": F.col("price") > 0, "non-null price": F.col("price").isNotNull()}
+        ).collect()
+    }
+    assert rep == {"price > 0": 1, "non-null price": 0}
+
+    odd = df.withColumnRenamed("price", "unit price-usd")
+    prof = profile_columns(odd, ["unit price-usd"]).first()
+    assert prof["column"] == "unit price-usd" and prof["n_rows"] == 2
