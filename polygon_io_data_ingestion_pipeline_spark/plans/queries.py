@@ -2348,6 +2348,58 @@ def events_impute_winsorize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "events_daily_ffill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS day_num,
+         CAST(round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) AS DOUBLE) AS daily_total
+  FROM events WHERE user_id % 5 = 0 GROUP BY 1, 2),
+span AS (SELECT user_id, min(day_num) AS mn, max(day_num) AS mx FROM daily GROUP BY user_id),
+cal AS (SELECT user_id, unnest(range(mn, mx + 1)) AS day_num FROM span),
+j AS (SELECT c.user_id, c.day_num, d.daily_total
+      FROM cal c LEFT JOIN daily d USING (user_id, day_num))
+SELECT user_id, day_num,
+       last_value(daily_total IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY day_num
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS daily_total,
+       CAST(CASE WHEN daily_total IS NULL THEN 1 ELSE 0 END AS INT) AS was_filled
+FROM j
+""",
+    doc="Calendar densification + forward fill (operators/ffill.py): "
+    "per-user daily totals (sparse — users skip days) aligned to each "
+    "user's full day span, gaps carried forward from the last "
+    "observation with a was_filled audit flag — the align-to-calendar "
+    "step before returns/fixed-step models. Missing rows come from one "
+    "sequence/explode over each key's own span (no driver calendar); "
+    "the fill is last(ignorenulls) over a keyed window. Values pass "
+    "through untouched, so the oracle's IGNORE NULLS window replays "
+    "the fill exactly.",
+    tags=("window", "time", "bars"),
+)
+def events_daily_ffill(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ffill import fill_series
+
+    ev = table(spark, sf, "events").filter(F.col("user_id") % 5 == 0)
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")), F.lit("2024-01-01").cast("timestamp_ntz")
+            )
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(
+            F.round(F.sum(F.round(F.col("value") * 100).cast("long")) / 100.0, 2).alias(
+                "daily_total"
+            )
+        )
+    )
+    return fill_series(daily, "user_id", "day_num", ["daily_total"])
+
+
+@q(
     "orders_top3_per_priority",
     oracle="""
 SELECT o_orderpriority AS priority, o_orderkey, o_totalprice, rnk
@@ -3936,6 +3988,12 @@ _DEFERRED_PAST_WINDOW = [
     # windowed shapes; the audit-flag contract is pinned by
     # tests/test_impute.py and in-repo oracle parity covers values.
     "events_impute_winsorize",
+    # Calendar densification + forward fill (round 5, seventh batch),
+    # deferred by design: sequence/explode + keyed left join +
+    # last-ignorenulls window are each windowed shapes elsewhere;
+    # tests/test_ffill.py pins the fill/flag semantics and in-repo
+    # oracle parity (IGNORE NULLS window) covers values.
+    "events_daily_ffill",
 ]
 
 
