@@ -2,6 +2,7 @@ from .drift_stream import psi_stream
 from .corpus_stream import corpus_pipeline, start_corpus_ingest, write_corpus_batch
 from .funnel_stream import funnel_stream
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
+from .join_stream import stream_interval_join
 from .sessionize_stream import SESSION_SCHEMA, sessionize_stream
 from .windowed_stream import dedup_stream, session_counts, tumbling_counts
 
@@ -16,6 +17,7 @@ __all__ = [
     "funnel_stream",
     "sessionize_stream",
     "stream_ingest_bars",
+    "stream_interval_join",
     "tumbling_counts",
     "write_ingest_batch",
 ]
