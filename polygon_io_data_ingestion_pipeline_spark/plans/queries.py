@@ -3818,6 +3818,42 @@ def events_funnel_conversion(spark: SparkSession, sf: str) -> DataFrame:
     return funnel_conversion(ev, ["signup", "click", "purchase"])
 
 
+@q(
+    "docs_entropy_signals",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, substr(text, CAST(i.i AS INT), 1) AS ch
+  FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i) i
+),
+cc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch),
+n AS (SELECT doc_id, length(text) AS n FROM documents),
+t AS (
+  SELECT cc.doc_id,
+         CAST(floor((CAST(cc.c AS DOUBLE) / n.n) * log2(CAST(cc.c AS DOUBLE) / n.n) * 1e6 + 0.5) AS BIGINT) AS term
+  FROM cc JOIN n ON cc.doc_id = n.doc_id
+)
+SELECT n.doc_id, CAST(n.n AS BIGINT) AS n_chars,
+       CAST(-sum(t.term) AS DOUBLE) / 1e6 AS char_entropy
+FROM n JOIN t ON t.doc_id = n.doc_id
+GROUP BY n.doc_id, n.n
+""",
+    doc="Character-entropy quality signal (low entropy = boilerplate/"
+    "padding/keyword stuffing). ONE Arrow-batched map-only pass "
+    "(operators/entropy.py) — the relational alternative would shuffle "
+    "a row per character of the corpus. Per-char probability terms are "
+    "floor(x+0.5)-quantized to 1e-6 integers and integer-summed, so "
+    "the DuckDB character-explode audit matches bit-for-bit (the "
+    "unigram_logprob discipline). The sibling compression_ratio signal "
+    "(zlib, not SQL-expressible) is pytest-verified in test_entropy.py.",
+    tags=("text", "arrow"),
+)
+def docs_entropy_signals(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.entropy import entropy_signals
+
+    docs = table(spark, sf, "documents")
+    return entropy_signals(docs).select("doc_id", "n_chars", "char_entropy")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -3994,6 +4030,15 @@ _DEFERRED_PAST_WINDOW = [
     # tests/test_ffill.py pins the fill/flag semantics and in-repo
     # oracle parity (IGNORE NULLS window) covers values.
     "events_daily_ffill",
+    # Entropy/compressibility signals (round 5, eighth batch), deferred
+    # by design: the physical shape is one Arrow-batched map-only stage
+    # — the same family as the multimodal kernels (pytest-verified) and
+    # the Arrow cosine path (windowed via emb_cosine_topk); the
+    # engine-portable entropy quantization is the windowed
+    # docs_unigram_logprob discipline. In-repo oracle parity covers
+    # values at both scales; compression_ratio is zlib (not
+    # SQL-expressible) and pytest-verified.
+    "docs_entropy_signals",
 ]
 
 
