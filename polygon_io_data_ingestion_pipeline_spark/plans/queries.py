@@ -3854,6 +3854,48 @@ def docs_entropy_signals(spark: SparkSession, sf: str) -> DataFrame:
     return entropy_signals(docs).select("doc_id", "n_chars", "char_entropy")
 
 
+@q(
+    "docs_feature_hash_embed",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
+         CASE WHEN CAST(('0x' || substr(md5(w), 9, 1)) AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sg
+  FROM tok
+),
+comp AS (SELECT doc_id, b, CAST(sum(sg) AS BIGINT) AS s FROM hashed GROUP BY doc_id, b),
+norms AS (SELECT doc_id, sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM comp GROUP BY doc_id),
+dims AS (SELECT unnest(range(16)) AS dim_idx)
+SELECT n.doc_id,
+       CAST(dims.dim_idx AS BIGINT) AS dim_idx,
+       CASE WHEN n.nrm > 0 THEN CAST(coalesce(c.s, 0) AS DOUBLE) / n.nrm
+            ELSE 0.0 END AS component
+FROM norms n
+CROSS JOIN dims
+LEFT JOIN comp c ON c.doc_id = n.doc_id AND c.b = dims.dim_idx
+""",
+    doc="Signed feature-hash embedding (hashing trick): vocabulary-free "
+    "text -> unit vector, closing the corpus -> embed -> ANN loop with "
+    "no external model. ONE partial-agg shuffle on doc_id with dim "
+    "conditional-sum columns (the PSI-bucket pattern) — not a "
+    "(doc,bucket) shuffle + re-gather; components are exact integer "
+    "counts so normalization is engine-exact (IEEE sqrt + divide). "
+    "Emitted exploded (doc, dim_idx, component) for scalar hashing.",
+    tags=("text", "embedding"),
+)
+def docs_feature_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.embed import feature_hash_embed
+
+    docs = table(spark, sf, "documents")
+    emb = feature_hash_embed(docs, dim=16)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("dim_idx", "component")
+    ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "component")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -4039,6 +4081,12 @@ _DEFERRED_PAST_WINDOW = [
     # values at both scales; compression_ratio is zlib (not
     # SQL-expressible) and pytest-verified.
     "docs_entropy_signals",
+    # Feature-hash embedding (round 5, eighth batch), deferred by
+    # design: explode -> one wide conditional-sum partial agg is the
+    # windowed PSI/profile shape, and the md5-derived keying holds
+    # external rows via docs_split_and_sample; in-repo oracle parity
+    # covers values, test_embed.py covers the vector contract.
+    "docs_feature_hash_embed",
 ]
 
 
