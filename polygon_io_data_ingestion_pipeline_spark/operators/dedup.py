@@ -42,6 +42,41 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Novelty filter for a continuously-growing corpus: keep only the
+    documents of an incoming shard (a day's crawl) that are new BOTH
+    against the historical corpus and within the shard itself.
+
+    ``seen_fingerprints`` is the running ``(fp)`` table persisted in the
+    lake (append the returned delta after each shard); ``None`` means a
+    cold start. Returns ``(novel_docs, new_fingerprint_delta)`` — the
+    delta contains each novel fingerprint exactly once, so appending it
+    keeps the history exact with no rewrite of the existing table.
+
+    Scale shape: within-shard dedup is one keyed min-agg join on the
+    fingerprint (keep the min-``id_col`` representative —
+    deterministic, not "whichever partition won"); the history check is
+    a LEFT ANTI join on the fingerprint key. Both are plain hash
+    equi-joins on md5 keys — uniformly distributed, skew-free; the
+    history side streams from the lake, never through the driver. The
+    fingerprint table is the ONLY state that grows with corpus history,
+    and it is O(distinct docs) narrow rows.
+    """
+    fp = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    if seen_fingerprints is not None:
+        keep = keep.join(
+            seen_fingerprints.select("fp"), "fp", "left_anti"
+        )
+    novel = new_docs.join(keep.select(id_col), id_col, "left_semi")
+    return novel, keep.select("fp")
+
+
 #: Default stop-shingle document-frequency cutoff. A shingle shared by
 #: df documents contributes df^2 intersect rows in the direct strategy;
 #: capping df bounds any single key's blowup at ~10^6 rows (AQE splits
