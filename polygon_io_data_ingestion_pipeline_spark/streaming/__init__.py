@@ -1,5 +1,10 @@
 from .drift_stream import psi_stream
-from .corpus_stream import corpus_pipeline, start_corpus_ingest, write_corpus_batch
+from .corpus_stream import (
+    corpus_pipeline,
+    start_corpus_ingest,
+    write_corpus_batch,
+    write_corpus_batch_exact,
+)
 from .funnel_stream import funnel_stream
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
 from .join_stream import stream_interval_join
@@ -13,6 +18,7 @@ __all__ = [
     "corpus_pipeline",
     "start_corpus_ingest",
     "write_corpus_batch",
+    "write_corpus_batch_exact",
     "dedup_stream",
     "funnel_stream",
     "sessionize_stream",

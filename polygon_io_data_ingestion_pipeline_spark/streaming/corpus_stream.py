@@ -113,21 +113,76 @@ def write_corpus_batch(batch_df: DataFrame, batch_id: int, lake_path: str) -> No
         fh.write(json.dumps({"batch_id": batch_id}) + "\n")
 
 
+def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str) -> None:
+    """Exactly-once sink with UNBOUNDED-history dedup: state in the lake.
+
+    ``corpus_pipeline``'s in-stream dedup is watermark-bounded (state
+    must be, on an unbounded stream) — a shard re-delivered AFTER the
+    horizon would be accepted again. This sink closes that gap by
+    anti-joining each batch's fingerprints against every PREVIOUS
+    committed batch in the lake itself before writing: the history
+    "state" is the corpus, already durable and partitioned, so it costs
+    no stream state at all. Per-batch cost is one anti join of a small
+    batch (broadcast side) against a lake scan of the narrow ``fp``
+    column — column-pruned, and the scan excludes the CURRENT batch's
+    own partition so a foreachBatch replay regenerates identical rows
+    instead of anti-joining against itself and writing nothing.
+    """
+    ledger = os.path.join(lake_path, "_committed_batches.json")
+    done: set[int] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
+    if batch_id in done:
+        return
+    from ..operators.dedup import incremental_dedup
+
+    spark = batch_df.sparkSession
+    history = None
+    prior = [
+        d
+        for d in (os.listdir(lake_path) if os.path.isdir(lake_path) else [])
+        if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+    ]
+    if prior:
+        history = (
+            spark.read.option("basePath", lake_path)
+            .parquet(*[os.path.join(lake_path, d) for d in prior])
+            .select("fp")
+        )
+    novel, _ = incremental_dedup(batch_df, history, id_col="doc_id")
+    (
+        novel.write.mode("overwrite")
+        .partitionBy("source")
+        .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+    )
+    with open(ledger, "a") as fh:
+        fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+
+
 def start_corpus_ingest(
     spark: SparkSession,
     src_dir: str,
     lake_path: str,
     checkpoint: str,
     watermark_delay: str = "10 minutes",
+    exact_history: bool = False,
 ):
     """Drain available JSONL shards into the corpus lake, exactly once
-    (AvailableNow trigger — the cron-driven batch shape)."""
+    (AvailableNow trigger — the cron-driven batch shape).
+
+    ``exact_history=True`` swaps the sink for
+    :func:`write_corpus_batch_exact`, which also anti-joins each batch
+    against the whole committed corpus — duplicates are rejected even
+    past the stream-dedup watermark horizon, at the cost of a narrow
+    lake scan per batch."""
     import functools
 
+    sink = write_corpus_batch_exact if exact_history else write_corpus_batch
     out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)
     return (
         out.writeStream.foreachBatch(
-            functools.partial(write_corpus_batch, lake_path=lake_path)
+            functools.partial(sink, lake_path=lake_path)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
