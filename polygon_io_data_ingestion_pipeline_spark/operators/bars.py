@@ -116,3 +116,52 @@ def rolling_range_stats(
         F.round(F.sqrt(var), 6).alias("roll_vol"),
         cnt.alias("n_in_frame"),
     )
+
+
+def ewma(
+    df: DataFrame,
+    alpha: float,
+    key_col: str = "ticker",
+    ts_col: str = "datetime",
+    value_col: str = "close",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponentially weighted moving average
+    (``y_t = (1 - alpha) * y_{t-1} + alpha * x_t``, seeded at the first
+    observation — pandas ``ewm(adjust=False, ignore_na=True)``
+    semantics; nulls carry the prior smoothed value forward unchanged
+    and do NOT decay the prior weight).
+
+    The recurrence is inherently sequential per key, so this is a
+    legitimate ``applyInPandas`` case (same as sessionization): one
+    shuffle on the key, then each key's series is smoothed in a single
+    vectorized Arrow batch. State is O(1) per key and a key's history
+    lives in one pandas frame — fine for per-instrument daily/minute
+    series (thousands to millions of rows per key), the shape this
+    lake produces. Ties on ``ts_col`` break on ``value_col`` so the
+    output is deterministic under any partitioning.
+
+    No SQL oracle by design (a per-row recurrence is what SQL cannot
+    say without a recursive CTE in its own evaluation order);
+    ``tests/test_ewma.py`` verifies against an explicit Python loop.
+    """
+    import pandas as pd  # noqa: F401 — resolved lazily on executors
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.select(key_col, ts_col, value_col).schema.fields
+    )
+    schema = f"{out_fields}, {out_col} double"
+
+    def smooth(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values([ts_col, value_col], kind="mergesort")
+        pdf[out_col] = (
+            pdf[value_col].ewm(alpha=alpha, adjust=False, ignore_na=True).mean()
+        )
+        return pdf
+
+    return (
+        df.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(smooth, schema=schema)
+    )
