@@ -3896,6 +3896,75 @@ def docs_feature_hash_embed(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", F.col("dim_idx").cast("long").alias("dim_idx"), "component")
 
 
+@q(
+    "orders_snapshot_diff",
+    oracle="""
+WITH old_snap AS (
+  SELECT o_orderkey, o_orderpriority, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+new_snap AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+         o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0
+)
+SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+       CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+              OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+              OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+            THEN 'changed' END AS change_type,
+       CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL THEN
+         array_to_string(list_filter([
+           CASE WHEN NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority) THEN 'o_orderpriority' END,
+           CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus) THEN 'o_orderstatus' END,
+           CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice) THEN 'o_totalprice' END
+         ], x -> x IS NOT NULL), ',')
+       END AS changed_cols_csv
+FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+WHERE (CASE WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN n.o_orderkey IS NULL THEN 'removed'
+            WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+              OR NOT (o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority)
+              OR NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+            THEN 'changed' END) IS NOT NULL
+""",
+    doc="Snapshot diff audit (operators/diff.py): row- and column-level "
+    "change log between two versions of a keyed table — the "
+    "verification step behind idempotent re-runs, takedowns, and "
+    "corpus release notes. One full-outer hash join on the key; "
+    "per-column null-safe CASE comparisons map-side; unchanged bulk "
+    "filtered before any sink. The two snapshots here are "
+    "deterministic modular slices of orders so the oracle sees the "
+    "same inputs.",
+    tags=("join", "ops"),
+)
+def orders_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.diff import snapshot_diff
+
+    orders = table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 11 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    d = snapshot_diff(old, new, key_cols=("o_orderkey",))
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        F.when(
+            F.col("changed_cols").isNotNull(),
+            F.array_join(F.col("changed_cols"), ","),
+        ).alias("changed_cols_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -4087,6 +4156,13 @@ _DEFERRED_PAST_WINDOW = [
     # external rows via docs_split_and_sample; in-repo oracle parity
     # covers values, test_embed.py covers the vector contract.
     "docs_feature_hash_embed",
+    # Snapshot diff (round 5, eighth batch), deferred by design: one
+    # full-outer hash join + map-side CASE comparisons — the join
+    # family holds many external rows (series joins, SCD, adjust) and
+    # the full-outer shape specifically is driver-verified inside
+    # corporate_actions_adjust (J4 F⟗G); in-repo oracle parity covers
+    # values, test_diff.py covers the contract.
+    "orders_snapshot_diff",
 ]
 
 
