@@ -180,3 +180,41 @@ def encode_bpe(
             )
 
     return df.select(id_col, text_col).mapInPandas(run, schema=out_schema)
+
+
+def bpe_packed_batches(
+    df: DataFrame,
+    merges: Iterable[tuple[str, str]],
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shard_span: int = 4096,
+) -> DataFrame:
+    """Tokenizer-true training batches: encode with the trained BPE
+    vocabulary, then pack the REAL token counts into fixed-capacity
+    bins (``text.sequence_packing``'s two-level prefix sum).
+
+    Packing against whitespace counts over-fills bins whenever BPE
+    splits rare words into multiple tokens — the bins would overflow at
+    training time. Composing the map-side encoder with the shard-safe
+    packer keeps both scale shapes: no new shuffle beyond the packer's
+    own, and the token arrays ride along for the final shard writer.
+
+    Returns (id, group, tokens, n_tokens, tok_offset, bin_id,
+    pos_in_bin).
+    """
+    from .text import sequence_packing
+
+    enc = encode_bpe(df, merges, text_col=text_col, id_col=id_col)
+    with_meta = df.select(id_col, group_col).join(enc, id_col)
+    packed = sequence_packing(
+        with_meta,
+        text_col=text_col,
+        id_col=id_col,
+        group_col=group_col,
+        capacity=capacity,
+        shard_span=shard_span,
+        count_col="n_tokens",
+    )
+    return packed.join(enc.select(id_col, "tokens"), id_col)

@@ -100,3 +100,32 @@ def test_regexes_agree_jvm_python(spark):
     ).collect()
     for row, t in zip(got, texts):
         assert row["t"] == _PRE_TOKEN_RE.findall(t)
+
+
+def test_bpe_packed_batches_contract(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.bpe import (
+        bpe_packed_batches,
+        train_bpe,
+        word_counts,
+    )
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "books", f"token stream number {i} repeats repeats")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    merges = train_bpe(word_counts(df), n_merges=12)
+    packed = bpe_packed_batches(df, merges, capacity=16, shard_span=8).collect()
+    assert len(packed) == 30
+    by_group: dict[str, list] = {}
+    for r in packed:
+        assert r["n_tokens"] == len(r["tokens"])  # REAL bpe counts drive packing
+        assert r["bin_id"] == r["tok_offset"] // 16
+        by_group.setdefault(r["source"], []).append(r)
+    for rows_g in by_group.values():
+        rows_g.sort(key=lambda r: r["doc_id"])
+        # offsets are the exact prefix sum of the BPE token counts
+        run = 0
+        for r in rows_g:
+            assert r["tok_offset"] == run
+            run += r["n_tokens"]
