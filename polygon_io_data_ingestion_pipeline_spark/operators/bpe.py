@@ -206,7 +206,11 @@ def bpe_packed_batches(
     """
     from .text import sequence_packing
 
-    enc = encode_bpe(df, merges, text_col=text_col, id_col=id_col)
+    # Multi-consumer frame: the packer's prefix-sum branches and the
+    # final tokens join would each re-run the Arrow encode stage
+    # (Spark has no cross-branch CSE) — persist the encoded output so
+    # the corpus is tokenized exactly once.
+    enc = encode_bpe(df, merges, text_col=text_col, id_col=id_col).persist()
     with_meta = df.select(id_col, group_col).join(enc, id_col)
     packed = sequence_packing(
         with_meta,

@@ -47,13 +47,15 @@ def entropy_signals(
 
     Null text propagates nulls; empty text is (0, 0.0, null).
     """
-    out_schema = f"{id_col} long, n_chars long, char_entropy double, compression_ratio double"
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = (
+        f"{id_col} {id_type}, n_chars long, char_entropy double, compression_ratio double"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, n_chars, ents, ratios = [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                ids.append(doc_id)
+            n_chars, ents, ratios = [], [], []
+            for text in pdf[text_col]:
                 if text is None:
                     n_chars.append(None)
                     ents.append(None)
@@ -74,7 +76,7 @@ def entropy_signals(
                 ratios.append(len(zlib.compress(raw, 6)) / len(raw))
             yield pd.DataFrame(
                 {
-                    id_col: pd.array(ids, dtype="Int64"),
+                    id_col: pdf[id_col].reset_index(drop=True),
                     "n_chars": pd.array(n_chars, dtype="Int64"),
                     "char_entropy": pd.array(ents, dtype="float64"),
                     "compression_ratio": pd.array(ratios, dtype="float64"),
