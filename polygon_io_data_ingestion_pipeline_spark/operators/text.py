@@ -677,6 +677,69 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-2 LM quality proxy: mean log-probability of each token
+    given its predecessor under the corpus's own bigram distribution
+    with Laplace smoothing — ``P(w|prev) = (c(prev,w) + 1) /
+    (c(prev,·) + V)``. Catches word-salad documents whose unigram
+    distribution looks typical but whose transitions are noise (the
+    unigram proxy's blind spot); documents need >= 2 tokens.
+
+    Scale shape: bigrams are built map-side from adjacent token pairs
+    (one slice-zip expression, no self-join on position); bigram and
+    predecessor counts are two partial-agg shuffles; scoring joins
+    bigrams back on the (prev, w) key — token-keyed, never broadcast
+    (the bigram vocabulary is large); V rides along as a 1-row
+    broadcast. All counts are exact integers, each smoothed ln is
+    quantized to 1e-6 and integer-summed (the unigram_logprob
+    discipline) so a DuckDB audit matches exactly.
+
+    Returns (id, n_bigrams, avg_logprob2, ppl2_proxy).
+    """
+    toks = tokens(text_col)
+    big = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN "
+                "CAST(array() AS ARRAY<STRUCT<p: STRING, w: STRING>>) ELSE "
+                f"zip_with(slice(split({text_col}, ' '), 1, size(split({text_col}, ' ')) - 1), "
+                f"slice(split({text_col}, ' '), 2, size(split({text_col}, ' ')) - 1), "
+                "(a, b) -> struct(a AS p, b AS w)) END"
+            )
+        ).alias("bg"),
+    ).select(id_col, F.col("bg.p").alias("p"), F.col("bg.w").alias("w"))
+    c2 = big.groupBy("p", "w").agg(F.count("*").alias("c2"))
+    c1 = big.groupBy("p").agg(F.count("*").alias("c1"))
+    vocab = df.select(F.explode(toks).alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    scored = (
+        big.join(c2, ["p", "w"])
+        .join(c1, "p")
+        .crossJoin(F.broadcast(vocab))
+    )
+    slp = F.round(
+        F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v"))) * 1e6, 0
+    ).cast("long")
+    per = (
+        scored.select(F.col(id_col), slp.alias("slp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("slp").alias("s"))
+    )
+    avg = F.round(F.col("s") / F.lit(1e6) / F.col("n_bigrams"), 6)
+    return per.withColumn("avg_logprob2", avg).select(
+        id_col,
+        "n_bigrams",
+        "avg_logprob2",
+        F.round(F.exp(-F.col("avg_logprob2")), 6).alias("ppl2_proxy"),
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

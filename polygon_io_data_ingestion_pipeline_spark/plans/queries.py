@@ -3965,6 +3965,42 @@ def orders_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_bigram_logprob",
+    oracle="""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+big AS (
+  SELECT doc_id, toks[CAST(i.i AS INT)] AS p, toks[CAST(i.i AS INT) + 1] AS w
+  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+),
+c2 AS (SELECT p, w, count(*) AS c2 FROM big GROUP BY p, w),
+c1 AS (SELECT p, count(*) AS c1 FROM big GROUP BY p),
+v AS (SELECT count(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)),
+scored AS (
+  SELECT big.doc_id,
+         CAST(round(ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.v)) * 1e6, 0) AS BIGINT) AS slp
+  FROM big JOIN c2 ON big.p = c2.p AND big.w = c2.w
+           JOIN c1 ON big.p = c1.p
+           CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(slp) / 1e6 / count(*), 6) AS avg_logprob2,
+       round(exp(-round(sum(slp) / 1e6 / count(*), 6)), 6) AS ppl2_proxy
+FROM scored GROUP BY doc_id
+""",
+    doc="Order-2 LM quality proxy (text.py:bigram_logprob): mean "
+    "Laplace-smoothed bigram log-prob under the corpus's own "
+    "transition counts — catches word salad whose unigram profile "
+    "looks typical. Map-side slice-zip bigrams, two partial-agg "
+    "shuffles, token-keyed joins (never broadcast), quantized-ln "
+    "integer sums (the unigram_logprob discipline).",
+    tags=("text", "agg"),
+)
+def docs_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    return T.bigram_logprob(table(spark, sf, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -4163,6 +4199,12 @@ _DEFERRED_PAST_WINDOW = [
     # corporate_actions_adjust (J4 F⟗G); in-repo oracle parity covers
     # values, test_diff.py covers the contract.
     "orders_snapshot_diff",
+    # Order-2 LM scoring (round 5, eighth batch), deferred by design:
+    # the order-1 twin docs_unigram_logprob holds the external row for
+    # the quantized-ln/token-keyed-join machinery; the bigram variant
+    # adds a map-side slice-zip and one more keyed count — shapes
+    # windowed many times over. In-repo oracle parity covers values.
+    "docs_bigram_logprob",
 ]
 
 

@@ -49,3 +49,39 @@ def test_retention_matrix_hand_case(spark):
     c2 = "2024-01-08"
     assert out[(c2, 0)]["n_active"] == 1 and out[(c2, 0)]["cohort_size"] == 1
     assert set(out) == {(c1, 0), (c1, 1), (c1, 2), (c2, 0)}
+
+
+def test_bigram_flags_word_salad_unigram_misses(spark):
+    """The order-2 proxy's reason to exist: a shuffled document has the
+    SAME unigram distribution as its source but scrambled transitions."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    base = "the cat sat on the mat and the dog lay by the door"
+    words = base.split(" ")
+    # deterministic scramble destroying transitions but keeping counts
+    salad = " ".join(words[::2] + words[1::2][::-1])
+    rows = []
+    for rep in range(6):  # corpus of fluent docs establishes transitions
+        rows.append((rep, base))
+    rows.append((100, salad))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uni = {r["doc_id"]: r["avg_logprob"] for r in unigram_logprob(df).collect()}
+    assert abs(uni[100] - uni[0]) < 1e-9  # unigram CANNOT tell them apart
+
+    bi = {r["doc_id"]: r["avg_logprob2"] for r in bigram_logprob(df).collect()}
+    assert bi[100] < bi[0]  # transitions expose the salad
+
+
+def test_bigram_skips_sub_two_token_docs(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import bigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "two tokens")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert set(got) == {2}
+    assert got[2]["n_bigrams"] == 1
