@@ -165,3 +165,42 @@ def weighted_sample(
         .limit(k)
     )
     return out
+
+
+def cluster_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Leakage-safe split: hash on the near-duplicate CLUSTER, not the
+    document, so no two near-duplicates ever straddle train/test.
+
+    ``hash_split`` keyed on the doc id is leak-proof against corpus
+    GROWTH but not against near-duplicates: two copies of one document
+    hash independently and can land in train and test — the classic
+    eval-contamination bug. Here every document inherits its connected
+    component's canonical id (``dedup.duplicate_clusters``; singletons
+    cluster to themselves) and the split is hashed on THAT key, so a
+    whole duplicate class moves as one unit. Deterministic: the
+    canonical id is the min member id, stable under partitioning and
+    (for dedup-stable corpora) under growth.
+
+    Scale shape: cluster propagation's keyed joins + one broadcast-free
+    equi join of docs onto their labels, then the same md5 bucket
+    expression as ``hash_split``. Returns ``df`` plus ``cluster_id``
+    and ``split`` columns.
+    """
+    from .dedup import duplicate_clusters
+
+    labels = duplicate_clusters(pairs, all_ids=df.select(id_col), id_col=id_col)
+    joined = df.join(labels, id_col)
+    b = hash_bucket("cluster_id", salt)
+    return joined.withColumn(
+        "split",
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

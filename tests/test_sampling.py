@@ -121,3 +121,51 @@ def test_weighted_sample_aes_properties(spark):
     keys = [r["sample_key"] for r in out]
     assert all(0 < s <= 1 for s in keys)
     assert keys == sorted(keys, reverse=True)
+
+
+def test_cluster_safe_split_never_straddles(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    # 60 docs; ids 3k, 3k+1, 3k+2 are a near-dup chain (transitive:
+    # (a,b),(b,c) pairs only — closure must pull c into a's cluster).
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(k, k + 1) for k in range(0, 60, 3)]
+        + [(k + 1, k + 2) for k in range(0, 60, 3)],
+        "id1 long, id2 long",
+    )
+    out = cluster_safe_split(docs, pairs).collect()
+    assert len(out) == 60
+    by_cluster: dict[int, set] = {}
+    for r in out:
+        assert r["cluster_id"] == (r["doc_id"] // 3) * 3  # min member
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # the invariant hash_split cannot give: one split per dup class
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+    # independence baseline: doc-keyed hashing DOES straddle here
+    naive = hash_split(docs).collect()
+    naive_by_cluster: dict[int, set] = {}
+    for r in naive:
+        naive_by_cluster.setdefault(r["doc_id"] // 3, set()).add(r["split"])
+    assert any(len(s) > 1 for s in naive_by_cluster.values())
+
+
+def test_cluster_safe_split_singletons_match_plain_split(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.sampling import (
+        cluster_safe_split,
+        hash_split,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}") for i in range(30)], "doc_id long, text string"
+    )
+    no_pairs = spark.createDataFrame([], "id1 long, id2 long")
+    safe = {r["doc_id"]: r["split"] for r in cluster_safe_split(docs, no_pairs).collect()}
+    plain = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert safe == plain  # singleton cluster_id == doc_id -> same hash
