@@ -177,6 +177,28 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_datasheet(args: argparse.Namespace) -> int:
+    """Corpus report card: documents in (JSONL or parquet) ->
+    long-format (metric, value) datasheet printed and optionally
+    written as CSV — the publish/diff/gate artifact of a corpus
+    release (see operators/datasheet.py)."""
+    from .operators.datasheet import corpus_datasheet
+    from .sources.jsonl import read_jsonl
+
+    spark = get_spark("poly-datasheet", master=args.master)
+    if args.src.endswith(".parquet") or args.input_format == "parquet":
+        docs = spark.read.parquet(args.src)
+    else:
+        docs, _bad = read_jsonl(spark, args.src)
+    sheet = corpus_datasheet(docs).orderBy("metric")
+    rows = sheet.collect()
+    for r in rows:
+        print(f"{r['metric']}\t{r['value']}")
+    if args.out:
+        sheet.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
+    return 0
+
+
 def cmd_lake(args: argparse.Namespace) -> int:
     """Lake maintenance: small-file compaction, takedown deletion, and
     keyed upsert (MERGE) — the operational verbs a long-lived
@@ -266,6 +288,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--partitions", type=int, default=None)
     _add_common(p)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "datasheet", help="documents (jsonl/parquet) -> corpus report card (metric, value)"
+    )
+    p.add_argument("--src", required=True)
+    p.add_argument("--out", default=None, help="optional CSV output dir")
+    p.add_argument("--input-format", choices=["jsonl", "parquet"], default="jsonl")
+    _add_common(p)
+    p.set_defaults(fn=cmd_datasheet)
 
     p = sub.add_parser(
         "lake", help="lake maintenance: compact | delete (takedown) | merge (upsert)"

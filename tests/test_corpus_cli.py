@@ -47,3 +47,22 @@ def test_corpus_cli_end_to_end(spark, tmp_path, capsys):
     assert "<EMAIL>" in rows[3]["text"]
     # Split column materialized and partition-pruned on disk.
     assert set(result.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}
+
+
+def test_datasheet_cli(spark, tmp_path, capsys):
+    src = tmp_path / "in"
+    src.mkdir()
+    with open(src / "docs.jsonl", "w") as fh:
+        fh.write("\n".join([_line(1, GOOD), _line(2, GOOD), _line(3, "junk")]) + "\n")
+    out = str(tmp_path / "sheet")
+    rc = main(["datasheet", "--src", str(src), "--out", out])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    got = dict(
+        line.split("\t") for line in printed.strip().splitlines() if "\t" in line
+    )
+    assert float(got["n_docs"]) == 3.0
+    assert float(got["exact_dup_rate"]) == round(1 - 2 / 3, 6)
+    # CSV artifact written and re-readable
+    sheet = spark.read.option("header", True).csv(out)
+    assert sheet.count() == len(got)
