@@ -56,3 +56,82 @@ def approx_quantiles(
     if group_cols:
         return df.groupBy(*group_cols).agg(agg)
     return df.agg(agg)
+
+
+#: Count-min hash-row primes (d rows). Independent md5 salts per row.
+_CMS_SALTS = ("cm0", "cm1", "cm2", "cm3")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Mergeable count-min sketch of ``value_col`` frequencies.
+
+    The third leg of the approximate-audit trio (HLL distincts, GK
+    quantiles, CMS frequencies): answers "how often does key x occur"
+    to within ``eps * N`` (eps = e/width) with probability
+    ``1 - (1/2)^depth`` WITHOUT a shuffle keyed on the (possibly
+    enormous) value domain. Exact per-key counts need a shuffle whose
+    key count is the domain size; the sketch shuffles exactly
+    ``depth * width`` counter cells regardless of domain or corpus
+    size.
+
+    Implementation is pure DataFrame algebra — no custom aggregator:
+    each row maps to ``depth`` (row, bucket) cells (md5-salted, the
+    repo's engine-portable hash idiom), and one partial-aggregated
+    groupBy over the 2-level cell key sums the counters map-side. The
+    result IS the sketch: ``(row, bucket, c)`` cells, mergeable with
+    any other sketch of the same shape by unioning cells and re-summing
+    (tested), which makes it the incremental/streaming shape too.
+
+    Query with :func:`cms_estimate` (min over rows — the classic CMS
+    upper-bound estimate: overestimates only, never under).
+    """
+    cells = []
+    for r, salt in enumerate(_CMS_SALTS[:depth]):
+        bucket = F.expr(
+            f"CAST(conv(substr(md5('{salt}' || CAST({value_col} AS STRING)), 1, 8), 16, 10)"
+            f" AS BIGINT) % {width}"
+        )
+        cells.append(F.struct(F.lit(r).alias("row"), bucket.alias("bucket")))
+    return (
+        df.select(F.explode(F.array(*cells)).alias("cell"))
+        .select("cell.row", "cell.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(sketch_cells, keys: Sequence[str], width: int = 2048) -> dict[str, int]:
+    """Point-estimate frequencies for ``keys`` from collected sketch
+    cells (driver-side: the sketch is depth x width counters, tiny).
+
+    ``sketch_cells`` is the DataFrame from :func:`count_min_sketch` or
+    an equivalent list of Rows. Returns ``{key: estimated_count}``,
+    each the min over hash rows — an upper bound on the true count.
+    """
+    import hashlib
+
+    rows = (
+        sketch_cells.collect()
+        if isinstance(sketch_cells, DataFrame)
+        else list(sketch_cells)
+    )
+    table: dict[tuple[int, int], int] = {
+        (r["row"], r["bucket"]): r["c"] for r in rows
+    }
+    present_rows = {rr for rr, _ in table}
+    out: dict[str, int] = {}
+    for k in keys:
+        ests = []
+        for r, salt in enumerate(_CMS_SALTS):
+            if r not in present_rows:
+                continue  # sketch was built with a smaller depth
+            h = hashlib.md5((salt + k).encode()).hexdigest()
+            b = int(h[:8], 16) % width
+            ests.append(table.get((r, b), 0))
+        out[k] = min(ests) if ests else 0
+    return out

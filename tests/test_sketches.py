@@ -59,3 +59,50 @@ def test_approx_quantiles_within_rank_error(spark):
         hi = bisect.bisect_right(values, q)
         target = p * n
         assert lo - 0.01 * n - 1 <= target <= hi + 0.01 * n + 1, (p, q)
+
+
+def test_count_min_never_underestimates_and_is_tight(spark):
+    from collections import Counter
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    # Zipf-ish key stream: key_k appears (60 - k) times
+    vals = [f"key_{k}" for k in range(50) for _ in range(60 - k)]
+    exact = Counter(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string").repartition(8)
+    sketch = count_min_sketch(df, "v", width=512, depth=4)
+    est = cms_estimate(sketch, list(exact) + ["never_seen"], width=512)
+
+    n = len(vals)
+    eps_bound = (2.718 / 512) * n  # CMS guarantee at width 512
+    for k, c in exact.items():
+        assert est[k] >= c  # NEVER underestimates
+        assert est[k] <= c + eps_bound
+    assert est["never_seen"] <= eps_bound
+
+
+def test_count_min_sketches_merge_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)] * 30 + [("y",)] * 5, "v string")
+    b = spark.createDataFrame([("x",)] * 10 + [("z",)] * 7, "v string")
+    merged = (
+        count_min_sketch(a, "v", width=256, depth=3)
+        .unionByName(count_min_sketch(b, "v", width=256, depth=3))
+        .groupBy("row", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = count_min_sketch(a.unionByName(b), "v", width=256, depth=3)
+    m = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    w = {(r["row"], r["bucket"]): r["c"] for r in whole.collect()}
+    assert m == w  # merging partial sketches == sketching the union
+    est = cms_estimate(merged, ["x", "y", "z"], width=256)
+    assert est["x"] >= 40 and est["y"] >= 5 and est["z"] >= 7
