@@ -139,10 +139,19 @@ def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str)
 
     spark = batch_df.sparkSession
     history = None
+    def _has_parquet(d: str) -> bool:
+        # A batch that was entirely duplicates wrote ONLY _SUCCESS (no
+        # partition dirs, no part files); including it in the history
+        # read would fail schema inference on the all-empty case.
+        for _root, _dirs, files in os.walk(os.path.join(lake_path, d)):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
     prior = [
         d
         for d in (os.listdir(lake_path) if os.path.isdir(lake_path) else [])
-        if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+        if d.startswith("batch_id=") and d != f"batch_id={batch_id}" and _has_parquet(d)
     ]
     if prior:
         history = (

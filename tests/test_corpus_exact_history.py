@@ -94,3 +94,16 @@ def test_exact_history_drain_end_to_end(spark, tmp_path):
     shard("b.jsonl", [(2, GOOD_A), (3, GOOD_B)])
     drain()
     assert {r["doc_id"] for r in spark.read.parquet(lake).collect()} == {1, 3}
+
+
+def test_all_duplicate_batch_leaves_history_readable(spark, tmp_path):
+    """A batch rejected in FULL writes an empty partition dir; later
+    batches must still read history without schema-inference failure,
+    and the duplicate must stay rejected."""
+    lake = str(tmp_path / "lake")
+    os.makedirs(lake)
+    write_corpus_batch_exact(_batch(spark, [(1, GOOD_A)]), 0, lake)
+    write_corpus_batch_exact(_batch(spark, [(2, GOOD_A)]), 1, lake)  # all dups
+    write_corpus_batch_exact(_batch(spark, [(3, GOOD_B), (4, GOOD_A)]), 2, lake)
+    rows = sorted(r["doc_id"] for r in spark.read.parquet(lake).collect())
+    assert rows == [1, 3]
