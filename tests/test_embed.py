@@ -100,3 +100,31 @@ def test_plan_is_single_partial_agg_no_udf(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange") == 1  # one shuffle: the doc_id agg
+
+
+def test_text_to_ivf_index_end_to_end(spark, tmp_path):
+    """The full no-external-model loop: corpus -> feature-hash embed ->
+    materialized IVF index in the lake -> partition-pruned ANN query
+    finds the planted near-duplicate first."""
+    import json
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_indexed,
+    )
+
+    rows = [(i, f"document number {i} about topic {i % 5} with shared filler") for i in range(40)]
+    rows.append((100, "document number 7 about topic 2 with shared filler"))  # near-dup of 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    emb = feature_hash_embed(df, dim=32).withColumnRenamed("doc_id", "vec_id")
+
+    path = str(tmp_path / "ivf")
+    centroids = build_ivf_index(emb, path, nlist=4, stride=10)
+    assert json.load(open(f"{path}/_codebook.json"))  # self-contained artifact
+
+    qvec = emb.filter("vec_id = 7").collect()[0]["embedding"]
+    top = ivf_topk_indexed(
+        spark, path, centroids, list(qvec), k=3, nprobe=4, exclude_id=7
+    ).collect()
+    assert top[0]["vec_id"] == 100  # the planted near-duplicate
+    assert top[0]["cos"] > 0.9
