@@ -165,3 +165,68 @@ def ewma(
         .groupBy(key_col)
         .applyInPandas(smooth, schema=schema)
     )
+
+
+def rolling_corr(
+    df: DataFrame,
+    n: int,
+    key_col: str = "ticker",
+    ord_col: str = "day_num",
+    x_col: str = "x",
+    y_col: str = "y",
+    scale: int = 100,
+) -> DataFrame:
+    """Trailing-``n`` rolling Pearson correlation between two aligned
+    series — the pairwise co-movement metric (bench vs index beta
+    inputs, click-vs-view co-trends) the single-series rolling stats
+    can't answer.
+
+    Same RANGE-frame discipline as :func:`rolling_range_stats`: the
+    frame is ``n`` UNITS of the integer ordering key, so calendar gaps
+    shrink the frame instead of silently reaching further back. Both
+    inputs are quantized to exact scaled BIGINTs; all five running sums
+    (Sx, Sy, Sxx, Syy, Sxy) are integer window sums, and
+    ``corr = (cnt*Sxy - Sx*Sy) / sqrt((cnt*Sxx - Sx^2) * (cnt*Syy - Sy^2))``
+    — the quantization scale cancels, and because every input to the
+    final double math is an exact integer the result is bit-identical
+    across engines (the repo's oracle discipline). Integer range: safe
+    while ``cnt * max|v*scale|^2 < 9e18`` per frame — far beyond any
+    daily-aggregate magnitude here; bump to DECIMAL beyond that.
+    Frames with zero variance on either side yield NULL (undefined),
+    as does a single-row frame.
+
+    Returns (key, ord, x, y, roll_corr, n_in_frame).
+    """
+    qx = F.round(F.col(x_col) * scale, 0).cast("long")
+    qy = F.round(F.col(y_col) * scale, 0).cast("long")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ord_col).cast("long"))
+        .rangeBetween(-(n - 1), 0)
+    )
+    d = df.select(key_col, ord_col, F.col(x_col), F.col(y_col), qx.alias("qx"), qy.alias("qy"))
+    sx = F.sum("qx").over(w)
+    sy = F.sum("qy").over(w)
+    sxx = F.sum(F.col("qx") * F.col("qx")).over(w)
+    syy = F.sum(F.col("qy") * F.col("qy")).over(w)
+    sxy = F.sum(F.col("qx") * F.col("qy")).over(w)
+    cnt = F.count(F.lit(1)).over(w)
+    cov = cnt * sxy - sx * sy
+    vx = cnt * sxx - sx * sx
+    vy = cnt * syy - sy * sy
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(
+            cov.cast("double")
+            / F.sqrt(vx.cast("double") * vy.cast("double")),
+            6,
+        ),
+    )
+    return d.select(
+        key_col,
+        ord_col,
+        x_col,
+        y_col,
+        corr.alias("roll_corr"),
+        cnt.alias("n_in_frame"),
+    )

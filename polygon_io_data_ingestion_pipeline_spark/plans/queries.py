@@ -4001,6 +4001,75 @@ def docs_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     return T.bigram_logprob(table(spark, sf, "documents"))
 
 
+@q(
+    "events_rolling_corr",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         datediff('day', TIMESTAMP '2024-01-01', date_trunc('day', ts)) AS day_num,
+         sum(CASE WHEN event_type = 'click' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS xc,
+         sum(CASE WHEN event_type = 'view' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS yc
+  FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, day_num, xc, yc,
+        sum(xc)      OVER w AS sx,
+        sum(yc)      OVER w AS sy,
+        sum(xc * xc) OVER w AS sxx,
+        sum(yc * yc) OVER w AS syy,
+        sum(xc * yc) OVER w AS sxy,
+        count(*)     OVER w AS cnt
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT user_id, day_num,
+       round(CAST(xc AS DOUBLE) / 100, 2) AS x,
+       round(CAST(yc AS DOUBLE) / 100, 2) AS y,
+       CASE WHEN (cnt * sxx - sx * sx) > 0 AND (cnt * syy - sy * sy) > 0 THEN
+         round(CAST(cnt * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(cnt * sxx - sx * sx AS DOUBLE) * CAST(cnt * syy - sy * sy AS DOUBLE)), 6)
+       END AS roll_corr,
+       cnt AS n_in_frame
+FROM r
+""",
+    doc="Trailing-30-day rolling Pearson correlation between each "
+    "user's click-value and view-value daily series "
+    "(operators/bars.py rolling_corr): the pairwise co-movement metric "
+    "behind rolling beta. RANGE frame over the integer day (gaps "
+    "shrink the frame); all five running sums are exact scaled-BIGINT "
+    "window sums so the final double ratio is engine-identical; "
+    "zero-variance frames yield NULL.",
+    tags=("window",),
+)
+def events_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.bars import rolling_corr
+
+    ev = table(spark, sf, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.datediff(
+                F.date_trunc("day", F.col("ts")),
+                F.lit("2024-01-01").cast("timestamp_ntz"),
+            )
+            .cast("long")
+            .alias("day_num"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") == "click", cents).otherwise(F.lit(0)))
+                / 100.0,
+                2,
+            ).alias("x"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "view", cents).otherwise(F.lit(0)))
+                / 100.0,
+                2,
+            ).alias("y"),
+        )
+    )
+    return rolling_corr(daily, n=30, key_col="user_id", ord_col="day_num")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -4205,6 +4274,12 @@ _DEFERRED_PAST_WINDOW = [
     # adds a map-side slice-zip and one more keyed count — shapes
     # windowed many times over. In-repo oracle parity covers values.
     "docs_bigram_logprob",
+    # Rolling correlation (round 5, eighth batch), deferred by design:
+    # the RANGE-framed integer-sum window machinery holds its external
+    # row via events_rolling_7d (same frame, same quantization); the
+    # bivariate extension adds two more window sums of the same shape.
+    # In-repo oracle parity covers values.
+    "events_rolling_corr",
 ]
 
 

@@ -101,3 +101,33 @@ def test_rolling_stats_ignore_null_values_consistently(spark):
     }
     assert out[2]["n_in_frame"] == 2
     assert out[2]["roll_mean"] == 10.0 and out[2]["roll_vol"] == 0.0
+
+
+def test_rolling_corr_matches_numpy_and_handles_degenerates(spark):
+    import numpy as np
+
+    rows = []
+    xs = [1.0, 2.0, 3.5, 2.5, 4.0, 5.0, 4.5]
+    ys = [2.0, 4.1, 6.8, 5.2, 8.0, 9.9, 9.1]
+    rows += [("A", d, x, y) for d, (x, y) in enumerate(zip(xs, ys))]
+    rows += [("B", 0, 1.0, 9.9), ("B", 1, 1.0, 3.3)]  # zero x-variance
+    df = spark.createDataFrame(rows, "k string, day_num long, x double, y double")
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.bars import rolling_corr
+
+    got = {
+        (r["k"], r["day_num"]): r
+        for r in rolling_corr(df, n=4, key_col="k").collect()
+    }
+    for d in range(len(xs)):
+        lo = max(0, d - 3)
+        fx, fy = np.array(xs[lo : d + 1]), np.array(ys[lo : d + 1])
+        r = got[("A", d)]
+        assert r["n_in_frame"] == d + 1 - lo
+        if len(fx) < 2 or fx.std() == 0 or fy.std() == 0:
+            assert r["roll_corr"] is None
+        else:
+            expect = float(np.corrcoef(fx, fy)[0, 1])
+            assert abs(r["roll_corr"] - round(expect, 6)) <= 1e-6
+    # zero variance on one side -> NULL, not a crash or a fake 0
+    assert got[("B", 1)]["roll_corr"] is None
