@@ -5,6 +5,7 @@ from .corpus_stream import (
     write_corpus_batch,
     write_corpus_batch_exact,
 )
+from .ewma_stream import ewma_stream
 from .funnel_stream import funnel_stream
 from .ingest_stream import stream_ingest_bars, write_ingest_batch
 from .join_stream import stream_interval_join
@@ -20,6 +21,7 @@ __all__ = [
     "write_corpus_batch",
     "write_corpus_batch_exact",
     "dedup_stream",
+    "ewma_stream",
     "funnel_stream",
     "sessionize_stream",
     "stream_ingest_bars",
