@@ -4070,6 +4070,45 @@ def events_rolling_corr(spark: SparkSession, sf: str) -> DataFrame:
     return rolling_corr(daily, n=30, key_col="user_id", ord_col="day_num")
 
 
+#: Pivot value list — explicit, so the plan needs no distinct-values
+#: pre-pass (an implicit pivot runs a whole extra job to discover
+#: columns) and the output schema is stable however the corpus grows.
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@q(
+    "events_type_pivot",
+    oracle="""
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY user_id
+""",
+    doc="Wide reshaping (SURVEY §2.6 O4 family): per-user event-type "
+    "count matrix via Spark's pivot with an EXPLICIT value list — "
+    "implicit pivot runs a whole extra distinct job to discover the "
+    "columns and makes the schema data-dependent; pinned values keep "
+    "it one partial-agg shuffle compiling to the same conditional "
+    "sums the oracle spells out. The stack() unpivot (melt) round-trip "
+    "back to long form is pinned in tests/test_pivot.py.",
+    tags=("agg",),
+)
+def events_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return wide.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window ordering
 # ---------------------------------------------------------------------------
@@ -4280,6 +4319,13 @@ _DEFERRED_PAST_WINDOW = [
     # bivariate extension adds two more window sums of the same shape.
     # In-repo oracle parity covers values.
     "events_rolling_corr",
+    # Pivot reshaping (round 5, eighth batch), deferred by design:
+    # Spark's pivot with a pinned value list compiles to exactly the
+    # conditional-sum partial aggregation that holds external rows via
+    # orders_profile / docs_mixture_weights (and the PSI bucket
+    # family); the melt round-trip is pinned in tests/test_pivot.py.
+    # In-repo oracle parity covers values.
+    "events_type_pivot",
 ]
 
 
