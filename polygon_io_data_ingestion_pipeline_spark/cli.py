@@ -191,7 +191,7 @@ def cmd_datasheet(args: argparse.Namespace) -> int:
     else:
         docs, _bad = read_jsonl(spark, args.src)
     sheet = corpus_datasheet(docs).orderBy("metric")
-    rows = sheet.collect()
+    rows = sheet.collect()  # bounded: datasheet is O(#metrics) rows
     for r in rows:
         print(f"{r['metric']}\t{r['value']}")
     if args.out:

@@ -69,6 +69,33 @@ def resample_bars(
     )
 
 
+
+
+def _assert_quantization_safe(
+    df: DataFrame, cols: list[str], scale: int, n: int
+) -> None:
+    """One cheap aggregate guarding the scaled-BIGINT window sums: the
+    largest |value|*scale must keep ``n * (|v|*scale)^2`` under 2^63,
+    else S2/Sxx/Syy would silently wrap and emit wrong variance or
+    correlation instead of erroring.  Opt-in (``checked=True``) because
+    it costs one extra scan — use it whenever the value magnitudes are
+    untrusted."""
+    import math
+
+    bound = math.sqrt((2**63 - 1) / max(n, 1)) / scale
+    row = df.select(
+        *[F.max(F.abs(F.col(c))).alias(c) for c in cols]
+    ).first()
+    for c in cols:
+        mx = row[c]
+        if mx is not None and float(mx) > bound:
+            raise ValueError(
+                f"max |{c}| = {mx} exceeds the overflow-safe bound "
+                f"{bound:.6g} for scale={scale}, n={n}: the scaled "
+                f"integer S2 sums would wrap. Lower `scale` or "
+                f"pre-clip the values."
+            )
+
 def rolling_range_stats(
     df: DataFrame,
     n: int,
@@ -76,6 +103,7 @@ def rolling_range_stats(
     ord_col: str,
     value_col: str,
     scale: int = 100,
+    checked: bool = False,
 ) -> DataFrame:
     """Trailing-``n`` rolling stats with a RANGE frame over an INTEGER
     ordering column (day number, bar number): mean, min, max,
@@ -90,8 +118,12 @@ def rolling_range_stats(
     frame's S1/S2 sums are exact BIGINTs; mean and variance divide the
     exact integers, making the floats engine-identical. S2 terms are
     (|v|*scale)^2 — keep ``scale * max|value|`` under ~3e9 (then each
-    term < 9.2e18 / frame) or lower the scale.
+    term < 9.2e18 / frame) or lower the scale. ``checked=True`` spends
+    one extra aggregate to ENFORCE that bound (raises instead of
+    silently wrapping) — use it on untrusted-magnitude data.
     """
+    if checked:
+        _assert_quantization_safe(df, [value_col], scale, n)
     v = F.round(F.col(value_col) * scale).cast("long")
     w = (
         Window.partitionBy(key_col)
@@ -175,6 +207,7 @@ def rolling_corr(
     x_col: str = "x",
     y_col: str = "y",
     scale: int = 100,
+    checked: bool = False,
 ) -> DataFrame:
     """Trailing-``n`` rolling Pearson correlation between two aligned
     series — the pairwise co-movement metric (bench vs index beta
@@ -196,7 +229,11 @@ def rolling_corr(
     as does a single-row frame.
 
     Returns (key, ord, x, y, roll_corr, n_in_frame).
+    ``checked=True`` enforces the integer-range bound with one extra
+    aggregate (raises on overflow-prone magnitudes instead of wrapping).
     """
+    if checked:
+        _assert_quantization_safe(df, [x_col, y_col], scale, n)
     qx = F.round(F.col(x_col) * scale, 0).cast("long")
     qy = F.round(F.col(y_col) * scale, 0).cast("long")
     w = (

@@ -203,8 +203,27 @@ def bpe_packed_batches(
 
     Returns (id, group, tokens, n_tokens, tok_offset, bin_id,
     pos_in_bin).
+
+    ``id_col`` must be numeric: the shard-safe packer derives shards as
+    ``floor(id / shard_span)`` (a string id would cast to NULL shards
+    and silently collapse the prefix sum) — enforced below.  The encoded
+    intermediate stays persisted for the lifetime of the returned
+    DataFrame (it backs two branches of the plan); callers finished with
+    the result release it via ``spark.catalog.clearCache()`` or by
+    letting the session end — the local checkpoint/persist is
+    executor-memory-and-disk, never driver-resident.
     """
+    from pyspark.sql.types import NumericType
+
     from .text import sequence_packing
+
+    id_field = df.schema[id_col]
+    if not isinstance(id_field.dataType, NumericType):
+        raise TypeError(
+            f"bpe_packed_batches requires a numeric {id_col!r} (shard = "
+            f"floor(id/shard_span)); got {id_field.dataType.simpleString()}. "
+            "Derive a numeric id first, e.g. xxhash64(doc_id)."
+        )
 
     # Multi-consumer frame: the packer's prefix-sum branches and the
     # final tokens join would each re-run the Arrow encode stage

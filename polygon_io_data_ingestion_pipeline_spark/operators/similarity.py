@@ -97,6 +97,7 @@ def brute_force_topk_arrow(
     expressions run interpreted per element, while this path is one
     BLAS call per batch. Results match the expression version (same
     doubles, same rounding) — asserted in tests."""
+    # bounded: exact-match filter on the query id — at most a handful of rows
     q_rows = df.filter(F.col(id_col) == query_id).select(vec_col).collect()
     if not q_rows:
         raise ValueError(f"query id {query_id} not found")
@@ -266,6 +267,7 @@ def strided_centroids(
     production training swaps in :func:`kmeans_centroids` — the IVF
     structure (assign, probe, prune) is identical either way."""
     rows = (
+        # bounded: the filter admits at most nlist ids
         df.filter((F.col(id_col) % stride == 0) & (F.col(id_col) < nlist * stride))
         .select((F.col(id_col) / stride).cast("int").alias("cid"), vec_col)
         .collect()
@@ -276,24 +278,44 @@ def strided_centroids(
     return out
 
 
+def _bounded_train_sample(
+    df: DataFrame, vec_col: str, max_train_rows: int, seed: int
+) -> "np.ndarray":
+    """Collect AT MOST ``max_train_rows`` vectors to the driver for
+    codebook training.
+
+    The cap is absolute: one cheap ``count()`` sizes the corpus, then a
+    seeded Bernoulli sample targets ~1.25x the cap (so the sample is drawn
+    uniformly across partitions, not from a partition-order prefix) and a
+    ``limit`` enforces the hard bound.  Driver memory is O(max_train_rows x
+    dim) regardless of corpus size — the FAISS training recipe (~256 x
+    nlist points is plenty for Lloyd convergence)."""
+    if max_train_rows < 1:
+        raise ValueError("max_train_rows must be >= 1")
+    n = df.count()
+    src = df.select(vec_col)
+    if n > max_train_rows:
+        frac = min(1.0, (max_train_rows * 1.25) / n)
+        src = src.sample(fraction=frac, seed=seed).limit(max_train_rows)
+    return np.asarray([r[0] for r in src.collect()], dtype=np.float64)
+
+
 def kmeans_centroids(
     df: DataFrame,
     nlist: int = 16,
     iters: int = 5,
-    sample_fraction: float = 0.5,
+    max_train_rows: int = 65536,
     seed: int = 7,
     vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Lloyd k-means codebook trained on a driver-side sample.
 
     This is how production IVF codebooks are built (FAISS-style: train
-    on a bounded sample regardless of corpus size — the sample, not the
-    corpus, bounds driver memory — then assign distributed).
-    Deterministic for a given seed. Cosine assignment, mean update."""
-    sample = np.asarray(
-        [r[0] for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()],
-        dtype=np.float64,
-    )
+    on a sample capped at ``max_train_rows`` regardless of corpus size —
+    the cap, not the corpus, bounds driver memory — then assign
+    distributed). Deterministic for a given seed. Cosine assignment,
+    mean update."""
+    sample = _bounded_train_sample(df, vec_col, max_train_rows, seed)
     if len(sample) < nlist:
         raise ValueError(f"sample of {len(sample)} rows cannot seed {nlist} centroids")
     rng = np.random.default_rng(seed)
@@ -634,17 +656,16 @@ def pq_codebooks_kmeans(
     m: int = 4,
     ncodes: int = 16,
     iters: int = 5,
-    sample_fraction: float = 0.5,
+    max_train_rows: int = 65536,
     seed: int = 7,
     vec_col: str = "embedding",
 ) -> list[list[tuple[int, list[float]]]]:
     """Production PQ training: independent Lloyd k-means (L2) per
-    subspace on a driver-side sample — the FAISS recipe. The sample,
-    not the corpus, bounds driver memory; encoding stays distributed."""
-    sample = np.asarray(
-        [r[0] for r in df.select(vec_col).sample(fraction=sample_fraction, seed=seed).collect()],
-        dtype=np.float64,
-    )
+    subspace on a driver-side sample — the FAISS recipe. The sample is
+    capped at ``max_train_rows`` (absolute, not a fraction), so driver
+    memory is bounded regardless of corpus size; encoding stays
+    distributed."""
+    sample = _bounded_train_sample(df, vec_col, max_train_rows, seed)
     if len(sample) < ncodes:
         raise ValueError(f"sample of {len(sample)} rows cannot seed {ncodes} codes")
     dim = sample.shape[1]

@@ -102,24 +102,54 @@ def count_min_sketch(
         .select("cell.row", "cell.bucket")
         .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("c"))
+        # The sketch is self-describing: width rides in the cells so a
+        # query with a mismatched width RAISES instead of recomputing
+        # buckets against the wrong modulus and returning plausible
+        # zeros. Constant per sketch; merge by grouping on
+        # (row, bucket, width) — unioning different widths is invalid
+        # and the group key makes that structurally impossible too.
+        .select("row", "bucket", "c", F.lit(int(width)).alias("width"))
     )
 
 
-def cms_estimate(sketch_cells, keys: Sequence[str], width: int = 2048) -> dict[str, int]:
+def cms_estimate(
+    sketch_cells, keys: Sequence[str], width: int | None = None
+) -> dict[str, int]:
     """Point-estimate frequencies for ``keys`` from collected sketch
     cells (driver-side: the sketch is depth x width counters, tiny).
 
     ``sketch_cells`` is the DataFrame from :func:`count_min_sketch` or
     an equivalent list of Rows. Returns ``{key: estimated_count}``,
     each the min over hash rows — an upper bound on the true count.
+
+    The width is read from the sketch itself (the cells carry it); pass
+    ``width`` only for legacy cell lists without the column, and a
+    mismatch between the passed value and the stored one RAISES —
+    recomputing buckets with a different modulus would silently return
+    plausible wrong (typically zero) estimates.
     """
     import hashlib
 
     rows = (
+        # bounded: a CMS is depth x width counter cells, independent of data size
         sketch_cells.collect()
         if isinstance(sketch_cells, DataFrame)
         else list(sketch_cells)
     )
+    def _has_width(r) -> bool:
+        d = r.asDict() if hasattr(r, "asDict") else r
+        return "width" in d
+
+    stored = {int(r["width"]) for r in rows if _has_width(r)}
+    if len(stored) > 1:
+        raise ValueError(f"sketch cells mix widths {sorted(stored)}: invalid merge")
+    if stored:
+        (w,) = stored
+        if width is not None and width != w:
+            raise ValueError(f"sketch was built with width={w}, queried with width={width}")
+        width = w
+    elif width is None:
+        raise ValueError("cells carry no width column; pass width= explicitly")
     table: dict[tuple[int, int], int] = {
         (r["row"], r["bucket"]): r["c"] for r in rows
     }

@@ -4109,235 +4109,116 @@ def events_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
 # ---------------------------------------------------------------------------
-# Driver CORRECTNESS window ordering
+# Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
 # The external correctness driver hash-verifies only the FIRST
 # ``DRIVER_WINDOW_SIZE`` registry entries (in iteration order) against their
 # DuckDB oracles.  Iteration order of ``REGISTRY`` therefore decides which
-# queries receive driver-level verification.  Every SURVEY §2 operator must
-# sit inside that window; redundant demo variants whose machinery is already
-# exercised by a windowed query are deferred past position 50.  Deferred
-# queries stay fully oracle-verified by the in-repo parity replica
-# (tests/test_oracle_parity.py) — they lose only the external driver row.
-# tests/test_registry_window.py pins these invariants.
+# queries receive driver-level verification each round.
+#
+# Two-tier policy (round 6 — replaces the static deferral list that left
+# 22 queries never externally hashed):
+#
+# 1. ``PINNED_WINDOW`` — one anchor per SURVEY §2 / capability family that
+#    must earn an external row EVERY round.  Kept to ~half the window.
+# 2. Every other registered query ROTATES through the remaining slots,
+#    least-recently-externally-verified first (never-verified queries sort
+#    before everything else).  The schedule is derived from the committed
+#    ``CORRECTNESS_r*.json`` files at import time, so each round's green
+#    rows automatically push those queries to the back of the queue and
+#    pull the stalest ones in.  With ~25 free slots over a ~73-query pool,
+#    every registered query is externally hash-verified at least once every
+#    three rounds — no query relies on the in-repo parity replica
+#    (tests/test_oracle_parity.py) alone for more than a few rounds.
+#
+# tests/test_registry_window.py pins both tiers and the rotation property.
 DRIVER_WINDOW_SIZE = 50
 
-_DEFERRED_PAST_WINDOW = [
-    # Set-op extras: INTERSECT/EXCEPT are beyond-§2 demos; the distinct /
-    # union machinery they exercise is windowed via distinct_union_universe.
-    "nations_intersect",
-    "nations_except",
-    # Grouping-set extra: CUBE twin of the windowed ROLLUP queries
-    # (region_customer_rollup, region_nation_rollup_totals).
-    "region_segment_cube",
-    # Strict subsets of windowed queries: the pair/probe query computes the
-    # deferred query's result internally before joining/verifying, so the
-    # driver row on the superset covers the machinery end-to-end.
-    "dedup_simhash_signatures",  # ⊂ dedup_simhash_pairs (signs then verifies)
-    "emb_rp_lsh_buckets",  # ⊂ emb_rp_lsh_candidate_pairs (buckets then joins)
-    "emb_ivf_list_sizes",  # ⊂ emb_ivf_topk (assigns lists then probes)
-    # Redundant in-window twins, demoted to make room for the round-4
-    # operator families (repetition metrics, decontamination, semantic
-    # dedup clusters):
-    "docs_fingerprint",  # md5 whole-doc fp; rolling-hash fp windowed via docs_winnow_fingerprints
-    "topk_orders",  # global TakeOrdered windowed via tpch_q03 + orders_top3_per_priority
-    "region_customer_rollup",  # ROLLUP twin of region_nation_rollup_totals
-    "emb_rp_lsh_candidate_pairs",  # ⊂ emb_cosine_neardup_pairs (candidates then verifies)
-    # Round-5 demotions making room for the round-4 capability additions
-    # (split/mixture sampling, TF-IDF, kNN join, funnel conversion).  Each
-    # demoted query is a relational-shape twin/subset of a query that stays
-    # windowed; region_nation_rollup_totals stays in so the window keeps a
-    # grouping-set demo, and customers_with_orders_semi keeps the semi/anti
-    # family represented:
-    "emb_ivfpq_topk",  # IVF⊗PQ composition of emb_ivf_topk + emb_pq_topk_rerank,
-    # both of which hold windowed driver rows; in-repo oracle parity only.
-    "docs_quality_filter",  # conjunction of docs_token_stats +
-    # docs_repetition_metrics rule families, both windowed; parity only.
-    "docs_corpus_prep",  # end-to-end composition of five windowed stages
-    # (quality gate, exact dedup, sampling, split, packing); parity only.
-    "dedup_minhash_lsh_candidates",  # ⊂ dedup_lsh_verified_pairs (which
-    # computes these candidates internally before the exact-Jaccard
-    # verify) — demoted in round 5 to give tpch_q14_promo_revenue (the
-    # only query on the part table) an external row. Still benched.
-    "tpch_q07_nation_pairs",  # multi-join agg shape ⊂ tpch_q05 (+ q03 windowed)
-    "tpch_q10_returned_revenue",  # join+agg+topk shape ⊂ tpch_q03 + tpch_q05
-    "customers_without_orders_anti",  # anti twin of windowed customers_with_orders_semi
-    "events_grouped_product",  # A1 exp(sum(ln)) grouped product ⊂ windowed
-    # events_cumprod_normalized_factor (its PARTITION BY total is the same
-    # grouped product) and ⊂ corporate_actions_adjust's per-day split product.
-    # Demotions making room for the second batch of round-5 capabilities
-    # (duplicated-n-gram fraction, mixture weights, PII scrubbing). Each
-    # demoted query is a shape twin of queries that stay windowed:
-    "orders_top3_per_priority",  # rank-window top-k per group ⊂ windowed
-    # docs_tfidf_top_terms (rank per doc) + emb_knn_join (rank per query)
-    "docs_length_percentiles",  # groupBy percentile agg; the agg shape is
-    # windowed many times over and the sketch family is error-bound
-    # pytest-verified (test_sketches.py)
-    "events_tumbling_hourly",  # batch date_trunc agg twin of the
-    # pytest-verified streaming tumbling window; plain keyed agg shape
-    # ⊂ tpch_q01 and events_manifest_stats
-    # Demotions for the third round-5 batch (context-window chunking,
-    # classifier quality score, shared-substring pairs). Each demoted
-    # query's machinery is computed INTERNALLY by a windowed superset —
-    # the same precedent as J3/J4/W4/W5 being driver-green inside
-    # corporate_actions_adjust:
-    "docs_winnow_fingerprints",  # ⊂ docs_shared_substring_pairs (the
-    # pair query builds these exact sketches map-side before the join)
-    "emb_cosine_neardup_pairs",  # ⊂ emb_semantic_dedup_clusters (the
-    # cluster query computes the same RP-LSH + exact-verify pair set
-    # before the transitive closure)
-    "events_overnight_gap",  # W7 ⊂ events_split_gap_inference (the W8
-    # heuristic computes the raw overnight gap as its input signal)
-    # Demotions for the fourth and fifth round-5 batches (column
-    # profiling + constraint gate; unigram-LM scoring + retention
-    # cohorts):
-    "tpch_q03_top_orders",  # join+agg shape ⊂ tpch_q05 (6-way join
-    # windowed); its TakeOrdered top-k plan shape is plan-asserted via
-    # emb_cosine_topk (windowed). Still benched every round.
-    "events_sessionize",  # lag + conditional-cumsum windows ⊂ the
-    # windowed events_window_lag_ratio (lag) and
-    # events_cumprod_normalized_factor (running windows); the streaming
-    # twin is independently pytest-verified (sessionize_stream).
-    "events_day_edges",  # W6 ⊂ events_split_gap_inference: the W8
-    # heuristic's chain (day_edges -> overnight_gap -> inference)
-    # computes these exact edges first — same precedent as W7.
-    "events_window_lag_ratio",  # W1 lag ⊂ windowed events_autocorr_qa
-    # (its per-user prev_value IS F.lag over the same ordered window).
-    # Demotion for the sixth round-5 batch (PageRank centrality):
-    "tpch_q05_local_supplier_volume",  # 6-way broadcast-join + agg
-    # demo; the BHJ chain is plan-asserted (test_dimension_joins_
-    # broadcast) and the reference's real join pipeline holds driver
-    # rows via corporate_actions_adjust and the series joins. tpch_q01
-    # and tpch_q14 keep TPC-H externally verified; q05 stays benched.
-    # Deferred-by-design addition (in-repo oracle parity only): the
-    # A-ES weighted sample composes two driver-verified pieces — the
-    # md5-uniform keying (docs_split_and_sample) and TakeOrdered top-k
-    # (emb_cosine_topk, plan-asserted) — and the window's remaining
-    # slots are all sole representatives of their operator families.
-    "docs_weighted_sample",
-    # Correlated-subquery family (round 5, seventh batch), deferred by
-    # design: each decorrelates to physical shapes that already hold
-    # windowed rows — EXISTS -> left-semi join (customers_with_orders_
-    # semi), NOT EXISTS -> left-anti (pytest + the semi's twin), the
-    # correlated scalar -> per-key aggregate re-joined (the windowed
-    # corporate_actions_adjust does this grouped-agg-back-to-fact merge
-    # throughout). The decorrelation itself is plan-asserted in
-    # tests/test_decorrelation.py; in-repo oracle parity covers values.
-    "tpch_q04_priority_exists",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q22_idle_balance",
-    # Bar-analytics family (round 5, seventh batch), deferred by design:
-    # the OHLC resample is a plain keyed partial aggregation (shape
-    # windowed via tpch_q01/events_manifest_stats; min_by/max_by are
-    # A4 "grouped last" twins, windowed via
-    # events_cumprod_normalized_factor), and the RANGE-framed rolling
-    # window's machinery is ordered-window + exact-integer sums, both
-    # families windowed (events_cumprod_normalized_factor,
-    # events_autocorr_qa). In-repo oracle parity covers values at
-    # sf0.001 and sf0.01.
-    "events_ohlc_hourly",
-    "events_rolling_7d",
-    # Fuzzy record linkage (round 5, seventh batch), deferred by
-    # design: the physical shape is explode -> equi join -> distinct ->
-    # filter, each windowed many times over (the LSH/banding family);
-    # what is new — the lossless deletion-neighborhood guarantee — is
-    # proven against brute force in tests/test_linkage.py, and in-repo
-    # oracle parity covers values (integer edit distances, no float
-    # risk at all).
-    "customers_fuzzy_name_pairs",
-    # BM25 search (round 5, seventh batch), deferred by design: its
-    # physical pieces — filtered explode, partial-agg shuffles,
-    # broadcast dims, quantized-ln scaled-BIGINT scoring, TakeOrdered
-    # top-k — each hold windowed rows (docs_token_stats,
-    # docs_unigram_logprob, emb_cosine_topk); in-repo oracle parity
-    # covers the composition.
-    "docs_bm25_search",
-    # PSI drift report (round 5, seventh batch), deferred by design:
-    # bucket-fold + two partial-agg shuffles + quantized-ln scaled-sum
-    # are each windowed elsewhere (zorder-style fold plan-asserted,
-    # docs_unigram_logprob, orders_profile); in-repo oracle parity
-    # covers the composition at both scales.
-    "orders_drift_report",
-    # Triangle/clustering stats (round 5, seventh batch), deferred by
-    # design: two keyed equi joins + keyed counts, the most windowed
-    # physical shape in the registry; the graph-family discipline
-    # (checkpointed edges, no driver graph) already holds an external
-    # row via docs_pagerank_centrality. Hand-graph pytest pins the
-    # combinatorics; in-repo oracle parity covers values.
-    "customers_name_graph_triangles",
-    # Interval overlap join (round 5, seventh batch), deferred by
-    # design: explode -> equi join -> filter is the LSH/banding
-    # physical shape (windowed many times over); what is new — the
-    # bucketization being exact and emit-once — is pinned by
-    # tests/test_intervals.py property tests vs brute force, and
-    # in-repo oracle parity (DuckDB's native inequality join as the
-    # independent strategy) covers values.
-    "events_session_incident_overlap",
-    # Feature repair (round 5, seventh batch), deferred by design:
-    # keyed-agg-join-back + map-side CASE are the registry's most
-    # windowed shapes; the audit-flag contract is pinned by
-    # tests/test_impute.py and in-repo oracle parity covers values.
-    "events_impute_winsorize",
-    # Calendar densification + forward fill (round 5, seventh batch),
-    # deferred by design: sequence/explode + keyed left join +
-    # last-ignorenulls window are each windowed shapes elsewhere;
-    # tests/test_ffill.py pins the fill/flag semantics and in-repo
-    # oracle parity (IGNORE NULLS window) covers values.
-    "events_daily_ffill",
-    # Entropy/compressibility signals (round 5, eighth batch), deferred
-    # by design: the physical shape is one Arrow-batched map-only stage
-    # — the same family as the multimodal kernels (pytest-verified) and
-    # the Arrow cosine path (windowed via emb_cosine_topk); the
-    # engine-portable entropy quantization is the windowed
-    # docs_unigram_logprob discipline. In-repo oracle parity covers
-    # values at both scales; compression_ratio is zlib (not
-    # SQL-expressible) and pytest-verified.
-    "docs_entropy_signals",
-    # Feature-hash embedding (round 5, eighth batch), deferred by
-    # design: explode -> one wide conditional-sum partial agg is the
-    # windowed PSI/profile shape, and the md5-derived keying holds
-    # external rows via docs_split_and_sample; in-repo oracle parity
-    # covers values, test_embed.py covers the vector contract.
-    "docs_feature_hash_embed",
-    # Snapshot diff (round 5, eighth batch), deferred by design: one
-    # full-outer hash join + map-side CASE comparisons — the join
-    # family holds many external rows (series joins, SCD, adjust) and
-    # the full-outer shape specifically is driver-verified inside
-    # corporate_actions_adjust (J4 F⟗G); in-repo oracle parity covers
-    # values, test_diff.py covers the contract.
-    "orders_snapshot_diff",
-    # Order-2 LM scoring (round 5, eighth batch), deferred by design:
-    # the order-1 twin docs_unigram_logprob holds the external row for
-    # the quantized-ln/token-keyed-join machinery; the bigram variant
-    # adds a map-side slice-zip and one more keyed count — shapes
-    # windowed many times over. In-repo oracle parity covers values.
-    "docs_bigram_logprob",
-    # Rolling correlation (round 5, eighth batch), deferred by design:
-    # the RANGE-framed integer-sum window machinery holds its external
-    # row via events_rolling_7d (same frame, same quantization); the
-    # bivariate extension adds two more window sums of the same shape.
-    # In-repo oracle parity covers values.
-    "events_rolling_corr",
-    # Pivot reshaping (round 5, eighth batch), deferred by design:
-    # Spark's pivot with a pinned value list compiles to exactly the
-    # conditional-sum partial aggregation that holds external rows via
-    # orders_profile / docs_mixture_weights (and the PSI bucket
-    # family); the melt round-trip is pinned in tests/test_pivot.py.
-    # In-repo oracle parity covers values.
-    "events_type_pivot",
+PINNED_WINDOW = [
+    # §2 join/window anchors (J1/J2/J5/J6/W8 + the flagship A7 program).
+    "events_gap_declared_reconcile",
+    "series_day_calendar_join",
+    "series_minute_exact_join",
+    "tpch_q01_pricing_summary",
+    "corporate_actions_adjust",
+    "events_asof_forward_snap",
+    "events_scd_window_join",
+    "events_split_gap_inference",
+    # Dedup family anchors (exact/Jaccard/MinHash-LSH/SimHash/clusters).
+    "dedup_ngram_jaccard_pairs",
+    "dedup_lsh_verified_pairs",
+    "dedup_simhash_pairs",
+    "dedup_duplicate_clusters",
+    "docs_decontam_overlap",
+    # ANN family anchors (brute-force/IVF/PQ/semantic/kNN-join).
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_pq_topk_rerank",
+    "emb_semantic_dedup_clusters",
+    "emb_knn_join",
+    # Text/LLM-pipeline anchors.
+    "docs_token_stats",
+    "docs_repetition_metrics",
+    "docs_sequence_packing",
+    "docs_split_and_sample",
+    "docs_tfidf_top_terms",
+    # Events analytics + iterative-graph anchors.
+    "events_funnel_conversion",
+    "docs_pagerank_centrality",
 ]
 
 
-def _reorder_registry() -> None:
-    """Rebuild REGISTRY so deferred names iterate last.
+def _external_green_history() -> dict[str, int]:
+    """Map query name -> latest round whose committed CORRECTNESS_r{N}.json
+    records a green (hash_match) external row for it.
 
-    Keeps registration order for everything else, which puts the J5/J6
-    series joins and the W8 declared-gap reconcile (registrations #51-53
-    before round 3) inside the driver's verification window.
-    """
-    ordered = [n for n in REGISTRY if n not in _DEFERRED_PAST_WINDOW]
-    ordered += [n for n in _DEFERRED_PAST_WINDOW if n in REGISTRY]
+    The files live at the repo root, two levels above this package.  Any
+    unreadable file is skipped; outside a repo checkout the map is empty and
+    the rotation degrades to registration order, which is still a valid
+    window."""
+    import json as _json
+    import re as _re
+    from pathlib import Path as _Path
+
+    root = _Path(__file__).resolve().parents[2]
+    hist: dict[str, int] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = _json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                hist[name] = max(hist.get(name, 0), rnd)
+    return hist
+
+
+def rotation_order(names: list[str], hist: dict[str, int]) -> list[str]:
+    """Order the unpinned pool: never-externally-green first, then by
+    staleness (oldest green round first); registration order breaks ties.
+    Pure so tests can drive it with synthetic histories."""
+    idx = {n: i for i, n in enumerate(names)}
+    pool = [n for n in names if n not in set(PINNED_WINDOW)]
+    pool.sort(key=lambda n: (hist.get(n, -1), idx[n]))
+    return pool
+
+
+def _reorder_registry() -> None:
+    """Rebuild REGISTRY iteration order: pinned anchors, then the rotation
+    pool staleness-first, so the driver's 50-row window = every anchor +
+    the least-recently-verified ~25 of everything else."""
+    hist = _external_green_history()
+    names = list(REGISTRY)
+    pinned = [n for n in PINNED_WINDOW if n in REGISTRY]
+    ordered = pinned + rotation_order(names, hist)
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     REGISTRY.update({n: snapshot[n] for n in ordered})

@@ -343,12 +343,20 @@ def delete_from_lake(
 
 
 def _partition_filter(rows, partition_cols: list[str]):
-    """OR-of-ANDs Column matching exactly the given partition tuples."""
+    """OR-of-ANDs Column matching exactly the given partition tuples.
+
+    Null-safe equality: a null partition value is written to disk as
+    ``__HIVE_DEFAULT_PARTITION__`` and reads back as NULL — plain ``==``
+    would never match it, silently skipping that partition in
+    delete/merge (the exact "old files survive" failure the delete
+    docstring rules out).  ``eqNullSafe`` matches it like any other
+    value; ``_partition_dirs`` and dynamic overwrite already handle the
+    null directory correctly."""
     part_filter = None
     for row in rows:
         clause = None
         for c in partition_cols:
-            cond = F.col(c) == row[c]
+            cond = F.col(c).eqNullSafe(F.lit(row[c]))
             clause = cond if clause is None else clause & cond
         part_filter = clause if part_filter is None else part_filter | clause
     return part_filter

@@ -54,11 +54,18 @@ def ewma_stream(
         (k,) = key
         if state.exists:
             last_ts, last_y = state.get
+            if last_y is not None and last_y != last_y:
+                # NaN sentinel: frontier advanced but no numeric
+                # observation yet (leading nulls only so far)
+                last_y = None
         else:
             last_ts, last_y = None, None
 
         rows: list[tuple[int, float]] = []
         for pdf in pdfs:
+            # NaT timestamps are unorderable (astype would mint a garbage
+            # int and destabilize the sort) — drop them outright
+            pdf = pdf[pdf[ts_col].notna()]
             rows.extend(
                 zip(pdf[ts_col].astype("int64").tolist(), pdf[value_col].tolist())
             )
@@ -68,11 +75,23 @@ def ewma_stream(
             if last_ts is not None and t <= last_ts:
                 out.append((k, t, x, None, True))
                 continue
+            if x is None or x != x:
+                # null/NaN value: pandas ewm(ignore_na=True) semantics —
+                # the smoothed series carries the prior value and the
+                # recurrence does NOT advance (a NaN must never enter
+                # state, or it would poison every later emission); the
+                # event-time frontier still advances so replays of this
+                # timestamp read as late.
+                last_ts = t
+                out.append((k, t, x, last_y, False))
+                continue
             last_y = x if last_y is None else (1 - alpha) * last_y + alpha * x
             last_ts = t
             out.append((k, t, x, last_y, False))
         if last_ts is not None:
-            state.update((last_ts, float(last_y)))
+            state.update(
+                (last_ts, float(last_y) if last_y is not None else float("nan"))
+            )
         yield pd.DataFrame(
             {
                 "key": pd.array([r[0] for r in out], dtype="int64"),

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from polygon_io_data_ingestion_pipeline_spark.operators.bars import (
@@ -131,3 +133,30 @@ def test_rolling_corr_matches_numpy_and_handles_degenerates(spark):
             assert abs(r["roll_corr"] - round(expect, 6)) <= 1e-6
     # zero variance on one side -> NULL, not a crash or a fake 0
     assert got[("B", 1)]["roll_corr"] is None
+
+
+def test_rolling_stats_checked_mode_raises_on_overflow_magnitudes(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.bars import (
+        rolling_corr,
+        rolling_range_stats,
+    )
+
+    big = spark.createDataFrame(
+        [("A", 1, 5.0e9, 1.0), ("A", 2, 6.0e9, 2.0)],
+        "ticker string, day_num int, v double, y double",
+    )
+    with pytest.raises(ValueError, match="overflow-safe bound"):
+        rolling_range_stats(
+            big, 7, "ticker", "day_num", "v", scale=100, checked=True
+        ).collect()
+    with pytest.raises(ValueError, match="overflow-safe bound"):
+        rolling_corr(
+            big, 7, "ticker", "day_num", "v", "y", scale=100, checked=True
+        ).collect()
+    # safe magnitudes pass the check and compute normally
+    ok = spark.createDataFrame(
+        [("A", 1, 10.0, 1.0), ("A", 2, 12.0, 2.0)],
+        "ticker string, day_num int, v double, y double",
+    )
+    assert rolling_range_stats(ok, 7, "ticker", "day_num", "v", checked=True).count() == 2
+    assert rolling_corr(ok, 7, "ticker", "day_num", "v", "y", checked=True).count() == 2

@@ -90,3 +90,25 @@ def test_delete_missing_keys_is_noop(spark, tmp_path):
     keys = spark.createDataFrame([(10**9,)], "doc_id long")
     assert delete_from_lake(spark, lake, keys, "doc_id", ["source"]) == 0
     assert _files_mtimes(lake) == before  # zero rewrites
+
+
+def test_delete_reaches_null_partition(spark, tmp_path):
+    """A takedown key living in a NULL partition (written as
+    __HIVE_DEFAULT_PARTITION__) must still be deleted — plain ``==`` in
+    the partition filter never matches NULL and silently skipped it
+    (round-5 ADVICE defect); eqNullSafe fixes it."""
+    lake = str(tmp_path / "corpus")
+    rows = [(1, "a", "src0"), (2, "b", None), (3, "c", None), (4, "d", "src1")]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.partitionBy(
+        "source"
+    ).parquet(lake)
+    assert any("__HIVE_DEFAULT_PARTITION__" in p for p in glob.glob(f"{lake}/*"))
+
+    keys = spark.createDataFrame([(2,)], "doc_id long")
+    n = delete_from_lake(spark, lake, keys, "doc_id", ["source"])
+    assert n == 1
+    after = spark.read.parquet(lake)
+    assert after.filter(F.col("doc_id") == 2).count() == 0
+    # the other null-partition row survives, as do the non-null partitions
+    assert after.filter(F.col("doc_id") == 3).count() == 1
+    assert after.count() == 3

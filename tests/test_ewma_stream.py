@@ -90,3 +90,34 @@ def test_keys_isolated(spark, tmp_path):
         by_key.setdefault(r["key"], []).append(r["ewma"])
     assert by_key[1] == _loop([10.0, 20.0])
     assert by_key[2] == _loop([1000.0, 2000.0])
+
+
+def test_null_values_do_not_poison_state(spark, tmp_path):
+    """A null value row must emit the prior smoothed value and leave the
+    recurrence untouched — pandas ewm(ignore_na=True) parity with the
+    batch operator — including nulls that land last in a batch (which
+    previously persisted NaN into state and corrupted every later
+    emission) and leading nulls before any numeric observation."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    # leading null, numerics, then a trailing null closing the batch
+    _write(
+        spark,
+        src,
+        [(3, T0, None), (3, T0 + 1 * MIN, 10.0), (3, T0 + 2 * MIN, None)],
+    )
+    got = sorted(_drain(spark, src, ckpt), key=lambda r: r["ts"])
+    assert got[0]["ewma"] is None  # no numeric observation yet
+    assert got[1]["ewma"] == 10.0
+    assert got[2]["ewma"] == 10.0  # carries prior, does not advance
+    assert not any(r["late"] for r in got)
+
+    # next batch restarts from checkpoint: NaN must NOT have entered state
+    _write(spark, src, [(3, T0 + 3 * MIN, 20.0)])
+    (fresh,) = _drain(spark, src, ckpt)
+    assert fresh["ewma"] == (1 - ALPHA) * 10.0 + ALPHA * 20.0
+
+    # the null rows advanced the frontier: a replay at their ts is late
+    _write(spark, src, [(3, T0 + 2 * MIN, 999.0)])
+    (late,) = _drain(spark, src, ckpt)
+    assert late["late"] and late["ewma"] is None

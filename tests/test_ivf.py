@@ -174,3 +174,22 @@ def test_append_to_ivf_index_incremental_maintenance(spark, sf_dir, tmp_path):
     want = ivf_topk_indexed(spark, ref, cents, qvec, k=10, nprobe=4, exclude_id=1)
     assert _ids(got.collect()) == _ids(want.collect())
     assert any(i % 2 == 1 for i in _ids(got.collect()))  # appended rows reachable
+
+
+def test_codebook_training_sample_is_capped(spark, sf_dir):
+    """max_train_rows is an ABSOLUTE bound on driver-collected rows —
+    the round-5 verdict defect (fraction-only sampling grows with the
+    corpus)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        _bounded_train_sample,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    assert n > 64
+    s = _bounded_train_sample(emb, "embedding", max_train_rows=64, seed=7)
+    assert len(s) <= 64
+    assert len(s) >= 32  # the 1.25x-target Bernoulli draw cannot starve it
+    # under the cap: the whole corpus trains (no sampling noise)
+    s_all = _bounded_train_sample(emb, "embedding", max_train_rows=10**9, seed=7)
+    assert len(s_all) == n

