@@ -105,13 +105,32 @@ def cmd_load(args: argparse.Namespace) -> int:
 
 
 def cmd_index(args: argparse.Namespace) -> int:
-    """Explicit ANN index build: embeddings parquet -> materialized IVF
-    index (corpus partitioned by inverted list + codebook.json sidecar)
-    at a lake path. Probing via ivf_topk_indexed then partition-prunes
-    to nprobe/nlist of the corpus."""
-    from .operators.similarity import build_ivf_index
+    """ANN index lifecycle: build a materialized IVF index from
+    embeddings parquet (default), report its list-imbalance drift metric
+    (``--stats``), or retrain the codebook on the index's current
+    contents and rebuild (``--rebalance``, optionally gated on
+    ``--rebalance-above`` so schedulers can call it unconditionally)."""
+    import json as _json
+
+    from .operators.similarity import (
+        build_ivf_index,
+        ivf_index_imbalance,
+        rebalance_ivf_index,
+    )
 
     spark = get_spark("poly-index", master=args.master)
+    if args.stats:
+        print(_json.dumps(ivf_index_imbalance(spark, args.out)))
+        return 0
+    if args.rebalance:
+        res = rebalance_ivf_index(
+            spark, args.out, rebalance_above=args.rebalance_above
+        )
+        print(_json.dumps(res))
+        return 0
+    if not args.embeddings:
+        print("--embeddings is required to build an index", file=sys.stderr)
+        return 2
     emb = spark.read.parquet(args.embeddings)
     build_ivf_index(emb, args.out, nlist=args.nlist, stride=args.stride)
     print(f"ivf index -> {args.out}")
@@ -269,11 +288,19 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(p)
     p.set_defaults(fn=cmd_load)
 
-    p = sub.add_parser("index", help="embeddings parquet -> materialized IVF ANN index")
-    p.add_argument("--embeddings", required=True)
+    p = sub.add_parser("index", help="IVF ANN index: build / --stats / --rebalance")
+    p.add_argument("--embeddings", default=None)
     p.add_argument("--out", required=True)
     p.add_argument("--nlist", type=int, default=16)
     p.add_argument("--stride", type=int, default=31)
+    p.add_argument("--stats", action="store_true", help="print imbalance metrics for --out")
+    p.add_argument("--rebalance", action="store_true", help="retrain codebook + rebuild --out")
+    p.add_argument(
+        "--rebalance-above",
+        type=float,
+        default=None,
+        help="with --rebalance: skip the rebuild if imbalance <= this factor",
+    )
     _add_common(p)
     p.set_defaults(fn=cmd_index)
 

@@ -441,6 +441,16 @@ def build_ivf_index(
     return centroids
 
 
+def _ivf_lock_path(path: str) -> str:
+    """Sibling lease-lock path for a materialized index: OUTSIDE the
+    index directory (rebalance swaps the directory itself, which would
+    take an in-dir lock with it), underscore-prefixed so a scan of the
+    parent ignores it."""
+    trimmed = path.rstrip("/")
+    head, tail = os.path.split(trimmed)
+    return os.path.join(head or ".", f"_{tail}.maintenance.lock")
+
+
 def append_to_ivf_index(
     df: DataFrame,
     path: str,
@@ -461,14 +471,18 @@ def append_to_ivf_index(
     frozen centroid, and `ivf_topk_indexed` probes appended rows with
     zero changes. Daily small-file buildup is `compact_lake`'s job.
     """
-    centroids = read_ivf_codebook(path)
-    (
-        ivf_assign(df, centroids, vec_col)
-        .repartition("list_id")
-        .write.partitionBy("list_id")
-        .mode("append")
-        .parquet(path)
-    )
+    from ..sources.lease import LakeLease
+
+    spark = df.sparkSession
+    with LakeLease(spark, path, holder="ivf_append", lock_path=_ivf_lock_path(path)):
+        centroids = read_ivf_codebook(path)
+        (
+            ivf_assign(df, centroids, vec_col)
+            .repartition("list_id")
+            .write.partitionBy("list_id")
+            .mode("append")
+            .parquet(path)
+        )
 
 
 def read_ivf_codebook(path: str) -> list[tuple[int, list[float]]]:
@@ -477,6 +491,100 @@ def read_ivf_codebook(path: str) -> list[tuple[int, list[float]]]:
 
     with open(os.path.join(path, "_codebook.json")) as fh:
         return [(int(cid), [float(v) for v in vec]) for cid, vec in json.load(fh)]
+
+
+def ivf_index_imbalance(spark, path: str) -> dict:
+    """Codebook-drift trigger metric for a materialized IVF index.
+
+    Returns FAISS's imbalance factor ``nlist * sum(sz^2) / n^2`` (1.0 =
+    perfectly even lists; probing cost and recall both degrade as it
+    grows, because hot lists crowd the probe budget while starved lists
+    strand their vectors behind unprobed centroids), plus the raw
+    facts: total vectors, list count, largest list, and how many
+    codebook entries have no vectors at all.  One partition-pruned
+    count aggregate — O(nlist) driver memory.
+    """
+    sizes = {
+        int(r["list_id"]): int(r["n"])
+        for r in spark.read.parquet(path)
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    nlist = len(read_ivf_codebook(path))
+    n = sum(sizes.values())
+    ss = sum(v * v for v in sizes.values())
+    return {
+        "n_vectors": n,
+        "n_lists": nlist,
+        "imbalance": (nlist * ss / (n * n)) if n else 1.0,
+        "max_list": max(sizes.values(), default=0),
+        "empty_lists": nlist - len(sizes),
+    }
+
+
+def rebalance_ivf_index(
+    spark,
+    path: str,
+    nlist: int | None = None,
+    iters: int = 5,
+    max_train_rows: int = 65536,
+    seed: int = 7,
+    vec_col: str = "embedding",
+    rebalance_above: float | None = None,
+) -> dict:
+    """Retrain the codebook on the CURRENT index contents and rebuild —
+    the periodic maintenance :func:`append_to_ivf_index` defers.
+
+    Appends keep the codebook frozen, so under distribution drift the
+    lists skew: recall decays (new-regime vectors pile into few lists)
+    and probe cost spikes (hot lists dominate every probe set).  The
+    fix is the standard one: re-run Lloyd k-means over a bounded sample
+    of what the index NOW holds, re-assign every vector map-side, and
+    rewrite.  The rebuild streams through a staging directory next to
+    the index and swaps via rename, so no corpus-sized frame is ever
+    materialized and a crash leaves the old index intact; the whole
+    operation holds the lake maintenance lease so appends cannot
+    interleave with the swap.
+
+    ``rebalance_above``: if set, first measure
+    :func:`ivf_index_imbalance` and SKIP the rebuild when the factor is
+    at or below the threshold (cheap no-op path for schedulers).
+    Returns the imbalance measured before, whether a rebuild ran, and
+    the imbalance after.
+    """
+    from ..sources.lease import LakeLease
+
+    before = ivf_index_imbalance(spark, path)
+    if rebalance_above is not None and before["imbalance"] <= rebalance_above:
+        return {"before": before, "rebuilt": False, "after": before}
+    with LakeLease(spark, path, holder="ivf_rebalance", lock_path=_ivf_lock_path(path)):
+        old_cb = read_ivf_codebook(path)
+        if nlist is None:
+            nlist = len(old_cb)
+        vecs = spark.read.parquet(path).drop("list_id")
+        cents = kmeans_centroids(
+            vecs,
+            nlist=nlist,
+            iters=iters,
+            max_train_rows=max_train_rows,
+            seed=seed,
+            vec_col=vec_col,
+        )
+        staging = path.rstrip("/") + "__rebalance_staging"
+        write_ivf_index(vecs, staging, cents, vec_col)
+        import json
+
+        with open(os.path.join(staging, "_codebook.json"), "w") as fh:
+            json.dump([[cid, vec] for cid, vec in cents], fh)
+        jvm = spark._jvm
+        jsrc = jvm.org.apache.hadoop.fs.Path(staging)
+        jdst = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jdst, True)
+        fs.rename(jsrc, jdst)
+        spark.catalog.refreshByPath(path)
+    return {"before": before, "rebuilt": True, "after": ivf_index_imbalance(spark, path)}
 
 
 def ivf_topk_indexed(

@@ -25,6 +25,8 @@ from collections.abc import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .lease import LakeLease
+
 PARTITION_KEYS = {"day": ["ticker", "year", "month"], "minute": ["ticker", "year", "month", "day"]}
 
 
@@ -123,6 +125,7 @@ def compact_lake(
     tf: str = "day",
     max_records_per_file: int = 5_000_000,
     small_file_bytes: int = 32 * 1024 * 1024,
+    lease: bool = True,
 ) -> dict[str, int]:
     """Lake maintenance: rewrite partitions fragmented into many small
     files as one-(or-few)-sorted-files-per-partition — the small-file
@@ -138,7 +141,24 @@ def compact_lake(
     zstd, ``max_records_per_file`` cap) and is idempotent.
 
     Returns {"partitions_compacted": n, "files_before": m}.
+
+    Serialized behind the lake's maintenance lease (``lease=False`` to
+    opt out when the caller already holds it): plain parquet has no
+    commit protocol, so a compaction interleaving with a MERGE or the
+    streaming sink on the same partition would replace it from a stale
+    file listing and lose the other writer's rows
+    (tests/test_lake_lease.py proves the race on the raw primitives).
     """
+    if lease:
+        with LakeLease(spark, path, holder="compact_lake"):
+            return compact_lake(
+                spark,
+                path,
+                tf=tf,
+                max_records_per_file=max_records_per_file,
+                small_file_bytes=small_file_bytes,
+                lease=False,
+            )
     keys = PARTITION_KEYS[tf]
     df = spark.read.parquet(path)
     per_file = (
@@ -278,6 +298,7 @@ def delete_from_lake(
     keys_df: DataFrame,
     key_col: str,
     partition_cols: list[str],
+    lease: bool = True,
 ) -> int:
     """Targeted row deletion from a partitioned parquet lake — the
     takedown / right-to-be-forgotten primitive a training-data store
@@ -296,8 +317,14 @@ def delete_from_lake(
 
     Same machinery as the streaming sink's merge-overwrite
     (streaming/ingest_stream.py write_ingest_batch); deletion is the
-    subtractive case.
+    subtractive case.  Serialized behind the lake's maintenance lease
+    (``lease=False`` opts out when the caller already holds it).
     """
+    if lease:
+        with LakeLease(spark, path, holder="delete_from_lake"):
+            return delete_from_lake(
+                spark, path, keys_df, key_col, partition_cols, lease=False
+            )
     lake = spark.read.parquet(path)
     keys = keys_df.select(F.col(key_col)).distinct()
     touched = (
@@ -392,6 +419,7 @@ def merge_into_lake(
     updates: DataFrame,
     key_col: str,
     partition_cols: list[str],
+    lease: bool = True,
 ) -> dict:
     """Keyed upsert (lakehouse ``MERGE``) into a plain-parquet
     partitioned lake: rows in ``updates`` REPLACE the lake's rows with
@@ -414,8 +442,14 @@ def merge_into_lake(
     is ambiguous; pre-dedup with keep-last if needed. Returns
     ``{"rows_updated": ..., "rows_inserted": ...}`` counted in KEYS
     (a lake row duplicated per key collapses to the one update row and
-    still counts once).
+    still counts once).  Serialized behind the lake's maintenance lease
+    (``lease=False`` opts out when the caller already holds it).
     """
+    if lease:
+        with LakeLease(spark, path, holder="merge_into_lake"):
+            return merge_into_lake(
+                spark, path, updates, key_col, partition_cols, lease=False
+            )
     lake = spark.read.parquet(path)
     updates = updates.select(*lake.columns).localCheckpoint()
     keys = updates.select(F.col(key_col)).distinct()

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from ..operators.text import quality_filter
 from ..sources.jsonl import DOCS_SCHEMA
+from ..sources.lease import LakeLease
 
 
 def read_corpus_stream(
@@ -104,13 +105,17 @@ def write_corpus_batch(batch_df: DataFrame, batch_id: int, lake_path: str) -> No
             done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
     if batch_id in done:
         return
-    (
-        batch_df.write.mode("overwrite")
-        .partitionBy("source")
-        .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
-    )
-    with open(ledger, "a") as fh:
-        fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+    # Lease over the write+ledger: a replay of this batch racing a lake
+    # compaction would otherwise rewrite the same batch directory from
+    # two stale listings.
+    with LakeLease(batch_df.sparkSession, lake_path, holder="corpus_stream"):
+        (
+            batch_df.write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+        )
+        with open(ledger, "a") as fh:
+            fh.write(json.dumps({"batch_id": batch_id}) + "\n")
 
 
 def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str) -> None:
@@ -160,13 +165,134 @@ def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str)
             .select("fp")
         )
     novel, _ = incremental_dedup(batch_df, history, id_col="doc_id")
-    (
-        novel.write.mode("overwrite")
-        .partitionBy("source")
-        .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+    with LakeLease(spark, lake_path, holder="corpus_stream_exact"):
+        (
+            novel.write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+        )
+        with open(ledger, "a") as fh:
+            fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+
+
+def write_corpus_batch_indexed(
+    batch_df: DataFrame,
+    batch_id: int,
+    lake_path: str,
+    index_path: str,
+    dim: int = 32,
+    nlist: int = 8,
+    max_train_rows: int = 65536,
+) -> None:
+    """Corpus sink + streaming ANN maintenance in ONE foreachBatch stage:
+    accepted documents land in the corpus lake (exactly once, via
+    :func:`write_corpus_batch`) AND become searchable — feature-hash
+    embedded and written into a materialized IVF index — before the
+    batch commits.
+
+    Index idempotency mirrors the lake's: each batch's vectors live
+    under ``ingest_batch=<id>/list_id=<l>/`` written with overwrite, so
+    a foreachBatch replay rewrites the same directory with the same
+    deterministic rows (list_id stays a partition column, so
+    ``ivf_topk_indexed`` partition-prunes exactly as on a batch-built
+    index — pruning works on any partition level).  A separate ledger
+    skips committed replays cheaply.  The first non-empty batch trains
+    the codebook (bounded k-means sample) and writes the sidecar;
+    every later batch assigns against the frozen codebook — the
+    standard add-then-periodically-:func:`~..operators.similarity.
+    rebalance_ivf_index` lifecycle.  The index write holds the index's
+    maintenance lease so a concurrent rebalance cannot interleave with
+    the append.
+    """
+    write_corpus_batch(batch_df, batch_id, lake_path)
+
+    ledger = os.path.join(index_path, "_indexed_batches.json")
+    done: set[int] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
+    if batch_id in done:
+        return
+
+    from ..operators.embed import feature_hash_embed
+    from ..operators.similarity import (
+        _ivf_lock_path,
+        ivf_assign,
+        kmeans_centroids,
+        read_ivf_codebook,
     )
-    with open(ledger, "a") as fh:
-        fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+
+    spark = batch_df.sparkSession
+    emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
+    has_codebook = os.path.exists(os.path.join(index_path, "_codebook.json"))
+    if not emb.take(1):
+        if has_codebook:  # nothing to index; record the no-op commit
+            with open(ledger, "a") as fh:
+                fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+        return  # no codebook yet either: leave training to a later batch
+
+    with LakeLease(
+        spark, index_path, holder="corpus_index_stream", lock_path=_ivf_lock_path(index_path)
+    ):
+        if has_codebook:
+            cents = read_ivf_codebook(index_path)
+        else:
+            # Bootstrap clamp: a thin first batch cannot seed more
+            # centroids than it has vectors — train with what exists and
+            # let a later rebalance_ivf_index(nlist=target) widen the
+            # codebook once the corpus can support it.
+            cents = kmeans_centroids(
+                emb,
+                nlist=min(nlist, emb.count()),
+                max_train_rows=max_train_rows,
+                vec_col="embedding",
+            )
+            os.makedirs(index_path, exist_ok=True)
+            with open(os.path.join(index_path, "_codebook.json"), "w") as fh:
+                json.dump([[cid, vec] for cid, vec in cents], fh)
+        (
+            ivf_assign(emb, cents)
+            .repartition("list_id")
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(os.path.join(index_path, f"ingest_batch={batch_id}"))
+        )
+        with open(ledger, "a") as fh:
+            fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+    spark.catalog.refreshByPath(index_path)
+
+
+def start_corpus_ingest_indexed(
+    spark: SparkSession,
+    src_dir: str,
+    lake_path: str,
+    index_path: str,
+    checkpoint: str,
+    watermark_delay: str = "10 minutes",
+    dim: int = 32,
+    nlist: int = 8,
+):
+    """ingest -> dedup -> gate -> corpus lake -> embed -> searchable IVF
+    index, as ONE streaming pipeline (AvailableNow drain).  Documents
+    accepted in batch k are retrievable via ``ivf_topk_indexed`` the
+    moment batch k commits."""
+    import functools
+
+    out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)
+    return (
+        out.writeStream.foreachBatch(
+            functools.partial(
+                write_corpus_batch_indexed,
+                lake_path=lake_path,
+                index_path=index_path,
+                dim=dim,
+                nlist=nlist,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def start_corpus_ingest(

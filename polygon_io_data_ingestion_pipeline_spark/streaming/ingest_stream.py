@@ -21,7 +21,6 @@ Structured Streaming's file source replaces all of it:
 
 from __future__ import annotations
 
-import functools
 from collections.abc import Iterable
 
 from pyspark.errors import AnalysisException
@@ -30,7 +29,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from ..sources.csv_bars import normalize_bar_frame
-from ..sources.lake import PARTITION_KEYS, write_lake
+from ..sources.lake import PARTITION_KEYS, _partition_filter, write_lake
+from ..sources.lease import LakeLease
 
 #: bar identity: one row per (ticker, instant) — the reference's
 #: overwrite granularity (ingest.py:289-314 buckets by exactly this).
@@ -72,13 +72,17 @@ def write_ingest_batch(batch_df: DataFrame, batch_id: int, lake_path: str, tf: s
     if not touched:
         return
 
-    part_filter = functools.reduce(
-        lambda a, b: a | b,
-        [
-            functools.reduce(lambda a, b: a & b, [F.col(k) == row[k] for k in keys])
-            for row in touched
-        ],
-    )
+    # Null-safe OR-of-ANDs (shared with delete/merge) and the whole
+    # read-merge-overwrite under the lake's maintenance lease: a
+    # compaction interleaving between this sink's lake read and its
+    # partition overwrite would otherwise race it for the same files.
+    part_filter = _partition_filter(touched, keys)
+    with LakeLease(spark, lake_path, holder="ingest_stream"):
+        _write_ingest_batch_locked(incoming, part_filter, lake_path, tf)
+
+
+def _write_ingest_batch_locked(incoming, part_filter, lake_path: str, tf: str) -> None:
+    spark = incoming.sparkSession
     try:
         existing = (
             spark.read.option("mergeSchema", True)

@@ -1,0 +1,131 @@
+"""Streaming ANN maintenance: ingest -> dedup -> gate -> lake -> embed ->
+searchable IVF index as ONE pipeline. Docs accepted in batch k must be
+retrievable via ivf_topk_indexed after batch k commits; replays must not
+duplicate index rows."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from polygon_io_data_ingestion_pipeline_spark.operators.embed import feature_hash_embed
+from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+    ivf_topk_indexed,
+    read_ivf_codebook,
+)
+from polygon_io_data_ingestion_pipeline_spark.streaming.corpus_stream import (
+    start_corpus_ingest_indexed,
+    write_corpus_batch_indexed,
+)
+
+GOOD_A = (
+    "the data in a table is the value of the row and the key for the "
+    "batch while the line in a window is the part of the sort"
+)
+GOOD_B = (
+    "a scan of the table shows the key and the value where the row of "
+    "the batch meets the line of the window in a sort of merge"
+)
+GOOD_C = (
+    "the merge of the sorted run with the spill file keeps the key order "
+    "of the batch so the window over the table stays stable in the scan"
+)
+
+
+def _shard(path, name, docs):
+    with open(os.path.join(path, name), "w") as fh:
+        for d in docs:
+            fh.write(json.dumps(d) + "\n")
+
+
+def _doc(doc_id, text, source="web"):
+    return {"doc_id": doc_id, "text": text, "lang": "en", "source": source, "n_chars": len(text)}
+
+
+def _drain(spark, src, lake, idx, ckpt):
+    q = start_corpus_ingest_indexed(
+        spark, src, lake, idx, ckpt, watermark_delay="10 minutes", dim=16, nlist=2
+    )
+    q.awaitTermination(120)
+
+
+def _qvec(spark, text):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return [float(v) for v in feature_hash_embed(df, dim=16).first()["embedding"]]
+
+
+def _topk_ids(spark, idx, text, k=3):
+    cb = read_ivf_codebook(idx)
+    return [
+        r["doc_id"]
+        for r in ivf_topk_indexed(
+            spark, idx, cb, _qvec(spark, text), k=k, nprobe=2, id_col="doc_id"
+        ).collect()
+    ]
+
+
+def test_streamed_docs_become_searchable_per_batch(spark, tmp_path):
+    src, lake, idx, ckpt = (str(tmp_path / d) for d in ("src", "lake", "idx", "ckpt"))
+    os.makedirs(src)
+
+    # batch 1: two good docs (plus a dup and junk that must NOT be indexed)
+    _shard(src, "a.jsonl", [_doc(1, GOOD_A), _doc(2, GOOD_A), _doc(3, "junk short")])
+    _drain(spark, src, lake, idx, ckpt)
+    assert os.path.exists(os.path.join(idx, "_codebook.json"))
+    indexed = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert indexed == {1}
+    # the accepted doc is retrievable by its own content, immediately
+    assert _topk_ids(spark, idx, GOOD_A, k=1) == [1]
+
+    # batch 2: a new doc joins the SAME index (frozen codebook append path)
+    _shard(src, "b.jsonl", [_doc(10, GOOD_B)])
+    _drain(spark, src, lake, idx, ckpt)
+    indexed = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert indexed == {1, 10}
+    assert _topk_ids(spark, idx, GOOD_B, k=1) == [10]
+    # earlier batches remain retrievable
+    assert _topk_ids(spark, idx, GOOD_A, k=1) == [1]
+
+    # batch 3
+    _shard(src, "c.jsonl", [_doc(20, GOOD_C)])
+    _drain(spark, src, lake, idx, ckpt)
+    assert _topk_ids(spark, idx, GOOD_C, k=1) == [20]
+
+    # index layout: batch-keyed then list-keyed -> partition pruning on
+    # list_id still applies (any partition level prunes)
+    import glob as _glob
+
+    assert _glob.glob(os.path.join(idx, "ingest_batch=*", "list_id=*"))
+
+
+def test_index_replay_is_idempotent(spark, tmp_path):
+    lake, idx = str(tmp_path / "lake"), str(tmp_path / "idx")
+    batch = spark.createDataFrame(
+        [(1, GOOD_A, "en", "web", "fp1", 25), (2, GOOD_B, "en", "web", "fp2", 25)],
+        "doc_id long, text string, lang string, source string, fp string, n_tokens int",
+    )
+    write_corpus_batch_indexed(batch, 0, lake, idx, dim=16, nlist=2)
+    rows1 = sorted(
+        (r["doc_id"], r["ingest_batch"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    cb1 = read_ivf_codebook(idx)
+
+    # foreachBatch replay: same batch id re-delivered after a restart
+    write_corpus_batch_indexed(batch, 0, lake, idx, dim=16, nlist=2)
+    rows2 = sorted(
+        (r["doc_id"], r["ingest_batch"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert rows2 == rows1
+    assert read_ivf_codebook(idx) == cb1
+
+    # replay after a LOST ledger line (crash between write and ledger):
+    # the overwrite regenerates identical rows, still exactly once
+    os.remove(os.path.join(idx, "_indexed_batches.json"))
+    write_corpus_batch_indexed(batch, 0, lake, idx, dim=16, nlist=2)
+    rows3 = sorted(
+        (r["doc_id"], r["ingest_batch"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert rows3 == rows1
