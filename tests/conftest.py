@@ -22,3 +22,46 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_SMOKE
+
+
+# Modules dominated by inherently slow work — streaming drains/restarts,
+# recall-floor measurements, Hypothesis property models, and the
+# full-registry sweeps (oracle parity, plan linter).  Centrally marked
+# ``slow`` so the dev fast lane (``pytest -m "not slow"``, <5 min) skips
+# them while the default ``pytest tests/`` still runs everything.
+SLOW_MODULES = {
+    "test_oracle_parity",
+    "test_plan_quality",
+    "test_ivf",
+    "test_ivf_rebalance",
+    "test_pq",
+    "test_neardup_recall",
+    "test_knn_join_recall",
+    "test_minute_path",
+    "test_series_cli",
+    "test_zorder_lake",
+    "test_diff_property",
+    "test_merge_property",
+    "test_funnel",
+    "test_funnel_stream",
+    "test_pagerank",
+    "test_join_stream",
+    "test_windowed_stream",
+    "test_streaming_pipeline",
+    "test_drift_stream",
+    "test_sessionize_stream",
+    "test_ewma_stream",
+    "test_corpus_stream",
+    "test_corpus_exact_history",
+    "test_corpus_index_stream",
+    "test_ingest_lake",
+    "test_compact_lake",
+    "test_superset_claims",
+    "test_lake_lease",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.fspath.purebasename in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
