@@ -4,15 +4,20 @@ multimodal operators decode REAL compressed bytes.
 
 Scope (and honest limits):
 
-- **Encoder**: baseline sequential DCT (SOF0), 4:4:4 sampling (no
-  chroma subsampling), standard Annex-K quantization tables scaled by
-  the libjpeg quality formula, standard Huffman tables, JFIF APP0.
+- **Encoder**: baseline sequential DCT (SOF0), 4:4:4 / 4:2:2 / 4:2:0
+  chroma sampling (box-filter downsample, interleaved MCUs), standard
+  Annex-K quantization tables scaled by the libjpeg quality formula,
+  standard Huffman tables, JFIF APP0.
 - **Decoder**: baseline sequential (SOF0) with any per-file DQT/DHT
-  (tables are READ FROM THE STREAM, not assumed), grayscale or 3-component
-  4:4:4, restart markers honored. Progressive (SOF2), arithmetic
-  coding, 12-bit precision and subsampled chroma are rejected with a
+  (tables are READ FROM THE STREAM, not assumed), grayscale or
+  3-component with ANY integer sampling factors dividing the maxima
+  (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...) — subsampled chroma is
+  nearest-neighbour upsampled; restart markers honored. Progressive
+  (SOF2), arithmetic coding and 12-bit precision are rejected with a
   clear error — callers quarantine, exactly like every other corrupt
-  payload in multimodal/binaryops.py.
+  payload in multimodal/binaryops.py. 4:2:0 matters: it is the
+  majority sampling in real-world corpora, so without it the codec
+  quarantined most actual JPEGs.
 
 The format is self-describing (quant + Huffman tables travel in
 DQT/DHT segments), so encode->decode fidelity is provable in-repo;
@@ -278,22 +283,29 @@ def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
 # --- blocking --------------------------------------------------------------
 
 
-def _to_blocks(chan: np.ndarray) -> tuple[np.ndarray, int, int]:
-    """channel (H, W) -> (n_blocks, 8, 8) with edge-replicate padding,
-    blocks in raster order; returns (blocks, blocks_h, blocks_w)."""
-    h, w = chan.shape
-    bh, bw = -(-h // 8), -(-w // 8)
-    padded = np.pad(chan, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(bh * bw, 8, 8)
-    )
-    return blocks, bh, bw
-
-
 def _from_blocks(blocks: np.ndarray, bh: int, bw: int, h: int, w: int) -> np.ndarray:
     return (
         blocks.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w]
     )
+
+
+def _grid_blocks(plane: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """channel -> (gh*gw, 8, 8) blocks on a FIXED grid (edge-replicate
+    padded): interleaved MCUs need block grids that are multiples of the
+    component's sampling factor, not just of 8."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, gh * 8 - h), (0, gw * 8 - w)), mode="edge")
+    return padded.reshape(gh, 8, gw, 8).transpose(0, 2, 1, 3).reshape(gh * gw, 8, 8)
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Mean-pool by (fy, fx) with edge-replicate padding to multiples."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return padded.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
 
 
 def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
@@ -305,33 +317,55 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
 # --- encoder ---------------------------------------------------------------
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") -> bytes:
     """uint8 image (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF
-    bytes (4:4:4, standard tables at the given quality)."""
+    bytes (standard tables at the given quality).
+
+    ``subsampling``: ``"4:4:4"`` (default, lossless chroma grid),
+    ``"4:2:2"`` or ``"4:2:0"`` (box-filter chroma downsample +
+    interleaved MCUs — what real-world encoders emit)."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
         raise ValueError("expects (H,W) or (H,W,3)")
+    if subsampling not in SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(SUBSAMPLING)}")
     h, w = arr.shape[:2]
     if gray:
+        factors = [(1, 1)]
         planes = [arr.astype(np.float64)]
     else:
+        h1, v1 = SUBSAMPLING[subsampling]
+        factors = [(h1, v1), (1, 1), (1, 1)]
         ycc = _rgb_to_ycbcr(arr.astype(np.float64))
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        planes = [ycc[..., 0]] + [
+            _box_downsample(ycc[..., c], h1, v1) for c in (1, 2)
+        ]
 
     qluma = _quality_scale(QUANT_LUMA, quality)
     qchroma = _quality_scale(QUANT_CHROMA, quality)
     qtabs = [qluma] + ([qchroma] if not gray else [])
 
-    # DCT + quantization, all blocks at once per plane.
-    coef_planes = []
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    # DCT + quantization, all blocks at once per plane, kept on the
+    # component's MCU-aligned block grid for interleaving.
+    coef_grids = []
     for ci, plane in enumerate(planes):
-        blocks, bh, bw = _to_blocks(plane - 128.0)
+        hf, vf = factors[ci]
+        gh, gw = mcuy * vf, mcux * hf
+        blocks = _grid_blocks(plane - 128.0, gh, gw)
         coef = np.einsum("ij,njk,lk->nil", _C, blocks, _C)
         q = qluma if ci == 0 else qchroma
-        coef_planes.append(np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG])
+        zz = np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
+        coef_grids.append(zz.reshape(gh, gw, 64))
 
     dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -341,40 +375,47 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
 
     bwtr = _BitWriter()
     pred = [0] * len(planes)
-    n_mcu = coef_planes[0].shape[0]
-    for m in range(n_mcu):
-        for ci in range(len(planes)):
-            zz = coef_planes[ci][m]
-            ti = 0 if ci == 0 else 1
-            dc_codes, ac_codes = dc_tabs[ti], ac_tabs[ti]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s = _category(diff)
-            code, ln = dc_codes[s]
+
+    def emit_block(zz: np.ndarray, ci: int) -> None:
+        ti = 0 if ci == 0 else 1
+        dc_codes, ac_codes = dc_tabs[ti], ac_tabs[ti]
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = _category(diff)
+        code, ln = dc_codes[s]
+        bwtr.write(code, ln)
+        if s:
+            bwtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bwtr.write(code, ln)
+                run -= 16
+            s = _category(v)
+            code, ln = ac_codes[(run << 4) | s]
             bwtr.write(code, ln)
-            if s:
-                bwtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            bwtr.write(v if v > 0 else v + (1 << s) - 1, s)
             run = 0
-            last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bwtr.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = ac_codes[(run << 4) | s]
-                bwtr.write(code, ln)
-                bwtr.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
-                if k == last_nz:
-                    break
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bwtr.write(code, ln)
+            if k == last_nz:
+                break
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bwtr.write(code, ln)
+
+    # Interleaved MCU order (B.2.3): per MCU, each component contributes
+    # its h x v blocks in raster order.
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (hf, vf) in enumerate(factors):
+                for by in range(vf):
+                    for bx in range(hf):
+                        emit_block(coef_grids[ci][my * vf + by, mx * hf + bx], ci)
     entropy = bwtr.flush()
 
     # --- markers
@@ -386,7 +427,8 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     nc = 1 if gray else 3
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for ci in range(nc):
-        out += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hf, vf = factors[ci]
+        out += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
     huff_specs = [
         (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
         (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
@@ -475,9 +517,10 @@ def _decode_markers(payload: bytes) -> np.ndarray:
             comps = []
             for ci in range(nc):
                 cid, hv, tq = seg[6 + 3 * ci], seg[7 + 3 * ci], seg[8 + 3 * ci]
-                if hv != 0x11:
-                    raise JpegFormatError("subsampled chroma unsupported (4:4:4 only)")
-                comps.append((cid, tq))
+                hf, vf = hv >> 4, hv & 0xF
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    raise JpegFormatError(f"invalid sampling factors {hf}x{vf}")
+                comps.append((cid, hf, vf, tq))
             frame = (fh, fw, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(f"non-baseline frame 0xFF{marker:02X} unsupported")
@@ -500,48 +543,80 @@ def _decode_markers(payload: bytes) -> np.ndarray:
 def _decode_scan(data, frame, qtabs, scan_tabs, restart_interval) -> np.ndarray:
     fh, fw, comps = frame
     nc = len(comps)
-    bh, bw = -(-fh // 8), -(-fw // 8)
-    n_mcu = bh * bw
-    coefs = [np.zeros((n_mcu, 64), dtype=np.int32) for _ in range(nc)]
+    # A single-component scan is non-interleaved: the MCU is ONE data
+    # unit and sampling factors are ignored (B.2.3) — so a grayscale
+    # file declaring 2x2 factors still decodes on the plain 8x8 grid.
+    if nc == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(hf, vf) for _cid, hf, vf, _tq in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    for hf, vf in factors:
+        if hmax % hf or vmax % vf:
+            raise JpegFormatError(
+                f"non-integer upsampling ratio for factors {hf}x{vf} (max {hmax}x{vmax})"
+            )
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    grids = [(mcuy * vf, mcux * hf) for hf, vf in factors]
+    coefs = [np.zeros((gh, gw, 64), dtype=np.int32) for gh, gw in grids]
     reader = _BitReader(data)
     pred = [0] * nc
+
+    def decode_block(zz: np.ndarray, ci: int) -> None:
+        dc_tab, ac_tab = scan_tabs[ci]
+        s = _huff_decode(reader, dc_tab)
+        diff = _extend(reader.bits(s), s) if s else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        k = 1
+        while k < 64:
+            rs = _huff_decode(reader, ac_tab)
+            run, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if run == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += run
+            if k > 63:
+                raise JpegFormatError("AC run past block end")
+            zz[k] = _extend(reader.bits(size), size)
+            k += 1
+
+    n_mcu = mcuy * mcux
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             reader.align_to_restart()
             pred = [0] * nc
-        for ci in range(nc):
-            dc_tab, ac_tab = scan_tabs[ci]
-            s = _huff_decode(reader, dc_tab)
-            diff = _extend(reader.bits(s), s) if s else 0
-            pred[ci] += diff
-            zz = coefs[ci][m]
-            zz[0] = pred[ci]
-            k = 1
-            while k < 64:
-                rs = _huff_decode(reader, ac_tab)
-                run, size = rs >> 4, rs & 0xF
-                if size == 0:
-                    if run == 15:  # ZRL
-                        k += 16
-                        continue
-                    break  # EOB
-                k += run
-                if k > 63:
-                    raise JpegFormatError("AC run past block end")
-                zz[k] = _extend(reader.bits(size), size)
-                k += 1
+        my, mx = divmod(m, mcux)
+        for ci, (hf, vf) in enumerate(factors):
+            for by in range(vf):
+                for bx in range(hf):
+                    decode_block(coefs[ci][my * vf + by, mx * hf + bx], ci)
+
     planes = []
-    for ci, (_cid, tq) in enumerate(comps):
+    for ci, comp in enumerate(comps):
+        tq = comp[-1]
+        hf, vf = factors[ci]
+        gh, gw = grids[ci]
         q = qtabs[tq].reshape(-1)
         # coefs arrive in ZIGZAG scan order; [:, UNZIGZAG] restores the
         # natural order, where the quantizer for position i is q[i] —
         # applying q[UNZIGZAG] here would dequantize every AC
         # coefficient with the wrong table entry (the encoder divides
-        # by q in natural order, jpeg.py:334).
-        dez = coefs[ci][:, UNZIGZAG] * q
+        # by q in natural order).
+        dez = coefs[ci].reshape(-1, 64)[:, UNZIGZAG] * q
         blocks = dez.reshape(-1, 8, 8).astype(np.float64)
         spatial = np.einsum("ji,njk,kl->nil", _C, blocks, _C) + 128.0
-        planes.append(_from_blocks(spatial, bh, bw, fh, fw))
+        # crop to the COMPONENT's true dims (A.1.1: ceil(f * hf/hmax)),
+        # then nearest-neighbour upsample back to frame resolution
+        ch, cw = -(-fh * vf // vmax), -(-fw * hf // hmax)
+        plane = _from_blocks(spatial, gh, gw, ch, cw)
+        ry, rx = vmax // vf, hmax // hf
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)[:fh, :fw]
+        planes.append(plane)
     if nc == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
     ycc = np.stack(planes, axis=-1)

@@ -160,3 +160,82 @@ def test_truncated_dqt_raises_the_quarantine_type():
     truncated[dqt + 2 : dqt + 4] = (seg_len - 10).to_bytes(2, "big")
     with pytest.raises(JpegFormatError):
         decode_jpeg(bytes(truncated))
+
+
+def _color_scene(h, w, seed=3):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 255, w)
+    y = np.linspace(0, 255, h)
+    img = np.stack(
+        [np.add.outer(y, x) / 2, np.tile(x, (h, 1)), np.tile(y[:, None], (1, w))],
+        axis=-1,
+    )
+    return np.clip(img + rng.integers(-8, 8, img.shape), 0, 255).astype(np.uint8)
+
+
+def test_chroma_subsampled_roundtrips_meet_psnr_floor():
+    """4:2:0 (the real-world majority sampling) and 4:2:2 now DECODE
+    instead of quarantining; roundtrip fidelity floors are pinned, and
+    file size must fall as chroma resolution drops."""
+    img = _color_scene(61, 97)  # odd dims stress every crop/upsample path
+    sizes = {}
+    for sub, floor in (("4:4:4", 33.0), ("4:2:2", 32.0), ("4:2:0", 31.0)):
+        enc = encode_jpeg(img, quality=90, subsampling=sub)
+        out = decode_jpeg(enc)
+        assert out.shape == img.shape
+        assert _psnr(img, out) >= floor, sub
+        sizes[sub] = len(enc)
+    assert sizes["4:2:0"] < sizes["4:2:2"] < sizes["4:4:4"]
+
+
+def test_subsampled_sof_declares_factors_and_decoder_honors_them():
+    img = _color_scene(32, 32)
+    enc = encode_jpeg(img, quality=90, subsampling="4:2:0")
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 11] == 0x22  # luma 2x2
+    assert enc[sof + 14] == 0x11 and enc[sof + 17] == 0x11  # chroma 1x1
+    assert decode_jpeg(enc).shape == (32, 32, 3)
+
+
+def test_grayscale_with_declared_factors_is_non_interleaved():
+    """A single-component scan ignores sampling factors (spec B.2.3):
+    patching the SOF to claim 2x2 must not change the decode."""
+    img = _gradient(24, 16)
+    enc = bytearray(encode_jpeg(img, quality=95))
+    base = decode_jpeg(bytes(enc))
+    sof = enc.find(b"\xff\xc0")
+    assert enc[sof + 11] == 0x11
+    enc[sof + 11] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(enc)), base)
+
+
+def test_invalid_sampling_factors_still_quarantine():
+    img = _color_scene(16, 16)
+    enc = bytearray(encode_jpeg(img, quality=90, subsampling="4:2:0"))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 14] = 0x33  # chroma 3x3 does not divide luma's 2x2 maxima
+    with pytest.raises(JpegFormatError, match="non-integer upsampling"):
+        decode_jpeg(bytes(enc))
+    with pytest.raises(ValueError, match="subsampling must be"):
+        encode_jpeg(img, subsampling="4:1:0")
+
+
+def test_subsampled_decode_interops_with_spark_features(spark):
+    """The mapInPandas image feature path must accept 4:2:0 payloads
+    end-to-end (geometry features = true dims, quarantine unchanged)."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.binaryops import (
+        MEDIA_SCHEMA,
+        decode_image_features,
+    )
+
+    img = _color_scene(40, 56)
+    payload = encode_jpeg(img, quality=90, subsampling="4:2:0")
+    rows = [
+        (1, "image", bytearray(payload), {"mime": "image/jpeg", "width": 56, "height": 40, "duration_ms": None}),
+        (2, "image", bytearray(b"\xff\xd8junk"), {"mime": "image/jpeg", "width": 0, "height": 0, "duration_ms": None}),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r["features"] for r in decode_image_features(df).collect()}
+    assert out[1][0] == 56.0 and out[1][1] == 40.0 and out[1][2] == 3.0
+    assert abs(out[1][3] - float(img.mean())) < 3.0
+    assert out[2] is None  # junk still quarantines
