@@ -204,3 +204,43 @@ def cluster_safe_split(
         .when(b < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    seed: str = "shuffle0",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible global shuffle for training order: every row gets a
+    uniform md5 permutation key, a shard, and its position within the
+    shard — so data loaders stream ``(shard, pos)`` order and see an
+    unbiased, seed-stable permutation of the corpus.
+
+    Training epochs must not read the corpus in ingest order (adjacent
+    documents correlate: same crawl, same site, same day), and a true
+    global sort of 100 TB just to randomize is absurd. The standard
+    answer is sharded shuffling: the md5 key assigns each row a shard
+    map-side (uniform by construction), and ONE shuffle keyed on the
+    shard orders each shard internally — shards are read independently
+    and interleaved by the loader, so no global sort ever exists.
+    ``n_shards`` controls the sort granule: pick it so a shard fits an
+    executor's spill budget (e.g. 100k shards at 100 TB -> ~1 GB
+    sorts). Changing the seed reshuffles; changing the corpus moves
+    only the touched rows' positions within their shards.
+
+    Deterministic and engine-portable (md5-derived, the repo's hashing
+    idiom): the DuckDB oracle replays bit-for-bit.
+    """
+    key = F.expr(
+        f"CAST(conv(substr(md5('{seed}_' || CAST({id_col} AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+    keyed = df.withColumn("__shuffle_key", key).withColumn(
+        "shard", F.pmod(F.col("__shuffle_key"), F.lit(n_shards)).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__shuffle_key", id_col)
+    return (
+        keyed.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
+        .drop("__shuffle_key")
+    )

@@ -1,0 +1,113 @@
+"""Hybrid retrieval: BM25 (sparse) fused with feature-hash cosine
+(dense) by Reciprocal Rank Fusion — the production search shape (lexical
+recall catches exact terms, the embedding catches paraphrase; RRF fuses
+the two WITHOUT score calibration, which is why it is the default fusion
+everywhere from Elasticsearch to vector DBs).
+
+Scale shape: each ranker reduces the corpus to an ``n_cand``-row
+candidate list first (BM25 = two partial-agg shuffles + TakeOrdered,
+dense = map-side fold against a literal query vector + TakeOrdered), so
+the rank windows and the fusion join run on O(n_cand) rows — the global
+``Window.orderBy`` here is NOT a scale smell, it orders a frame already
+cut to the candidate budget.
+
+Engine-exactness: BM25 scores are already quantized scaled-BIGINT sums
+(text.bm25_topk); the dense dot quantizes each per-dimension product to
+6 decimals and sums as exact integers (same discipline), and RRF's
+``1/(k + rank)`` terms are IEEE-identical given identical integer ranks
+— so the DuckDB oracle replays the whole fusion bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .embed import feature_hash_embed
+from .text import bm25_topk
+
+
+def query_feature_hash_vector(terms: list[str], dim: int = 16) -> list[float]:
+    """Embed a QUERY with the exact formula :func:`..operators.embed.
+    feature_hash_embed` applies to documents (md5 bucket + md5 sign,
+    unit L2), computed driver-side so the plan carries the query as a
+    literal — no join, no second corpus pass."""
+    s = [0] * dim
+    for w in terms:
+        h = hashlib.md5(w.encode()).hexdigest()
+        b = int(h[:8], 16) % dim
+        sg = 1 if int(h[8:9], 16) % 2 == 0 else -1
+        s[b] += sg
+    nrm = sum(v * v for v in s) ** 0.5
+    return [v / nrm if nrm > 0 else 0.0 for v in s]
+
+
+def dense_topk_feature_hash(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense half: cosine of each document's feature-hash embedding
+    against the query's (both unit vectors, so cosine = dot).  The dot
+    is a map-side fold of 6-decimal-quantized per-dimension products
+    summed as exact BIGINTs, then TakeOrdered top-k."""
+    emb = feature_hash_embed(df, dim=dim, text_col=text_col, id_col=id_col)
+    qv = query_feature_hash_vector(query_terms, dim)
+    qlit = F.array(*[F.lit(float(v)) for v in qv])
+    prods = F.zip_with(
+        F.col("embedding"),
+        qlit,
+        lambda x, y: (F.round(x * y, 6) * F.lit(1000000)).cast("long"),
+    )
+    dot = F.aggregate(prods, F.lit(0).cast("long"), lambda a, x: a + x)
+    return (
+        emb.select(F.col(id_col), F.round(dot / 1000000.0, 6).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hybrid_topk_rrf(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    n_cand: int = 50,
+    k_rrf: int = 60,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents by RRF over the BM25 and dense candidate
+    lists: ``score = Σ_rankers 1 / (k_rrf + rank)``, a ranker
+    contributing nothing for documents outside its top-``n_cand``.
+    Returns (id, rrf_score, r_lex, r_dense) with null ranks for
+    single-list hits."""
+    lex = bm25_topk(df, query_terms, k=n_cand, text_col=text_col, id_col=id_col)
+    # candidate frames are <= n_cand rows: the unpartitioned rank windows
+    # below are deliberate and bounded (see module docstring)
+    w_lex = Window.orderBy(F.desc("score"), F.col(id_col))
+    lex_r = lex.select(id_col, F.row_number().over(w_lex).alias("r_lex"))
+    dense = dense_topk_feature_hash(
+        df, query_terms, k=n_cand, dim=dim, text_col=text_col, id_col=id_col
+    )
+    w_dense = Window.orderBy(F.desc("cos"), F.col(id_col))
+    dense_r = dense.select(id_col, F.row_number().over(w_dense).alias("r_dense"))
+    fused = lex_r.join(dense_r, id_col, "full_outer")
+    score = F.coalesce(1.0 / (F.lit(k_rrf) + F.col("r_lex")), F.lit(0.0)) + F.coalesce(
+        1.0 / (F.lit(k_rrf) + F.col("r_dense")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            id_col,
+            F.round(score, 6).alias("rrf_score"),
+            "r_lex",
+            "r_dense",
+        )
+        .orderBy(F.desc("rrf_score"), F.col(id_col))
+        .limit(k)
+    )

@@ -29,6 +29,7 @@ from ..operators import asof_join
 from ..operators import dedup as D
 from ..operators import similarity as SIM
 from ..operators import text as T
+from ..operators.search import query_feature_hash_vector
 from ..sources import table
 from ..functions.timeutil import epoch_to_timestamp
 
@@ -4108,6 +4109,181 @@ def events_type_pivot(spark: SparkSession, sf: str) -> DataFrame:
         "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
     )
 
+
+
+
+# --- round-6 capability queries ---------------------------------------------
+
+_HYBRID_TERMS = ["spark", "shuffle", "stream"]
+_HYBRID_QV = query_feature_hash_vector(_HYBRID_TERMS, 16)
+_HYBRID_QV_VALUES = ", ".join(
+    f"({i}, CAST({v!r} AS DOUBLE))" for i, v in enumerate(_HYBRID_QV)
+)
+
+
+@q(
+    "docs_hybrid_search_rrf",
+    oracle="""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+corpus AS (SELECT count(*) AS n_docs, sum(dl) AS total_len FROM dl),
+hits AS (SELECT doc_id, w FROM tok WHERE w IN ('spark', 'shuffle', 'stream')),
+dfreq AS (SELECT w, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY w),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+sc AS (SELECT tf.doc_id,
+         CAST(round(
+           round(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0), 6)
+             * (tf * 2.2)
+             / (tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs / total_len)),
+           6) * 1000000 AS BIGINT) AS ts
+       FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+               JOIN dfreq ON dfreq.w = tf.w, corpus),
+lex_top AS (SELECT doc_id, round(sum(ts) / 1000000.0, 6) AS score
+            FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+lex AS (SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_lex
+        FROM lex_top),
+hashed AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b,
+                  CASE WHEN CAST(('0x' || substr(md5(w), 9, 1)) AS BIGINT) % 2 = 0
+                       THEN 1 ELSE -1 END AS sg
+           FROM tok),
+comp AS (SELECT doc_id, b, CAST(sum(sg) AS BIGINT) AS s FROM hashed GROUP BY doc_id, b),
+norms AS (SELECT doc_id, sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM comp GROUP BY doc_id),
+qv(b, qc) AS (VALUES __QV_VALUES__),
+dots AS (SELECT n.doc_id,
+                sum(CAST(round((CASE WHEN n.nrm > 0
+                                     THEN CAST(c.s AS DOUBLE) / n.nrm
+                                     ELSE 0.0 END) * qv.qc, 6) * 1000000 AS BIGINT)) AS ds
+         FROM norms n JOIN comp c ON c.doc_id = n.doc_id JOIN qv ON qv.b = c.b
+         GROUP BY n.doc_id),
+dense_top AS (SELECT doc_id, round(ds / 1000000.0, 6) AS cos FROM dots
+              ORDER BY cos DESC, doc_id LIMIT 50),
+dr AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense
+       FROM dense_top)
+SELECT COALESCE(lex.doc_id, dr.doc_id) AS doc_id,
+       round(coalesce(1.0 / (60 + r_lex), 0) + coalesce(1.0 / (60 + r_dense), 0), 6)
+         AS rrf_score,
+       r_lex, r_dense
+FROM lex FULL OUTER JOIN dr ON lex.doc_id = dr.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 10
+""".replace("__QV_VALUES__", _HYBRID_QV_VALUES),
+    bench=True,
+    doc="Hybrid retrieval (operators/search.py hybrid_topk_rrf): BM25 "
+    "top-50 and feature-hash-cosine top-50 candidate lists fused by "
+    "Reciprocal Rank Fusion (1/(60+rank)) — the production search shape "
+    "(lexical recall + semantic recall, no score calibration). Each "
+    "ranker reduces the corpus before any rank window (two partial-agg "
+    "shuffles + TakeOrdered for BM25; map-side quantized dot against a "
+    "literal query vector + TakeOrdered for dense), so fusion runs on "
+    "O(candidates). Scores are scaled-BIGINT quantized on both engines.",
+    tags=("text", "search", "embedding"),
+)
+def docs_hybrid_search_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.search import hybrid_topk_rrf
+
+    docs = table(spark, sf, "documents")
+    out = hybrid_topk_rrf(docs, _HYBRID_TERMS, k=10, n_cand=50, dim=16)
+    return out.select(
+        "doc_id",
+        "rrf_score",
+        F.col("r_lex").cast("long").alias("r_lex"),
+        F.col("r_dense").cast("long").alias("r_dense"),
+    )
+
+
+@q(
+    "events_value_tier_scd2",
+    oracle="""
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value < 250 THEN 'low'
+              WHEN value < 750 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us, tier,
+         CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+              WHEN tier IS DISTINCT FROM lag(tier) OVER w THEN 1
+              ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+runs AS (
+  SELECT user_id, tier, ts_us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM flagged)
+SELECT user_id, tier,
+       min(ts_us) AS valid_from_us,
+       max(ts_us) AS valid_to_us,
+       count(*) AS n_rows
+FROM runs GROUP BY user_id, tier, run
+""",
+    doc="SCD2 interval compaction (operators/scd.py collapse_to_intervals "
+    "— gaps-and-islands): collapse each user's purchase stream into "
+    "validity intervals of constant value tier. The PRODUCING twin of "
+    "the reference's SCD interval-stitch consumer (J1, factors.py): one "
+    "per-key ordered window (lag + null-safe change flag + running sum) "
+    "plus one partial-agg groupBy — no self-join, no driver state.",
+    tags=("window", "agg", "scd"),
+)
+def events_value_tier_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.scd import collapse_to_intervals
+
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    src = ev.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(F.col("value").isNull(), F.lit(None).cast("string"))
+        .when(F.col("value") < 250, F.lit("low"))
+        .when(F.col("value") < 750, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+    )
+    out = collapse_to_intervals(
+        src, "user_id", "ts_us", ["tier"], tiebreak_col="event_id"
+    )
+    return out.select(
+        "user_id",
+        "tier",
+        F.col("valid_from").alias("valid_from_us"),
+        F.col("valid_to").alias("valid_to_us"),
+        "n_rows",
+    )
+
+
+@q(
+    "docs_shuffle_shards",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuffle0_' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS k
+  FROM documents)
+SELECT doc_id,
+       CAST(k % 8 AS INT) AS shard,
+       CAST(row_number() OVER (PARTITION BY k % 8 ORDER BY k, doc_id) AS BIGINT)
+         AS pos_in_shard
+FROM keyed
+""",
+    doc="Reproducible sharded corpus shuffle (operators/sampling.py "
+    "shuffle_shards): md5 permutation key -> map-side shard assignment "
+    "-> ONE shuffle ordering each shard internally. Training loaders "
+    "read (shard, pos) order for a seed-stable unbiased permutation; no "
+    "global sort ever materializes, and n_shards sizes the sort granule "
+    "to executor memory at 100 TB.",
+    tags=("sampling",),
+)
+def docs_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import shuffle_shards
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    return shuffle_shards(docs, n_shards=8, seed="shuffle0")
 
 
 # ---------------------------------------------------------------------------
