@@ -4286,6 +4286,176 @@ def docs_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
     return shuffle_shards(docs, n_shards=8, seed="shuffle0")
 
 
+
+@q(
+    "tpch_q06_forecast_revenue",
+    oracle="""
+SELECT CAST(round(sum(CAST(round((l_extendedprice * l_discount) * 1000000) AS BIGINT))
+            / 1000000.0, 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""",
+    doc="TPC-H Q6 forecasting revenue change: the pure scan-filter-agg "
+    "query — every predicate (date range, discount band, quantity cap) "
+    "is parquet-pushable, so at 100 TB this reads only the row groups "
+    "whose min/max stats survive; one partial aggregation, no shuffle "
+    "of data rows at all.",
+    tags=("agg", "tpch"),
+)
+def tpch_q06(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@q(
+    "tpch_q08_market_share",
+    oracle="""
+WITH all_sales AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s_nationkey
+  WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+)
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM all_sales GROUP BY o_year
+""",
+    doc="TPC-H Q8 national market share: the widest join in the registry "
+    "(lineitem x part x supplier x orders x customer x nation x nation "
+    "x region — nation joined TWICE under different roles). Every "
+    "dimension broadcasts; lineitem-orders is the only shuffle pair. "
+    "The share divides two scaled-BIGINT volume sums, so the final "
+    "double is engine-identical.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q08(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    part = table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    sup = table(spark, sf, "supplier")
+    orders = table(spark, sf, "orders")
+    cust = table(spark, sf, "customer")
+    n1 = table(spark, sf, "nation").alias("n1")
+    n2 = table(spark, sf, "nation").alias("n2")
+    region = table(spark, sf, "region").filter(F.col("r_name") == "AMERICA")
+    vol = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000)).cast(
+        "long"
+    )
+    sales = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("n1.n_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n1.n_regionkey"))
+        .join(F.broadcast(n2), F.col("n2.n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            F.col("n2.n_name").alias("supp_nation"),
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("volume").cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@q(
+    "tpch_q13_customer_order_distribution",
+    oracle="""
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey)
+GROUP BY c_count
+""",
+    doc="TPC-H Q13 customer order-count distribution (adapted: the "
+    "testdata carries no o_comment, so the comment exclusion is "
+    "dropped): LEFT join so zero-order customers keep their bucket, "
+    "then a double aggregation — the histogram-of-a-groupBy shape. "
+    "count(o_orderkey) (not count(*)) makes the unmatched row count 0.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "tpch_q18_large_volume_customers",
+    oracle="""
+WITH big AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       CAST(round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2) AS DOUBLE)
+         AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN big ON big.l_orderkey = o_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), round(o_totalprice, 2)
+""",
+    doc="TPC-H Q18 large-volume customers: HAVING-filtered aggregate "
+    "drives a semi-ish join back onto the fact — the aggregate-then-"
+    "probe shape. The quantity sums accumulate as scaled BIGINTs on "
+    "both engines so the HAVING threshold (sum > 250) cannot waver on "
+    "boundary orders.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    qsum = F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+    big = li.groupBy("l_orderkey").agg(qsum.alias("__q")).filter(F.col("__q") > 25000)
+    cust = table(spark, sf, "customer")
+    orders = table(spark, sf, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(big.select("l_orderkey"), "l_orderkey")
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+        .agg((F.round(qsum / 100.0, 2)).cast("double").alias("sum_qty"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
