@@ -56,6 +56,7 @@ SLOW_MODULES = {
     "test_corpus_index_stream",
     "test_ingest_lake",
     "test_compact_lake",
+    "test_rollup_stream",
     "test_superset_claims",
     "test_lake_lease",
 }

@@ -1,0 +1,65 @@
+"""Streaming rollup: multi-drain incremental maintenance equals a batch
+recompute of everything ever streamed; replays are ledger no-ops."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+    read_rollup,
+    update_rollup,
+)
+from polygon_io_data_ingestion_pipeline_spark.streaming.rollup_stream import (
+    start_rollup_stream,
+)
+
+SCHEMA = "k string, v double"
+
+
+def _write(spark, src, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+
+def _drain(spark, src, rollup, ckpt):
+    q = start_rollup_stream(spark, src, SCHEMA, rollup, ckpt, ["k"], ["v"])
+    q.awaitTermination(120)
+
+
+def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
+    src, rollup, ckpt = (str(tmp_path / d) for d in ("src", "roll", "ckpt"))
+    os.makedirs(src)
+    all_rows: list[tuple[str, float]] = []
+
+    for batch in (
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)],
+        [("a", 4.0), ("c", 5.0)],
+        [("b", 6.0), ("c", 7.0)],
+    ):
+        _write(spark, src, batch)
+        all_rows += batch
+        _drain(spark, src, rollup, ckpt)
+        got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
+        want = {
+            r["k"]: (r["n"], r["s"])
+            for r in spark.createDataFrame(all_rows, SCHEMA)
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .collect()
+        }
+        assert got == want  # current after EVERY drain, not just the last
+
+    # replay suppression: re-applying a committed batch id changes nothing
+    before = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
+    res = update_rollup(
+        spark, rollup, spark.createDataFrame([("a", 99.0)], SCHEMA), ["k"], ["v"], "batch_0"
+    )
+    assert not res["applied"]
+    after = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
+    assert after == before
+    # ledger recorded exactly the three stream batches
+    with open(os.path.join(rollup, "_applied_shards.json")) as fh:
+        ids = [json.loads(line)["shard_id"] for line in fh if line.strip()]
+    assert ids == ["batch_0", "batch_1", "batch_2"]
