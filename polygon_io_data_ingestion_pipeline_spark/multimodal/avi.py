@@ -1,0 +1,154 @@
+"""MJPEG-in-AVI video codec, pure stdlib + the in-repo JPEG codec.
+
+Closes the "real compressed video" gap honestly: AVI is a plain RIFF
+chunk container, and Motion-JPEG stores every frame as an independent
+baseline JPEG — so with :mod:`.jpeg` now speaking 4:2:0, a genuine
+compressed-video interchange format (camera MJPEG, OpenCV's default AVI
+writer) parses and decodes end-to-end with zero codec libraries.
+Inter-frame codecs (H.264/MP4) stay honestly stubbed: they need entropy
+machinery no stdlib provides.
+
+Structure written/read (the OpenCV/ffmpeg-compatible minimum):
+
+``RIFF('AVI ') -> LIST('hdrl'){avih, LIST('strl'){strh('vids'/'MJPG'),
+strf(BITMAPINFOHEADER)}} -> LIST('movi'){'00dc' <jpeg>...} -> idx1``
+
+The reader walks chunks tolerantly (skips unknown chunks, odd sizes are
+word-padded per RIFF), validates the MJPG handler, and returns raw JPEG
+frame bytes — decode via :func:`.jpeg.decode_jpeg` per frame, which is
+exactly how the Spark frame-sampling path consumes it.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jpeg import encode_jpeg
+
+
+class AviFormatError(ValueError):
+    """Unsupported or corrupt AVI stream (quarantine type)."""
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(fourcc: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", fourcc + body)
+
+
+def encode_mjpeg_avi(
+    frames: list[np.ndarray],
+    frame_ms: int = 1000,
+    quality: int = 85,
+    subsampling: str = "4:2:0",
+) -> bytes:
+    """uint8 frames (H, W[, 3]) -> MJPEG AVI bytes.
+
+    All frames must share one geometry (the stream header declares it).
+    Each frame becomes an independent baseline JPEG ('00dc' chunk), so
+    any sample offset decodes without references — the property that
+    makes MJPEG the intra-only archival format."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share one geometry")
+    jpegs = [encode_jpeg(f, quality=quality, subsampling=subsampling) for f in frames]
+    movi_body = b"movi" + b"".join(_chunk(b"00dc", j) for j in jpegs)
+
+    us_per_frame = frame_ms * 1000
+    max_bytes = max(len(j) for j in jpegs)
+    avih = struct.pack(
+        "<14I",
+        us_per_frame, max_bytes, 0, 0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vidsMJPG"
+        + struct.pack("<10I", 0, 0, 0, frame_ms, 1000, 0, len(frames), max_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D, w * h * 3, 0, 0, 0, 0)
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    # idx1: one entry per frame (fourcc, flags=KEYFRAME, offset from
+    # 'movi' fourcc, size) — players use it for seeking
+    idx_entries = []
+    off = 4
+    for j in jpegs:
+        idx_entries.append(b"00dc" + struct.pack("<3I", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) % 2)
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+
+    riff_body = b"AVI " + hdrl + _chunk(b"LIST", movi_body) + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _walk_chunks(data: bytes, pos: int, end: int):
+    """Yield (fourcc, body_start, body_len); honors RIFF word padding."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + size > end:
+            raise AviFormatError("truncated chunk")
+        yield fourcc, body, size
+        pos = body + size + (size % 2)
+
+
+def decode_mjpeg_avi(payload: bytes) -> tuple[int, int, int, list[tuple[int, bytes]]]:
+    """MJPEG AVI bytes -> (frame_ms, width, height, [(ts_ms, jpeg_bytes)]).
+
+    Raises :class:`AviFormatError` on non-AVI RIFFs, non-MJPG video
+    handlers (real inter-frame codecs quarantine, like every other
+    unsupported payload), and truncation."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise AviFormatError("not an AVI RIFF")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    end = min(8 + riff_size, len(payload))
+
+    us_per_frame = None
+    width = height = None
+    handler_ok = False
+    frames: list[bytes] = []
+
+    def walk_list(pos: int, stop: int) -> None:
+        nonlocal us_per_frame, width, height, handler_ok
+        for fourcc, body, size in _walk_chunks(payload, pos, stop):
+            if fourcc == b"LIST":
+                kind = payload[body : body + 4]
+                if kind in (b"hdrl", b"strl", b"movi"):
+                    walk_list(body + 4, body + size)
+            elif fourcc == b"avih" and size >= 40:
+                us_per_frame, _mb, _pad, _flags, _total, _init, _streams, _buf, w, h = (
+                    struct.unpack("<10I", payload[body : body + 40])
+                )
+                width, height = w, h
+            elif fourcc == b"strh" and size >= 8:
+                if payload[body : body + 4] == b"vids":
+                    if payload[body + 4 : body + 8].upper() not in (b"MJPG", b"\x00\x00\x00\x00"):
+                        raise AviFormatError(
+                            f"video handler {payload[body + 4 : body + 8]!r} unsupported "
+                            "(MJPG only — inter-frame codecs need a real decoder)"
+                        )
+                    handler_ok = True
+            elif fourcc in (b"00dc", b"00db"):
+                frames.append(payload[body : body + size])
+
+    walk_list(12, end)
+    if not handler_ok:
+        raise AviFormatError("no MJPG video stream header")
+    if us_per_frame is None:
+        raise AviFormatError("missing avih header")
+    frame_ms = max(1, us_per_frame // 1000)
+    return frame_ms, int(width), int(height), [
+        (i * frame_ms, jpg) for i, jpg in enumerate(frames)
+    ]

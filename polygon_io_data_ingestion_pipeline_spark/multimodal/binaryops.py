@@ -8,7 +8,7 @@ row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
 Codec status per modality: **audio (WAV), image (PNM, baseline JPEG
-AND PNG) and video (the PNMV intra-only container) decode REAL
+AND PNG) and video (MJPEG-in-AVI + the PNMV intra-only container) decode REAL
 bytes** —
 pure stdlib + NumPy, no external library needed (see
 :func:`decode_wav` / :func:`decode_audio_features`, :func:`decode_pnm`
@@ -40,7 +40,7 @@ MEDIA_SCHEMA = (
 
 #: which modalities decode real bytes vs the deterministic stub
 #: (image = real for PNM/P5/P6, baseline 4:4:4/grayscale JFIF, and
-#: 8-bit PNG; video = real for the PNMV intra-only container; MP4 and
+#: 8-bit PNG; video = real for MJPEG AVI and the PNMV container; MP4 and
 #: exotic JPEG/PNG variants still stub/quarantine)
 PRODUCTION_DECODERS = {"audio": True, "image": True, "video": True}
 
@@ -363,17 +363,39 @@ def frame_sample_video(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Explode videos into sampled frame rows (media_id, frame_idx,
     frame_ts_ms, frame binary).
 
-    PNMV payloads take the REAL path: the container is parsed, frame
-    boundaries walked, and each sample timestamp emits the actual PNM
-    bytes of the frame covering it (``ts // frame_ms``). Non-PNMV
-    payloads (real codecs absent in this container) keep the honest
+    PNMV and MJPEG-AVI payloads take the REAL path: the container is
+    parsed, frame boundaries walked, and each sample timestamp emits the
+    actual frame bytes covering it (``ts // frame_ms`` — PNM bytes for
+    PNMV, independent baseline JPEGs for MJPEG, decodable per frame by
+    :func:`..multimodal.jpeg.decode_jpeg`). Other payloads (inter-frame
+    codecs like H.264/MP4 — no stdlib decoder exists) keep the honest
     stub: correct row explosion/timestamps from metadata, digest bytes.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .avi import AviFormatError, decode_mjpeg_avi
+
         for batch in batches:
             out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_ts_ms": [], "frame": []}
             for mid, payload, meta in zip(batch["media_id"], batch["payload"], batch["meta"]):
+                if (
+                    payload is not None
+                    and payload[:4] == b"RIFF"
+                    and payload[8:12] == b"AVI "
+                ):
+                    try:
+                        frame_ms, _w, _h, frames = decode_mjpeg_avi(bytes(payload))
+                    except AviFormatError:
+                        continue  # corrupt / non-MJPEG video: quarantine row
+                    if not frames:
+                        continue
+                    duration = frame_ms * len(frames)
+                    for idx, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_ts_ms"].append(ts)
+                        out["frame"].append(frames[min(ts // frame_ms, len(frames) - 1)][1])
+                    continue
                 if payload is not None and payload.startswith(b"PNMV\n"):
                     frame_ms, frames = decode_pnmv(bytes(payload))
                     if not frames:
