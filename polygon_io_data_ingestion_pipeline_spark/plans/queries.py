@@ -4149,16 +4149,14 @@ hashed AS (SELECT doc_id,
                        THEN 1 ELSE -1 END AS sg
            FROM tok),
 comp AS (SELECT doc_id, b, CAST(sum(sg) AS BIGINT) AS s FROM hashed GROUP BY doc_id, b),
-norms AS (SELECT doc_id, sqrt(CAST(sum(s * s) AS DOUBLE)) AS nrm FROM comp GROUP BY doc_id),
-qv(b, qc) AS (VALUES __QV_VALUES__),
-dots AS (SELECT n.doc_id,
-                sum(CAST(round((CASE WHEN n.nrm > 0
-                                     THEN CAST(c.s AS DOUBLE) / n.nrm
-                                     ELSE 0.0 END) * qv.qc, 6) * 1000000 AS BIGINT)) AS ds
-         FROM norms n JOIN comp c ON c.doc_id = n.doc_id JOIN qv ON qv.b = c.b
-         GROUP BY n.doc_id),
-dense_top AS (SELECT doc_id, round(ds / 1000000.0, 6) AS cos FROM dots
-              ORDER BY cos DESC, doc_id LIMIT 50),
+comp16 AS (SELECT doc_id, __PIVOT_SUMS__ FROM comp GROUP BY doc_id),
+dots AS (SELECT doc_id,
+                (__DOT_CHAIN__) AS dot,
+                sqrt(CAST(__SQ_CHAIN__ AS DOUBLE)) AS nrm
+         FROM comp16),
+dense_top AS (SELECT doc_id,
+                     CASE WHEN nrm > 0 THEN round(dot / nrm, 6) ELSE 0.0 END AS cos
+              FROM dots ORDER BY cos DESC, doc_id LIMIT 50),
 dr AS (SELECT doc_id,
               CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_dense
        FROM dense_top)
@@ -4168,7 +4166,17 @@ SELECT COALESCE(lex.doc_id, dr.doc_id) AS doc_id,
        r_lex, r_dense
 FROM lex FULL OUTER JOIN dr ON lex.doc_id = dr.doc_id
 ORDER BY rrf_score DESC, doc_id LIMIT 10
-""".replace("__QV_VALUES__", _HYBRID_QV_VALUES),
+""".replace(
+        "__PIVOT_SUMS__",
+        ", ".join(
+            f"sum(CASE WHEN b = {i} THEN s ELSE 0 END) AS s{i}" for i in range(16)
+        ),
+    )
+    .replace(
+        "__DOT_CHAIN__",
+        " + ".join(f"s{i} * CAST({_HYBRID_QV[i]!r} AS DOUBLE)" for i in range(16)),
+    )
+    .replace("__SQ_CHAIN__", " + ".join(f"s{i} * s{i}" for i in range(16))),
     bench=True,
     doc="Hybrid retrieval (operators/search.py hybrid_topk_rrf): BM25 "
     "top-50 and feature-hash-cosine top-50 candidate lists fused by "
