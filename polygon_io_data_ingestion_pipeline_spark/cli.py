@@ -137,6 +137,27 @@ def cmd_index(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_search(args: argparse.Namespace) -> int:
+    """Index-free corpus search: BM25, dense feature-hash cosine, or the
+    RRF hybrid of both, over a parquet documents table — the spot-check
+    tool for corpus curation (find the docs about X, pull exemplars)."""
+    from .operators.search import dense_topk_feature_hash, hybrid_topk_rrf
+    from .operators.text import bm25_topk
+
+    spark = get_spark("poly-search", master=args.master)
+    docs = spark.read.parquet(args.docs)
+    terms = args.query.split()
+    if args.mode == "bm25":
+        out = bm25_topk(docs, terms, k=args.k)
+    elif args.mode == "dense":
+        out = dense_topk_feature_hash(docs, terms, k=args.k, dim=args.dim)
+    else:
+        out = hybrid_topk_rrf(docs, terms, k=args.k, dim=args.dim)
+    for r in out.collect():
+        print("\t".join(str(r[c]) for c in out.columns))
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Training-corpus prep, end to end: JSONL/parquet documents in ->
     PII scrub (optional) -> quality gate -> exact dedup (min-id
@@ -303,6 +324,15 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("search", help="BM25 / dense / RRF-hybrid corpus search")
+    p.add_argument("--docs", required=True, help="parquet documents table")
+    p.add_argument("--query", required=True)
+    p.add_argument("--k", type=int, default=10)
+    p.add_argument("--dim", type=int, default=16)
+    p.add_argument("--mode", choices=["bm25", "dense", "hybrid"], default="hybrid")
+    _add_common(p)
+    p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(
         "corpus", help="documents (jsonl/parquet) -> scrubbed, gated, deduped, split corpus"

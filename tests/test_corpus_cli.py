@@ -66,3 +66,19 @@ def test_datasheet_cli(spark, tmp_path, capsys):
     # CSV artifact written and re-readable
     sheet = spark.read.option("header", True).csv(out)
     assert sheet.count() == len(got)
+
+
+def test_search_cli(spark, tmp_path, capsys):
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    docs = str(tmp_path / "docs.parquet")
+    rows = [
+        (1, "spark shuffle stream spark shuffle stream spark"),
+        (2, "totally unrelated words about other things entirely"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(docs)
+    for mode in ("bm25", "dense", "hybrid"):
+        assert main(["search", "--docs", docs, "--query", "spark shuffle stream",
+                     "--k", "2", "--mode", mode, "--master", "local[4]"]) == 0
+        lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+        assert lines and lines[0].split("\t")[0] == "1", mode
