@@ -223,3 +223,35 @@ def test_no_unbounded_driver_collects():
             if not any(t in ctx for t in tokens):
                 offenders.append(f"{py.name}:{i + 1}")
     assert not offenders, f"unbounded driver collect() at: {offenders}"
+
+
+def _tree(df) -> str:
+    # the executed-plan tree (one line per node) — plan_text's formatted
+    # details section repeats node names, which breaks counting
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q08_joins_broadcast_with_one_shuffle(spark, sf_dir):
+    """The widest join in the registry must stay dimension-broadcast: no
+    sort-merge joins, and exactly ONE hash exchange (the final grouped
+    aggregation) at test scale."""
+    t = _tree(REGISTRY["tpch_q08_market_share"].fn(spark, sf_dir))
+    assert t.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in t
+    assert t.count("Exchange hashpartitioning") == 1
+
+
+def test_shuffle_shards_is_one_shuffle(spark, sf_dir):
+    """The corpus shuffle's whole point: shard assignment is map-side and
+    the per-shard ordering is the ONLY exchange."""
+    t = _tree(REGISTRY["docs_shuffle_shards"].fn(spark, sf_dir))
+    assert t.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in t  # no global sort, ever
+
+
+def test_scd2_collapse_reuses_the_window_partitioning(spark, sf_dir):
+    """The run-collapse groupBy(key, run) must NOT re-shuffle: hash
+    partitioning on the key already satisfies the grouping — one
+    exchange for the whole gaps-and-islands chain."""
+    t = _tree(REGISTRY["events_value_tier_scd2"].fn(spark, sf_dir))
+    assert t.count("Exchange hashpartitioning") == 1
