@@ -150,7 +150,11 @@ def compact_lake(
     (tests/test_lake_lease.py proves the race on the raw primitives).
     """
     if lease:
-        with LakeLease(spark, path, holder="compact_lake"):
+        # ttl_sec=3600: at 100 TB a partition-heavy maintenance pass can
+        # run for tens of minutes; the default 10-minute TTL would let a
+        # waiter break a LIVE holder's lease mid-rewrite. An hour bounds
+        # crash recovery while covering any realistic single op.
+        with LakeLease(spark, path, holder="compact_lake", ttl_sec=3600.0):
             return compact_lake(
                 spark,
                 path,
@@ -321,7 +325,7 @@ def delete_from_lake(
     (``lease=False`` opts out when the caller already holds it).
     """
     if lease:
-        with LakeLease(spark, path, holder="delete_from_lake"):
+        with LakeLease(spark, path, holder="delete_from_lake", ttl_sec=3600.0):
             return delete_from_lake(
                 spark, path, keys_df, key_col, partition_cols, lease=False
             )
@@ -446,7 +450,7 @@ def merge_into_lake(
     (``lease=False`` opts out when the caller already holds it).
     """
     if lease:
-        with LakeLease(spark, path, holder="merge_into_lake"):
+        with LakeLease(spark, path, holder="merge_into_lake", ttl_sec=3600.0):
             return merge_into_lake(
                 spark, path, updates, key_col, partition_cols, lease=False
             )
