@@ -153,6 +153,7 @@ def cmd_search(args: argparse.Namespace) -> int:
         out = dense_topk_feature_hash(docs, terms, k=args.k, dim=args.dim)
     else:
         out = hybrid_topk_rrf(docs, terms, k=args.k, dim=args.dim)
+    # bounded: every search mode returns a k-row top-k frame
     for r in out.collect():
         print("\t".join(str(r[c]) for c in out.columns))
     return 0
