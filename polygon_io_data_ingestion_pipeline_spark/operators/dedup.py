@@ -297,6 +297,31 @@ def minhash_signatures(
     )
 
 
+def _sig_band_keys(
+    mh: DataFrame, id_col: str, k: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, bkey) rows from a wide minhash-signature frame — band
+    key is md5 of the band's minhashes joined in seed order. Map-side."""
+    n_bands = k // rows_per_band
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return mh.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
+        id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -312,26 +337,7 @@ def lsh_candidate_pairs(
     the corpus, never quadratic.
     """
     mh = minhash_signatures(df, text_col, id_col, n, k)
-    n_bands = k // rows_per_band
-    # One (band, key) row per band from the wide signature — band key is
-    # md5 of the band's minhashes joined in seed order.
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"mh_{j}") for j in range(b * rows_per_band, (b + 1) * rows_per_band)],
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(n_bands)
-        ]
-    )
-    bands = mh.select(F.col(id_col), F.explode(band_entries).alias("e")).select(
-        id_col, F.col("e.band").alias("band"), F.col("e.bkey").alias("bkey")
-    )
+    bands = _sig_band_keys(mh, id_col, k, rows_per_band)
     # Both self-join sides consume the band table; without truncation
     # the full minhash lineage (shingle explode + per-shingle md5 + the
     # k-min aggregation) executes twice. The band table is tiny
@@ -697,3 +703,96 @@ def simhash_pairs_allpairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id1", "id2", "hamming")
     )
+
+
+def _sig_match_estimate(k: int) -> F.Column:
+    """Estimated Jaccard between two joined signature rows (columns
+    mh_i vs __h_mh_i): the fraction of agreeing minhashes — the standard
+    unbiased MinHash estimator, no shingle sets needed."""
+    agree = None
+    for i in range(k):
+        t = (F.col(f"mh_{i}") == F.col(f"__h_mh_{i}")).cast("int")
+        agree = t if agree is None else agree + t
+    return agree / F.lit(k)
+
+
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    history_sigs: DataFrame | None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """NEAR-duplicate novelty filter for a growing corpus — the fuzzy
+    twin of :func:`incremental_dedup` (which only catches byte-identical
+    text): an incoming shard keeps only documents that are near-novel
+    both within the shard and against the WHOLE historical corpus, with
+    history represented by its compact minhash signatures, never its
+    text.
+
+    ``history_sigs`` is the running ``(id, mh_0..mh_{k-1})`` signature
+    table persisted next to the lake (append the returned delta after
+    each shard); ``None`` is a cold start. Returns ``(novel_docs,
+    signature_delta)``.
+
+    Mechanics: banded-LSH candidate generation (band-key equi joins —
+    linear, never all-pairs) within the shard and shard-vs-history, then
+    the MinHash agreement fraction as the Jaccard estimate; a document
+    drops when any candidate partner estimates >= ``threshold``
+    (within-shard the SMALLER id survives — greedy keep-min, which can
+    over-drop across chains relative to transitive clustering; that is
+    the conservative direction for dedup). Exact duplicates estimate
+    1.0, so this subsumes the exact filter. State is O(docs) x k longs —
+    at 100 TB the signature table is ~1/10000th of the corpus, and the
+    per-shard cost is the shard's own signatures plus band-key joins.
+    """
+    sigs = minhash_signatures(new_docs, text_col, id_col, n, k).localCheckpoint()
+    bands = _sig_band_keys(sigs, id_col, k, rows_per_band).localCheckpoint()
+    hist_rename = [F.col(id_col).alias("__h_id")] + [
+        F.col(f"mh_{i}").alias(f"__h_mh_{i}") for i in range(k)
+    ]
+
+    # within-shard: keep the min-id representative of every near pair
+    a = bands.select(F.col(id_col).alias("__a"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("__b"), "band", "bkey")
+    within_cand = (
+        a.join(b, ["band", "bkey"]).filter(F.col("__a") < F.col("__b"))
+        .select("__a", "__b").distinct()
+    )
+    within_scored = (
+        within_cand.join(sigs.select(F.col(id_col).alias("__b"), *[f"mh_{i}" for i in range(k)]), "__b")
+        .join(
+            sigs.select(F.col(id_col).alias("__a"), *hist_rename[1:]),
+            "__a",
+        )
+    )
+    dropped = (
+        within_scored.filter(_sig_match_estimate(k) >= threshold)
+        .select(F.col("__b").alias(id_col))
+        .distinct()
+    )
+
+    if history_sigs is not None:
+        hb = _sig_band_keys(history_sigs, id_col, k, rows_per_band).select(
+            F.col(id_col).alias("__h_id"), "band", "bkey"
+        )
+        hist_cand = (
+            bands.join(hb, ["band", "bkey"]).select(id_col, "__h_id").distinct()
+        )
+        hist_scored = (
+            hist_cand.join(sigs, id_col)
+            .join(history_sigs.select(*hist_rename), "__h_id")
+        )
+        dropped_hist = (
+            hist_scored.filter(_sig_match_estimate(k) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        dropped = dropped.unionByName(dropped_hist).distinct()
+
+    novel = new_docs.join(dropped, id_col, "left_anti")
+    sig_delta = sigs.join(dropped, id_col, "left_anti")
+    return novel, sig_delta

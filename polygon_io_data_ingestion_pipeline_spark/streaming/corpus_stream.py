@@ -175,6 +175,70 @@ def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str)
             fh.write(json.dumps({"batch_id": batch_id}) + "\n")
 
 
+def write_corpus_batch_neardup(
+    batch_df: DataFrame,
+    batch_id: int,
+    lake_path: str,
+    threshold: float = 0.7,
+    k: int = 8,
+) -> None:
+    """Exactly-once sink with UNBOUNDED-history NEAR-duplicate dedup.
+
+    :func:`write_corpus_batch_exact` rejects byte-identical re-posts
+    beyond the watermark horizon; this sink also rejects EDITED
+    re-posts (boilerplate tweaks, timestamp stamps, mirror banners) —
+    the majority class of real corpus duplication. History state is the
+    corpus's minhash signature table, persisted under
+    ``<lake>/_signatures/ingest_batch=N/`` (underscore: invisible to
+    lake readers; batch-keyed overwrite: a foreachBatch replay rewrites
+    the same directory, exactly-once by construction like the doc dirs
+    themselves). Per-batch cost: the batch's own signatures + band-key
+    joins against the narrow signature history — the corpus text never
+    re-reads.
+    """
+    ledger = os.path.join(lake_path, "_committed_batches.json")
+    done: set[int] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
+    if batch_id in done:
+        return
+
+    from ..operators.dedup import incremental_near_dedup
+
+    spark = batch_df.sparkSession
+    sig_root = os.path.join(lake_path, "_signatures")
+    prior = [
+        d
+        for d in (os.listdir(sig_root) if os.path.isdir(sig_root) else [])
+        if d.startswith("ingest_batch=") and d != f"ingest_batch={batch_id}"
+    ]
+    history = (
+        spark.read.option("basePath", sig_root)
+        .parquet(*[os.path.join(sig_root, d) for d in prior])
+        .drop("ingest_batch")
+        if prior
+        else None
+    )
+    novel, sig_delta = incremental_near_dedup(
+        batch_df, history, id_col="doc_id", k=k, threshold=threshold
+    )
+    novel = novel.localCheckpoint()
+    sig_delta = sig_delta.localCheckpoint()
+    with LakeLease(spark, lake_path, holder="corpus_stream_neardup"):
+        (
+            novel.write.mode("overwrite")
+            .partitionBy("source")
+            .parquet(os.path.join(lake_path, f"batch_id={batch_id}"))
+        )
+        (
+            sig_delta.write.mode("overwrite")
+            .parquet(os.path.join(sig_root, f"ingest_batch={batch_id}"))
+        )
+        with open(ledger, "a") as fh:
+            fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+
+
 def write_corpus_batch_indexed(
     batch_df: DataFrame,
     batch_id: int,
@@ -302,6 +366,7 @@ def start_corpus_ingest(
     checkpoint: str,
     watermark_delay: str = "10 minutes",
     exact_history: bool = False,
+    near_dedup: bool = False,
 ):
     """Drain available JSONL shards into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).
@@ -310,10 +375,17 @@ def start_corpus_ingest(
     :func:`write_corpus_batch_exact`, which also anti-joins each batch
     against the whole committed corpus — duplicates are rejected even
     past the stream-dedup watermark horizon, at the cost of a narrow
-    lake scan per batch."""
+    lake scan per batch. ``near_dedup=True`` goes further
+    (:func:`write_corpus_batch_neardup`): EDITED re-posts are rejected
+    against the corpus's minhash-signature history."""
     import functools
 
-    sink = write_corpus_batch_exact if exact_history else write_corpus_batch
+    if near_dedup:
+        sink = write_corpus_batch_neardup
+    elif exact_history:
+        sink = write_corpus_batch_exact
+    else:
+        sink = write_corpus_batch
     out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)
     return (
         out.writeStream.foreachBatch(

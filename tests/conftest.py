@@ -57,6 +57,7 @@ SLOW_MODULES = {
     "test_ingest_lake",
     "test_compact_lake",
     "test_rollup_stream",
+    "test_corpus_neardup_stream",
     "test_superset_claims",
     "test_lake_lease",
 }
