@@ -542,10 +542,14 @@ def rebalance_ivf_index(
     fix is the standard one: re-run Lloyd k-means over a bounded sample
     of what the index NOW holds, re-assign every vector map-side, and
     rewrite.  The rebuild streams through a staging directory next to
-    the index and swaps via rename, so no corpus-sized frame is ever
-    materialized and a crash leaves the old index intact; the whole
-    operation holds the lake maintenance lease so appends cannot
-    interleave with the swap.
+    the index, so no corpus-sized frame is ever materialized; a crash
+    BEFORE the swap leaves the old index untouched, and a crash inside
+    the delete-then-rename swap window leaves the COMPLETE new index at
+    ``<path>__rebalance_staging`` (recovery = rename it into place — a
+    plain filesystem has no atomic directory swap, so the window is
+    documented rather than pretended away).  The whole operation holds
+    the index's maintenance lease (a SIBLING lock file, surviving the
+    swap) so appends cannot interleave with it.
 
     ``rebalance_above``: if set, first measure
     :func:`ivf_index_imbalance` and SKIP the rebuild when the factor is

@@ -130,9 +130,20 @@ class LakeLease:
             if self._try_create():
                 self._held = True
                 return self
+            # the deadline bounds EVERY retry path — including create
+            # failing for a non-exists reason (permissions, fs outage),
+            # where the lock file never appears and age stays None
+            if time.time() >= deadline:
+                current = self._read_payload() or {}
+                raise LeaseHeldError(
+                    f"could not acquire maintenance lease on {self._lock_path} "
+                    f"within {self._timeout_sec:.0f}s (held by "
+                    f"{current.get('holder', '?')})"
+                )
             age = self._age_sec()
             if age is None:
-                continue  # holder just released: immediate retry
+                time.sleep(self._poll_sec)  # just released, or create errors
+                continue
             current = self._read_payload() or {}
             ttl = float(current.get("ttl_sec", self._ttl_sec))
             if age > ttl:
@@ -143,12 +154,6 @@ class LakeLease:
                 except Exception:
                     pass
                 continue
-            if time.time() >= deadline:
-                raise LeaseHeldError(
-                    f"maintenance lease on {self._lock_path} held by "
-                    f"{current.get('holder', '?')} (age {age:.1f}s < ttl {ttl:.0f}s); "
-                    f"gave up after {self._timeout_sec:.0f}s"
-                )
             time.sleep(self._poll_sec)
 
     def release(self) -> None:
