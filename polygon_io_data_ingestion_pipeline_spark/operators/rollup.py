@@ -66,7 +66,15 @@ def update_rollup(
         delta = _partial(batch_df, keys, sum_cols).localCheckpoint()
         n_touched = delta.count()
         table_path = os.path.join(rollup_path, _TABLE)
-        try:
+        # Existence check, NOT a bare except around the read: a CORRUPT
+        # table must raise, never be silently treated as a cold start
+        # (which would replace the accumulated aggregate with one
+        # shard's worth of data).
+        if os.path.isdir(table_path) and any(
+            f.endswith(".parquet")
+            for _r, _d, files in os.walk(table_path)
+            for f in files
+        ):
             current = spark.read.parquet(table_path).localCheckpoint()
             merged = (
                 current.unionByName(delta)
@@ -76,7 +84,7 @@ def update_rollup(
                     *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
                 )
             )
-        except Exception:  # first shard: no table yet
+        else:  # first shard: no table yet
             merged = delta
         merged.write.mode("overwrite").parquet(table_path)
         with open(ledger, "a") as fh:

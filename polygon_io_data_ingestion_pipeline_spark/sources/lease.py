@@ -102,12 +102,21 @@ class LakeLease:
         except Exception:
             return None  # vanished between exists-check and open
         try:
-            buf = bytearray()
-            for _ in range(4096):  # lock payloads are ~100 bytes
-                b = stream.read()
-                if b < 0:
-                    break
-                buf.append(b)
+            try:
+                # one py4j call for the whole payload (commons-io ships
+                # on the Spark classpath)
+                buf = bytes(
+                    self._spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            except Exception:
+                # fallback: byte-at-a-time (tiny payloads, ~100 bytes)
+                acc = bytearray()
+                for _ in range(4096):
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    acc.append(b)
+                buf = bytes(acc)
         finally:
             stream.close()
         try:

@@ -65,3 +65,29 @@ def test_ledger_and_lock_survive_table_overwrites(spark, tmp_path):
     assert len(ids) == 2
     got = read_rollup(spark, path).collect()[0]
     assert got["n_rows"] == 2 and got["sum_v"] == 3.0
+
+
+def test_corrupt_table_raises_instead_of_cold_starting(spark, tmp_path):
+    """A damaged aggregate table must fail the update loudly — the old
+    bare-except path silently replaced the accumulated rollup with one
+    shard's worth of data."""
+    import os
+
+    import pytest as _pytest
+
+    path = str(tmp_path / "rollup")
+    update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
+    # corrupt the table: truncate every parquet footer
+    table = os.path.join(path, "table")
+    for root, _dirs, files in os.walk(table):
+        for f in files:
+            if f.endswith(".parquet"):
+                full = os.path.join(root, f)
+                with open(full, "r+b") as fh:
+                    fh.truncate(4)
+    with _pytest.raises(Exception):
+        update_rollup(spark, path, _shard(spark, [("a", 2.0, 2)]), ["k"], ["v"], "s1")
+    # the failed update must not have been recorded as applied
+    with open(os.path.join(path, "_applied_shards.json")) as fh:
+        ids = [line for line in fh if line.strip()]
+    assert len(ids) == 1
