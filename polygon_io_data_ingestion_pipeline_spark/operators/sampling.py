@@ -244,3 +244,77 @@ def shuffle_shards(
         keyed.withColumn("pos_in_shard", F.row_number().over(w).cast("long"))
         .drop("__shuffle_key")
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: str = "mix0",
+    n_shards: int = 64,
+) -> DataFrame:
+    """Assemble a training mixture by TOKEN budget: from each source,
+    take documents in a seed-stable uniform-random order until that
+    source's token budget is filled — the final "build the mix" step
+    downstream of :func:`mixture_weights` (which designs the budgets,
+    while this enforces them in actual tokens, not document counts).
+
+    A document is kept while the running token total stays within the
+    budget (strict prefix: the first document that would overflow is
+    excluded, so a mix never exceeds its budgets). Unlisted sources get
+    ``default_budget``.
+
+    Scale shape — the low-cardinality-window trap (a per-source global
+    cumsum would shuffle the whole corpus into #sources reducers) is
+    avoided with the ``sequence_packing`` two-level prefix sum: the md5
+    priority is uniform, so its HIGH BITS are an order-preserving shard
+    key; within-(source, shard) cumsums run at sources x n_shards
+    parallelism, and the cross-shard offsets come from a window over the
+    tiny per-shard totals frame. The result equals the single-window
+    cumsum exactly (the oracle states it that way).
+
+    Returns (id, source, n_tokens, cum_tokens) for the selected docs.
+    """
+    from .text import token_count
+
+    # md5 -> [0, 16^15) priority; high bits shard it ORDER-PRESERVINGLY
+    span = (16**15) // n_shards + 1
+    pr = F.expr(
+        f"CAST(conv(substr(md5('{seed}_' || CAST({id_col} AS STRING)), 1, 15), 16, 10) "
+        "AS BIGINT)"
+    )
+    budget = F.lit(int(default_budget))
+    for src, b in sorted(budgets.items()):
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))).otherwise(budget)
+    keyed = df.select(
+        F.col(id_col),
+        F.col(source_col),
+        token_count(text_col).alias("n_tokens"),
+        pr.alias("__pr"),
+        budget.alias("__budget"),
+    ).withColumn("__shard", (F.col("__pr") / F.lit(span)).cast("int"))
+
+    w_in = Window.partitionBy(source_col, "__shard").orderBy("__pr", id_col)
+    within = keyed.withColumn("__cum_in", F.sum("n_tokens").over(w_in))
+
+    totals = keyed.groupBy(source_col, "__shard").agg(
+        F.sum("n_tokens").alias("__shard_tokens")
+    )
+    w_off = (
+        Window.partitionBy(source_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__shard_tokens").over(w_off), F.lit(0))
+    ).select(source_col, "__shard", "__offset")
+
+    out = within.join(offsets, [source_col, "__shard"]).withColumn(
+        "cum_tokens", F.col("__offset") + F.col("__cum_in")
+    )
+    return out.filter(F.col("cum_tokens") <= F.col("__budget")).select(
+        id_col, source_col, "n_tokens", "cum_tokens"
+    )

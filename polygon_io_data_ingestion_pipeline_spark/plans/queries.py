@@ -4464,6 +4464,47 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@q(
+    "docs_token_budget_mixture",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(('0x' || substr(md5('mix0_' || CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS pr,
+         CASE WHEN source = 'src0' THEN 800
+              WHEN source = 'src1' THEN 500
+              ELSE 300 END AS budget
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens, budget,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM keyed)
+SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= budget
+""",
+    doc="Token-budget mixture assembly (operators/sampling.py "
+    "token_budget_mixture): from each source, documents in seed-stable "
+    "md5 order until the source's TOKEN budget fills (strict prefix — "
+    "a mix never overflows its budgets). The oracle states the "
+    "semantics as one per-source ordered cumsum; the Spark plan "
+    "computes the identical totals with the shard-safe two-level "
+    "prefix sum (uniform md5 priority -> order-preserving high-bit "
+    "shards), so no low-cardinality reducer ever sees the corpus.",
+    tags=("sampling", "window"),
+)
+def docs_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import token_budget_mixture
+
+    docs = table(spark, sf, "documents")
+    return token_budget_mixture(
+        docs, {"src0": 800, "src1": 500}, default_budget=300
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
