@@ -4505,6 +4505,34 @@ def docs_token_budget_mixture(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@q(
+    "events_value_percent_rank",
+    oracle="""
+SELECT event_id, value,
+       rank() OVER (ORDER BY value) AS rank,
+       round(CAST(rank() OVER (ORDER BY value) - 1 AS DOUBLE)
+             / (count(*) OVER () - 1), 6) AS pct_rank
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+""",
+    doc="Distributed exact rank / percent-rank transform (operators/"
+    "rank.py): the oracle says rank() OVER (ORDER BY value) — the "
+    "classic single-reducer global window — while the Spark plan gets "
+    "the IDENTICAL numbers from one approx_percentile sketch pass "
+    "(cut-point literals), map-side value-range bucketing, per-bucket "
+    "exact ranks, and a prefix sum over the tiny bucket-count frame. "
+    "Equal values always share a bucket, so tie semantics survive the "
+    "decomposition exactly.",
+    tags=("window", "sampling"),
+)
+def events_value_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import distributed_rank
+
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return distributed_rank(ev, "value", "event_id")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
