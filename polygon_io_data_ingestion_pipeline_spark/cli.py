@@ -159,6 +159,32 @@ def cmd_search(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_rollup(args: argparse.Namespace) -> int:
+    """Fold a fact shard into an incrementally-maintained aggregate
+    table (count + sums per key), or print the current table."""
+    from .operators.rollup import read_rollup, update_rollup
+
+    spark = get_spark("poly-rollup", master=args.master)
+    if args.show:
+        for r in read_rollup(spark, args.out).orderBy(*args.keys.split(",")).collect():
+            print("\t".join(str(r[c]) for c in r.asDict()))
+        return 0
+    if not args.src or not args.shard_id:
+        print("--src and --shard-id are required to apply a shard", file=sys.stderr)
+        return 2
+    batch = spark.read.parquet(args.src)
+    res = update_rollup(
+        spark,
+        args.out,
+        batch,
+        args.keys.split(","),
+        args.sum.split(",") if args.sum else [],
+        args.shard_id,
+    )
+    print(res)
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Training-corpus prep, end to end: JSONL/parquet documents in ->
     PII scrub (optional) -> quality gate -> exact dedup (min-id
@@ -325,6 +351,16 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_index)
+
+    p = sub.add_parser("rollup", help="fold fact shards into an incremental aggregate table")
+    p.add_argument("--out", required=True, help="rollup table root")
+    p.add_argument("--src", default=None, help="fact shard parquet to apply")
+    p.add_argument("--keys", required=True, help="comma-separated key columns")
+    p.add_argument("--sum", default="", help="comma-separated columns to sum")
+    p.add_argument("--shard-id", default=None)
+    p.add_argument("--show", action="store_true", help="print the current table")
+    _add_common(p)
+    p.set_defaults(fn=cmd_rollup)
 
     p = sub.add_parser("search", help="BM25 / dense / RRF-hybrid corpus search")
     p.add_argument("--docs", required=True, help="parquet documents table")

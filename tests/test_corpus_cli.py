@@ -82,3 +82,24 @@ def test_search_cli(spark, tmp_path, capsys):
                      "--k", "2", "--mode", mode, "--master", "local[4]"]) == 0
         lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
         assert lines and lines[0].split("\t")[0] == "1", mode
+
+
+def test_rollup_cli(spark, tmp_path, capsys):
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src1, src2, out = (str(tmp_path / d) for d in ("s1", "s2", "roll"))
+    spark.createDataFrame([("a", 1.0), ("b", 2.0)], "k string, v double").write.parquet(src1)
+    spark.createDataFrame([("a", 3.0)], "k string, v double").write.parquet(src2)
+    base = ["rollup", "--out", out, "--keys", "k", "--sum", "v", "--master", "local[4]"]
+    assert main(base + ["--src", src1, "--shard-id", "s1"]) == 0
+    assert main(base + ["--src", src2, "--shard-id", "s2"]) == 0
+    # replay no-op
+    assert main(base + ["--src", src2, "--shard-id", "s2"]) == 0
+    capsys.readouterr()
+    assert main(base + ["--show"]) == 0
+    lines = dict(
+        (ln.split("\t")[0], ln.split("\t"))
+        for ln in capsys.readouterr().out.splitlines()
+        if ln.strip()
+    )
+    assert lines["a"][1:] == ["2", "4.0"] and lines["b"][1:] == ["1", "2.0"]
