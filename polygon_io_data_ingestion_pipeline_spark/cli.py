@@ -166,7 +166,9 @@ def cmd_rollup(args: argparse.Namespace) -> int:
 
     spark = get_spark("poly-rollup", master=args.master)
     if args.show:
-        for r in read_rollup(spark, args.out).orderBy(*args.keys.split(",")).collect():
+        # bounded: --show is a human spot-check; cap it (the table is
+        # O(distinct keys), which at scale is not printable anyway)
+        for r in read_rollup(spark, args.out).orderBy(*args.keys.split(",")).limit(1000).collect():
             print("\t".join(str(r[c]) for c in r.asDict()))
         return 0
     if not args.src or not args.shard_id:

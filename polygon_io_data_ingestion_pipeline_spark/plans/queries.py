@@ -4479,9 +4479,9 @@ WITH keyed AS (
   FROM documents),
 cum AS (
   SELECT doc_id, source, n_tokens, budget,
-         sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cum_tokens
+         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY pr, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_tokens
   FROM keyed)
 SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, cum_tokens
 FROM cum WHERE cum_tokens <= budget
