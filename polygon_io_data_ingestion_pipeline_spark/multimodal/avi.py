@@ -125,7 +125,9 @@ def decode_mjpeg_avi(payload: bytes) -> tuple[int, int, int, list[tuple[int, byt
         for fourcc, body, size in _walk_chunks(payload, pos, stop):
             if fourcc == b"LIST":
                 kind = payload[body : body + 4]
-                if kind in (b"hdrl", b"strl", b"movi"):
+                # 'rec ': interleaved-record grouping some writers emit
+                # inside movi — frames nest one level deeper
+                if kind in (b"hdrl", b"strl", b"movi", b"rec "):
                     walk_list(body + 4, body + size)
             elif fourcc == b"avih" and size >= 40:
                 us_per_frame, _mb, _pad, _flags, _total, _init, _streams, _buf, w, h = (

@@ -87,3 +87,28 @@ def test_frame_sample_video_takes_the_real_mjpeg_path(spark):
     for r, orig in zip(got, frames):
         img = decode_jpeg(bytes(r["frame"]))
         assert _psnr(orig, img) >= 30.0
+
+
+def test_frames_inside_rec_lists_are_found():
+    """Some AVI writers wrap movi frames in 'rec ' grouping LISTs — the
+    reader must recurse into them."""
+    import struct
+
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.avi import (
+        _chunk,
+        _list,
+    )
+
+    plain = encode_mjpeg_avi(_frames(2), frame_ms=100)
+    # rebuild the movi LIST with each 00dc chunk wrapped in a rec LIST
+    _fms, _w, _h, frames = decode_mjpeg_avi(plain)
+    movi_body = b"movi" + b"".join(
+        _list(b"rec ", _chunk(b"00dc", jpg)) for _ts, jpg in frames
+    )
+    movi_start = plain.find(b"LIST", plain.find(b"movi") - 8)
+    # splice: everything before the movi LIST + new movi + idx1 dropped
+    head = plain[12 : movi_start]
+    riff_body = b"AVI " + head + _chunk(b"LIST", movi_body)
+    rebuilt = b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+    _fms2, _w2, _h2, got = decode_mjpeg_avi(rebuilt)
+    assert [jpg for _ts, jpg in got] == [jpg for _ts, jpg in frames]
