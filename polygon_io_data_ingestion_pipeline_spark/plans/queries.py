@@ -4533,6 +4533,84 @@ def events_value_percent_rank(spark: SparkSession, sf: str) -> DataFrame:
     return distributed_rank(ev, "value", "event_id")
 
 
+
+@q(
+    "events_pit_tier_join",
+    oracle="""
+WITH src AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value < 250 THEN 'low'
+              WHEN value < 750 THEN 'mid'
+              ELSE 'high' END AS tier
+  FROM events WHERE event_type = 'purchase'
+),
+flagged AS (
+  SELECT user_id, event_id, ts_us, tier,
+         CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+              WHEN tier IS DISTINCT FROM lag(tier) OVER w THEN 1
+              ELSE 0 END AS chg
+  FROM src
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+islands AS (
+  SELECT user_id, tier, ts_us,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM flagged),
+runs AS (
+  SELECT user_id, tier, min(ts_us) AS valid_from_us
+  FROM islands GROUP BY user_id, tier, run),
+clicks AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us
+  FROM events WHERE event_type = 'click')
+SELECT c.event_id, c.user_id, c.ts_us, r.tier, r.valid_from_us AS state_since_us
+FROM clicks c ASOF LEFT JOIN runs r
+  ON c.user_id = r.user_id AND c.ts_us >= r.valid_from_us
+""",
+    doc="Point-in-time feature join: every click is tagged with the "
+    "user's value-tier STATE at event time — the SCD2 intervals from "
+    "events_value_tier_scd2 consumed by a backward as-of join "
+    "(operators/asof.py + operators/scd.py composed; the PIT-correct "
+    "feature-extraction primitive that prevents label leakage). The "
+    "oracle uses DuckDB's NATIVE ASOF JOIN — an independent physical "
+    "strategy from the union+window as-of — so the semantics, not the "
+    "implementation, are what is verified.",
+    tags=("join", "scd", "window"),
+)
+def events_pit_tier_join(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.scd import collapse_to_intervals
+
+    ev = table(spark, sf, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.when(F.col("value").isNull(), F.lit(None).cast("string"))
+        .when(F.col("value") < 250, F.lit("low"))
+        .when(F.col("value") < 750, F.lit("mid"))
+        .otherwise(F.lit("high"))
+        .alias("tier"),
+    )
+    runs = collapse_to_intervals(
+        purch, "user_id", "ts_us", ["tier"], tiebreak_col="event_id"
+    ).select("user_id", F.col("valid_from").alias("ts_us"), "tier")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_us"
+    )
+    pit = asof_join(
+        clicks, runs, on="ts_us", by="user_id", direction="backward",
+        right_prefix="state_",
+    )
+    return pit.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("state_tier").alias("tier"),
+        F.col("state_ts_us").alias("state_since_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
