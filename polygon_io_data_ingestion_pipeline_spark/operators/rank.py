@@ -81,3 +81,66 @@ def distributed_rank(
         "rank",
         F.round((F.col("rank") - 1) / F.lit(float(denom)), 6).alias("pct_rank"),
     )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_tiles: int = 10,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """(id, value, tile) with SQL ``ntile(n) OVER (ORDER BY value, id)``
+    semantics — equal-count bins (sizes differ by at most one, larger
+    bins first), deterministic via the id tiebreak, computed without the
+    single-reducer global window: the same value-range bucketing as
+    :func:`distributed_rank` yields an exact global row_number, and the
+    tile is pure arithmetic on it (NTILE's remainder rule: the first
+    ``total % n`` tiles hold ``total//n + 1`` rows).
+
+    Ties ON THE BUCKET BOUNDARY are safe: row_number's (value, id)
+    order is total, so the decomposition is exact regardless of where
+    equal values fall. Nulls are excluded, as in distributed_rank."""
+    src = df.select(F.col(id_col), F.col(value_col)).filter(
+        F.col(value_col).isNotNull()
+    )
+    pcts = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = src.select(
+        F.expr(
+            f"approx_percentile(CAST({value_col} AS DOUBLE), "
+            f"array({', '.join(str(p) for p in pcts)}))"
+        ).alias("c")
+    ).first()
+    cuts = sorted({float(x) for x in (cuts_row["c"] or [])})
+    if cuts:
+        lits = ", ".join(f"CAST({x!r} AS DOUBLE)" for x in cuts)
+        bucket = F.expr(
+            f"size(filter(array({lits}), t -> t < CAST({value_col} AS DOUBLE)))"
+        )
+    else:
+        bucket = F.lit(0)
+    keyed = src.withColumn("__bucket", bucket)
+    counts = (
+        keyed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__n")).localCheckpoint()
+    )
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("__bucket", "__offset")
+    w_in = Window.partitionBy("__bucket").orderBy(value_col, id_col)
+    rn = (
+        keyed.withColumn("__r_in", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "__bucket")
+        .withColumn("__rn", (F.col("__offset") + F.col("__r_in")).cast("long"))
+    )
+    total = src.count()
+    q, r = divmod(total, n_tiles)
+    boundary = r * (q + 1)
+    if q == 0:
+        tile = F.col("__rn")  # fewer rows than tiles: one row per tile
+    else:
+        tile = F.when(
+            F.col("__rn") <= boundary,
+            ((F.col("__rn") - 1) / F.lit(q + 1)).cast("long") + 1,
+        ).otherwise(F.lit(r) + ((F.col("__rn") - 1 - boundary) / F.lit(q)).cast("long") + 1)
+    return rn.select(id_col, value_col, tile.cast("int").alias("tile"))

@@ -4611,6 +4611,30 @@ def events_pit_tier_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+@q(
+    "events_value_deciles",
+    oracle="""
+SELECT event_id, value,
+       CAST(ntile(10) OVER (ORDER BY value, event_id) AS INT) AS tile
+FROM events
+WHERE event_type = 'purchase' AND value IS NOT NULL
+""",
+    doc="Distributed NTILE (operators/rank.py distributed_ntile): the "
+    "oracle's single-reducer ntile(10) window computed instead from the "
+    "bucketed exact global row_number plus NTILE's remainder arithmetic "
+    "(first total%n tiles hold one extra row) — the equal-count binning "
+    "used for decile features and spend segmentation, at bucket-count "
+    "parallelism.",
+    tags=("window", "sampling"),
+)
+def events_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rank import distributed_ntile
+
+    ev = table(spark, sf, "events").filter(F.col("event_type") == "purchase")
+    return distributed_ntile(ev, "value", "event_id", n_tiles=10)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

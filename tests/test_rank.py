@@ -44,3 +44,35 @@ def test_data_windows_are_bucket_partitioned(spark):
         for r in df.withColumn("rank", F.rank().over(Window.orderBy("v"))).collect()
     }
     assert got == want
+
+
+def test_ntile_matches_global_window_including_remainder(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.rank import (
+        distributed_ntile,
+    )
+
+    # 23 rows into 5 tiles: remainder 3 -> tiles of 5,5,5,4,4
+    rows = [(i, float((i * 7) % 13)) for i in range(23)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    got = {r["id"]: r["tile"] for r in distributed_ntile(df, "v", "id", n_tiles=5, n_buckets=4).collect()}
+    want = {
+        r["id"]: r["t"]
+        for r in df.withColumn(
+            "t", F.ntile(5).over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want
+    sizes = sorted(
+        (list(got.values()).count(t) for t in set(got.values())), reverse=True
+    )
+    assert sizes == [5, 5, 5, 4, 4]
+
+
+def test_ntile_fewer_rows_than_tiles(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.rank import (
+        distributed_ntile,
+    )
+
+    df = spark.createDataFrame([(1, 2.0), (2, 1.0)], "id long, v double")
+    got = {r["id"]: r["tile"] for r in distributed_ntile(df, "v", "id", n_tiles=10).collect()}
+    assert got == {2: 1, 1: 2}  # one row per tile, value order
