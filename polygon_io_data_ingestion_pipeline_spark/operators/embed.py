@@ -43,13 +43,18 @@ def feature_hash_components(
     dim: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document signed-count components, pre-normalization.
 
     Returns (id, s_0 .. s_{dim-1}) — exact BIGINT bucket sums from ONE
-    partial-aggregated shuffle on the document key.
-    """
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+    partial-aggregated shuffle on the document key. ``tokens_df``: a
+    caller-shared (id, w) postings frame, so pipelines that already
+    exploded the corpus (hybrid search) skip the second scan."""
+    if tokens_df is not None:
+        tok = tokens_df
+    else:
+        tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
     bucket = F.expr(_hash64("w", 1, 8) + f" % {dim}")
     sign = F.expr(f"CASE WHEN {_hash64('w', 9, 1)} % 2 = 0 THEN 1 ELSE -1 END")
     hashed = tok.select(id_col, bucket.alias("b"), sign.alias("sg"))

@@ -52,6 +52,7 @@ def dense_topk_feature_hash(
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """Dense half: cosine of each document's feature-hash embedding
     against the query's — computed as dot(s, qv)/|s| on the raw integer
@@ -66,7 +67,9 @@ def dense_topk_feature_hash(
     # qv is already unit.  The fixed left-to-right chain order makes the
     # double arithmetic engine-identical (the oracle writes the same
     # textual chain).
-    comp = feature_hash_components(df, dim=dim, text_col=text_col, id_col=id_col)
+    comp = feature_hash_components(
+        df, dim=dim, text_col=text_col, id_col=id_col, tokens_df=tokens_df
+    )
     qv = query_feature_hash_vector(query_terms, dim)
     dot = None
     sq = None
@@ -99,13 +102,21 @@ def hybrid_topk_rrf(
     contributing nothing for documents outside its top-``n_cand``.
     Returns (id, rrf_score, r_lex, r_dense) with null ranks for
     single-list hits."""
-    lex = bm25_topk(df, query_terms, k=n_cand, text_col=text_col, id_col=id_col)
+    from .text import tokens
+
+    # ONE corpus tokenize for BOTH rankers: the exploded postings frame
+    # is the dominant input of each (at 100 TB, one scan instead of two)
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).localCheckpoint()
+    lex = bm25_topk(
+        df, query_terms, k=n_cand, text_col=text_col, id_col=id_col, tokens_df=tok
+    )
     # candidate frames are <= n_cand rows: the unpartitioned rank windows
     # below are deliberate and bounded (see module docstring)
     w_lex = Window.orderBy(F.desc("score"), F.col(id_col))
     lex_r = lex.select(id_col, F.row_number().over(w_lex).alias("r_lex"))
     dense = dense_topk_feature_hash(
-        df, query_terms, k=n_cand, dim=dim, text_col=text_col, id_col=id_col
+        df, query_terms, k=n_cand, dim=dim, text_col=text_col, id_col=id_col,
+        tokens_df=tok,
     )
     w_dense = Window.orderBy(F.desc("cos"), F.col(id_col))
     dense_r = dense.select(id_col, F.row_number().over(w_dense).alias("r_dense"))

@@ -748,6 +748,7 @@ def bm25_topk(
     b: float = 0.75,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokens_df: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 ranked retrieval: the top-``k`` documents for a bag-of-words
     query — the lexical search primitive for corpus curation (find the
@@ -774,13 +775,18 @@ def bm25_topk(
     Returns (id, score, n_terms_hit) ordered by (score desc, id).
     """
     terms = [t for t in query_terms]
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
-    # Four consumers derive from the token explode (lengths, corpus
-    # totals via lengths, document frequencies, term frequencies); with
-    # no cross-branch CSE the corpus-wide tokenize would re-run per
-    # consumer. Materialize the postings once — the dedup-family
-    # discipline.
-    tok = tok.localCheckpoint()
+    if tokens_df is not None:
+        # caller-shared postings (id, w) — hybrid search tokenizes the
+        # corpus ONCE for both its rankers and passes the frame here
+        tok = tokens_df
+    else:
+        tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        # Four consumers derive from the token explode (lengths, corpus
+        # totals via lengths, document frequencies, term frequencies);
+        # with no cross-branch CSE the corpus-wide tokenize would re-run
+        # per consumer. Materialize the postings once — the dedup-family
+        # discipline.
+        tok = tok.localCheckpoint()
     dl = tok.groupBy(id_col).agg(F.count("*").alias("dl"))
     corpus = dl.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
