@@ -4635,6 +4635,57 @@ def events_value_deciles(spark: SparkSession, sf: str) -> DataFrame:
     return distributed_ntile(ev, "value", "event_id", n_tiles=10)
 
 
+
+@q(
+    "tpch_q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) AS s
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(round(s / 1000000.0, 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE s = (SELECT max(s) FROM revenue)
+""",
+    doc="TPC-H Q15 top supplier: the revenue 'view' + equal-to-maximum "
+    "scalar subquery — Catalyst decorrelates the max into a 1-row "
+    "broadcast and the equality into a filtered broadcast join (ties "
+    "all surface, per spec). The comparison runs on the EXACT scaled "
+    "BIGINT revenue, never a rounded double, so the argmax set cannot "
+    "waver between engines.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1000000)
+                .cast("long")
+            ).alias("s")
+        )
+    )
+    top = rev.agg(F.max("s").alias("__mx"))
+    sup = table(spark, sf, "supplier")
+    return (
+        rev.join(F.broadcast(top), rev["s"] == top["__mx"])
+        .join(sup, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.round(F.col("s") / 1000000.0, 2)).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

@@ -80,13 +80,45 @@ class LakeLease:
         fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
         return fs, jpath
 
+    def _local_path(self) -> str | None:
+        """The POSIX path when the lock lives on the local filesystem,
+        else None. Matters for atomicity: Hadoop's LOCAL create(...,
+        overwrite=False) is exists-check-then-open — two contending
+        threads can both pass the check and both believe they hold the
+        lease (caught by the contention stress test). POSIX
+        O_CREAT|O_EXCL is genuinely atomic, so local locks go through
+        it; on HDFS-like stores create IS an atomic namespace op and
+        the Hadoop path is correct."""
+        if "://" not in self._lock_path:
+            return self._lock_path
+        if self._lock_path.startswith("file:"):
+            jpath = self._spark._jvm.org.apache.hadoop.fs.Path(self._lock_path)
+            return jpath.toUri().getPath()
+        return None
+
     def _try_create(self) -> bool:
-        fs, jpath = self._fs_and_path()
         payload = json.dumps(
             {"holder": self._holder, "token": self._token, "ttl_sec": self._ttl_sec}
         ).encode()
+        local = self._local_path()
+        if local is not None:
+            import os as _os
+
+            _os.makedirs(_os.path.dirname(local) or ".", exist_ok=True)
+            try:
+                fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            except FileExistsError:
+                return False
+            except OSError:
+                return False
+            try:
+                _os.write(fd, payload)
+            finally:
+                _os.close(fd)
+            return True
+        fs, jpath = self._fs_and_path()
         try:
-            out = fs.create(jpath, False)  # overwrite=False -> atomic
+            out = fs.create(jpath, False)  # atomic on HDFS-like stores
         except Exception:  # FileAlreadyExistsException via py4j
             return False
         try:

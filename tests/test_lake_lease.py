@@ -141,3 +141,35 @@ def test_lock_file_is_invisible_to_lake_readers(spark, tmp_path):
     _mklake(spark, lake)
     with LakeLease(spark, lake, holder="reader-check"):
         assert spark.read.parquet(lake).count() == len(ROWS)
+
+
+def test_many_contending_writers_serialize_without_loss(spark, tmp_path):
+    """10 threads each read-modify-write a shared counter file under the
+    lease; every increment must survive — the mutual-exclusion property
+    under real contention, not just a single blocked waiter."""
+    lake = str(tmp_path / "lake")
+    _mklake(spark, lake)
+    counter = os.path.join(lake, "_counter.txt")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    errors: list[Exception] = []
+
+    def bump(holder: str):
+        try:
+            for _ in range(5):
+                with LakeLease(spark, lake, holder=holder, timeout_sec=120, poll_sec=0.05):
+                    n = int(open(counter).read())
+                    time.sleep(0.01)  # widen the lost-update window
+                    with open(counter, "w") as fh:
+                        fh.write(str(n + 1))
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=bump, args=(f"w{i}",)) for i in range(10)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(300)
+    assert not errors
+    assert int(open(counter).read()) == 50
+    assert not os.path.exists(os.path.join(lake, LOCK_NAME))
