@@ -196,12 +196,19 @@ def _decode_any_image(payload: bytes) -> np.ndarray:
         from .png import decode_png
 
         return decode_png(payload)
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        _fms, frames = decode_gif(payload)
+        return frames[0]  # still-image features come from the first frame
     raise ValueError("unsupported raster format")
 
 
 def _is_real_image(payload) -> bool:
     return payload is not None and (
-        bytes(payload[:2]) in (b"P5", b"P6", b"\xff\xd8") or bytes(payload[:4]) == b"\x89PNG"
+        bytes(payload[:2]) in (b"P5", b"P6", b"\xff\xd8")
+        or bytes(payload[:4]) == b"\x89PNG"
+        or bytes(payload[:6]) in (b"GIF87a", b"GIF89a")
     )
 
 
@@ -395,6 +402,21 @@ def frame_sample_video(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         out["frame_idx"].append(idx)
                         out["frame_ts_ms"].append(ts)
                         out["frame"].append(frames[min(ts // frame_ms, len(frames) - 1)][1])
+                    continue
+                if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
+                    from .gif import GifFormatError, decode_gif
+
+                    try:
+                        frame_ms, gframes = decode_gif(bytes(payload))
+                    except GifFormatError:
+                        continue  # corrupt / unsupported-variant: quarantine
+                    duration = frame_ms * len(gframes)
+                    for idx, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(idx)
+                        out["frame_ts_ms"].append(ts)
+                        fr = gframes[min(ts // max(frame_ms, 1), len(gframes) - 1)]
+                        out["frame"].append(encode_pnm(fr))
                     continue
                 if payload is not None and payload.startswith(b"PNMV\n"):
                     frame_ms, frames = decode_pnmv(bytes(payload))

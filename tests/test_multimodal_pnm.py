@@ -52,7 +52,7 @@ def test_image_features_end_to_end(spark):
     rows = [
         (1, "image", encode_pnm(rgb), ("image/x-portable-pixmap", 16, 8, None)),
         (2, "image", b"P6\n4 4\n255\ntrunc", ("image/x-portable-pixmap", 4, 4, None)),
-        (3, "image", b"GIF89a......", ("image/gif", 4, 4, None)),  # stub path (no GIF codec)
+        (3, "image", b"BM......", ("image/bmp", 4, 4, None)),  # stub path (no BMP codec)
         (4, "image", None, ("image/png", None, None, None)),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
