@@ -223,7 +223,12 @@ def decode_gif(payload: bytes) -> tuple[int, list[np.ndarray]]:
     composited onto the canvas per disposal methods 0/1/2."""
     try:
         return _decode(payload)
-    except (IndexError, struct.error) as e:
+    except GifFormatError:
+        raise
+    except (IndexError, struct.error, ValueError) as e:
+        # ValueError included: malformed geometry that slips past the
+        # explicit checks (e.g. a numpy broadcast on a bad rect) must
+        # still land in the quarantine contract, not fail the Spark task
         raise GifFormatError(f"corrupt GIF stream: {e!r}") from e
 
 
@@ -275,6 +280,11 @@ def _decode(payload: bytes) -> tuple[int, list[np.ndarray]]:
             pos += 1
         elif block == 0x2C:  # image descriptor
             left, top, iw, ih = struct.unpack("<HHHH", payload[pos : pos + 8])
+            if iw == 0 or ih == 0 or left + iw > w or top + ih > h:
+                raise GifFormatError(
+                    f"image rect {iw}x{ih}@({left},{top}) exceeds "
+                    f"logical screen {w}x{h}"
+                )
             ipacked = payload[pos + 8]
             pos += 9
             lct = gct

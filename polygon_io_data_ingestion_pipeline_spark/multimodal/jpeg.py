@@ -454,12 +454,14 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") 
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes -> uint8 array (H, W) or (H, W, 3).
+    """Baseline JFIF bytes (4:4:4, 4:2:0 and 4:2:2 chroma subsampling)
+    -> uint8 array (H, W) or (H, W, 3).
 
     Tables come from the stream's own DQT/DHT segments. Raises
-    :class:`JpegFormatError` on progressive/subsampled/corrupt input —
-    including truncated buffers, whose raw IndexError/struct.error are
-    converted so callers have ONE quarantine exception type.
+    :class:`JpegFormatError` on progressive/arithmetic/12-bit/corrupt
+    input — including truncated buffers, whose raw IndexError/
+    struct.error are converted so callers have ONE quarantine
+    exception type.
     """
     try:
         return _decode_markers(payload)

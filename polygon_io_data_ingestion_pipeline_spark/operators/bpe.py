@@ -36,6 +36,7 @@ in the merge count, and Spark-vs-pure-Python parity on the encode path.
 
 from __future__ import annotations
 
+import contextlib
 import re
 from collections import Counter
 from collections.abc import Iterable, Iterator
@@ -208,11 +209,53 @@ def bpe_packed_batches(
     ``floor(id / shard_span)`` (a string id would cast to NULL shards
     and silently collapse the prefix sum) — enforced below.  The encoded
     intermediate stays persisted for the lifetime of the returned
-    DataFrame (it backs two branches of the plan); callers finished with
-    the result release it via ``spark.catalog.clearCache()`` or by
-    letting the session end — the local checkpoint/persist is
-    executor-memory-and-disk, never driver-resident.
+    DataFrame (it backs two branches of the plan).  Long-lived sessions
+    composing many packs should use :func:`bpe_packed_batches_scoped`,
+    which unpersists that intermediate deterministically on exit; this
+    plain call leaves it to session end (executor-memory-and-disk,
+    never driver-resident).
     """
+    packed, _enc = _packed_with_encoding(
+        df, merges, capacity, text_col, id_col, group_col, shard_span
+    )
+    return packed
+
+
+@contextlib.contextmanager
+def bpe_packed_batches_scoped(
+    df: DataFrame,
+    merges: Iterable[tuple[str, str]],
+    capacity: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shard_span: int = 4096,
+):
+    """Scoped variant of :func:`bpe_packed_batches`: a context manager
+    that yields the packed DataFrame and UNPERSISTS the encoded
+    intermediate on exit — the explicit resource handle for long-lived
+    sessions composing many packs, where session-lifetime persists
+    would otherwise accumulate in executor storage.  Consume (write /
+    collect) the yielded frame INSIDE the block; after exit its plan
+    re-tokenizes on any further action."""
+    packed, enc = _packed_with_encoding(
+        df, merges, capacity, text_col, id_col, group_col, shard_span
+    )
+    try:
+        yield packed
+    finally:
+        enc.unpersist()
+
+
+def _packed_with_encoding(
+    df: DataFrame,
+    merges: Iterable[tuple[str, str]],
+    capacity: int,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    shard_span: int,
+) -> tuple[DataFrame, DataFrame]:
     from pyspark.sql.types import NumericType
 
     from .text import sequence_packing
@@ -240,4 +283,4 @@ def bpe_packed_batches(
         shard_span=shard_span,
         count_col="n_tokens",
     )
-    return packed.join(enc.select(id_col, "tokens"), id_col)
+    return packed.join(enc.select(id_col, "tokens"), id_col), enc

@@ -2,42 +2,137 @@
 as fact shards arrive, WITHOUT rescanning history.
 
 The 100 TB pattern: dashboards and feature stores read a per-key
-aggregate (counts, sums, means) of an append-only fact stream. A full
-``groupBy`` recompute costs the whole corpus per refresh; maintaining
-the aggregate incrementally costs one partial aggregation of the NEW
-shard plus a merge against a table that is O(distinct keys) — the
-materialized-view maintenance move, restricted to mergeable aggregates
-(count/sum, and anything derivable from them: mean = sum/count).
+aggregate (counts, sums, means, mins/maxes, distinct counts) of an
+append-only fact stream. A full ``groupBy`` recompute costs the whole
+corpus per refresh; maintaining the aggregate incrementally costs one
+partial aggregation of the NEW shard plus a merge against a table that
+is O(distinct keys) — the materialized-view maintenance move,
+restricted to MERGEABLE aggregates:
 
-Exactly-once: each shard carries a caller id; applied ids live in a
-ledger next to the table, so re-delivered shards are no-ops — and the
-read-merge-overwrite runs under the lake maintenance lease
+- count/sum (mean = sum/count derives for free),
+- min/max (min of mins, max of maxes),
+- distinct counts as Datasketches HLL cells (``hll_sketch_agg`` per
+  shard, ``hll_union_agg`` at merge, ``hll_sketch_estimate`` at read) —
+  the sketch binary, not the estimate, is what the table stores, so
+  cells from any number of shards union losslessly.
+
+Exactly-once via an ATOMIC versioned commit (the table-format move,
+in miniature): version ``N`` of the rollup is the pair
+(``table_v{N}/`` parquet dir, ``_commit_v{N}.json`` pointer). The
+commit file carries the full applied-shard ledger and is published with
+a single atomic rename — so the table contents and the ledger can never
+disagree. A crash at ANY point leaves either version ``N-1`` fully
+intact (an orphan ``table_v{N}`` dir is invisible until its commit
+exists, and the retried shard simply overwrites it) or version ``N``
+fully committed (the replayed shard is a ledger no-op). The previous
+design overwrote ``table/`` in place and appended to a separate ledger
+file: a crash between those two steps merged the shard into the table
+while leaving it out of the ledger, and the foreachBatch replay then
+double-counted it permanently.
+
+Updates run under the lake maintenance lease
 (:mod:`..sources.lease`), so two concurrent updaters cannot both merge
-against the same stale version and each lose the other's delta.
+against the same version and each lose the other's delta. The ledger
+inside the commit file grows by one id per shard — O(shards ever
+applied); cap it upstream (e.g. date-bucketed shard ids with a
+retention watermark) if shards arrive forever.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.lease import LakeLease
 
-_LEDGER = "_applied_shards.json"
-#: aggregate rows live in a SUBDIRECTORY: a full-table overwrite deletes
-#: its target directory first, which would wipe the ledger and the
-#: maintenance lock if they shared the root.
-_TABLE = "table"
+_COMMIT_RE = re.compile(r"_commit_v(\d{6})\.json$")
 
 
-def _partial(batch_df: DataFrame, keys: list[str], sum_cols: list[str]) -> DataFrame:
-    aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols
-    ]
-    return batch_df.groupBy(*keys).agg(*aggs)
+def _commit_name(version: int) -> str:
+    return f"_commit_v{version:06d}.json"
+
+
+def _table_name(version: int) -> str:
+    return f"table_v{version:06d}"
+
+
+def _latest_commit(rollup_path: str) -> dict | None:
+    """The highest-numbered commit file's contents, or None (cold).
+
+    Underscore-prefixed names are invisible to Spark's parquet readers,
+    and only a completed atomic rename can produce a ``_commit_v*.json``
+    — so the latest commit is always internally consistent."""
+    best_v, best_path = -1, None
+    for p in glob.glob(os.path.join(rollup_path, "_commit_v*.json")):
+        m = _COMMIT_RE.search(p)
+        if m and int(m.group(1)) > best_v:
+            best_v, best_path = int(m.group(1)), p
+    if best_path is None:
+        return None
+    with open(best_path) as fh:
+        return json.load(fh)
+
+
+def _publish_commit(rollup_path: str, commit: dict) -> None:
+    """Atomically publish a commit file: full write to a temp name, then
+    ``os.replace`` — the final name never exists half-written."""
+    final = os.path.join(rollup_path, _commit_name(commit["version"]))
+    tmp = final + ".tmp." + uuid.uuid4().hex
+    with open(tmp, "w") as fh:
+        fh.write(json.dumps(commit))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, final)
+
+
+def _gc(rollup_path: str, latest_version: int) -> None:
+    """Drop versions older than ``latest-1`` (one previous version is
+    kept for readers that resolved the pointer just before the swap)."""
+    import shutil
+
+    for p in glob.glob(os.path.join(rollup_path, "_commit_v*.json")):
+        m = _COMMIT_RE.search(p)
+        if m and int(m.group(1)) < latest_version - 1:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+    for p in glob.glob(os.path.join(rollup_path, "table_v*")):
+        m = re.search(r"table_v(\d{6})$", p)
+        if m and int(m.group(1)) < latest_version - 1:
+            shutil.rmtree(p, ignore_errors=True)
+
+
+def _agg_exprs(
+    sum_cols: list[str],
+    min_cols: list[str],
+    max_cols: list[str],
+    distinct_cols: list[str],
+    merge: bool,
+) -> list:
+    """Partial-aggregate (shard) or merge (table ∪ delta) expressions —
+    the two levels of every mergeable aggregate."""
+    if not merge:
+        return (
+            [F.count(F.lit(1)).alias("n_rows")]
+            + [F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols]
+            + [F.min(F.col(c)).alias(f"min_{c}") for c in min_cols]
+            + [F.max(F.col(c)).alias(f"max_{c}") for c in max_cols]
+            + [F.hll_sketch_agg(F.col(c)).alias(f"hll_{c}") for c in distinct_cols]
+        )
+    return (
+        [F.sum("n_rows").alias("n_rows")]
+        + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
+        + [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
+        + [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
+        + [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}") for c in distinct_cols]
+    )
 
 
 def update_rollup(
@@ -47,52 +142,95 @@ def update_rollup(
     keys: list[str],
     sum_cols: list[str],
     shard_id: str,
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> dict:
     """Fold one fact shard into the rollup table at ``rollup_path``.
 
     Returns ``{"applied": bool, "keys_touched": int}``; ``applied`` is
     False when the shard id is already in the ledger (replay no-op).
-    The merge is a unionByName + re-sum of two partial-aggregate frames
-    — both O(distinct keys), never the fact history.
-    """
-    ledger = os.path.join(rollup_path, _LEDGER)
+    The merge is a unionByName + re-aggregate of two partial-aggregate
+    frames — both O(distinct keys), never the fact history. The column
+    spec must be identical across every update of one rollup (checked
+    against the committed spec)."""
+    min_cols = min_cols or []
+    max_cols = max_cols or []
+    distinct_cols = distinct_cols or []
+    spec = {
+        "keys": keys,
+        "sum_cols": sum_cols,
+        "min_cols": min_cols,
+        "max_cols": max_cols,
+        "distinct_cols": distinct_cols,
+    }
+    os.makedirs(rollup_path, exist_ok=True)
     with LakeLease(spark, rollup_path, holder="rollup_update"):
-        done: set[str] = set()
-        if os.path.exists(ledger):
-            with open(ledger) as fh:
-                done = {json.loads(line)["shard_id"] for line in fh if line.strip()}
-        if shard_id in done:
-            return {"applied": False, "keys_touched": 0}
-        delta = _partial(batch_df, keys, sum_cols).localCheckpoint()
+        latest = _latest_commit(rollup_path)
+        if latest is not None:
+            if latest.get("spec") != spec:
+                raise ValueError(
+                    f"rollup spec mismatch: committed {latest.get('spec')} "
+                    f"!= requested {spec}"
+                )
+            if shard_id in set(latest["applied_shards"]):
+                return {"applied": False, "keys_touched": 0}
+        delta = (
+            batch_df.groupBy(*keys)
+            .agg(*_agg_exprs(sum_cols, min_cols, max_cols, distinct_cols, merge=False))
+            .localCheckpoint()
+        )
         n_touched = delta.count()
-        table_path = os.path.join(rollup_path, _TABLE)
-        # Existence check, NOT a bare except around the read: a CORRUPT
-        # table must raise, never be silently treated as a cold start
-        # (which would replace the accumulated aggregate with one
-        # shard's worth of data).
-        if os.path.isdir(table_path) and any(
-            f.endswith(".parquet")
-            for _r, _d, files in os.walk(table_path)
-            for f in files
-        ):
-            current = spark.read.parquet(table_path).localCheckpoint()
+        if latest is not None:
+            # A missing/corrupt table for a COMMITTED version must raise,
+            # never cold-start (which would replace the accumulated
+            # aggregate with one shard's worth of data) — spark.read
+            # raises on both, and the commit below never runs.
+            current = spark.read.parquet(
+                os.path.join(rollup_path, latest["table"])
+            ).localCheckpoint()
             merged = (
                 current.unionByName(delta)
                 .groupBy(*keys)
-                .agg(
-                    F.sum("n_rows").alias("n_rows"),
-                    *[F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols],
-                )
+                .agg(*_agg_exprs(sum_cols, min_cols, max_cols, distinct_cols, merge=True))
             )
-        else:  # first shard: no table yet
+            version = latest["version"] + 1
+            applied = latest["applied_shards"] + [shard_id]
+        else:
             merged = delta
-        merged.write.mode("overwrite").parquet(table_path)
-        with open(ledger, "a") as fh:
-            fh.write(json.dumps({"shard_id": shard_id}) + "\n")
-        spark.catalog.refreshByPath(table_path)
+            version = 1
+            applied = [shard_id]
+        table = _table_name(version)
+        # overwrite: a crash on a previous attempt at THIS version may
+        # have left an orphan dir; it was never committed, so replacing
+        # it is a clean retry
+        merged.write.mode("overwrite").parquet(os.path.join(rollup_path, table))
+        _publish_commit(
+            rollup_path,
+            {
+                "version": version,
+                "table": table,
+                "applied_shards": applied,
+                "spec": spec,
+            },
+        )
+        _gc(rollup_path, version)
+        spark.catalog.refreshByPath(os.path.join(rollup_path, table))
     return {"applied": True, "keys_touched": n_touched}
 
 
-def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    """The current aggregate table: (keys..., n_rows, sum_<col>...)."""
-    return spark.read.parquet(os.path.join(rollup_path, _TABLE))
+def read_rollup(
+    spark: SparkSession, rollup_path: str, estimate_distinct: bool = True
+) -> DataFrame:
+    """The current aggregate table: (keys..., n_rows, sum_<c>...,
+    min_<c>..., max_<c>..., hll_<c>...). With ``estimate_distinct``,
+    each HLL cell additionally surfaces as a ``distinct_<c>`` BIGINT
+    estimate (the sketch column stays, for further merging)."""
+    latest = _latest_commit(rollup_path)
+    if latest is None:
+        raise FileNotFoundError(f"no committed rollup at {rollup_path}")
+    df = spark.read.parquet(os.path.join(rollup_path, latest["table"]))
+    if estimate_distinct:
+        for c in latest.get("spec", {}).get("distinct_cols", []):
+            df = df.withColumn(f"distinct_{c}", F.hll_sketch_estimate(f"hll_{c}"))
+    return df

@@ -285,18 +285,27 @@ def _bounded_train_sample(
     codebook training.
 
     The cap is absolute: one cheap ``count()`` sizes the corpus, then a
-    seeded Bernoulli sample targets ~1.25x the cap (so the sample is drawn
-    uniformly across partitions, not from a partition-order prefix) and a
-    ``limit`` enforces the hard bound.  Driver memory is O(max_train_rows x
-    dim) regardless of corpus size — the FAISS training recipe (~256 x
-    nlist points is plenty for Lloyd convergence)."""
+    seeded Bernoulli sample targets ~1.25x the cap and a seeded random
+    shuffle BEFORE the ``limit`` enforces the hard bound without
+    partition-order bias — a bare ``limit`` takes a partition-order
+    prefix, which would systematically drop later partitions whenever
+    the Bernoulli sample overshoots the cap (the expected case), biasing
+    codebooks when data is partition-ordered by source or time.  The
+    ``orderBy(rand)`` runs on the ~1.25x-cap sampled frame, not the
+    corpus, so it is cheap.  Driver memory is O(max_train_rows x dim)
+    regardless of corpus size — the FAISS training recipe (~256 x nlist
+    points is plenty for Lloyd convergence)."""
     if max_train_rows < 1:
         raise ValueError("max_train_rows must be >= 1")
     n = df.count()
     src = df.select(vec_col)
     if n > max_train_rows:
         frac = min(1.0, (max_train_rows * 1.25) / n)
-        src = src.sample(fraction=frac, seed=seed).limit(max_train_rows)
+        src = (
+            src.sample(fraction=frac, seed=seed)
+            .orderBy(F.rand(seed))
+            .limit(max_train_rows)
+        )
     return np.asarray([r[0] for r in src.collect()], dtype=np.float64)
 
 
@@ -493,6 +502,19 @@ def read_ivf_codebook(path: str) -> list[tuple[int, list[float]]]:
         return [(int(cid), [float(v) for v in vec]) for cid, vec in json.load(fh)]
 
 
+def _index_nlist(path: str) -> int:
+    """Coarse-list count of a materialized index, from whichever sidecar
+    it carries (``_codebook.json`` for plain IVF, ``_ivfpq.json`` for
+    IVF+PQ)."""
+    import json
+
+    pq_sidecar = os.path.join(path, "_ivfpq.json")
+    if os.path.exists(pq_sidecar):
+        with open(pq_sidecar) as fh:
+            return len(json.load(fh)["centroids"])
+    return len(read_ivf_codebook(path))
+
+
 def ivf_index_imbalance(spark, path: str) -> dict:
     """Codebook-drift trigger metric for a materialized IVF index.
 
@@ -511,7 +533,7 @@ def ivf_index_imbalance(spark, path: str) -> dict:
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     }
-    nlist = len(read_ivf_codebook(path))
+    nlist = _index_nlist(path)
     n = sum(sizes.values())
     ss = sum(v * v for v in sizes.values())
     return {
@@ -601,12 +623,17 @@ def ivf_topk_indexed(
     exclude_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    schema=None,
 ) -> DataFrame:
     """Top-k against a materialized IVF index (:func:`write_ivf_index`).
 
     The probe set is ranked driver-side (nlist dot products on one
     vector), so the ``list_id IN (...)`` filter is a literal predicate
-    and partition pruning skips every unprobed list's files."""
+    and partition pruning skips every unprobed list's files.  Pass the
+    index's known ``schema`` to skip per-probe parquet footer
+    inference — an ANN service holds its index metadata in memory; on a
+    wide index the inference job costs more driver time than the probe
+    itself executes."""
     q = np.asarray(query_vec, dtype=np.float64)
     qn = float(np.sqrt((q * q).sum()))
 
@@ -617,7 +644,8 @@ def ivf_topk_indexed(
     ranked = sorted(((cscore(cv), cid) for cid, cv in centroids), reverse=True)
     probed = [cid for _, cid in ranked[:nprobe]]
 
-    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    idx = reader.parquet(path).filter(F.col("list_id").isin(probed))
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     scored = idx.select(F.col(id_col), cosine(vec_col, _lit_vec(list(q))).alias("__cos"))
@@ -1009,6 +1037,96 @@ def build_ivfpq_index(
     return centroids, codebooks
 
 
+def append_to_ivfpq_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental IVF+PQ maintenance: encode NEW vectors against the
+    FROZEN coarse centroids and PQ codebooks from the index's sidecar
+    and append them into its list partitions — no rebuild, no touch of
+    resident data.  The compressed-index twin of
+    :func:`append_to_ivf_index` (FAISS ``IVFPQ.add``): a streaming-fed
+    compressed index never needs a full rebuild just to grow.  Frozen
+    codebooks drift under distribution shift exactly as in the plain
+    IVF case — :func:`ivf_index_imbalance` is the trigger metric and
+    :func:`rebalance_ivfpq_index` the repair; until then every appended
+    vector is reachable through its nearest frozen centroid and scored
+    from its codes by :func:`ivfpq_topk_rerank` with zero changes.
+    Runs under the index's maintenance lease (sibling lock, so a
+    concurrent rebalance cannot interleave)."""
+    from ..sources.lease import LakeLease
+
+    spark = df.sparkSession
+    with LakeLease(spark, path, holder="ivfpq_append", lock_path=_ivf_lock_path(path)):
+        cents, books = read_ivfpq_meta(path)
+        (
+            ivf_assign(df, cents, vec_col)
+            .withColumn("codes", _pq_codes(vec_col, books))
+            .repartition("list_id")
+            .write.partitionBy("list_id")
+            .mode("append")
+            .parquet(path)
+        )
+
+
+def rebalance_ivfpq_index(
+    spark,
+    path: str,
+    nlist: int | None = None,
+    m: int | None = None,
+    ncodes: int | None = None,
+    iters: int = 5,
+    max_train_rows: int = 65536,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rebalance_above: float | None = None,
+) -> dict:
+    """Retrain BOTH codebook levels (coarse k-means + per-subspace PQ)
+    on a hard-capped sample of what the index NOW holds, re-encode
+    every resident vector map-side, and swap via the staged-rename
+    recipe of :func:`rebalance_ivf_index` — all under the index's
+    maintenance lease (sibling lock file, surviving the directory
+    swap).  ``rebalance_above`` short-circuits on
+    :func:`ivf_index_imbalance` for schedulers.  Raw vectors ride in
+    the index rows precisely so this retrain never needs the source
+    corpus."""
+    from ..sources.lease import LakeLease
+
+    before = ivf_index_imbalance(spark, path)
+    if rebalance_above is not None and before["imbalance"] <= rebalance_above:
+        return {"before": before, "rebuilt": False, "after": before}
+    with LakeLease(spark, path, holder="ivfpq_rebalance", lock_path=_ivf_lock_path(path)):
+        old_cents, old_books = read_ivfpq_meta(path)
+        nlist = nlist or len(old_cents)
+        m = m or len(old_books)
+        ncodes = ncodes or len(old_books[0])
+        vecs = spark.read.parquet(path).drop("list_id", "codes")
+        cents = kmeans_centroids(
+            vecs, nlist=nlist, iters=iters, max_train_rows=max_train_rows,
+            seed=seed, vec_col=vec_col,
+        )
+        books = pq_codebooks_kmeans(
+            vecs, m=m, ncodes=ncodes, iters=iters, max_train_rows=max_train_rows,
+            seed=seed, vec_col=vec_col,
+        )
+        staging = path.rstrip("/") + "__rebalance_staging"
+        build_ivfpq_index(
+            vecs, staging, centroids=cents, codebooks=books,
+            id_col=id_col, vec_col=vec_col,
+        )
+        jvm = spark._jvm
+        jsrc = jvm.org.apache.hadoop.fs.Path(staging)
+        jdst = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jdst, True)
+        fs.rename(jsrc, jdst)
+        spark.catalog.refreshByPath(path)
+    return {"before": before, "rebuilt": True, "after": ivf_index_imbalance(spark, path)}
+
+
 def read_ivfpq_meta(
     path: str,
 ) -> tuple[list[tuple[int, list[float]]], list[list[tuple[int, list[float]]]]]:
@@ -1038,6 +1156,7 @@ def ivfpq_topk_rerank(
     exclude_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    schema=None,
 ) -> DataFrame:
     """Top-k against a materialized IVF+PQ index — the full 100 TB ANN
     read path, three prunings multiplied together:
@@ -1065,7 +1184,8 @@ def ivfpq_topk_rerank(
     ranked = sorted(((cscore(cv), cid) for cid, cv in centroids), reverse=True)
     probed = [cid for _, cid in ranked[:nprobe]]
 
-    idx = spark.read.parquet(path).filter(F.col("list_id").isin(probed))
+    reader = spark.read.schema(schema) if schema is not None else spark.read
+    idx = reader.parquet(path).filter(F.col("list_id").isin(probed))
     if exclude_id is not None:
         idx = idx.filter(F.col(id_col) != exclude_id)
     shortlist = (

@@ -128,6 +128,21 @@ class LakeLease:
         return True
 
     def _read_payload(self) -> dict | None:
+        local = self._local_path()
+        if local is not None:
+            # local fast path: the acquire loop polls age+payload every
+            # poll_sec across many contending threads; keeping those
+            # reads off the py4j gateway avoids starving a waiter
+            # behind other threads' JVM round-trips
+            try:
+                with open(local, "rb") as fh:
+                    buf = fh.read()
+            except OSError:
+                return None
+            try:
+                return json.loads(buf.decode())
+            except ValueError:
+                return {}
         fs, jpath = self._fs_and_path()
         try:
             stream = fs.open(jpath)
@@ -156,13 +171,136 @@ class LakeLease:
         except ValueError:
             return {}
 
-    def _age_sec(self) -> float | None:
-        fs, jpath = self._fs_and_path()
+    def _age_sec(self, path: str | None = None) -> float | None:
+        target = path if path is not None else self._lock_path
+        if self._local_path() is not None:
+            import os as _os
+
+            try:
+                mtime = _os.path.getmtime(self._loc(target))
+            except OSError:
+                return None
+            return max(0.0, time.time() - mtime)
+        jpath = self._spark._jvm.org.apache.hadoop.fs.Path(target)
+        fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
         try:
             st = fs.getFileStatus(jpath)
         except Exception:
             return None
         return max(0.0, time.time() - st.getModificationTime() / 1000.0)
+
+    def _loc(self, p: str) -> str:
+        """Local POSIX form of a path (same derivation as _local_path)."""
+        if "://" not in p:
+            return p
+        jp = self._spark._jvm.org.apache.hadoop.fs.Path(p)
+        return jp.toUri().getPath()
+
+    def _hadoop_rename(self, src: str, dst: str) -> bool:
+        fs, _ = self._fs_and_path()
+        jsrc = self._spark._jvm.org.apache.hadoop.fs.Path(src)
+        jdst = self._spark._jvm.org.apache.hadoop.fs.Path(dst)
+        try:
+            return bool(fs.rename(jsrc, jdst))  # fails rather than overwrite
+        except Exception:
+            return False
+
+    def _capture(self, src: str, dst: str) -> bool:
+        """Atomically move the SHARED file at ``src`` to our private
+        unique name ``dst``; False when lost (src vanished first).  The
+        single-winner primitive of the break protocol: for one file
+        instance at ``src`` exactly one concurrent renamer succeeds.
+        Locally this must be one ``os.rename`` call — a link+unlink pair
+        is NOT atomic: a stalled breaker's late unlink would delete
+        whatever instance lives at ``src`` by then, exactly the
+        delete-wrong-instance bug this protocol removes.  ``dst`` is
+        token-unique so rename-clobber semantics never matter.
+        Preserves mtime, so expiry is re-verifiable on the capture."""
+        local = self._local_path()
+        if local is not None:
+            import os as _os
+
+            try:
+                _os.rename(self._loc(src), self._loc(dst))
+            except OSError:
+                return False
+            return True
+        return self._hadoop_rename(src, dst)
+
+    def _restore(self, src: str, dst: str) -> bool:
+        """NON-clobbering move of our PRIVATE file ``src`` back to the
+        shared path ``dst``; False when dst is occupied.  Locally this
+        is link (atomic, fails on existing dst) + unlink — safe here
+        because only we reference ``src``, unlike the capture
+        direction.  Plain os.rename would silently REPLACE a waiter's
+        fresh lock at ``dst``."""
+        local = self._local_path()
+        if local is not None:
+            import os as _os
+
+            try:
+                _os.link(self._loc(src), self._loc(dst))
+            except OSError:
+                return False
+            try:
+                _os.unlink(self._loc(src))
+            except OSError:
+                pass
+            return True
+        return self._hadoop_rename(src, dst)
+
+    def _delete(self, path: str) -> None:
+        if self._local_path() is not None:
+            import os as _os
+
+            try:
+                _os.remove(self._loc(path))
+            except OSError:
+                pass
+            return
+        jpath = self._spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        try:
+            fs.delete(jpath, False)
+        except Exception:
+            pass
+
+    def _try_create_at(self, path: str, payload: bytes) -> bool:
+        """Atomic exclusive create of an arbitrary sibling file (same
+        primitive as :meth:`_try_create`, parameterized for the breaker
+        sub-lock)."""
+        if self._local_path() is not None:
+            import os as _os
+
+            lp = self._loc(path)
+            try:
+                fd = _os.open(lp, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+            except OSError:
+                return False
+            try:
+                _os.write(fd, payload)
+            finally:
+                _os.close(fd)
+            return True
+        jpath = self._spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
+        try:
+            out = fs.create(jpath, False)
+        except Exception:
+            return False
+        try:
+            out.write(bytearray(payload))
+        finally:
+            out.close()
+        return True
+
+    def _read_payload_at(self, path: str) -> dict | None:
+        saved = self._lock_path
+        try:
+            self._lock_path = path
+            return self._read_payload()
+        finally:
+            self._lock_path = saved
 
     # -- lease protocol ------------------------------------------------------
     def acquire(self) -> "LakeLease":
@@ -188,27 +326,132 @@ class LakeLease:
             current = self._read_payload() or {}
             ttl = float(current.get("ttl_sec", self._ttl_sec))
             if age > ttl:
-                # expired: break it and race to re-create (one winner)
-                fs, jpath = self._fs_and_path()
-                try:
-                    fs.delete(jpath, False)
-                except Exception:
-                    pass
+                self._break_expired(ttl)
                 continue
             time.sleep(self._poll_sec)
 
+    def _break_expired(self, observed_ttl: float) -> None:
+        """Single-winner break of an expired lock instance.
+
+        A bare delete-then-create is racy: two waiters that both observe
+        the expired lock can interleave so waiter B's delete removes
+        waiter A's FRESHLY CREATED lock, after which both hold the
+        "exclusive" lease.  Instead the breaker first atomically RENAMES
+        the lock to a unique per-breaker name — for any one file
+        instance exactly one renamer wins — and only the winner deletes
+        it and proceeds to the normal create race.  Rename preserves
+        mtime, so the winner re-verifies expiry on the instance it
+        actually captured: if the captured instance is NOT expired (the
+        near-impossible case where another breaker completed a full
+        break+delete+create between our stat and our rename), it is a
+        freshly created lock stolen from its rightful holder and is
+        atomically restored (non-clobbering, so a waiter's new lock is
+        never overwritten).  The residual window — a waiter creating at
+        the bare path inside the microseconds our restore is in flight —
+        requires two nested sub-millisecond races where the old code
+        failed on one TTL-wide race; on restore failure we poll-retry
+        within our own deadline and otherwise leave the captured file in
+        place as evidence rather than delete a live holder's lease.
+
+        The rename is additionally guarded by a BREAKER MUTEX (a short-
+        TTL sibling sub-lock): breaking serializes, and the expiry check
+        is REDONE while holding the mutex, so a breaker never acts on a
+        stale observation.  Without it, a breaker preempted for a few
+        milliseconds between its age check and its rename can capture a
+        successor's fresh lock — and while it holds that capture the
+        bare path is momentarily empty, letting a waiter create and
+        violate mutual exclusion before any restore can land (observed
+        in the contention stress test).  With the mutex, capturing a
+        fresh lock requires a breaker that crashed INSIDE the mutex
+        plus a holder that exceeded its TTL — and the capture-verify-
+        restore path still backstops even that."""
+        breaker = self._lock_path + ".breaker"
+        break_ttl = 10.0
+        b_age = self._age_sec(breaker)
+        if b_age is not None and b_age > break_ttl:
+            # a breaker crashed inside the mutex: clear it.  A bare
+            # delete suffices at THIS level — if two waiters both clear
+            # and both enter, the single-winner rename below still
+            # admits only one capture per lock instance.
+            self._delete(breaker)
+        payload = json.dumps({"holder": self._holder, "token": self._token}).encode()
+        if not self._try_create_at(breaker, payload):
+            return  # another breaker is at work; re-observe next loop
+        try:
+            age = self._age_sec()
+            current = self._read_payload() or {}
+            ttl = float(current.get("ttl_sec", observed_ttl))
+            if age is None or age <= ttl:
+                return  # stale observation: the lock is gone or fresh
+            trophy = self._lock_path + ".break-" + self._token
+            if not self._capture(self._lock_path, trophy):
+                return  # holder released in the window — nothing to break
+            self._finish_break(trophy, ttl)
+        finally:
+            self._delete(breaker)
+
+    def _finish_break(self, trophy: str, observed_ttl: float) -> None:
+        """Verify-and-drop (or restore) a captured lock instance —
+        rename preserves mtime, so the captured file re-verifies on its
+        own evidence."""
+        t_age = self._age_sec(trophy)
+        t_payload = self._read_payload_at(trophy) or {}
+        t_ttl = float(t_payload.get("ttl_sec", observed_ttl))
+        if t_age is None or t_age > t_ttl:
+            # captured a genuinely expired instance: its holder is
+            # contractually dead (must finish within TTL) — safe to drop
+            self._delete(trophy)
+            return
+        # captured a FRESH lock: restore it to its holder
+        deadline = time.time() + self._timeout_sec
+        while not self._restore(trophy, self._lock_path):
+            t_age = self._age_sec(trophy)
+            if t_age is None:
+                return  # trophy gone: restore actually landed / cleaned up
+            if t_age > t_ttl:
+                # the captured lease expired while we waited to give it
+                # back: its holder is contractually done — drop it
+                # instead of reinserting a zombie lock
+                self._delete(trophy)
+                return
+            if time.time() >= deadline:
+                return  # leave trophy as evidence; never delete a live lease
+            time.sleep(self._poll_sec)
+
     def release(self) -> None:
+        """Delete the lock only if it is still OURS — via the same
+        rename-fencing as the break path.  A read-token-then-delete has
+        a TOCTOU hole: between reading our own token and deleting, an
+        expired lease can be broken and a new holder's lock created,
+        and the bare delete would destroy the new holder's lease.
+        Renaming first captures one instance atomically; we delete it
+        only when it carries our token, else restore it untouched."""
         if not self._held:
             return
         self._held = False
-        current = self._read_payload()
-        if current is not None and current.get("token") not in (None, self._token):
-            return  # our lease expired and was taken over: not ours to delete
-        fs, jpath = self._fs_and_path()
-        try:
-            fs.delete(jpath, False)
-        except Exception:
-            pass
+        pre = self._read_payload()
+        if pre is not None and pre.get("token") not in (None, self._token):
+            return  # lease expired and was taken over: not ours to touch
+        trophy = self._lock_path + ".rel-" + self._token
+        if not self._capture(self._lock_path, trophy):
+            return  # lock already broken/taken and possibly released
+        payload = self._read_payload_at(trophy) or {}
+        if payload.get("token") in (None, self._token):
+            self._delete(trophy)
+            return
+        # not ours (lease expired + taken over): give it back
+        ttl = float(payload.get("ttl_sec", self._ttl_sec))
+        deadline = time.time() + self._timeout_sec
+        while not self._restore(trophy, self._lock_path):
+            t_age = self._age_sec(trophy)
+            if t_age is None:
+                return
+            if t_age > ttl:
+                self._delete(trophy)  # expired while waiting: drop, not zombie
+                return
+            if time.time() >= deadline:
+                return  # leave as evidence; never delete another's lease
+            time.sleep(self._poll_sec)
 
     def __enter__(self) -> "LakeLease":
         return self.acquire()

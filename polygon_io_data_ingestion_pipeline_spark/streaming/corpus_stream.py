@@ -326,6 +326,105 @@ def write_corpus_batch_indexed(
     spark.catalog.refreshByPath(index_path)
 
 
+def write_corpus_batch_indexed_pq(
+    batch_df: DataFrame,
+    batch_id: int,
+    lake_path: str,
+    index_path: str,
+    dim: int = 32,
+    nlist: int = 8,
+    m: int = 4,
+    ncodes: int = 8,
+    max_train_rows: int = 65536,
+) -> None:
+    """:func:`write_corpus_batch_indexed`'s compressed twin: accepted
+    documents land in the corpus lake AND in a materialized IVF+PQ
+    index — each row carrying its coarse ``list_id`` (partition
+    pruning), PQ ``codes`` (the ADC scan columns) and raw embedding
+    (re-rank fetch) — before the batch commits.
+
+    Same idempotency scheme (``ingest_batch=<id>/list_id=<l>/``
+    overwrite + ledger), same bootstrap shape: the first non-empty
+    batch trains BOTH codebook levels on a bounded sample (clamped to
+    what the batch can support) and writes the ``_ivfpq.json`` sidecar;
+    every later batch encodes against the frozen books — the streaming
+    half of the ``append_to_ivfpq_index`` /
+    ``rebalance_ivfpq_index`` lifecycle, so a streaming-fed compressed
+    index never needs a full rebuild just to keep growing."""
+    write_corpus_batch(batch_df, batch_id, lake_path)
+
+    ledger = os.path.join(index_path, "_indexed_batches.json")
+    done: set[int] = set()
+    if os.path.exists(ledger):
+        with open(ledger) as fh:
+            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
+    if batch_id in done:
+        return
+
+    from ..operators.embed import feature_hash_embed
+    from ..operators.similarity import (
+        _ivf_lock_path,
+        _pq_codes,
+        ivf_assign,
+        kmeans_centroids,
+        pq_codebooks_kmeans,
+        read_ivfpq_meta,
+    )
+
+    spark = batch_df.sparkSession
+    emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
+    sidecar = os.path.join(index_path, "_ivfpq.json")
+    has_meta = os.path.exists(sidecar)
+    if not emb.take(1):
+        if has_meta:  # nothing to index; record the no-op commit
+            with open(ledger, "a") as fh:
+                fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+        return  # no codebooks yet either: leave training to a later batch
+
+    with LakeLease(
+        spark, index_path, holder="corpus_index_stream_pq",
+        lock_path=_ivf_lock_path(index_path),
+    ):
+        if has_meta:
+            cents, books = read_ivfpq_meta(index_path)
+        else:
+            # Bootstrap clamp, both levels: a thin first batch cannot
+            # seed more centroids/codes than it has vectors — train
+            # with what exists and let rebalance_ivfpq_index(nlist=...,
+            # ncodes=...) widen the books once the corpus supports it.
+            n = emb.count()
+            cents = kmeans_centroids(
+                emb, nlist=min(nlist, n), max_train_rows=max_train_rows,
+                vec_col="embedding",
+            )
+            books = pq_codebooks_kmeans(
+                emb, m=m, ncodes=min(ncodes, n), max_train_rows=max_train_rows,
+                vec_col="embedding",
+            )
+            os.makedirs(index_path, exist_ok=True)
+            with open(sidecar, "w") as fh:
+                json.dump(
+                    {
+                        "centroids": [[cid, vec] for cid, vec in cents],
+                        "codebooks": [
+                            [[cid, vec] for cid, vec in book] for book in books
+                        ],
+                    },
+                    fh,
+                )
+        (
+            ivf_assign(emb, cents)
+            .withColumn("codes", _pq_codes("embedding", books))
+            .repartition("list_id")
+            .write.partitionBy("list_id")
+            .mode("overwrite")
+            .parquet(os.path.join(index_path, f"ingest_batch={batch_id}"))
+        )
+        with open(ledger, "a") as fh:
+            fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+    spark.catalog.refreshByPath(index_path)
+
+
 def start_corpus_ingest_indexed(
     spark: SparkSession,
     src_dir: str,
@@ -351,6 +450,43 @@ def start_corpus_ingest_indexed(
                 index_path=index_path,
                 dim=dim,
                 nlist=nlist,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_corpus_ingest_indexed_pq(
+    spark: SparkSession,
+    src_dir: str,
+    lake_path: str,
+    index_path: str,
+    checkpoint: str,
+    watermark_delay: str = "10 minutes",
+    dim: int = 32,
+    nlist: int = 8,
+    m: int = 4,
+    ncodes: int = 8,
+):
+    """ingest -> dedup -> gate -> corpus lake -> embed -> searchable
+    IVF+PQ index, as ONE streaming pipeline (AvailableNow drain).
+    Documents accepted in batch k are retrievable via
+    ``ivfpq_topk_rerank`` the moment batch k commits."""
+    import functools
+
+    out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)
+    return (
+        out.writeStream.foreachBatch(
+            functools.partial(
+                write_corpus_batch_indexed_pq,
+                lake_path=lake_path,
+                index_path=index_path,
+                dim=dim,
+                nlist=nlist,
+                m=m,
+                ncodes=ncodes,
             )
         )
         .option("checkpointLocation", checkpoint)

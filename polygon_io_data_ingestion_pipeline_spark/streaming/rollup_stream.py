@@ -26,6 +26,9 @@ def rollup_batch(
     rollup_path: str,
     keys: list[str],
     sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> None:
     update_rollup(
         batch_df.sparkSession,
@@ -34,6 +37,9 @@ def rollup_batch(
         keys,
         sum_cols,
         shard_id=f"batch_{batch_id}",
+        min_cols=min_cols,
+        max_cols=max_cols,
+        distinct_cols=distinct_cols,
     )
 
 
@@ -45,6 +51,9 @@ def start_rollup_stream(
     checkpoint: str,
     keys: list[str],
     sum_cols: list[str],
+    min_cols: list[str] | None = None,
+    max_cols: list[str] | None = None,
+    distinct_cols: list[str] | None = None,
 ) -> StreamingQuery:
     """Drain available fact files (parquet) into the rollup table
     (AvailableNow trigger — the cron-driven refresh shape)."""
@@ -52,7 +61,13 @@ def start_rollup_stream(
     return (
         stream.writeStream.foreachBatch(
             functools.partial(
-                rollup_batch, rollup_path=rollup_path, keys=keys, sum_cols=sum_cols
+                rollup_batch,
+                rollup_path=rollup_path,
+                keys=keys,
+                sum_cols=sum_cols,
+                min_cols=min_cols,
+                max_cols=max_cols,
+                distinct_cols=distinct_cols,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -129,3 +129,39 @@ def test_bpe_packed_batches_contract(spark):
         for r in rows_g:
             assert r["tok_offset"] == run
             run += r["n_tokens"]
+
+
+def test_bpe_packed_batches_scoped_frees_the_persisted_encoding(spark):
+    """The scoped variant is the explicit resource handle: inside the
+    block the encoded intermediate is persisted (tokenize-once across
+    the packer's plan branches); on exit it is unpersisted, so
+    long-lived sessions composing many packs do not accumulate
+    executor-storage residue."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.bpe import (
+        bpe_packed_batches_scoped,
+        train_bpe,
+        word_counts,
+    )
+
+    rows = [
+        (i, "web" if i % 2 == 0 else "books", f"token stream number {i} repeats")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    merges = train_bpe(word_counts(df), n_merges=8)
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    with bpe_packed_batches_scoped(df, merges, capacity=16, shard_span=8) as packed:
+        got = packed.collect()
+        assert len(got) == 20
+        assert jsc.getPersistentRDDs().size() > base  # encoding persisted
+    assert jsc.getPersistentRDDs().size() == base  # freed on exit
+
+    # exceptions inside the block release the persist too
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        with bpe_packed_batches_scoped(df, merges, capacity=16, shard_span=8):
+            raise RuntimeError("boom")
+    assert jsc.getPersistentRDDs().size() == base

@@ -129,3 +129,77 @@ def test_index_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     )
     assert rows3 == rows1
+
+
+def _topk_ids_pq(spark, idx, text, k=3):
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        ivfpq_topk_rerank,
+        read_ivfpq_meta,
+    )
+
+    cents, books = read_ivfpq_meta(idx)
+    return [
+        r["doc_id"]
+        for r in ivfpq_topk_rerank(
+            spark, idx, cents, books, _qvec(spark, text), k=k, nprobe=len(cents),
+            refine=10, id_col="doc_id",
+        ).collect()
+    ]
+
+
+def test_streamed_docs_become_searchable_per_batch_ivfpq(spark, tmp_path):
+    """The compressed-index streaming sink: accepted docs land in the
+    corpus lake AND an IVF+PQ index per batch; frozen-codebook encoding
+    after bootstrap; replays do not duplicate index rows."""
+    from polygon_io_data_ingestion_pipeline_spark.streaming.corpus_stream import (
+        start_corpus_ingest_indexed_pq,
+        write_corpus_batch_indexed_pq,
+    )
+
+    src, lake, idx, ckpt = (str(tmp_path / d) for d in ("src", "lake", "idx", "ckpt"))
+    os.makedirs(src)
+
+    def drain():
+        q = start_corpus_ingest_indexed_pq(
+            spark, src, lake, idx, ckpt, watermark_delay="10 minutes",
+            dim=16, nlist=2, m=4, ncodes=4,
+        )
+        q.awaitTermination(120)
+
+    # batch 1 bootstraps BOTH codebook levels; dup + junk are not indexed
+    _shard(src, "a.jsonl", [_doc(1, GOOD_A), _doc(2, GOOD_A), _doc(3, "junk short")])
+    drain()
+    assert os.path.exists(os.path.join(idx, "_ivfpq.json"))
+    rows = spark.read.parquet(idx).collect()
+    assert {r["doc_id"] for r in rows} == {1}
+    assert all(len(r["codes"]) == 4 for r in rows)  # m=4 PQ codes per row
+    assert _topk_ids_pq(spark, idx, GOOD_A, k=1) == [1]
+
+    # batch 2 encodes against the FROZEN books and appends
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        read_ivfpq_meta,
+    )
+
+    meta1 = read_ivfpq_meta(idx)
+    _shard(src, "b.jsonl", [_doc(10, GOOD_B)])
+    drain()
+    assert read_ivfpq_meta(idx) == meta1  # books unchanged by append
+    assert {r["doc_id"] for r in spark.read.parquet(idx).collect()} == {1, 10}
+    assert _topk_ids_pq(spark, idx, GOOD_B, k=1) == [10]
+    assert _topk_ids_pq(spark, idx, GOOD_A, k=1) == [1]
+
+    # foreachBatch replay of a committed batch id: no duplicate rows
+    batch = spark.createDataFrame(
+        [(10, GOOD_B, "en", "web", "fpX", 25)],
+        "doc_id long, text string, lang string, source string, fp string, n_tokens int",
+    )
+    before = sorted(
+        (r["doc_id"], r["ingest_batch"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    write_corpus_batch_indexed_pq(batch, 1, lake, idx, dim=16, nlist=2, m=4, ncodes=4)
+    after = sorted(
+        (r["doc_id"], r["ingest_batch"], r["list_id"])
+        for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before

@@ -173,3 +173,60 @@ def test_many_contending_writers_serialize_without_loss(spark, tmp_path):
     assert not errors
     assert int(open(counter).read()) == 50
     assert not os.path.exists(os.path.join(lake, LOCK_NAME))
+
+
+def test_expired_lock_break_is_single_winner_under_contention(spark, tmp_path):
+    """ADVICE r6 (medium): the expiry-break path itself under contention.
+    All waiters observe the SAME expired lock simultaneously; with a
+    delete-then-create break, waiter B's delete can remove waiter A's
+    freshly created lock and both 'hold' the lease. The rename-fenced
+    break must admit exactly one holder at a time and lose no updates."""
+    lake = str(tmp_path / "lake")
+    _mklake(spark, lake)
+    lock = os.path.join(lake, LOCK_NAME)
+    counter = os.path.join(lake, "_counter.txt")
+    with open(counter, "w") as fh:
+        fh.write("0")
+    state = {"active": 0, "max": 0}
+    guard = threading.Lock()
+    errors: list[Exception] = []
+    n_threads, n_rounds = 8, 3
+
+    def contend(holder: str, barrier: threading.Barrier):
+        try:
+            barrier.wait(30)
+            with LakeLease(
+                spark, lake, holder=holder, ttl_sec=60, timeout_sec=120, poll_sec=0.01
+            ):
+                with guard:
+                    state["active"] += 1
+                    state["max"] = max(state["max"], state["active"])
+                n = int(open(counter).read())
+                time.sleep(0.01)  # widen the lost-update window
+                with open(counter, "w") as fh:
+                    fh.write(str(n + 1))
+                with guard:
+                    state["active"] -= 1
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    for _ in range(n_rounds):
+        # a crashed holder left an expired lock behind
+        with open(lock, "w") as fh:
+            fh.write(json.dumps({"holder": "crashed", "token": "dead", "ttl_sec": 5}))
+        past = time.time() - 3600
+        os.utime(lock, (past, past))
+        barrier = threading.Barrier(n_threads)
+        threads = [
+            threading.Thread(target=contend, args=(f"w{i}", barrier))
+            for i in range(n_threads)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(300)
+
+    assert not errors
+    assert state["max"] == 1, "two holders were concurrently inside the lease"
+    assert int(open(counter).read()) == n_threads * n_rounds
+    assert not os.path.exists(lock)

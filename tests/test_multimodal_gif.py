@@ -89,6 +89,15 @@ def test_corrupt_and_unsupported_quarantine():
     anim[gce + 3] = (anim[gce + 3] & ~0x1C) | (3 << 2)
     with pytest.raises(GifFormatError, match="disposal=3"):
         decode_gif(bytes(anim))
+    # an image descriptor whose rect exceeds the logical screen must be
+    # GifFormatError (quarantine), not a numpy broadcast ValueError that
+    # would fail the whole Spark task (ADVICE r6)
+    big = bytearray(encode_gif(PAL[np.zeros((4, 4), dtype=int)]))
+    desc = big.find(b"\x2c")
+    # widen the image width field to 9 while the screen stays 4x4
+    big[desc + 5 : desc + 7] = (9).to_bytes(2, "little")
+    with pytest.raises(GifFormatError, match="exceeds"):
+        decode_gif(bytes(big))
 
 
 def test_spark_image_features_and_frame_sampling(spark):

@@ -93,3 +93,92 @@ def test_ivfpq_index_recall_and_prunings(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "list_id" in plan
     got = [r["vec_id"] for r in part.collect()]
     assert len(set(got) & set(exact_ids)) >= 5, (got, exact_ids)
+
+
+def test_append_to_ivfpq_index_equals_one_shot_build(spark, sf_dir, tmp_path):
+    """IVFPQ lifecycle parity with plain IVF: encoding new vectors
+    against the FROZEN coarse+PQ codebooks and appending yields the
+    SAME index contents (ids, list assignment, codes) as a one-shot
+    build over the full corpus with those codebooks — and probes reach
+    the appended rows without any rebuild."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        build_ivfpq_index,
+        ivfpq_topk_rerank,
+        read_ivfpq_meta,
+        strided_centroids,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.sources import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    first, rest = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+
+    cents = strided_centroids(emb, nlist=16, stride=31)
+    books = S.pq_codebooks_strided(emb, m=4, ncodes=16, stride=31)
+    idx = str(tmp_path / "ivfpq_inc")
+    build_ivfpq_index(first, idx, centroids=cents, codebooks=books)
+    append_to_ivfpq_index(rest, idx)
+
+    ref = str(tmp_path / "ivfpq_ref")
+    build_ivfpq_index(emb, ref, centroids=cents, codebooks=books)
+
+    a = spark.read.parquet(idx).select("vec_id", "list_id", "codes")
+    b = spark.read.parquet(ref).select("vec_id", "list_id", "codes")
+    assert a.count() == emb.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # the sidecar still carries the frozen books
+    got_cents, got_books = read_ivfpq_meta(idx)
+    assert got_cents == cents and got_books == books
+
+    # probing the incrementally-maintained index returns appended
+    # (odd-id) neighbors identically to the one-shot index
+    qvec = [float(v) for v in emb.filter("vec_id = 1").select("embedding").first()[0]]
+    got = ivfpq_topk_rerank(
+        spark, idx, cents, books, qvec, k=10, nprobe=4, refine=10, exclude_id=1
+    ).collect()
+    want = ivfpq_topk_rerank(
+        spark, ref, cents, books, qvec, k=10, nprobe=4, refine=10, exclude_id=1
+    ).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in want]
+    assert any(r["vec_id"] % 2 == 1 for r in got)  # appended rows reachable
+
+
+def test_rebalance_ivfpq_index_retrains_both_levels(spark, sf_dir, tmp_path):
+    """rebalance_ivfpq_index retrains coarse AND PQ codebooks on the
+    index's own contents and swaps in place; the rebuilt index still
+    answers exactly under full probe + re-rank, and the threshold
+    short-circuit skips the rebuild."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        build_ivfpq_index,
+        ivfpq_topk_rerank,
+        read_ivfpq_meta,
+        rebalance_ivfpq_index,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.sources import table as _table
+
+    emb = _table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_reb")
+    build_ivfpq_index(emb, idx, nlist=8, m=4, ncodes=16)
+    old_cents, old_books = read_ivfpq_meta(idx)
+
+    res = rebalance_ivfpq_index(spark, idx, max_train_rows=512, seed=11)
+    assert res["rebuilt"]
+    new_cents, new_books = read_ivfpq_meta(idx)
+    assert new_cents != old_cents  # k-means retrain replaced strided books
+    assert new_books != old_books
+    assert len(new_cents) == 8 and len(new_books) == 4
+
+    # no rows lost, and full probe + generous refine is still exact
+    assert spark.read.parquet(idx).count() == emb.count()
+    exact_ids = [r["vec_id"] for r in brute_force_topk(emb, query_id=0, k=10).collect()]
+    qvec = [float(v) for v in emb.filter("vec_id = 0").select("embedding").first()[0]]
+    full = ivfpq_topk_rerank(
+        spark, idx, new_cents, new_books, qvec, k=10, nprobe=8, refine=50, exclude_id=0
+    )
+    assert [r["vec_id"] for r in full.collect()] == exact_ids
+
+    # imbalance at/below threshold -> cheap no-op
+    res2 = rebalance_ivfpq_index(spark, idx, rebalance_above=1e9)
+    assert not res2["rebuilt"]

@@ -56,6 +56,27 @@ def test_rotation_prioritizes_never_verified_queries():
     assert not missing, f"never-verified queries displaced from window: {missing}"
 
 
+def test_worst_case_verification_latency_bound():
+    """Every registered query must earn an external driver row within
+    ceil(pool / free_slots) rounds, and that bound — computed from the
+    ACTUAL pool and window sizes, not a hardcoded estimate — must stay
+    small enough (<= 4 rounds) that no query rests on the in-repo parity
+    replica for long.  Growing the registry or the pinned tier past this
+    bound requires consciously widening the window or trimming anchors."""
+    import math
+
+    pinned = [n for n in PINNED_WINDOW if n in REGISTRY]
+    free_slots = DRIVER_WINDOW_SIZE - len(pinned)
+    pool = len(REGISTRY) - len(pinned)
+    assert free_slots > 0
+    bound = math.ceil(pool / free_slots)
+    assert bound <= 4, (
+        f"worst-case external-verification latency is {bound} rounds "
+        f"(pool={pool}, free_slots={free_slots}) — widen the window or "
+        f"trim PINNED_WINDOW"
+    )
+
+
 def test_rotation_order_is_staleness_first():
     """Pure-function check with a synthetic history: never-green first (in
     registration order), then ascending last-green round."""

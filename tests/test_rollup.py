@@ -1,10 +1,19 @@
-"""Incremental rollup maintenance: shard folding == full recompute,
-replay no-ops, first-shard bootstrap, and mean derivability."""
+"""Incremental rollup maintenance: shard folding == full recompute
+(count/sum AND min/max/HLL-distinct), replay no-ops, first-shard
+bootstrap, mean derivability, and the atomic versioned commit — a crash
+between table write and ledger publish must replay cleanly, never
+double-count."""
 
 from __future__ import annotations
 
+import glob
+import json
+import os
+
+import pytest
 from pyspark.sql import functions as F
 
+from polygon_io_data_ingestion_pipeline_spark.operators import rollup as rollup_mod
 from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
     read_rollup,
     update_rollup,
@@ -13,6 +22,12 @@ from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
 
 def _shard(spark, rows):
     return spark.createDataFrame(rows, "k string, v double, w long")
+
+
+def _ledger(path: str) -> list[str]:
+    commits = sorted(glob.glob(os.path.join(path, "_commit_v*.json")))
+    assert commits, f"no commit files under {path}"
+    return json.load(open(commits[-1]))["applied_shards"]
 
 
 def test_incremental_equals_full_recompute(spark, tmp_path):
@@ -42,6 +57,44 @@ def test_incremental_equals_full_recompute(spark, tmp_path):
     assert got["a"]["sum_v"] / got["a"]["n_rows"] == (1.0 + 2.0 + 4.0) / 3
 
 
+def test_min_max_hll_fold_equals_full_recompute(spark, tmp_path):
+    """min/max and HLL-distinct cells are mergeable too: folding shard
+    partials must equal one full groupBy of everything (HLL estimates
+    are exact at these cardinalities)."""
+    path = str(tmp_path / "rollup")
+    shards = [
+        [("a", 5.0, 10), ("a", 2.0, 10), ("b", 3.0, 30)],
+        [("a", 9.0, 40), ("b", -1.0, 30), ("c", 5.0, 50)],
+        [("a", 7.0, 10), ("c", 8.0, 80)],
+    ]
+    for i, rows in enumerate(shards):
+        update_rollup(
+            spark,
+            path,
+            _shard(spark, rows),
+            ["k"],
+            sum_cols=["v"],
+            shard_id=f"s{i}",
+            min_cols=["v"],
+            max_cols=["v"],
+            distinct_cols=["w"],
+        )
+    got = {r["k"]: r for r in read_rollup(spark, path).collect()}
+    full = _shard(spark, [r for s in shards for r in s]).groupBy("k").agg(
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.countDistinct("w").alias("nd_w"),
+    )
+    want = {r["k"]: r for r in full.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["min_v"] == want[k]["min_v"]
+        assert got[k]["max_v"] == want[k]["max_v"]
+        assert got[k]["distinct_w"] == want[k]["nd_w"]
+    # the sketch cell itself remains available for further merging
+    assert isinstance(got["a"]["hll_w"], (bytes, bytearray))
+
+
 def test_replayed_shard_is_a_noop(spark, tmp_path):
     path = str(tmp_path / "rollup")
     rows = [("a", 1.0, 1)]
@@ -53,41 +106,81 @@ def test_replayed_shard_is_a_noop(spark, tmp_path):
     assert after == before
 
 
-def test_ledger_and_lock_survive_table_overwrites(spark, tmp_path):
-    import os
-
+def test_ledger_rides_in_the_commit_and_survives_versions(spark, tmp_path):
     path = str(tmp_path / "rollup")
     update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
     update_rollup(spark, path, _shard(spark, [("a", 2.0, 2)]), ["k"], ["v"], "s1")
-    # both shard ids still in the ledger after the second full overwrite
-    with open(os.path.join(path, "_applied_shards.json")) as fh:
-        ids = [line for line in fh if line.strip()]
-    assert len(ids) == 2
+    assert _ledger(path) == ["s0", "s1"]
     got = read_rollup(spark, path).collect()[0]
     assert got["n_rows"] == 2 and got["sum_v"] == 3.0
 
 
-def test_corrupt_table_raises_instead_of_cold_starting(spark, tmp_path):
-    """A damaged aggregate table must fail the update loudly — the old
-    bare-except path silently replaced the accumulated rollup with one
-    shard's worth of data."""
-    import os
-
-    import pytest as _pytest
-
+def test_crash_between_table_and_commit_replays_cleanly(spark, tmp_path, monkeypatch):
+    """THE atomicity property (ADVICE r6 medium): a crash after the
+    merged table is written but before the commit publishes must leave
+    version N-1 authoritative, and the foreachBatch-style replay of the
+    same shard must produce the correct total — not a double count."""
     path = str(tmp_path / "rollup")
     update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
-    # corrupt the table: truncate every parquet footer
-    table = os.path.join(path, "table")
+
+    real_publish = rollup_mod._publish_commit
+
+    def crash(_path, _commit):
+        raise RuntimeError("simulated crash before commit publish")
+
+    monkeypatch.setattr(rollup_mod, "_publish_commit", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        update_rollup(spark, path, _shard(spark, [("a", 10.0, 2)]), ["k"], ["v"], "s1")
+    monkeypatch.setattr(rollup_mod, "_publish_commit", real_publish)
+
+    # the orphan table_v2 exists but is uncommitted: reads see v1 only
+    assert _ledger(path) == ["s0"]
+    assert read_rollup(spark, path).collect()[0]["sum_v"] == 1.0
+
+    # replay of the SAME shard (at-least-once delivery) applies once
+    res = update_rollup(spark, path, _shard(spark, [("a", 10.0, 2)]), ["k"], ["v"], "s1")
+    assert res["applied"]
+    got = read_rollup(spark, path).collect()[0]
+    assert got["sum_v"] == 11.0 and got["n_rows"] == 2
+    assert _ledger(path) == ["s0", "s1"]
+
+
+def test_old_versions_are_garbage_collected(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    for i in range(4):
+        update_rollup(spark, path, _shard(spark, [("a", 1.0, i)]), ["k"], ["v"], f"s{i}")
+    tables = sorted(os.path.basename(p) for p in glob.glob(os.path.join(path, "table_v*")))
+    commits = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(path, "_commit_v*.json"))
+    )
+    # latest + one previous version for in-flight readers, nothing older
+    assert tables == ["table_v000003", "table_v000004"]
+    assert commits == ["_commit_v000003.json", "_commit_v000004.json"]
+
+
+def test_spec_mismatch_raises(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
+    with pytest.raises(ValueError, match="spec mismatch"):
+        update_rollup(
+            spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s1", min_cols=["w"]
+        )
+
+
+def test_corrupt_table_raises_instead_of_cold_starting(spark, tmp_path):
+    """A damaged aggregate table must fail the update loudly — never be
+    silently treated as a cold start (which would replace the
+    accumulated rollup with one shard's worth of data)."""
+    path = str(tmp_path / "rollup")
+    update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
+    # corrupt the committed table: truncate every parquet footer
+    table = glob.glob(os.path.join(path, "table_v*"))[0]
     for root, _dirs, files in os.walk(table):
         for f in files:
             if f.endswith(".parquet"):
-                full = os.path.join(root, f)
-                with open(full, "r+b") as fh:
+                with open(os.path.join(root, f), "r+b") as fh:
                     fh.truncate(4)
-    with _pytest.raises(Exception):
+    with pytest.raises(Exception):
         update_rollup(spark, path, _shard(spark, [("a", 2.0, 2)]), ["k"], ["v"], "s1")
     # the failed update must not have been recorded as applied
-    with open(os.path.join(path, "_applied_shards.json")) as fh:
-        ids = [line for line in fh if line.strip()]
-    assert len(ids) == 1
+    assert _ledger(path) == ["s0"]

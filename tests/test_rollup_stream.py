@@ -3,6 +3,7 @@ recompute of everything ever streamed; replays are ledger no-ops."""
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 
@@ -24,7 +25,9 @@ def _write(spark, src, rows):
 
 
 def _drain(spark, src, rollup, ckpt):
-    q = start_rollup_stream(spark, src, SCHEMA, rollup, ckpt, ["k"], ["v"])
+    q = start_rollup_stream(
+        spark, src, SCHEMA, rollup, ckpt, ["k"], ["v"], min_cols=["v"], distinct_cols=["k"]
+    )
     q.awaitTermination(120)
 
 
@@ -41,12 +44,15 @@ def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
         _write(spark, src, batch)
         all_rows += batch
         _drain(spark, src, rollup, ckpt)
-        got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
+        got = {
+            r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["distinct_k"])
+            for r in read_rollup(spark, rollup).collect()
+        }
         want = {
-            r["k"]: (r["n"], r["s"])
+            r["k"]: (r["n"], r["s"], r["m"], 1)
             for r in spark.createDataFrame(all_rows, SCHEMA)
             .groupBy("k")
-            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"), F.min("v").alias("m"))
             .collect()
         }
         assert got == want  # current after EVERY drain, not just the last
@@ -54,12 +60,19 @@ def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
     # replay suppression: re-applying a committed batch id changes nothing
     before = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
     res = update_rollup(
-        spark, rollup, spark.createDataFrame([("a", 99.0)], SCHEMA), ["k"], ["v"], "batch_0"
+        spark,
+        rollup,
+        spark.createDataFrame([("a", 99.0)], SCHEMA),
+        ["k"],
+        ["v"],
+        "batch_0",
+        min_cols=["v"],
+        distinct_cols=["k"],
     )
     assert not res["applied"]
     after = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
     assert after == before
-    # ledger recorded exactly the three stream batches
-    with open(os.path.join(rollup, "_applied_shards.json")) as fh:
-        ids = [json.loads(line)["shard_id"] for line in fh if line.strip()]
-    assert ids == ["batch_0", "batch_1", "batch_2"]
+    # ledger (inside the latest atomic commit) recorded exactly the
+    # three stream batches
+    latest = sorted(glob.glob(os.path.join(rollup, "_commit_v*.json")))[-1]
+    assert json.load(open(latest))["applied_shards"] == ["batch_0", "batch_1", "batch_2"]
