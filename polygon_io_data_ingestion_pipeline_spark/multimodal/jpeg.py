@@ -4,20 +4,24 @@ multimodal operators decode REAL compressed bytes.
 
 Scope (and honest limits):
 
-- **Encoder**: baseline sequential DCT (SOF0), 4:4:4 / 4:2:2 / 4:2:0
-  chroma sampling (box-filter downsample, interleaved MCUs), standard
-  Annex-K quantization tables scaled by the libjpeg quality formula,
-  standard Huffman tables, JFIF APP0.
-- **Decoder**: baseline sequential (SOF0) with any per-file DQT/DHT
-  (tables are READ FROM THE STREAM, not assumed), grayscale or
-  3-component with ANY integer sampling factors dividing the maxima
-  (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...) — subsampled chroma is
-  nearest-neighbour upsampled; restart markers honored. Progressive
-  (SOF2), arithmetic coding and 12-bit precision are rejected with a
-  clear error — callers quarantine, exactly like every other corrupt
-  payload in multimodal/binaryops.py. 4:2:0 matters: it is the
-  majority sampling in real-world corpora, so without it the codec
-  quarantined most actual JPEGs.
+- **Encoder**: baseline sequential DCT (SOF0) and progressive (SOF2:
+  spectral selection + one successive-approximation level, the
+  real-world web layout), 4:4:4 / 4:2:2 / 4:2:0 chroma sampling
+  (box-filter downsample, interleaved MCUs), standard Annex-K
+  quantization tables scaled by the libjpeg quality formula, standard
+  Huffman tables, JFIF APP0.
+- **Decoder**: baseline sequential (SOF0) AND progressive (SOF2 —
+  spectral selection, successive approximation, EOB runs, interleaved
+  or single-component scans, G.1.2 correction-bit protocol) with any
+  per-file DQT/DHT (tables are READ FROM THE STREAM, not assumed),
+  grayscale or 3-component with ANY integer sampling factors dividing
+  the maxima (4:4:4, 4:2:2, 4:2:0, 4:1:1, ...) — subsampled chroma is
+  nearest-neighbour upsampled; restart markers honored. Arithmetic
+  coding and 12-bit precision are rejected with a clear error —
+  callers quarantine, exactly like every other corrupt payload in
+  multimodal/binaryops.py. Progressive + 4:2:0 matter: together they
+  are the majority of real-world web JPEGs, so without them the codec
+  quarantined most actual files.
 
 The format is self-describing (quant + Huffman tables travel in
 DQT/DHT segments), so encode->decode fidelity is provable in-repo;
@@ -320,13 +324,10 @@ def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
 SUBSAMPLING = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") -> bytes:
-    """uint8 image (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF
-    bytes (standard tables at the given quality).
-
-    ``subsampling``: ``"4:4:4"`` (default, lossless chroma grid),
-    ``"4:2:2"`` or ``"4:2:0"`` (box-filter chroma downsample +
-    interleaved MCUs — what real-world encoders emit)."""
+def _forward_coefficients(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, subsample, DCT,
+    quantize.  Returns (coef_grids in zigzag order, factors, qtabs,
+    gray, h, w, mcux, mcuy)."""
     arr = np.asarray(img)
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
@@ -366,6 +367,19 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") 
         q = qluma if ci == 0 else qchroma
         zz = np.round(coef / q).astype(np.int32).reshape(-1, 64)[:, ZIGZAG]
         coef_grids.append(zz.reshape(gh, gw, 64))
+    return coef_grids, factors, qtabs, gray, h, w, mcux, mcuy
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") -> bytes:
+    """uint8 image (H, W) grayscale or (H, W, 3) RGB -> baseline JFIF
+    bytes (standard tables at the given quality).
+
+    ``subsampling``: ``"4:4:4"`` (default, lossless chroma grid),
+    ``"4:2:2"`` or ``"4:2:0"`` (box-filter chroma downsample +
+    interleaved MCUs — what real-world encoders emit)."""
+    coef_grids, factors, qtabs, gray, h, w, mcux, mcuy = _forward_coefficients(
+        img, quality, subsampling
+    )
 
     dc_tabs = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
     ac_tabs = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
@@ -374,7 +388,7 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") 
         ac_tabs.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
 
     bwtr = _BitWriter()
-    pred = [0] * len(planes)
+    pred = [0] * len(coef_grids)
 
     def emit_block(zz: np.ndarray, ci: int) -> None:
         ti = 0 if ci == 0 else 1
@@ -450,6 +464,177 @@ def encode_jpeg(img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4") 
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "4:4:4"
+) -> bytes:
+    """uint8 image -> PROGRESSIVE JFIF bytes (SOF2): spectral selection
+    plus one level of successive approximation, the layout real-world
+    web encoders emit.  Identical quantized coefficients to
+    :func:`encode_jpeg`, so decoding both must yield identical pixels —
+    the cross-check the tests pin.
+
+    Scan script: DC first (Al=1) interleaved; DC refine; per component
+    AC bands 1-5 and 6-63 at Al=1; per component AC refine (Ah=1,
+    Al=0).  EOB runs are flushed per block (EOB0 only — valid, and
+    independent of which EOBn symbols the table carries)."""
+    coef_grids, factors, qtabs, gray, h, w, mcux, mcuy = _forward_coefficients(
+        img, quality, subsampling
+    )
+    nc = 1 if gray else 3
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+
+    dc_codes = [_canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)]
+    ac_codes = [_canonical_codes(AC_LUMA_BITS, AC_LUMA_VALS)]
+    if not gray:
+        dc_codes.append(_canonical_codes(DC_CHROMA_BITS, DC_CHROMA_VALS))
+        ac_codes.append(_canonical_codes(AC_CHROMA_BITS, AC_CHROMA_VALS))
+
+    def comp_blocks(ci):
+        hf, vf = factors[ci]
+        ch, cw = -(-h * vf // vmax), -(-w * hf // hmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield coef_grids[ci][by, bx]
+
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+
+    # ---- DC first (interleaved, Al=1)
+    bwr = _BitWriter()
+    pred = [0] * nc
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci, (hf, vf) in enumerate(factors):
+            ti = 0 if ci == 0 else 1
+            for by in range(vf):
+                for bx in range(hf):
+                    v = int(coef_grids[ci][my * vf + by, mx * hf + bx][0]) >> 1
+                    diff = v - pred[ci]
+                    pred[ci] = v
+                    s = _category(diff)
+                    code, ln = dc_codes[ti][s]
+                    bwr.write(code, ln)
+                    if s:
+                        bwr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+    scans.append((list(range(nc)), 0, 0, 0, 1, bwr.flush()))
+
+    # ---- DC refine (interleaved, Ah=1, Al=0): one raw bit per block
+    bwr = _BitWriter()
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci, (hf, vf) in enumerate(factors):
+            for by in range(vf):
+                for bx in range(hf):
+                    bwr.write(int(coef_grids[ci][my * vf + by, mx * hf + bx][0]) & 1, 1)
+    scans.append((list(range(nc)), 0, 0, 1, 0, bwr.flush()))
+
+    # ---- AC first bands per component (Al=1)
+    def ac_first_scan(ci, ss, se, al):
+        out = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        for zz in comp_blocks(ci):
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = codes[0xF0]
+                    out.write(code, ln)
+                    r -= 16
+                s = _category(t)
+                code, ln = codes[(r << 4) | s]
+                out.write(code, ln)
+                val = t if v > 0 else -t
+                out.write(val if val > 0 else val + (1 << s) - 1, s)
+                r = 0
+            if r > 0:
+                code, ln = codes[0x00]  # EOB0
+                out.write(code, ln)
+        return out.flush()
+
+    # ---- AC refine per component (Ah=1, Al=0) with buffered
+    # correction bits (G.1.2.3: corrections for history coefficients
+    # passed over ride AFTER the next emitted symbol)
+    def ac_refine_scan(ci, ss, se, al):
+        out = _BitWriter()
+        codes = ac_codes[0 if ci == 0 else 1]
+        p_bit = 1 << al
+
+        def flush_br(br):
+            for b in br:
+                out.write(b, 1)
+            br.clear()
+
+        for zz in comp_blocks(ci):
+            r = 0
+            br: list[int] = []
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al
+                if t == 0:
+                    r += 1
+                    continue
+                if t > 1:  # already significant: one correction bit
+                    br.append(1 if abs(v) & p_bit else 0)
+                    continue
+                while r > 15:
+                    code, ln = codes[0xF0]
+                    out.write(code, ln)
+                    flush_br(br)
+                    r -= 16
+                code, ln = codes[(r << 4) | 1]
+                out.write(code, ln)
+                out.write(1 if v > 0 else 0, 1)
+                flush_br(br)
+                r = 0
+            if r > 0 or br:
+                code, ln = codes[0x00]  # EOB0 closes the block
+                out.write(code, ln)
+                flush_br(br)
+        return out.flush()
+
+    for ci in range(nc):
+        scans.append(([ci], 1, 5, 0, 1, ac_first_scan(ci, 1, 5, 1)))
+    for ci in range(nc):
+        scans.append(([ci], 6, 63, 0, 1, ac_first_scan(ci, 6, 63, 1)))
+    for ci in range(nc):
+        scans.append(([ci], 1, 63, 1, 0, ac_refine_scan(ci, 1, 63, 0)))
+
+    # ---- markers
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for ti, q in enumerate(qtabs):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([ti])
+        out += bytes(int(x) for x in q.reshape(-1)[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hf, vf = factors[ci]
+        out += bytes([ci + 1, (hf << 4) | vf, 0 if ci == 0 else 1])
+    huff_specs = [
+        (0x00, DC_LUMA_BITS, DC_LUMA_VALS),
+        (0x10, AC_LUMA_BITS, AC_LUMA_VALS),
+    ]
+    if not gray:
+        huff_specs += [
+            (0x01, DC_CHROMA_BITS, DC_CHROMA_VALS),
+            (0x11, AC_CHROMA_BITS, AC_CHROMA_VALS),
+        ]
+    for tc, bits, vals in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals)) + bytes([tc])
+        out += bytes(bits) + bytes(vals)
+    for comp_ids, ss, se, ah, al, entropy in scans:
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        for ci in comp_ids:
+            out += bytes([ci + 1, (0x00 if ci == 0 else 0x11)])
+        out += bytes([ss, se, (ah << 4) | al])
+        out += entropy
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --- decoder ---------------------------------------------------------------
 
 
@@ -478,6 +663,8 @@ def _decode_markers(payload: bytes) -> np.ndarray:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     frame = None
+    progressive = False
+    prog: dict | None = None
     restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -485,6 +672,10 @@ def _decode_markers(payload: bytes) -> np.ndarray:
         marker = payload[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if progressive and prog is not None:
+                return _reconstruct(
+                    prog["coefs"], frame, qtabs, prog["factors"], prog["grids"]
+                )
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -510,7 +701,7 @@ def _decode_markers(payload: bytes) -> np.ndarray:
                 vals = list(seg[off + 17 : off + 17 + nv])
                 htabs[(tc, th)] = _decode_table(bits, vals)
                 off += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             prec, fh, fw, nc = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(
                 ">H", seg[3:5]
             )[0], seg[5]
@@ -524,22 +715,250 @@ def _decode_markers(payload: bytes) -> np.ndarray:
                     raise JpegFormatError(f"invalid sampling factors {hf}x{vf}")
                 comps.append((cid, hf, vf, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegFormatError(f"non-baseline frame 0xFF{marker:02X} unsupported")
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(f"unsupported frame type 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
             if frame is None:
-                raise JpegFormatError("SOS before SOF0")
+                raise JpegFormatError("SOS before SOF")
             ns = seg[0]
-            scan_tabs = []
+            if not progressive:
+                scan_tabs = []
+                for ci in range(ns):
+                    td, ta = seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 0xF
+                    scan_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
+                data = payload[pos + seglen :]
+                return _decode_scan(data, frame, qtabs, scan_tabs, restart_interval)
+            # progressive: one of many scans, each refining the shared
+            # coefficient grids (spectral selection + successive approx)
+            if prog is None:
+                prog = _init_progressive(frame)
+            scomps = []
             for ci in range(ns):
+                cs = seg[1 + 2 * ci]
                 td, ta = seg[2 + 2 * ci] >> 4, seg[2 + 2 * ci] & 0xF
-                scan_tabs.append((htabs[(0, td)], htabs[(1, ta)]))
-            data = payload[pos + seglen :]
-            return _decode_scan(data, frame, qtabs, scan_tabs, restart_interval)
+                matches = [i for i, c in enumerate(frame[2]) if c[0] == cs]
+                if not matches:
+                    raise JpegFormatError(f"scan component {cs} not in frame")
+                scomps.append((matches[0], td, ta))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            end = _entropy_end(payload, pos + seglen)
+            _progressive_scan(
+                payload[pos + seglen : end],
+                prog,
+                frame,
+                htabs,
+                scomps,
+                ss,
+                se,
+                ahal >> 4,
+                ahal & 0xF,
+                restart_interval,
+            )
+            pos = end
+            continue
         pos += seglen
+    if progressive and prog is not None:
+        # stream without explicit EOI: reconstruct from what arrived
+        return _reconstruct(prog["coefs"], frame, qtabs, prog["factors"], prog["grids"])
     raise JpegFormatError("no scan data")
+
+
+def _entropy_end(payload: bytes, start: int) -> int:
+    """Index just past a scan's entropy data: the first 0xFF followed by
+    a real marker (not a stuffed 0x00, not an RSTn)."""
+    i = start
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            return i
+        i += 1
+    return n
+
+
+def _init_progressive(frame) -> dict:
+    """Shared coefficient grids for a progressive frame — the same
+    MCU-aligned layout `_decode_scan` uses, filled across scans."""
+    fh, fw, comps = frame
+    nc = len(comps)
+    if nc == 1:
+        factors = [(1, 1)]
+    else:
+        factors = [(hf, vf) for _cid, hf, vf, _tq in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    for hf, vf in factors:
+        if hmax % hf or vmax % vf:
+            raise JpegFormatError(
+                f"non-integer upsampling ratio for factors {hf}x{vf} (max {hmax}x{vmax})"
+            )
+    mcux, mcuy = -(-fw // (8 * hmax)), -(-fh // (8 * vmax))
+    grids = [(mcuy * vf, mcux * hf) for hf, vf in factors]
+    return {
+        "factors": factors,
+        "grids": grids,
+        "coefs": [np.zeros((gh, gw, 64), dtype=np.int32) for gh, gw in grids],
+        "mcux": mcux,
+        "mcuy": mcuy,
+        "hmax": hmax,
+        "vmax": vmax,
+    }
+
+
+def _progressive_scan(
+    data, prog, frame, htabs, scomps, ss, se, ah, al, restart_interval
+) -> None:
+    """One progressive scan (G.1.2): DC first/refine (interleaved or
+    not), AC first/refine (single component by spec), accumulating into
+    the shared coefficient grids.  EOB runs, ZRL and the correction-bit
+    protocol follow the spec algorithms."""
+    fh, fw, comps = frame
+    reader = _BitReader(data)
+    eobrun = 0
+
+    def need(tc, th):
+        tab = htabs.get((tc, th))
+        if tab is None:
+            raise JpegFormatError(f"missing huffman table ({tc},{th}) for scan")
+        return tab
+
+    if ss == 0:  # ---- DC scan (se must be 0 per spec)
+        if se != 0:
+            raise JpegFormatError("DC scan with Se != 0")
+        pred = [0] * len(scomps)
+        dc_tabs = [need(0, td) if ah == 0 else None for _ci, td, _ta in scomps]
+
+        def dc_block(zz, si):
+            if ah == 0:
+                s = _huff_decode(reader, dc_tabs[si])
+                diff = _extend(reader.bits(s), s) if s else 0
+                pred[si] += diff
+                zz[0] = pred[si] << al
+            else:  # refinement: one raw bit per block
+                if reader.bit():
+                    zz[0] |= 1 << al
+
+        if len(scomps) > 1:  # interleaved MCU order
+            mcux, mcuy = prog["mcux"], prog["mcuy"]
+            n_mcu = mcux * mcuy
+            for m in range(n_mcu):
+                if restart_interval and m and m % restart_interval == 0:
+                    reader.align_to_restart()
+                    pred = [0] * len(scomps)
+                my, mx = divmod(m, mcux)
+                for si, (ci, _td, _ta) in enumerate(scomps):
+                    hf, vf = prog["factors"][ci]
+                    for by in range(vf):
+                        for bx in range(hf):
+                            dc_block(prog["coefs"][ci][my * vf + by, mx * hf + bx], si)
+        else:  # non-interleaved: raster over the component's own blocks
+            ci = scomps[0][0]
+            for bi, (by, bx) in enumerate(_component_blocks(prog, frame, ci)):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    reader.align_to_restart()
+                    pred = [0]
+                dc_block(prog["coefs"][ci][by, bx], 0)
+        return
+
+    # ---- AC scan: spec requires exactly one component
+    if len(scomps) != 1:
+        raise JpegFormatError("progressive AC scan must be single-component")
+    ci, _td, ta = scomps[0]
+    ac_tab = need(1, ta)
+    p1 = 1 << al
+
+    def ac_first(zz):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = _huff_decode(reader, ac_tab)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.bits(r)
+                return
+            k += r
+            if k > se:
+                raise JpegFormatError("AC run past band end")
+            zz[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def refine_nonzero(zz, k):
+        """One correction bit for an already-nonzero coefficient."""
+        if reader.bit() and (abs(int(zz[k])) & p1) == 0:
+            zz[k] += p1 if zz[k] >= 0 else -p1
+
+    def ac_refine(zz):
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _huff_decode(reader, ac_tab)
+                r, s = rs >> 4, rs & 0xF
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.bits(r)
+                        break
+                    # ZRL: pass 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise JpegFormatError("AC refine size != 1")
+                    newval = p1 if reader.bit() else -p1
+                while k <= se:
+                    if zz[k] != 0:
+                        refine_nonzero(zz, k)
+                    else:
+                        if r == 0:
+                            if newval:
+                                zz[k] = newval
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if eobrun > 0:
+            while k <= se:
+                if zz[k] != 0:
+                    refine_nonzero(zz, k)
+                k += 1
+            eobrun -= 1
+
+    block_fn = ac_first if ah == 0 else ac_refine
+    for bi, (by, bx) in enumerate(_component_blocks(prog, frame, ci)):
+        if restart_interval and bi and bi % restart_interval == 0:
+            reader.align_to_restart()
+            eobrun = 0
+        block_fn(prog["coefs"][ci][by, bx])
+
+
+def _component_blocks(prog, frame, ci):
+    """Raster (by, bx) positions of a component's REAL blocks for a
+    non-interleaved scan: ceil(component dims / 8), not the MCU-padded
+    grid (B.2.3)."""
+    fh, fw, _comps = frame
+    hf, vf = prog["factors"][ci]
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    ch, cw = -(-fh * vf // vmax), -(-fw * hf // hmax)
+    bh, bw = -(-ch // 8), -(-cw // 8)
+    for by in range(bh):
+        for bx in range(bw):
+            yield by, bx
 
 
 def _decode_scan(data, frame, qtabs, scan_tabs, restart_interval) -> np.ndarray:
@@ -597,6 +1016,17 @@ def _decode_scan(data, frame, qtabs, scan_tabs, restart_interval) -> np.ndarray:
                 for bx in range(hf):
                     decode_block(coefs[ci][my * vf + by, mx * hf + bx], ci)
 
+    return _reconstruct(coefs, frame, qtabs, factors, grids)
+
+
+def _reconstruct(coefs, frame, qtabs, factors, grids) -> np.ndarray:
+    """Accumulated zigzag coefficient grids -> pixels (dequantize, IDCT,
+    crop, upsample, color-convert) — shared by the baseline single-scan
+    path and the progressive multi-scan path."""
+    fh, fw, comps = frame
+    nc = len(comps)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     planes = []
     for ci, comp in enumerate(comps):
         tq = comp[-1]

@@ -76,8 +76,11 @@ def test_unsupported_and_corrupt_rejected():
     img = _gradient(16, 16)
     enc = bytearray(encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # pretend progressive
+    enc[sof + 1] = 0xC9  # arithmetic coding: still quarantined
     with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(enc))
+    enc[sof + 1] = 0xC2  # progressive frame with a BASELINE scan header
+    with pytest.raises(JpegFormatError):  # malformed, not silently wrong
         decode_jpeg(bytes(enc))
     with pytest.raises(JpegFormatError):
         decode_jpeg(b"\xff\xd8\xff\xdb\x00\x05trunc")
@@ -239,3 +242,143 @@ def test_subsampled_decode_interops_with_spark_features(spark):
     assert out[1][0] == 56.0 and out[1][1] == 40.0 and out[1][2] == 3.0
     assert abs(out[1][3] - float(img.mean())) < 3.0
     assert out[2] is None  # junk still quarantines
+
+
+def _lowfreq(rng, shape):
+    """JPEG-friendly low-frequency content plus mild noise."""
+    ch, cw = -(-shape[0] // 8), -(-shape[1] // 8)
+    cell = (ch, cw) if len(shape) == 2 else (ch, cw, shape[2])
+    rep = (8, 8) if len(shape) == 2 else (8, 8, 1)
+    base = np.kron(rng.integers(0, 240, cell, dtype=np.uint8), np.ones(rep, np.uint8))
+    img = base[: shape[0], : shape[1]]
+    return (img + rng.integers(0, 16, shape, dtype=np.uint8)).astype(np.uint8)
+
+
+def test_progressive_decode_matches_baseline_exactly():
+    """SOF2 spectral-selection + successive-approximation scans carry
+    the SAME quantized coefficients as the baseline stream, so decoding
+    both must give IDENTICAL pixels — gray, RGB, odd dims, and both
+    chroma subsamplings."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    cases = [
+        ((16, 16), "4:4:4"),
+        ((29, 13), "4:4:4"),
+        ((32, 24, 3), "4:4:4"),
+        ((21, 19, 3), "4:2:0"),
+        ((24, 18, 3), "4:2:2"),
+    ]
+    for shape, sub in cases:
+        img = _lowfreq(rng, shape)
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        prog = decode_jpeg(encode_jpeg_progressive(img, subsampling=sub))
+        assert np.array_equal(base, prog), (shape, sub)
+
+
+def test_progressive_roundtrip_meets_psnr_floor():
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(37)
+    img = _lowfreq(rng, (40, 56, 3))
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=90))
+    assert _psnr(img, out) > 30.0
+
+
+def test_progressive_multiblock_eob_runs_hand_fixture():
+    """EOBn with r > 0 (a run covering several blocks) in both the
+    first and the refinement AC scans — our encoder flushes per block
+    (EOB0 only), so this path is pinned by a hand-assembled stream
+    against pixels computed straight from the coefficient math."""
+    import struct as _struct
+
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import (
+        _BitWriter,
+        _C,
+        UNZIGZAG,
+    )
+
+    h, w = 8, 32  # four 8x8 blocks in one row, grayscale
+    # DC table: symbols 0..5 at length 3; AC table: the symbols we emit
+    dc_vals = [0, 1, 2, 3, 4, 5]
+    dc_bits = [0, 0, 6] + [0] * 13
+    ac_vals = [0x00, 0x01, 0x02, 0x10, 0x20, 0x31, 0xF0]
+    ac_bits = [0, 0, 7] + [0] * 13
+
+    def codes(bits, vals):
+        out, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                out[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_c, ac_c = codes(dc_bits, dc_vals), codes(ac_bits, ac_vals)
+
+    # scan 1: DC first, Al=0 — DCs 8, 8, 8, 8 (diffs 8,0,0,0)
+    s1 = _BitWriter()
+    c, ln = dc_c[4]
+    s1.write(c, ln)
+    s1.write(8, 4)
+    for _ in range(3):
+        c, ln = dc_c[0]
+        s1.write(c, ln)
+
+    # scan 2: AC first (Ss=1, Se=63, Al=1) — block0 zz[1]=4 (t=2),
+    # then EOB2 + 2 extension bits of 0 -> eobrun=3 covers blocks 1-3
+    s2 = _BitWriter()
+    c, ln = ac_c[0x02]
+    s2.write(c, ln)
+    s2.write(2, 2)  # +2 (decoder shifts <<1 -> 4)
+    c, ln = ac_c[0x20]
+    s2.write(c, ln)
+    s2.write(0, 2)
+
+    # scan 3: AC refine (Ah=1, Al=0) — block0: zz[1] history coef gets
+    # correction bit 0; zz[5] newly significant +1 after 3 zero-history
+    # skips (symbol 0x31); then EOB covering all 4 remaining block-ends
+    # via r=2 (eobrun = 4 + 2 extension bits of 0)
+    s3 = _BitWriter()
+    c, ln = ac_c[0x31]
+    s3.write(c, ln)
+    s3.write(1, 1)  # sign: positive
+    s3.write(0, 1)  # buffered correction bit for zz[1]
+    c, ln = ac_c[0x20]
+    s3.write(c, ln)
+    s3.write(0, 2)
+
+    def chunk(marker, body):
+        return marker + _struct.pack(">H", len(body) + 2) + body
+
+    stream = bytearray(b"\xff\xd8")
+    stream += chunk(b"\xff\xdb", bytes([0]) + bytes([1] * 64))  # all-ones quant
+    stream += chunk(b"\xff\xc2", _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    stream += chunk(b"\xff\xc4", bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    stream += chunk(b"\xff\xc4", bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    stream += chunk(b"\xff\xda", bytes([1, 1, 0x00, 0, 0, 0x00])) + s1.flush()
+    stream += chunk(b"\xff\xda", bytes([1, 1, 0x00, 1, 63, 0x01])) + s2.flush()
+    stream += chunk(b"\xff\xda", bytes([1, 1, 0x00, 1, 63, 0x10])) + s3.flush()
+    stream += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(stream))
+    assert got.shape == (h, w)
+
+    # expected pixels straight from the coefficient definition
+    def block_pixels(zz):
+        dez = np.asarray(zz, dtype=np.float64)[UNZIGZAG].reshape(8, 8)
+        return np.clip(np.round(_C.T @ dez @ _C + 128.0), 0, 255).astype(np.uint8)
+
+    zz0 = np.zeros(64)
+    zz0[0], zz0[1], zz0[5] = 8, 4, 1
+    zzr = np.zeros(64)
+    zzr[0] = 8
+    expected = np.concatenate(
+        [block_pixels(zz0)] + [block_pixels(zzr)] * 3, axis=1
+    )
+    assert np.array_equal(got, expected)
