@@ -390,16 +390,43 @@ def apply_dividend_factors(
     return m
 
 
+def id_renorm_factors(bars_tr: DataFrame, base_col: str) -> DataFrame:
+    """Per-id re-anchor ratios (id, __renorm): final close_tr over final
+    base close, via ``max_by`` partial aggregation.
+
+    This is the factor engine's one full-table computation keyed by id
+    ALONE, so it is where a hot key bites at 100 TB: the previous
+    whole-partition window (``F.last().over(partitionBy(id))``)
+    serialized a security holding half the corpus into a single task.
+    A map-side-combining aggregate reduces every partition's slice of
+    the hot id to ONE row before the shuffle, so skew costs nothing —
+    and the result is an O(#ids) frame the caller broadcasts back
+    (tests/test_factor_skew.py pins both the plan shape and equality
+    with the window formulation on a 50%-hot-key fixture)."""
+    agg = bars_tr.groupBy("id").agg(
+        F.max_by("close_tr", "datetime").alias("__last_tr"),
+        F.max_by(base_col, "datetime").alias("__last_base"),
+    )
+    renorm = F.col("__last_tr") / F.col("__last_base")
+    renorm = F.when(renorm.isNull() | (renorm == 0), F.lit(1.0)).otherwise(renorm)
+    return agg.select("id", renorm.alias("__renorm"))
+
+
 def renormalize_tr(bars_tr: DataFrame, use_split_base: bool = True) -> DataFrame:
     """Batch-mode re-anchor: scale each id's TR factor so the final
-    close_tr equals the final base close (factor_builder.py:440-455)."""
+    close_tr equals the final base close (factor_builder.py:440-455).
+
+    Skew-safe shape: the per-id anchor values come from
+    :func:`id_renorm_factors` (partial aggregation, not a
+    whole-partition window) and join back as a broadcast — the bar
+    table is never shuffled on the bare id key."""
     base_col = "close_split" if use_split_base and "close_split" in bars_tr.columns else "close"
-    w = Window.partitionBy("id").orderBy("datetime").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    renorm = F.last("close_tr").over(w) / F.last(base_col).over(w)
-    renorm = F.when(renorm.isNull() | (renorm == 0), F.lit(1.0)).otherwise(renorm)
-    out = bars_tr.withColumn("tr_price_factor", F.col("tr_price_factor") / renorm)
+    renorm = id_renorm_factors(bars_tr, base_col)
+    out = bars_tr.join(F.broadcast(renorm), "id", "left")
+    out = out.withColumn(
+        "tr_price_factor",
+        F.col("tr_price_factor") / F.coalesce(F.col("__renorm"), F.lit(1.0)),
+    ).drop("__renorm")
     out = out.withColumn("close_tr", F.col(base_col) * F.col("tr_price_factor"))
     for c in OHLC:
         if f"{c}_split" in out.columns:
