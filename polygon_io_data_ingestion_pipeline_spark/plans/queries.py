@@ -4478,131 +4478,6 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@q(
-    "tpch_q10_returned_items",
-    oracle="""
-SELECT c_custkey, c_name,
-       CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS revenue,
-       CAST(round(c_acctbal, 2) AS DOUBLE) AS acctbal, n_name
-FROM customer JOIN orders ON c_custkey = o_custkey
-              JOIN lineitem ON l_orderkey = o_orderkey
-              JOIN nation ON c_nationkey = n_nationkey
-WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
-  AND l_returnflag = 'R'
-GROUP BY c_custkey, c_name, c_acctbal, n_name
-ORDER BY revenue DESC, c_custkey
-LIMIT 20
-""",
-    doc="TPC-H Q10 returned-item reporting (columns restricted to the "
-    "generated schema): quarter-window orders x returned lineitems, "
-    "customer/nation enrichment, top-20 by lost revenue. Scale shape: "
-    "the orders date filter and l_returnflag predicate both push to "
-    "parquet; nation broadcasts; the big join keys on orderkey (no "
-    "hot-customer skew since the agg is partial per customer).",
-    tags=("join", "topk", "tpch"),
-)
-def tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
-    o = table(spark, sf, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
-        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
-    )
-    li = table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
-    c = table(spark, sf, "customer")
-    n = table(spark, sf, "nation")
-    return (
-        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
-        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .select(
-            "c_custkey",
-            "c_name",
-            "revenue",
-            F.round("c_acctbal", 2).cast("double").alias("acctbal"),
-            "n_name",
-        )
-        .orderBy(F.desc("revenue"), F.col("c_custkey"))
-        .limit(20)
-    )
-
-
-@q(
-    "tpch_q14_promo_revenue",
-    oracle="""
-SELECT CAST(round(
-         100.0 * sum(CAST(round(CASE WHEN p_type = 'PROMO'
-                                     THEN l_extendedprice * (1 - l_discount)
-                                     ELSE 0 END * 1000000) AS BIGINT))
-         / sum(CAST(round(l_extendedprice * (1 - l_discount) * 1000000) AS BIGINT)),
-       4) AS DOUBLE) AS promo_revenue_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
-""",
-    doc="TPC-H Q14 promotion effect: conditional-aggregate ratio over a "
-    "one-month shipdate slice. Scale shape: the date predicate prunes "
-    "lineitem row groups; part joins on partkey (broadcastable at the "
-    "dimension scale); both sums are map-side partial, one scalar out.",
-    tags=("agg", "join", "tpch"),
-)
-def tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
-    )
-    p = table(spark, sf, "part")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    scaled = lambda c: F.sum(F.round(c * 1000000.0, 0).cast("long"))  # noqa: E731
-    return (
-        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
-        .agg(
-            F.round(100.0 * scaled(promo) / scaled(rev), 4)
-            .cast("double")
-            .alias("promo_revenue_pct")
-        )
-    )
-
-
-@q(
-    "tpch_q17_small_quantity_revenue",
-    oracle="""
-WITH avgq AS (
-  SELECT l_partkey AS ap, 0.2 * avg(l_quantity) AS lim
-  FROM lineitem GROUP BY l_partkey)
-SELECT CAST(round(sum(CAST(round(l_extendedprice * 1000000) AS BIGINT)) / 1000000.0 / 7.0, 2) AS DOUBLE)
-       AS avg_yearly
-FROM lineitem JOIN part ON p_partkey = l_partkey
-              JOIN avgq ON ap = l_partkey
-WHERE p_brand = 'Brand#13' AND p_size < 15 AND l_quantity < lim
-""",
-    doc="TPC-H Q17 small-quantity-order revenue (p_container substituted "
-    "with p_size, absent from the generated schema): the "
-    "correlated-scalar-subquery pattern — per-part average quantity "
-    "joined back as a threshold. Scale shape: the per-part average is a "
-    "partial agg to an O(parts) frame; the filtered part dim broadcasts; "
-    "no per-row subquery execution anywhere.",
-    tags=("agg", "join", "tpch"),
-)
-def tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
-    li = table(spark, sf, "lineitem")
-    p = table(spark, sf, "part").filter(
-        (F.col("p_brand") == "Brand#13") & (F.col("p_size") < 15)
-    )
-    avgq = li.groupBy(F.col("l_partkey").alias("ap")).agg(
-        (0.2 * F.avg("l_quantity")).alias("lim")
-    )
-    return (
-        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
-        .join(avgq, F.col("ap") == F.col("l_partkey"))
-        .filter(F.col("l_quantity") < F.col("lim"))
-        .agg(
-            (F.round(F.sum(F.round(F.col("l_extendedprice") * 1000000.0, 0).cast("long")) / 1000000.0 / 7.0, 2))
-            .cast("double")
-            .alias("avg_yearly")
-        )
-    )
-
 
 @q(
     "docs_token_budget_mixture",
