@@ -4478,6 +4478,110 @@ def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "tpch_q19_bracket_disjunction",
+    oracle="""
+SELECT CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+""",
+    doc="TPC-H Q19 discounted-revenue shape (p_container/l_shipinstruct "
+    "absent from the generated schema; the brackets pair p_brand+p_size "
+    "bands with l_quantity bands instead): an OR-of-ANDs predicate "
+    "spanning BOTH join sides. Scale shape: each side is pre-filtered "
+    "with the derivable common superset of its own branch conditions — "
+    "part to the three (brand, size) bands (2k -> ~100 rows, then "
+    "broadcast) and lineitem to the quantity envelope 1..30 (pushed to "
+    "the parquet scan) — and the residual per-branch conjunction runs "
+    "after the broadcast join, where each row already carries both "
+    "sides' columns. Catalyst cannot split a cross-side disjunction "
+    "into per-side pushdowns by itself, so the superset prefilter is "
+    "the hand-applied rewrite that keeps the fact scan pruned at 100 TB.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    branches = [
+        ("Brand#12", 5, 1, 11),
+        ("Brand#23", 10, 10, 20),
+        ("Brand#3", 15, 20, 30),
+    ]
+    part_pre = None
+    for brand, smax, _, _ in branches:
+        c = (F.col("p_brand") == brand) & F.col("p_size").between(1, smax)
+        part_pre = c if part_pre is None else (part_pre | c)
+    p = table(spark, sf, "part").filter(part_pre).select("p_partkey", "p_brand", "p_size")
+    li = table(spark, sf, "lineitem").filter(F.col("l_quantity").between(1, 30))
+    residual = None
+    for brand, smax, qlo, qhi in branches:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        residual = c if residual is None else (residual | c)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(residual)
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@q(
+    "tpch_q09_profit_by_nation_year",
+    oracle="""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(round(sum(CAST(round((l_extendedprice * (1 - l_discount) - 0.6 * p_retailprice * l_quantity) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS sum_profit
+FROM lineitem JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    doc="TPC-H Q9 product-type profit shape (no partsupp table in the "
+    "generated schema, so ps_supplycost is proxied by 0.6 * "
+    "p_retailprice — the per-row profit expression keeps Q9's "
+    "fact-minus-dim-attribute arithmetic): profit per supplier nation "
+    "per order year over parts matching a name pattern ('bolt'). Scale shape: "
+    "the LIKE-filtered part (and its retailprice) broadcasts into the "
+    "lineitem scan, supplier and nation broadcast, and the only big "
+    "shuffle is lineitem x orders on orderkey; profit accumulates as "
+    "scaled BIGINTs with the multiplication order written identically "
+    "in both engines so the doubles round-trip bit-for-bit.",
+    tags=("join", "agg", "tpch"),
+)
+def tpch_q09(spark: SparkSession, sf: str) -> DataFrame:
+    li = table(spark, sf, "lineitem")
+    p = (
+        table(spark, sf, "part")
+        .filter(F.col("p_name").like("%bolt%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = table(spark, sf, "supplier").select("s_suppkey", "s_nationkey")
+    o = table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    n = table(spark, sf, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(_dsum(profit).alias("sum_profit"))
+    )
+
 
 @q(
     "docs_token_budget_mixture",
