@@ -14,7 +14,14 @@ restricted to MERGEABLE aggregates:
 - distinct counts as Datasketches HLL cells (``hll_sketch_agg`` per
   shard, ``hll_union_agg`` at merge, ``hll_sketch_estimate`` at read) —
   the sketch binary, not the estimate, is what the table stores, so
-  cells from any number of shards union losslessly.
+  cells from any number of shards union losslessly,
+- distributions as FIXED-BIN HISTOGRAM cells (``array<long>`` of bin
+  counts over a declared [lo, hi) range): per-shard bin counts are
+  ``bins`` conditional sums (whole-stage codegen, map-side partial),
+  and the merge is an element-wise sum — exactly mergeable, unlike
+  ``percentile_approx`` whose intermediate Spark cannot persist.
+  Quantiles/CDFs read out of the cells by linear interpolation
+  (:func:`histogram_quantile`), with error bounded by bin width.
 
 Exactly-once via an ATOMIC versioned commit (the table-format move,
 in miniature): version ``N`` of the rollup is the pair
@@ -109,30 +116,117 @@ def _gc(rollup_path: str, latest_version: int) -> None:
             shutil.rmtree(p, ignore_errors=True)
 
 
+_MAX_HIST_BINS = 128
+
+
+def _hist_bin_expr(col: str, lo: float, hi: float, bins: int):
+    """Clamped bin index of ``col`` over [lo, hi): below-range rows land
+    in bin 0, above-range in bin ``bins-1`` (no silent drops), NULLs in
+    no bin."""
+    width = (hi - lo) / bins
+    raw = F.floor((F.col(col) - F.lit(float(lo))) / F.lit(width)).cast("int")
+    # least/greatest SKIP nulls (they return the extreme of the non-null
+    # operands), so clamp first and null-guard after — otherwise every
+    # NULL value would land in bin 0
+    clamped = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1))
+    return F.when(F.col(col).isNotNull(), clamped)
+
+
 def _agg_exprs(
     sum_cols: list[str],
     min_cols: list[str],
     max_cols: list[str],
     distinct_cols: list[str],
+    hist_cols: dict[str, tuple[float, float, int]],
     merge: bool,
 ) -> list:
     """Partial-aggregate (shard) or merge (table ∪ delta) expressions —
-    the two levels of every mergeable aggregate."""
+    the two levels of every mergeable aggregate.
+
+    Histogram cells: the partial level is ``bins`` conditional sums
+    packed into one array (all whole-stage codegen, map-side combined);
+    the merge level sums the arrays element-wise.  ``bins`` is capped at
+    ``_MAX_HIST_BINS`` so the expression count stays codegen-friendly."""
     if not merge:
-        return (
+        exprs = (
             [F.count(F.lit(1)).alias("n_rows")]
             + [F.sum(F.col(c)).alias(f"sum_{c}") for c in sum_cols]
             + [F.min(F.col(c)).alias(f"min_{c}") for c in min_cols]
             + [F.max(F.col(c)).alias(f"max_{c}") for c in max_cols]
             + [F.hll_sketch_agg(F.col(c)).alias(f"hll_{c}") for c in distinct_cols]
         )
-    return (
+        for c, (lo, hi, bins) in hist_cols.items():
+            b = _hist_bin_expr(c, lo, hi, bins)
+            exprs.append(
+                F.array(
+                    *[
+                        F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))).cast("long")
+                        for i in range(bins)
+                    ]
+                ).alias(f"hist_{c}")
+            )
+        return exprs
+    exprs = (
         [F.sum("n_rows").alias("n_rows")]
         + [F.sum(f"sum_{c}").alias(f"sum_{c}") for c in sum_cols]
         + [F.min(f"min_{c}").alias(f"min_{c}") for c in min_cols]
         + [F.max(f"max_{c}").alias(f"max_{c}") for c in max_cols]
         + [F.hll_union_agg(f"hll_{c}").alias(f"hll_{c}") for c in distinct_cols]
     )
+    for c, (_lo, _hi, bins) in hist_cols.items():
+        exprs.append(
+            F.array(
+                *[F.sum(F.element_at(F.col(f"hist_{c}"), i + 1)) for i in range(bins)]
+            ).alias(f"hist_{c}")
+        )
+    return exprs
+
+
+def histogram_quantile(
+    hist_col, lo: float, hi: float, bins: int, prob: float
+):
+    """Column expression: the ``prob``-quantile estimated from a fixed-bin
+    histogram cell by linear interpolation inside the covering bin
+    (error <= one bin width; exact when values are bin-uniform).
+
+    One ``aggregate`` pass over a ``bins``-length array per key — the
+    lambda runs interpreted, but only on the O(distinct keys) rollup
+    frame, never the fact stream.  NULL/empty cells yield NULL."""
+    width = (hi - lo) / bins
+    col = hist_col if not isinstance(hist_col, str) else F.col(hist_col)
+    total = F.aggregate(col, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.lit(float(prob)) * total.cast("double")
+    # Fold: walk bins left->right tracking (idx, running_cum, found_idx,
+    # cum_before_found, found_bin_count); the first non-empty bin whose
+    # running total reaches target wins.
+    acc0 = F.struct(
+        F.lit(0).alias("i"),
+        F.lit(0.0).alias("cum"),
+        F.lit(-1).alias("fi"),
+        F.lit(0.0).alias("fcum"),
+        F.lit(0.0).alias("fcnt"),
+    )
+
+    def step(a, x):
+        xd = x.cast("double")
+        new_cum = a["cum"] + xd
+        hit = (a["fi"] < 0) & (new_cum >= target) & (xd > 0)
+        return F.struct(
+            (a["i"] + 1).alias("i"),
+            new_cum.alias("cum"),
+            F.when(hit, a["i"]).otherwise(a["fi"]).alias("fi"),
+            F.when(hit, a["cum"]).otherwise(a["fcum"]).alias("fcum"),
+            F.when(hit, xd).otherwise(a["fcnt"]).alias("fcnt"),
+        )
+
+    def fin(a):
+        frac = (target - a["fcum"]) / a["fcnt"]
+        est = F.lit(float(lo)) + (
+            a["fi"].cast("double") + F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+        ) * F.lit(width)
+        return F.when((a["cum"] > 0) & (a["fi"] >= 0), est)
+
+    return F.aggregate(col, acc0, step, fin)
 
 
 def update_rollup(
@@ -145,6 +239,7 @@ def update_rollup(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> dict:
     """Fold one fact shard into the rollup table at ``rollup_path``.
 
@@ -157,27 +252,49 @@ def update_rollup(
     min_cols = min_cols or []
     max_cols = max_cols or []
     distinct_cols = distinct_cols or []
+    hist_cols = {
+        c: (float(lo), float(hi), int(bins))
+        for c, (lo, hi, bins) in (hist_cols or {}).items()
+    }
+    for c, (lo, hi, bins) in hist_cols.items():
+        if not (hi > lo and 0 < bins <= _MAX_HIST_BINS):
+            raise ValueError(
+                f"hist_cols[{c!r}]: need lo < hi and 0 < bins <= "
+                f"{_MAX_HIST_BINS}, got ({lo}, {hi}, {bins})"
+            )
     spec = {
         "keys": keys,
         "sum_cols": sum_cols,
         "min_cols": min_cols,
         "max_cols": max_cols,
         "distinct_cols": distinct_cols,
+        # json round-trips tuples as lists; store lists so the
+        # committed-spec equality check survives a reload
+        "hist_cols": {c: list(v) for c, v in hist_cols.items()},
     }
     os.makedirs(rollup_path, exist_ok=True)
     with LakeLease(spark, rollup_path, holder="rollup_update"):
         latest = _latest_commit(rollup_path)
         if latest is not None:
-            if latest.get("spec") != spec:
+            committed = latest.get("spec")
+            # pre-histogram commits lack the hist_cols key; they are
+            # equivalent to an empty histogram spec
+            if committed is not None and "hist_cols" not in committed:
+                committed = {**committed, "hist_cols": {}}
+            if committed != spec:
                 raise ValueError(
-                    f"rollup spec mismatch: committed {latest.get('spec')} "
+                    f"rollup spec mismatch: committed {committed} "
                     f"!= requested {spec}"
                 )
             if shard_id in set(latest["applied_shards"]):
                 return {"applied": False, "keys_touched": 0}
         delta = (
             batch_df.groupBy(*keys)
-            .agg(*_agg_exprs(sum_cols, min_cols, max_cols, distinct_cols, merge=False))
+            .agg(
+                *_agg_exprs(
+                    sum_cols, min_cols, max_cols, distinct_cols, hist_cols, merge=False
+                )
+            )
             .localCheckpoint()
         )
         n_touched = delta.count()
@@ -192,7 +309,11 @@ def update_rollup(
             merged = (
                 current.unionByName(delta)
                 .groupBy(*keys)
-                .agg(*_agg_exprs(sum_cols, min_cols, max_cols, distinct_cols, merge=True))
+                .agg(
+                    *_agg_exprs(
+                        sum_cols, min_cols, max_cols, distinct_cols, hist_cols, merge=True
+                    )
+                )
             )
             version = latest["version"] + 1
             applied = latest["applied_shards"] + [shard_id]
@@ -219,18 +340,60 @@ def update_rollup(
     return {"applied": True, "keys_touched": n_touched}
 
 
+def rollup_versions(rollup_path: str) -> list[dict]:
+    """Every committed version still on disk, ascending: ``{"version",
+    "table", "n_shards"}``.  GC keeps only the latest and its
+    predecessor, so at most two are readable (time travel here is a
+    reader-consistency window, not unbounded history — point a real
+    table format at the lake for that)."""
+    out = []
+    for p in sorted(glob.glob(os.path.join(rollup_path, "_commit_v*.json"))):
+        m = _COMMIT_RE.search(p)
+        if not m:
+            continue
+        with open(p) as fh:
+            c = json.load(fh)
+        out.append(
+            {
+                "version": c["version"],
+                "table": c["table"],
+                "n_shards": len(c.get("applied_shards", [])),
+            }
+        )
+    return out
+
+
 def read_rollup(
-    spark: SparkSession, rollup_path: str, estimate_distinct: bool = True
+    spark: SparkSession,
+    rollup_path: str,
+    estimate_distinct: bool = True,
+    version: int | None = None,
 ) -> DataFrame:
-    """The current aggregate table: (keys..., n_rows, sum_<c>...,
-    min_<c>..., max_<c>..., hll_<c>...). With ``estimate_distinct``,
-    each HLL cell additionally surfaces as a ``distinct_<c>`` BIGINT
-    estimate (the sketch column stays, for further merging)."""
-    latest = _latest_commit(rollup_path)
-    if latest is None:
-        raise FileNotFoundError(f"no committed rollup at {rollup_path}")
-    df = spark.read.parquet(os.path.join(rollup_path, latest["table"]))
+    """The aggregate table at the latest (or a pinned ``version``)
+    commit: (keys..., n_rows, sum_<c>..., min_<c>..., max_<c>...,
+    hll_<c>..., hist_<c>...). With ``estimate_distinct``, each HLL cell
+    additionally surfaces as a ``distinct_<c>`` BIGINT estimate (the
+    sketch column stays, for further merging).  ``version`` reads a
+    prior committed snapshot while it survives GC (latest-1 only) —
+    enough for a reader to finish a multi-step report against one
+    consistent version while updaters advance the pointer."""
+    if version is None:
+        commit = _latest_commit(rollup_path)
+        if commit is None:
+            raise FileNotFoundError(f"no committed rollup at {rollup_path}")
+    else:
+        p = os.path.join(rollup_path, _commit_name(version))
+        try:
+            with open(p) as fh:
+                commit = json.load(fh)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"rollup version {version} not on disk at {rollup_path} "
+                f"(GC keeps latest and latest-1 only; available: "
+                f"{[v['version'] for v in rollup_versions(rollup_path)]})"
+            ) from None
+    df = spark.read.parquet(os.path.join(rollup_path, commit["table"]))
     if estimate_distinct:
-        for c in latest.get("spec", {}).get("distinct_cols", []):
+        for c in commit.get("spec", {}).get("distinct_cols", []):
             df = df.withColumn(f"distinct_{c}", F.hll_sketch_estimate(f"hll_{c}"))
     return df

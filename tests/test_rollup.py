@@ -184,3 +184,121 @@ def test_corrupt_table_raises_instead_of_cold_starting(spark, tmp_path):
         update_rollup(spark, path, _shard(spark, [("a", 2.0, 2)]), ["k"], ["v"], "s1")
     # the failed update must not have been recorded as applied
     assert _ledger(path) == ["s0"]
+
+
+def test_histogram_fold_equals_full_recompute(spark, tmp_path):
+    """Fixed-bin histogram cells merge by element-wise sum: folding
+    shard partials must equal one full binned groupBy of everything,
+    including out-of-range clamping into the edge bins."""
+    from collections import Counter
+
+    path = str(tmp_path / "rollup")
+    shards = [
+        [("a", 0.5, 1), ("a", 3.5, 1), ("b", 9.9, 1)],
+        [("a", -2.0, 1), ("b", 12.0, 1), ("c", 5.0, 1)],  # clamped rows
+        [("a", 3.6, 1), ("c", 7.7, 1), ("c", None, 1)],  # NULL: no bin
+    ]
+    lo, hi, bins = 0.0, 10.0, 5
+    for i, rows in enumerate(shards):
+        update_rollup(
+            spark,
+            path,
+            _shard(spark, rows),
+            ["k"],
+            sum_cols=[],
+            shard_id=f"s{i}",
+            hist_cols={"v": (lo, hi, bins)},
+        )
+    got = {r["k"]: list(r["hist_v"]) for r in read_rollup(spark, path).collect()}
+
+    width = (hi - lo) / bins
+    want: dict[str, Counter] = {}
+    for rows in shards:
+        for k, v, _w in rows:
+            if v is None:
+                continue
+            b = min(max(int((v - lo) // width), 0), bins - 1)
+            want.setdefault(k, Counter())[b] += 1
+    for k, cnt in want.items():
+        assert got[k] == [cnt.get(i, 0) for i in range(bins)], k
+
+
+def test_histogram_quantile_interpolates(spark, tmp_path):
+    """Quantiles read out of the cells: exact at bin boundaries, linear
+    inside a bin, NULL for empty cells."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        histogram_quantile,
+    )
+
+    # 100 uniform values in [0, 10): quantile(p) ~= 10p
+    rows = [("a", i / 10.0, 1) for i in range(100)]
+    path = str(tmp_path / "rollup")
+    update_rollup(
+        spark, path, _shard(spark, rows), ["k"], [], "s0",
+        hist_cols={"v": (0.0, 10.0, 20)},
+    )
+    df = read_rollup(spark, path)
+    got = df.select(
+        histogram_quantile("hist_v", 0.0, 10.0, 20, 0.5).alias("p50"),
+        histogram_quantile("hist_v", 0.0, 10.0, 20, 0.9).alias("p90"),
+        histogram_quantile("hist_v", 0.0, 10.0, 20, 1.0).alias("p100"),
+    ).collect()[0]
+    assert abs(got["p50"] - 5.0) < 0.5
+    assert abs(got["p90"] - 9.0) < 0.5
+    assert abs(got["p100"] - 10.0) < 0.5
+    # empty cell -> NULL estimate
+    empty = spark.createDataFrame(
+        [([0] * 20,)], "hist_v array<long>"
+    ).select(histogram_quantile("hist_v", 0.0, 10.0, 20, 0.5).alias("q"))
+    assert empty.collect()[0]["q"] is None
+
+
+def test_pre_histogram_commit_stays_updatable(spark, tmp_path):
+    """Commits written before the hist_cols field existed must keep
+    accepting histogram-free updates (missing key == empty spec)."""
+    path = str(tmp_path / "rollup")
+    update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
+    # strip the hist_cols key the way an old commit file would lack it
+    commit_path = sorted(glob.glob(os.path.join(path, "_commit_v*.json")))[-1]
+    c = json.load(open(commit_path))
+    c["spec"].pop("hist_cols")
+    json.dump(c, open(commit_path, "w"))
+    res = update_rollup(spark, path, _shard(spark, [("a", 2.0, 2)]), ["k"], ["v"], "s1")
+    assert res["applied"]
+    assert read_rollup(spark, path).collect()[0]["sum_v"] == 3.0
+
+
+def test_time_travel_reads_previous_version(spark, tmp_path):
+    """A reader pinned to version N-1 sees the pre-update table while
+    the pointer advances; GC'd versions raise with the available list."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        rollup_versions,
+    )
+
+    path = str(tmp_path / "rollup")
+    for i in range(3):
+        update_rollup(
+            spark, path, _shard(spark, [("a", float(i + 1), i)]), ["k"], ["v"], f"s{i}"
+        )
+    vers = rollup_versions(path)
+    assert [v["version"] for v in vers] == [2, 3]
+    assert vers[-1]["n_shards"] == 3
+    assert read_rollup(spark, path, version=2).collect()[0]["sum_v"] == 3.0
+    assert read_rollup(spark, path, version=3).collect()[0]["sum_v"] == 6.0
+    assert read_rollup(spark, path).collect()[0]["sum_v"] == 6.0
+    with pytest.raises(FileNotFoundError, match=r"available: \[2, 3\]"):
+        read_rollup(spark, path, version=1)
+
+
+def test_hist_spec_validation(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    with pytest.raises(ValueError, match="hist_cols"):
+        update_rollup(
+            spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], [], "s0",
+            hist_cols={"v": (5.0, 5.0, 10)},
+        )
+    with pytest.raises(ValueError, match="hist_cols"):
+        update_rollup(
+            spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], [], "s0",
+            hist_cols={"v": (0.0, 1.0, 100000)},
+        )
