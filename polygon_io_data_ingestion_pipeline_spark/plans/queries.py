@@ -4804,6 +4804,109 @@ def tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Shared spec for the histogram-cell queries: value in [0, 400) over 40
+# ten-unit bins (width 10.0 is exact in binary, so the bin arithmetic is
+# bit-identical across engines; out-of-range rows clamp to the edge bins).
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 400.0, 40
+
+
+def _hist_merged_by_type(spark: SparkSession, sf: str) -> DataFrame:
+    """events split into 3 synthetic shards -> per-shard histogram
+    PARTIALS -> element-wise MERGE, via the same expression pairs the
+    incremental rollup table folds with (operators/rollup.py:_agg_exprs)
+    — the dataflow of update_rollup without the disk commit, so the
+    driver can hash-verify the partial/merge algebra itself."""
+    from ..operators.rollup import _agg_exprs
+
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    spec = {"value": (_HIST_LO, _HIST_HI, _HIST_BINS)}
+    partial = ev.withColumn("shard", F.pmod(F.col("event_id"), F.lit(3))).groupBy(
+        "event_type", "shard"
+    ).agg(*_agg_exprs([], [], [], [], spec, merge=False))
+    return partial.groupBy("event_type").agg(
+        *_agg_exprs([], [], [], [], spec, merge=True)
+    )
+
+
+@q(
+    "events_hist_rollup_bins",
+    oracle=f"""
+SELECT event_type,
+       LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), {_HIST_BINS - 1}) AS bin,
+       count(*) AS cnt
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Fixed-bin histogram cells, shard-folded then read out: 3 synthetic "
+    "shards produce per-shard partial bin arrays, merged element-wise "
+    "(operators/rollup.py:_agg_exprs both levels), exploded to (bin, cnt) "
+    "rows.  The oracle is the plain binned GROUP BY — exact-integer "
+    "equality proves the fold algebra is lossless.",
+    tags=("agg", "rollup", "hist"),
+)
+def hist_rollup_bins(spark: SparkSession, sf: str) -> DataFrame:
+    merged = _hist_merged_by_type(spark, sf)
+    return (
+        merged.select(
+            "event_type", F.posexplode("hist_value").alias("bin", "cnt")
+        )
+        .filter(F.col("cnt") > 0)
+        .select("event_type", F.col("bin").cast("int").alias("bin"), "cnt")
+    )
+
+
+@q(
+    "events_hist_rollup_quantiles",
+    oracle=f"""
+WITH binned AS (
+  SELECT event_type,
+         LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 10.0) AS INT), 0), {_HIST_BINS - 1}) AS bin,
+         count(*) AS cnt
+  FROM events WHERE value IS NOT NULL
+  GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin, cnt,
+         CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS DOUBLE) AS running,
+         CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS total
+  FROM binned),
+hit AS (
+  SELECT c.event_type, p.prob, c.bin, c.cnt, c.total,
+         c.running - CAST(c.cnt AS DOUBLE) AS before
+  FROM cum c CROSS JOIN (VALUES (0.5), (0.9)) AS p(prob)
+  WHERE c.running >= p.prob * CAST(c.total AS DOUBLE)
+  QUALIFY row_number() OVER (PARTITION BY c.event_type, p.prob ORDER BY c.bin) = 1)
+SELECT event_type, max(total) AS n,
+       round(max(CASE WHEN prob = 0.5 THEN 0.0 + (CAST(bin AS DOUBLE)
+         + LEAST(GREATEST((prob * CAST(total AS DOUBLE) - before) / CAST(cnt AS DOUBLE), 0.0), 1.0)) * 10.0 END), 6) AS p50,
+       round(max(CASE WHEN prob = 0.9 THEN 0.0 + (CAST(bin AS DOUBLE)
+         + LEAST(GREATEST((prob * CAST(total AS DOUBLE) - before) / CAST(cnt AS DOUBLE), 0.0), 1.0)) * 10.0 END), 6) AS p90
+FROM hit GROUP BY event_type
+""",
+    doc="Quantile readout from merged histogram cells "
+    "(operators/rollup.py:histogram_quantile): p50/p90 by linear "
+    "interpolation inside the covering bin.  The oracle mirrors the fold "
+    "(cumulative bin counts, first bin reaching prob*total, identical "
+    "IEEE op order), so the interpolation formula itself is hash-checked "
+    "— the materialized-view answer path for percentile dashboards that "
+    "percentile_approx cannot serve incrementally.",
+    tags=("agg", "rollup", "hist"),
+)
+def hist_rollup_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rollup import histogram_quantile
+
+    merged = _hist_merged_by_type(spark, sf)
+    return merged.select(
+        "event_type",
+        F.col("n_rows").alias("n"),
+        F.round(
+            histogram_quantile("hist_value", _HIST_LO, _HIST_HI, _HIST_BINS, 0.5), 6
+        ).alias("p50"),
+        F.round(
+            histogram_quantile("hist_value", _HIST_LO, _HIST_HI, _HIST_BINS, 0.9), 6
+        ).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

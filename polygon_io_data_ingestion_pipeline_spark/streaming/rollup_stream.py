@@ -29,6 +29,7 @@ def rollup_batch(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> None:
     update_rollup(
         batch_df.sparkSession,
@@ -40,6 +41,7 @@ def rollup_batch(
         min_cols=min_cols,
         max_cols=max_cols,
         distinct_cols=distinct_cols,
+        hist_cols=hist_cols,
     )
 
 
@@ -54,6 +56,7 @@ def start_rollup_stream(
     min_cols: list[str] | None = None,
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
+    hist_cols: dict[str, tuple[float, float, int]] | None = None,
 ) -> StreamingQuery:
     """Drain available fact files (parquet) into the rollup table
     (AvailableNow trigger — the cron-driven refresh shape)."""
@@ -68,6 +71,7 @@ def start_rollup_stream(
                 min_cols=min_cols,
                 max_cols=max_cols,
                 distinct_cols=distinct_cols,
+                hist_cols=hist_cols,
             )
         )
         .option("checkpointLocation", checkpoint)

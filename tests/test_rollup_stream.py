@@ -24,11 +24,32 @@ def _write(spark, src, rows):
     spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(src)
 
 
+HIST = {"v": (0.0, 10.0, 5)}
+
+
 def _drain(spark, src, rollup, ckpt):
     q = start_rollup_stream(
-        spark, src, SCHEMA, rollup, ckpt, ["k"], ["v"], min_cols=["v"], distinct_cols=["k"]
+        spark,
+        src,
+        SCHEMA,
+        rollup,
+        ckpt,
+        ["k"],
+        ["v"],
+        min_cols=["v"],
+        distinct_cols=["k"],
+        hist_cols=HIST,
     )
     q.awaitTermination(120)
+
+
+def _hist(rows, lo=0.0, hi=10.0, bins=5):
+    width = (hi - lo) / bins
+    out: dict[str, list[int]] = {}
+    for k, v in rows:
+        b = min(max(int((v - lo) // width), 0), bins - 1)
+        out.setdefault(k, [0] * bins)[b] += 1
+    return out
 
 
 def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
@@ -44,9 +65,13 @@ def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
         _write(spark, src, batch)
         all_rows += batch
         _drain(spark, src, rollup, ckpt)
+        want_hist = _hist(all_rows)
         got = {
             r["k"]: (r["n_rows"], r["sum_v"], r["min_v"], r["distinct_k"])
             for r in read_rollup(spark, rollup).collect()
+        }
+        got_hist = {
+            r["k"]: list(r["hist_v"]) for r in read_rollup(spark, rollup).collect()
         }
         want = {
             r["k"]: (r["n"], r["s"], r["m"], 1)
@@ -56,6 +81,7 @@ def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
             .collect()
         }
         assert got == want  # current after EVERY drain, not just the last
+        assert got_hist == want_hist  # histogram cells fold across drains too
 
     # replay suppression: re-applying a committed batch id changes nothing
     before = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
@@ -68,6 +94,7 @@ def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
         "batch_0",
         min_cols=["v"],
         distinct_cols=["k"],
+        hist_cols=HIST,
     )
     assert not res["applied"]
     after = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, rollup).collect()}
