@@ -21,7 +21,21 @@ restricted to MERGEABLE aggregates:
   and the merge is an element-wise sum — exactly mergeable, unlike
   ``percentile_approx`` whose intermediate Spark cannot persist.
   Quantiles/CDFs read out of the cells by linear interpolation
-  (:func:`histogram_quantile`), with error bounded by bin width.
+  (:func:`histogram_quantile`), with error bounded by bin width,
+- uniform samples as BOTTOM-K HASH-SAMPLE cells (``array<struct<tag,
+  val>>`` of the k rows whose ``md5(id)`` tag sorts smallest per key):
+  the tag is a deterministic uniform draw per row, so the k smallest
+  tags are a uniform k-row sample without replacement — and the merge
+  is "k smallest of the union of per-shard k-smallest", which equals
+  the global bottom-k EXACTLY, making the cell mergeable with no loss
+  and no declared value range (the histogram's one requirement).
+  Per-shard cost is a rank window on the same key partitioning the
+  groupBy already needs (one exchange, sort spills to disk) and a
+  collect bounded to k rows per key; :func:`sample_quantile` reads
+  type-7 interpolated quantiles out of a cell.
+
+Gotcha: per-KEY sample cells answer per-key quantiles; for a quantile
+over an arbitrary filter you still want histogram cells or a full scan.
 
 Exactly-once via an ATOMIC versioned commit (the table-format move,
 in miniature): version ``N`` of the rollup is the pair
@@ -117,6 +131,33 @@ def _gc(rollup_path: str, latest_version: int) -> None:
 
 
 _MAX_HIST_BINS = 128
+_MAX_SAMPLE_K = 4096
+
+
+def _with_sample_ranks(
+    df: DataFrame, keys: list[str], sample_cols: dict[str, tuple[str, int]]
+) -> DataFrame:
+    """Attach ``_tag_{c}`` (md5 of the row id, NULL when the value is
+    NULL) and ``_rk_{c}`` (rank of the tag within the key group) for
+    every sampled column — the pre-aggregation step of the bottom-k
+    sample cell.  All rank windows share the key partitioning, so
+    Catalyst plans ONE exchange (reused by the following groupBy) with
+    one in-partition sort per sampled column."""
+    from pyspark.sql import Window
+
+    for c, (id_col, _k) in sample_cols.items():
+        tag = f"_tag_{c}"
+        df = df.withColumn(
+            tag,
+            F.when(F.col(c).isNotNull(), F.md5(F.col(id_col).cast("string"))),
+        )
+        df = df.withColumn(
+            f"_rk_{c}",
+            F.row_number().over(
+                Window.partitionBy(*keys).orderBy(F.asc_nulls_last(tag))
+            ),
+        )
+    return df
 
 
 def _hist_bin_expr(col: str, lo: float, hi: float, bins: int):
@@ -139,6 +180,7 @@ def _agg_exprs(
     distinct_cols: list[str],
     hist_cols: dict[str, tuple[float, float, int]],
     merge: bool,
+    sample_cols: dict[str, tuple[str, int]] | None = None,
 ) -> list:
     """Partial-aggregate (shard) or merge (table ∪ delta) expressions —
     the two levels of every mergeable aggregate.
@@ -146,7 +188,15 @@ def _agg_exprs(
     Histogram cells: the partial level is ``bins`` conditional sums
     packed into one array (all whole-stage codegen, map-side combined);
     the merge level sums the arrays element-wise.  ``bins`` is capped at
-    ``_MAX_HIST_BINS`` so the expression count stays codegen-friendly."""
+    ``_MAX_HIST_BINS`` so the expression count stays codegen-friendly.
+
+    Sample cells: the partial level collects the <=k rows the
+    :func:`_with_sample_ranks` window pre-marked (bounded memory; the
+    frame must carry ``_tag_{c}``/``_rk_{c}``); the merge level takes
+    the k smallest of the flattened union — at most 2k structs per key
+    in flight, and "bottom-k of bottom-ks" is exactly the global
+    bottom-k, so folds lose nothing."""
+    sample_cols = sample_cols or {}
     if not merge:
         exprs = (
             [F.count(F.lit(1)).alias("n_rows")]
@@ -165,6 +215,21 @@ def _agg_exprs(
                     ]
                 ).alias(f"hist_{c}")
             )
+        for c, (_id_col, k) in sample_cols.items():
+            keep = (F.col(f"_rk_{c}") <= k) & F.col(f"_tag_{c}").isNotNull()
+            exprs.append(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            keep,
+                            F.struct(
+                                F.col(f"_tag_{c}").alias("tag"),
+                                F.col(c).cast("double").alias("val"),
+                            ),
+                        )
+                    )
+                ).alias(f"smp_{c}")
+            )
         return exprs
     exprs = (
         [F.sum("n_rows").alias("n_rows")]
@@ -179,7 +244,31 @@ def _agg_exprs(
                 *[F.sum(F.element_at(F.col(f"hist_{c}"), i + 1)) for i in range(bins)]
             ).alias(f"hist_{c}")
         )
+    for c, (_id_col, k) in sample_cols.items():
+        exprs.append(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list(F.col(f"smp_{c}")))), 1, k
+            ).alias(f"smp_{c}")
+        )
     return exprs
+
+
+def sample_quantile(sample_col, prob: float):
+    """Column expression: the ``prob``-quantile of a bottom-k sample
+    cell, linear (type-7) interpolation over the sorted sampled values —
+    the same estimator as ``quantile_cont``/``numpy.quantile``, so
+    results are comparable across engines given the same sample.
+    Empty cells yield NULL.  Exact when the key holds <= k rows;
+    otherwise a uniform-sample estimate with error O(1/sqrt(k))."""
+    col = sample_col if not isinstance(sample_col, str) else F.col(sample_col)
+    vals = F.array_sort(F.transform(col, lambda x: x["val"]))
+    n = F.size(vals)
+    idx = F.lit(float(prob)) * (n - 1).cast("double")
+    lo_i = F.floor(idx).cast("int")
+    frac = idx - lo_i.cast("double")
+    xl = F.element_at(vals, lo_i + 1)
+    xu = F.element_at(vals, F.least(lo_i + F.lit(2), n))
+    return F.when(n > 0, xl + frac * (xu - xl))
 
 
 def histogram_quantile(
@@ -240,6 +329,7 @@ def update_rollup(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    sample_cols: dict[str, tuple[str, int]] | None = None,
 ) -> dict:
     """Fold one fact shard into the rollup table at ``rollup_path``.
 
@@ -248,7 +338,12 @@ def update_rollup(
     The merge is a unionByName + re-aggregate of two partial-aggregate
     frames — both O(distinct keys), never the fact history. The column
     spec must be identical across every update of one rollup (checked
-    against the committed spec)."""
+    against the committed spec).
+
+    ``sample_cols`` maps a value column to ``(id_col, k)``: keep the k
+    rows whose ``md5(id_col)`` sorts smallest per key as a uniform
+    sample cell.  ``id_col`` must be row-unique ACROSS ALL SHARDS (a
+    natural event id) — duplicated ids would double-enter the sample."""
     min_cols = min_cols or []
     max_cols = max_cols or []
     distinct_cols = distinct_cols or []
@@ -256,11 +351,20 @@ def update_rollup(
         c: (float(lo), float(hi), int(bins))
         for c, (lo, hi, bins) in (hist_cols or {}).items()
     }
+    sample_cols = {
+        c: (str(id_col), int(k)) for c, (id_col, k) in (sample_cols or {}).items()
+    }
     for c, (lo, hi, bins) in hist_cols.items():
         if not (hi > lo and 0 < bins <= _MAX_HIST_BINS):
             raise ValueError(
                 f"hist_cols[{c!r}]: need lo < hi and 0 < bins <= "
                 f"{_MAX_HIST_BINS}, got ({lo}, {hi}, {bins})"
+            )
+    for c, (id_col, k) in sample_cols.items():
+        if not (id_col and 0 < k <= _MAX_SAMPLE_K):
+            raise ValueError(
+                f"sample_cols[{c!r}]: need a non-empty id_col and "
+                f"0 < k <= {_MAX_SAMPLE_K}, got ({id_col!r}, {k})"
             )
     spec = {
         "keys": keys,
@@ -271,16 +375,19 @@ def update_rollup(
         # json round-trips tuples as lists; store lists so the
         # committed-spec equality check survives a reload
         "hist_cols": {c: list(v) for c, v in hist_cols.items()},
+        "sample_cols": {c: list(v) for c, v in sample_cols.items()},
     }
     os.makedirs(rollup_path, exist_ok=True)
     with LakeLease(spark, rollup_path, holder="rollup_update"):
         latest = _latest_commit(rollup_path)
         if latest is not None:
             committed = latest.get("spec")
-            # pre-histogram commits lack the hist_cols key; they are
-            # equivalent to an empty histogram spec
-            if committed is not None and "hist_cols" not in committed:
-                committed = {**committed, "hist_cols": {}}
+            # commits written before a cell family existed lack its key;
+            # they are equivalent to an empty spec for that family
+            if committed is not None:
+                for fam in ("hist_cols", "sample_cols"):
+                    if fam not in committed:
+                        committed = {**committed, fam: {}}
             if committed != spec:
                 raise ValueError(
                     f"rollup spec mismatch: committed {committed} "
@@ -288,11 +395,22 @@ def update_rollup(
                 )
             if shard_id in set(latest["applied_shards"]):
                 return {"applied": False, "keys_touched": 0}
+        src = (
+            _with_sample_ranks(batch_df, keys, sample_cols)
+            if sample_cols
+            else batch_df
+        )
         delta = (
-            batch_df.groupBy(*keys)
+            src.groupBy(*keys)
             .agg(
                 *_agg_exprs(
-                    sum_cols, min_cols, max_cols, distinct_cols, hist_cols, merge=False
+                    sum_cols,
+                    min_cols,
+                    max_cols,
+                    distinct_cols,
+                    hist_cols,
+                    merge=False,
+                    sample_cols=sample_cols,
                 )
             )
             .localCheckpoint()
@@ -311,7 +429,13 @@ def update_rollup(
                 .groupBy(*keys)
                 .agg(
                     *_agg_exprs(
-                        sum_cols, min_cols, max_cols, distinct_cols, hist_cols, merge=True
+                        sum_cols,
+                        min_cols,
+                        max_cols,
+                        distinct_cols,
+                        hist_cols,
+                        merge=True,
+                        sample_cols=sample_cols,
                     )
                 )
             )

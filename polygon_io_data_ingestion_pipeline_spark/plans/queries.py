@@ -4907,6 +4907,67 @@ def hist_rollup_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "events_sample_rollup_quantiles",
+    oracle="""
+WITH sampled AS (
+  SELECT event_type, value,
+         count(*) OVER (PARTITION BY event_type) AS n_all
+  FROM events WHERE value IS NOT NULL
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY md5(CAST(event_id AS VARCHAR))) <= 64),
+srt AS (
+  SELECT event_type, n_all, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vi,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM sampled)
+SELECT event_type, max(n_all) AS n, max(n) AS k_eff,
+  round(max(CASE WHEN vi = CAST(FLOOR(0.5*(n-1)) AS BIGINT)+1 THEN value END)
+    + max(0.5*(n-1) - FLOOR(0.5*(n-1)))
+      * (max(CASE WHEN vi = LEAST(CAST(FLOOR(0.5*(n-1)) AS BIGINT)+2, n) THEN value END)
+         - max(CASE WHEN vi = CAST(FLOOR(0.5*(n-1)) AS BIGINT)+1 THEN value END)), 6) AS p50,
+  round(max(CASE WHEN vi = CAST(FLOOR(0.9*(n-1)) AS BIGINT)+1 THEN value END)
+    + max(0.9*(n-1) - FLOOR(0.9*(n-1)))
+      * (max(CASE WHEN vi = LEAST(CAST(FLOOR(0.9*(n-1)) AS BIGINT)+2, n) THEN value END)
+         - max(CASE WHEN vi = CAST(FLOOR(0.9*(n-1)) AS BIGINT)+1 THEN value END)), 6) AS p90
+FROM srt GROUP BY event_type
+""",
+    doc="Bottom-k hash-sample cells, shard-folded then read out "
+    "(operators/rollup.py:_with_sample_ranks + _agg_exprs both levels + "
+    "sample_quantile): the k smallest md5(event_id) tags per key are a "
+    "uniform sample whose merge — k smallest of the per-shard bottom-ks "
+    "— is EXACTLY the global bottom-k, so the cell is mergeable with no "
+    "declared value range.  The oracle selects the identical sample "
+    "(same md5 ranking) and applies the identical type-7 interpolation, "
+    "so the whole sample-quantile path is hash-verified.",
+    tags=("agg", "rollup", "sample"),
+)
+def sample_rollup_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rollup import _agg_exprs, _with_sample_ranks, sample_quantile
+
+    spec = {"value": ("event_id", 64)}
+    ev = (
+        table(spark, sf, "events")
+        .select("event_id", "event_type", "value")
+        .filter(F.col("value").isNotNull())
+        .withColumn("shard", F.pmod(F.col("event_id"), F.lit(3)))
+    )
+    ranked = _with_sample_ranks(ev, ["event_type", "shard"], spec)
+    partial = ranked.groupBy("event_type", "shard").agg(
+        *_agg_exprs([], [], [], [], {}, merge=False, sample_cols=spec)
+    )
+    merged = partial.groupBy("event_type").agg(
+        *_agg_exprs([], [], [], [], {}, merge=True, sample_cols=spec)
+    )
+    return merged.select(
+        "event_type",
+        F.col("n_rows").alias("n"),
+        F.size("smp_value").cast("long").alias("k_eff"),
+        F.round(sample_quantile("smp_value", 0.5), 6).alias("p50"),
+        F.round(sample_quantile("smp_value", 0.9), 6).alias("p90"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

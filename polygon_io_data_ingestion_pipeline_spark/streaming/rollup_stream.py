@@ -30,6 +30,7 @@ def rollup_batch(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    sample_cols: dict[str, tuple[str, int]] | None = None,
 ) -> None:
     update_rollup(
         batch_df.sparkSession,
@@ -42,6 +43,7 @@ def rollup_batch(
         max_cols=max_cols,
         distinct_cols=distinct_cols,
         hist_cols=hist_cols,
+        sample_cols=sample_cols,
     )
 
 
@@ -57,6 +59,7 @@ def start_rollup_stream(
     max_cols: list[str] | None = None,
     distinct_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
+    sample_cols: dict[str, tuple[str, int]] | None = None,
 ) -> StreamingQuery:
     """Drain available fact files (parquet) into the rollup table
     (AvailableNow trigger — the cron-driven refresh shape)."""
@@ -72,6 +75,7 @@ def start_rollup_stream(
                 max_cols=max_cols,
                 distinct_cols=distinct_cols,
                 hist_cols=hist_cols,
+                sample_cols=sample_cols,
             )
         )
         .option("checkpointLocation", checkpoint)

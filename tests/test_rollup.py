@@ -302,3 +302,116 @@ def test_hist_spec_validation(spark, tmp_path):
             spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], [], "s0",
             hist_cols={"v": (0.0, 1.0, 100000)},
         )
+
+
+def _smp_shard(spark, rows):
+    """(k, id, v) rows — id is the row-unique tag source."""
+    return spark.createDataFrame(rows, "k string, id long, v double")
+
+
+def test_sample_fold_equals_global_bottom_k(spark, tmp_path):
+    """Bottom-k hash-sample cells merge losslessly: folding per-shard
+    bottom-ks must equal the k smallest md5 tags over ALL rows, NULL
+    values excluded, short keys exact (sample == population)."""
+    import hashlib
+
+    path = str(tmp_path / "rollup")
+    rows = [("a", i, float(i % 17)) for i in range(40)]
+    rows += [("b", 100 + i, float(i)) for i in range(3)]  # fewer than k
+    rows += [("a", 999, None), ("b", 998, None)]  # NULLs: never sampled
+    shards = [rows[0::3], rows[1::3], rows[2::3]]
+    k = 8
+    for i, shard in enumerate(shards):
+        update_rollup(
+            spark,
+            path,
+            _smp_shard(spark, shard),
+            ["k"],
+            sum_cols=[],
+            shard_id=f"s{i}",
+            sample_cols={"v": ("id", k)},
+        )
+    got = {
+        r["k"]: [(s["tag"], s["val"]) for s in r["smp_v"]]
+        for r in read_rollup(spark, path).collect()
+    }
+
+    want: dict[str, list] = {}
+    for key, rid, v in rows:
+        if v is None:
+            continue
+        tag = hashlib.md5(str(rid).encode()).hexdigest()
+        want.setdefault(key, []).append((tag, v))
+    for key in want:
+        want[key] = sorted(want[key])[:k]
+    assert got == want
+    assert len(got["b"]) == 3  # short key keeps everything
+
+
+def test_sample_quantile_matches_numpy(spark, tmp_path):
+    """sample_quantile == numpy type-7 quantile over the sampled values;
+    exact-population keys give the exact quantile; empty cells NULL."""
+    import hashlib
+
+    import numpy as np
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        sample_quantile,
+    )
+
+    path = str(tmp_path / "rollup")
+    rows = [("a", i, float((i * 37) % 101)) for i in range(200)]
+    k = 32
+    update_rollup(
+        spark,
+        path,
+        _smp_shard(spark, rows),
+        ["k"],
+        [],
+        "s0",
+        sample_cols={"v": ("id", k)},
+    )
+    got = (
+        read_rollup(spark, path)
+        .select(
+            sample_quantile("smp_v", 0.5).alias("p50"),
+            sample_quantile("smp_v", 0.9).alias("p90"),
+            sample_quantile("smp_v", 0.0).alias("p0"),
+            sample_quantile("smp_v", 1.0).alias("p100"),
+        )
+        .collect()[0]
+    )
+    tagged = sorted(
+        (hashlib.md5(str(rid).encode()).hexdigest(), v) for _k, rid, v in rows
+    )[:k]
+    sample = np.array([v for _t, v in tagged])
+    for prob, col in ((0.5, "p50"), (0.9, "p90"), (0.0, "p0"), (1.0, "p100")):
+        assert abs(got[col] - float(np.quantile(sample, prob))) < 1e-9, prob
+    # empty cell -> NULL
+    empty = spark.sql(
+        "SELECT CAST(array() AS array<struct<tag:string,val:double>>) AS c"
+    ).select(sample_quantile("c", 0.5).alias("q"))
+    assert empty.collect()[0]["q"] is None
+
+
+def test_sample_spec_validation_and_replay(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    with pytest.raises(ValueError, match="sample_cols"):
+        update_rollup(
+            spark, path, _smp_shard(spark, [("a", 1, 1.0)]), ["k"], [], "s0",
+            sample_cols={"v": ("id", 0)},
+        )
+    with pytest.raises(ValueError, match="sample_cols"):
+        update_rollup(
+            spark, path, _smp_shard(spark, [("a", 1, 1.0)]), ["k"], [], "s0",
+            sample_cols={"v": ("", 4)},
+        )
+    update_rollup(
+        spark, path, _smp_shard(spark, [("a", 1, 1.0)]), ["k"], [], "s0",
+        sample_cols={"v": ("id", 4)},
+    )
+    res = update_rollup(
+        spark, path, _smp_shard(spark, [("a", 2, 2.0)]), ["k"], [], "s0",
+        sample_cols={"v": ("id", 4)},
+    )
+    assert not res["applied"]  # replayed shard id is a ledger no-op
