@@ -4968,6 +4968,75 @@ def sample_rollup_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "orders_cube_price_grid",
+    oracle="""
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       GROUPING(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n,
+       CAST(round(sum(CAST(round((o_totalprice) * 1000000) AS BIGINT)) / 1000000.0, 2) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    doc="CUBE over (status, priority) with GROUPING id — all four subtotal "
+    "levels in one pass (Spark Expand + single partial agg, no "
+    "self-union of scans); gid disambiguates a real NULL key from a "
+    "subtotal row, the thing coalesce alone cannot.",
+    tags=("agg", "cube"),
+)
+def orders_cube(spark: SparkSession, sf: str) -> DataFrame:
+    o = table(spark, sf, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            _dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.col("gid").cast("long").alias("gid"),
+            "n",
+            F.col("total_price").cast("double").alias("total_price"),
+        )
+    )
+
+
+@q(
+    "events_unpivot_metrics",
+    oracle="""
+WITH wide AS (
+  SELECT event_type,
+         CAST(round(sum(CAST(round((value) * 1000000) AS BIGINT)) / 1000000.0, 4) AS DOUBLE) AS total_value,
+         round(avg(value), 6) AS avg_value,
+         CAST(count(*) AS DOUBLE) AS n_events
+  FROM events WHERE value IS NOT NULL GROUP BY event_type)
+SELECT event_type, metric, metric_value
+FROM wide
+UNPIVOT (metric_value FOR metric IN (total_value, avg_value, n_events))
+""",
+    doc="UNPIVOT/melt: a wide per-key metrics frame to long (metric, value) "
+    "rows — the report/datasheet shape.  Spark's unpivot() keeps the melt "
+    "in one narrow projection (Expand node, no join or union of scans).",
+    tags=("reshape",),
+)
+def events_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = table(spark, sf, "events").filter(F.col("value").isNotNull())
+    wide = ev.groupBy("event_type").agg(
+        F.round(_dsum(F.col("value"), 4), 4).alias("total_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count("*").cast("double").alias("n_events"),
+    )
+    return wide.unpivot(
+        ids=["event_type"],
+        values=["total_value", "avg_value", "n_events"],
+        variableColumnName="metric",
+        valueColumnName="metric_value",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
