@@ -34,6 +34,17 @@ restricted to MERGEABLE aggregates:
   collect bounded to k rows per key; :func:`sample_quantile` reads
   type-7 interpolated quantiles out of a cell.
 
+- frequent items as TOP-K HEAVY-HITTER cells (``struct<items:
+  array<struct<item,cnt>>, err>`` of the m most frequent item values
+  per key): per-shard counts are an exact distributed groupBy truncated
+  to the top m (rank window), with ``err`` = the largest truncated
+  count; the merge sums upper-bound counts (an item absent from one
+  side contributes that side's ``err``) and re-truncates — the
+  mergeable-summaries contract: every stored ``cnt`` is an upper bound
+  within ``err`` of the true count, any item whose true count exceeds
+  ``err`` is guaranteed present, and when ``m`` covers a key's distinct
+  items the cell is simply EXACT (err=0).
+
 Gotcha: per-KEY sample cells answer per-key quantiles; for a quantile
 over an arbitrary filter you still want histogram cells or a full scan.
 
@@ -132,6 +143,115 @@ def _gc(rollup_path: str, latest_version: int) -> None:
 
 _MAX_HIST_BINS = 128
 _MAX_SAMPLE_K = 4096
+_MAX_TOPK = 1024
+
+
+def _topk_cell_schema() -> str:
+    return "struct<items: array<struct<item: string, cnt: bigint>>, err: bigint>"
+
+
+def _empty_topk_cell():
+    return F.struct(
+        F.expr("CAST(array() AS array<struct<item: string, cnt: bigint>>)").alias(
+            "items"
+        ),
+        F.lit(0).cast("long").alias("err"),
+    )
+
+
+def _topk_truncate(cnts: DataFrame, keys: list[str], m: int) -> DataFrame:
+    """(keys..., item, cnt) -> (keys..., items[<=m], err): keep the m
+    largest counts per key (count desc, item asc — deterministic), err =
+    the largest truncated count (0 when nothing truncated).  All frames
+    here are post-aggregation (O(distinct keys x items)), so the rank
+    window is cheap and the collect is bounded by m."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = cnts.withColumn("_rk", F.row_number().over(w))
+    return ranked.groupBy(*keys).agg(
+        F.struct(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rk") <= m,
+                        F.struct(F.col("item"), F.col("cnt").cast("long").alias("cnt")),
+                    )
+                )
+            ).alias("items"),
+            F.coalesce(
+                F.max(F.when(F.col("_rk") > m, F.col("cnt"))), F.lit(0)
+            )
+            .cast("long")
+            .alias("err"),
+        ).alias("cell")
+    )
+
+
+def _topk_partial(src: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
+    """Shard-level top-m summary of column ``c``: exact distributed
+    (keys, item) counts, truncated.  NULL items are never counted."""
+    cnts = (
+        src.filter(F.col(c).isNotNull())
+        .groupBy(*keys, F.col(c).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _topk_truncate(cnts, keys, m).withColumnRenamed("cell", f"topk_{c}")
+
+
+def _topk_merge(both: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
+    """Merge <=2 summaries per key (table ∪ delta) into one.
+
+    Upper-bound combine (Agarwal et al., "Mergeable Summaries"): for
+    each item, every summary contributes its stored count when the item
+    is present and its ``err`` when absent — so the combined ``cnt``
+    stays an upper bound of the true count.  The new ``err`` bounds any
+    ABSENT item: max(sum of input errs, largest count truncated now).
+    Inputs and outputs are O(keys x m) frames; nothing here touches
+    fact rows."""
+    cell = F.col(f"topk_{c}")
+    per_key = both.groupBy(*keys).agg(
+        F.sum(cell["err"]).cast("long").alias("_err_total"),
+        F.count(F.lit(1)).alias("_n_summaries"),
+    )
+    exploded = both.select(
+        *keys,
+        cell["err"].alias("_src_err"),
+        F.explode_outer(cell["items"]).alias("_it"),
+    )
+    combined = (
+        exploded.filter(F.col("_it").isNotNull())
+        .groupBy(*keys, F.col("_it")["item"].alias("item"))
+        .agg(
+            F.sum(F.col("_it")["cnt"]).cast("long").alias("_present_cnt"),
+            F.sum("_src_err").cast("long").alias("_present_err"),
+        )
+        .join(per_key, keys)
+        # present summaries contribute their counts; absent ones their err
+        .select(
+            *keys,
+            "item",
+            (
+                F.col("_present_cnt") + (F.col("_err_total") - F.col("_present_err"))
+            ).alias("cnt"),
+            "_err_total",
+        )
+    )
+    merged = _topk_truncate(combined, keys, m)
+    # new err must also cover items absent from EVERY input summary
+    merged = (
+        merged.join(per_key.select(*keys, "_err_total"), keys)
+        .select(
+            *keys,
+            F.struct(
+                F.col("cell")["items"].alias("items"),
+                F.greatest(F.col("cell")["err"], F.col("_err_total"))
+                .cast("long")
+                .alias("err"),
+            ).alias(f"topk_{c}"),
+        )
+    )
+    return merged
 
 
 def _with_sample_ranks(
@@ -330,6 +450,7 @@ def update_rollup(
     distinct_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
     sample_cols: dict[str, tuple[str, int]] | None = None,
+    topk_cols: dict[str, int] | None = None,
 ) -> dict:
     """Fold one fact shard into the rollup table at ``rollup_path``.
 
@@ -354,6 +475,12 @@ def update_rollup(
     sample_cols = {
         c: (str(id_col), int(k)) for c, (id_col, k) in (sample_cols or {}).items()
     }
+    topk_cols = {c: int(m) for c, m in (topk_cols or {}).items()}
+    for c, m in topk_cols.items():
+        if not 0 < m <= _MAX_TOPK:
+            raise ValueError(
+                f"topk_cols[{c!r}]: need 0 < m <= {_MAX_TOPK}, got {m}"
+            )
     for c, (lo, hi, bins) in hist_cols.items():
         if not (hi > lo and 0 < bins <= _MAX_HIST_BINS):
             raise ValueError(
@@ -376,6 +503,7 @@ def update_rollup(
         # committed-spec equality check survives a reload
         "hist_cols": {c: list(v) for c, v in hist_cols.items()},
         "sample_cols": {c: list(v) for c, v in sample_cols.items()},
+        "topk_cols": topk_cols,
     }
     os.makedirs(rollup_path, exist_ok=True)
     with LakeLease(spark, rollup_path, holder="rollup_update"):
@@ -385,7 +513,7 @@ def update_rollup(
             # commits written before a cell family existed lack its key;
             # they are equivalent to an empty spec for that family
             if committed is not None:
-                for fam in ("hist_cols", "sample_cols"):
+                for fam in ("hist_cols", "sample_cols", "topk_cols"):
                     if fam not in committed:
                         committed = {**committed, fam: {}}
             if committed != spec:
@@ -400,21 +528,23 @@ def update_rollup(
             if sample_cols
             else batch_df
         )
-        delta = (
-            src.groupBy(*keys)
-            .agg(
-                *_agg_exprs(
-                    sum_cols,
-                    min_cols,
-                    max_cols,
-                    distinct_cols,
-                    hist_cols,
-                    merge=False,
-                    sample_cols=sample_cols,
-                )
+        delta = src.groupBy(*keys).agg(
+            *_agg_exprs(
+                sum_cols,
+                min_cols,
+                max_cols,
+                distinct_cols,
+                hist_cols,
+                merge=False,
+                sample_cols=sample_cols,
             )
-            .localCheckpoint()
         )
+        for c, m in topk_cols.items():
+            delta = delta.join(_topk_partial(batch_df, keys, c, m), keys, "left")
+            delta = delta.withColumn(
+                f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
+            )
+        delta = delta.localCheckpoint()
         n_touched = delta.count()
         if latest is not None:
             # A missing/corrupt table for a COMMITTED version must raise,
@@ -424,21 +554,25 @@ def update_rollup(
             current = spark.read.parquet(
                 os.path.join(rollup_path, latest["table"])
             ).localCheckpoint()
-            merged = (
-                current.unionByName(delta)
-                .groupBy(*keys)
-                .agg(
-                    *_agg_exprs(
-                        sum_cols,
-                        min_cols,
-                        max_cols,
-                        distinct_cols,
-                        hist_cols,
-                        merge=True,
-                        sample_cols=sample_cols,
-                    )
+            both = current.unionByName(delta)
+            merged = both.groupBy(*keys).agg(
+                *_agg_exprs(
+                    sum_cols,
+                    min_cols,
+                    max_cols,
+                    distinct_cols,
+                    hist_cols,
+                    merge=True,
+                    sample_cols=sample_cols,
                 )
             )
+            for c, m in topk_cols.items():
+                mrg = _topk_merge(
+                    both.select(*keys, f"topk_{c}"), keys, c, m
+                )
+                merged = merged.join(mrg, keys, "left").withColumn(
+                    f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
+                )
             version = latest["version"] + 1
             applied = latest["applied_shards"] + [shard_id]
         else:

@@ -5037,6 +5037,48 @@ def events_unpivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "events_topk_rollup_exact",
+    oracle="""
+SELECT event_type, CAST(user_id % 20 AS VARCHAR) AS bucket,
+       count(*) AS cnt, CAST(0 AS BIGINT) AS err
+FROM events WHERE user_id IS NOT NULL
+GROUP BY 1, 2
+""",
+    doc="Top-k heavy-hitter cells, shard-folded then read out "
+    "(operators/rollup.py:_topk_partial + _topk_merge): per-shard top-m "
+    "item counts merged with upper-bound semantics.  m (32) covers every "
+    "key's distinct items (20 user buckets), so the mergeable summary "
+    "degenerates to EXACT counts with err=0 — which the plain GROUP BY "
+    "oracle hash-verifies, lifecycle included; the truncated/approximate "
+    "regime's guarantees are property-tested in test_rollup.py.",
+    tags=("agg", "rollup", "topk"),
+)
+def topk_rollup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rollup import _topk_merge, _topk_partial
+
+    ev = table(spark, sf, "events").select(
+        "event_type",
+        F.pmod(F.col("user_id"), F.lit(20)).cast("string").alias("bucket"),
+        F.pmod(F.col("event_id"), F.lit(3)).alias("shard"),
+    )
+    part = _topk_partial(ev, ["event_type", "shard"], "bucket", 32)
+    merged = _topk_merge(
+        part.select("event_type", "topk_bucket"), ["event_type"], "bucket", 32
+    )
+    cell = F.col("topk_bucket")
+    return merged.select(
+        "event_type",
+        cell["err"].alias("err"),
+        F.explode(cell["items"]).alias("it"),
+    ).select(
+        "event_type",
+        F.col("it")["item"].alias("bucket"),
+        F.col("it")["cnt"].alias("cnt"),
+        "err",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

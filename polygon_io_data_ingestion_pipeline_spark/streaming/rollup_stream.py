@@ -31,6 +31,7 @@ def rollup_batch(
     distinct_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
     sample_cols: dict[str, tuple[str, int]] | None = None,
+    topk_cols: dict[str, int] | None = None,
 ) -> None:
     update_rollup(
         batch_df.sparkSession,
@@ -44,6 +45,7 @@ def rollup_batch(
         distinct_cols=distinct_cols,
         hist_cols=hist_cols,
         sample_cols=sample_cols,
+        topk_cols=topk_cols,
     )
 
 
@@ -60,6 +62,7 @@ def start_rollup_stream(
     distinct_cols: list[str] | None = None,
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
     sample_cols: dict[str, tuple[str, int]] | None = None,
+    topk_cols: dict[str, int] | None = None,
 ) -> StreamingQuery:
     """Drain available fact files (parquet) into the rollup table
     (AvailableNow trigger — the cron-driven refresh shape)."""
@@ -76,6 +79,7 @@ def start_rollup_stream(
                 distinct_cols=distinct_cols,
                 hist_cols=hist_cols,
                 sample_cols=sample_cols,
+                topk_cols=topk_cols,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -415,3 +415,79 @@ def test_sample_spec_validation_and_replay(spark, tmp_path):
         sample_cols={"v": ("id", 4)},
     )
     assert not res["applied"]  # replayed shard id is a ledger no-op
+
+
+def _tk_shard(spark, rows):
+    return spark.createDataFrame(rows, "k string, item string")
+
+
+def test_topk_exact_when_m_covers_distinct_items(spark, tmp_path):
+    """With m >= distinct items per key the heavy-hitter cell is EXACT:
+    folding shards equals the plain GROUP BY counts with err=0."""
+    from collections import Counter
+
+    path = str(tmp_path / "rollup")
+    shards = [
+        [("a", "x"), ("a", "y"), ("a", "x"), ("b", "p")],
+        [("a", "x"), ("a", "z"), ("b", "q"), ("b", "p")],
+        [("a", "y"), ("a", "x"), ("b", None)],  # NULL items never counted
+    ]
+    for i, rows in enumerate(shards):
+        update_rollup(
+            spark, path, _tk_shard(spark, rows), ["k"], [], f"s{i}",
+            topk_cols={"item": 8},
+        )
+    got = {
+        r["k"]: ({(s["item"], s["cnt"]) for s in r["topk_item"]["items"]},
+                 r["topk_item"]["err"])
+        for r in read_rollup(spark, path).collect()
+    }
+    want: dict[str, Counter] = {}
+    for rows in shards:
+        for k, it in rows:
+            if it is not None:
+                want.setdefault(k, Counter())[it] += 1
+    assert got == {k: (set(c.items()), 0) for k, c in want.items()}
+
+
+def test_topk_guarantee_under_truncation(spark, tmp_path):
+    """With m smaller than the distinct-item count, stored counts stay
+    UPPER bounds of the truth and every item whose true count exceeds
+    the cell's err is guaranteed present (the mergeable-summaries
+    contract); the heavy item's estimate is exact here because it is
+    never truncated."""
+    from collections import Counter
+
+    path = str(tmp_path / "rollup")
+    # heavy item "hh" dominates; a long tail of singletons forces
+    # truncation in every shard and at every merge
+    shards = []
+    truth: Counter = Counter()
+    for i in range(4):
+        rows = [("a", "hh")] * 10 + [("a", f"t{i}_{j}") for j in range(6)]
+        shards.append(rows)
+        truth.update(it for _k, it in rows)
+    m = 3
+    for i, rows in enumerate(shards):
+        update_rollup(
+            spark, path, _tk_shard(spark, rows), ["k"], [], f"s{i}",
+            topk_cols={"item": m},
+        )
+    cell = read_rollup(spark, path).collect()[0]["topk_item"]
+    stored = {s["item"]: s["cnt"] for s in cell["items"]}
+    err = cell["err"]
+    assert len(stored) <= m and err >= 1
+    for item, cnt in stored.items():
+        assert cnt >= truth[item], (item, cnt, truth[item])  # upper bound
+    present_guaranteed = {it for it, c in truth.items() if c > err}
+    assert present_guaranteed <= set(stored)
+    assert stored["hh"] >= 40  # the heavy hitter is never lost
+
+
+def test_topk_spec_validation(spark, tmp_path):
+    path = str(tmp_path / "rollup")
+    with pytest.raises(ValueError, match="topk_cols"):
+        update_rollup(
+            spark, path, _tk_shard(spark, [("a", "x")]), ["k"], [], "s0",
+            topk_cols={"item": 0},
+        )
