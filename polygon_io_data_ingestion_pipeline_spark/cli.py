@@ -161,7 +161,9 @@ def cmd_search(args: argparse.Namespace) -> int:
 
 def cmd_rollup(args: argparse.Namespace) -> int:
     """Fold a fact shard into an incrementally-maintained aggregate
-    table (count + sums per key), or print the current table."""
+    table (every mergeable cell family: count/sum/min/max, HLL
+    distinct, fixed-bin histograms, bottom-k hash samples, top-m heavy
+    hitters), or print the current table."""
     from .operators.rollup import read_rollup, update_rollup
 
     spark = get_spark("poly-rollup", master=args.master)
@@ -174,14 +176,36 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     if not args.src or not args.shard_id:
         print("--src and --shard-id are required to apply a shard", file=sys.stderr)
         return 2
+
+    def _csv(v: str) -> list[str]:
+        return [c for c in v.split(",") if c]
+
+    hist = {}
+    for spec in args.hist:
+        col, lo, hi, bins = spec.split(":")
+        hist[col] = (float(lo), float(hi), int(bins))
+    sample = {}
+    for spec in args.sample:
+        col, id_col, k = spec.split(":")
+        sample[col] = (id_col, int(k))
+    topk = {}
+    for spec in args.topk:
+        col, m = spec.split(":")
+        topk[col] = int(m)
     batch = spark.read.parquet(args.src)
     res = update_rollup(
         spark,
         args.out,
         batch,
-        args.keys.split(","),
-        args.sum.split(",") if args.sum else [],
+        _csv(args.keys),
+        _csv(args.sum),
         args.shard_id,
+        min_cols=_csv(args.min),
+        max_cols=_csv(args.max),
+        distinct_cols=_csv(args.distinct),
+        hist_cols=hist,
+        sample_cols=sample,
+        topk_cols=topk,
     )
     print(res)
     return 0
@@ -359,6 +383,32 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", default=None, help="fact shard parquet to apply")
     p.add_argument("--keys", required=True, help="comma-separated key columns")
     p.add_argument("--sum", default="", help="comma-separated columns to sum")
+    p.add_argument("--min", default="", help="comma-separated columns to min")
+    p.add_argument("--max", default="", help="comma-separated columns to max")
+    p.add_argument(
+        "--distinct", default="", help="comma-separated columns for HLL distinct cells"
+    )
+    p.add_argument(
+        "--hist",
+        action="append",
+        default=[],
+        metavar="COL:LO:HI:BINS",
+        help="fixed-bin histogram cell (repeatable)",
+    )
+    p.add_argument(
+        "--sample",
+        action="append",
+        default=[],
+        metavar="COL:ID_COL:K",
+        help="bottom-k hash-sample cell; ID_COL must be row-unique (repeatable)",
+    )
+    p.add_argument(
+        "--topk",
+        action="append",
+        default=[],
+        metavar="COL:M",
+        help="top-m heavy-hitter cell (repeatable)",
+    )
     p.add_argument("--shard-id", default=None)
     p.add_argument("--show", action="store_true", help="print the current table")
     _add_common(p)

@@ -103,3 +103,35 @@ def test_rollup_cli(spark, tmp_path, capsys):
         if ln.strip()
     )
     assert lines["a"][1:] == ["2", "4.0"] and lines["b"][1:] == ["1", "2.0"]
+
+
+def test_rollup_cli_full_cell_family(spark, tmp_path, capsys):
+    """The CLI exposes every mergeable cell family; one update + show
+    roundtrip proves the flag plumbing (semantics live in test_rollup)."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src, out = (str(tmp_path / d) for d in ("s1", "roll"))
+    spark.createDataFrame(
+        [("a", 1, 1.0, "x"), ("a", 2, 3.0, "x"), ("a", 3, 9.0, "y")],
+        "k string, id long, v double, item string",
+    ).write.parquet(src)
+    assert main([
+        "rollup", "--out", out, "--keys", "k", "--sum", "v",
+        "--min", "v", "--max", "v", "--distinct", "item",
+        "--hist", "v:0:10:5", "--sample", "v:id:2", "--topk", "item:4",
+        "--src", src, "--shard-id", "s1", "--master", "local[4]",
+    ]) == 0
+    capsys.readouterr()
+    assert main(["rollup", "--out", out, "--keys", "k", "--sum", "v",
+                 "--show", "--master", "local[4]"]) == 0
+    row = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()][0]
+    fields = row.split("\t")
+    assert fields[0] == "a" and fields[1] == "3"  # key, n_rows
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import read_rollup
+
+    r = read_rollup(spark, out).collect()[0]
+    assert r["sum_v"] == 13.0 and r["min_v"] == 1.0 and r["max_v"] == 9.0
+    assert list(r["hist_v"]) == [1, 1, 0, 0, 1]  # width 2: 1.0->b0, 3.0->b1, 9.0->b4
+    assert len(r["smp_v"]) == 2
+    assert {s["item"] for s in r["topk_item"]["items"]} == {"x", "y"}
+    assert r["distinct_item"] == 2
