@@ -655,3 +655,63 @@ def read_rollup(
         for c in commit.get("spec", {}).get("distinct_cols", []):
             df = df.withColumn(f"distinct_{c}", F.hll_sketch_estimate(f"hll_{c}"))
     return df
+
+
+def rollup_hist_counts(
+    spark: SparkSession, rollup_path: str, col: str, version: int | None = None
+) -> DataFrame:
+    """Global (bin, cnt) counts from the ``hist_{col}`` cells of one
+    committed version — the whole-stream histogram, O(keys x bins)
+    rollup rows in, ``bins`` rows out, zero fact scans."""
+    df = read_rollup(spark, rollup_path, estimate_distinct=False, version=version)
+    return (
+        df.select(F.posexplode(f"hist_{col}").alias("b", "c"))
+        .groupBy("b")
+        .agg(F.sum("c").alias("cnt"))
+    )
+
+
+def rollup_hist_drift(
+    spark: SparkSession,
+    rollup_path: str,
+    col: str,
+    feature: str | None = None,
+    mode: str = "delta",
+) -> DataFrame:
+    """PSI drift report between the two readable rollup versions'
+    histogram cells — the refresh gate (:mod:`.drift`) with NO fact
+    rescan: everything derives from O(bins) cell counts.
+
+    ``mode="delta"`` (default) compares the NEWLY-ARRIVED slice against
+    the prior history: because histogram cells are counts and facts are
+    append-only, ``latest - previous`` per bin is EXACTLY the latest
+    shard batch's histogram.  ``mode="cumulative"`` compares the two
+    whole-stream distributions (a much weaker signal once history is
+    large — each new shard moves it O(shard/history)).
+
+    Requires version latest-1 to still be on disk (it always is right
+    after an update; GC keeps exactly that window) and histogram cells
+    in the rollup spec.  One row out:
+    (feature, psi, n_buckets, n_ref, n_cur, drifted)."""
+    from .drift import _psi_from_counts
+
+    if mode not in ("delta", "cumulative"):
+        raise ValueError(f"mode must be 'delta' or 'cumulative', got {mode!r}")
+    vers = rollup_versions(rollup_path)
+    if len(vers) < 2:
+        raise ValueError(
+            f"need two committed versions for drift, have "
+            f"{[v['version'] for v in vers]} at {rollup_path}"
+        )
+    prev_v, cur_v = vers[-2]["version"], vers[-1]["version"]
+    prev = rollup_hist_counts(spark, rollup_path, col, version=prev_v)
+    cur = rollup_hist_counts(spark, rollup_path, col, version=cur_v)
+    rb = prev.select("b", F.col("cnt").alias("rc"))
+    if mode == "delta":
+        joined = cur.join(prev.withColumnRenamed("cnt", "pc"), "b", "left")
+        cb = joined.select(
+            "b", (F.col("cnt") - F.coalesce(F.col("pc"), F.lit(0))).alias("cc")
+        )
+    else:
+        cb = cur.select("b", F.col("cnt").alias("cc"))
+    return _psi_from_counts(rb, cb, feature or f"hist_{col}_{mode}")

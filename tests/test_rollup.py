@@ -491,3 +491,51 @@ def test_topk_spec_validation(spark, tmp_path):
             spark, path, _tk_shard(spark, [("a", "x")]), ["k"], [], "s0",
             topk_cols={"item": 0},
         )
+
+
+def test_rollup_hist_drift_flags_shifted_shard(spark, tmp_path):
+    """Version-to-version PSI from histogram cells: a same-distribution
+    shard reads stable, a shifted shard reads drifted, and the delta
+    counts equal the new shard's own histogram exactly (append-only
+    cells subtract losslessly)."""
+    import random
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        rollup_hist_counts,
+        rollup_hist_drift,
+        rollup_versions,
+    )
+
+    rng = random.Random(7)
+    lo_rows = [("a", rng.uniform(0, 4), 1) for _ in range(400)]
+    hi_rows = [("a", rng.uniform(6, 10), 1) for _ in range(400)]
+    path = str(tmp_path / "rollup")
+    H = {"v": (0.0, 10.0, 10)}
+
+    update_rollup(spark, path, _shard(spark, lo_rows[:200]), ["k"], [], "s0", hist_cols=H)
+    update_rollup(spark, path, _shard(spark, lo_rows[200:]), ["k"], [], "s1", hist_cols=H)
+    stable = rollup_hist_drift(spark, path, "v").collect()[0]
+    assert stable["drifted"] == 0 and stable["psi"] < 0.1
+    assert stable["n_ref"] == 200 and stable["n_cur"] == 200  # delta = shard s1
+
+    update_rollup(spark, path, _shard(spark, hi_rows), ["k"], [], "s2", hist_cols=H)
+    drifted = rollup_hist_drift(spark, path, "v").collect()[0]
+    assert drifted["drifted"] == 1 and drifted["psi"] > 0.25
+    assert drifted["n_cur"] == 400
+
+    # exact delta: latest - previous == shard s2's own binned counts
+    vers = [v["version"] for v in rollup_versions(path)]
+    cur = {r["b"]: r["cnt"] for r in rollup_hist_counts(spark, path, "v", vers[-1]).collect()}
+    prev = {r["b"]: r["cnt"] for r in rollup_hist_counts(spark, path, "v", vers[-2]).collect()}
+    delta = {b: cur[b] - prev.get(b, 0) for b in cur if cur[b] - prev.get(b, 0)}
+    want: dict[int, int] = {}
+    for _k, v, _w in hi_rows:
+        b = min(max(int(v // 1.0), 0), 9)
+        want[b] = want.get(b, 0) + 1
+    assert delta == want
+
+    # cumulative mode: whole-stream vs whole-stream, diluted signal
+    cum = rollup_hist_drift(spark, path, "v", mode="cumulative").collect()[0]
+    assert cum["n_ref"] == 400 and cum["n_cur"] == 800
+    with pytest.raises(ValueError, match="mode"):
+        rollup_hist_drift(spark, path, "v", mode="nope")
