@@ -539,3 +539,44 @@ def test_rollup_hist_drift_flags_shifted_shard(spark, tmp_path):
     assert cum["n_ref"] == 400 and cum["n_cur"] == 800
     with pytest.raises(ValueError, match="mode"):
         rollup_hist_drift(spark, path, "v", mode="nope")
+
+
+def test_concurrent_updaters_lose_no_delta(spark, tmp_path):
+    """Two updaters racing on the same rollup serialize on the
+    maintenance lease: every shard lands exactly once, regardless of
+    interleaving — the lost-update race the lease + atomic commit
+    exist to prevent (each updater merges against the version its
+    predecessor committed, never a stale read)."""
+    import threading
+
+    path = str(tmp_path / "rollup")
+    n_threads, shards_each = 2, 5
+    errors: list[Exception] = []
+
+    def updater(t: int) -> None:
+        try:
+            for i in range(shards_each):
+                update_rollup(
+                    spark,
+                    path,
+                    _shard(spark, [("a", 1.0, 1), ("b", 2.0, 1)]),
+                    ["k"],
+                    ["v"],
+                    f"t{t}_s{i}",
+                )
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=updater, args=(t,)) for t in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    total = n_threads * shards_each
+    got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in read_rollup(spark, path).collect()}
+    assert got == {"a": (total, 1.0 * total), "b": (total, 2.0 * total)}
+    latest = sorted(glob.glob(os.path.join(path, "_commit_v*.json")))[-1]
+    assert sorted(json.load(open(latest))["applied_shards"]) == sorted(
+        f"t{t}_s{i}" for t in range(n_threads) for i in range(shards_each)
+    )
