@@ -580,3 +580,25 @@ def test_concurrent_updaters_lose_no_delta(spark, tmp_path):
     assert sorted(json.load(open(latest))["applied_shards"]) == sorted(
         f"t{t}_s{i}" for t in range(n_threads) for i in range(shards_each)
     )
+
+
+def test_sample_partial_plan_reuses_one_exchange(spark):
+    """The sample-cell partial level must not pay a second shuffle: the
+    rank window's hash partitioning on the keys is exactly what the
+    groupBy needs, so the executed plan holds ONE Exchange — the scale
+    contract of the bottom-k cell (the fact stream is shuffled once)."""
+    import re
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        _agg_exprs,
+        _with_sample_ranks,
+    )
+
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, id long, v double")
+    spec = {"v": ("id", 8)}
+    src = _with_sample_ranks(df, ["k"], spec)
+    delta = src.groupBy("k").agg(
+        *_agg_exprs([], [], [], [], {}, merge=False, sample_cols=spec)
+    )
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
