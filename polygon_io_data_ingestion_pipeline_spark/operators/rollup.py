@@ -83,7 +83,10 @@ from pyspark.sql import functions as F
 
 from ..sources.lease import LakeLease
 
-_COMMIT_RE = re.compile(r"_commit_v(\d{6})\.json$")
+# 6+ digits: %06d zero-pads the common range but versions past 999999
+# grow a seventh digit — the pattern must keep matching them (readers
+# compare PARSED ints, never path strings, for the same reason)
+_COMMIT_RE = re.compile(r"_commit_v(\d{6,})\.json$")
 
 
 def _commit_name(version: int) -> str:
@@ -106,6 +109,23 @@ def _latest_commit(rollup_path: str) -> dict | None:
         if m and int(m.group(1)) > best_v:
             best_v, best_path = int(m.group(1)), p
     if best_path is None:
+        # Cold means COLD: a directory from the pre-versioned layout
+        # (table/ + _applied_shards.json) holds real accumulated state
+        # that must never be silently replaced by one shard's worth of
+        # data — refuse and point at the migration instead.
+        legacy = [
+            n
+            for n in ("table", "_applied_shards.json")
+            if os.path.exists(os.path.join(rollup_path, n))
+        ]
+        if legacy:
+            raise ValueError(
+                f"{rollup_path} holds a pre-versioned rollup layout "
+                f"({', '.join(legacy)}) with no _commit_v*.json; refusing "
+                "to cold-start over it. Migrate once: rename table/ to "
+                "table_v000001/ and publish _commit_v000001.json with the "
+                "old ledger as applied_shards and the rollup's spec."
+            )
         return None
     with open(best_path) as fh:
         return json.load(fh)
@@ -136,7 +156,7 @@ def _gc(rollup_path: str, latest_version: int) -> None:
             except OSError:
                 pass
     for p in glob.glob(os.path.join(rollup_path, "table_v*")):
-        m = re.search(r"table_v(\d{6})$", p)
+        m = re.search(r"table_v(\d{6,})$", p)
         if m and int(m.group(1)) < latest_version - 1:
             shutil.rmtree(p, ignore_errors=True)
 
@@ -188,15 +208,71 @@ def _topk_truncate(cnts: DataFrame, keys: list[str], m: int) -> DataFrame:
     )
 
 
-def _topk_partial(src: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
-    """Shard-level top-m summary of column ``c``: exact distributed
-    (keys, item) counts, truncated.  NULL items are never counted."""
+def _topk_partial_multi(
+    src: DataFrame, keys: list[str], topk_cols: dict[str, int]
+) -> DataFrame:
+    """Shard-level top-m summaries for EVERY tracked column in one pass:
+    the columns melt map-side into (keys, col, item) rows, one count
+    aggregation and one rank window (both partitioned by column+keys)
+    serve all of them, and a pivot folds the cells back to one row per
+    key — two shuffles of the fact shard total, independent of how many
+    columns are tracked.  NULL items are never counted.  Keys with no
+    countable items for a column get a NULL cell (callers coalesce to
+    the empty cell)."""
+    from pyspark.sql import Window
+
+    cols = list(topk_cols)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col"), F.col(c).cast("string").alias("item")
+                )
+                for c in cols
+            ]
+        )
+    ).alias("_p")
     cnts = (
-        src.filter(F.col(c).isNotNull())
-        .groupBy(*keys, F.col(c).cast("string").alias("item"))
+        src.select(*keys, pairs)
+        .select(
+            *keys,
+            F.col("_p")["col"].alias("_tcol"),
+            F.col("_p")["item"].alias("item"),
+        )
+        .filter(F.col("item").isNotNull())
+        .groupBy(*keys, "_tcol", "item")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    return _topk_truncate(cnts, keys, m).withColumnRenamed("cell", f"topk_{c}")
+    m_of = F.coalesce(
+        *[F.when(F.col("_tcol") == c, F.lit(m)) for c, m in topk_cols.items()]
+    )
+    w = Window.partitionBy("_tcol", *keys).orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = cnts.withColumn("_rk", F.row_number().over(w)).withColumn("_m", m_of)
+    cells = ranked.groupBy(*keys, "_tcol").agg(
+        F.struct(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("_rk") <= F.col("_m"),
+                        F.struct(F.col("item"), F.col("cnt").cast("long").alias("cnt")),
+                    )
+                )
+            ).alias("items"),
+            F.coalesce(F.max(F.when(F.col("_rk") > F.col("_m"), F.col("cnt"))), F.lit(0))
+            .cast("long")
+            .alias("err"),
+        ).alias("cell")
+    )
+    out = cells.groupBy(*keys).pivot("_tcol", cols).agg(F.first("cell"))
+    for c in cols:
+        out = out.withColumnRenamed(c, f"topk_{c}")
+    return out
+
+
+def _topk_partial(src: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
+    """Shard-level top-m summary of one column ``c`` (the single-column
+    face of :func:`_topk_partial_multi`)."""
+    return _topk_partial_multi(src, keys, {c: m})
 
 
 def _topk_merge(both: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
@@ -212,7 +288,6 @@ def _topk_merge(both: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
     cell = F.col(f"topk_{c}")
     per_key = both.groupBy(*keys).agg(
         F.sum(cell["err"]).cast("long").alias("_err_total"),
-        F.count(F.lit(1)).alias("_n_summaries"),
     )
     exploded = both.select(
         *keys,
@@ -539,11 +614,14 @@ def update_rollup(
                 sample_cols=sample_cols,
             )
         )
-        for c, m in topk_cols.items():
-            delta = delta.join(_topk_partial(batch_df, keys, c, m), keys, "left")
-            delta = delta.withColumn(
-                f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
+        if topk_cols:
+            delta = delta.join(
+                _topk_partial_multi(batch_df, keys, topk_cols), keys, "left"
             )
+            for c in topk_cols:
+                delta = delta.withColumn(
+                    f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
+                )
         delta = delta.localCheckpoint()
         n_touched = delta.count()
         if latest is not None:
@@ -605,7 +683,7 @@ def rollup_versions(rollup_path: str) -> list[dict]:
     reader-consistency window, not unbounded history — point a real
     table format at the lake for that)."""
     out = []
-    for p in sorted(glob.glob(os.path.join(rollup_path, "_commit_v*.json"))):
+    for p in glob.glob(os.path.join(rollup_path, "_commit_v*.json")):
         m = _COMMIT_RE.search(p)
         if not m:
             continue
@@ -618,7 +696,9 @@ def rollup_versions(rollup_path: str) -> list[dict]:
                 "n_shards": len(c.get("applied_shards", [])),
             }
         )
-    return out
+    # sort by parsed version, not path string: v1000000 grows a digit
+    # and would string-sort before v999999
+    return sorted(out, key=lambda v: v["version"])
 
 
 def read_rollup(

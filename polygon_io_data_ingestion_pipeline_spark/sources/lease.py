@@ -326,11 +326,17 @@ class LakeLease:
             current = self._read_payload() or {}
             ttl = float(current.get("ttl_sec", self._ttl_sec))
             if age > ttl:
-                self._break_expired(ttl)
+                if not self._break_expired(ttl):
+                    # lost the breaker mutex (or the observation went
+                    # stale): another waiter is doing the work — wait
+                    # like every other retry path instead of spinning
+                    # stat/create calls against the store for its whole
+                    # critical section
+                    time.sleep(self._poll_sec)
                 continue
             time.sleep(self._poll_sec)
 
-    def _break_expired(self, observed_ttl: float) -> None:
+    def _break_expired(self, observed_ttl: float) -> bool:
         """Single-winner break of an expired lock instance.
 
         A bare delete-then-create is racy: two waiters that both observe
@@ -376,17 +382,20 @@ class LakeLease:
             self._delete(breaker)
         payload = json.dumps({"holder": self._holder, "token": self._token}).encode()
         if not self._try_create_at(breaker, payload):
-            return  # another breaker is at work; re-observe next loop
+            return False  # another breaker is at work; re-observe next loop
         try:
             age = self._age_sec()
             current = self._read_payload() or {}
             ttl = float(current.get("ttl_sec", observed_ttl))
             if age is None or age <= ttl:
-                return  # stale observation: the lock is gone or fresh
+                return False  # stale observation: the lock is gone or fresh
             trophy = self._lock_path + ".break-" + self._token
             if not self._capture(self._lock_path, trophy):
-                return  # holder released in the window — nothing to break
+                # holder released in the window — the bare path is free,
+                # so an immediate create retry is worthwhile
+                return True
             self._finish_break(trophy, ttl)
+            return True
         finally:
             self._delete(breaker)
 

@@ -602,3 +602,37 @@ def test_sample_partial_plan_reuses_one_exchange(spark):
     )
     plan = delta._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_legacy_layout_refuses_cold_start(spark, tmp_path):
+    """A pre-versioned rollup dir (table/ + _applied_shards.json, no
+    commit files) must raise with migration guidance, never be silently
+    replaced by one shard's worth of data."""
+    path = str(tmp_path / "rollup")
+    os.makedirs(os.path.join(path, "table"))
+    with open(os.path.join(path, "_applied_shards.json"), "w") as fh:
+        fh.write('["old_shard"]')
+    with pytest.raises(ValueError, match="pre-versioned rollup layout"):
+        update_rollup(spark, path, _shard(spark, [("a", 1.0, 1)]), ["k"], ["v"], "s0")
+    with pytest.raises(ValueError, match="pre-versioned rollup layout"):
+        read_rollup(spark, path)
+
+
+def test_commit_versions_survive_six_digit_overflow(tmp_path):
+    """Version 1,000,000 grows a seventh digit: parsing and ordering
+    must use the integer, not the six-digit pattern or path sort."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        _latest_commit,
+        _publish_commit,
+        rollup_versions,
+    )
+
+    path = str(tmp_path / "rollup")
+    os.makedirs(path)
+    for v in (999999, 1000000):
+        _publish_commit(
+            path,
+            {"version": v, "table": f"table_v{v:06d}", "applied_shards": [], "spec": {}},
+        )
+    assert _latest_commit(path)["version"] == 1000000
+    assert [x["version"] for x in rollup_versions(path)] == [999999, 1000000]
