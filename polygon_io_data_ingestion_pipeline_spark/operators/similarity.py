@@ -460,6 +460,53 @@ def _ivf_lock_path(path: str) -> str:
     return os.path.join(head or ".", f"_{tail}.maintenance.lock")
 
 
+def _stream_batch_dirs(path: str) -> list[str]:
+    """``ingest_batch=*`` partition dirs of a STREAMING-built index
+    (:mod:`..streaming.corpus_stream` writes ``ingest_batch=<id>/
+    list_id=<l>/`` so replays can overwrite one batch dir atomically);
+    empty for a batch-built index (top-level ``list_id=*``).  An index
+    must hold exactly ONE of the two depths — Spark's partition
+    discovery rejects a mix — so every lifecycle op routes on this."""
+    import glob as _glob
+
+    return sorted(_glob.glob(os.path.join(path, "ingest_batch=*")))
+
+
+def _append_target(path: str) -> str:
+    """Where an append may write: a stream-layout index keeps its
+    two-level depth (a fresh ``ingest_batch=append-*`` dir), a
+    batch-layout index appends into its top-level list dirs."""
+    import uuid as _uuid
+
+    if _stream_batch_dirs(path):
+        return os.path.join(path, f"ingest_batch=append-{_uuid.uuid4().hex[:8]}")
+    return path
+
+
+def _restage_streamwise(path: str, staging: str) -> None:
+    """Make a rebalance staging dir (always built batch-layout) match a
+    stream-layout live index before the swap: move its list dirs under
+    one ``ingest_batch=rebuild-*`` level and CARRY THE STREAMING LEDGER
+    over — otherwise the swap would (a) flip the index to the other
+    partition depth, breaking the next streaming batch's read, and
+    (b) delete ``_indexed_batches.json``, so a checkpoint replay would
+    re-index batches whose rows the rebuild already consolidated
+    (duplicate vectors in the index)."""
+    import glob as _glob
+    import shutil
+    import uuid as _uuid
+
+    if not _stream_batch_dirs(path):
+        return
+    sub = os.path.join(staging, f"ingest_batch=rebuild-{_uuid.uuid4().hex[:8]}")
+    os.makedirs(sub)
+    for d in _glob.glob(os.path.join(staging, "list_id=*")):
+        shutil.move(d, os.path.join(sub, os.path.basename(d)))
+    ledger = os.path.join(path, "_indexed_batches.json")
+    if os.path.exists(ledger):
+        shutil.copy2(ledger, os.path.join(staging, "_indexed_batches.json"))
+
+
 def append_to_ivf_index(
     df: DataFrame,
     path: str,
@@ -490,7 +537,7 @@ def append_to_ivf_index(
             .repartition("list_id")
             .write.partitionBy("list_id")
             .mode("append")
-            .parquet(path)
+            .parquet(_append_target(path))
         )
 
 
@@ -588,7 +635,7 @@ def rebalance_ivf_index(
         old_cb = read_ivf_codebook(path)
         if nlist is None:
             nlist = len(old_cb)
-        vecs = spark.read.parquet(path).drop("list_id")
+        vecs = spark.read.parquet(path).drop("list_id", "ingest_batch")
         cents = kmeans_centroids(
             vecs,
             nlist=nlist,
@@ -603,6 +650,7 @@ def rebalance_ivf_index(
 
         with open(os.path.join(staging, "_codebook.json"), "w") as fh:
             json.dump([[cid, vec] for cid, vec in cents], fh)
+        _restage_streamwise(path, staging)
         jvm = spark._jvm
         jsrc = jvm.org.apache.hadoop.fs.Path(staging)
         jdst = jvm.org.apache.hadoop.fs.Path(path)
@@ -1067,7 +1115,7 @@ def append_to_ivfpq_index(
             .repartition("list_id")
             .write.partitionBy("list_id")
             .mode("append")
-            .parquet(path)
+            .parquet(_append_target(path))
         )
 
 
@@ -1103,7 +1151,7 @@ def rebalance_ivfpq_index(
         nlist = nlist or len(old_cents)
         m = m or len(old_books)
         ncodes = ncodes or len(old_books[0])
-        vecs = spark.read.parquet(path).drop("list_id", "codes")
+        vecs = spark.read.parquet(path).drop("list_id", "codes", "ingest_batch")
         cents = kmeans_centroids(
             vecs, nlist=nlist, iters=iters, max_train_rows=max_train_rows,
             seed=seed, vec_col=vec_col,
@@ -1117,6 +1165,7 @@ def rebalance_ivfpq_index(
             vecs, staging, centroids=cents, codebooks=books,
             id_col=id_col, vec_col=vec_col,
         )
+        _restage_streamwise(path, staging)
         jvm = spark._jvm
         jsrc = jvm.org.apache.hadoop.fs.Path(staging)
         jdst = jvm.org.apache.hadoop.fs.Path(path)

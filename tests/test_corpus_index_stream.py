@@ -8,6 +8,8 @@ from __future__ import annotations
 import json
 import os
 
+from pyspark.sql import functions as F
+
 from polygon_io_data_ingestion_pipeline_spark.operators.embed import feature_hash_embed
 from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
     ivf_topk_indexed,
@@ -203,3 +205,72 @@ def test_streamed_docs_become_searchable_per_batch_ivfpq(spark, tmp_path):
         for r in spark.read.parquet(idx).collect()
     )
     assert after == before
+
+
+def test_stream_index_survives_append_and_rebalance(spark, tmp_path):
+    """Interleaving the batch lifecycle with a streaming-built IVFPQ
+    index must keep ONE partition depth and the batch ledger: append
+    writes a fresh ingest_batch=append-* dir (never top-level lists),
+    rebalance restages its rebuild under ingest_batch=rebuild-* and
+    carries _indexed_batches.json across the swap — so the index stays
+    readable, replays stay no-ops, and the next streaming batch lands
+    cleanly."""
+    import glob as _glob
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        append_to_ivfpq_index,
+        read_ivfpq_meta,
+        rebalance_ivfpq_index,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.streaming.corpus_stream import (
+        start_corpus_ingest_indexed_pq,
+        write_corpus_batch_indexed_pq,
+    )
+
+    src, lake, idx, ckpt = (str(tmp_path / d) for d in ("src", "lake", "idx", "ckpt"))
+    os.makedirs(src)
+
+    def drain():
+        q = start_corpus_ingest_indexed_pq(
+            spark, src, lake, idx, ckpt, watermark_delay="10 minutes",
+            dim=16, nlist=2, m=4, ncodes=4,
+        )
+        q.awaitTermination(120)
+
+    _shard(src, "a.jsonl", [_doc(1, GOOD_A)])
+    drain()
+    _shard(src, "b.jsonl", [_doc(10, GOOD_B)])
+    drain()
+
+    # batch append joins the stream layout instead of conflicting with it
+    extra = feature_hash_embed(
+        spark.createDataFrame([(77, GOOD_C)], "doc_id long, text string"), dim=16
+    ).select("doc_id", "embedding")
+    append_to_ivfpq_index(extra, idx, id_col="doc_id")
+    assert not _glob.glob(os.path.join(idx, "list_id=*"))  # no mixed depth
+    assert _glob.glob(os.path.join(idx, "ingest_batch=append-*", "list_id=*"))
+    ids = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert ids == {1, 10, 77}
+
+    # rebalance consolidates, keeps the stream depth AND the ledger
+    res = rebalance_ivfpq_index(spark, idx, id_col="doc_id")
+    assert res["rebuilt"]
+    assert os.path.exists(os.path.join(idx, "_indexed_batches.json"))
+    assert not _glob.glob(os.path.join(idx, "list_id=*"))
+    assert _glob.glob(os.path.join(idx, "ingest_batch=rebuild-*", "list_id=*"))
+    read_ivfpq_meta(idx)  # sidecar intact
+
+    # a committed batch id replayed after the rebuild stays a no-op
+    batch = spark.createDataFrame(
+        [(10, GOOD_B, "en", "web", "fpX", 25)],
+        "doc_id long, text string, lang string, source string, fp string, n_tokens int",
+    )
+    n_before = spark.read.parquet(idx).count()
+    write_corpus_batch_indexed_pq(batch, 1, lake, idx, dim=16, nlist=2, m=4, ncodes=4)
+    assert spark.read.parquet(idx).count() == n_before
+
+    # and the NEXT streaming batch lands in the same structure
+    _shard(src, "c.jsonl", [_doc(20, GOOD_C)])
+    drain()
+    ids = {r["doc_id"] for r in spark.read.parquet(idx).select("doc_id").collect()}
+    assert 20 in ids
