@@ -577,14 +577,22 @@ def encode_jpeg_progressive(
                 if t == 0:
                     r += 1
                     continue
-                if t > 1:  # already significant: one correction bit
-                    br.append(1 if abs(v) & p_bit else 0)
-                    continue
+                # Flush pending ZRLs BEFORE buffering this coefficient's
+                # bit (libjpeg's order): the decoder passes exactly 16
+                # zero-history positions per ZRL and consumes correction
+                # bits only for significant coefficients it passes WITHIN
+                # them — a bit buffered first would ride with a ZRL whose
+                # span ends before its coefficient, desyncing the stream
+                # (run > 15 + already-significant + newly-significant was
+                # the failing shape).
                 while r > 15:
                     code, ln = codes[0xF0]
                     out.write(code, ln)
                     flush_br(br)
                     r -= 16
+                if t > 1:  # already significant: one correction bit
+                    br.append(1 if abs(v) & p_bit else 0)
+                    continue
                 code, ln = codes[(r << 4) | 1]
                 out.write(code, ln)
                 out.write(1 if v > 0 else 0, 1)

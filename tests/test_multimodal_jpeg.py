@@ -382,3 +382,42 @@ def test_progressive_multiblock_eob_runs_hand_fixture():
         [block_pixels(zz0)] + [block_pixels(zzr)] * 3, axis=1
     )
     assert np.array_equal(got, expected)
+
+
+def test_progressive_refine_zrl_with_history_coefficient():
+    """AC refine ordering regression: a block whose zigzag band holds a
+    16+ zero run, then an ALREADY-significant coefficient (|c|>=2), then
+    a NEWLY-significant one (|c|==1) forces the encoder to emit ZRLs at
+    the newly-significant position.  The history coefficient's
+    correction bit must ride with the symbol whose run passes it — the
+    old encoder buffered it before flushing the pending ZRL, which the
+    ZRL's 16-position span does not cover, desyncing the stream
+    (decoder raised 'AC refine size != 1').  Built from exact quantized
+    coefficients so the shape is deterministic."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import (
+        _C,
+        _quality_scale,
+        QUANT_LUMA,
+        UNZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    q = _quality_scale(QUANT_LUMA, 85)
+    czz = np.zeros(64)
+    czz[0] = 4  # DC
+    czz[17] = 2  # zigzag 1..16 zero -> run 16, then already-significant
+    czz[18] = 1  # newly significant right after: triggers the ZRL flush
+    czz[40] = 3  # a later history coefficient exercising the EOB flush
+    coef = czz[UNZIGZAG].reshape(8, 8) * q
+    block = _C.T @ coef @ _C + 128.0
+    assert block.min() >= 0 and block.max() <= 255  # representable
+    img = np.round(block).astype(np.uint8)
+
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=85))  # must not raise
+    # the module's cross-check contract: progressive and baseline carry
+    # IDENTICAL quantized coefficients, so decodes must match exactly —
+    # the misplaced correction bit broke this without raising
+    base = decode_jpeg(encode_jpeg(img, quality=85))
+    assert np.array_equal(out, base)
