@@ -164,13 +164,44 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     table (every mergeable cell family: count/sum/min/max, HLL
     distinct, fixed-bin histograms, bottom-k hash samples, top-m heavy
     hitters), or print the current table."""
-    from .operators.rollup import read_rollup, update_rollup
+    from .operators.rollup import (
+        _latest_commit,
+        histogram_quantile,
+        read_rollup,
+        rollup_hist_drift,
+        sample_quantile,
+        update_rollup,
+    )
 
     spark = get_spark("poly-rollup", master=args.master)
-    if args.show:
+    if args.drift:
+        row = rollup_hist_drift(spark, args.out, args.drift).collect()[0]
+        print("\t".join(str(row[c]) for c in row.asDict()))
+        return 0
+    if args.show or args.quantile:
+        df = read_rollup(spark, args.out)
+        spec = (_latest_commit(args.out) or {}).get("spec", {})
+        for qspec in args.quantile:
+            col, prob = qspec.rsplit(":", 1)
+            prob = float(prob)
+            label = f"q{prob:g}_{col}"
+            if col in spec.get("hist_cols", {}):
+                lo, hi, bins = spec["hist_cols"][col]
+                df = df.withColumn(
+                    label, histogram_quantile(f"hist_{col}", lo, hi, int(bins), prob)
+                )
+            elif col in spec.get("sample_cols", {}):
+                df = df.withColumn(label, sample_quantile(f"smp_{col}", prob))
+            else:
+                print(
+                    f"--quantile {qspec}: no hist or sample cell for {col!r} "
+                    f"in the committed spec",
+                    file=sys.stderr,
+                )
+                return 2
         # bounded: --show is a human spot-check; cap it (the table is
         # O(distinct keys), which at scale is not printable anyway)
-        for r in read_rollup(spark, args.out).orderBy(*args.keys.split(",")).limit(1000).collect():
+        for r in df.orderBy(*args.keys.split(",")).limit(1000).collect():
             print("\t".join(str(r[c]) for c in r.asDict()))
         return 0
     if not args.src or not args.shard_id:
@@ -411,6 +442,21 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--shard-id", default=None)
     p.add_argument("--show", action="store_true", help="print the current table")
+    p.add_argument(
+        "--quantile",
+        action="append",
+        default=[],
+        metavar="COL:P",
+        help="with --show: read the P-quantile out of COL's histogram or "
+        "sample cell (repeatable)",
+    )
+    p.add_argument(
+        "--drift",
+        default=None,
+        metavar="COL",
+        help="print the PSI drift report between the two committed versions' "
+        "histogram cells for COL (delta mode: new slice vs history)",
+    )
     _add_common(p)
     p.set_defaults(fn=cmd_rollup)
 

@@ -135,3 +135,42 @@ def test_rollup_cli_full_cell_family(spark, tmp_path, capsys):
     assert len(r["smp_v"]) == 2
     assert {s["item"] for s in r["topk_item"]["items"]} == {"x", "y"}
     assert r["distinct_item"] == 2
+
+
+def test_rollup_cli_quantile_and_drift(spark, tmp_path, capsys):
+    """--quantile reads out of hist/sample cells by spec introspection;
+    --drift prints the version-to-version PSI row."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    s1, s2, out = (str(tmp_path / d) for d in ("s1", "s2", "roll"))
+    spark.createDataFrame(
+        [("a", i, i / 10.0) for i in range(100)], "k string, id long, v double"
+    ).write.parquet(s1)
+    spark.createDataFrame(
+        [("a", 100 + i, 9.0 + i / 100.0) for i in range(50)],
+        "k string, id long, v double",
+    ).write.parquet(s2)
+    base = [
+        "rollup", "--out", out, "--keys", "k", "--sum", "v",
+        "--hist", "v:0:10:20", "--sample", "v:id:32", "--master", "local[4]",
+    ]
+    assert main(base + ["--src", s1, "--shard-id", "s1"]) == 0
+    assert main(base + ["--src", s2, "--shard-id", "s2"]) == 0
+    capsys.readouterr()
+    assert main([
+        "rollup", "--out", out, "--keys", "k", "--show",
+        "--quantile", "v:0.5", "--master", "local[4]",
+    ]) == 0
+    row = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()][0]
+    p50 = float(row.split("\t")[-1])
+    assert 0.0 < p50 < 10.0
+    # unknown cell -> error exit
+    assert main([
+        "rollup", "--out", out, "--keys", "k", "--show",
+        "--quantile", "nope:0.5", "--master", "local[4]",
+    ]) == 2
+    capsys.readouterr()
+    assert main(["rollup", "--out", out, "--keys", "k", "--drift", "v",
+                 "--master", "local[4]"]) == 0
+    fields = capsys.readouterr().out.split("\t")
+    assert fields[0] == "hist_v_delta" and fields[-1].strip() == "1"  # drifted
