@@ -175,15 +175,36 @@ def cmd_rollup(args: argparse.Namespace) -> int:
 
     spark = get_spark("poly-rollup", master=args.master)
     if args.drift:
-        row = rollup_hist_drift(spark, args.out, args.drift).collect()[0]
+        spec = (_latest_commit(args.out) or {}).get("spec", {})
+        if args.drift not in spec.get("hist_cols", {}):
+            print(
+                f"--drift {args.drift}: no histogram cell for {args.drift!r} "
+                f"in the committed spec",
+                file=sys.stderr,
+            )
+            return 2
+        try:
+            row = rollup_hist_drift(spark, args.out, args.drift).collect()[0]
+        except ValueError as e:  # fewer than two committed versions
+            print(f"--drift {args.drift}: {e}", file=sys.stderr)
+            return 2
         print("\t".join(str(row[c]) for c in row.asDict()))
         return 0
     if args.show or args.quantile:
         df = read_rollup(spark, args.out)
         spec = (_latest_commit(args.out) or {}).get("spec", {})
         for qspec in args.quantile:
-            col, prob = qspec.rsplit(":", 1)
-            prob = float(prob)
+            col, sep, prob_s = qspec.rpartition(":")
+            try:
+                prob = float(prob_s)
+            except ValueError:
+                prob = -1.0
+            if not sep or not col or not 0.0 <= prob <= 1.0:
+                print(
+                    f"--quantile {qspec}: expected COL:P with P in [0, 1]",
+                    file=sys.stderr,
+                )
+                return 2
             label = f"q{prob:g}_{col}"
             if col in spec.get("hist_cols", {}):
                 lo, hi, bins = spec["hist_cols"][col]

@@ -179,28 +179,31 @@ def _empty_topk_cell():
     )
 
 
-def _topk_truncate(cnts: DataFrame, keys: list[str], m: int) -> DataFrame:
-    """(keys..., item, cnt) -> (keys..., items[<=m], err): keep the m
-    largest counts per key (count desc, item asc — deterministic), err =
-    the largest truncated count (0 when nothing truncated).  All frames
-    here are post-aggregation (O(distinct keys x items)), so the rank
-    window is cheap and the collect is bounded by m."""
+def _topk_truncate(cnts: DataFrame, part_cols: list[str], m) -> DataFrame:
+    """(part_cols..., item, cnt) -> (part_cols..., cell): keep the m
+    largest counts per group (count desc, item asc — deterministic),
+    err = the largest truncated count (0 when nothing truncated).
+    ``m`` may be an int or a per-row Column (the multi-column partial
+    passes each tracked column's own cap).  All frames here are
+    post-aggregation (O(distinct groups x items)), so the rank window
+    is cheap and the collect is bounded by m."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(*keys).orderBy(F.desc("cnt"), F.asc("item"))
-    ranked = cnts.withColumn("_rk", F.row_number().over(w))
-    return ranked.groupBy(*keys).agg(
+    m_expr = F.lit(m) if isinstance(m, int) else m
+    w = Window.partitionBy(*part_cols).orderBy(F.desc("cnt"), F.asc("item"))
+    ranked = cnts.withColumn("_rk", F.row_number().over(w)).withColumn("_m", m_expr)
+    return ranked.groupBy(*part_cols).agg(
         F.struct(
             F.sort_array(
                 F.collect_list(
                     F.when(
-                        F.col("_rk") <= m,
+                        F.col("_rk") <= F.col("_m"),
                         F.struct(F.col("item"), F.col("cnt").cast("long").alias("cnt")),
                     )
                 )
             ).alias("items"),
             F.coalesce(
-                F.max(F.when(F.col("_rk") > m, F.col("cnt"))), F.lit(0)
+                F.max(F.when(F.col("_rk") > F.col("_m"), F.col("cnt"))), F.lit(0)
             )
             .cast("long")
             .alias("err"),
@@ -219,8 +222,6 @@ def _topk_partial_multi(
     columns are tracked.  NULL items are never counted.  Keys with no
     countable items for a column get a NULL cell (callers coalesce to
     the empty cell)."""
-    from pyspark.sql import Window
-
     cols = list(topk_cols)
     pairs = F.explode(
         F.array(
@@ -246,23 +247,7 @@ def _topk_partial_multi(
     m_of = F.coalesce(
         *[F.when(F.col("_tcol") == c, F.lit(m)) for c, m in topk_cols.items()]
     )
-    w = Window.partitionBy("_tcol", *keys).orderBy(F.desc("cnt"), F.asc("item"))
-    ranked = cnts.withColumn("_rk", F.row_number().over(w)).withColumn("_m", m_of)
-    cells = ranked.groupBy(*keys, "_tcol").agg(
-        F.struct(
-            F.sort_array(
-                F.collect_list(
-                    F.when(
-                        F.col("_rk") <= F.col("_m"),
-                        F.struct(F.col("item"), F.col("cnt").cast("long").alias("cnt")),
-                    )
-                )
-            ).alias("items"),
-            F.coalesce(F.max(F.when(F.col("_rk") > F.col("_m"), F.col("cnt"))), F.lit(0))
-            .cast("long")
-            .alias("err"),
-        ).alias("cell")
-    )
+    cells = _topk_truncate(cnts, [*keys, "_tcol"], m_of)
     out = cells.groupBy(*keys).pivot("_tcol", cols).agg(F.first("cell"))
     for c in cols:
         out = out.withColumnRenamed(c, f"topk_{c}")

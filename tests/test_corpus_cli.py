@@ -174,3 +174,26 @@ def test_rollup_cli_quantile_and_drift(spark, tmp_path, capsys):
                  "--master", "local[4]"]) == 0
     fields = capsys.readouterr().out.split("\t")
     assert fields[0] == "hist_v_delta" and fields[-1].strip() == "1"  # drifted
+
+
+def test_rollup_cli_flag_validation(spark, tmp_path, capsys):
+    """Typo inputs on --quantile/--drift exit 2 with a message, never a
+    traceback: missing :P, non-numeric or out-of-range P, drift on a
+    cell-less column, drift with a single committed version."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src, out = (str(tmp_path / d) for d in ("s1", "roll"))
+    spark.createDataFrame(
+        [("a", 1, 1.0)], "k string, id long, v double"
+    ).write.parquet(src)
+    assert main([
+        "rollup", "--out", out, "--keys", "k", "--sum", "v",
+        "--hist", "v:0:10:5", "--src", src, "--shard-id", "s1",
+        "--master", "local[4]",
+    ]) == 0
+    show = ["rollup", "--out", out, "--keys", "k", "--show", "--master", "local[4]"]
+    for bad in ("v", "v:0.5x", "v:1.5", ":0.5"):
+        assert main(show + ["--quantile", bad]) == 2, bad
+    base = ["rollup", "--out", out, "--keys", "k", "--master", "local[4]"]
+    assert main(base + ["--drift", "nope"]) == 2  # no hist cell
+    assert main(base + ["--drift", "v"]) == 2  # only one committed version
