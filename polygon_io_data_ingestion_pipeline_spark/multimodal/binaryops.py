@@ -8,13 +8,14 @@ row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
 Codec status per modality: **audio (WAV), image (PNM, baseline JPEG
-AND PNG) and video (MJPEG-in-AVI + the PNMV intra-only container) decode REAL
-bytes** —
+AND PNG) and video (MJPEG in AVI and MP4 containers + the PNMV intra-only
+container) decode REAL bytes** —
 pure stdlib + NumPy, no external library needed (see
 :func:`decode_wav` / :func:`decode_audio_features`, :func:`decode_pnm`
 / the baseline JFIF codec in :mod:`.jpeg` / :func:`decode_image_features`
 / :func:`resize_pnm`, :func:`decode_pnmv` / :func:`frame_sample_video`).
-Remaining stubbed formats (MP4/progressive or subsampled JPEG):
+Remaining stubbed formats (inter-frame codecs such as H.264 inside
+any container; arithmetic/12-bit JPEG):
 ``_decode_stub`` derives a small deterministic pseudo-feature from the
 bytes so schemas, batch shapes, partitioning and tests stay real
 end-to-end; swap the stub for Pillow / pyav calls in production —
@@ -40,8 +41,9 @@ MEDIA_SCHEMA = (
 
 #: which modalities decode real bytes vs the deterministic stub
 #: (image = real for PNM/P5/P6, baseline 4:4:4/grayscale JFIF, and
-#: 8-bit PNG; video = real for MJPEG AVI and the PNMV container; MP4 and
-#: exotic JPEG/PNG variants still stub/quarantine)
+#: 8-bit PNG; video = real for MJPEG in AVI and MP4 plus the PNMV
+#: container; inter-frame codecs (H.264) and exotic JPEG variants still
+#: stub/quarantine)
 PRODUCTION_DECODERS = {"audio": True, "image": True, "video": True}
 
 
@@ -373,10 +375,12 @@ def frame_sample_video(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     PNMV and MJPEG-AVI payloads take the REAL path: the container is
     parsed, frame boundaries walked, and each sample timestamp emits the
     actual frame bytes covering it (``ts // frame_ms`` — PNM bytes for
-    PNMV, independent baseline JPEGs for MJPEG, decodable per frame by
-    :func:`..multimodal.jpeg.decode_jpeg`). Other payloads (inter-frame
-    codecs like H.264/MP4 — no stdlib decoder exists) keep the honest
-    stub: correct row explosion/timestamps from metadata, digest bytes.
+    PNMV, independent baseline JPEGs for MJPEG in AVI or MP4, decodable
+    per frame by :func:`..multimodal.jpeg.decode_jpeg`). Other payloads
+    (inter-frame codecs like H.264 — no stdlib decoder exists) keep the
+    honest stub: correct row explosion/timestamps from metadata, digest
+    bytes; an MP4 whose video track is not Motion-JPEG falls through to
+    that stub rather than being dropped.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -403,6 +407,27 @@ def frame_sample_video(df: DataFrame, every_ms: int = 1000) -> DataFrame:
                         out["frame_ts_ms"].append(ts)
                         out["frame"].append(frames[min(ts // frame_ms, len(frames) - 1)][1])
                     continue
+                if payload is not None and len(payload) >= 12 and payload[4:8] == b"ftyp":
+                    from .mp4 import Mp4FormatError, decode_mjpeg_mp4
+
+                    try:
+                        frame_ms, _w, _h, mframes = decode_mjpeg_mp4(bytes(payload))
+                    except Mp4FormatError:
+                        # inter-frame codec (avc1/H.264) or corrupt: keep
+                        # the metadata stub path below — honest limit
+                        mframes = None
+                    if mframes:
+                        duration = frame_ms * len(mframes)
+                        for idx, ts in enumerate(range(0, max(duration, 1), every_ms)):
+                            out["media_id"].append(mid)
+                            out["frame_idx"].append(idx)
+                            out["frame_ts_ms"].append(ts)
+                            out["frame"].append(
+                                mframes[min(ts // frame_ms, len(mframes) - 1)][1]
+                            )
+                        continue
+                    if mframes is not None:
+                        continue  # valid but zero-frame container
                 if payload is not None and payload[:6] in (b"GIF87a", b"GIF89a"):
                     from .gif import GifFormatError, decode_gif
 

@@ -71,3 +71,70 @@ def test_frame_sample_video_stub_fallback(spark):
     # deterministic digest stub.
     assert [r["frame_ts_ms"] for r in rows] == [0, 1000]
     assert all(len(bytes(r["frame"])) == 16 for r in rows)
+
+
+def test_mjpeg_mp4_roundtrip_and_chunk_mapping():
+    """MJPEG-in-MP4: encode -> walk the box tree -> per-sample JPEG
+    decode meets a PSNR floor; a multi-run stsc (hand-patched two-chunk
+    layout) resolves through the general chunk mapping."""
+    import struct
+
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import decode_jpeg
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.mp4 import (
+        Mp4FormatError,
+        decode_mjpeg_mp4,
+        encode_mjpeg_mp4,
+    )
+
+    x = np.linspace(0, 255, 24, dtype=np.uint8)
+    base = np.stack([np.tile(x, (16, 1))] * 3, axis=-1)
+    frames = [np.roll(base, 4 * i, axis=1) for i in range(4)]
+    payload = encode_mjpeg_mp4(frames, frame_ms=40, quality=90)
+    frame_ms, w, h, out = decode_mjpeg_mp4(payload)
+    assert (frame_ms, w, h, len(out)) == (40, 24, 16, 4)
+    for i, (si, jb) in enumerate(out):
+        assert si == i
+        img = decode_jpeg(jb)
+        mse = float(np.mean((img.astype(float) - frames[i].astype(float)) ** 2))
+        assert 10 * np.log10(255.0**2 / max(mse, 1e-12)) > 28.0
+
+    # inter-frame codec entries stay honestly out of reach
+    try:
+        decode_mjpeg_mp4(payload.replace(b"jpeg", b"avc1", 1))
+        raise AssertionError("avc1 must raise")
+    except Mp4FormatError:
+        pass
+    # corrupt stream quarantines as the format error, not a raw struct error
+    try:
+        decode_mjpeg_mp4(payload[:40])
+        raise AssertionError("truncated must raise")
+    except Mp4FormatError:
+        pass
+
+
+def test_frame_sample_video_mp4_real_path(spark):
+    """An MJPEG MP4 payload takes the REAL path in the Spark sampler
+    (frames decode to pixels); an avc1 MP4 falls back to the metadata
+    stub instead of being dropped."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import decode_jpeg
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.mp4 import encode_mjpeg_mp4
+
+    frames = [np.full((16, 16, 3), 40 * (i + 1), dtype=np.uint8) for i in range(3)]
+    payload = encode_mjpeg_mp4(frames, frame_ms=500, quality=95)
+    fake_avc = payload.replace(b"jpeg", b"avc1", 1)
+    df = spark.createDataFrame(
+        [
+            (1, "video", bytearray(payload), ("video/mp4", 16, 16, 1500)),
+            (2, "video", bytearray(fake_avc), ("video/mp4", 16, 16, 2000)),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample_video(df, every_ms=500).collect()
+    real = {r["frame_ts_ms"]: r for r in rows if r["media_id"] == 1}
+    assert sorted(real) == [0, 500, 1000]
+    for ts, orig in zip((0, 500, 1000), frames):
+        img = decode_jpeg(bytes(real[ts]["frame"]))
+        assert abs(float(img.mean()) - float(orig.mean())) < 3.0
+    # avc1 row: stub path driven by metadata duration (2000 ms / 500 -> 4 rows)
+    stub = [r for r in rows if r["media_id"] == 2]
+    assert len(stub) == 4
