@@ -7,7 +7,7 @@ Arrow-batched ``mapInPandas`` so bytes never round-trip through Python
 row objects one at a time, and the pipeline parallelizes like any other
 scan -> map -> write plan.
 
-Codec status per modality: **audio (WAV), image (PNM, baseline JPEG
+Codec status per modality: **audio (WAV + lossless FLAC), image (PNM, baseline JPEG
 AND PNG) and video (MJPEG in AVI and MP4 containers + the PNMV intra-only
 container) decode REAL bytes** —
 pure stdlib + NumPy, no external library needed (see
@@ -85,10 +85,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return x, rate
 
 
+def _audio_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """(mono float64 samples in [-1, 1], rate) from a WAV or FLAC
+    payload — the dispatcher behind the feature path, so compressed
+    lossless archives take the same REAL decode as raw PCM."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        s, rate, bps = decode_flac(payload)
+        x = s.astype(np.float64) / float(1 << (bps - 1))
+        return (x.mean(axis=1) if x.ndim == 2 else x), rate
+    return decode_wav(payload)
+
+
 def _wav_features(payload: bytes) -> list[float]:
-    """8 real signal features of a WAV payload: duration_s, sample_rate,
-    n_samples, rms, peak, zero-crossing rate, mean, abs-mean."""
-    x, rate = decode_wav(payload)
+    """8 real signal features of a WAV or FLAC payload: duration_s,
+    sample_rate, n_samples, rms, peak, zero-crossing rate, mean,
+    abs-mean."""
+    x, rate = _audio_samples(payload)
     n = len(x)
     if n == 0:
         return [0.0, float(rate), 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
@@ -106,7 +120,7 @@ def _wav_features(payload: bytes) -> list[float]:
 
 
 def decode_audio_features(df: DataFrame) -> DataFrame:
-    """(media_id, features array<double>) from REAL WAV decoding —
+    """(media_id, features array<double>) from REAL WAV/FLAC decoding —
     Arrow-batched ``mapInPandas``, stdlib codec on the executors.
     Undecodable payloads yield null features (quarantine rows, never a
     job abort — at 100 TB some bytes are always corrupt)."""
@@ -118,6 +132,7 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                 try:
                     feats.append(_wav_features(p) if p is not None else None)
                 except (wave.Error, ValueError, EOFError):
+                    # ValueError covers FlacFormatError (a subclass)
                     feats.append(None)
             yield pd.DataFrame({"media_id": batch["media_id"], "features": feats})
 
