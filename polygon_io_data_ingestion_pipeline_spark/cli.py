@@ -279,7 +279,39 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     from .sources.jsonl import read_jsonl, write_jsonl
 
     spark = get_spark("poly-corpus", master=args.master)
-    if args.src.endswith(".parquet") or args.input_format == "parquet":
+    if args.input_format == "warc":
+        from .sources.archive import html_to_text, read_warc
+
+        recs = read_warc(spark, args.src).filter(
+            F.col("content_type").startswith("text/")
+        )
+        html = recs.filter(F.col("content_type").startswith("text/html"))
+        plain = recs.filter(~F.col("content_type").startswith("text/html")).withColumn(
+            "text", F.col("payload").cast("string")
+        )
+        docs = (
+            html_to_text(html)
+            .unionByName(plain)
+            .select(
+                F.xxhash64("url", "warc_date").alias("doc_id"),
+                "text",
+                "url",
+                F.col("warc_file").alias("source"),
+            )
+            .filter(F.col("text").isNotNull())
+        )
+        n_quarantined = 0
+    elif args.input_format == "zip":
+        from .sources.archive import read_zip_members
+
+        docs = read_zip_members(spark, args.src, suffix=args.zip_suffix).select(
+            F.xxhash64("archive", "member").alias("doc_id"),
+            F.col("payload").cast("string").alias("text"),
+            F.col("member").alias("url"),
+            F.col("archive").alias("source"),
+        )
+        n_quarantined = 0
+    elif args.src.endswith(".parquet") or args.input_format == "parquet":
         docs = spark.read.parquet(args.src)
         n_quarantined = 0
     else:
@@ -491,11 +523,20 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_search)
 
     p = sub.add_parser(
-        "corpus", help="documents (jsonl/parquet) -> scrubbed, gated, deduped, split corpus"
+        "corpus",
+        help="documents (jsonl/parquet) or crawls (warc/zip) -> scrubbed, "
+        "gated, deduped, split corpus",
     )
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
-    p.add_argument("--input-format", choices=["jsonl", "parquet"], default="jsonl")
+    p.add_argument(
+        "--input-format", choices=["jsonl", "parquet", "warc", "zip"], default="jsonl"
+    )
+    p.add_argument(
+        "--zip-suffix",
+        default=".txt",
+        help="member filter for --input-format zip (e.g. .txt, .md)",
+    )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument("--partitions", type=int, default=None)

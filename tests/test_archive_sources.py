@@ -104,3 +104,73 @@ def test_html_to_text_extraction(spark, tmp_path):
     assert out[0]["text"] == "T\nHead line\nFirst para.\nSecond bit"
     # and the pipeline composes into the documents shape downstream
     assert out[0]["url"] == "http://x.example/a"
+
+
+def test_corpus_cli_from_warc(spark, tmp_path, capsys):
+    """crawl.warc.gz -> corpus CLI: extract, gate, dedup, split — the
+    full crawl-to-training-corpus journey in one command."""
+    import gzip as _gzip
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    body = (
+        "<html><body><p>"
+        + "the data in a table is the value of the row and the key for the "
+        "batch while the line in a window is the part of the sort"
+        + "</p></body></html>"
+    ).encode()
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    recs = [
+        _warc_record("response", "http://x.example/good", _http_response(body)),
+        _warc_record("response", "http://x.example/dup", _http_response(body)),
+        _warc_record("response", "http://x.example/short", _http_response(b"<p>tiny</p>")),
+        _warc_record(
+            "response", "http://x.example/img",
+            _http_response(b"\x89PNG...", ctype=b"image/png"),
+        ),
+    ]
+    (wdir / "c.warc.gz").write_bytes(b"".join(_gzip.compress(r) for r in recs))
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus", "--src", str(wdir), "--out", out,
+        "--input-format", "warc", "--master", "local[4]",
+    ])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "read=3" in msg  # image skipped at the content-type filter
+    result = spark.read.parquet(out)
+    rows = result.collect()
+    # short doc gated out; identical texts deduped to one representative
+    assert len(rows) == 1
+    assert rows[0]["url"] in ("http://x.example/good", "http://x.example/dup")
+    assert rows[0]["text"].startswith("the data in a table")
+
+
+def test_corpus_cli_from_zip(spark, tmp_path, capsys):
+    import io as _io
+    import zipfile as _zipfile
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    good = (
+        "a scan of the table shows the key and the value where the row of "
+        "the batch meets the line of the window in a sort of merge"
+    )
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("a.txt", good)
+        zf.writestr("b.txt", "short junk")
+        zf.writestr("c.bin", b"\x00\x01")
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    (zdir / "bundle.zip").write_bytes(buf.getvalue())
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus", "--src", str(zdir), "--out", out,
+        "--input-format", "zip", "--master", "local[4]",
+    ])
+    assert rc == 0
+    assert "read=2" in capsys.readouterr().out  # .bin filtered by suffix
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0]["url"] == "a.txt"
