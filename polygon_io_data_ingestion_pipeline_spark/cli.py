@@ -184,6 +184,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
             )
             return 2
         try:
+            # bounded: the PSI report is one row by construction
             row = rollup_hist_drift(spark, args.out, args.drift).collect()[0]
         except ValueError as e:  # fewer than two committed versions
             print(f"--drift {args.drift}: {e}", file=sys.stderr)
