@@ -281,11 +281,16 @@ def cmd_corpus(args: argparse.Namespace) -> int:
 
     spark = get_spark("poly-corpus", master=args.master)
     if args.input_format == "warc":
+        from .operators.urls import url_dedup
         from .sources.archive import html_to_text, read_warc
 
         recs = read_warc(spark, args.src).filter(
             F.col("content_type").startswith("text/")
         )
+        # refetches of the same page (tracking params, fragments, case)
+        # collapse to the earliest fetch BEFORE any text extraction —
+        # the cheap dedup ahead of the expensive content dedup
+        recs = url_dedup(recs, order_col="warc_date")
         html = recs.filter(F.col("content_type").startswith("text/html"))
         plain = recs.filter(~F.col("content_type").startswith("text/html")).withColumn(
             "text", F.col("payload").cast("string")

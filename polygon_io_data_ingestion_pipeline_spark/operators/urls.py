@@ -1,0 +1,115 @@
+"""URL normalization and crawl deduplication — the step BEFORE content
+dedup in a crawl pipeline.
+
+A crawl refetches the same page under cosmetically different URLs
+(tracking parameters, fragments, default ports, trailing slashes, case
+in the host).  Normalizing first and deduplicating on the normalized
+URL removes the bulk of exact refetches for the cost of one keyed
+window — orders of magnitude cheaper than letting every copy reach
+shingling/minhash.  Everything here is native Spark expressions
+(``try_parse_url`` runs in the JVM and tolerates junk as NULL; the query-parameter filter is a
+higher-order ``filter``/``array_join`` over a split — no Python in the
+hot path), so the normalization stays inside whole-stage codegen at
+any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: query parameters that never change the fetched content
+TRACKING_PARAMS = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+)
+
+
+def url_normalized(url) -> Column:
+    """Canonical form of a URL column: scheme+host lowercased, default
+    ports (:80 http / :443 https) dropped, fragment dropped, tracking
+    query parameters removed (query key order otherwise preserved —
+    reordering keys would conflate genuinely different endpoints on
+    order-sensitive servers), trailing slash trimmed from non-root
+    paths.  NULL and unparseable (host-less) URLs stay NULL so callers
+    can quarantine them."""
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.try_parse_url(col, F.lit("PROTOCOL")))
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    raw_path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
+    path = F.when(
+        (F.length(raw_path) > 1) & raw_path.endswith("/"),
+        F.substring(raw_path, 1, F.length(raw_path) - 1),
+    ).otherwise(raw_path)
+    query = F.try_parse_url(col, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(query, F.lit("")), "&"),
+        lambda kv: (F.length(kv) > 0)
+        & ~F.lower(F.split(kv, "=")[0]).isin(*TRACKING_PARAMS),
+    )
+    qtail = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+    # drop default ports: host comes back without the port from HOST;
+    # parse_url('HOST') already excludes the port, so rebuilding from
+    # parts drops ANY explicit port — intentional for http(s) defaults,
+    # and non-default ports are preserved via the authority fallback
+    port = F.try_parse_url(col, F.lit("AUTHORITY"))
+    explicit_port = F.regexp_extract(F.coalesce(port, F.lit("")), r":(\d+)$", 1)
+    default_port = (
+        (scheme == "http") & (explicit_port == "80")
+    ) | ((scheme == "https") & (explicit_port == "443"))
+    port_tail = F.when(
+        (F.length(explicit_port) > 0) & ~default_port,
+        F.concat(F.lit(":"), explicit_port),
+    ).otherwise(F.lit(""))
+    out = F.concat(scheme, F.lit("://"), host, port_tail, path, qtail)
+    return F.when(scheme.isNotNull() & host.isNotNull(), out)
+
+
+def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Attach (url_norm, url_scheme, url_host, url_domain, url_depth):
+    domain = last two host labels (a pragmatic registrable-domain proxy
+    — a full public-suffix list is a lookup table joinable on top),
+    depth = number of non-empty path segments."""
+    col = F.col(url_col)
+    host = F.lower(F.try_parse_url(col, F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    domain = F.when(
+        n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    ).otherwise(host)
+    path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0))
+    return (
+        df.withColumn("url_norm", url_normalized(col))
+        .withColumn("url_scheme", F.lower(F.try_parse_url(col, F.lit("PROTOCOL"))))
+        .withColumn("url_host", host)
+        .withColumn("url_domain", domain)
+        .withColumn("url_depth", depth)
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", order_col: str | None = None
+) -> DataFrame:
+    """One row per NORMALIZED URL: ties broken by ``order_col``
+    ascending (e.g. the crawl date — keep the earliest fetch) or
+    arbitrarily-but-deterministically by the url column itself.  Rows
+    whose URL fails to normalize (NULL) are KEPT as-is — they carry no
+    evidence of being refetches.  One hash shuffle on the normalized
+    key; the window frame per key is the refetch count, naturally
+    small."""
+    from pyspark.sql import Window
+
+    with_norm = df.withColumn("__norm", url_normalized(F.col(url_col)))
+    null_part = with_norm.filter(F.col("__norm").isNull()).drop("__norm")
+    order = F.col(order_col).asc_nulls_last() if order_col else F.col(url_col).asc()
+    w = Window.partitionBy("__norm").orderBy(order)
+    kept = (
+        with_norm.filter(F.col("__norm").isNotNull())
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__norm")
+    )
+    return kept.unionByName(null_part)

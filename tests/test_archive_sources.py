@@ -123,6 +123,7 @@ def test_corpus_cli_from_warc(spark, tmp_path, capsys):
     wdir.mkdir()
     recs = [
         _warc_record("response", "http://x.example/good", _http_response(body)),
+        _warc_record("response", "http://x.example/good?utm_source=feed", _http_response(body)),
         _warc_record("response", "http://x.example/dup", _http_response(body)),
         _warc_record("response", "http://x.example/short", _http_response(b"<p>tiny</p>")),
         _warc_record(
@@ -138,7 +139,7 @@ def test_corpus_cli_from_warc(spark, tmp_path, capsys):
     ])
     assert rc == 0
     msg = capsys.readouterr().out
-    assert "read=3" in msg  # image skipped at the content-type filter
+    assert "read=3" in msg  # image skipped; utm refetch URL-deduped
     result = spark.read.parquet(out)
     rows = result.collect()
     # short doc gated out; identical texts deduped to one representative

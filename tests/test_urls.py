@@ -1,0 +1,73 @@
+"""URL normalization + crawl dedup: tracking params stripped, default
+ports and fragments dropped, refetches collapse to the earliest fetch,
+unparseable URLs quarantine (kept, never conflated)."""
+
+from __future__ import annotations
+
+from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+    url_dedup,
+    url_normalized,
+    url_parts,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r["n"] for r in df.select(url_normalized("url").alias("n")).collect()]
+
+
+def test_normalization_rules(spark):
+    got = _norm(spark, [
+        "HTTP://Example.COM:80/a/b/?utm_source=x&q=1#frag",
+        "https://example.com:443/a",
+        "https://example.com:8443/a",
+        "https://example.com/",
+        "https://example.com/path/",
+        "https://example.com/a?fbclid=z",
+        "https://example.com/a?keep=1&UTM_Medium=m&also=2",
+        "not a url",
+    ])
+    assert got == [
+        "http://example.com/a/b?q=1",
+        "https://example.com/a",
+        "https://example.com:8443/a",   # non-default port preserved
+        "https://example.com/",         # root slash kept
+        "https://example.com/path",     # trailing slash trimmed
+        "https://example.com/a",        # tracking-only query dropped
+        "https://example.com/a?keep=1&also=2",  # order preserved
+        None,                            # unparseable -> NULL
+    ]
+
+
+def test_url_parts(spark):
+    df = spark.createDataFrame(
+        [("https://News.Sub.Example.co/a/b/c?x=1",)], "url string"
+    )
+    r = url_parts(df).collect()[0]
+    assert r["url_scheme"] == "https"
+    assert r["url_host"] == "news.sub.example.co"
+    assert r["url_domain"] == "example.co"
+    assert r["url_depth"] == 3
+    assert r["url_norm"] == "https://news.sub.example.co/a/b/c?x=1"
+
+
+def test_url_dedup_keeps_earliest_fetch(spark):
+    rows = [
+        ("https://e.com/a?utm_source=x", "2026-01-02", "late"),
+        ("https://E.com/a", "2026-01-01", "early"),
+        ("https://e.com/b", "2026-01-03", "other"),
+        (None, "2026-01-04", "nullurl"),
+        ("::::", "2026-01-05", "badurl"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_date string, tag string")
+    got = {r["tag"] for r in url_dedup(df, order_col="warc_date").collect()}
+    # the two /a refetches collapse to the EARLIEST; quarantined URLs kept
+    assert got == {"early", "other", "nullurl", "badurl"}
+
+
+def test_plan_stays_native(spark):
+    """The normalization is whole-stage-codegen material: no Python
+    workers (BatchEvalPython/ArrowEvalPython) anywhere in the plan."""
+    df = spark.createDataFrame([("https://e.com/a",)], "url string")
+    plan = url_parts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
