@@ -150,18 +150,30 @@ def test_bpe_packed_batches_scoped_frees_the_persisted_encoding(spark):
     df = spark.createDataFrame(rows, "doc_id long, source string, text string")
     merges = train_bpe(word_counts(df), n_merges=8)
 
-    jsc = spark.sparkContext._jsc.sc()
-    base = jsc.getPersistentRDDs().size()
+    # Track the SPECIFIC rdd ids the scope introduces, not global counts:
+    # Spark's ContextCleaner unpersists other tests' garbage-collected
+    # frames asynchronously, so absolute sizes drift mid-test (flaked
+    # once under a full-suite run).
+    def _pids() -> set[int]:
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+
+    base = _pids()
     with bpe_packed_batches_scoped(df, merges, capacity=16, shard_span=8) as packed:
         got = packed.collect()
         assert len(got) == 20
-        assert jsc.getPersistentRDDs().size() > base  # encoding persisted
-    assert jsc.getPersistentRDDs().size() == base  # freed on exit
+        new = _pids() - base
+        assert new  # encoding persisted
+    assert not (new & _pids())  # the scope's persist freed on exit
 
     # exceptions inside the block release the persist too
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="boom"):
-        with bpe_packed_batches_scoped(df, merges, capacity=16, shard_span=8):
+        with bpe_packed_batches_scoped(df, merges, capacity=16, shard_span=8) as packed:
+            packed.take(1)  # materialize so the persist actually registers
+            leaked = _pids() - base
             raise RuntimeError("boom")
-    assert jsc.getPersistentRDDs().size() == base
+    assert not (leaked & _pids())
