@@ -284,13 +284,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         from .operators.urls import url_dedup
         from .sources.archive import html_to_text, read_warc
 
-        recs = read_warc(spark, args.src).filter(
+        # persist the parsed records: the WARC decompress+parse is
+        # non-splittable (one task per file) and every branch below —
+        # url_dedup's window+null split, then the html/plain split —
+        # would otherwise re-walk every crawl file
+        raw = read_warc(spark, args.src).filter(
             F.col("content_type").startswith("text/")
-        )
+        ).persist()
         # refetches of the same page (tracking params, fragments, case)
         # collapse to the earliest fetch BEFORE any text extraction —
         # the cheap dedup ahead of the expensive content dedup
-        recs = url_dedup(recs, order_col="warc_date")
+        recs = url_dedup(raw, order_col="warc_date")
         html = recs.filter(F.col("content_type").startswith("text/html"))
         plain = recs.filter(~F.col("content_type").startswith("text/html")).withColumn(
             "text", F.col("payload").cast("string")
@@ -305,6 +309,11 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 F.col("warc_file").alias("source"),
             )
             .filter(F.col("text").isNotNull())
+            # multi-consumer frame atop a NON-SPLITTABLE decompress+parse
+            # (url_dedup itself branches, then n_read counts, then the
+            # gate pipeline reads): without this every consumer re-walks
+            # every WARC file
+            .persist()
         )
         n_quarantined = 0
     elif args.input_format == "zip":

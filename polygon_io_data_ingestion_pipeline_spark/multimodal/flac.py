@@ -287,9 +287,8 @@ def _read_residual(r: _BitReader, bs: int, order: int) -> np.ndarray:
     escape = (1 << pbits) - 1
     po = r.bits(4)
     nparts = 1 << po
-    if bs % nparts or bs >> po <= order and nparts > 1 or bs >> po < order:
-        if bs % nparts:
-            raise FlacFormatError("block size not divisible by partitions")
+    if bs % nparts:
+        raise FlacFormatError("block size not divisible by partitions")
     res = np.empty(bs - order, dtype=np.int64)
     idx = 0
     for p in range(nparts):

@@ -218,20 +218,31 @@ def _decode(payload: bytes) -> tuple[int, int, int, list[tuple[int, bytes]]]:
             )
         w, h = struct.unpack(">HH", buf[ent_b + 24 : ent_b + 28])
 
-        stts_b, _se = _child(buf, stbl_b, stbl_e, b"stts")
+        stts_b, stts_e = _child(buf, stbl_b, stbl_e, b"stts")
         n_stts = _u32s(buf, stts_b + 4, 1)[0]
-        if n_stts < 1:
-            raise Mp4FormatError("empty stts")
-        first_delta = _u32s(buf, stts_b + 8, 2)[1]
-        frame_ms = max(1, round(first_delta * 1000 / timescale))
+        if n_stts < 1 or stts_b + 8 + 8 * n_stts > stts_e:
+            raise Mp4FormatError("empty or overrunning stts")
+        stts_rows = [_u32s(buf, stts_b + 8 + 8 * i, 2) for i in range(n_stts)]
+        total_ticks = sum(c * delta for c, delta in stts_rows)
+        total_stts = sum(c for c, _d in stts_rows)
+        if total_stts < 1:
+            raise Mp4FormatError("stts counts no samples")
+        # frame_ms = AVERAGE sample duration: exact for constant-rate
+        # tracks (a single stts run — the MJPEG norm); for variable-rate
+        # tracks it keeps the TOTAL duration right so sampling covers
+        # the whole clip, at the cost of per-frame timestamp precision
+        frame_ms = max(1, round(total_ticks * 1000 / timescale / total_stts))
 
         stsz_b, _ze = _child(buf, stbl_b, stbl_e, b"stsz")
         uniform, n_samples = _u32s(buf, stsz_b + 4, 2)
-        sizes = (
-            [uniform] * n_samples
-            if uniform
-            else _u32s(buf, stsz_b + 12, n_samples)
-        )
+        # a corrupt header can claim absurd counts/sizes: every sample is
+        # at least 1 byte of this file, so bound BEFORE allocating —
+        # quarantine, not an executor OOM
+        if n_samples > len(buf) or uniform * n_samples > len(buf):
+            raise Mp4FormatError("stsz claims more sample bytes than the file holds")
+        sizes = [uniform] * n_samples if uniform else _u32s(buf, stsz_b + 12, n_samples)
+        if any(s == 0 for s in sizes):
+            raise Mp4FormatError("zero-byte sample")
 
         try:
             stco_b, _ce = _child(buf, stbl_b, stbl_e, b"stco")

@@ -18,10 +18,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: query parameters that never change the fetched content
+#: query parameters that never change the fetched content (deliberately
+#: excludes ``ref`` — widely used as a content-selecting variant key)
 TRACKING_PARAMS = (
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "ref", "igshid",
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid",
 )
 
 

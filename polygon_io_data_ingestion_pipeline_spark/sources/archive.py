@@ -80,20 +80,35 @@ def read_zip_members(
 # --- WARC ------------------------------------------------------------------
 
 
+_GZ_CHUNK = 1 << 20
+
+
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Split concatenated gzip members (the .warc.gz layout: each record
-    its own member, so range requests can start at any record)."""
+    its own member, so range requests can start at any record).
+
+    Input is fed in bounded windows: handing zlib the whole remaining
+    buffer per member would make the split quadratic in file size (a
+    Common Crawl file holds tens of thousands of members, and both the
+    slice and ``unused_data`` would copy the ~whole tail every time);
+    chunked feeding bounds the per-member overhead to one chunk."""
+    view = memoryview(data)
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        chunk = d.decompress(data[pos:])
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        yield chunk
-        consumed = len(data) - pos - len(d.unused_data)
-        if consumed <= 0:
+        parts = []
+        p = pos
+        while not d.eof:
+            if p >= len(data):
+                raise ValueError("truncated gzip member")
+            window = view[p : p + _GZ_CHUNK]
+            parts.append(d.decompress(window))
+            p += len(window)
+        yield b"".join(parts)
+        new_pos = p - len(d.unused_data)  # unused tail <= one chunk
+        if new_pos <= pos:
             raise ValueError("gzip member made no progress")
-        pos += consumed
+        pos = new_pos
 
 
 def _split_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
@@ -128,12 +143,21 @@ def _split_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
 def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, payload) from an HTTP response block —
     the body of a WARC ``response`` record."""
+    if not body[:5] in (b"HTTP/", b"http/"):
+        return None, None, body
     head_end = body.find(b"\r\n\r\n")
-    if head_end < 0 or not body[:5] in (b"HTTP/", b"http/"):
+    sep_len = 4
+    if head_end < 0:
+        # bare-LF heads happen in the wild (non-compliant servers,
+        # preserved verbatim by crawlers) — without this the envelope
+        # never strips and the text/* filter silently drops the page
+        head_end = body.find(b"\n\n")
+        sep_len = 2
+    if head_end < 0:
         return None, None, body
     status = None
     ctype = None
-    lines = body[:head_end].decode("latin1").split("\r\n")
+    lines = body[:head_end].decode("latin1").replace("\r\n", "\n").split("\n")
     parts = lines[0].split(None, 2)
     if len(parts) >= 2 and parts[1].isdigit():
         status = int(parts[1])
@@ -141,7 +165,7 @@ def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
         k, sep, v = line.partition(":")
         if sep and k.strip().lower() == "content-type":
             ctype = v.strip()
-    return status, ctype, body[head_end + 4 :]
+    return status, ctype, body[head_end + sep_len :]
 
 
 def read_warc(

@@ -175,3 +175,19 @@ def test_corpus_cli_from_zip(spark, tmp_path, capsys):
     assert "read=2" in capsys.readouterr().out  # .bin filtered by suffix
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0]["url"] == "a.txt"
+
+
+def test_http_bare_lf_head_still_strips(spark, tmp_path):
+    """Responses captured from bare-LF servers must still have their
+    envelope stripped — otherwise the text/* filter silently drops
+    them."""
+    body = b"HTTP/1.1 200 OK\nContent-Type: text/plain\n\npayload-bytes"
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    (wdir / "lf.warc").write_bytes(
+        _warc_record("response", "http://x.example/lf", body)
+    )
+    r = read_warc(spark, str(wdir)).collect()[0]
+    assert r["http_status"] == 200
+    assert r["content_type"] == "text/plain"
+    assert bytes(r["payload"]) == b"payload-bytes"

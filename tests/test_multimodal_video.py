@@ -138,3 +138,37 @@ def test_frame_sample_video_mp4_real_path(spark):
     # avc1 row: stub path driven by metadata duration (2000 ms / 500 -> 4 rows)
     stub = [r for r in rows if r["media_id"] == 2]
     assert len(stub) == 4
+
+
+def test_mp4_corrupt_stsz_quarantines_without_allocation():
+    """A corrupt stsz claiming absurd sample counts/sizes must raise the
+    format error BEFORE allocating (a 4-billion-entry size list was an
+    executor OOM, not a quarantine)."""
+    import re
+    import struct
+
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.mp4 import (
+        Mp4FormatError,
+        decode_mjpeg_mp4,
+        encode_mjpeg_mp4,
+    )
+
+    frames = [np.zeros((8, 8), dtype=np.uint8)]
+    payload = bytearray(encode_mjpeg_mp4(frames, frame_ms=40))
+    # stsz body: version/flags u32, uniform u32, count u32 — blow up count
+    i = bytes(payload).find(b"stsz")
+    good_uniform, good_count = struct.unpack(">II", payload[i + 8 : i + 16])
+    payload[i + 8 : i + 16] = struct.pack(">II", 1, 0xFFFFFFFF)
+    try:
+        decode_mjpeg_mp4(bytes(payload))
+        raise AssertionError("must raise")
+    except Mp4FormatError as e:
+        assert re.search(r"stsz", str(e))
+    # zero-byte samples are equally refused (zero the per-sample entry)
+    payload[i + 8 : i + 16] = struct.pack(">II", good_uniform, good_count)
+    payload[i + 16 : i + 20] = struct.pack(">I", 0)
+    try:
+        decode_mjpeg_mp4(bytes(payload))
+        raise AssertionError("must raise")
+    except Mp4FormatError:
+        pass
