@@ -316,10 +316,11 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             .persist()
         )
         n_quarantined = 0
-    elif args.input_format == "zip":
-        from .sources.archive import read_zip_members
+    elif args.input_format in ("zip", "tar"):
+        from .sources.archive import read_tar_members, read_zip_members
 
-        docs = read_zip_members(spark, args.src, suffix=args.zip_suffix).select(
+        reader = read_zip_members if args.input_format == "zip" else read_tar_members
+        docs = reader(spark, args.src, suffix=args.zip_suffix).select(
             F.xxhash64("archive", "member").alias("doc_id"),
             F.col("payload").cast("string").alias("text"),
             F.col("member").alias("url"),
@@ -545,12 +546,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--src", required=True)
     p.add_argument("--out", required=True)
     p.add_argument(
-        "--input-format", choices=["jsonl", "parquet", "warc", "zip"], default="jsonl"
+        "--input-format",
+        choices=["jsonl", "parquet", "warc", "zip", "tar"],
+        default="jsonl",
     )
     p.add_argument(
         "--zip-suffix",
         default=".txt",
-        help="member filter for --input-format zip (e.g. .txt, .md)",
+        help="member filter for --input-format zip/tar (e.g. .txt, .md)",
     )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")

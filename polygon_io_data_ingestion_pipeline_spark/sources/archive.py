@@ -295,3 +295,47 @@ def html_to_text(
             yield batch
 
     return df.mapInPandas(run, schema=schema)
+
+
+def read_tar_members(
+    spark: SparkSession, path_glob: str, suffix: str | None = None
+) -> DataFrame:
+    """Explode tar / tar.gz / tar.bz2 / tar.xz archives into (archive,
+    member, size, payload) rows — :func:`read_zip_members`'s twin for
+    the other common bundle format (``tarfile`` sniffs the compression
+    from the bytes).  Non-regular members (dirs, links, devices) are
+    skipped; corrupt archives quarantine to zero rows and a corrupt
+    member ends that archive's extraction at the damage point (tar has
+    no central directory to recover from)."""
+    import tarfile
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out: dict[str, list] = {"archive": [], "member": [], "size": [], "payload": []}
+            for path, content in zip(batch["path"], batch["content"]):
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(content), mode="r:*")
+                except (tarfile.TarError, OSError, EOFError):
+                    continue
+                with tf:
+                    try:
+                        for info in tf:
+                            if not info.isreg():
+                                continue
+                            if suffix is not None and not info.name.endswith(suffix):
+                                continue
+                            fh = tf.extractfile(info)
+                            if fh is None:
+                                continue
+                            data = fh.read()
+                            out["archive"].append(path)
+                            out["member"].append(info.name)
+                            out["size"].append(len(data))
+                            out["payload"].append(data)
+                    except (tarfile.TarError, OSError, EOFError, zlib.error):
+                        pass  # damage point reached: keep what extracted
+            yield pd.DataFrame(out)
+
+    return files.select("path", "content").mapInPandas(run, schema=ZIP_SCHEMA)

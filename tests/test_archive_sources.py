@@ -191,3 +191,32 @@ def test_http_bare_lf_head_still_strips(spark, tmp_path):
     assert r["http_status"] == 200
     assert r["content_type"] == "text/plain"
     assert bytes(r["payload"]) == b"payload-bytes"
+
+
+def test_tar_members_explode(spark, tmp_path):
+    import io as _io
+    import tarfile as _tarfile
+
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        read_tar_members,
+    )
+
+    tdir = tmp_path / "tars"
+    tdir.mkdir()
+    for name, mode in (("b.tar", "w"), ("b.tar.gz", "w:gz")):
+        buf = _io.BytesIO()
+        with _tarfile.open(fileobj=buf, mode=mode) as tf:
+            for member, data in (("docs/a.txt", b"alpha"), ("c.bin", b"\x00")):
+                info = _tarfile.TarInfo(member)
+                info.size = len(data)
+                tf.addfile(info, _io.BytesIO(data))
+        (tdir / name).write_bytes(buf.getvalue())
+    (tdir / "broken.tar").write_bytes(b"definitely not a tar archive")
+
+    rows = read_tar_members(spark, str(tdir)).collect()
+    assert len(rows) == 4  # 2 members x 2 archives; broken quarantined
+    assert {(r["member"], bytes(r["payload"])) for r in rows} == {
+        ("docs/a.txt", b"alpha"), ("c.bin", b"\x00"),
+    }
+    txt = read_tar_members(spark, str(tdir), suffix=".txt").collect()
+    assert {r["member"] for r in txt} == {"docs/a.txt"}
