@@ -22,7 +22,7 @@ import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import asof_join
@@ -5076,6 +5076,139 @@ def topk_rollup_exact(spark: SparkSession, sf: str) -> DataFrame:
         F.col("it")["item"].alias("bucket"),
         F.col("it")["cnt"].alias("cnt"),
         "err",
+    )
+
+
+def _synth_url() -> Column:
+    """Deterministic crawl-style URL per document row, built so every
+    cosmetic variant of one logical page normalizes identically.
+
+    ``p = doc_id % 97`` is the logical page; ``v = doc_id % 10`` selects
+    a cosmetic quirk (scheme/host case, explicit default port, trailing
+    slash, tracking parameter, fragment — all erased by
+    :func:`~..operators.urls.url_normalized`), and ``v == 9`` emits junk
+    that fails to parse (the quarantine path).  The DuckDB oracles state
+    the expected canonical form independently from the same arithmetic —
+    a hand-computed expected-output oracle, not a second parser."""
+    p = F.col("doc_id") % 97
+    v = F.col("doc_id") % 10
+    ps = p.cast("string")
+    scheme = F.when(v % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://"))
+    hostpre = F.when(v % 3 == 0, F.lit("WWW.Site")).otherwise(F.lit("www.site"))
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("net")), ((p % 3) + 1).cast("int")
+    )
+    port = F.when(v == 1, F.lit(":443")).otherwise(F.lit(""))
+    path = F.when(p % 2 == 0, F.concat(F.lit("/docs/page"), ps)).otherwise(
+        F.concat(F.lit("/docs/a/b/page"), ps)
+    )
+    slash = F.when(v == 3, F.lit("/")).otherwise(F.lit(""))
+    query = F.when(v == 4, F.concat(F.lit("?utm_source=x&id="), ps)).otherwise(
+        F.concat(F.lit("?id="), ps)
+    )
+    frag = F.when(v == 6, F.lit("#top")).otherwise(F.lit(""))
+    return F.when(
+        v == 9, F.concat(F.lit("not a url "), F.col("doc_id").cast("string"))
+    ).otherwise(
+        F.concat(
+            scheme,
+            hostpre,
+            (p % 4).cast("string"),
+            F.lit(".example."),
+            tld,
+            port,
+            path,
+            slash,
+            query,
+            frag,
+        )
+    )
+
+
+# Canonical-form SQL shared by both URL oracles: what url_normalized()
+# must produce for the synthetic URL of each document row (NULL = junk).
+_URL_NORM_SQL = """
+CASE WHEN doc_id % 10 = 9 THEN NULL ELSE
+  'https://www.site' || CAST((doc_id % 97) % 4 AS VARCHAR) || '.example.' ||
+  CASE (doc_id % 97) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+  CASE WHEN (doc_id % 97) % 2 = 0 THEN '/docs/page' ELSE '/docs/a/b/page' END ||
+  CAST(doc_id % 97 AS VARCHAR) || '?id=' || CAST(doc_id % 97 AS VARCHAR)
+END
+"""
+
+
+@q(
+    "docs_url_normalize_dedup",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, {_URL_NORM_SQL} AS url_norm
+  FROM documents
+)
+SELECT min(doc_id) AS doc_id, url_norm
+FROM u WHERE url_norm IS NOT NULL GROUP BY url_norm
+UNION ALL
+SELECT doc_id, url_norm FROM u WHERE url_norm IS NULL
+""",
+    doc="Crawl URL normalization + dedup (operators/urls.py:url_normalized "
+    "/ url_dedup): scheme+host case, explicit :443, trailing slash, "
+    "tracking params, and fragments all collapse to one canonical URL; "
+    "the earliest fetch (min doc_id) survives per canonical key and "
+    "unparseable URLs pass through untouched.  All native expressions "
+    "(try_parse_url + higher-order filter) with ONE hash shuffle on the "
+    "normalized key.  The oracle states the expected canonical string "
+    "from the same doc_id arithmetic — hand-computed expected output, "
+    "independent of Spark's parser.",
+    tags=("text", "urls", "dedup"),
+)
+def docs_url_normalize_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.urls import url_dedup, url_normalized
+
+    raw = table(spark, sf, "documents").select("doc_id").withColumn("url", _synth_url())
+    kept = url_dedup(raw, "url", order_col="doc_id")
+    return kept.select("doc_id", url_normalized(F.col("url")).alias("url_norm"))
+
+
+@q(
+    "docs_url_domain_stats",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 10 = 9 THEN NULL ELSE
+      'www.site' || CAST((doc_id % 97) % 4 AS VARCHAR) || '.example.' ||
+      CASE (doc_id % 97) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+    END AS url_host,
+    CASE WHEN doc_id % 10 = 9 THEN NULL ELSE
+      'example.' ||
+      CASE (doc_id % 97) % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END
+    END AS url_domain,
+    CASE WHEN doc_id % 10 = 9 THEN 0
+         WHEN (doc_id % 97) % 2 = 0 THEN 2 ELSE 4 END AS url_depth
+  FROM documents
+)
+SELECT url_domain,
+       count(*) AS n_urls,
+       CAST(count(DISTINCT url_host) AS BIGINT) AS n_hosts,
+       round(avg(url_depth), 6) AS avg_depth,
+       CAST(max(url_depth) AS BIGINT) AS max_depth
+FROM u GROUP BY url_domain
+""",
+    doc="Per-domain crawl profile (operators/urls.py:url_parts): "
+    "registrable-domain proxy (last two host labels), host cardinality, "
+    "path-depth stats; the junk bucket groups under NULL with zero "
+    "hosts.  One partial-agg shuffle over derived columns.  Oracle "
+    "restates host/domain/depth from the construction arithmetic.",
+    tags=("text", "urls", "agg"),
+)
+def docs_url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.urls import url_parts
+
+    raw = table(spark, sf, "documents").select("doc_id").withColumn("url", _synth_url())
+    parts = url_parts(raw, "url")
+    return parts.groupBy("url_domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("url_host").alias("n_hosts"),
+        F.round(F.avg("url_depth"), 6).alias("avg_depth"),
+        F.max("url_depth").cast("long").alias("max_depth"),
     )
 
 
