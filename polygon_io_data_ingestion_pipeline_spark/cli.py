@@ -233,18 +233,43 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     def _csv(v: str) -> list[str]:
         return [c for c in v.split(",") if c]
 
+    # malformed specs get the same clean exit-code-2 validation the
+    # --quantile flag does, not a bare ValueError traceback
     hist = {}
     for spec in args.hist:
-        col, lo, hi, bins = spec.split(":")
-        hist[col] = (float(lo), float(hi), int(bins))
+        try:
+            col, lo, hi, bins = spec.split(":")
+            hist[col] = (float(lo), float(hi), int(bins))
+        except ValueError:
+            print(
+                f"--hist {spec}: expected col:lo:hi:bins "
+                "(e.g. value:0:400:40)",
+                file=sys.stderr,
+            )
+            return 2
     sample = {}
     for spec in args.sample:
-        col, id_col, k = spec.split(":")
-        sample[col] = (id_col, int(k))
+        try:
+            col, id_col, k = spec.split(":")
+            sample[col] = (id_col, int(k))
+        except ValueError:
+            print(
+                f"--sample {spec}: expected col:id_col:k "
+                "(e.g. value:event_id:256)",
+                file=sys.stderr,
+            )
+            return 2
     topk = {}
     for spec in args.topk:
-        col, m = spec.split(":")
-        topk[col] = int(m)
+        try:
+            col, m = spec.split(":")
+            topk[col] = int(m)
+        except ValueError:
+            print(
+                f"--topk {spec}: expected col:m (e.g. ticker:64)",
+                file=sys.stderr,
+            )
+            return 2
     batch = spark.read.parquet(args.src)
     res = update_rollup(
         spark,

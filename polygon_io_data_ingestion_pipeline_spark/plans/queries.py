@@ -23,6 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.types import StructType
 from pyspark.sql import functions as F
 
 from ..operators import asof_join
@@ -928,7 +929,10 @@ def _ivf_query_state(
     # partition column): passing it to the probe skips a per-query
     # parquet footer-inference job that costs more driver time than the
     # partition-pruned probe itself executes
-    schema = emb.schema.add("list_id", "integer")
+    # copy the field list first: DataFrame.schema returns the plan's
+    # cached StructType and StructType.add mutates self, so adding to it
+    # directly would corrupt emb's own schema object
+    schema = StructType(list(emb.schema.fields)).add("list_id", "integer")
     _IVF_MEMO[key] = (idx, cents, qvec, schema)
     return _IVF_MEMO[key]
 
@@ -1004,8 +1008,12 @@ def _ivfpq_query_state(
         )
     from pyspark.sql.types import ArrayType, IntegerType
 
+    # copy before .add(): StructType.add mutates in place (see
+    # _ivf_query_state) and emb.schema is the DataFrame's cached object
     schema = (
-        emb.schema.add("codes", ArrayType(IntegerType())).add("list_id", "integer")
+        StructType(list(emb.schema.fields))
+        .add("codes", ArrayType(IntegerType()))
+        .add("list_id", "integer")
     )
     _IVF_MEMO[key] = (idx, cents, books, qvec, schema)
     return _IVF_MEMO[key]

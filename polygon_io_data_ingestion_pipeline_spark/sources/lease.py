@@ -445,10 +445,17 @@ class LakeLease:
         if not self._capture(self._lock_path, trophy):
             return  # lock already broken/taken and possibly released
         payload = self._read_payload_at(trophy) or {}
-        if payload.get("token") in (None, self._token):
+        # Delete ONLY on a positive token match.  An unreadable payload
+        # (transient read failure, partial write) yields token None —
+        # treating that as "ours" would delete a successor's live lease
+        # we just captured, the exact mutual-exclusion violation the
+        # rename-fencing rewrite exists to prevent.  When in doubt,
+        # restore: worst case we reinsert our own expired lock, which
+        # the next acquirer breaks normally.
+        if payload.get("token") == self._token:
             self._delete(trophy)
             return
-        # not ours (lease expired + taken over): give it back
+        # not ours / unreadable (lease expired + taken over): give it back
         ttl = float(payload.get("ttl_sec", self._ttl_sec))
         deadline = time.time() + self._timeout_sec
         while not self._restore(trophy, self._lock_path):

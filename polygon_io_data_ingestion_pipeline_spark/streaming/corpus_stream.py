@@ -270,14 +270,6 @@ def write_corpus_batch_indexed(
     """
     write_corpus_batch(batch_df, batch_id, lake_path)
 
-    ledger = os.path.join(index_path, "_indexed_batches.json")
-    done: set[int] = set()
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
-    if batch_id in done:
-        return
-
     from ..operators.embed import feature_hash_embed
     from ..operators.similarity import (
         _ivf_lock_path,
@@ -287,17 +279,32 @@ def write_corpus_batch_indexed(
     )
 
     spark = batch_df.sparkSession
+    ledger = os.path.join(index_path, "_indexed_batches.json")
     emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
-    has_codebook = os.path.exists(os.path.join(index_path, "_codebook.json"))
-    if not emb.take(1):
-        if has_codebook:  # nothing to index; record the no-op commit
-            with open(ledger, "a") as fh:
-                fh.write(json.dumps({"batch_id": batch_id}) + "\n")
-        return  # no codebook yet either: leave training to a later batch
+    empty = not emb.take(1)
 
+    # Shared index state (ledger, codebook sidecar, partition dirs) is
+    # read AND written only under the lease — same concurrency contract
+    # as write_corpus_batch_indexed_pq; a pre-lease ledger check lets
+    # two concurrent writers both pass it and double-index the batch.
     with LakeLease(
         spark, index_path, holder="corpus_index_stream", lock_path=_ivf_lock_path(index_path)
     ):
+        done: set[int] = set()
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                done = {
+                    json.loads(line)["batch_id"] for line in fh if line.strip()
+                }
+        if batch_id in done:
+            return
+        has_codebook = os.path.exists(os.path.join(index_path, "_codebook.json"))
+        if empty:
+            if has_codebook:  # nothing to index; record the no-op commit
+                with open(ledger, "a") as fh:
+                    fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+            # no codebook yet either: leave training to a later batch
+            return
         if has_codebook:
             cents = read_ivf_codebook(index_path)
         else:
@@ -353,14 +360,6 @@ def write_corpus_batch_indexed_pq(
     index never needs a full rebuild just to keep growing."""
     write_corpus_batch(batch_df, batch_id, lake_path)
 
-    ledger = os.path.join(index_path, "_indexed_batches.json")
-    done: set[int] = set()
-    if os.path.exists(ledger):
-        with open(ledger) as fh:
-            done = {json.loads(line)["batch_id"] for line in fh if line.strip()}
-    if batch_id in done:
-        return
-
     from ..operators.embed import feature_hash_embed
     from ..operators.similarity import (
         _ivf_lock_path,
@@ -372,19 +371,35 @@ def write_corpus_batch_indexed_pq(
     )
 
     spark = batch_df.sparkSession
-    emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
+    ledger = os.path.join(index_path, "_indexed_batches.json")
     sidecar = os.path.join(index_path, "_ivfpq.json")
-    has_meta = os.path.exists(sidecar)
-    if not emb.take(1):
-        if has_meta:  # nothing to index; record the no-op commit
-            with open(ledger, "a") as fh:
-                fh.write(json.dumps({"batch_id": batch_id}) + "\n")
-        return  # no codebooks yet either: leave training to a later batch
+    emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
+    empty = not emb.take(1)
 
+    # Every read/write of shared index state -- the idempotency ledger,
+    # the codebook sidecar, the partition dirs -- happens UNDER the
+    # lease.  Checking the ledger (or the sidecar) before acquiring it
+    # would let two writers sharing one index path both pass the check,
+    # double-index the batch, and bootstrap-train over each other.
     with LakeLease(
         spark, index_path, holder="corpus_index_stream_pq",
         lock_path=_ivf_lock_path(index_path),
     ):
+        done: set[int] = set()
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                done = {
+                    json.loads(line)["batch_id"] for line in fh if line.strip()
+                }
+        if batch_id in done:
+            return
+        has_meta = os.path.exists(sidecar)
+        if empty:
+            if has_meta:  # nothing to index; record the no-op commit
+                with open(ledger, "a") as fh:
+                    fh.write(json.dumps({"batch_id": batch_id}) + "\n")
+            # no codebooks yet either: leave training to a later batch
+            return
         if has_meta:
             cents, books = read_ivfpq_meta(index_path)
         else:

@@ -197,3 +197,20 @@ def test_rollup_cli_flag_validation(spark, tmp_path, capsys):
     base = ["rollup", "--out", out, "--keys", "k", "--master", "local[4]"]
     assert main(base + ["--drift", "nope"]) == 2  # no hist cell
     assert main(base + ["--drift", "v"]) == 2  # only one committed version
+
+
+def test_rollup_cli_malformed_cell_specs_exit_2(spark, tmp_path, capsys):
+    """Wrong-arity --hist/--sample/--topk specs get the clean exit-code-2
+    usage message every other cmd_rollup argument error gets, not a bare
+    ValueError traceback (round-8 advice finding)."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src, out = (str(tmp_path / d) for d in ("msrc", "mroll"))
+    spark.createDataFrame([("a", 1.0)], "k string, v double").write.parquet(src)
+    base = ["rollup", "--out", out, "--keys", "k", "--sum", "v",
+            "--src", src, "--shard-id", "s1", "--master", "local[4]"]
+    for flag, bad in (("--hist", "v:0:400"),        # missing bins
+                      ("--sample", "v:2"),          # missing id_col
+                      ("--topk", "item:4:9")):      # extra field
+        assert main(base + [flag, bad]) == 2
+        assert "expected" in capsys.readouterr().err

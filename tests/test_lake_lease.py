@@ -230,3 +230,24 @@ def test_expired_lock_break_is_single_winner_under_contention(spark, tmp_path):
     assert state["max"] == 1, "two holders were concurrently inside the lease"
     assert int(open(counter).read()) == n_threads * n_rounds
     assert not os.path.exists(lock)
+
+
+def test_release_with_unreadable_payload_restores_not_deletes(spark, tmp_path):
+    """A transient read failure after capturing a SUCCESSOR's fresh lock
+    must take the restore path, not the delete path: token None is
+    "unknown", not "ours".  (Round-8 advice: the old ``token in (None,
+    ours)`` check deleted a live lease on any read hiccup.)"""
+    lake = str(tmp_path / "lake")
+    _mklake(spark, lake)
+    ours = LakeLease(spark, lake, holder="slow", ttl_sec=600).acquire()
+    lock = os.path.join(lake, LOCK_NAME)
+    os.utime(lock, (time.time() - 3600, time.time() - 3600))
+    theirs = LakeLease(spark, lake, holder="successor", ttl_sec=600, timeout_sec=10)
+    theirs.acquire()  # breaks our hour-stale lock, installs a fresh one
+    # every payload read fails transiently during our release window
+    ours._read_payload = lambda: None
+    ours._read_payload_at = lambda path: None
+    ours.release()
+    assert os.path.exists(lock), "release deleted a successor's live lease"
+    assert json.load(open(lock))["holder"] == "successor"
+    theirs.release()

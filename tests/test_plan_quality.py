@@ -225,6 +225,27 @@ def test_no_unbounded_driver_collects():
     assert not offenders, f"unbounded driver collect() at: {offenders}"
 
 
+def test_no_inplace_dataframe_schema_mutation():
+    """``df.schema`` returns the plan's CACHED StructType and
+    ``StructType.add`` mutates self, so ``df.schema.add(...)`` silently
+    corrupts the DataFrame's own schema object.  Derived schemas must be
+    built from a copy (``StructType(list(df.schema.fields)).add(...)``).
+    Round-8 advice finding, enforced mechanically."""
+    import re
+    from pathlib import Path
+
+    import polygon_io_data_ingestion_pipeline_spark as pkg
+
+    pat = re.compile(r"\.schema\s*\.add\(")
+    offenders = [
+        f"{py.name}:{i + 1}"
+        for py in sorted(Path(pkg.__file__).parent.rglob("*.py"))
+        for i, line in enumerate(py.read_text().splitlines())
+        if pat.search(line)
+    ]
+    assert not offenders, f"in-place df.schema.add() at: {offenders}"
+
+
 def _tree(df) -> str:
     # the executed-plan tree (one line per node) — plan_text's formatted
     # details section repeats node names, which breaks counting
