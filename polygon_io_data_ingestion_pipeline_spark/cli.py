@@ -307,14 +307,20 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     spark = get_spark("poly-corpus", master=args.master)
     if args.input_format == "warc":
         from .operators.urls import url_dedup
-        from .sources.archive import html_to_text, read_warc
+        from .sources.archive import html_to_text, read_warc, warc_digest_dedup
 
         # persist the parsed records: the WARC decompress+parse is
         # non-splittable (one task per file) and every branch below —
-        # url_dedup's window+null split, then the html/plain split —
-        # would otherwise re-walk every crawl file
-        raw = read_warc(spark, args.src).filter(
-            F.col("content_type").startswith("text/")
+        # the digest window, url_dedup's window+null split, then the
+        # html/plain split — would otherwise re-walk every crawl file.
+        # Digest dedup runs FIRST (before the text/* filter): it is the
+        # only stage that can use revisit records — the crawl's own
+        # duplicate markers, whose content_type would not survive the
+        # filter — and it collapses exact duplicates before any HTML
+        # parse or payload hash is paid.
+        raw = warc_digest_dedup(read_warc(spark, args.src)).filter(
+            (F.col("record_type") == "response")
+            & F.col("content_type").startswith("text/")
         ).persist()
         # refetches of the same page (tracking params, fragments, case)
         # collapse to the earliest fetch BEFORE any text extraction —
@@ -324,9 +330,21 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         plain = recs.filter(~F.col("content_type").startswith("text/html")).withColumn(
             "text", F.col("payload").cast("string")
         )
+        # multi-consumer frame atop a NON-SPLITTABLE decompress+parse
+        # (the mojibake quarantine count AND the doc pipeline both read
+        # it): without this every consumer re-walks every WARC file
+        parsed = (
+            html_to_text(html, main_content=args.main_content)
+            .unionByName(plain, allowMissingColumns=True)
+            .persist()
+        )
+        # decode_ok=false means the declared/sniffed charset lied and
+        # the text carries replacement characters — quarantine it here
+        # instead of letting mojibake poison langid/quality/dedup
+        # (plain-text rows have decode_ok null: pass)
+        n_quarantined = parsed.filter(F.col("decode_ok") == F.lit(False)).count()
         docs = (
-            html_to_text(html)
-            .unionByName(plain)
+            parsed.filter(F.col("decode_ok").isNull() | F.col("decode_ok"))
             .select(
                 F.xxhash64("url", "warc_date").alias("doc_id"),
                 "text",
@@ -334,13 +352,8 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 F.col("warc_file").alias("source"),
             )
             .filter(F.col("text").isNotNull())
-            # multi-consumer frame atop a NON-SPLITTABLE decompress+parse
-            # (url_dedup itself branches, then n_read counts, then the
-            # gate pipeline reads): without this every consumer re-walks
-            # every WARC file
             .persist()
         )
-        n_quarantined = 0
     elif args.input_format in ("zip", "tar"):
         from .sources.archive import read_tar_members, read_zip_members
 
@@ -579,6 +592,12 @@ def main(argv: list[str] | None = None) -> int:
         "--zip-suffix",
         default=".txt",
         help="member filter for --input-format zip/tar (e.g. .txt, .md)",
+    )
+    p.add_argument(
+        "--main-content",
+        action="store_true",
+        help="strip boilerplate (nav/footer/cookie chrome) from HTML "
+        "pages via link-density block scoring (--input-format warc)",
     )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")

@@ -1,21 +1,30 @@
-"""Archive sources for corpus ingestion: ZIP bundles and WARC crawls.
+"""Archive sources for corpus ingestion: ZIP/tar bundles and WARC crawls.
 
 Web-scale training corpora rarely arrive as loose files: they ship as
 ZIP/tar bundles of documents or as WARC files (the Common Crawl
 interchange format — concatenated gzip members, one crawl record each).
-Both unpack with the stdlib, so the explode-to-rows step runs as an
-Arrow-batched ``mapInPandas`` over Spark's ``binaryFile`` source: one
-task per archive, members/records streamed out as ordinary rows that
-the rest of the pipeline (quality gates, dedup, JSONL/parquet sinks)
-consumes unchanged.
+All unpack with the stdlib, so the explode-to-rows step runs as an
+Arrow-batched ``mapInPandas`` over the file listing: one task per
+archive, members/records streamed out as ordinary rows that the rest of
+the pipeline (quality gates, dedup, JSONL/parquet sinks) consumes
+unchanged.
 
 Scale shape: archives, like gzip JSONL, are NOT splittable — read
 parallelism equals the archive count, so shard large crawls into many
-WARCs upstream (Common Crawl already does: ~1 GB per file).  The
-``binaryFile`` scan loads one whole archive per task; keep archive
-size under executor memory or re-shard first.  Member payloads carry
-through as binary columns for :mod:`..multimodal.binaryops` or decode
-to text here via :func:`html_to_text`.
+WARCs upstream (Common Crawl already does: ~1 GB per file).  Within a
+task the walk is INCREMENTAL: the archive is read in bounded chunks
+(never materialized whole), records/members are parsed from a rolling
+buffer, and rows are emitted in bounded batches — peak task memory is
+O(chunk + largest single record + one output batch), independent of
+archive size, so one oversized crawl file degrades gracefully instead
+of OOMing the executor.  Local and ``file:`` paths open directly;
+other filesystems (s3/hdfs/gcs) route through ``pyarrow.fs`` chunked
+streams.  Member payloads carry through as binary columns for
+:mod:`..multimodal.binaryops` or decode to text here via
+:func:`html_to_text` (charset-aware: HTTP header -> BOM -> ``<meta
+charset>`` prescan -> utf-8, with ``charset``/``decode_ok`` columns so
+mojibake is quarantinable instead of silently poisoning langid/quality/
+dedup downstream).
 
 No reference counterpart (`/root/reference` ingests CSV flat files
 only) — this is beyond-reference corpus-ingestion surface.
@@ -23,10 +32,14 @@ only) — this is beyond-reference corpus-ingestion surface.
 
 from __future__ import annotations
 
+import codecs
 import io
+import re
 import zipfile
 import zlib
-from collections.abc import Iterator
+from collections.abc import Iterable, Iterator
+from urllib.parse import urlparse
+from urllib.request import url2pathname
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -34,100 +47,270 @@ from pyspark.sql import DataFrame, SparkSession
 ZIP_SCHEMA = "archive string, member string, size bigint, payload binary"
 WARC_SCHEMA = (
     "warc_file string, record_type string, url string, warc_date string, "
-    "content_type string, http_status int, payload binary"
+    "content_type string, http_status int, payload_digest string, "
+    "payload binary"
 )
+
+_CHUNK = 1 << 20  # streaming read granularity
+_BATCH_ROWS = 1024  # max rows per emitted Arrow batch
+_BATCH_BYTES = 64 << 20  # max payload bytes per emitted Arrow batch
+
+
+def _open_input(uri: str, seekable: bool = False):
+    """Open a Spark file-listing URI for chunked reading.  Local /
+    ``file:`` paths use plain ``open``; any other scheme goes through
+    ``pyarrow.fs`` (s3/hdfs/gcs all speak ``from_uri``), keeping the
+    readers cluster-portable without loading whole files like
+    ``binaryFile``'s content column does."""
+    parsed = urlparse(uri)
+    if parsed.scheme in ("", "file"):
+        path = url2pathname(parsed.path) if parsed.scheme else uri
+        return open(path, "rb")
+    import pyarrow.fs as pafs
+
+    fs, p = pafs.FileSystem.from_uri(uri)
+    return fs.open_input_file(p) if seekable else fs.open_input_stream(p)
+
+
+def _iter_chunks(fh, chunk: int = _CHUNK) -> Iterator[bytes]:
+    while True:
+        data = fh.read(chunk)
+        if not data:
+            return
+        yield bytes(data)
+
+
+def _list_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """File listing via the binaryFile source WITHOUT its content
+    column: selecting only ``path`` prunes the payload read (the format
+    materializes content lazily per required column), while keeping
+    Spark's glob/recursion semantics and its size-aware packing of
+    files into tasks."""
+    return spark.read.format("binaryFile").load(path_glob).select("path")
+
+
+class _BatchEmitter:
+    """Accumulate rows and flush bounded pandas batches — the memory
+    cap between the incremental archive walk and Arrow."""
+
+    def __init__(self, columns: list[str], payload_col: str = "payload",
+                 batch_rows: int = _BATCH_ROWS, batch_bytes: int = _BATCH_BYTES):
+        self._columns = columns
+        self._payload_col = payload_col
+        self._batch_rows = batch_rows
+        self._batch_bytes = batch_bytes
+        self._reset()
+
+    def _reset(self) -> None:
+        self.cols: dict[str, list] = {c: [] for c in self._columns}
+        self._nbytes = 0
+
+    def add(self, row: dict) -> pd.DataFrame | None:
+        for c in self._columns:
+            self.cols[c].append(row[c])
+        payload = row.get(self._payload_col)
+        self._nbytes += len(payload) if payload else 0
+        if (
+            len(self.cols[self._columns[0]]) >= self._batch_rows
+            or self._nbytes >= self._batch_bytes
+        ):
+            return self.flush()
+        return None
+
+    def flush(self) -> pd.DataFrame | None:
+        if not self.cols[self._columns[0]]:
+            return None
+        out = pd.DataFrame(self.cols)
+        self._reset()
+        return out
 
 
 def read_zip_members(
-    spark: SparkSession, path_glob: str, suffix: str | None = None
+    spark: SparkSession,
+    path_glob: str,
+    suffix: str | None = None,
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
 ) -> DataFrame:
     """Explode ZIP archives into (archive, member, size, payload) rows.
 
     Directory entries are skipped; ``suffix`` (e.g. ``".txt"``)
     pre-filters members before their bytes are read, so a selective
-    extract never inflates what it does not keep.  Corrupt archives
-    yield zero rows for that file instead of failing the task
+    extract never inflates what it does not keep.  The archive is
+    opened as a SEEKABLE stream (ZIP needs its central directory) and
+    members decompress one at a time — peak memory is one member plus
+    one output batch, not the archive.  Corrupt archives yield zero
+    rows for that file instead of failing the task
     (quarantine-by-omission, consistent with the media codecs)."""
-    files = spark.read.format("binaryFile").load(path_glob)
+    files = _list_files(spark, path_glob)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emit = _BatchEmitter(
+            ["archive", "member", "size", "payload"],
+            batch_rows=batch_rows, batch_bytes=batch_bytes,
+        )
         for batch in batches:
-            out: dict[str, list] = {"archive": [], "member": [], "size": [], "payload": []}
-            for path, content in zip(batch["path"], batch["content"]):
+            for path in batch["path"]:
                 try:
-                    zf = zipfile.ZipFile(io.BytesIO(content))
-                    infos = zf.infolist()
-                except (zipfile.BadZipFile, OSError):
+                    fh = _open_input(path, seekable=True)
+                except OSError:
                     continue
-                for info in infos:
-                    if info.is_dir():
-                        continue
-                    if suffix is not None and not info.filename.endswith(suffix):
-                        continue
+                with fh:
                     try:
-                        data = zf.read(info)
-                    except (zipfile.BadZipFile, zlib.error, OSError):
-                        continue  # one corrupt member, not the archive
-                    out["archive"].append(path)
-                    out["member"].append(info.filename)
-                    out["size"].append(len(data))
-                    out["payload"].append(data)
-            yield pd.DataFrame(out)
+                        zf = zipfile.ZipFile(fh)
+                        infos = zf.infolist()
+                    except (zipfile.BadZipFile, OSError):
+                        continue
+                    for info in infos:
+                        if info.is_dir():
+                            continue
+                        if suffix is not None and not info.filename.endswith(suffix):
+                            continue
+                        try:
+                            data = zf.read(info)
+                        except (zipfile.BadZipFile, zlib.error, OSError):
+                            continue  # one corrupt member, not the archive
+                        out = emit.add({
+                            "archive": path, "member": info.filename,
+                            "size": len(data), "payload": data,
+                        })
+                        if out is not None:
+                            yield out
+        tail = emit.flush()
+        if tail is not None:
+            yield tail
 
-    return files.select("path", "content").mapInPandas(run, schema=ZIP_SCHEMA)
+    return files.mapInPandas(run, schema=ZIP_SCHEMA)
+
+
+def read_tar_members(
+    spark: SparkSession,
+    path_glob: str,
+    suffix: str | None = None,
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
+) -> DataFrame:
+    """Explode tar / tar.gz / tar.bz2 / tar.xz archives into (archive,
+    member, size, payload) rows — :func:`read_zip_members`'s twin for
+    the other common bundle format.  Opened in ``tarfile``'s STREAMING
+    mode (``r|*``: forward-only chunked reads, compression sniffed from
+    the bytes), so a tar larger than executor memory walks member by
+    member.  Non-regular members (dirs, links, devices) are skipped;
+    corrupt archives quarantine to zero rows and a corrupt member ends
+    that archive's extraction at the damage point (tar has no central
+    directory to recover from)."""
+    import tarfile
+
+    files = _list_files(spark, path_glob)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emit = _BatchEmitter(
+            ["archive", "member", "size", "payload"],
+            batch_rows=batch_rows, batch_bytes=batch_bytes,
+        )
+        for batch in batches:
+            for path in batch["path"]:
+                try:
+                    fh = _open_input(path)
+                except OSError:
+                    continue
+                with fh:
+                    try:
+                        tf = tarfile.open(fileobj=fh, mode="r|*")
+                    except (tarfile.TarError, OSError, EOFError):
+                        continue
+                    with tf:
+                        try:
+                            for info in tf:
+                                if not info.isreg():
+                                    continue
+                                if suffix is not None and not info.name.endswith(suffix):
+                                    continue
+                                member = tf.extractfile(info)
+                                if member is None:
+                                    continue
+                                data = member.read()
+                                out = emit.add({
+                                    "archive": path, "member": info.name,
+                                    "size": len(data), "payload": data,
+                                })
+                                if out is not None:
+                                    yield out
+                        except (tarfile.TarError, OSError, EOFError, zlib.error):
+                            pass  # damage point reached: keep what extracted
+        tail = emit.flush()
+        if tail is not None:
+            yield tail
+
+    return files.mapInPandas(run, schema=ZIP_SCHEMA)
 
 
 # --- WARC ------------------------------------------------------------------
 
 
-_GZ_CHUNK = 1 << 20
+def _gunzip_stream(chunks: Iterable[bytes]) -> Iterator[bytes]:
+    """Incrementally inflate concatenated gzip members (the .warc.gz
+    layout: each record its own member, so range requests can start at
+    any record).  Chunk in, chunk out — no member and no file is ever
+    whole in memory; a mid-member EOF raises (truncated file)."""
+    d = zlib.decompressobj(wbits=31)
+    fed = False
+    for chunk in chunks:
+        pending = chunk
+        while pending:
+            out = d.decompress(pending)
+            fed = True
+            pending = b""
+            if out:
+                yield out
+            if d.eof:
+                pending = d.unused_data
+                d = zlib.decompressobj(wbits=31)
+                fed = False
+    if fed and not d.eof:
+        raise ValueError("truncated gzip member")
 
 
-def _gzip_members(data: bytes) -> Iterator[bytes]:
-    """Split concatenated gzip members (the .warc.gz layout: each record
-    its own member, so range requests can start at any record).
+def _warc_records_from_chunks(
+    chunks: Iterable[bytes],
+) -> Iterator[tuple[dict, bytes]]:
+    """(headers, payload) per WARC record from an UNCOMPRESSED chunk
+    stream.  Record framing per the spec: header block, CRLFCRLF,
+    Content-Length payload bytes, CRLFCRLF separator.  The rolling
+    buffer holds at most one record plus one chunk — the incremental
+    contract that lets a single oversized WARC stream through a
+    bounded-memory task."""
+    it = iter(chunks)
+    buf = bytearray()
+    done = False
 
-    Input is fed in bounded windows: handing zlib the whole remaining
-    buffer per member would make the split quadratic in file size (a
-    Common Crawl file holds tens of thousands of members, and both the
-    slice and ``unused_data`` would copy the ~whole tail every time);
-    chunked feeding bounds the per-member overhead to one chunk."""
-    view = memoryview(data)
-    pos = 0
-    while pos < len(data):
-        d = zlib.decompressobj(wbits=31)
-        parts = []
-        p = pos
-        while not d.eof:
-            if p >= len(data):
-                raise ValueError("truncated gzip member")
-            window = view[p : p + _GZ_CHUNK]
-            parts.append(d.decompress(window))
-            p += len(window)
-        yield b"".join(parts)
-        new_pos = p - len(d.unused_data)  # unused tail <= one chunk
-        if new_pos <= pos:
-            raise ValueError("gzip member made no progress")
-        pos = new_pos
+    def _need(n: int) -> None:
+        nonlocal done
+        while len(buf) < n and not done:
+            nxt = next(it, None)
+            if nxt is None:
+                done = True
+            else:
+                buf.extend(nxt)
 
-
-def _split_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
-    """(headers, payload) per WARC record in an UNCOMPRESSED stream.
-    Record framing per the spec: header block, CRLFCRLF, Content-Length
-    payload bytes, CRLFCRLF separator."""
-    pos = 0
-    while pos < len(blob):
-        while pos < len(blob) and blob[pos : pos + 2] in (b"\r\n", b"\n\n"):
-            pos += 2
-        if pos >= len(blob):
+    while True:
+        _need(2)
+        while buf[:2] in (b"\r\n", b"\n\n"):
+            del buf[:2]
+            _need(2)
+        if not buf and done:
             return
-        if not blob[pos : pos + 5] == b"WARC/":
+        while (head_end := buf.find(b"\r\n\r\n")) < 0:
+            if done:
+                raise ValueError("truncated WARC header")
+            before = len(buf)
+            _need(before + 1)
+            if len(buf) == before:  # no more data
+                raise ValueError("truncated WARC header")
+        if not buf.startswith(b"WARC/"):
             raise ValueError("lost WARC record framing")
-        head_end = blob.find(b"\r\n\r\n", pos)
-        if head_end < 0:
-            raise ValueError("truncated WARC header")
         headers: dict[str, str] = {}
-        for line in blob[pos:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
+        for line in buf[:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
             k, sep, v = line.partition(":")
             if sep:
                 headers[k.strip().lower()] = v.strip()
@@ -135,14 +318,17 @@ def _split_warc_records(blob: bytes) -> Iterator[tuple[dict, bytes]]:
             length = int(headers["content-length"])
         except (KeyError, ValueError) as e:
             raise ValueError(f"bad WARC Content-Length: {e!r}") from e
-        body_start = head_end + 4
-        yield headers, blob[body_start : body_start + length]
-        pos = body_start + length
+        body_end = head_end + 4 + length
+        _need(body_end)
+        if len(buf) < body_end:
+            raise ValueError("truncated WARC payload")
+        yield headers, bytes(buf[head_end + 4 : body_end])
+        del buf[:body_end]
 
 
 def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     """(status, content_type, payload) from an HTTP response block —
-    the body of a WARC ``response`` record."""
+    the body of a WARC ``response`` (or ``revisit``) record."""
     if not body[:5] in (b"HTTP/", b"http/"):
         return None, None, body
     head_end = body.find(b"\r\n\r\n")
@@ -169,173 +355,385 @@ def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
 
 
 def read_warc(
-    spark: SparkSession, path_glob: str, record_types: tuple[str, ...] = ("response",)
+    spark: SparkSession,
+    path_glob: str,
+    record_types: tuple[str, ...] = ("response", "revisit"),
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
 ) -> DataFrame:
     """WARC / WARC.GZ crawls -> one row per record: (warc_file,
-    record_type, url, warc_date, content_type, http_status, payload).
+    record_type, url, warc_date, content_type, http_status,
+    payload_digest, payload).
 
-    ``response`` records get their HTTP envelope stripped — ``payload``
-    is the served document bytes, ``http_status``/``content_type`` come
-    from the HTTP head (falling back to the WARC header).  Pass
+    ``response`` and ``revisit`` records get their HTTP envelope
+    stripped — ``payload`` is the served document bytes (empty for
+    revisits, whose whole point is "identical to an earlier fetch"),
+    ``http_status``/``content_type`` come from the HTTP head (falling
+    back to the WARC header).  ``payload_digest`` surfaces the
+    crawler-computed ``WARC-Payload-Digest`` so exact dedup can run
+    BEFORE any payload hashing or HTML parse (see
+    :func:`warc_digest_dedup`); ``revisit`` records — the crawl's own
+    duplicate markers — are kept by default for the same reason.  Pass
     ``record_types=()`` to keep every record type (request, metadata,
-    warcinfo...).  Corrupt files yield zero rows (quarantine), matching
-    the ZIP reader."""
-    files = spark.read.format("binaryFile").load(path_glob)
+    warcinfo...).
+
+    The file is gunzipped and parsed INCREMENTALLY (rolling buffer,
+    bounded output batches) — a file corrupt at the head yields zero
+    rows; damage mid-file keeps the records parsed before it, matching
+    the tar reader's damage-point semantics."""
+    files = _list_files(spark, path_glob)
     keep = tuple(record_types)
+    columns = [
+        "warc_file", "record_type", "url", "warc_date",
+        "content_type", "http_status", "payload_digest", "payload",
+    ]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        emit = _BatchEmitter(columns, batch_rows=batch_rows, batch_bytes=batch_bytes)
         for batch in batches:
-            cols: dict[str, list] = {
-                "warc_file": [], "record_type": [], "url": [], "warc_date": [],
-                "content_type": [], "http_status": [], "payload": [],
-            }
-            for path, content in zip(batch["path"], batch["content"]):
+            for path in batch["path"]:
                 try:
-                    blob = (
-                        b"".join(_gzip_members(bytes(content)))
-                        if bytes(content[:2]) == b"\x1f\x8b"
-                        else bytes(content)
+                    fh = _open_input(path)
+                except OSError:
+                    continue
+                with fh:
+                    chunks = _iter_chunks(fh)
+                    first = next(chunks, b"")
+                    stream: Iterable[bytes] = (
+                        c for src in ((first,), chunks) for c in src if c
                     )
-                    records = list(_split_warc_records(blob))
-                except (ValueError, zlib.error):
-                    continue  # corrupt crawl file: quarantine
-                for headers, body in records:
-                    rtype = headers.get("warc-type", "")
-                    if keep and rtype not in keep:
-                        continue
-                    status, ctype, payload = (None, None, body)
-                    if rtype == "response":
-                        status, ctype, payload = _parse_http_response(body)
-                    cols["warc_file"].append(path)
-                    cols["record_type"].append(rtype)
-                    cols["url"].append(headers.get("warc-target-uri"))
-                    cols["warc_date"].append(headers.get("warc-date"))
-                    cols["content_type"].append(
-                        ctype or headers.get("content-type")
-                    )
-                    cols["http_status"].append(status)
-                    cols["payload"].append(payload)
-            yield pd.DataFrame(cols)
+                    if first[:2] == b"\x1f\x8b":
+                        stream = _gunzip_stream(stream)
+                    try:
+                        for headers, body in _warc_records_from_chunks(stream):
+                            rtype = headers.get("warc-type", "")
+                            if keep and rtype not in keep:
+                                continue
+                            status, ctype, payload = (None, None, body)
+                            if rtype in ("response", "revisit"):
+                                status, ctype, payload = _parse_http_response(body)
+                            out = emit.add({
+                                "warc_file": path,
+                                "record_type": rtype,
+                                "url": headers.get("warc-target-uri"),
+                                "warc_date": headers.get("warc-date"),
+                                "content_type": ctype or headers.get("content-type"),
+                                "http_status": status,
+                                "payload_digest": headers.get("warc-payload-digest"),
+                                "payload": payload,
+                            })
+                            if out is not None:
+                                yield out
+                    except (ValueError, zlib.error, OSError):
+                        continue  # damage point: keep what parsed
+        tail = emit.flush()
+        if tail is not None:
+            yield tail
 
-    return files.select("path", "content").mapInPandas(run, schema=WARC_SCHEMA)
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def warc_digest_dedup(
+    df: DataFrame,
+    digest_col: str = "payload_digest",
+    order_col: str = "warc_date",
+) -> DataFrame:
+    """Exact pre-dedup on the crawler-computed payload digest — FREE
+    dedup that runs before any payload hashing or HTML parse, and the
+    only dedup that can use ``revisit`` records (their payload is
+    empty; the digest is the evidence).
+
+    One representative per non-null digest: ``response`` records beat
+    ``revisit`` markers (a revisit must never represent content it does
+    not carry), then earliest ``order_col``, then url for determinism.
+    Null-digest rows pass through untouched.  One hash shuffle on the
+    digest; per-digest groups are duplicate sets (tiny), so the window
+    never materializes a skewed partition."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keyed = df.filter(F.col(digest_col).isNotNull())
+    passthrough = df.filter(F.col(digest_col).isNull())
+    w = Window.partitionBy(digest_col).orderBy(
+        F.when(F.col("record_type") == "response", F.lit(0)).otherwise(F.lit(1)),
+        F.col(order_col).asc_nulls_last(),
+        F.col("url").asc_nulls_last(),
+    )
+    reps = (
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return reps.unionByName(passthrough)
+
+
+# --- charset sniffing --------------------------------------------------------
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF32_LE, "utf-32-le"),  # utf-32 first: utf-16-le BOM is its prefix
+    (codecs.BOM_UTF32_BE, "utf-32-be"),
+    (codecs.BOM_UTF8, "utf-8-sig"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+# WHATWG encoding-standard label remaps browsers apply: pages declaring
+# ascii/latin1/iso-8859-1 are decoded as windows-1252 (its superset —
+# bytes 0x80-0x9F are in real use on such pages), gb2312 as gbk.
+_WHATWG_ALIASES = {
+    "ascii": "windows-1252",
+    "us-ascii": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "iso-8859-1": "windows-1252",
+    "iso8859-1": "windows-1252",
+    "gb2312": "gbk",
+}
+_CHARSET_RE = re.compile(r"""charset\s*=\s*["']?\s*([\w!#$%&+.^`{}~:-]+)""", re.I)
+
+
+def _normalize_charset(label: str) -> str | None:
+    label = label.strip().strip("\"'").lower()
+    label = _WHATWG_ALIASES.get(label, label)
+    try:
+        return codecs.lookup(label).name
+    except LookupError:
+        return None
+
+
+def sniff_charset(payload: bytes, content_type: str | None = None) -> tuple[str, str]:
+    """(codec, source) for an HTML/text payload.  Priority: BOM (the
+    bytes outrank any label), HTTP ``Content-Type`` charset parameter,
+    ``<meta charset>`` / ``http-equiv`` prescan of the first 4 KiB
+    (decoded latin1 — ASCII-compatible, enough for the attribute), then
+    the utf-8 default.  source in {"bom","header","meta","default"}."""
+    for bom, name in _BOMS:
+        if payload.startswith(bom):
+            return name, "bom"
+    if content_type:
+        m = _CHARSET_RE.search(content_type)
+        if m:
+            c = _normalize_charset(m.group(1))
+            if c:
+                return c, "header"
+    m = _CHARSET_RE.search(payload[:4096].decode("latin1", "replace"))
+    if m:
+        c = _normalize_charset(m.group(1))
+        if c:
+            return c, "meta"
+    return "utf-8", "default"
+
+
+def _decode_payload(
+    payload: bytes, content_type: str | None
+) -> tuple[str, str, bool]:
+    """(text, charset, decode_ok).  The sniffed charset is tried STRICT
+    — a declared-but-wrong label falls back to strict utf-8, then to
+    utf-8/replace with ``decode_ok=False``, so mojibake is a flagged,
+    quarantinable condition instead of silent corruption."""
+    enc, _source = sniff_charset(payload, content_type)
+    try:
+        return payload.decode(enc), enc, True
+    except (UnicodeDecodeError, ValueError):
+        pass
+    if enc not in ("utf-8", "utf-8-sig"):
+        try:
+            return payload.decode("utf-8"), "utf-8", True
+        except UnicodeDecodeError:
+            pass
+    return payload.decode("utf-8", "replace"), "utf-8", False
 
 
 # --- HTML -> text ----------------------------------------------------------
 
+_SKIP_TAGS = {"script", "style", "template", "noscript"}
+_BLOCK_TAGS = {
+    "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6",
+    "section", "article", "header", "footer", "table", "ul", "ol",
+}
+# structural boilerplate containers + the class/id/role vocabulary of
+# site chrome (nav bars, cookie banners, share widgets, comment chrome)
+_BOILER_TAGS = {"nav", "aside", "footer", "form"}
+_BOILER_HINT = re.compile(
+    r"nav|menu|footer|sidebar|banner|cookie|consent|breadcrumb|share|"
+    r"social|comment|related|widget|promo|advert",
+    re.I,
+)
+_VOID_TAGS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "source", "track", "wbr",
+}
 
-def _extract_text(html: str) -> str:
-    """Visible text of an HTML document, stdlib only: script/style/
-    template subtrees dropped, block boundaries become newlines, runs
-    of whitespace collapse."""
+
+def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
+    """Visible text of an HTML document as scored blocks:
+    ``(text, link_chars, boiler)`` per block (one block per run of text
+    between block-level tags, whitespace collapsed).  ``link_chars``
+    counts characters inside ``<a>`` (link density is the classic
+    boilerplate signal); ``boiler`` marks text inside structural chrome
+    (nav/aside/footer/form or class/id hints).  Stdlib only —
+    script/style/template subtrees dropped."""
     from html.parser import HTMLParser
 
-    _SKIP = {"script", "style", "template", "noscript"}
-    _BLOCK = {
-        "p", "div", "br", "li", "tr", "h1", "h2", "h3", "h4", "h5", "h6",
-        "section", "article", "header", "footer", "table", "ul", "ol",
-    }
-
-    class _Text(HTMLParser):
+    class _Blocks(HTMLParser):
         def __init__(self):
             super().__init__(convert_charrefs=True)
-            self.parts: list[str] = []
+            self.blocks: list[tuple[str, int, bool]] = []
+            self.cur: list[str] = []
+            self.cur_link = 0
+            self.cur_boiler = False
             self.skip = 0
+            self.link_depth = 0
+            self.boiler_stack: list[str] = []
+
+        def _flush(self):
+            text = " ".join("".join(self.cur).split())
+            if text:
+                self.blocks.append((text, self.cur_link, self.cur_boiler))
+            self.cur, self.cur_link = [], 0
+            self.cur_boiler = bool(self.boiler_stack)
 
         def handle_starttag(self, tag, attrs):
-            if tag in _SKIP:
+            if tag in _SKIP_TAGS:
                 self.skip += 1
-            elif tag in _BLOCK:
-                self.parts.append("\n")
+                return
+            if tag in _BLOCK_TAGS:
+                self._flush()
+            if tag == "a":
+                self.link_depth += 1
+            if tag not in _VOID_TAGS and (
+                tag in _BOILER_TAGS
+                or any(
+                    k in ("class", "id", "role") and v and _BOILER_HINT.search(v)
+                    for k, v in attrs
+                )
+            ):
+                self.boiler_stack.append(tag)
+                self.cur_boiler = True
 
         def handle_endtag(self, tag):
-            if tag in _SKIP and self.skip:
-                self.skip -= 1
-            elif tag in _BLOCK:
-                self.parts.append("\n")
+            if tag in _SKIP_TAGS:
+                if self.skip:
+                    self.skip -= 1
+                return
+            if tag in _BLOCK_TAGS:
+                self._flush()
+            if tag == "a" and self.link_depth:
+                self.link_depth -= 1
+            if tag in self.boiler_stack:
+                # tolerant un-nesting: pop through unclosed inner tags
+                while self.boiler_stack.pop() != tag:
+                    pass
+                self.cur_boiler = self.cur_boiler or bool(self.boiler_stack)
 
         def handle_data(self, data):
-            if not self.skip:
-                self.parts.append(data)
+            if self.skip:
+                return
+            self.cur.append(data)
+            if self.boiler_stack:
+                self.cur_boiler = True
+            if self.link_depth:
+                self.cur_link += len(" ".join(data.split()))
 
-    p = _Text()
+    p = _Blocks()
     try:
         p.feed(html)
         p.close()
     except Exception:
         pass  # best effort on malformed markup; keep what parsed
-    lines = [" ".join(seg.split()) for seg in "".join(p.parts).split("\n")]
-    return "\n".join(ln for ln in lines if ln)
+    p._flush()
+    return p.blocks
+
+
+def _extract_text(html: str) -> str:
+    """ALL visible text of an HTML document (block boundaries become
+    newlines, whitespace collapses) — the keep-everything variant;
+    :func:`_extract_main_text` is the boilerplate-stripped one."""
+    return "\n".join(text for text, _, _ in _extract_blocks(html))
+
+
+def _keep_block(text: str, link_chars: int, boiler: bool) -> bool:
+    if boiler:
+        return False
+    density = link_chars / max(len(text), 1)
+    if density > 0.5:
+        return False  # a run of links is navigation, whatever it's called
+    # short link-bearing stubs ("Home", "Next >") are chrome; short
+    # plain text (headlines, captions) stays
+    if len(text) < 25 and link_chars > 0:
+        return False
+    return True
+
+
+def _extract_main_text(html: str) -> str:
+    """Main-content text: the :func:`_extract_blocks` walk with
+    boilerplate dropped by the CCNet/trafilatura-lineage signals —
+    structural chrome containers, chrome class/id vocabulary, and
+    link-density block scoring.  Body text survives verbatim; nav bars,
+    footers, cookie banners, share/comment widgets do not."""
+    return "\n".join(
+        text for text, link_chars, boiler in _extract_blocks(html)
+        if _keep_block(text, link_chars, boiler)
+    )
 
 
 def html_to_text(
-    df: DataFrame, payload_col: str = "payload", out_col: str = "text"
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "text",
+    content_type_col: str | None = None,
+    main_content: bool = False,
 ) -> DataFrame:
-    """Binary HTML payloads -> visible text column (Arrow-batched
-    ``mapInPandas`` — the parser is per-document Python, so it rides
-    the same batched lane as the media codecs, never row-at-a-time).
-    Undecodable payloads yield NULL text (quarantine rows)."""
+    """Binary HTML payloads -> visible text column plus ``charset`` and
+    ``decode_ok`` (Arrow-batched ``mapInPandas`` — the parser is
+    per-document Python, so it rides the same batched lane as the media
+    codecs, never row-at-a-time).
+
+    The decode is charset-aware: BOM, then the HTTP ``Content-Type``
+    charset (``content_type_col``, auto-detected when the frame has a
+    ``content_type`` column — the WARC reader always does), then a
+    ``<meta charset>`` prescan, then utf-8.  ``decode_ok=false`` rows
+    decoded lossily (replacement characters) and are quarantinable
+    before they poison langid/quality/dedup.  ``main_content=True``
+    additionally strips boilerplate blocks (nav/footer/cookie-banner
+    chrome) via link-density block scoring.  Undecodable/unparseable
+    payloads yield NULL text (quarantine rows)."""
+    if content_type_col is None and "content_type" in df.columns:
+        content_type_col = "content_type"
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
-    schema = f"{out_fields}, {out_col} string"
+    schema = f"{out_fields}, {out_col} string, charset string, decode_ok boolean"
+    extract = _extract_main_text if main_content else _extract_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            texts = []
-            for p in batch[payload_col]:
+            texts, charsets, oks = [], [], []
+            ctypes = (
+                batch[content_type_col]
+                if content_type_col is not None
+                else [None] * len(batch)
+            )
+            for p, ct in zip(batch[payload_col], ctypes):
                 if p is None:
                     texts.append(None)
+                    charsets.append(None)
+                    oks.append(None)
                     continue
                 try:
-                    texts.append(_extract_text(bytes(p).decode("utf-8", "replace")))
+                    raw, enc, ok = _decode_payload(
+                        bytes(p), ct if isinstance(ct, str) else None
+                    )
+                    texts.append(extract(raw))
+                    charsets.append(enc)
+                    oks.append(ok)
                 except Exception:
                     texts.append(None)
+                    charsets.append(None)
+                    oks.append(None)
             batch = batch.copy()
             batch[out_col] = texts
+            batch["charset"] = charsets
+            batch["decode_ok"] = oks
             yield batch
 
     return df.mapInPandas(run, schema=schema)
-
-
-def read_tar_members(
-    spark: SparkSession, path_glob: str, suffix: str | None = None
-) -> DataFrame:
-    """Explode tar / tar.gz / tar.bz2 / tar.xz archives into (archive,
-    member, size, payload) rows — :func:`read_zip_members`'s twin for
-    the other common bundle format (``tarfile`` sniffs the compression
-    from the bytes).  Non-regular members (dirs, links, devices) are
-    skipped; corrupt archives quarantine to zero rows and a corrupt
-    member ends that archive's extraction at the damage point (tar has
-    no central directory to recover from)."""
-    import tarfile
-
-    files = spark.read.format("binaryFile").load(path_glob)
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            out: dict[str, list] = {"archive": [], "member": [], "size": [], "payload": []}
-            for path, content in zip(batch["path"], batch["content"]):
-                try:
-                    tf = tarfile.open(fileobj=io.BytesIO(content), mode="r:*")
-                except (tarfile.TarError, OSError, EOFError):
-                    continue
-                with tf:
-                    try:
-                        for info in tf:
-                            if not info.isreg():
-                                continue
-                            if suffix is not None and not info.name.endswith(suffix):
-                                continue
-                            fh = tf.extractfile(info)
-                            if fh is None:
-                                continue
-                            data = fh.read()
-                            out["archive"].append(path)
-                            out["member"].append(info.name)
-                            out["size"].append(len(data))
-                            out["payload"].append(data)
-                    except (tarfile.TarError, OSError, EOFError, zlib.error):
-                        pass  # damage point reached: keep what extracted
-            yield pd.DataFrame(out)
-
-    return files.select("path", "content").mapInPandas(run, schema=ZIP_SCHEMA)

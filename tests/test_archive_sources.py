@@ -220,3 +220,279 @@ def test_tar_members_explode(spark, tmp_path):
     }
     txt = read_tar_members(spark, str(tdir), suffix=".txt").collect()
     assert {r["member"] for r in txt} == {"docs/a.txt"}
+
+
+# --- round 8: charset-aware decode ------------------------------------------
+
+
+def test_charset_header_roundtrip_exact(spark, tmp_path):
+    """windows-1251 and shift_jis pages whose charset sits in the HTTP
+    Content-Type round-trip exactly — no mojibake, decode_ok true."""
+    ru = "<html><body><p>Привет мир</p></body></html>".encode("windows-1251")
+    ja = "<html><body><p>こんにちは世界</p></body></html>".encode("shift_jis")
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    recs = [
+        _warc_record(
+            "response", "http://x.example/ru",
+            _http_response(ru, ctype=b"text/html; charset=windows-1251"),
+        ),
+        _warc_record(
+            "response", "http://x.example/ja",
+            _http_response(ja, ctype=b"text/html; charset=shift_jis"),
+        ),
+    ]
+    (wdir / "c.warc").write_bytes(b"".join(recs))
+    rows = {r["url"]: r for r in html_to_text(read_warc(spark, str(wdir))).collect()}
+    assert rows["http://x.example/ru"]["text"] == "Привет мир"
+    assert rows["http://x.example/ru"]["charset"] == "cp1251"
+    assert rows["http://x.example/ru"]["decode_ok"] is True
+    assert rows["http://x.example/ja"]["text"] == "こんにちは世界"
+    assert rows["http://x.example/ja"]["charset"] == "shift_jis"
+    assert rows["http://x.example/ja"]["decode_ok"] is True
+
+
+def test_charset_meta_bom_and_whatwg(spark, tmp_path):
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _decode_payload,
+        sniff_charset,
+    )
+
+    # <meta charset> prescan when the header says nothing
+    gbk = '<html><head><meta charset="gb2312"></head><body>你好</body></html>'.encode("gbk")
+    assert sniff_charset(gbk, "text/html") == ("gbk", "meta")  # WHATWG: gb2312->gbk
+    assert _decode_payload(gbk, "text/html")[0].endswith("你好</body></html>")
+    # BOM outranks a (wrong) header label
+    utf16 = "﻿<p>bom wins</p>".encode("utf-16-le")
+    enc, src = sniff_charset(utf16, "text/html; charset=windows-1251")
+    assert (enc, src) == ("utf-16-le", "bom")
+    text, charset, ok = _decode_payload(utf16, "text/html; charset=windows-1251")
+    assert "bom wins" in text and ok
+    # WHATWG: declared latin1/iso-8859-1 decodes as its cp1252 superset
+    em = b"<p>a \x97 dash</p>"
+    text, charset, ok = _decode_payload(em, "text/html; charset=iso-8859-1")
+    assert charset == "cp1252" and "—" in text and ok
+
+
+def test_mojibake_quarantined_on_corpus_cli_path(spark, tmp_path, capsys):
+    """A page whose declared charset lies (invalid byte under both the
+    label and utf-8) decodes lossily -> decode_ok false -> quarantined
+    by the corpus CLI with the count in the accounting line."""
+    import gzip as _gzip
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    good = (
+        "<html><body><p>"
+        "the data in a table is the value of the row and the key for the "
+        "batch while the line in a window is the part of the sort"
+        "</p></body></html>"
+    ).encode()
+    # shift_jis-declared but NOT valid shift_jis nor utf-8: 0x80 is a
+    # lead byte with an invalid continuation in both
+    bad = b"<html><body><p>broken \x80\x80\x80\x80 bytes</p></body></html>"
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    recs = [
+        _warc_record("response", "http://x.example/good", _http_response(good)),
+        _warc_record(
+            "response", "http://x.example/bad",
+            _http_response(bad, ctype=b"text/html; charset=shift_jis"),
+        ),
+    ]
+    (wdir / "c.warc.gz").write_bytes(b"".join(_gzip.compress(r) for r in recs))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(wdir), "--out", out,
+        "--input-format", "warc", "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "quarantined=1" in msg
+    rows = spark.read.parquet(out).collect()
+    assert [r["url"] for r in rows] == ["http://x.example/good"]
+
+
+# --- round 8: main-content (boilerplate) extraction --------------------------
+
+
+BOILER_HTML = (
+    "<html><body>"
+    "<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/faq'>FAQ</a></nav>"
+    "<div class='cookie-banner'>We use cookies to improve your browsing experience"
+    " on this site. Accept all</div>"
+    "<article><h1>Real Title</h1>"
+    "<p>This is the real article body text that we keep verbatim in the corpus.</p>"
+    "</article>"
+    "<div><a href='/p/1'>Prev</a> <a href='/p/2'>Next</a></div>"
+    "<footer>Copyright 2026 Example Corp. All rights reserved.</footer>"
+    "</body></html>"
+)
+
+
+def test_main_content_strips_chrome_keeps_body():
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    main_text = _extract_main_text(BOILER_HTML)
+    assert main_text == (
+        "Real Title\n"
+        "This is the real article body text that we keep verbatim in the corpus."
+    )
+    # the keep-everything variant still sees the chrome
+    assert "Home" in _extract_text(BOILER_HTML)
+    assert "cookies" in _extract_text(BOILER_HTML)
+
+
+def test_main_content_changes_gopher_gate_in_expected_direction(spark):
+    """On a templated fixture (body drowned in repeated nav chrome) the
+    Gopher gate fails the full text on duplicate-word ratio but passes
+    the main-content text — boilerplate stripping must move the gate
+    toward keeping real articles."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        quality_filter,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    chrome = "<nav>" + " ".join(
+        "<a href='/{0}'>Home About Contact Blog Shop</a>".format(i) for i in range(30)
+    ) + "</nav>"
+    body = (
+        "<article><p>the data in a table is the value of the row and the key "
+        "for the batch while the line in a window is the part of the sort and "
+        "the merge of the scan gives the shape of the plan</p></article>"
+    )
+    page = f"<html><body>{chrome}{body}</body></html>"
+    df = spark.createDataFrame(
+        [(1, _extract_text(page)), (2, _extract_main_text(page))],
+        "doc_id long, text string",
+    )
+    keep = {r["doc_id"]: r["keep"] for r in quality_filter(df).collect()}
+    assert keep[1] is False and keep[2] is True
+
+
+# --- round 8: payload digest + revisit records --------------------------------
+
+
+def test_revisit_record_dedups_original_via_digest(spark, tmp_path):
+    """A revisit record (same WARC-Payload-Digest, empty payload) and a
+    duplicate response collapse onto the original response WITHOUT any
+    payload hashing; distinct digests and null digests pass through."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        warc_digest_dedup,
+    )
+
+    digest = "sha1:AAAABBBBCCCCDDDDEEEEFFFFGGGG"
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    recs = [
+        _warc_record(
+            "response", "http://x.example/orig", _http_response(HTML),
+            extra=f"WARC-Payload-Digest: {digest}\r\n",
+        ),
+        _warc_record(
+            "revisit", "http://x.example/again",
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+            extra=f"WARC-Payload-Digest: {digest}\r\n"
+            "WARC-Refers-To-Target-URI: http://x.example/orig\r\n",
+        ),
+        _warc_record(
+            "response", "http://x.example/copy", _http_response(HTML),
+            # later refetch (duplicate header: last occurrence wins)
+            extra=f"WARC-Payload-Digest: {digest}\r\n"
+            "WARC-Date: 2026-08-15T00:00:00Z\r\n",
+        ),
+        _warc_record(
+            "response", "http://x.example/other", _http_response(b"<p>different</p>"),
+            extra="WARC-Payload-Digest: sha1:ZZZZYYYYXXXX\r\n",
+        ),
+        _warc_record("response", "http://x.example/nodigest", _http_response(HTML)),
+    ]
+    (wdir / "c.warc").write_bytes(b"".join(recs))
+    raw = read_warc(spark, str(wdir))  # default keeps response + revisit
+    assert {r["record_type"] for r in raw.collect()} == {"response", "revisit"}
+    deduped = warc_digest_dedup(raw).collect()
+    urls = {r["url"] for r in deduped}
+    # one representative for the shared digest: the earliest RESPONSE
+    assert "http://x.example/orig" in urls
+    assert "http://x.example/again" not in urls  # revisit never represents
+    assert "http://x.example/copy" not in urls
+    assert urls >= {"http://x.example/other", "http://x.example/nodigest"}
+    assert len(deduped) == 3
+
+
+# --- round 8: streaming (bounded-memory) archive walk -------------------------
+
+
+def test_warc_record_parse_is_incremental():
+    """The record parser must pull chunks lazily: after k records are
+    consumed, only ~k record-sized chunks may have been served — the
+    bounded-buffer contract that lets an oversized WARC stream through
+    a task without materializing."""
+    from itertools import islice
+
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _warc_records_from_chunks,
+    )
+
+    records = [
+        _warc_record("response", f"http://x.example/{i}", _http_response(HTML))
+        for i in range(100)
+    ]
+    served = 0
+
+    def chunks():
+        nonlocal served
+        for rec in records:
+            served += 1
+            yield rec
+
+    it = _warc_records_from_chunks(chunks())
+    first3 = list(islice(it, 3))
+    assert [h["warc-target-uri"] for h, _ in first3] == [
+        "http://x.example/0", "http://x.example/1", "http://x.example/2",
+    ]
+    assert served <= 5, f"parser buffered {served} chunks for 3 records"
+    assert len(list(it)) == 97  # and the rest still parse
+
+
+def test_oversized_archives_stream_in_bounded_batches(spark, tmp_path):
+    """Readers with a batch cap far below the archive size still produce
+    complete, correct output — the archive is walked incrementally, one
+    bounded batch at a time."""
+    import gzip as _gzip
+    import io as _io
+    import tarfile as _tarfile
+
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        read_tar_members,
+    )
+
+    wdir = tmp_path / "w"
+    wdir.mkdir()
+    recs = [
+        _warc_record("response", f"http://x.example/{i}",
+                     _http_response(f"<p>page {i}</p>".encode()))
+        for i in range(50)
+    ]
+    (wdir / "big.warc.gz").write_bytes(b"".join(_gzip.compress(r) for r in recs))
+    got = read_warc(spark, str(wdir), batch_rows=4, batch_bytes=256).collect()
+    assert sorted(r["url"] for r in got) == sorted(
+        f"http://x.example/{i}" for i in range(50)
+    )
+
+    tdir = tmp_path / "t"
+    tdir.mkdir()
+    buf = _io.BytesIO()
+    with _tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for i in range(50):
+            data = f"member {i}".encode()
+            info = _tarfile.TarInfo(f"m{i:03d}.txt")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+    (tdir / "big.tar.gz").write_bytes(buf.getvalue())
+    rows = read_tar_members(spark, str(tdir), batch_rows=4, batch_bytes=64).collect()
+    assert len(rows) == 50
+    assert {r["member"] for r in rows} == {f"m{i:03d}.txt" for i in range(50)}
