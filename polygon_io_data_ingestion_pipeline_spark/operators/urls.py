@@ -70,16 +70,18 @@ def url_normalized(url) -> Column:
 
 def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Attach (url_norm, url_scheme, url_host, url_domain, url_depth):
-    domain = last two host labels (a pragmatic registrable-domain proxy
-    — a full public-suffix list is a lookup table joinable on top),
-    depth = number of non-empty path segments."""
+    domain = the registrable ("eTLD+1") domain under the committed
+    public-suffix-list snapshot (:mod:`..functions.psl` — so
+    ``bbc.co.uk`` stays ``bbc.co.uk`` instead of collapsing to
+    ``co.uk``), falling back to the host itself when the host IS a
+    public suffix / single label / IP literal; depth = number of
+    non-empty path segments.  The PSL lookup is a statically-unrolled
+    pure expression — no join, no Python."""
+    from ..functions.psl import registrable_domain
+
     col = F.col(url_col)
     host = F.lower(F.try_parse_url(col, F.lit("HOST")))
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    domain = F.when(
-        n >= 2, F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    ).otherwise(host)
+    domain = F.coalesce(registrable_domain(host), host)
     path = F.coalesce(F.try_parse_url(col, F.lit("PATH")), F.lit(""))
     depth = F.size(F.filter(F.split(path, "/"), lambda s: F.length(s) > 0))
     return (

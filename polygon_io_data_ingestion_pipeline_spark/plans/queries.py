@@ -5220,6 +5220,59 @@ def docs_url_domain_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_url_psl_domains",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'www.site' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com.au'
+    WHEN 2 THEN 'blog' || CAST(doc_id % 97 AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'a.b.site' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+    WHEN 4 THEN 'x.site' || CAST(doc_id % 97 AS VARCHAR) || '.ck'
+    ELSE 'city.kobe.jp'
+  END AS url_host,
+  CASE doc_id % 6
+    WHEN 0 THEN 'site' || CAST(doc_id % 97 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com.au'
+    WHEN 2 THEN 'blog' || CAST(doc_id % 97 AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'site' || CAST(doc_id % 97 AS VARCHAR) || '.com'
+    WHEN 4 THEN 'x.site' || CAST(doc_id % 97 AS VARCHAR) || '.ck'
+    ELSE 'city.kobe.jp'
+  END AS url_domain
+FROM documents
+""",
+    doc="Registrable-domain (eTLD+1) extraction under the committed "
+    "public-suffix-list snapshot (functions/psl.py): one host per rule "
+    "class — second-level registry (co.uk/com.au), private-section "
+    "platform (github.io), default TLD+1, *.ck wildcard, !city.kobe.jp "
+    "exception.  Pure statically-unrolled expression (no join, no "
+    "Python); the oracle restates the expected domain from the same "
+    "construction arithmetic, independent of any second PSL "
+    "implementation.",
+    tags=("text", "urls"),
+)
+def docs_url_psl_domains(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.psl import registrable_domain
+
+    docs = table(spark, sf, "documents").select("doc_id")
+    p = (F.col("doc_id") % 97).cast("string")
+    m = F.col("doc_id") % 6
+    host = (
+        F.when(m == 0, F.concat(F.lit("www.site"), p, F.lit(".co.uk")))
+        .when(m == 1, F.concat(F.lit("site"), p, F.lit(".com.au")))
+        .when(m == 2, F.concat(F.lit("blog"), p, F.lit(".github.io")))
+        .when(m == 3, F.concat(F.lit("a.b.site"), p, F.lit(".com")))
+        .when(m == 4, F.concat(F.lit("x.site"), p, F.lit(".ck")))
+        .otherwise(F.lit("city.kobe.jp"))
+    )
+    return docs.select(
+        "doc_id",
+        host.alias("url_host"),
+        F.coalesce(registrable_domain(host), host).alias("url_domain"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

@@ -71,3 +71,49 @@ def test_plan_stays_native(spark):
     df = spark.createDataFrame([("https://e.com/a",)], "url string")
     plan = url_parts(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+# --- round 8: public-suffix-list registrable domains --------------------------
+
+
+def test_psl_registrable_domain(spark):
+    from polygon_io_data_ingestion_pipeline_spark.functions.psl import (
+        registrable_domain,
+    )
+
+    cases = [
+        ("bbc.co.uk", "bbc.co.uk"),          # 2nd-level registry, not co.uk
+        ("www.bbc.co.uk", "bbc.co.uk"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("example.com.au", "example.com.au"),
+        ("sub.example.or.jp", "example.or.jp"),
+        ("example.com", "example.com"),       # default rule: TLD + 1
+        ("a.b.example.com", "example.com"),
+        ("user.github.io", "user.github.io"),  # private-section platform
+        ("deep.user.github.io", "user.github.io"),
+        ("x.foo.ck", "x.foo.ck"),             # *.ck wildcard: foo.ck is a PS
+        ("www.ck", "www.ck"),                 # !www.ck exception
+        ("city.kobe.jp", "city.kobe.jp"),     # !city.kobe.jp exception
+        ("foo.city.kobe.jp", "city.kobe.jp"),
+        ("a.b.kobe.jp", "a.b.kobe.jp"),       # *.kobe.jp wildcard
+        ("co.uk", None),                      # host IS a public suffix
+        ("localhost", None),                  # single label
+        ("192.168.0.1", None),                # IP literal
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "host string")
+    got = [r["d"] for r in df.select(registrable_domain("host").alias("d")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_parts_uses_psl_not_two_label_proxy(spark):
+    df = spark.createDataFrame(
+        [("https://www.bbc.co.uk/news/uk",),
+         ("https://guardian.co.uk/sport",),
+         ("https://co.uk/",)],
+        "url string",
+    )
+    got = [r["url_domain"] for r in url_parts(df).collect()]
+    # bbc.co.uk and guardian.co.uk are DIFFERENT domains; a bare public
+    # suffix falls back to the host itself
+    assert got == ["bbc.co.uk", "guardian.co.uk", "co.uk"]
