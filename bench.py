@@ -22,6 +22,27 @@ from polygon_io_data_ingestion_pipeline_spark.plans.queries import REGISTRY
 from polygon_io_data_ingestion_pipeline_spark.session import get_spark
 
 
+def _calibration(spark) -> "object":
+    """FIXED calibration workload — never change this across rounds.
+
+    Pure synthetic compute (no tables, no registry code): 20M-row
+    codegen arithmetic into a 1000-key hash aggregate — one scan leg +
+    one shuffle leg, the two cost paths every headline query mixes.
+    Its wall time measures the MACHINE (JIT, scheduler, CPU load), not
+    the repo, so normalized query times separate environment drift
+    (uniform shift of everything incl. calibration) from plan
+    regressions (a query moving against a flat calibration)."""
+    return (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr(
+            "id % 1000 AS k",
+            "(id * 2654435761) % 1000000007 AS v",
+        )
+        .groupBy("k")
+        .agg({"v": "sum", "*": "count"})
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -38,6 +59,16 @@ def main() -> None:
             spec.fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
+    _calibration(spark).write.format("noop").mode("overwrite").save()  # warm it too
+
+    # Calibration: median-of-3 of the fixed machine-speed workload,
+    # reported raw and as the divisor of the normalized timings below.
+    calib_reps = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _calibration(spark).write.format("noop").mode("overwrite").save()
+        calib_reps.append(time.perf_counter() - t0)
+    calibration = round(sorted(calib_reps)[1], 3)
 
     # Median-of-3 per query, per-run times recorded: a single-shot
     # number lets one JIT-tiering / scheduler stall write the round's
@@ -71,6 +102,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                # machine-speed divisor + machine-independent timings:
+                # environment drift moves raw numbers AND calibration
+                # together (normalized flat); a plan regression moves
+                # only its own normalized line
+                "calibration_sec": calibration,
+                "queries_normalized": {
+                    n: round(t / calibration, 3) for n, t in timings.items()
+                },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

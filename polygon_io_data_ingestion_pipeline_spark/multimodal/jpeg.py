@@ -149,6 +149,13 @@ class JpegFormatError(ValueError):
     """Unsupported or corrupt JPEG stream."""
 
 
+#: JPEG features this codec quarantines (raises JpegFormatError) rather
+#: than decodes.  The decode_jpeg docstring's raise-clause is tested
+#: against this list — twice now a feature landed (subsampling in r6,
+#: progressive in r7) while the docstring kept claiming it raises.
+UNSUPPORTED_FEATURES = ("arithmetic", "12-bit")
+
+
 # --- huffman ---------------------------------------------------------------
 
 
@@ -647,14 +654,16 @@ def encode_jpeg_progressive(
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Baseline JFIF bytes (4:4:4, 4:2:0 and 4:2:2 chroma subsampling)
-    -> uint8 array (H, W) or (H, W, 3).
+    """Baseline (SOF0) AND progressive (SOF2) JFIF bytes (4:4:4, 4:2:0
+    and 4:2:2 chroma subsampling) -> uint8 array (H, W) or (H, W, 3).
 
     Tables come from the stream's own DQT/DHT segments. Raises
-    :class:`JpegFormatError` on progressive/arithmetic/12-bit/corrupt
-    input — including truncated buffers, whose raw IndexError/
-    struct.error are converted so callers have ONE quarantine
-    exception type.
+    :class:`JpegFormatError` on arithmetic/12-bit/corrupt input —
+    including truncated buffers, whose raw IndexError/struct.error are
+    converted so callers have ONE quarantine exception type.  (The
+    quarantine list lives in :data:`UNSUPPORTED_FEATURES`;
+    tests/test_multimodal_jpeg.py greps this docstring against it so
+    the claim cannot drift from the code again.)
     """
     try:
         return _decode_markers(payload)

@@ -421,3 +421,22 @@ def test_progressive_refine_zrl_with_history_coefficient():
     # the misplaced correction bit broke this without raising
     base = decode_jpeg(encode_jpeg(img, quality=85))
     assert np.array_equal(out, base)
+
+
+def test_decode_docstring_matches_quarantine_list():
+    """decode_jpeg's raise-clause must track UNSUPPORTED_FEATURES: twice
+    (subsampling r6, progressive r7) a feature landed while the
+    docstring kept claiming it raises."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.jpeg import (
+        UNSUPPORTED_FEATURES,
+        decode_jpeg,
+    )
+
+    doc = decode_jpeg.__doc__
+    for feat in UNSUPPORTED_FEATURES:
+        assert feat in doc, f"quarantined feature {feat!r} missing from docstring"
+    for supported in ("progressive", "subsampl"):
+        raise_clause = doc[doc.index("Raises") :]
+        assert supported not in raise_clause.lower(), (
+            f"docstring still claims decode raises on supported {supported!r}"
+        )

@@ -100,3 +100,21 @@ def test_registry_iteration_is_window_then_rotated_tail():
     pinned = [n for n in PINNED_WINDOW if n in REGISTRY]
     expected = pinned + rotation_order(names_now, hist)
     assert names_now == expected
+
+
+def test_coverage_doc_matches_registry_count():
+    """COVERAGE.md's hand-written "N registered queries" line must state
+    the actual registry size — it drifted 118 vs 120 in round 7."""
+    import os
+    import re
+
+    from polygon_io_data_ingestion_pipeline_spark.plans.queries import REGISTRY
+
+    doc = open(
+        os.path.join(os.path.dirname(__file__), os.pardir, "COVERAGE.md")
+    ).read()
+    m = re.search(r"\*\*(\d+) registered queries", doc)
+    assert m, "COVERAGE.md no longer states the registered-query count"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"COVERAGE.md says {m.group(1)} queries; registry holds {len(REGISTRY)}"
+    )
