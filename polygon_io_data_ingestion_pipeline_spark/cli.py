@@ -166,9 +166,11 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     hitters), or print the current table."""
     from .operators.rollup import (
         _latest_commit,
+        cube_sets,
         histogram_quantile,
         read_rollup,
         rollup_hist_drift,
+        rollup_sets,
         sample_quantile,
         update_rollup,
     )
@@ -284,6 +286,11 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         hist_cols=hist,
         sample_cols=sample,
         topk_cols=topk,
+        grouping_sets=(
+            cube_sets(_csv(args.keys)) if args.cube
+            else rollup_sets(_csv(args.keys)) if args.rollup
+            else None
+        ),
     )
     print(res)
     return 0
@@ -539,6 +546,17 @@ def main(argv: list[str] | None = None) -> int:
         default=[],
         metavar="COL:ID_COL:K",
         help="bottom-k hash-sample cell; ID_COL must be row-unique (repeatable)",
+    )
+    p.add_argument(
+        "--cube",
+        action="store_true",
+        help="maintain every subtotal level of --keys (GROUP BY CUBE; "
+        "rows tagged _gid)",
+    )
+    p.add_argument(
+        "--rollup",
+        action="store_true",
+        help="maintain the key-prefix subtotal levels (GROUP BY ROLLUP)",
     )
     p.add_argument(
         "--topk",

@@ -166,6 +166,24 @@ _MAX_SAMPLE_K = 4096
 _MAX_TOPK = 1024
 
 
+def _nullsafe_join(left: DataFrame, right: DataFrame, keys: list[str], how: str = "inner") -> DataFrame:
+    """Equi-join where a NULL key value matches NULL (groupBy
+    semantics).  The topk cell pipeline joins frames produced by
+    groupBy — which puts NULL key values in a real group — and
+    grouping-set subtotal rows carry NULLed-out keys by construction; a
+    plain USING join silently drops both."""
+    import functools
+
+    r = right
+    for k in keys:
+        r = r.withColumnRenamed(k, f"__r_{k}")
+    cond = functools.reduce(
+        lambda a, b: a & b,
+        [left[k].eqNullSafe(r[f"__r_{k}"]) for k in keys],
+    )
+    return left.join(r, cond, how).drop(*[f"__r_{k}" for k in keys])
+
+
 def _topk_cell_schema() -> str:
     return "struct<items: array<struct<item: string, cnt: bigint>>, err: bigint>"
 
@@ -223,11 +241,15 @@ def _topk_partial_multi(
     countable items for a column get a NULL cell (callers coalesce to
     the empty cell)."""
     cols = list(topk_cols)
+    # the melt tag is the OUTPUT column name (topk_{c}), not the raw
+    # column name: pivoting on the raw name would collide with a key
+    # column when a key itself is tracked (top regions per region-cube)
     pairs = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(c).alias("col"), F.col(c).cast("string").alias("item")
+                    F.lit(f"topk_{c}").alias("col"),
+                    F.col(c).cast("string").alias("item"),
                 )
                 for c in cols
             ]
@@ -245,13 +267,17 @@ def _topk_partial_multi(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     m_of = F.coalesce(
-        *[F.when(F.col("_tcol") == c, F.lit(m)) for c, m in topk_cols.items()]
+        *[
+            F.when(F.col("_tcol") == f"topk_{c}", F.lit(m))
+            for c, m in topk_cols.items()
+        ]
     )
     cells = _topk_truncate(cnts, [*keys, "_tcol"], m_of)
-    out = cells.groupBy(*keys).pivot("_tcol", cols).agg(F.first("cell"))
-    for c in cols:
-        out = out.withColumnRenamed(c, f"topk_{c}")
-    return out
+    return (
+        cells.groupBy(*keys)
+        .pivot("_tcol", [f"topk_{c}" for c in cols])
+        .agg(F.first("cell"))
+    )
 
 
 def _topk_partial(src: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
@@ -279,28 +305,28 @@ def _topk_merge(both: DataFrame, keys: list[str], c: str, m: int) -> DataFrame:
         cell["err"].alias("_src_err"),
         F.explode_outer(cell["items"]).alias("_it"),
     )
-    combined = (
+    combined = _nullsafe_join(
         exploded.filter(F.col("_it").isNotNull())
         .groupBy(*keys, F.col("_it")["item"].alias("item"))
         .agg(
             F.sum(F.col("_it")["cnt"]).cast("long").alias("_present_cnt"),
             F.sum("_src_err").cast("long").alias("_present_err"),
-        )
-        .join(per_key, keys)
+        ),
+        per_key,
+        keys,
         # present summaries contribute their counts; absent ones their err
-        .select(
-            *keys,
-            "item",
-            (
-                F.col("_present_cnt") + (F.col("_err_total") - F.col("_present_err"))
-            ).alias("cnt"),
-            "_err_total",
-        )
+    ).select(
+        *keys,
+        "item",
+        (
+            F.col("_present_cnt") + (F.col("_err_total") - F.col("_present_err"))
+        ).alias("cnt"),
+        "_err_total",
     )
     merged = _topk_truncate(combined, keys, m)
     # new err must also cover items absent from EVERY input summary
     merged = (
-        merged.join(per_key.select(*keys, "_err_total"), keys)
+        _nullsafe_join(merged, per_key.select(*keys, "_err_total"), keys)
         .select(
             *keys,
             F.struct(
@@ -498,6 +524,87 @@ def histogram_quantile(
     return F.aggregate(col, acc0, step, fin)
 
 
+def grouping_set_id(keys: list[str], subset: list[str]) -> int:
+    """Grouping-set id for ``subset`` of ``keys``: bit i set when
+    ``keys[i]`` is AGGREGATED AWAY (SQL ``GROUPING_ID`` convention, so
+    the full key set is 0 and the grand total is ``2**len(keys)-1``).
+    Readers filter a grouping-set rollup to one subtotal level with
+    ``F.col("_gid") == grouping_set_id(keys, subset)``."""
+    missing = set(subset) - set(keys)
+    if missing:
+        raise ValueError(f"grouping set {subset} not a subset of keys {keys}")
+    return sum(1 << i for i, k in enumerate(keys) if k not in subset)
+
+
+def cube_sets(keys: list[str]) -> list[list[str]]:
+    """Every subset of ``keys`` — the ``GROUP BY CUBE`` spec."""
+    out = []
+    for mask in range(1 << len(keys)):
+        out.append([k for i, k in enumerate(keys) if not mask & (1 << i)])
+    return out
+
+
+def rollup_sets(keys: list[str]) -> list[list[str]]:
+    """The prefixes of ``keys`` (incl. the grand total) — ``GROUP BY
+    ROLLUP``."""
+    return [keys[:i] for i in range(len(keys), -1, -1)]
+
+
+def _grouping_sets_expand(
+    base: DataFrame,
+    keys: list[str],
+    gsets: list[list[str]],
+    sum_cols: list[str],
+    min_cols: list[str],
+    max_cols: list[str],
+    distinct_cols: list[str],
+    hist_cols: dict[str, tuple[float, float, int]],
+    sample_cols: dict[str, tuple[str, int]],
+    topk_cols: dict[str, int],
+) -> DataFrame:
+    """Finest-granularity partial cells -> one cell row per requested
+    grouping set, tagged ``_gid``.
+
+    Every cell family is MERGEABLE, so a subtotal cell is exactly the
+    merge of the full-key cells it covers — derived here by re-running
+    the merge expressions over ``base`` grouped by each set's kept
+    keys.  Cost is O(|sets| x distinct keys) over an already-aggregated
+    (localCheckpointed) frame; the fact shard is never rescanned per
+    set.  Dropped keys become NULL literals (disambiguated from real
+    NULL key values by ``_gid``, the same contract as SQL GROUPING
+    SETS)."""
+    key_types = {f.name: f.dataType for f in base.schema.fields if f.name in keys}
+    cell_cols = [c for c in base.columns if c not in keys]
+    frames = []
+    for g in gsets:
+        gid = grouping_set_id(keys, g)
+        # the grand-total set groups by a constant helper key so the
+        # topk merge (which equi-joins on the group keys) stays uniform
+        gcols = g if g else ["__all"]
+        b = base if g else base.withColumn("__all", F.lit(1))
+        agg = b.groupBy(*gcols).agg(
+            *_agg_exprs(
+                sum_cols, min_cols, max_cols, distinct_cols, hist_cols,
+                merge=True, sample_cols=sample_cols,
+            )
+        )
+        for c, m in topk_cols.items():
+            mrg = _topk_merge(b.select(*gcols, f"topk_{c}"), gcols, c, m)
+            agg = _nullsafe_join(agg, mrg, gcols, "left").withColumn(
+                f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
+            )
+        for k in keys:
+            if k not in g:
+                agg = agg.withColumn(k, F.lit(None).cast(key_types[k]))
+        frames.append(
+            agg.select(F.lit(gid).cast("int").alias("_gid"), *keys, *cell_cols)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def update_rollup(
     spark: SparkSession,
     rollup_path: str,
@@ -511,6 +618,7 @@ def update_rollup(
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
     sample_cols: dict[str, tuple[str, int]] | None = None,
     topk_cols: dict[str, int] | None = None,
+    grouping_sets: list[list[str]] | None = None,
 ) -> dict:
     """Fold one fact shard into the rollup table at ``rollup_path``.
 
@@ -524,7 +632,15 @@ def update_rollup(
     ``sample_cols`` maps a value column to ``(id_col, k)``: keep the k
     rows whose ``md5(id_col)`` sorts smallest per key as a uniform
     sample cell.  ``id_col`` must be row-unique ACROSS ALL SHARDS (a
-    natural event id) — duplicated ids would double-enter the sample."""
+    natural event id) — duplicated ids would double-enter the sample.
+
+    ``grouping_sets`` (e.g. :func:`cube_sets`/:func:`rollup_sets`)
+    maintains one cell row per requested subset of ``keys``, tagged
+    with a ``_gid`` column (:func:`grouping_set_id`), so the table
+    serves subtotal dashboards without re-aggregating facts.  Subtotals
+    derive from the finest partials via the merge algebra — the shard
+    is still scanned once — and fold across shards exactly like flat
+    cells (shard-fold == full-recompute, tested)."""
     min_cols = min_cols or []
     max_cols = max_cols or []
     distinct_cols = distinct_cols or []
@@ -553,6 +669,16 @@ def update_rollup(
                 f"sample_cols[{c!r}]: need a non-empty id_col and "
                 f"0 < k <= {_MAX_SAMPLE_K}, got ({id_col!r}, {k})"
             )
+    gsets: list[list[str]] | None = None
+    if grouping_sets is not None:
+        if not grouping_sets:
+            raise ValueError("grouping_sets: need at least one set")
+        # canonicalize: key order from `keys`, dedupe by gid, sort by gid
+        by_gid = {
+            grouping_set_id(keys, list(g)): [k for k in keys if k in g]
+            for g in grouping_sets
+        }
+        gsets = [by_gid[gid] for gid in sorted(by_gid)]
     spec = {
         "keys": keys,
         "sum_cols": sum_cols,
@@ -564,6 +690,9 @@ def update_rollup(
         "hist_cols": {c: list(v) for c, v in hist_cols.items()},
         "sample_cols": {c: list(v) for c, v in sample_cols.items()},
         "topk_cols": topk_cols,
+        "grouping_sets": (
+            None if gsets is None else [grouping_set_id(keys, g) for g in gsets]
+        ),
     }
     os.makedirs(rollup_path, exist_ok=True)
     with LakeLease(spark, rollup_path, holder="rollup_update"):
@@ -576,6 +705,8 @@ def update_rollup(
                 for fam in ("hist_cols", "sample_cols", "topk_cols"):
                     if fam not in committed:
                         committed = {**committed, fam: {}}
+                if "grouping_sets" not in committed:
+                    committed = {**committed, "grouping_sets": None}
             if committed != spec:
                 raise ValueError(
                     f"rollup spec mismatch: committed {committed} "
@@ -600,14 +731,24 @@ def update_rollup(
             )
         )
         if topk_cols:
-            delta = delta.join(
-                _topk_partial_multi(batch_df, keys, topk_cols), keys, "left"
+            delta = _nullsafe_join(
+                delta, _topk_partial_multi(batch_df, keys, topk_cols), keys, "left"
             )
             for c in topk_cols:
                 delta = delta.withColumn(
                     f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
                 )
         delta = delta.localCheckpoint()
+        if gsets is not None:
+            # subtotal cells derive from the finest partials by the
+            # MERGE algebra (every cell family is mergeable), so the
+            # fact shard is scanned exactly once no matter how many
+            # grouping sets are maintained
+            delta = _grouping_sets_expand(
+                delta, keys, gsets, sum_cols, min_cols, max_cols,
+                distinct_cols, hist_cols, sample_cols, topk_cols,
+            ).localCheckpoint()
+        group_cols = keys if gsets is None else ["_gid", *keys]
         n_touched = delta.count()
         if latest is not None:
             # A missing/corrupt table for a COMMITTED version must raise,
@@ -618,7 +759,7 @@ def update_rollup(
                 os.path.join(rollup_path, latest["table"])
             ).localCheckpoint()
             both = current.unionByName(delta)
-            merged = both.groupBy(*keys).agg(
+            merged = both.groupBy(*group_cols).agg(
                 *_agg_exprs(
                     sum_cols,
                     min_cols,
@@ -631,9 +772,9 @@ def update_rollup(
             )
             for c, m in topk_cols.items():
                 mrg = _topk_merge(
-                    both.select(*keys, f"topk_{c}"), keys, c, m
+                    both.select(*group_cols, f"topk_{c}"), group_cols, c, m
                 )
-                merged = merged.join(mrg, keys, "left").withColumn(
+                merged = _nullsafe_join(merged, mrg, group_cols, "left").withColumn(
                     f"topk_{c}", F.coalesce(F.col(f"topk_{c}"), _empty_topk_cell())
                 )
             version = latest["version"] + 1

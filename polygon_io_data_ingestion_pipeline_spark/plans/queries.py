@@ -5087,6 +5087,71 @@ def topk_rollup_exact(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "events_cube_rollup_cells",
+    oracle="""
+WITH e AS (
+  SELECT event_type, user_id % 4 AS user_bucket, value FROM events
+)
+SELECT CAST(GROUPING(user_bucket, event_type) AS INT) AS gid,
+       event_type, user_bucket,
+       count(*) AS n_rows,
+       round(sum(value), 6) AS sum_v,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM e GROUP BY CUBE (event_type, user_bucket)
+""",
+    doc="Grouping-set rollup cells, shard-folded then read out: 3 "
+    "synthetic shards produce finest-key partials, each expands to the "
+    "full CUBE via the merge algebra (operators/rollup.py:"
+    "_grouping_sets_expand — subtotals derive from finest cells, facts "
+    "scanned once), and the per-shard deltas fold grouped by (_gid, "
+    "keys) exactly as update_rollup(grouping_sets=cube_sets(...)) "
+    "maintains its table.  The oracle is DuckDB's native GROUP BY CUBE "
+    "with GROUPING() aligned to grouping_set_id's bit convention — "
+    "exact equality at every subtotal level proves the grouping-set "
+    "fold algebra.",
+    tags=("agg", "rollup", "cube"),
+)
+def events_cube_rollup_cells(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.rollup import _agg_exprs, _grouping_sets_expand, cube_sets
+
+    keys = ["event_type", "user_bucket"]
+    ev = table(spark, sf, "events").select(
+        "event_type",
+        (F.col("user_id") % 4).alias("user_bucket"),
+        "value",
+        F.pmod(F.col("event_id"), F.lit(3)).alias("shard"),
+    )
+    # ONE scan: per-shard finest partials, localCheckpointed because the
+    # per-shard expand below reads it once per shard
+    partial = (
+        ev.groupBy("shard", *keys)
+        .agg(*_agg_exprs(["value"], ["value"], ["value"], [], {}, merge=False))
+        .localCheckpoint()
+    )
+    deltas = [
+        _grouping_sets_expand(
+            partial.filter(F.col("shard") == i).drop("shard"),
+            keys, cube_sets(keys), ["value"], ["value"], ["value"], [], {}, {}, {},
+        )
+        for i in range(3)
+    ]
+    both = deltas[0].unionByName(deltas[1]).unionByName(deltas[2])
+    folded = both.groupBy("_gid", *keys).agg(
+        *_agg_exprs(["value"], ["value"], ["value"], [], {}, merge=True)
+    )
+    return folded.select(
+        F.col("_gid").cast("int").alias("gid"),
+        "event_type",
+        "user_bucket",
+        "n_rows",
+        F.round(F.col("sum_value"), 6).alias("sum_v"),
+        F.col("min_value").alias("min_v"),
+        F.col("max_value").alias("max_v"),
+    )
+
+
 def _synth_url() -> Column:
     """Deterministic crawl-style URL per document row, built so every
     cosmetic variant of one logical page normalizes identically.

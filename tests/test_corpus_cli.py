@@ -214,3 +214,24 @@ def test_rollup_cli_malformed_cell_specs_exit_2(spark, tmp_path, capsys):
                       ("--topk", "item:4:9")):      # extra field
         assert main(base + [flag, bad]) == 2
         assert "expected" in capsys.readouterr().err
+
+
+def test_rollup_cli_cube_flag(spark, tmp_path, capsys):
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        read_rollup,
+    )
+
+    src, out = (str(tmp_path / d) for d in ("csrc", "croll"))
+    spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 3.0), ("b", "x", 9.0)],
+        "k string, g string, v double",
+    ).write.parquet(src)
+    assert main([
+        "rollup", "--out", out, "--keys", "k,g", "--sum", "v", "--cube",
+        "--src", src, "--shard-id", "s1", "--master", "local[4]",
+    ]) == 0
+    rows = {(r["_gid"], r["k"], r["g"]): r for r in read_rollup(spark, out).collect()}
+    assert rows[(3, None, None)]["sum_v"] == 13.0  # grand total
+    assert rows[(2, "a", None)]["n_rows"] == 2     # per-k subtotal
+    assert rows[(0, "b", "x")]["sum_v"] == 9.0     # finest

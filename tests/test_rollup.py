@@ -636,3 +636,132 @@ def test_commit_versions_survive_six_digit_overflow(tmp_path):
         )
     assert _latest_commit(path)["version"] == 1000000
     assert [x["version"] for x in rollup_versions(path)] == [999999, 1000000]
+
+
+# --- round 8: grouping-set cells ----------------------------------------------
+
+
+def _gs_shard(spark, rows):
+    return spark.createDataFrame(rows, "r string, s string, id long, v double")
+
+
+_GS_SHARDS = [
+    [("eu", "a", 1, 1.0), ("eu", "b", 2, 2.0), ("us", "a", 3, 4.0)],
+    [("eu", "a", 4, 8.0), ("us", "b", 5, 16.0), ("us", "b", 6, 32.0)],
+    [("ap", "a", 7, 64.0), ("eu", "b", 8, 128.0)],
+]
+
+
+def test_cube_fold_equals_full_recompute(spark, tmp_path):
+    """Shard-fold == full recompute for a CUBE spec over EVERY cell
+    family (count/sum/min/max/HLL/hist/sample/topk-exact) at every
+    grouping-set level."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        cube_sets,
+        grouping_set_id,
+    )
+
+    keys = ["r", "s"]
+    kw = dict(
+        min_cols=["v"], max_cols=["v"], distinct_cols=["s"],
+        hist_cols={"v": (0.0, 130.0, 13)}, sample_cols={"v": ("id", 3)},
+        topk_cols={"s": 8},  # m covers the domain -> exact
+        grouping_sets=cube_sets(keys),
+    )
+    path = str(tmp_path / "cube")
+    for i, rows in enumerate(_GS_SHARDS):
+        assert update_rollup(
+            spark, path, _gs_shard(spark, rows), keys, ["v"], f"s{i}", **kw
+        )["applied"]
+    folded = read_rollup(spark, path).collect()
+
+    # full recompute: one-shot update over the concatenated facts
+    full_path = str(tmp_path / "cube_full")
+    allrows = [r for s in _GS_SHARDS for r in s]
+    update_rollup(
+        spark, full_path, _gs_shard(spark, allrows), keys, ["v"], "all", **kw
+    )
+    want = {
+        (r["_gid"], r["r"], r["s"]): r
+        for r in read_rollup(spark, full_path).collect()
+    }
+    assert len(folded) == len(want)
+    for row in folded:
+        w = want[(row["_gid"], row["r"], row["s"])]
+        assert row["n_rows"] == w["n_rows"]
+        assert row["sum_v"] == w["sum_v"]
+        assert row["min_v"] == w["min_v"] and row["max_v"] == w["max_v"]
+        assert list(row["hist_v"]) == list(w["hist_v"])
+        assert [(s["tag"], s["val"]) for s in row["smp_v"]] == [
+            (s["tag"], s["val"]) for s in w["smp_v"]
+        ]
+        assert sorted((i["item"], i["cnt"]) for i in row["topk_s"]["items"]) == sorted(
+            (i["item"], i["cnt"]) for i in w["topk_s"]["items"]
+        )
+
+    # spot-check levels against hand math: grand total + one subtotal
+    by = {(r["_gid"], r["r"], r["s"]): r for r in folded}
+    gid_all = grouping_set_id(keys, [])
+    gid_r = grouping_set_id(keys, ["r"])
+    gid_full = grouping_set_id(keys, keys)
+    assert by[(gid_all, None, None)]["n_rows"] == 8
+    assert by[(gid_all, None, None)]["sum_v"] == 255.0
+    assert by[(gid_r, "eu", None)]["sum_v"] == 1.0 + 2.0 + 8.0 + 128.0
+    assert by[(gid_r, "us", None)]["max_v"] == 32.0
+    assert by[(gid_full, "ap", "a")]["n_rows"] == 1
+
+
+def test_rollup_sets_and_spec_guards(spark, tmp_path):
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        grouping_set_id,
+        rollup_sets,
+    )
+
+    keys = ["r", "s"]
+    assert rollup_sets(keys) == [["r", "s"], ["r"], []]
+    path = str(tmp_path / "roll")
+    update_rollup(
+        spark, path, _gs_shard(spark, _GS_SHARDS[0]), keys, ["v"], "s0",
+        grouping_sets=rollup_sets(keys),
+    )
+    got = read_rollup(spark, path)
+    assert got.filter(F.col("_gid") == grouping_set_id(keys, [])).count() == 1
+    # ROLLUP omits the s-only level entirely
+    assert got.filter(F.col("_gid") == grouping_set_id(keys, ["s"])).count() == 0
+    # spec is part of the committed contract: flat update must be refused
+    with pytest.raises(ValueError, match="spec mismatch"):
+        update_rollup(
+            spark, path, _gs_shard(spark, _GS_SHARDS[1]), keys, ["v"], "s1"
+        )
+    # and a non-subset grouping set is rejected up front
+    with pytest.raises(ValueError, match="not a subset"):
+        update_rollup(
+            spark, path, _gs_shard(spark, _GS_SHARDS[1]), keys, ["v"], "s1",
+            grouping_sets=[["nope"]],
+        )
+
+
+def test_grouping_set_replay_and_real_null_keys(spark, tmp_path):
+    """Replays stay no-ops with grouping sets on, and a REAL null key
+    value stays distinguishable from a rolled-up key (different _gid)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        cube_sets,
+        grouping_set_id,
+    )
+
+    keys = ["r", "s"]
+    path = str(tmp_path / "nulls")
+    rows = [("eu", None, 1, 1.0), ("eu", "b", 2, 2.0)]
+    update_rollup(spark, path, _gs_shard(spark, rows), keys, ["v"], "s0",
+                  grouping_sets=cube_sets(keys))
+    assert not update_rollup(
+        spark, path, _gs_shard(spark, rows), keys, ["v"], "s0",
+        grouping_sets=cube_sets(keys),
+    )["applied"]
+    got = {(r["_gid"], r["r"], r["s"]): r for r in read_rollup(spark, path).collect()}
+    gid_full = grouping_set_id(keys, keys)
+    gid_r = grouping_set_id(keys, ["r"])
+    # real null s at the finest level...
+    assert got[(gid_full, "eu", None)]["sum_v"] == 1.0
+    # ...does not collide with the r-subtotal (which covers BOTH rows)
+    assert got[(gid_r, "eu", None)]["sum_v"] == 3.0
