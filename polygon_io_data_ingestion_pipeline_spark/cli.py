@@ -387,6 +387,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         audit_cols = [f"n_{name}" for name, _, _ in PII_RULES] + ["n_redactions"]
         docs = red.drop("text", *audit_cols).withColumnRenamed("redacted", "text")
 
+    if args.line_dedup:
+        # CCNet-stage ordering: strip cross-document boilerplate lines
+        # BEFORE the quality gate, so the gate judges the content that
+        # will actually ship (a page that is mostly shared chrome should
+        # fail on its remaining text, not pass on the chrome's volume)
+        from .operators.dedup import duplicated_line_removal
+
+        docs = duplicated_line_removal(
+            docs, min_docs=args.line_dedup_min_docs
+        )
+
     passthrough = tuple(c for c in docs.columns if c != "doc_id")
     gated = quality_filter(docs, keep_cols=passthrough)
     # Multi-consumer frame (the dedup-representatives branch AND the
@@ -617,6 +628,14 @@ def main(argv: list[str] | None = None) -> int:
         help="strip boilerplate (nav/footer/cookie chrome) from HTML "
         "pages via link-density block scoring (--input-format warc)",
     )
+    p.add_argument(
+        "--line-dedup",
+        action="store_true",
+        help="remove lines occurring in >= --line-dedup-min-docs "
+        "documents (CCNet-style cross-document boilerplate dedup), "
+        "before the quality gate",
+    )
+    p.add_argument("--line-dedup-min-docs", type=int, default=2)
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument("--partitions", type=int, default=None)

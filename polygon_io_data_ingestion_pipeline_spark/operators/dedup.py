@@ -685,6 +685,71 @@ def duplicated_ngram_fraction(
     )
 
 
+def duplicated_line_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_chars: int = 1,
+) -> DataFrame:
+    """CCNet/Dolma-style cross-document LINE dedup: rewrite each
+    document with the lines that occur (whitespace-normalized exact
+    match) in >= ``min_docs`` DISTINCT documents removed.  Boilerplate
+    that survives per-page extraction — footers rendered as text,
+    licence blocks, mirrored navigation — is invisible to per-document
+    repetition rules precisely because its signal is repetition ACROSS
+    documents; this is the published web-corpus recipes' paragraph-hash
+    dedup, at line granularity.
+
+    Lines shorter than ``min_chars`` (after trim) are never removed —
+    raise it to protect short legitimate headings ("Introduction") at
+    the cost of keeping short boilerplate.  Documents keep their row
+    even when every line is removed (empty text; the quality gate
+    downstream is the right place to drop them).
+
+    Scale shape: all native expressions, four linear shuffles and no
+    Python — posexplode the lines, ONE partial-agg count of distinct
+    docs per normalized line key, a left-anti join back on the key
+    (AQE handles hot boilerplate keys), an order-preserving rebuild
+    (collect_list of (pos, line) structs + array_sort — bounded by a
+    document's own line count), and the join back onto the input row.
+    The frequent-line set is O(corpus lines), never broadcast, never
+    collected.
+
+    Returns ``docs`` with ``text_col`` rewritten.
+    """
+    norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
+    ).withColumn("_lkey", norm(F.col("_line")))
+    eligible = F.length("_lkey") >= min_chars
+    frequent = (
+        lines.filter(eligible)
+        .groupBy("_lkey")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_lkey")
+    )
+    kept = lines.filter(eligible).join(frequent, "_lkey", "left_anti").unionByName(
+        lines.filter(~eligible)
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_rebuilt")
+    )
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .drop("_rebuilt")
+    )
+
+
 def simhash_pairs_allpairs(
     df: DataFrame,
     text_col: str = "text",

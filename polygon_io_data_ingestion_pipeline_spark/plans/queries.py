@@ -5152,6 +5152,64 @@ def events_cube_rollup_cells(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_line_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || chr(10) || 'all rights reserved example corp' ||
+         CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'subscribe to our newsletter'
+              ELSE '' END ||
+         chr(10) || substr(text, 61, 40) AS text
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos, sp[i] AS line,
+         regexp_replace(trim(sp[i]), '\\s+', ' ', 'g') AS lkey
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS sp FROM d),
+       UNNEST(generate_series(1, len(sp))) AS t(i)
+),
+freq AS (
+  SELECT lkey FROM lines WHERE length(lkey) >= 1
+  GROUP BY lkey HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l LEFT JOIN freq f USING (lkey)
+  WHERE f.lkey IS NULL OR length(l.lkey) < 1
+)
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM d LEFT JOIN (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+    doc="Cross-document line dedup (operators/dedup.py:"
+    "duplicated_line_removal — the CCNet/Dolma paragraph-hash recipe at "
+    "line granularity): documents synthesized with shared boilerplate "
+    "lines between unique content get the boilerplate removed, order "
+    "preserved.  All native expressions, four linear shuffles; the "
+    "oracle replays explode/count/anti-join/ordered-reassemble in SQL.",
+    tags=("text", "dedup"),
+)
+def docs_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import duplicated_line_removal
+
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit("\nall rights reserved example corp"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nsubscribe to our newsletter")
+            ).otherwise(F.lit("")),
+            F.lit("\n"),
+            F.substring("text", 61, 40),
+        ).alias("text"),
+    )
+    return duplicated_line_removal(d, min_docs=2).select("doc_id", "text")
+
+
 def _synth_url() -> Column:
     """Deterministic crawl-style URL per document row, built so every
     cosmetic variant of one logical page normalizes identically.

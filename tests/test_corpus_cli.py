@@ -235,3 +235,29 @@ def test_rollup_cli_cube_flag(spark, tmp_path, capsys):
     assert rows[(3, None, None)]["sum_v"] == 13.0  # grand total
     assert rows[(2, "a", None)]["n_rows"] == 2     # per-k subtotal
     assert rows[(0, "b", "x")]["sum_v"] == 9.0     # finest
+
+
+def test_corpus_cli_line_dedup_stage(spark, tmp_path, capsys):
+    """--line-dedup strips cross-document boilerplate lines before the
+    gate: two pages sharing a footer line keep their unique bodies."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    body1 = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort")
+    body2 = ("a scan of the table shows the key and the value where the row "
+             "of the batch meets the line of the window in a sort of merge")
+    footer = "copyright example corp all rights reserved subscribe now"
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": f"{b}\n{footer}", "source": "s"})
+        for i, b in ((1, body1), (2, body2))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--line-dedup", "--master", "local[4]",
+    ]) == 0
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: body1, 2: body2}  # footer gone, bodies verbatim
