@@ -723,17 +723,19 @@ def duplicated_line_removal(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_lkey", norm(F.col("_line")))
-    eligible = F.length("_lkey") >= min_chars
+    # eligibility (min_chars) is applied to the FREQUENT SET, not by
+    # splitting the line stream: a filter/anti-join/union split would
+    # re-run the explode lineage three times (no cross-branch CSE);
+    # this shape scans the corpus exactly twice (count + anti-join)
     frequent = (
-        lines.filter(eligible)
-        .groupBy("_lkey")
+        lines.groupBy("_lkey")
         .agg(F.countDistinct(id_col).alias("_ndocs"))
-        .filter(F.col("_ndocs") >= min_docs)
+        .filter(
+            (F.col("_ndocs") >= min_docs) & (F.length("_lkey") >= min_chars)
+        )
         .select("_lkey")
     )
-    kept = lines.filter(eligible).join(frequent, "_lkey", "left_anti").unionByName(
-        lines.filter(~eligible)
-    )
+    kept = lines.join(frequent, "_lkey", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -5191,6 +5191,7 @@ FROM d LEFT JOIN (
     "preserved.  All native expressions, four linear shuffles; the "
     "oracle replays explode/count/anti-join/ordered-reassemble in SQL.",
     tags=("text", "dedup"),
+    bench=True,
 )
 def docs_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.dedup import duplicated_line_removal
