@@ -362,16 +362,28 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             .persist()
         )
     elif args.input_format in ("zip", "tar"):
-        from .sources.archive import read_tar_members, read_zip_members
+        from .sources.archive import (
+            decode_text_members,
+            read_tar_members,
+            read_zip_members,
+        )
 
         reader = read_zip_members if args.input_format == "zip" else read_tar_members
-        docs = reader(spark, args.src, suffix=args.zip_suffix).select(
+        # charset-aware decode (BOM/meta sniff), same mojibake
+        # quarantine as the WARC path — a blind cast("string") fed
+        # non-UTF-8 members into the gate as replacement-char soup
+        decoded = decode_text_members(
+            reader(spark, args.src, suffix=args.zip_suffix)
+        ).persist()
+        n_quarantined = decoded.filter(F.col("decode_ok") == F.lit(False)).count()
+        docs = decoded.filter(
+            F.col("decode_ok").isNull() | F.col("decode_ok")
+        ).select(
             F.xxhash64("archive", "member").alias("doc_id"),
-            F.col("payload").cast("string").alias("text"),
+            F.col("text"),
             F.col("member").alias("url"),
             F.col("archive").alias("source"),
         )
-        n_quarantined = 0
     elif args.src.endswith(".parquet") or args.input_format == "parquet":
         docs = spark.read.parquet(args.src)
         n_quarantined = 0

@@ -530,17 +530,26 @@ def _decode_payload(
     — a declared-but-wrong label falls back to strict utf-8, then to
     utf-8/replace with ``decode_ok=False``, so mojibake is a flagged,
     quarantinable condition instead of silent corruption."""
-    enc, _source = sniff_charset(payload, content_type)
+    enc, source = sniff_charset(payload, content_type)
+    data = payload
+    if source == "bom" and enc != "utf-8-sig":
+        # the endian-specific utf-16/32 codecs do NOT strip the BOM
+        # (only the auto-detecting "utf-16"/"utf-8-sig" do) — drop it
+        # here or every BOM'd page leads with U+FEFF
+        for bom, name in _BOMS:
+            if name == enc and payload.startswith(bom):
+                data = payload[len(bom):]
+                break
     try:
-        return payload.decode(enc), enc, True
+        return data.decode(enc), enc, True
     except (UnicodeDecodeError, ValueError):
         pass
     if enc not in ("utf-8", "utf-8-sig"):
         try:
-            return payload.decode("utf-8"), "utf-8", True
+            return data.decode("utf-8"), "utf-8", True
         except UnicodeDecodeError:
             pass
-    return payload.decode("utf-8", "replace"), "utf-8", False
+    return data.decode("utf-8", "replace"), "utf-8", False
 
 
 # --- HTML -> text ----------------------------------------------------------
@@ -676,34 +685,22 @@ def _extract_main_text(html: str) -> str:
     )
 
 
-def html_to_text(
+def _decoded_text_column(
     df: DataFrame,
-    payload_col: str = "payload",
-    out_col: str = "text",
-    content_type_col: str | None = None,
-    main_content: bool = False,
+    extract,
+    payload_col: str,
+    out_col: str,
+    content_type_col: str | None,
 ) -> DataFrame:
-    """Binary HTML payloads -> visible text column plus ``charset`` and
-    ``decode_ok`` (Arrow-batched ``mapInPandas`` — the parser is
-    per-document Python, so it rides the same batched lane as the media
-    codecs, never row-at-a-time).
-
-    The decode is charset-aware: BOM, then the HTTP ``Content-Type``
-    charset (``content_type_col``, auto-detected when the frame has a
-    ``content_type`` column — the WARC reader always does), then a
-    ``<meta charset>`` prescan, then utf-8.  ``decode_ok=false`` rows
-    decoded lossily (replacement characters) and are quarantinable
-    before they poison langid/quality/dedup.  ``main_content=True``
-    additionally strips boilerplate blocks (nav/footer/cookie-banner
-    chrome) via link-density block scoring.  Undecodable/unparseable
-    payloads yield NULL text (quarantine rows)."""
+    """Shared Arrow-batched decode lane: charset-sniffed strict decode
+    (-> ``charset``/``decode_ok`` columns), then ``extract`` (identity
+    for plain text, the HTML walks for pages)."""
     if content_type_col is None and "content_type" in df.columns:
         content_type_col = "content_type"
     out_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     )
     schema = f"{out_fields}, {out_col} string, charset string, decode_ok boolean"
-    extract = _extract_main_text if main_content else _extract_text
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -737,3 +734,45 @@ def html_to_text(
             yield batch
 
     return df.mapInPandas(run, schema=schema)
+
+
+def decode_text_members(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "text",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Plain-text member payloads -> decoded text plus ``charset`` and
+    ``decode_ok``: :func:`html_to_text`'s charset-aware decode (BOM ->
+    declared charset -> ``<meta>``/BOM prescan -> utf-8) WITHOUT the
+    HTML extraction — for ZIP/tar bundle members and non-HTML crawl
+    records, which a blind ``cast("string")`` would mojibake exactly
+    like the WARC path used to."""
+    return _decoded_text_column(
+        df, lambda raw: raw, payload_col, out_col, content_type_col
+    )
+
+
+def html_to_text(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out_col: str = "text",
+    content_type_col: str | None = None,
+    main_content: bool = False,
+) -> DataFrame:
+    """Binary HTML payloads -> visible text column plus ``charset`` and
+    ``decode_ok`` (Arrow-batched ``mapInPandas`` — the parser is
+    per-document Python, so it rides the same batched lane as the media
+    codecs, never row-at-a-time).
+
+    The decode is charset-aware: BOM, then the HTTP ``Content-Type``
+    charset (``content_type_col``, auto-detected when the frame has a
+    ``content_type`` column — the WARC reader always does), then a
+    ``<meta charset>`` prescan, then utf-8.  ``decode_ok=false`` rows
+    decoded lossily (replacement characters) and are quarantinable
+    before they poison langid/quality/dedup.  ``main_content=True``
+    additionally strips boilerplate blocks (nav/footer/cookie-banner
+    chrome) via link-density block scoring.  Undecodable/unparseable
+    payloads yield NULL text (quarantine rows)."""
+    extract = _extract_main_text if main_content else _extract_text
+    return _decoded_text_column(df, extract, payload_col, out_col, content_type_col)

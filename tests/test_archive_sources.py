@@ -496,3 +496,46 @@ def test_oversized_archives_stream_in_bounded_batches(spark, tmp_path):
     rows = read_tar_members(spark, str(tdir), batch_rows=4, batch_bytes=64).collect()
     assert len(rows) == 50
     assert {r["member"] for r in rows} == {f"m{i:03d}.txt" for i in range(50)}
+
+
+def test_zip_members_decode_charset_aware(spark, tmp_path, capsys):
+    """Bundle members decode charset-aware: a BOM'd UTF-16 member
+    round-trips exactly, an undeclared cp1251 member is QUARANTINED
+    (decode_ok false) instead of shipping as replacement-char soup."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        decode_text_members,
+        read_zip_members,
+    )
+
+    good = ("a scan of the table shows the key and the value where the row "
+            "of the batch meets the line of the window in a sort of merge")
+    buf = _io.BytesIO()
+    with _zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("utf16.txt", b"\xff\xfe" + good.encode("utf-16-le"))
+        zf.writestr("ru.txt", "Привет мир".encode("windows-1251"))
+    zdir = tmp_path / "zips"
+    zdir.mkdir()
+    (zdir / "bundle.zip").write_bytes(buf.getvalue())
+
+    rows = {
+        r["member"]: r
+        for r in decode_text_members(read_zip_members(spark, str(zdir))).collect()
+    }
+    assert rows["utf16.txt"]["text"] == good
+    assert rows["utf16.txt"]["charset"] == "utf-16-le"
+    assert rows["utf16.txt"]["decode_ok"] is True
+    assert rows["ru.txt"]["decode_ok"] is False  # undeclared cp1251: flagged
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(zdir), "--out", out,
+        "--input-format", "zip", "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "quarantined=1" in msg
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1 and got[0]["text"] == good
