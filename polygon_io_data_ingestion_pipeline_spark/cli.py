@@ -314,7 +314,12 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     spark = get_spark("poly-corpus", master=args.master)
     if args.input_format == "warc":
         from .operators.urls import url_dedup
-        from .sources.archive import html_to_text, read_warc, warc_digest_dedup
+        from .sources.archive import (
+            decode_text_members,
+            html_to_text,
+            read_warc,
+            warc_digest_dedup,
+        )
 
         # persist the parsed records: the WARC decompress+parse is
         # non-splittable (one task per file) and every branch below —
@@ -334,8 +339,10 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # the cheap dedup ahead of the expensive content dedup
         recs = url_dedup(raw, order_col="warc_date")
         html = recs.filter(F.col("content_type").startswith("text/html"))
-        plain = recs.filter(~F.col("content_type").startswith("text/html")).withColumn(
-            "text", F.col("payload").cast("string")
+        # non-HTML text rides the same charset-aware decode (the
+        # Content-Type charset param applies to text/plain too)
+        plain = decode_text_members(
+            recs.filter(~F.col("content_type").startswith("text/html"))
         )
         # multi-consumer frame atop a NON-SPLITTABLE decompress+parse
         # (the mojibake quarantine count AND the doc pipeline both read

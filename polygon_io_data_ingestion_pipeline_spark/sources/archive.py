@@ -354,34 +354,14 @@ def _parse_http_response(body: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, body[head_end + sep_len :]
 
 
-def read_warc(
-    spark: SparkSession,
-    path_glob: str,
-    record_types: tuple[str, ...] = ("response", "revisit"),
-    batch_rows: int = _BATCH_ROWS,
-    batch_bytes: int = _BATCH_BYTES,
-) -> DataFrame:
-    """WARC / WARC.GZ crawls -> one row per record: (warc_file,
-    record_type, url, warc_date, content_type, http_status,
-    payload_digest, payload).
-
-    ``response`` and ``revisit`` records get their HTTP envelope
-    stripped — ``payload`` is the served document bytes (empty for
-    revisits, whose whole point is "identical to an earlier fetch"),
-    ``http_status``/``content_type`` come from the HTTP head (falling
-    back to the WARC header).  ``payload_digest`` surfaces the
-    crawler-computed ``WARC-Payload-Digest`` so exact dedup can run
-    BEFORE any payload hashing or HTML parse (see
-    :func:`warc_digest_dedup`); ``revisit`` records — the crawl's own
-    duplicate markers — are kept by default for the same reason.  Pass
-    ``record_types=()`` to keep every record type (request, metadata,
-    warcinfo...).
-
-    The file is gunzipped and parsed INCREMENTALLY (rolling buffer,
-    bounded output batches) — a file corrupt at the head yields zero
-    rows; damage mid-file keeps the records parsed before it, matching
-    the tar reader's damage-point semantics."""
-    files = _list_files(spark, path_glob)
+def _warc_mapper(
+    record_types: tuple[str, ...],
+    batch_rows: int,
+    batch_bytes: int,
+):
+    """The per-task WARC walk shared by :func:`read_warc` (batch) and
+    the streaming crawl source: path rows in, record rows out in
+    bounded batches."""
     keep = tuple(record_types)
     columns = [
         "warc_file", "record_type", "url", "warc_date",
@@ -430,7 +410,39 @@ def read_warc(
         if tail is not None:
             yield tail
 
-    return files.mapInPandas(run, schema=WARC_SCHEMA)
+    return run
+
+
+def read_warc(
+    spark: SparkSession,
+    path_glob: str,
+    record_types: tuple[str, ...] = ("response", "revisit"),
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
+) -> DataFrame:
+    """WARC / WARC.GZ crawls -> one row per record: (warc_file,
+    record_type, url, warc_date, content_type, http_status,
+    payload_digest, payload).
+
+    ``response`` and ``revisit`` records get their HTTP envelope
+    stripped — ``payload`` is the served document bytes (empty for
+    revisits, whose whole point is "identical to an earlier fetch"),
+    ``http_status``/``content_type`` come from the HTTP head (falling
+    back to the WARC header).  ``payload_digest`` surfaces the
+    crawler-computed ``WARC-Payload-Digest`` so exact dedup can run
+    BEFORE any payload hashing or HTML parse (see
+    :func:`warc_digest_dedup`); ``revisit`` records — the crawl's own
+    duplicate markers — are kept by default for the same reason.  Pass
+    ``record_types=()`` to keep every record type (request, metadata,
+    warcinfo...).
+
+    The file is gunzipped and parsed INCREMENTALLY (rolling buffer,
+    bounded output batches) — a file corrupt at the head yields zero
+    rows; damage mid-file keeps the records parsed before it, matching
+    the tar reader's damage-point semantics."""
+    return _list_files(spark, path_glob).mapInPandas(
+        _warc_mapper(record_types, batch_rows, batch_bytes), schema=WARC_SCHEMA
+    )
 
 
 def warc_digest_dedup(
