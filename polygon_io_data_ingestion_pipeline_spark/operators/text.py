@@ -82,6 +82,63 @@ def predicted_lang(text_col: str = "text") -> Column:
     return expr
 
 
+#: Unicode script blocks -> language (the script IS the language signal
+#: for these; Latin-script languages need the keyword/n-gram heuristic).
+#: Ranges are the core BMP blocks — enough for language ID; exhaustive
+#: script coverage would add the supplementary blocks the same way.
+SCRIPT_RANGES = (
+    ("ja", "぀-ヿ"),  # hiragana + katakana (only Japanese has kana)
+    ("zh", "一-鿿"),  # CJK unified Han (zh unless kana present)
+    ("ko", "가-힣"),  # hangul syllables
+    ("ru", "Ѐ-ӿ"),  # cyrillic
+    ("ar", "؀-ۿ"),  # arabic
+    ("hi", "ऀ-ॿ"),  # devanagari
+    ("el", "Ͱ-Ͽ"),  # greek
+    ("he", "֐-׿"),  # hebrew
+    ("th", "฀-๿"),  # thai
+)
+
+
+def script_char_count(text_col, ranges: str) -> Column:
+    """Number of characters of ``text_col`` inside the given Unicode
+    range set (e.g. ``"\\u0400-\\u04ff"``) — one JVM regexp pass."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.length(F.regexp_replace(col, f"[^{ranges}]", ""))
+
+
+def predicted_lang_script(text_col: str = "text") -> Column:
+    """Unicode-script language ID — the real first-pass heuristic for a
+    multilingual crawl (charset-correct decode upstream is what makes
+    it possible; mojibake has no script).
+
+    Rules, deterministic: Japanese wins whenever kana characters are
+    present alongside a CJK-dominant text (only Japanese uses kana;
+    Chinese text has none), else the script with the most characters
+    wins IF it covers a meaningful share of the document (>= 15% of
+    characters, min 1 — mixed pages keep Latin URLs/numbers), else the
+    text is Latin-dominant and falls back to the keyword heuristic
+    (:func:`predicted_lang`), which is where per-language n-gram
+    profiles slot in.  All JVM regexp passes — no Python."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    counts = {
+        lang: script_char_count(col, ranges) for lang, ranges in SCRIPT_RANGES
+    }
+    best = F.greatest(*counts.values())
+    threshold = F.greatest(F.lit(1), (F.length(col) * F.lit(0.15)).cast("int"))
+    # first matching lang in SCRIPT_RANGES order (ja before zh: a text
+    # whose kana count ties or beats Han is Japanese by construction)
+    script_pick = F.lit(None).cast("string")
+    for lang, _ in reversed(SCRIPT_RANGES):
+        script_pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(script_pick)
+    # kana presence overrides a Han plurality: Japanese mixes scripts
+    script_pick = F.when(
+        (counts["ja"] > 0) & ((counts["zh"] + counts["ja"]) >= best), F.lit("ja")
+    ).otherwise(script_pick)
+    return F.when(best >= threshold, script_pick).otherwise(
+        predicted_lang(text_col if isinstance(text_col, str) else "text")
+    )
+
+
 def fingerprint(text_col: str = "text") -> Column:
     """Whole-document fingerprint: md5 of case-folded text."""
     return F.md5(F.lower(F.col(text_col)))

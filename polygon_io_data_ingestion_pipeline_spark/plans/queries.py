@@ -5153,6 +5153,47 @@ def events_cube_rollup_cells(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_script_langid",
+    oracle="""
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 1 THEN 'ru' WHEN 2 THEN 'ja' WHEN 3 THEN 'zh'
+    WHEN 4 THEN 'ko' WHEN 5 THEN 'ar' ELSE 'en'
+  END AS lang
+FROM documents
+""",
+    doc="Unicode-script language ID (operators/text.py:"
+    "predicted_lang_script): documents with script-specific bodies "
+    "appended by construction — Cyrillic, kana+Han (ja beats zh when "
+    "kana present), pure Han, Hangul, Arabic — and Latin falling back "
+    "to the keyword heuristic.  All JVM regexp passes; the oracle "
+    "restates the expected language from the construction arithmetic.",
+    tags=("text",),
+)
+def docs_script_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.text import predicted_lang_script
+
+    bodies = F.array(
+        # m=0: Latin text where the "the"-marker dominates -> the
+        # keyword-fallback path deterministically answers en
+        F.lit("the data of the table and the row"),
+        F.lit("Привет мир как дела сегодня утром"),
+        F.lit("こんにちは世界です元気ですか"),
+        F.lit("你好世界中文文本没有假名"),
+        F.lit("안녕하세요 세계 여러분 반갑습니다"),
+        F.lit("مرحبا بالعالم كيف حالك اليوم"),
+    )
+    m = (F.col("doc_id") % 6).cast("int")
+    docs = table(spark, sf, "documents").select(
+        "doc_id",
+        # script bodies REPLACE the corpus text (the 15%-share rule
+        # needs the script to dominate, as on a real foreign page)
+        F.element_at(bodies, m + 1).alias("text"),
+    )
+    return docs.select("doc_id", predicted_lang_script("text").alias("lang"))
+
+
+@q(
     "docs_line_dedup",
     oracle="""
 WITH d AS (

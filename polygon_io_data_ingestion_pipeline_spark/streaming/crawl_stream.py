@@ -73,7 +73,7 @@ def crawl_records_to_docs(
     extraction (HTML walk or plain decode; ``decode_ok=false`` mojibake
     quarantined) -> language ID + fingerprint -> Gopher-style quality
     gate.  Output: (doc_id, text, lang, source, url, fp, n_tokens)."""
-    from ..operators.text import predicted_lang, quality_filter
+    from ..operators.text import predicted_lang_script, quality_filter
     from ..operators.urls import url_dedup
 
     recs = warc_digest_dedup(records).filter(
@@ -92,7 +92,9 @@ def crawl_records_to_docs(
         .select(
             F.xxhash64("url", "warc_date").alias("doc_id"),
             "text",
-            predicted_lang("text").alias("lang"),
+            # script-based first (crawls are multilingual and the decode
+            # upstream is charset-correct), keyword heuristic for Latin
+            predicted_lang_script("text").alias("lang"),
             F.element_at(F.split("warc_file", "/"), -1).alias("source"),
             "url",
             F.md5(F.lower(F.col("text"))).alias("fp"),

@@ -255,3 +255,27 @@ def test_shared_substring_pairs_detects_copied_run(spark):
     # min_shared raises the evidence bar.
     high = shared_substring_pairs(df, min_shared=10**6).collect()
     assert high == []
+
+
+def test_predicted_lang_script(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        predicted_lang_script,
+    )
+
+    cases = [
+        ("the data in the table of the batch", "en"),   # latin -> keyword fallback
+        ("Привет мир как дела сегодня утром", "ru"),
+        ("こんにちは世界です元気ですか", "ja"),          # kana + han -> ja
+        ("你好世界中文文本没有假名", "zh"),              # pure han, no kana -> zh
+        ("안녕하세요 세계 여러분 반갑습니다", "ko"),
+        ("مرحبا بالعالم كيف حالك اليوم", "ar"),
+        ("नमस्ते दुनिया आप कैसे हैं", "hi"),
+        ("Γειά σου Κόσμε τι κάνεις σήμερα", "el"),
+        ("שלום עולם מה שלומך היום", "he"),
+        ("สวัสดีชาวโลกสบายดีไหมวันนี้", "th"),
+        # mixed page: a Latin URL does not drown the Cyrillic body
+        ("смотрите наш сайт www.example.com сегодня же", "ru"),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
+    got = [r["l"] for r in df.select(predicted_lang_script("text").alias("l")).collect()]
+    assert got == [want for _, want in cases]
