@@ -5194,6 +5194,62 @@ def docs_script_langid(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_robots_filter",
+    oracle="""
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 1 THEN TRUE            -- allow-all host
+       ELSE CASE (doc_id // 2) % 4
+         WHEN 0 THEN TRUE                       -- /public/: no rule
+         WHEN 1 THEN FALSE                      -- Disallow /private/
+         WHEN 2 THEN TRUE                       -- longer Allow /private/press/
+         ELSE FALSE                             -- Disallow /*.pdf$
+       END
+  END AS crawl_allowed
+FROM documents
+""",
+    doc="RFC 9309 robots evaluation (operators/robots.py): robots files "
+    "parsed DISTRIBUTED (user-agent blocks via gaps-and-islands window, "
+    "patterns compiled to anchored regexes by expression rewrites), URLs "
+    "judged by longest-match with allow-wins-ties — wildcard, $-anchor, "
+    "allow-override and default-allow classes all exercised.  One hash "
+    "join on host + a per-row fold over that host's rule cell.  Oracle "
+    "restates the expected verdict from the construction arithmetic.",
+    tags=("text", "urls"),
+)
+def docs_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.robots import parse_robots, robots_allowed
+
+    robots = spark.createDataFrame(
+        [
+            (
+                "a.example",
+                "User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/press/\nDisallow: /*.pdf$\n",
+            ),
+            ("b.example", "User-agent: *\nDisallow:\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    k = F.col("doc_id").cast("string")
+    host = F.when(F.col("doc_id") % 2 == 0, F.lit("a.example")).otherwise(
+        F.lit("b.example")
+    )
+    pc = F.expr("(doc_id div 2) % 4")
+    path = (
+        F.when(pc == 0, F.concat(F.lit("/public/p"), k))
+        .when(pc == 1, F.concat(F.lit("/private/p"), k))
+        .when(pc == 2, F.concat(F.lit("/private/press/p"), k))
+        .otherwise(F.concat(F.lit("/files/p"), k, F.lit(".pdf")))
+    )
+    urls = table(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("http://"), host, path).alias("url")
+    )
+    return robots_allowed(urls, parse_robots(robots)).select(
+        "doc_id", "crawl_allowed"
+    )
+
+
+@q(
     "docs_line_dedup",
     oracle="""
 WITH d AS (
