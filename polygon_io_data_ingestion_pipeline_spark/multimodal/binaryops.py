@@ -218,13 +218,17 @@ def _decode_any_image(payload: bytes) -> np.ndarray:
 
         _fms, frames = decode_gif(payload)
         return frames[0]  # still-image features come from the first frame
+    if bytes(payload[:4]) in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)
     raise ValueError("unsupported raster format")
 
 
 def _is_real_image(payload) -> bool:
     return payload is not None and (
         bytes(payload[:2]) in (b"P5", b"P6", b"\xff\xd8")
-        or bytes(payload[:4]) == b"\x89PNG"
+        or bytes(payload[:4]) in (b"\x89PNG", b"II*\x00", b"MM\x00*")
         or bytes(payload[:6]) in (b"GIF87a", b"GIF89a")
     )
 
@@ -309,12 +313,25 @@ def resize_png(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(_resize_nn(_decode_any_image(payload), width, height))
 
 
+def resize_tiff(payload: bytes, width: int, height: int) -> bytes:
+    """REAL lossless TIFF resize: decode, nearest-neighbor sample,
+    re-encode LZW+predictor (exact — no quality loss)."""
+    from .tiff import encode_tiff
+
+    return encode_tiff(
+        _resize_nn(_decode_any_image(payload), width, height),
+        compression="lzw",
+        predictor=True,
+    )
+
+
 #: magic-byte predicate -> real resizer; resize_images dispatches here
 #: (adding a decodable format = one entry, not a new if/elif branch).
 _RESIZERS: list[tuple] = [
     (lambda p: bytes(p[:2]) in (b"P5", b"P6"), resize_pnm),
     (lambda p: bytes(p[:2]) == b"\xff\xd8", resize_jpeg),
     (lambda p: bytes(p[:4]) == b"\x89PNG", resize_png),
+    (lambda p: bytes(p[:4]) in (b"II*\x00", b"MM\x00*"), resize_tiff),
 ]
 
 
