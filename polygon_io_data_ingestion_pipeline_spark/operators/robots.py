@@ -167,3 +167,53 @@ def robots_allowed(
         )
         .drop("_rules", "_host", "_path")
     )
+
+
+def parse_sitemaps(
+    df: DataFrame, host_col: str = "host", text_col: str = "sitemap_xml"
+) -> DataFrame:
+    """(host, sitemap XML) -> one row per ``<url>`` entry:
+    ``(host, loc, lastmod, changefreq, priority, is_index)`` — the
+    crawl-frontier complement of :func:`parse_robots` (robots says what
+    NOT to fetch; sitemaps say what exists and how fresh it is).
+
+    Handles both ``<urlset>`` documents and ``<sitemapindex>`` files
+    (child sitemap locations come back with ``is_index=true`` so the
+    caller can fetch-and-recurse).  The sitemap protocol's XML is
+    rigidly flat, so the parse is pure JVM regexp over each ``<url>``/
+    ``<sitemap>`` block — one ``regexp_extract_all`` explode, no XML
+    library, no Python; entity-unescaping covers the five XML
+    predefined entities sitemaps may contain."""
+    block_re = r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
+    unescape = lambda c: F.regexp_replace(  # noqa: E731
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(c, "&lt;", "<"), "&gt;", ">"
+                ),
+                "&quot;", '"',
+            ),
+            "&apos;", "'",
+        ),
+        "&amp;", "&",
+    )
+
+    def field(name: str) -> Column:
+        v = F.regexp_extract("_block", f"(?s)<{name}>\\s*(.*?)\\s*</{name}>", 1)
+        return F.when(v == "", F.lit(None)).otherwise(unescape(v))
+
+    blocks = df.select(
+        F.col(host_col).alias("host"),
+        F.col(text_col).alias("_xml"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(block_re), F.lit(1))
+        ).alias("_block"),
+    )
+    return blocks.select(
+        "host",
+        field("loc").alias("loc"),
+        field("lastmod").alias("lastmod"),
+        field("changefreq").alias("changefreq"),
+        field("priority").cast("double").alias("priority"),
+        F.col("_xml").contains("<sitemapindex").alias("is_index"),
+    ).filter(F.col("loc").isNotNull())

@@ -5250,6 +5250,52 @@ def docs_robots_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_sitemap_frontier",
+    oracle="""
+SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
+       'http://h' || CAST(doc_id AS VARCHAR) || '/a&b' AS loc,
+       '2026-08-' || CAST(10 + doc_id % 20 AS VARCHAR) AS lastmod,
+       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM documents
+UNION ALL
+SELECT doc_id, 'h' || CAST(doc_id AS VARCHAR) AS host,
+       'http://h' || CAST(doc_id AS VARCHAR) || '/two' AS loc,
+       CAST(NULL AS VARCHAR) AS lastmod,
+       CAST(NULL AS DOUBLE) AS priority
+FROM documents
+""",
+    doc="Sitemap-protocol parsing (operators/robots.py:parse_sitemaps): "
+    "per-document synthesized <urlset> XML with two <url> blocks (one "
+    "fully attributed with an &amp; entity in the loc, one bare) plus a "
+    "loc-less block that must drop; pure regexp explode, no XML "
+    "library, no Python.  Oracle restates loc/lastmod/priority from the "
+    "construction arithmetic.",
+    tags=("text", "urls"),
+)
+def docs_sitemap_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.robots import parse_sitemaps
+
+    k = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<?xml version=\"1.0\"?><urlset><url><loc>http://h"), k,
+        F.lit("/a&amp;b</loc><lastmod>2026-08-"),
+        (F.col("doc_id") % 20 + 10).cast("string"),
+        F.lit("</lastmod><priority>0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>http://h"), k,
+        F.lit("/two</loc></url><url><lastmod>2026-01-01</lastmod></url></urlset>"),
+    )
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.concat(F.lit("h"), k).alias("host"), xml.alias("sitemap_xml")
+    )
+    parsed = parse_sitemaps(docs, host_col="host", text_col="sitemap_xml")
+    ids = docs.select("doc_id", "host")
+    return parsed.join(ids, "host").select(
+        "doc_id", "host", "loc", "lastmod", "priority"
+    )
+
+
+@q(
     "docs_line_dedup",
     oracle="""
 WITH d AS (

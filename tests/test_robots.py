@@ -99,3 +99,56 @@ def test_plan_stays_native(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+SITEMAP = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>http://a.example/page?a=1&amp;b=2</loc>
+    <lastmod>2026-08-01</lastmod>
+    <changefreq>daily</changefreq>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>http://a.example/bare</loc></url>
+  <url><lastmod>2026-01-01</lastmod></url>
+</urlset>
+"""
+
+SITEMAP_INDEX = """<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://b.example/sitemap-1.xml</loc><lastmod>2026-07-01</lastmod></sitemap>
+  <sitemap><loc>http://b.example/sitemap-2.xml</loc></sitemap>
+</sitemapindex>
+"""
+
+
+def test_parse_sitemaps_urlset_and_index(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    df = spark.createDataFrame(
+        [("a.example", SITEMAP), ("b.example", SITEMAP_INDEX)],
+        "host string, sitemap_xml string",
+    )
+    rows = {r["loc"]: r for r in parse_sitemaps(df).collect()}
+    full = rows["http://a.example/page?a=1&b=2"]  # entities unescaped
+    assert full["lastmod"] == "2026-08-01"
+    assert full["changefreq"] == "daily" and full["priority"] == 0.8
+    assert full["is_index"] is False
+    bare = rows["http://a.example/bare"]
+    assert bare["lastmod"] is None and bare["priority"] is None
+    # loc-less entry dropped; index children flagged for recursion
+    assert len(rows) == 4
+    assert rows["http://b.example/sitemap-1.xml"]["is_index"] is True
+    assert rows["http://b.example/sitemap-2.xml"]["lastmod"] is None
+
+
+def test_sitemap_plan_stays_native(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    df = spark.createDataFrame([("a", SITEMAP)], "host string, sitemap_xml string")
+    plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
