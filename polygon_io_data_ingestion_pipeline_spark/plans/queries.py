@@ -5570,10 +5570,14 @@ def docs_url_psl_domains(spark: SparkSession, sf: str) -> DataFrame:
 DRIVER_WINDOW_SIZE = 50
 
 PINNED_WINDOW = [
-    # §2 join/window anchors (J1/J2/J5/J6/W8 + the flagship A7 program).
+    # §2 join/window anchors (J1/J2/J5/W8 + the flagship A7 program).
+    # series_minute_exact_join (J6) rotates as of round 8: it is
+    # series_day_calendar_join's exact-timestamp twin (same code path,
+    # load_series(tf=)), and the registry outgrew the <=4-round
+    # latency bound at 25 anchors — trimming the most redundant anchor
+    # keeps every family represented AND the bound intact.
     "events_gap_declared_reconcile",
     "series_day_calendar_join",
-    "series_minute_exact_join",
     "tpch_q01_pricing_summary",
     "corporate_actions_adjust",
     "events_asof_forward_snap",
