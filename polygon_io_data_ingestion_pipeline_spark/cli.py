@@ -338,6 +338,25 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # collapse to the earliest fetch BEFORE any text extraction —
         # the cheap dedup ahead of the expensive content dedup
         recs = url_dedup(raw, order_col="warc_date")
+        if args.robots:
+            # the crawl carries its own robots.txt captures: parse them
+            # (distributed) and drop pages those hosts disallow — a
+            # compliance audit replayed from the crawl's own evidence
+            from .operators.robots import parse_robots, robots_allowed
+
+            robots_txt = raw.filter(F.col("url").endswith("/robots.txt")).select(
+                F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+                # robots.txt is ASCII-by-spec; lossy decode of a stray
+                # byte cannot flip a directive
+                F.col("payload").cast("string").alias("robots_txt"),
+            )
+            recs = robots_allowed(
+                recs.filter(~F.col("url").endswith("/robots.txt")),
+                parse_robots(robots_txt),
+            )
+            n_robots_blocked = recs.filter(~F.col("crawl_allowed")).count()
+            recs = recs.filter(F.col("crawl_allowed")).drop("crawl_allowed")
+            print(f"robots: blocked={n_robots_blocked}")
         html = recs.filter(F.col("content_type").startswith("text/html"))
         # non-HTML text rides the same charset-aware decode (the
         # Content-Type charset param applies to text/plain too)
@@ -653,6 +672,12 @@ def main(argv: list[str] | None = None) -> int:
         help="remove lines occurring in >= --line-dedup-min-docs "
         "documents (CCNet-style cross-document boilerplate dedup), "
         "before the quality gate",
+    )
+    p.add_argument(
+        "--robots",
+        action="store_true",
+        help="drop pages disallowed by the robots.txt captures found "
+        "in the crawl itself (--input-format warc)",
     )
     p.add_argument("--line-dedup-min-docs", type=int, default=2)
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")

@@ -539,3 +539,40 @@ def test_zip_members_decode_charset_aware(spark, tmp_path, capsys):
     assert "quarantined=1" in msg
     got = spark.read.parquet(out).collect()
     assert len(got) == 1 and got[0]["text"] == good
+
+
+def test_corpus_cli_robots_filter(spark, tmp_path, capsys):
+    """--robots replays the crawl's own robots.txt captures: pages the
+    host disallows are dropped, allowed pages survive, and the robots
+    files themselves never become documents."""
+    import gzip as _gzip
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    good = (
+        "<html><body><p>"
+        "the data in a table is the value of the row and the key for the "
+        "batch while the line in a window is the part of the sort"
+        "</p></body></html>"
+    ).encode()
+    robots = b"User-agent: *\nDisallow: /private/\n"
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    recs = [
+        _warc_record(
+            "response", "http://x.example/robots.txt",
+            _http_response(robots, ctype=b"text/plain"),
+        ),
+        _warc_record("response", "http://x.example/public/a", _http_response(good)),
+        _warc_record("response", "http://x.example/private/b", _http_response(good)),
+    ]
+    (wdir / "c.warc.gz").write_bytes(b"".join(_gzip.compress(r) for r in recs))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(wdir), "--out", out,
+        "--input-format", "warc", "--robots", "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "blocked=1" in msg
+    rows = spark.read.parquet(out).collect()
+    assert [r["url"] for r in rows] == ["http://x.example/public/a"]
