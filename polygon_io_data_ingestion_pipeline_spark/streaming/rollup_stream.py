@@ -32,6 +32,7 @@ def rollup_batch(
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
     sample_cols: dict[str, tuple[str, int]] | None = None,
     topk_cols: dict[str, int] | None = None,
+    grouping_sets: list[list[str]] | None = None,
 ) -> None:
     update_rollup(
         batch_df.sparkSession,
@@ -46,6 +47,7 @@ def rollup_batch(
         hist_cols=hist_cols,
         sample_cols=sample_cols,
         topk_cols=topk_cols,
+        grouping_sets=grouping_sets,
     )
 
 
@@ -63,6 +65,7 @@ def start_rollup_stream(
     hist_cols: dict[str, tuple[float, float, int]] | None = None,
     sample_cols: dict[str, tuple[str, int]] | None = None,
     topk_cols: dict[str, int] | None = None,
+    grouping_sets: list[list[str]] | None = None,
 ) -> StreamingQuery:
     """Drain available fact files (parquet) into the rollup table
     (AvailableNow trigger — the cron-driven refresh shape)."""
@@ -80,6 +83,7 @@ def start_rollup_stream(
                 hist_cols=hist_cols,
                 sample_cols=sample_cols,
                 topk_cols=topk_cols,
+                grouping_sets=grouping_sets,
             )
         )
         .option("checkpointLocation", checkpoint)

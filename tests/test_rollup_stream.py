@@ -103,3 +103,51 @@ def test_streamed_rollup_matches_batch_recompute(spark, tmp_path):
     # three stream batches
     latest = sorted(glob.glob(os.path.join(rollup, "_commit_v*.json")))[-1]
     assert json.load(open(latest))["applied_shards"] == ["batch_0", "batch_1", "batch_2"]
+
+
+def test_streamed_cube_rollup_matches_batch_recompute(spark, tmp_path):
+    """A streaming-maintained CUBE rollup (grouping_sets through the
+    foreachBatch sink) equals a one-shot CUBE recompute of all facts."""
+    import pyspark.sql.functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        cube_sets,
+        read_rollup,
+        update_rollup,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.streaming.rollup_stream import (
+        start_rollup_stream,
+    )
+
+    src = str(tmp_path / "facts")
+    shards = [
+        [("eu", "a", 1.0), ("us", "b", 2.0)],
+        [("eu", "b", 4.0), ("eu", "a", 8.0)],
+    ]
+    schema = "r string, s string, v double"
+    for rows in shards:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    roll, ckpt = str(tmp_path / "roll"), str(tmp_path / "ckpt")
+    q = start_rollup_stream(
+        spark, src, schema, roll, ckpt, ["r", "s"], ["v"],
+        grouping_sets=cube_sets(["r", "s"]),
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["_gid"], r["r"], r["s"]): (r["n_rows"], r["sum_v"])
+        for r in read_rollup(spark, roll).collect()
+    }
+    full = str(tmp_path / "full")
+    update_rollup(
+        spark, full,
+        spark.createDataFrame([x for s_ in shards for x in s_], schema),
+        ["r", "s"], ["v"], "all", grouping_sets=cube_sets(["r", "s"]),
+    )
+    want = {
+        (r["_gid"], r["r"], r["s"]): (r["n_rows"], r["sum_v"])
+        for r in read_rollup(spark, full).collect()
+    }
+    assert got == want
+    assert got[(3, None, None)] == (4, 15.0)
