@@ -86,16 +86,29 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def _audio_samples(payload: bytes) -> tuple[np.ndarray, int]:
-    """(mono float64 samples in [-1, 1], rate) from a WAV or FLAC
-    payload — the dispatcher behind the feature path, so compressed
-    lossless archives take the same REAL decode as raw PCM."""
+    """(mono float64 samples in [-1, 1], rate) from a WAV, FLAC or
+    IMA-ADPCM payload — the dispatcher behind the feature path, so
+    compressed archives (lossless FLAC, 4-bit ADPCM) take the same REAL
+    decode as raw PCM."""
     if payload[:4] == b"fLaC":
         from .flac import decode_flac
 
         s, rate, bps = decode_flac(payload)
         x = s.astype(np.float64) / float(1 << (bps - 1))
         return (x.mean(axis=1) if x.ndim == 2 else x), rate
-    return decode_wav(payload)
+    try:
+        return decode_wav(payload)
+    except wave.Error:
+        # stdlib wave refuses compressed WAVs ("unknown format: 17");
+        # IMA ADPCM gets the real block-predictive decode
+        from .adpcm import AdpcmFormatError, decode_ima_adpcm_wav
+
+        try:
+            s, rate = decode_ima_adpcm_wav(payload)
+        except AdpcmFormatError:
+            raise ValueError("unsupported WAV variant") from None
+        x = s.astype(np.float64) / 32768.0
+        return (x.mean(axis=1) if x.ndim == 2 else x), rate
 
 
 def _wav_features(payload: bytes) -> list[float]:
