@@ -32,6 +32,7 @@ def sf_dir():
 SLOW_MODULES = {
     "test_oracle_parity",
     "test_plan_quality",
+    "test_archive_property",
     "test_ivf",
     "test_ivf_rebalance",
     "test_pq",
