@@ -341,15 +341,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         if args.robots:
             # the crawl carries its own robots.txt captures: parse them
             # (distributed) and drop pages those hosts disallow — a
-            # compliance audit replayed from the crawl's own evidence
-            from .operators.robots import parse_robots, robots_allowed
-
-            robots_txt = raw.filter(F.col("url").endswith("/robots.txt")).select(
-                F.lower(F.try_parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
-                # robots.txt is ASCII-by-spec; lossy decode of a stray
-                # byte cannot flip a directive
-                F.col("payload").cast("string").alias("robots_txt"),
+            # compliance audit replayed from the crawl's own evidence.
+            # One capture per host FIRST (latest wins): multiple
+            # captures would interleave line positions inside
+            # parse_robots's per-host window and corrupt group recovery.
+            from .operators.robots import (
+                latest_robots_captures,
+                parse_robots,
+                robots_allowed,
             )
+
+            robots_txt = latest_robots_captures(raw)
             recs = robots_allowed(
                 recs.filter(~F.col("url").endswith("/robots.txt")),
                 parse_robots(robots_txt),

@@ -745,9 +745,19 @@ def duplicated_line_removal(
             "\n",
         ).alias("_rebuilt")
     )
+    # NULL text stays NULL: split(NULL) explodes to no rows, so such a
+    # doc is absent from the rebuild — the empty-string substitution is
+    # only for docs whose every line was removed, not a null->'' rewrite
+    # (downstream null-vs-empty semantics must survive this operator).
     return (
         docs.join(rebuilt, id_col, "left")
-        .withColumn(text_col, F.coalesce(F.col("_rebuilt"), F.lit("")))
+        .withColumn(
+            text_col,
+            F.coalesce(
+                F.col("_rebuilt"),
+                F.when(F.col(text_col).isNotNull(), F.lit("")),
+            ),
+        )
         .drop("_rebuilt")
     )
 

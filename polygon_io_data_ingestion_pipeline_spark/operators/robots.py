@@ -34,13 +34,68 @@ from pyspark.sql import functions as F
 def _compiled_rule_regex(path: Column) -> Column:
     """robots path pattern -> anchored Java/RE2-safe regex (as a column
     expression): trailing ``$`` becomes an end anchor, ``*`` becomes
-    ``.*``, all other regex metacharacters are escaped."""
+    ``.*``, all other regex metacharacters are escaped.  Built entirely
+    from the passed Column (no hardcoded column name), so it composes
+    with any upstream naming."""
     ends_anchored = path.endswith("$")
-    base = F.when(ends_anchored, F.expr("substring(path, 1, length(path) - 1)")).otherwise(path)
+    base = F.when(
+        ends_anchored, path.substr(F.lit(1), F.length(path) - F.lit(1))
+    ).otherwise(path)
     escaped = F.regexp_replace(base, r"([.^$+?(){}\[\]\\|])", r"\\$1")
     wildcarded = F.regexp_replace(escaped, r"\*", ".*")
     return F.concat(
         F.lit("^"), wildcarded, F.when(ends_anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
+#: line keys that participate in user-agent GROUP recovery.  Including
+#: the politeness keys here is load-bearing for RFC 9309 group shape: a
+#: ``Crawl-delay`` line between two ``User-agent`` lines TERMINATES the
+#: first group's agent list, so the second agent must start a new block
+#: rather than share the first group's rules.
+_GROUP_KEYS = ("user-agent", "allow", "disallow", "crawl-delay", "request-rate")
+
+
+def _robots_lines(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """(host, robots.txt) -> one (host, pos, key, value) row per
+    directive line: lines explode with position, comments strip, keys
+    lowercase/trim."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "raw"),
+    )
+    clean = lines.select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    return clean.select(
+        "host",
+        "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
+    )
+
+
+def _robots_blocks(df: DataFrame, host_col: str, text_col: str) -> DataFrame:
+    """Group recovery shared by :func:`parse_robots` and
+    :func:`robots_politeness`: directive lines with their user-agent
+    block id (gaps-and-islands running sum — a block starts where a
+    ``User-agent`` line follows a non-``User-agent`` line)."""
+    from pyspark.sql import Window
+
+    kv = _robots_lines(df, host_col, text_col).filter(
+        F.col("key").isin(*_GROUP_KEYS)
+    )
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("key") == "user-agent"
+    return kv.withColumn(
+        "block",
+        F.sum(
+            F.when(
+                is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)), 1
+            ).otherwise(0)
+        ).over(w),
     )
 
 
@@ -58,37 +113,14 @@ def parse_robots(
     frame is tiny), and rules replicate to every agent of their block.
     Empty ``Disallow:`` lines (allow-all idiom) drop — they match
     nothing by definition."""
-    from pyspark.sql import Window
-
-    lines = df.select(
-        F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos", "raw"),
-    )
-    clean = lines.select(
-        "host",
-        "pos",
-        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
-    ).filter(F.col("line") != "")
-    kv = clean.select(
-        "host",
-        "pos",
-        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1))).alias("key"),
-        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("value"),
-    ).filter(F.col("key").isin("user-agent", "allow", "disallow"))
-    w = Window.partitionBy("host").orderBy("pos")
+    blocks = _robots_blocks(df, host_col, text_col)
     is_ua = F.col("key") == "user-agent"
-    blocks = kv.withColumn(
-        "block",
-        F.sum(
-            F.when(
-                is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False)), 1
-            ).otherwise(0)
-        ).over(w),
-    )
     agents = blocks.filter(is_ua).select(
         "host", "block", F.lower(F.col("value")).alias("agent")
     )
-    rules = blocks.filter(~is_ua & (F.col("value") != "")).select(
+    rules = blocks.filter(
+        F.col("key").isin("allow", "disallow") & (F.col("value") != "")
+    ).select(
         "host",
         "block",
         F.col("key").alias("directive"),
@@ -104,6 +136,97 @@ def parse_robots(
             F.length("path").alias("priority"),
             _compiled_rule_regex(F.col("path")).alias("regex"),
         )
+    )
+
+
+def robots_politeness(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """Per-group politeness metadata: one row per (host, agent) that
+    declares a ``Crawl-delay`` or ``Request-rate`` line —
+    ``(host, agent, crawl_delay, request_rate)`` with ``crawl_delay``
+    in seconds (DOUBLE; non-numeric values null out via try-cast) and
+    ``request_rate`` the raw ``m/n`` token (de-facto syntax, no RFC
+    grammar to normalize to).  Same distributed group recovery as
+    :func:`parse_robots`; a scheduler joins this on (host, agent) to
+    rate-limit its fetch frontier."""
+    blocks = _robots_blocks(df, host_col, text_col)
+    agents = blocks.filter(F.col("key") == "user-agent").select(
+        "host", "block", F.lower(F.col("value")).alias("agent")
+    )
+    polite = blocks.filter(
+        F.col("key").isin("crawl-delay", "request-rate") & (F.col("value") != "")
+    )
+    return (
+        polite.join(agents, ["host", "block"])
+        .groupBy("host", "agent")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("key") == "crawl-delay",
+                    F.col("value").try_cast("double"),
+                )
+            ).alias("crawl_delay"),
+            F.max(
+                F.when(F.col("key") == "request-rate", F.col("value"))
+            ).alias("request_rate"),
+        )
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """``Sitemap:`` directives -> ``(host, sitemap_url)``, the standard
+    sitemap-discovery channel (RFC 9309 §2.3 allows other records;
+    sitemaps.org registers ``Sitemap`` as one).  These lines sit
+    OUTSIDE user-agent groups — they apply to all agents — so this is a
+    plain line scan, no group recovery; the output feeds
+    :func:`parse_sitemaps` once the URLs are fetched.  Repeated
+    declarations (same URL in several captures/lines) collapse."""
+    return (
+        _robots_lines(df, host_col, text_col)
+        .filter((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def latest_robots_captures(
+    records: DataFrame,
+    url_col: str = "url",
+    payload_col: str = "payload",
+    order_col: str = "warc_date",
+) -> DataFrame:
+    """Crawl records -> ONE robots.txt text per host, the newest capture
+    winning: ``(host, robots_txt)``.
+
+    A crawl routinely captures a host's robots.txt more than once (http
+    and https fetches, a file that changed mid-crawl so digest dedup
+    keeps both).  Feeding every capture to :func:`parse_robots` would
+    interleave line positions from different captures inside one host
+    partition and corrupt user-agent group recovery — so reduce to the
+    latest capture per host FIRST (one row_number window over the tiny
+    robots subset; ties break on URL so https beats http
+    deterministically).  robots.txt is ASCII-by-spec; a lossy decode of
+    a stray byte cannot flip a directive."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("_ord").desc(), F.col("_turl").desc()
+    )
+    return (
+        records.filter(F.col(url_col).endswith("/robots.txt"))
+        .select(
+            F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
+            F.col(payload_col).cast("string").alias("robots_txt"),
+            F.col(order_col).alias("_ord"),
+            F.col(url_col).alias("_turl"),
+        )
+        .filter(F.col("host").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", "robots_txt")
     )
 
 
@@ -183,8 +306,12 @@ def parse_sitemaps(
     rigidly flat, so the parse is pure JVM regexp over each ``<url>``/
     ``<sitemap>`` block — one ``regexp_extract_all`` explode, no XML
     library, no Python; entity-unescaping covers the five XML
-    predefined entities sitemaps may contain."""
-    block_re = r"(?s)<(?:url|sitemap)>(.*?)</(?:url|sitemap)>"
+    predefined entities sitemaps may contain.  ``is_index`` derives
+    from each block's OWN element name (``<sitemap>`` vs ``<url>``,
+    backreference-matched close tag), so a document that concatenates
+    a ``<sitemapindex>`` and a ``<urlset>`` — or merely mentions the
+    token in text — labels each entry correctly."""
+    block_re = r"(?s)<(url|sitemap)>.*?</\1>"
     unescape = lambda c: F.regexp_replace(  # noqa: E731
         F.regexp_replace(
             F.regexp_replace(
@@ -204,9 +331,8 @@ def parse_sitemaps(
 
     blocks = df.select(
         F.col(host_col).alias("host"),
-        F.col(text_col).alias("_xml"),
         F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(block_re), F.lit(1))
+            F.regexp_extract_all(F.col(text_col), F.lit(block_re), F.lit(0))
         ).alias("_block"),
     )
     return blocks.select(
@@ -215,5 +341,5 @@ def parse_sitemaps(
         field("lastmod").alias("lastmod"),
         field("changefreq").alias("changefreq"),
         field("priority").cast("double").alias("priority"),
-        F.col("_xml").contains("<sitemapindex").alias("is_index"),
+        F.col("_block").startswith("<sitemap>").alias("is_index"),
     ).filter(F.col("loc").isNotNull())

@@ -604,7 +604,10 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
             self.cur_boiler = False
             self.skip = 0
             self.link_depth = 0
-            self.boiler_stack: list[str] = []
+            # [tag, depth]: depth counts same-name PLAIN descendants so
+            # a non-boiler <div> inside <div class="nav"> doesn't end
+            # the boiler scope at its own </div>
+            self.boiler_stack: list[list] = []
 
         def _flush(self):
             text = " ".join("".join(self.cur).split())
@@ -621,15 +624,21 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
                 self._flush()
             if tag == "a":
                 self.link_depth += 1
-            if tag not in _VOID_TAGS and (
-                tag in _BOILER_TAGS
-                or any(
+            if tag not in _VOID_TAGS:
+                if tag in _BOILER_TAGS or any(
                     k in ("class", "id", "role") and v and _BOILER_HINT.search(v)
                     for k, v in attrs
-                )
-            ):
-                self.boiler_stack.append(tag)
-                self.cur_boiler = True
+                ):
+                    self.boiler_stack.append([tag, 1])
+                    self.cur_boiler = True
+                elif self.boiler_stack:
+                    # a plain same-name element nested inside a boiler
+                    # scope: bump the innermost matching entry's depth
+                    # so only the MATCHING close ends the scope
+                    for entry in reversed(self.boiler_stack):
+                        if entry[0] == tag:
+                            entry[1] += 1
+                            break
 
         def handle_endtag(self, tag):
             if tag in _SKIP_TAGS:
@@ -640,11 +649,15 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
                 self._flush()
             if tag == "a" and self.link_depth:
                 self.link_depth -= 1
-            if tag in self.boiler_stack:
-                # tolerant un-nesting: pop through unclosed inner tags
-                while self.boiler_stack.pop() != tag:
-                    pass
-                self.cur_boiler = self.cur_boiler or bool(self.boiler_stack)
+            for i in range(len(self.boiler_stack) - 1, -1, -1):
+                if self.boiler_stack[i][0] == tag:
+                    self.boiler_stack[i][1] -= 1
+                    if self.boiler_stack[i][1] == 0:
+                        # tolerant un-nesting: unclosed inner entries
+                        # above the matched one close with it
+                        del self.boiler_stack[i:]
+                    break
+            self.cur_boiler = self.cur_boiler or bool(self.boiler_stack)
 
         def handle_data(self, data):
             if self.skip:

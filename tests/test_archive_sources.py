@@ -576,3 +576,24 @@ def test_corpus_cli_robots_filter(spark, tmp_path, capsys):
     assert "blocked=1" in msg
     rows = spark.read.parquet(out).collect()
     assert [r["url"] for r in rows] == ["http://x.example/public/a"]
+
+
+def test_nested_same_name_plain_tag_keeps_boiler_scope():
+    """A plain <div> nested inside <div class="nav"> must not end the
+    boiler scope at its own </div> — chrome after the inner close is
+    still chrome (per-entry depth counting, not name-presence pop)."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    html = (
+        "<html><body>"
+        '<div class="nav"><div>Inner chrome text here</div>'
+        "Outer chrome after inner close</div>"
+        "<p>Real body paragraph with enough length to keep.</p>"
+        "</body></html>"
+    )
+    main = _extract_main_text(html)
+    assert "Real body paragraph" in main
+    assert "Inner chrome" not in main
+    assert "Outer chrome after inner close" not in main

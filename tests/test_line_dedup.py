@@ -89,3 +89,20 @@ def test_plan_stays_native(spark):
         duplicated_line_removal(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_null_text_stays_null(spark):
+    """A NULL-text doc explodes to no line rows and is absent from the
+    rebuild; the empty-string substitution must NOT claim it (null vs
+    empty is a real downstream distinction: quarantine vs gated)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        duplicated_line_removal,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "shared\nunique a"), (2, "shared\nunique b"), (3, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in duplicated_line_removal(docs).collect()}
+    assert got[1] == "unique a" and got[2] == "unique b"
+    assert got[3] is None

@@ -152,3 +152,171 @@ def test_sitemap_plan_stays_native(spark):
     df = spark.createDataFrame([("a", SITEMAP)], "host string, sitemap_xml string")
     plan = parse_sitemaps(df)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_compiled_rule_regex_any_column_name(spark):
+    """The regex compiler builds from the PASSED Column — a frame whose
+    pattern column is not literally named 'path' must compile the same
+    anchored regex (regression: F.expr once hardcoded 'path')."""
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        _compiled_rule_regex,
+    )
+
+    df = spark.createDataFrame([("/docs/*.pdf$",), ("/plain/",)], "pat string")
+    got = {
+        r["pat"]: r["rx"]
+        for r in df.select("pat", _compiled_rule_regex(F.col("pat")).alias("rx")).collect()
+    }
+    assert got["/docs/*.pdf$"] == r"^/docs/.*\.pdf$"
+    assert got["/plain/"] == "^/plain/"
+
+
+ROBOTS_POLITE = """
+User-agent: fast-bot
+Crawl-delay: 2.5
+User-agent: slow-bot
+Crawl-delay: 10
+Request-rate: 1/5
+Disallow: /heavy/
+Sitemap: http://p.example/sitemap.xml
+Sitemap: http://p.example/news.xml
+
+User-agent: *
+Crawl-delay: not-a-number
+"""
+
+
+def test_crawl_delay_terminates_agent_list(spark):
+    """RFC 9309: group members are CONSECUTIVE User-agent lines — a
+    Crawl-delay between two User-agent lines ends the first group, so
+    slow-bot's Disallow must NOT apply to fast-bot."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_robots,
+    )
+
+    df = spark.createDataFrame(
+        [("p.example", ROBOTS_POLITE)], "host string, robots_txt string"
+    )
+    rules = {(r["agent"], r["directive"], r["path"]) for r in parse_robots(df).collect()}
+    assert ("slow-bot", "disallow", "/heavy/") in rules
+    assert not any(a == "fast-bot" for a, *_ in rules)
+
+
+def test_robots_politeness_columns(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        robots_politeness,
+    )
+
+    df = spark.createDataFrame(
+        [("p.example", ROBOTS_POLITE)], "host string, robots_txt string"
+    )
+    got = {r["agent"]: r for r in robots_politeness(df).collect()}
+    assert got["fast-bot"]["crawl_delay"] == 2.5
+    assert got["fast-bot"]["request_rate"] is None
+    assert got["slow-bot"]["crawl_delay"] == 10.0
+    assert got["slow-bot"]["request_rate"] == "1/5"
+    # non-numeric delay nulls out instead of raising (try_cast)
+    assert got["*"]["crawl_delay"] is None
+
+
+def test_robots_sitemap_directives_surface(spark):
+    """Sitemap: lines live OUTSIDE user-agent groups (they apply to all
+    agents) and are the standard discovery channel for parse_sitemaps —
+    they must come back as (host, sitemap_url) rows, deduplicated."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        robots_sitemaps,
+    )
+
+    df = spark.createDataFrame(
+        [("p.example", ROBOTS_POLITE), ("q.example", "User-agent: *\nDisallow: /x\n")],
+        "host string, robots_txt string",
+    )
+    got = {(r["host"], r["sitemap_url"]) for r in robots_sitemaps(df).collect()}
+    assert got == {
+        ("p.example", "http://p.example/sitemap.xml"),
+        ("p.example", "http://p.example/news.xml"),
+    }
+
+
+def test_robots_to_sitemap_frontier_end_to_end(spark):
+    """robots.txt Sitemap: directive -> fetched sitemap XML ->
+    parse_sitemaps frontier rows — the full discovery chain."""
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_sitemaps,
+        robots_sitemaps,
+    )
+
+    robots = spark.createDataFrame(
+        [("p.example", "User-agent: *\nDisallow: /private/\nSitemap: http://p.example/s.xml\n")],
+        "host string, robots_txt string",
+    )
+    fetched = spark.createDataFrame(
+        [
+            (
+                "http://p.example/s.xml",
+                "<urlset><url><loc>http://p.example/a</loc></url>"
+                "<url><loc>http://p.example/b</loc></url></urlset>",
+            )
+        ],
+        "sitemap_url string, body string",
+    )
+    frontier = parse_sitemaps(
+        robots_sitemaps(robots).join(fetched, "sitemap_url"),
+        text_col="body",
+    )
+    locs = {r["loc"] for r in frontier.collect()}
+    assert locs == {"http://p.example/a", "http://p.example/b"}
+    assert all(not r["is_index"] for r in frontier.collect())
+
+
+def test_latest_robots_capture_per_host(spark):
+    """http+https captures of one host, plus a mid-crawl edit: exactly
+    one (the newest; https beats http on date ties) feeds the parser, so
+    group recovery never interleaves lines from different captures."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        latest_robots_captures,
+        parse_robots,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            ("http://h.example/robots.txt", b"User-agent: *\nDisallow: /old/\n", "2026-01-01"),
+            ("https://h.example/robots.txt", b"User-agent: *\nDisallow: /new/\n", "2026-02-01"),
+            ("http://i.example/robots.txt", b"User-agent: *\nDisallow: /a/\n", "2026-03-01"),
+            ("https://i.example/robots.txt", b"User-agent: *\nDisallow: /b/\n", "2026-03-01"),
+            ("http://h.example/page", b"<html></html>", "2026-02-02"),
+        ],
+        "url string, payload binary, warc_date string",
+    )
+    caps = latest_robots_captures(recs)
+    got = {r["host"]: r["robots_txt"] for r in caps.collect()}
+    assert len(got) == 2
+    assert "/new/" in got["h.example"]            # newest capture wins
+    assert "/b/" in got["i.example"]              # date tie: https wins
+    # and the parse sees exactly one capture's consistent line stream
+    rules = parse_robots(caps).collect()
+    assert {(r["host"], r["path"]) for r in rules} == {
+        ("h.example", "/new/"), ("i.example", "/b/"),
+    }
+
+
+def test_sitemapindex_and_urlset_concatenated_per_block(spark):
+    """is_index derives from each block's own element, not a whole-doc
+    contains(): a document carrying both a <sitemapindex> and a
+    <urlset> labels children true and pages false respectively."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_sitemaps,
+    )
+
+    mixed = (
+        "<sitemapindex><sitemap><loc>http://m.example/child.xml</loc></sitemap>"
+        "</sitemapindex>\n"
+        "<urlset><url><loc>http://m.example/page</loc></url></urlset>"
+    )
+    df = spark.createDataFrame([("m.example", mixed)], "host string, sitemap_xml string")
+    got = {r["loc"]: r["is_index"] for r in parse_sitemaps(df).collect()}
+    assert got == {"http://m.example/child.xml": True, "http://m.example/page": False}
