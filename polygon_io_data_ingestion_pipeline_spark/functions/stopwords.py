@@ -1,0 +1,317 @@
+"""Latin-script language ID over committed function-word frequency tables.
+
+Unicode-script counting (``operators/text.py:predicted_lang_script``)
+separates ru/ja/zh/ko/ar/hi/el/he/th for free, but every Latin-script
+language lands in the same bucket — and a real crawl is mostly Latin
+script.  The standard lightweight discriminator is FUNCTION-WORD
+frequency: the closed class of articles/prepositions/conjunctions is
+(a) language-specific, (b) extremely frequent (the top ~40 function
+words cover 30-40% of running text in every European language), and
+(c) topic-independent — so a weighted bag-of-function-words argmax
+classifies clean body text reliably without any model file.
+
+``STOPWORD_FREQ`` below is a committed snapshot of per-language
+function-word weights — approximate occurrences per 1000 running words
+from public word-frequency lists (Leipzig Corpora / OpenSubtitles
+class of data; values rounded to integers).  Same discipline as the
+PSL snapshot in :mod:`.psl`: public data committed to the repo and
+compiled to a pure Spark expression.  Shared words (``de`` in
+es/fr/pt/nl, ``que`` in es/fr/pt, ``la`` in es/fr/it ...) carry their
+per-language weights in several columns of the weight vector, so the
+DISTINCTIVE words decide while the shared mass cancels.
+
+Scale shape: ONE pass over the token array — tokens lower-case and
+split on non-letters, each token map-looks-up its weight VECTOR (one
+column per language), misses filter out, hits fold with ``zip_with``
+into a per-document score vector; argmax with a fixed tie order picks
+the language.  All JVM expressions (map/array literals are constant,
+the fold is a single ``aggregate``), zero Python, zero shuffles, and
+the whole classifier is replicable in ANSI SQL from the same tables
+(the DuckDB oracle is GENERATED from ``STOPWORD_FREQ``, so both
+engines score with literally the same weights).
+
+Extending coverage = adding a table row (the PSL swap-in move); a
+Latin-script language absent from the tables classifies as its nearest
+tabled neighbour — commit its function words to fix that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (language, ((function word, ~occurrences per 1000 words), ...)).
+#: Tuple order is the deterministic argmax tie order.  The fr/it
+#: single-letter entries are ELISION fragments (l', d', qu', c' ...) —
+#: the non-letter split turns them into standalone tokens, and they are
+#: among the strongest French/Italian signals in real text.
+STOPWORD_FREQ: tuple[tuple[str, tuple[tuple[str, int], ...]], ...] = (
+    (
+        "en",
+        (
+            ("the", 60), ("of", 30), ("and", 28), ("to", 26), ("a", 23),
+            ("in", 21), ("is", 11), ("that", 11), ("it", 10), ("for", 9),
+            ("was", 9), ("on", 7), ("are", 7), ("with", 7), ("as", 7),
+            ("his", 6), ("they", 6), ("be", 6), ("at", 6), ("you", 6),
+            ("have", 5), ("this", 5), ("from", 5), ("or", 4), ("had", 4),
+            ("by", 4), ("not", 4), ("but", 4), ("we", 4), ("what", 3),
+            ("which", 3), ("their", 3), ("will", 3), ("would", 3),
+            ("there", 3), ("has", 3), ("were", 3), ("her", 3),
+            ("she", 3), ("an", 3), ("been", 2), ("if", 2), ("when", 2),
+            ("all", 2), ("one", 2), ("more", 2), ("about", 2), ("so", 2),
+            ("out", 2), ("up", 2), ("him", 2), ("them", 2), ("some", 2),
+            ("into", 2), ("can", 2), ("do", 2), ("than", 2), ("then", 2),
+            ("its", 2), ("these", 2), ("other", 2),
+        ),
+    ),
+    (
+        "es",
+        (
+            ("de", 65), ("la", 42), ("el", 30), ("en", 27), ("y", 27),
+            ("a", 26), ("que", 25), ("los", 19), ("se", 12), ("del", 10),
+            ("las", 10), ("un", 10), ("por", 10), ("con", 9), ("una", 9),
+            ("no", 9), ("su", 8), ("para", 8), ("es", 7), ("al", 7),
+            ("lo", 6), ("como", 6), ("más", 5), ("ha", 4), ("pero", 4),
+            ("sus", 4), ("le", 4), ("fue", 3), ("son", 3), ("me", 3),
+            ("ya", 3), ("o", 3), ("este", 3), ("esta", 3), ("si", 3),
+            ("te", 3), ("han", 2), ("ser", 2), ("está", 2),
+            ("cuando", 2), ("muy", 2), ("sin", 2), ("sobre", 2),
+            ("también", 2), ("entre", 2), ("hay", 2), ("porque", 2),
+            ("sí", 2), ("donde", 2), ("todo", 2), ("todos", 2),
+            ("qué", 2), ("mi", 2), ("nos", 2), ("él", 2), ("desde", 1),
+            ("hasta", 1), ("están", 1), ("otros", 1), ("ese", 1),
+            ("esa", 1), ("eso", 1),
+        ),
+    ),
+    (
+        "fr",
+        (
+            ("de", 55), ("à", 28), ("la", 28), ("le", 26), ("et", 25),
+            ("les", 21), ("des", 17), ("en", 16), ("un", 15), ("l", 15),
+            ("d", 15), ("du", 14), ("une", 13), ("que", 12), ("est", 11),
+            ("pour", 10), ("qui", 9), ("dans", 9), ("a", 8), ("il", 7),
+            ("par", 7), ("plus", 5), ("pas", 5), ("au", 5), ("sur", 5),
+            ("ne", 5), ("se", 5), ("ce", 5), ("je", 5), ("c", 5),
+            ("qu", 5), ("sont", 4), ("avec", 4), ("son", 4), ("ont", 4),
+            ("n", 4), ("s", 4), ("aux", 3), ("cette", 3), ("ou", 3),
+            ("mais", 3), ("comme", 3), ("nous", 3), ("vous", 3),
+            ("on", 3), ("elle", 3), ("été", 3), ("était", 3), ("sa", 3),
+            ("ils", 3), ("j", 3), ("leur", 2), ("ses", 2), ("tout", 2),
+            ("être", 2), ("même", 2), ("aussi", 2), ("bien", 2),
+            ("sans", 2), ("peut", 2), ("très", 2), ("tous", 2),
+            ("où", 2), ("dont", 2), ("ça", 2), ("lui", 2), ("y", 2),
+            ("si", 2), ("fait", 1), ("deux", 1), ("alors", 1),
+            ("après", 1), ("donc", 1), ("ainsi", 1), ("notre", 1),
+            ("votre", 1), ("cela", 1),
+        ),
+    ),
+    (
+        "de",
+        (
+            ("der", 58), ("die", 55), ("und", 44), ("in", 31),
+            ("den", 19), ("von", 17), ("zu", 17), ("das", 17),
+            ("mit", 14), ("sich", 11), ("des", 10), ("auf", 10),
+            ("für", 10), ("ist", 9), ("im", 9), ("dem", 9), ("nicht", 9),
+            ("ein", 8), ("eine", 7), ("als", 7), ("sie", 7), ("auch", 6),
+            ("es", 6), ("an", 6), ("ich", 6), ("werden", 5), ("aus", 5),
+            ("er", 5), ("hat", 4), ("dass", 4), ("nach", 4), ("wird", 4),
+            ("bei", 4), ("einer", 4), ("um", 4), ("war", 4), ("wenn", 4),
+            ("aber", 4), ("oder", 4), ("nur", 4), ("wir", 4), ("so", 4),
+            ("am", 3), ("sind", 3), ("noch", 3), ("wie", 3),
+            ("einem", 3), ("über", 3), ("einen", 3), ("zum", 3),
+            ("haben", 3), ("wurde", 3), ("durch", 3), ("vor", 3),
+            ("mehr", 3), ("diese", 3), ("sein", 3), ("man", 3),
+            ("kann", 3), ("zur", 2), ("unter", 2), ("schon", 2),
+            ("dieser", 2), ("seine", 2), ("ihre", 2), ("doch", 2),
+            ("du", 2), ("dann", 2), ("ihr", 2),
+        ),
+    ),
+    (
+        "it",
+        (
+            ("di", 45), ("e", 40), ("il", 32), ("la", 29), ("che", 29),
+            ("in", 19), ("a", 19), ("per", 15), ("un", 13), ("è", 13),
+            ("del", 12), ("non", 12), ("della", 10), ("si", 9),
+            ("con", 8), ("le", 8), ("l", 8), ("da", 7), ("i", 7),
+            ("una", 7), ("al", 6), ("lo", 5), ("ma", 5), ("come", 4),
+            ("nel", 4), ("se", 4), ("anche", 4), ("più", 4), ("sono", 4),
+            ("dei", 4), ("alla", 4), ("ci", 4), ("d", 4), ("delle", 3),
+            ("gli", 3), ("o", 3), ("questo", 3), ("ha", 3), ("ed", 3),
+            ("ne", 3), ("dell", 3), ("c", 3), ("quando", 2), ("loro", 2),
+            ("essere", 2), ("questa", 2), ("tutti", 2), ("tutto", 2),
+            ("così", 2), ("molto", 2), ("senza", 2), ("tra", 2),
+            ("nella", 2), ("degli", 2), ("dal", 2), ("stato", 2),
+            ("hanno", 2), ("ad", 2), ("all", 2), ("nell", 2),
+            ("perché", 2), ("sulla", 1), ("sul", 1), ("questi", 1),
+            ("dove", 1), ("dopo", 1), ("due", 1), ("fra", 1),
+            ("ogni", 1), ("dalla", 1), ("può", 1), ("quindi", 1),
+        ),
+    ),
+    (
+        "pt",
+        (
+            ("de", 58), ("a", 35), ("o", 33), ("que", 30), ("e", 29),
+            ("do", 18), ("da", 17), ("em", 13), ("um", 12), ("para", 11),
+            ("é", 10), ("com", 10), ("não", 10), ("uma", 9), ("os", 9),
+            ("no", 8), ("se", 8), ("na", 8), ("por", 7), ("mais", 5),
+            ("as", 5), ("dos", 5), ("como", 4), ("mas", 4), ("foi", 3),
+            ("ao", 3), ("ele", 3), ("das", 3), ("tem", 3), ("à", 3),
+            ("seu", 3), ("sua", 3), ("ou", 3), ("eu", 3), ("são", 3),
+            ("você", 3), ("ser", 2), ("quando", 2), ("muito", 2),
+            ("há", 2), ("nos", 2), ("já", 2), ("está", 2),
+            ("também", 2), ("pelo", 2), ("pela", 2), ("até", 2),
+            ("sem", 2), ("sobre", 2), ("isso", 2), ("esse", 2),
+            ("esta", 2), ("ela", 2), ("eles", 2), ("ainda", 2),
+            ("aqui", 2), ("bem", 2), ("seus", 2), ("ter", 2), ("às", 2),
+            ("aos", 2), ("neste", 1), ("nesta", 1), ("isto", 1),
+            ("essa", 1), ("depois", 1), ("cada", 1), ("num", 1),
+            ("numa", 1), ("suas", 1), ("têm", 1), ("entre", 1),
+        ),
+    ),
+    (
+        "nl",
+        (
+            ("de", 58), ("van", 27), ("een", 23), ("het", 22), ("en", 22),
+            ("in", 17), ("is", 11), ("dat", 11), ("op", 10), ("te", 10),
+            ("zijn", 7), ("met", 7), ("die", 7), ("voor", 7),
+            ("niet", 7), ("aan", 6), ("er", 6), ("ik", 6), ("om", 5),
+            ("je", 5), ("ook", 4), ("als", 4), ("dan", 4), ("maar", 4),
+            ("bij", 4), ("of", 4), ("was", 4), ("ze", 4), ("we", 4),
+            ("uit", 3), ("nog", 3), ("worden", 3), ("door", 3),
+            ("naar", 3), ("heeft", 3), ("wordt", 3), ("hij", 3),
+            ("wat", 3), ("deze", 3), ("hebben", 3), ("over", 3),
+            ("dit", 2), ("zo", 2), ("kan", 2), ("geen", 2), ("wel", 2),
+            ("al", 2), ("hun", 2), ("waar", 2), ("daar", 2), ("hier", 2),
+            ("moet", 2), ("kunnen", 2), ("zou", 2), ("werd", 2),
+            ("mijn", 2), ("zich", 2), ("haar", 2), ("heb", 2),
+            ("tot", 2), ("toen", 2), ("veel", 2), ("meer", 2),
+            ("onze", 1), ("tegen", 1), ("tussen", 1), ("alle", 1),
+            ("hem", 1),
+        ),
+    ),
+)
+
+#: Sublinear damping: per-word weights cap here when compiled.  The
+#: ultra-frequent words are exactly the ones SHARED across languages
+#: ("de" es/fr/pt/nl, "que" es/pt, "a" en/es/fr/it/pt ...), so raw
+#: sums let one shared word outvote a sentence of distinctive
+#: mid-frequency words; capping (the tf-sublinearity move) keeps the
+#: decision with the distinctive vocabulary.
+WEIGHT_CAP = 30
+
+#: language codes in argmax tie order
+LATIN_LANGS: tuple[str, ...] = tuple(lang for lang, _ in STOPWORD_FREQ)
+
+#: tokenizer shared by the Spark expression and the SQL oracle: lower-
+#: case, split on any non-letter run (keeps accented letters together)
+TOKEN_SPLIT_RE = r"[^\p{L}]+"
+
+
+def _weight_vocab() -> dict[str, list[int]]:
+    """word -> weight vector (one slot per language, table order)."""
+    vocab: dict[str, list[int]] = {}
+    for i, (_lang, words) in enumerate(STOPWORD_FREQ):
+        for word, weight in words:
+            vocab.setdefault(word, [0] * len(STOPWORD_FREQ))[i] = min(
+                weight, WEIGHT_CAP
+            )
+    return dict(sorted(vocab.items()))
+
+
+def _scores_sql(text_col: str) -> str:
+    """SQL for the per-document score vector: ONE token pass — map
+    lookup per token (misses filter out), zip_with fold of the hits.
+    The map/array literals are constants; everything stays JVM-side."""
+    n = len(STOPWORD_FREQ)
+    entries = ", ".join(
+        "'{w}', array({v})".format(
+            w=word.replace("'", "''"),
+            v=", ".join(f"{x}L" for x in vec),
+        )
+        for word, vec in _weight_vocab().items()
+    )
+    toks = f"split(lower({text_col}), '[^\\\\p{{L}}]+')"
+    return (
+        f"aggregate("
+        f"filter(transform({toks}, w -> map({entries})[w]), v -> v IS NOT NULL), "
+        f"array_repeat(CAST(0 AS BIGINT), {n}), "
+        f"(acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
+    )
+
+
+def stopword_scores(text_col: str = "text") -> Column:
+    """Per-document function-word score vector (``array<bigint>``, one
+    slot per :data:`LATIN_LANGS` entry) — the classifier's evidence,
+    exposed for auditing and thresholding."""
+    return F.expr(_scores_sql(text_col))
+
+
+def predicted_lang_latin(text_col: str = "text", default: str = "en") -> Column:
+    """Latin-script language ID: argmax of the function-word score
+    vector with :data:`STOPWORD_FREQ` tuple order breaking ties; a text
+    with ZERO function-word hits (code, name lists, an untabled
+    language) falls back to ``default`` — English is the web prior, and
+    adding a language = adding a table row.
+
+    The score vector is bound ONCE as a lambda variable (the
+    single-element-array + transform trick from ``word_shingles``), so
+    the token fold runs once per document, not once per comparison."""
+    branches = " ".join(
+        f"WHEN s[{i}] = array_max(s) THEN '{lang}'"
+        for i, lang in enumerate(LATIN_LANGS)
+    )
+    return F.expr(
+        f"transform(array({_scores_sql(text_col)}), s -> "
+        f"CASE WHEN array_max(s) <= 0 THEN '{default}' {branches} END)[0]"
+    )
+
+
+def oracle_scores_sql(text_col: str = "text") -> dict[str, str]:
+    """DuckDB replication of the scoring, GENERATED from the same
+    tables: language -> SQL expression for that language's score.  The
+    oracle classifies with literally the same weights and tokenizer, so
+    a Spark/DuckDB hash mismatch means a real engine divergence, not a
+    re-keyed fixture."""
+    toks = "string_split_regex(lower(" + text_col + "), '[^\\p{L}]+')"
+    out: dict[str, str] = {}
+    for lang, words in STOPWORD_FREQ:
+        cases = " ".join(
+            "WHEN '{w}' THEN {x}".format(
+                w=word.replace("'", "''"), x=min(weight, WEIGHT_CAP)
+            )
+            for word, weight in words
+        )
+        out[lang] = (
+            "list_sum(list_transform(" + toks + ", w -> CASE w " + cases +
+            " ELSE 0 END))"
+        )
+    return out
+
+
+def oracle_langid_select(
+    doc_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "lang",
+    default: str = "en",
+) -> str:
+    """Full DuckDB SELECT replicating :func:`predicted_lang_latin` over
+    ``doc_sql`` (a subquery producing ``(id_col, text_col)``), layered
+    so each language's score computes ONCE: inner select materializes
+    the per-language score columns, outer CASE does argmax with the
+    same tie order and zero-hit default as the Spark side."""
+    scores = oracle_scores_sql(text_col)
+    inner_cols = ", ".join(
+        "(" + scores[lang] + ") AS s_" + lang for lang in LATIN_LANGS
+    )
+    best = "greatest(" + ", ".join("s_" + lang for lang in LATIN_LANGS) + ")"
+    branches = " ".join(
+        "WHEN s_" + lang + " = " + best + " THEN '" + lang + "'"
+        for lang in LATIN_LANGS
+    )
+    return (
+        "SELECT " + id_col + ", CASE WHEN " + best + " <= 0 THEN '" + default
+        + "' " + branches + " END AS " + out_col
+        + " FROM (SELECT " + id_col + ", " + inner_cols
+        + " FROM (" + doc_sql + "))"
+    )

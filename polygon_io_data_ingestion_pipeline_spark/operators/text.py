@@ -116,9 +116,13 @@ def predicted_lang_script(text_col: str = "text") -> Column:
     Chinese text has none), else the script with the most characters
     wins IF it covers a meaningful share of the document (>= 15% of
     characters, min 1 — mixed pages keep Latin URLs/numbers), else the
-    text is Latin-dominant and falls back to the keyword heuristic
-    (:func:`predicted_lang`), which is where per-language n-gram
-    profiles slot in.  All JVM regexp passes — no Python."""
+    text is Latin-dominant and falls back to the function-word
+    frequency classifier (:mod:`..functions.stopwords`
+    ``predicted_lang_latin`` — committed per-language stopword
+    frequency tables covering en/es/fr/de/it/pt/nl, compiled to one
+    JVM token pass).  All JVM expressions — no Python."""
+    from ..functions.stopwords import predicted_lang_latin
+
     col = F.col(text_col) if isinstance(text_col, str) else text_col
     counts = {
         lang: script_char_count(col, ranges) for lang, ranges in SCRIPT_RANGES
@@ -135,7 +139,7 @@ def predicted_lang_script(text_col: str = "text") -> Column:
         (counts["ja"] > 0) & ((counts["zh"] + counts["ja"]) >= best), F.lit("ja")
     ).otherwise(script_pick)
     return F.when(best >= threshold, script_pick).otherwise(
-        predicted_lang(text_col if isinstance(text_col, str) else "text")
+        predicted_lang_latin(text_col if isinstance(text_col, str) else "text")
     )
 
 

@@ -32,7 +32,36 @@ from ..operators import similarity as SIM
 from ..operators import text as T
 from ..operators.search import query_feature_hash_vector
 from ..sources import table
+from ..functions.stopwords import oracle_langid_select
 from ..functions.timeutil import epoch_to_timestamp
+
+#: page-like fixture texts for the Latin-script langid query — real
+#: sentences per language (the classifier's actual target: crawl body
+#: text, not the corpus's synthetic English).  Index = doc_id % 7,
+#: aligned with functions/stopwords.py LATIN_LANGS order.
+_LATIN_FIXTURES = (
+    "the committee said that it would publish the results of the study "
+    "next week. most of the members were in favour of the proposal and "
+    "the report will be available on the website.",
+    "el comité dijo que publicará los resultados del estudio la próxima "
+    "semana. la mayoría de los miembros estaba a favor de la propuesta "
+    "y el informe estará disponible en el sitio web.",
+    "le comité a déclaré qu'il publierait les résultats de l'étude la "
+    "semaine prochaine. la plupart des membres étaient favorables à la "
+    "proposition et le rapport sera disponible sur le site.",
+    "der ausschuss sagte dass er die ergebnisse der studie nächste "
+    "woche veröffentlichen werde. die meisten mitglieder waren für den "
+    "vorschlag und der bericht wird auf der website verfügbar sein.",
+    "il comitato ha detto che pubblicherà i risultati dello studio la "
+    "prossima settimana. la maggior parte dei membri era favorevole "
+    "alla proposta e il rapporto sarà disponibile sul sito.",
+    "o comité disse que vai publicar os resultados do estudo na próxima "
+    "semana. a maioria dos membros estava a favor da proposta e o "
+    "relatório estará disponível no site.",
+    "de commissie zei dat ze de resultaten van het onderzoek volgende "
+    "week zal publiceren. de meeste leden waren voor het voorstel en "
+    "het rapport zal op de website beschikbaar zijn.",
+)
 
 
 @dataclass
@@ -5191,6 +5220,38 @@ def docs_script_langid(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at(bodies, m + 1).alias("text"),
     )
     return docs.select("doc_id", predicted_lang_script("text").alias("lang"))
+
+
+@q(
+    "docs_latin_langid",
+    oracle=oracle_langid_select(
+        "SELECT doc_id, CASE CAST(doc_id % 7 AS INT) "
+        + " ".join(
+            "WHEN {i} THEN '{t}'".format(i=i, t=t.replace("'", "''"))
+            for i, t in enumerate(_LATIN_FIXTURES)
+        )
+        + " END AS text FROM documents"
+    ),
+    doc="Latin-script language ID over committed function-word "
+    "frequency tables (functions/stopwords.py predicted_lang_latin — "
+    "the predicted_lang_script fallback for Latin-dominant pages): "
+    "REAL page-like sentences in en/es/fr/de/it/pt/nl replace the "
+    "corpus text by doc_id%7, and the DuckDB oracle REPLICATES the "
+    "classifier (same weights, same tokenizer, same capped scores, "
+    "same argmax tie order — generated from the same STOPWORD_FREQ "
+    "tables), so a hash match certifies the scoring itself, not just "
+    "a restated construction.  One JVM token pass, zero Python.",
+    tags=("text",),
+)
+def docs_latin_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.stopwords import predicted_lang_latin
+
+    bodies = F.array(*[F.lit(t) for t in _LATIN_FIXTURES])
+    m = (F.col("doc_id") % 7).cast("int")
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.element_at(bodies, m + 1).alias("text")
+    )
+    return docs.select("doc_id", predicted_lang_latin("text").alias("lang"))
 
 
 @q(

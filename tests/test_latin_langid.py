@@ -1,0 +1,168 @@
+"""Latin-script language ID: real sentences in en/es/fr/de/it/pt/nl
+classify correctly from the committed function-word frequency tables
+(functions/stopwords.py), the DuckDB oracle generated from the same
+tables agrees exactly, and predicted_lang_script routes Latin-dominant
+pages through the classifier."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from polygon_io_data_ingestion_pipeline_spark.functions.stopwords import (
+    LATIN_LANGS,
+    STOPWORD_FREQ,
+    oracle_langid_select,
+    predicted_lang_latin,
+    stopword_scores,
+)
+
+# (expected lang, real text) — news/wiki/UI-register sentences, the
+# classifier's actual target.  Kept at natural sentence length and up;
+# single very short sentences with unlucky shared function words
+# ("il y a beaucoup de ...") can flip between related languages — the
+# known failure mode of every stopword/ngram classifier at that length
+# (the last fixture shows page length resolving exactly that case).
+MATRIX = [
+    ("en", "the weather was cold and the children stayed at home with their parents"),
+    ("en", "scientists have discovered that the ocean is warming faster than they thought"),
+    ("en", "please read the terms of service before you create an account on this website"),
+    ("en", "i do not know what to do with all of this but there must be a solution"),
+    ("es", "el tiempo era frío y los niños se quedaron en casa con sus padres"),
+    ("es", "los investigadores descubrieron que el océano se está calentando más rápido de lo que pensaban"),
+    ("es", "por favor lea los términos de servicio antes de crear una cuenta en este sitio"),
+    ("es", "no sé qué hacer con todo esto pero creo que hay una solución posible"),
+    ("fr", "le temps était froid et les enfants sont restés à la maison avec leurs parents"),
+    ("fr", "les chercheurs ont découvert que l'océan se réchauffe plus vite que prévu"),
+    ("fr", "veuillez lire les conditions d'utilisation avant de créer un compte sur ce site"),
+    ("fr", "je ne sais pas quoi faire de tout cela mais il doit y avoir une solution"),
+    ("de", "das wetter war kalt und die kinder blieben mit ihren eltern zu hause"),
+    ("de", "forscher haben entdeckt dass sich der ozean schneller erwärmt als gedacht"),
+    ("de", "bitte lesen sie die nutzungsbedingungen bevor sie ein konto auf dieser website erstellen"),
+    ("de", "ich weiß nicht was ich mit all dem machen soll aber es gibt eine lösung"),
+    ("it", "il tempo era freddo e i bambini sono rimasti a casa con i loro genitori"),
+    ("it", "i ricercatori hanno scoperto che l'oceano si sta riscaldando più velocemente del previsto"),
+    ("it", "si prega di leggere i termini di servizio prima di creare un account su questo sito"),
+    ("it", "non so cosa fare con tutto questo ma credo che ci sia una soluzione"),
+    ("pt", "o tempo estava frio e as crianças ficaram em casa com os seus pais"),
+    ("pt", "os pesquisadores descobriram que o oceano está aquecendo mais rápido do que pensavam"),
+    ("pt", "por favor leia os termos de serviço antes de criar uma conta neste site"),
+    ("pt", "ela disse que não sabia onde ele estava nem quando ia voltar para casa"),
+    ("nl", "het weer was koud en de kinderen bleven thuis bij hun ouders"),
+    ("nl", "onderzoekers hebben ontdekt dat de oceaan sneller opwarmt dan gedacht"),
+    ("nl", "lees de gebruiksvoorwaarden voordat je een account aanmaakt op deze website"),
+    ("nl", "ik weet niet wat ik hiermee moet doen maar er is vast een oplossing"),
+    # page length resolves the short-sentence ambiguity: the same
+    # il-y-a opener inside a realistic paragraph classifies fr
+    ("fr", "il y a beaucoup de choses que nous ne savons pas encore sur "
+           "cette question. les études publiées jusqu'à présent ne "
+           "permettent pas de conclure, et les chercheurs demandent des "
+           "données supplémentaires avant de se prononcer."),
+]
+
+
+def _classify(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return [
+        r["lang"]
+        for r in df.select("doc_id", predicted_lang_latin("text").alias("lang"))
+        .orderBy("doc_id")
+        .collect()
+    ]
+
+
+def test_real_sentences_classify_correctly(spark):
+    got = _classify(spark, [t for _, t in MATRIX])
+    assert got == [lang for lang, _ in MATRIX]
+
+
+def test_duckdb_oracle_replicates_classifier(spark):
+    """The oracle is GENERATED from the same STOPWORD_FREQ tables —
+    DuckDB must agree with Spark on every fixture (same tokenizer,
+    same capped weights, same tie order)."""
+    got = _classify(spark, [t for _, t in MATRIX])
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO d VALUES (?, ?)", list(enumerate(t for _, t in MATRIX))
+    )
+    ora = [
+        lang
+        for _i, lang in con.execute(
+            oracle_langid_select("SELECT doc_id, text FROM d")
+            + " ORDER BY doc_id"
+        ).fetchall()
+    ]
+    assert got == ora
+
+
+def test_zero_hits_fall_back_to_default(spark):
+    assert _classify(spark, ["zxqj kwv plorth", ""]) == ["en", "en"]
+
+
+def test_tie_order_is_table_order(spark):
+    # a token carrying equal weight in two languages resolves to the
+    # earlier table entry: 'quando' is 2 in es? no — build a true tie
+    # from the tables ('cuando' es-only; 'quando' it=2/pt=2 -> it wins)
+    assert _classify(spark, ["quando quando"]) == ["it"]
+    assert LATIN_LANGS.index("it") < LATIN_LANGS.index("pt")
+
+
+def test_scores_vector_exposes_evidence(spark):
+    df = spark.createDataFrame([("le chat et le chien",)], "text string")
+    scores = df.select(stopword_scores("text").alias("s")).first()["s"]
+    assert len(scores) == len(STOPWORD_FREQ)
+    fr = LATIN_LANGS.index("fr")
+    assert scores[fr] == max(scores) and scores[fr] > 0
+
+
+def test_script_langid_routes_latin_to_stopword_classifier(spark):
+    """predicted_lang_script: script-separable languages keep their
+    script verdict; Latin-dominant text now gets the real classifier
+    (a German page must come back de, not the old marker-table junk)."""
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        predicted_lang_script,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "Привет мир как дела сегодня утром"),
+            (2, "das wetter war kalt und die kinder blieben mit ihren eltern zu hause"),
+            (3, "el tiempo era frío y los niños se quedaron en casa con sus padres"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", predicted_lang_script("text").alias("lang")).collect()
+    }
+    assert got == {1: "ru", 2: "de", 3: "es"}
+
+
+def test_plan_stays_native(spark):
+    df = spark.createDataFrame([("le chat",)], "text string")
+    plan = (
+        df.select(predicted_lang_latin("text"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+
+
+def test_weights_are_sane():
+    """Table hygiene: codes unique, words lowercase and non-empty,
+    weights positive, every language has enough vocabulary to
+    discriminate."""
+    assert len({lang for lang, _ in STOPWORD_FREQ}) == len(STOPWORD_FREQ)
+    for lang, words in STOPWORD_FREQ:
+        assert len(words) >= 35, lang
+        seen = set()
+        for w, x in words:
+            assert w and w == w.lower() and x > 0, (lang, w)
+            assert w not in seen, (lang, w)
+            seen.add(w)
