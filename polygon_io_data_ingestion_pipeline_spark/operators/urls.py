@@ -116,3 +116,49 @@ def url_dedup(
         .drop("__rk", "__norm")
     )
     return kept.unionByName(null_part)
+
+
+def crawl_frontier(
+    outlinks: DataFrame,
+    fetched: DataFrame,
+    dst_col: str = "dst",
+    fetched_url_col: str = "url",
+    honor_nofollow: bool = True,
+) -> DataFrame:
+    """Outlink edges + already-fetched URLs -> the fetch FRONTIER:
+    one row per normalized not-yet-fetched destination,
+    ``(url, in_refs)`` with ``in_refs`` = number of DISTINCT referring
+    pages (the standard crawl-priority signal: a page many fetched
+    pages point at is worth fetching first).
+
+    Both sides normalize (:func:`url_normalized`) so tracking-param /
+    fragment / case variants neither duplicate frontier entries nor
+    sneak past the fetched set; ``rel=nofollow`` edges are excluded by
+    default (they are explicitly marked "don't endorse/crawl").  The
+    representative raw URL per group is the lexicographic minimum —
+    deterministic across runs.
+
+    Scale shape: one left-anti hash join on the normalized key (the
+    fetched side is typically the smaller — AQE broadcasts it when so)
+    plus one partial-agg shuffle for the distinct-referrer count; no
+    windows, no Python."""
+    edges = outlinks
+    if honor_nofollow and "nofollow" in outlinks.columns:
+        edges = edges.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
+    cand = edges.select(
+        url_normalized(F.col(dst_col)).alias("_dst_n"),
+        F.col(dst_col).alias("_dst_raw"),
+        F.col("src").alias("_src"),
+    ).filter(F.col("_dst_n").isNotNull())
+    seen = fetched.select(
+        url_normalized(F.col(fetched_url_col)).alias("_dst_n")
+    ).filter(F.col("_dst_n").isNotNull()).distinct()
+    return (
+        cand.join(seen, "_dst_n", "left_anti")
+        .groupBy("_dst_n")
+        .agg(
+            F.min("_dst_raw").alias("url"),
+            F.countDistinct("_src").alias("in_refs"),
+        )
+        .select("url", "in_refs")
+    )

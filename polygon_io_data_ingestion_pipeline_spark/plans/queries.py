@@ -5255,6 +5255,88 @@ def docs_latin_langid(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_outlink_graph",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CAST((doc_id * 7) % 40 AS VARCHAR) AS tgt,
+         CAST((doc_id + 1) % 5 AS VARCHAR) AS peer
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, host,
+         'http://' || host || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><a href="/p' || tgt || '">to ' || tgt || '</a>'
+         || '<a href="http://h' || peer || '.example/p'
+         || CAST(doc_id AS VARCHAR) || '" rel="nofollow">peer</a>'
+         || '<a href="mailto:team@example.com">mail</a>'
+         || '<a href="#top">top</a></body></html>' AS html
+  FROM d
+),
+tags AS (
+  SELECT url, host,
+         unnest(regexp_extract_all(html,
+                '<a href="[^"]*"[^>]*>[^<]*</a>')) AS tag
+  FROM pages
+),
+links AS (
+  SELECT url AS src, host,
+         regexp_extract(tag, '<a href="([^"]*)"', 1) AS href,
+         contains(tag, 'nofollow') AS nofollow
+  FROM tags
+),
+resolved AS (
+  SELECT src,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href LIKE '/%' THEN 'http://' || host || href END AS dst,
+         nofollow
+  FROM links
+  WHERE href NOT LIKE 'mailto:%' AND href NOT LIKE '#%'
+),
+edges AS (SELECT src, dst FROM resolved WHERE NOT nofollow)
+SELECT dst AS url, CAST(count(DISTINCT src) AS BIGINT) AS in_refs
+FROM edges
+WHERE dst NOT IN (SELECT url FROM pages)
+GROUP BY dst
+""",
+    doc="HTML outlink extraction -> web link graph -> crawl frontier "
+    "(sources/archive.py extract_outlinks + operators/urls.py "
+    "crawl_frontier): synthetic pages carry a root-relative link, a "
+    "nofollow cross-host link, a mailto and a fragment; the real "
+    "HTML-parser walk (Arrow-batched mapInPandas — the one declared "
+    "Python lane) extracts and absolutizes hrefs, nofollow edges are "
+    "excluded, and the frontier aggregates distinct referrers per "
+    "not-yet-fetched normalized destination.  The oracle RE-EXTRACTS "
+    "the links with DuckDB regexps from the same constructed HTML and "
+    "replays resolution + anti-join + distinct-count, so the hash "
+    "certifies extraction semantics, not a restated construction.",
+    tags=("text", "graph"),
+)
+def docs_outlink_graph(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.urls import crawl_frontier
+    from ..sources.archive import extract_outlinks
+
+    d = table(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example"))
+    tgt = ((F.col("doc_id") * 7) % 40).cast("string")
+    peer = ((F.col("doc_id") + 1) % 5).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/p'), tgt, F.lit('">to '), tgt, F.lit("</a>"),
+        F.lit('<a href="http://h'), peer, F.lit(".example/p"),
+        F.col("doc_id").cast("string"), F.lit('" rel="nofollow">peer</a>'),
+        F.lit('<a href="mailto:team@example.com">mail</a>'),
+        F.lit('<a href="#top">top</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("payload"),
+    )
+    edges = extract_outlinks(pages)
+    return crawl_frontier(edges, pages.select("url"))
+
+
+@q(
     "docs_robots_filter",
     oracle="""
 SELECT doc_id,

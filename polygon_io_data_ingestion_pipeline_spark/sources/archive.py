@@ -801,3 +801,148 @@ def html_to_text(
     payloads yield NULL text (quarantine rows)."""
     extract = _extract_main_text if main_content else _extract_text
     return _decoded_text_column(df, extract, payload_col, out_col, content_type_col)
+
+
+# --- HTML -> outlinks -------------------------------------------------------
+
+
+def _extract_links(html: str, base_url: str | None) -> list[tuple[str, str, bool]]:
+    """Every ``<a href>`` of an HTML document as
+    ``(absolute_url, anchor_text, nofollow)``: hrefs resolve against
+    the page URL (or a ``<base href>`` when the document declares one —
+    first wins, per the HTML spec), ``rel`` values containing
+    ``nofollow`` flag the link, and non-web schemes (``mailto:``,
+    ``javascript:``, ``tel:`` ...) plus same-page fragment links drop.
+
+    Resolution runs here in the walk (``urllib.parse.urljoin``) rather
+    than as a column expression because RELATIVE resolution — ``../``
+    collapsing, directory-relative paths, query-only hrefs — is RFC
+    3986 merge logic that ``try_parse_url`` (an absolute-URL parser)
+    cannot express; the walk is already per-document Python on the
+    Arrow-batched lane, so the join is free."""
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+
+    class _Links(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.links: list[tuple[str, str, bool]] = []
+            self.base: str | None = None
+            self.skip = 0
+            self.cur: tuple[str, bool] | None = None  # (href, nofollow)
+            self.cur_text: list[str] = []
+
+        def _finish(self):
+            if self.cur is not None:
+                href, nofollow = self.cur
+                text = " ".join("".join(self.cur_text).split())
+                self.links.append((href, text, nofollow))
+            self.cur, self.cur_text = None, []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP_TAGS:
+                self.skip += 1
+                return
+            if tag == "base" and self.base is None:
+                href = dict(attrs).get("href")
+                if href:
+                    self.base = href
+            if tag == "a":
+                # browsers auto-close an open <a> at the next <a>
+                self._finish()
+                a = dict(attrs)
+                href = a.get("href")
+                if href:
+                    rel = (a.get("rel") or "").lower()
+                    self.cur = (href, "nofollow" in rel)
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP_TAGS:
+                if self.skip:
+                    self.skip -= 1
+                return
+            if tag == "a":
+                self._finish()
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            if self.cur is not None:
+                self.cur_text.append(data)
+
+    p = _Links()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # best effort on malformed markup; keep what parsed
+    p._finish()
+
+    base = p.base or base_url or ""
+    if p.base and base_url:
+        # a relative <base href> itself resolves against the page URL
+        base = urljoin(base_url, p.base)
+    out: list[tuple[str, str, bool]] = []
+    for href, text, nofollow in p.links:
+        href = href.strip()
+        if not href or href.startswith("#"):
+            continue  # same-page fragment
+        try:
+            absu = urljoin(base, href)
+        except ValueError:
+            continue
+        if not absu.lower().startswith(("http://", "https://")):
+            continue  # mailto:, javascript:, tel:, data:, ...
+        out.append((absu, text, nofollow))
+    return out
+
+
+def extract_outlinks(
+    df: DataFrame,
+    payload_col: str = "payload",
+    url_col: str = "url",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Binary HTML page rows -> one row per outlink:
+    ``(src, dst, anchor, nofollow)`` with ``dst`` absolutized against
+    the page URL / ``<base href>`` — the edge list of the web link
+    graph.  Charset-aware decode (same BOM > header > meta > utf-8
+    cascade as :func:`html_to_text`); undecodable or unparseable pages
+    contribute no edges.
+
+    Scale shape: map-side only (Arrow-batched ``mapInPandas``, one
+    parse per page, rows fan out within the task) — no shuffle; feed
+    the result to ``operators/graph.py:pagerank`` for centrality or to
+    ``operators/urls.py:crawl_frontier`` for the fetch frontier."""
+    if content_type_col is None and "content_type" in df.columns:
+        content_type_col = "content_type"
+    schema = "src string, dst string, anchor string, nofollow boolean"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            src, dst, anchor, nofollow = [], [], [], []
+            ctypes = (
+                batch[content_type_col]
+                if content_type_col is not None
+                else [None] * len(batch)
+            )
+            for p, u, ct in zip(batch[payload_col], batch[url_col], ctypes):
+                if p is None:
+                    continue
+                try:
+                    raw, _enc, _ok = _decode_payload(
+                        bytes(p), ct if isinstance(ct, str) else None
+                    )
+                    links = _extract_links(raw, u)
+                except Exception:
+                    continue
+                for absu, text, nf in links:
+                    src.append(u)
+                    dst.append(absu)
+                    anchor.append(text)
+                    nofollow.append(nf)
+            yield pd.DataFrame(
+                {"src": src, "dst": dst, "anchor": anchor, "nofollow": nofollow}
+            )
+
+    return df.mapInPandas(run, schema=schema)
