@@ -308,7 +308,12 @@ def cmd_corpus(args: argparse.Namespace) -> int:
 
     from .operators.dedup import exact_duplicates
     from .operators.sampling import hash_split
-    from .operators.text import pii_redact, quality_filter
+    from .operators.text import (
+        STOPWORDS,
+        multilingual_stopwords,
+        pii_redact,
+        quality_filter,
+    )
     from .sources.jsonl import read_jsonl, write_jsonl
 
     spark = get_spark("poly-corpus", master=args.master)
@@ -439,7 +444,13 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         )
 
     passthrough = tuple(c for c in docs.columns if c != "doc_id")
-    gated = quality_filter(docs, keep_cols=passthrough)
+    # crawls are multilingual: the English-only stopword signal would
+    # reject clean foreign-language pages as gibberish (JSONL/parquet
+    # corpora keep the default to match the docs_corpus_prep oracle)
+    gate_words = (
+        multilingual_stopwords() if args.input_format == "warc" else STOPWORDS
+    )
+    gated = quality_filter(docs, keep_cols=passthrough, stopwords=gate_words)
     # Multi-consumer frame (the dedup-representatives branch AND the
     # semi-join back) atop the full parse+scrub+gate lineage — persist
     # it or the whole corpus re-reads once per consumer, exactly the

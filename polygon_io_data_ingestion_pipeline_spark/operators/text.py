@@ -56,12 +56,29 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
     )
 
 
-def stopword_ratio(text_col: str = "text") -> Column:
-    quoted = ", ".join(f"'{w}'" for w in STOPWORDS)
+def stopword_ratio(
+    text_col: str = "text", words: tuple[str, ...] = STOPWORDS
+) -> Column:
+    quoted = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
     return F.expr(
         f"CAST(size(filter(split({text_col}, ' '), w -> w IN ({quoted}))) AS DOUBLE)"
         f" / size(split({text_col}, ' '))"
     )
+
+
+def multilingual_stopwords() -> tuple[str, ...]:
+    """The Gopher "natural language" stopword signal for a MULTILINGUAL
+    crawl: the English :data:`STOPWORDS` plus every function word from
+    the committed per-language frequency tables
+    (:mod:`..functions.stopwords`) — so a clean German or Portuguese
+    page is not rejected as gibberish for containing no English.  Pass
+    to :func:`quality_filter`'s ``stopwords`` parameter."""
+    from ..functions.stopwords import STOPWORD_FREQ
+
+    out = dict.fromkeys(STOPWORDS)
+    for _lang, pairs in STOPWORD_FREQ:
+        out.update(dict.fromkeys(w for w, _ in pairs))
+    return tuple(out)
 
 
 def marker_count(text_col: str, word: str) -> Column:
@@ -435,6 +452,7 @@ def quality_filter(
     max_top_bigram_frac: float = 0.5,
     keep_cols: tuple[str, ...] = (),
     bigram: str = "shuffle",
+    stopwords: tuple[str, ...] = STOPWORDS,
 ) -> DataFrame:
     """Composite Gopher/RefinedWeb-style document quality gate: the
     keep/drop decision a training pipeline applies before dedup, with
@@ -445,7 +463,10 @@ def quality_filter(
     - ``ok_length``     — token count in [min_tokens, max_tokens];
     - ``ok_word_len``   — mean word length in [min, max] (Gopher 3-10);
     - ``ok_stopwords``  — at least one stopword present (the Gopher
-      "natural language" signal; gibberish and code score zero);
+      "natural language" signal; gibberish and code score zero).  The
+      default ``stopwords`` set is the English :data:`STOPWORDS`; pass
+      :func:`multilingual_stopwords` for a multilingual crawl, where
+      an English-only set rejects clean foreign-language pages;
     - ``ok_repetition`` — duplicate-word ratio and top-bigram fraction
       below their caps (boilerplate/spam score high on both). A doc too
       short to have a bigram passes the bigram half vacuously.
@@ -473,7 +494,7 @@ def quality_filter(
             / token_count(text_col),
             6,
         ).alias("avg_word_len"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        F.round(stopword_ratio(text_col, stopwords), 6).alias("stopword_ratio"),
     ]
     if bigram == "mapside":
         # Shuffle-free, state-free: required for streaming (a streaming

@@ -64,16 +64,16 @@ def read_warc_stream(
     )
 
 
-def crawl_records_to_docs(
-    records: DataFrame, main_content: bool = False
+def crawl_records_to_recs(
+    records: DataFrame, robots_agent: str | None = None
 ) -> DataFrame:
-    """WARC record rows -> gated corpus documents (the batch transform
-    used inside foreachBatch, and reusable on any batch of records):
-    digest dedup -> text/* responses -> URL dedup -> charset-aware
-    extraction (HTML walk or plain decode; ``decode_ok=false`` mojibake
-    quarantined) -> language ID + fingerprint -> Gopher-style quality
-    gate.  Output: (doc_id, text, lang, source, url, fp, n_tokens)."""
-    from ..operators.text import predicted_lang_script, quality_filter
+    """WARC record rows -> deduplicated text responses: digest dedup
+    (revisit records honored) -> text/* responses -> URL dedup.  With
+    ``robots_agent`` set, the batch's own robots.txt captures (one per
+    host, latest wins) are parsed distributed and every record gains a
+    ``crawl_allowed`` column under RFC 9309 longest-match semantics for
+    that agent; the robots.txt fetches themselves drop (they are
+    compliance evidence, not corpus documents)."""
     from ..operators.urls import url_dedup
 
     recs = warc_digest_dedup(records).filter(
@@ -81,6 +81,36 @@ def crawl_records_to_docs(
         & F.col("content_type").startswith("text/")
     )
     recs = url_dedup(recs, order_col="warc_date")
+    if robots_agent is not None:
+        from ..operators.robots import (
+            latest_robots_captures,
+            parse_robots,
+            robots_allowed,
+        )
+
+        rules = parse_robots(latest_robots_captures(recs))
+        recs = robots_allowed(
+            recs.filter(~F.col("url").endswith("/robots.txt")),
+            rules,
+            agent=robots_agent,
+        )
+    return recs
+
+
+def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
+    """Deduplicated (and robots-gated, if enabled) text records ->
+    gated corpus documents: charset-aware extraction (HTML walk or
+    plain decode; ``decode_ok=false`` mojibake quarantined) -> language
+    ID + fingerprint -> Gopher-style quality gate (with the
+    MULTILINGUAL stopword signal: crawls are multilingual, and the
+    English-only set would reject clean foreign-language pages as
+    gibberish)."""
+    from ..operators.text import (
+        multilingual_stopwords,
+        predicted_lang_script,
+        quality_filter,
+    )
+
     html = recs.filter(F.col("content_type").startswith("text/html"))
     plain = recs.filter(~F.col("content_type").startswith("text/html"))
     parsed = html_to_text(html, main_content=main_content).unionByName(
@@ -93,7 +123,8 @@ def crawl_records_to_docs(
             F.xxhash64("url", "warc_date").alias("doc_id"),
             "text",
             # script-based first (crawls are multilingual and the decode
-            # upstream is charset-correct), keyword heuristic for Latin
+            # upstream is charset-correct), the function-word frequency
+            # classifier for Latin-dominant pages
             predicted_lang_script("text").alias("lang"),
             F.element_at(F.split("warc_file", "/"), -1).alias("source"),
             "url",
@@ -104,10 +135,31 @@ def crawl_records_to_docs(
         docs,
         keep_cols=("text", "lang", "source", "url", "fp"),
         bigram="mapside",
+        stopwords=multilingual_stopwords(),
     )
     return gated.filter(F.col("keep")).select(
         "doc_id", "text", "lang", "source", "url", "fp", "n_tokens"
     )
+
+
+def crawl_records_to_docs(
+    records: DataFrame,
+    main_content: bool = False,
+    robots_agent: str | None = None,
+) -> DataFrame:
+    """WARC record rows -> gated corpus documents (the batch transform
+    used inside foreachBatch, and reusable on any batch of records):
+    :func:`crawl_records_to_recs` (dedup + optional robots compliance)
+    then :func:`_recs_to_docs` (extraction + quality gate).  With
+    ``robots_agent`` set, records disallowed by their host's robots
+    rules are dropped before any extraction is paid.  Output:
+    (doc_id, text, lang, source, url, fp, n_tokens) — deterministic on
+    a fixed record batch, so a foreachBatch replay rewrites its
+    batch directory byte-for-byte."""
+    recs = crawl_records_to_recs(records, robots_agent=robots_agent)
+    if robots_agent is not None:
+        recs = recs.filter(F.col("crawl_allowed")).drop("crawl_allowed")
+    return _recs_to_docs(recs, main_content=main_content)
 
 
 def write_crawl_batch(
@@ -116,19 +168,37 @@ def write_crawl_batch(
     lake_path: str,
     main_content: bool = False,
     exact_history: bool = False,
+    robots_agent: str | None = None,
 ) -> None:
     """foreachBatch sink: records -> documents -> idempotent corpus
     commit.  The docs frame feeds one sink write but its lineage tops a
     NON-SPLITTABLE decompress+parse; persist for the sink's own
     multi-pass (exact-history anti-join reads it twice) and unpersist
     before returning — a long-running stream must not leak one cached
-    frame per batch."""
-    docs = crawl_records_to_docs(batch_df, main_content=main_content).persist()
+    frame per batch.
+
+    With ``robots_agent`` set, the record stage is persisted too (the
+    blocked-count audit and the doc pipeline both read it — without
+    this each would re-walk every crawl file) and the per-batch robots
+    accounting prints to the driver log, mirroring the CLI's."""
+    recs = None
+    if robots_agent is not None:
+        recs = crawl_records_to_recs(batch_df, robots_agent=robots_agent).persist()
+        n_blocked = recs.filter(~F.col("crawl_allowed")).count()
+        print(f"robots[batch {batch_id}]: blocked={n_blocked}")
+        docs = _recs_to_docs(
+            recs.filter(F.col("crawl_allowed")).drop("crawl_allowed"),
+            main_content=main_content,
+        ).persist()
+    else:
+        docs = crawl_records_to_docs(batch_df, main_content=main_content).persist()
     try:
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
         sink(docs, batch_id, lake_path)
     finally:
         docs.unpersist()
+        if recs is not None:
+            recs.unpersist()
 
 
 def start_crawl_ingest(
@@ -138,12 +208,22 @@ def start_crawl_ingest(
     checkpoint: str,
     main_content: bool = False,
     exact_history: bool = False,
+    robots_agent: str | None = None,
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
     resumes from the checkpoint: files already processed are never
     re-read, and a replayed in-flight batch rewrites its own batch
-    directory byte-for-byte (idempotent sink)."""
+    directory byte-for-byte (idempotent sink — robots gating is
+    deterministic per batch, so it preserves that contract).
+
+    ``robots_agent`` (e.g. ``"*"``) replays each batch's own robots.txt
+    captures as a compliance gate: disallowed pages are rejected with
+    per-batch accounting in the driver log.  Captures ride the same
+    crawl files (Common Crawl ships robots fetches alongside pages); a
+    host whose robots.txt is absent from the batch defaults to allowed,
+    so for cross-batch robots state keep the captures in each segment
+    or gate again lake-side with the batch CLI's ``--robots``."""
     return (
         read_warc_stream(spark, src_glob)
         .writeStream.foreachBatch(
@@ -152,6 +232,7 @@ def start_crawl_ingest(
                 lake_path=lake_path,
                 main_content=main_content,
                 exact_history=exact_history,
+                robots_agent=robots_agent,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -126,3 +126,46 @@ def test_crawl_batch_transform_replay_identity(spark, tmp_path):
     one = sorted(map(tuple, crawl_records_to_docs(recs).collect()))
     two = sorted(map(tuple, crawl_records_to_docs(recs).collect()))
     assert one == two and len(one) == 2
+
+
+FRENCH = (
+    "le gouvernement a annoncé que les résultats de l'étude seront "
+    "publiés la semaine prochaine et que les chercheurs pourront enfin "
+    "comparer les données avec celles des années précédentes"
+)
+
+
+def test_crawl_robots_gate_rejects_disallowed_and_keeps_multilingual(spark, tmp_path):
+    """robots_agent: the batch's own robots.txt captures gate the
+    pages — a disallowed URL never reaches the lake, the robots.txt
+    fetch itself is evidence (not a document), and a clean French page
+    lands with lang='fr' (multilingual stopword gate + real Latin
+    langid).  Replay of the same records is byte-identical."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import read_warc
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt = tmp_path / "lake", tmp_path / "ckpt"
+    robots = b"User-agent: *\nDisallow: /private/\n"
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/robots.txt",
+                     _http(robots, ctype=b"text/plain")),
+        _warc_record("response", "http://x.example/public/ok", _http(_page(GOOD_A))),
+        _warc_record("response", "http://x.example/private/secret", _http(_page(GOOD_B))),
+        _warc_record("response", "http://fr.example/article", _http(_page(FRENCH))),
+    ])
+    _drain(spark, src, lake, ckpt, robots_agent="*")
+    rows = {r["url"]: r for r in spark.read.parquet(str(lake)).collect()}
+    assert set(rows) == {"http://x.example/public/ok", "http://fr.example/article"}
+    assert rows["http://fr.example/article"]["lang"] == "fr"
+    assert rows["http://x.example/public/ok"]["lang"] == "en"
+
+    # replay identity: the gated transform is deterministic on a fixed
+    # batch (the exactly-once contract of the batch-keyed sink)
+    recs = read_warc(spark, str(src))
+    one = sorted(map(tuple, crawl_records_to_docs(recs, robots_agent="*").collect()))
+    two = sorted(map(tuple, crawl_records_to_docs(recs, robots_agent="*").collect()))
+    assert one == two
+    assert sorted(r[4] for r in one) == [
+        "http://fr.example/article", "http://x.example/public/ok",
+    ]
