@@ -335,9 +335,15 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # duplicate markers, whose content_type would not survive the
         # filter — and it collapses exact duplicates before any HTML
         # parse or payload hash is paid.
+        # text/* pages plus application/pdf: crawls carry PDFs, and the
+        # decode lane extracts their text (quarantining encrypted/exotic
+        # ones) instead of dropping them as non-text
         raw = warc_digest_dedup(read_warc(spark, args.src)).filter(
             (F.col("record_type") == "response")
-            & F.col("content_type").startswith("text/")
+            & (
+                F.col("content_type").startswith("text/")
+                | (F.col("content_type") == "application/pdf")
+            )
         ).persist()
         # refetches of the same page (tracking params, fragments, case)
         # collapse to the earliest fetch BEFORE any text extraction —

@@ -719,7 +719,14 @@ def _decoded_text_column(
 ) -> DataFrame:
     """Shared Arrow-batched decode lane: charset-sniffed strict decode
     (-> ``charset``/``decode_ok`` columns), then ``extract`` (identity
-    for plain text, the HTML walks for pages)."""
+    for plain text, the HTML walks for pages).  ``%PDF-`` payloads are
+    magic-sniffed FIRST and route through the baseline PDF text codec
+    (:mod:`...multimodal.pdf`) — charset-decoding PDF bytes would only
+    produce mojibake; extracted documents report ``charset='pdf'``,
+    quarantined ones (encrypted, exotic filters, CID fonts) come back
+    NULL with ``decode_ok=false``, the same accounting as mojibake."""
+    from ..multimodal.pdf import PdfFormatError, extract_pdf_text
+
     if content_type_col is None and "content_type" in df.columns:
         content_type_col = "content_type"
     out_fields = ", ".join(
@@ -740,6 +747,15 @@ def _decoded_text_column(
                     texts.append(None)
                     charsets.append(None)
                     oks.append(None)
+                    continue
+                if bytes(p[:5]) == b"%PDF-":
+                    try:
+                        texts.append(extract_pdf_text(bytes(p)))
+                        oks.append(True)
+                    except Exception:  # PdfFormatError + parser surprises
+                        texts.append(None)
+                        oks.append(False)
+                    charsets.append("pdf")
                     continue
                 try:
                     raw, enc, ok = _decode_payload(

@@ -78,7 +78,10 @@ def crawl_records_to_recs(
 
     recs = warc_digest_dedup(records).filter(
         (F.col("record_type") == "response")
-        & F.col("content_type").startswith("text/")
+        & (
+            F.col("content_type").startswith("text/")
+            | (F.col("content_type") == "application/pdf")
+        )
     )
     recs = url_dedup(recs, order_col="warc_date")
     if robots_agent is not None:

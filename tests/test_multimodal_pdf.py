@@ -1,0 +1,192 @@
+"""Baseline PDF text extraction: object scan, Flate streams, object
+streams, content-stream text operators, string syntax, typed
+quarantines — and the decode-lane integration."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
+    PdfFormatError,
+    UNSUPPORTED_FEATURES,
+    extract_pdf_text,
+)
+
+
+def _pdf(objects: dict[int, bytes], trailer: bytes = b"<< /Root 1 0 R >>") -> bytes:
+    out = [b"%PDF-1.5"]
+    for num in sorted(objects):
+        out.append(b"%d 0 obj\n" % num + objects[num] + b"\nendobj")
+    out.append(b"trailer\n" + trailer + b"\nstartxref\n0\n%%EOF")
+    return b"\n".join(out)
+
+
+def _stream_obj(d: bytes, payload: bytes) -> bytes:
+    return d + b"\nstream\n" + payload + b"\nendstream"
+
+
+def _doc(content: bytes, flate: bool = False, extra: dict[int, bytes] | None = None) -> bytes:
+    payload = zlib.compress(content) if flate else content
+    filt = b" /Filter /FlateDecode" if flate else b""
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"<< /Length %d%s >>" % (len(payload), filt), payload
+        ),
+    }
+    if extra:
+        objs.update(extra)
+    return _pdf(objs)
+
+
+def test_plain_content_stream():
+    pdf = _doc(b"BT /F1 12 Tf 72 720 Td (Hello World) Tj ET")
+    assert extract_pdf_text(pdf) == "Hello World"
+
+
+def test_flate_stream_lines_and_tj_kerning():
+    content = (
+        b"BT 72 720 Td (First line) Tj 0 -14 Td "
+        b"[(Se) -50 (cond) -250 (word)] TJ T* (Third) Tj ET"
+    )
+    pdf = _doc(content, flate=True)
+    # -50 is glyph kerning (joined); -250 becomes a word space
+    assert extract_pdf_text(pdf) == "First line\nSecond word\nThird"
+
+
+def test_string_syntax_escapes_octal_nesting_hex():
+    content = (
+        rb"BT (paren \( pair \) kept) Tj "
+        rb"0 -14 Td (octal \101\102\103) Tj "
+        b"0 -14 Td ((nested) parens) Tj "
+        b"0 -14 Td <48 65 78> Tj ET"
+    )
+    assert extract_pdf_text(_doc(content)) == (
+        "paren ( pair ) kept\noctal ABC\n(nested) parens\nHex"
+    )
+
+
+def test_multiple_pages_and_contents_array():
+    c1, c2a, c2b = b"BT (page one) Tj ET", b"BT (two-a) Tj ET", b"BT (two-b) Tj ET"
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length %d >>" % len(c1), c1),
+        5: b"<< /Type /Page /Parent 2 0 R /Contents [6 0 R 7 0 R] >>",
+        6: _stream_obj(b"<< /Length %d >>" % len(c2a), c2a),
+        7: _stream_obj(b"<< /Length %d >>" % len(c2b), c2b),
+    })
+    assert extract_pdf_text(pdf) == "page one\ntwo-a\ntwo-b"
+
+
+def test_indirect_length_resolves():
+    content = b"BT (indirect) Tj ET"
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length 5 0 R >>", content),
+        5: b"%d" % len(content),
+    })
+    assert extract_pdf_text(pdf) == "indirect"
+
+
+def test_object_stream_page_tree():
+    """PDF 1.5: the page objects live compressed inside a /ObjStm."""
+    inner = (
+        b"<< /Type /Catalog /Pages 2 0 R >>"
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+        b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    )
+    o1 = b"<< /Type /Catalog /Pages 2 0 R >>"
+    o2 = b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    o3 = b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    header = b"1 0 2 %d 3 %d " % (len(o1), len(o1) + len(o2))
+    payload = zlib.compress(header + o1 + o2 + o3)
+    content = b"BT (from objstm) Tj ET"
+    pdf = _pdf({
+        9: _stream_obj(
+            b"<< /Type /ObjStm /N 3 /First %d /Length %d /Filter /FlateDecode >>"
+            % (len(header), len(payload)),
+            payload,
+        ),
+        4: _stream_obj(b"<< /Length %d >>" % len(content), content),
+    }, trailer=b"<< /Root 1 0 R >>")
+    assert inner  # fixture sanity
+    assert extract_pdf_text(pdf) == "from objstm"
+
+
+def test_quarantines_are_typed():
+    ok = _doc(b"BT (x) Tj ET")
+    with pytest.raises(PdfFormatError, match="header"):
+        extract_pdf_text(b"GIF89a not a pdf")
+    with pytest.raises(PdfFormatError, match="encrypted"):
+        extract_pdf_text(ok.replace(
+            b"<< /Root 1 0 R >>", b"<< /Root 1 0 R /Encrypt 9 0 R >>"
+        ))
+    with pytest.raises(PdfFormatError, match="filter"):
+        extract_pdf_text(_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: _stream_obj(b"<< /Length 4 /Filter /DCTDecode >>", b"\xff\xd8\xff\xe0"),
+        }))
+    with pytest.raises(PdfFormatError, match="DecodeParms"):
+        extract_pdf_text(_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: _stream_obj(
+                b"<< /Length 2 /Filter /FlateDecode "
+                b"/DecodeParms << /Predictor 12 >> >>", b"xx",
+            ),
+        }))
+    with pytest.raises(PdfFormatError, match="Identity-H"):
+        extract_pdf_text(_doc(
+            b"BT (x) Tj ET",
+            extra={8: b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"},
+        ))
+    with pytest.raises(PdfFormatError, match="page"):
+        extract_pdf_text(_pdf({1: b"<< /Type /Catalog >>"}))
+
+
+def test_docstring_matches_unsupported_features():
+    """Drift guard (the decode_jpeg convention): every quarantined class
+    named in UNSUPPORTED_FEATURES appears in the module docstring."""
+    import polygon_io_data_ingestion_pipeline_spark.multimodal.pdf as mod
+
+    for feat in UNSUPPORTED_FEATURES:
+        assert feat.split("/")[0].split()[0].lower() in mod.__doc__.lower(), feat
+
+
+def test_decode_lane_routes_pdf(spark):
+    """decode_text_members: %PDF- payloads extract through the codec
+    (charset='pdf', decode_ok=true); quarantined PDFs come back NULL
+    with decode_ok=false (the mojibake accounting); plain text still
+    charset-decodes."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        decode_text_members,
+    )
+
+    good = _doc(b"BT (report body text) Tj ET", flate=True)
+    bad = _doc(b"BT (x) Tj ET").replace(
+        b"<< /Root 1 0 R >>", b"<< /Root 1 0 R /Encrypt 9 0 R >>"
+    )
+    df = spark.createDataFrame(
+        [
+            ("a.pdf", good, "application/pdf"),
+            ("b.pdf", bad, "application/pdf"),
+            ("c.txt", "plain words".encode(), "text/plain"),
+        ],
+        "member string, payload binary, content_type string",
+    )
+    rows = {r["member"]: r for r in decode_text_members(df).collect()}
+    assert rows["a.pdf"]["text"] == "report body text"
+    assert rows["a.pdf"]["charset"] == "pdf" and rows["a.pdf"]["decode_ok"] is True
+    assert rows["b.pdf"]["text"] is None and rows["b.pdf"]["decode_ok"] is False
+    assert rows["c.txt"]["text"] == "plain words"
