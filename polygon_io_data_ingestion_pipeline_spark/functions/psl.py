@@ -12,7 +12,10 @@ file format (``//`` comments, ``*.`` wildcard rules, ``!`` exception
 rules), covering the second-level country registries and hosting
 platforms a crawl actually hits; swap in the full upstream file verbatim
 to widen coverage — the parser and the expression builder handle the
-complete rule grammar:
+complete rule grammar, and the expression strategy is PROVEN at full
+upstream scale (~9,500 rules) by ``tests/test_psl_full_scale.py``,
+with :func:`registrable_domain_join` as the constant-plan-size
+broadcast-join alternative for even larger (org-private) lists:
 
 1. a rule matches a host when the host's trailing labels equal the rule
    (a ``*`` consumes exactly one extra label);
@@ -468,11 +471,28 @@ _MAX_PS_LABELS = max(
 _IPV4 = r"^\d{1,3}(\.\d{1,3}){3}$"
 
 
-def public_suffix_labels(host) -> Column:
+def _max_ps_labels(rules) -> int:
+    exact, wildcard, exception = rules
+    return max(
+        [*(exact or {0: []}), *[k + 1 for k in wildcard], *[k - 1 for k in exception], 1]
+    )
+
+
+def public_suffix_labels(host, rules=None) -> Column:
     """Label count of the host's public suffix under the snapshot —
     the longest matching rule (exceptions win, then wildcards count one
     extra label, default ``*`` = 1).  Pure expression, statically
-    unrolled to the snapshot's deepest rule."""
+    unrolled to the snapshot's deepest rule.
+
+    ``rules`` (a :func:`parse_psl` triple) swaps in another rule set —
+    e.g. the full upstream list; the expression strategy is proven to
+    full-PSL scale by ``tests/test_psl_full_scale.py``, and
+    :func:`registrable_domain_join` is the broadcast-join alternative
+    for rule sets beyond even that."""
+    exact, wildcard, exception = rules if rules is not None else (
+        _EXACT, _WILDCARD, _EXCEPTION
+    )
+    max_ps = _max_ps_labels((exact, wildcard, exception))
     col = F.lower(host if isinstance(host, Column) else F.col(host))
     labels = F.split(col, r"\.")
     n = F.size(labels)
@@ -484,28 +504,28 @@ def public_suffix_labels(host) -> Column:
         return F.concat_ws(".", F.slice(labels, F.greatest(n - F.lit(i - 1), F.lit(1)), i))
 
     candidates: list[Column] = [F.lit(1)]
-    for i in range(1, _MAX_PS_LABELS + 1):
-        if i in _EXACT:
+    for i in range(1, max_ps + 1):
+        if i in exact:
             candidates.append(
                 F.when(
-                    (n >= i) & F.array_contains(F.lit(_EXACT[i]), suffix(i)),
+                    (n >= i) & F.array_contains(F.lit(exact[i]), suffix(i)),
                     F.lit(i),
                 ).otherwise(0)
             )
-        if i in _WILDCARD:
+        if i in wildcard:
             candidates.append(
                 F.when(
-                    (n > i) & F.array_contains(F.lit(_WILDCARD[i]), suffix(i)),
+                    (n > i) & F.array_contains(F.lit(wildcard[i]), suffix(i)),
                     F.lit(i + 1),
                 ).otherwise(0)
             )
     best = F.greatest(*candidates) if len(candidates) > 1 else candidates[0]
     exc_hits = [
         F.when(
-            (n >= i) & F.array_contains(F.lit(_EXCEPTION[i]), suffix(i)),
+            (n >= i) & F.array_contains(F.lit(exception[i]), suffix(i)),
             F.lit(i - 1),
         ).otherwise(0)
-        for i in sorted(_EXCEPTION)
+        for i in sorted(exception)
     ]
     if exc_hits:
         exc = F.greatest(*exc_hits) if len(exc_hits) > 1 else exc_hits[0]
@@ -513,7 +533,7 @@ def public_suffix_labels(host) -> Column:
     return best
 
 
-def registrable_domain(host) -> Column:
+def registrable_domain(host, rules=None) -> Column:
     """The host's registrable ("eTLD+1") domain under the committed PSL
     snapshot: ``bbc.co.uk`` -> ``bbc.co.uk``, ``a.b.github.io`` ->
     ``b.github.io``, ``city.kobe.jp`` -> ``city.kobe.jp`` (exception
@@ -523,9 +543,88 @@ def registrable_domain(host) -> Column:
     col = F.lower(host if isinstance(host, Column) else F.col(host))
     labels = F.split(col, r"\.")
     n = F.size(labels)
-    ps = public_suffix_labels(col)
+    ps = public_suffix_labels(col, rules=rules)
     # start clamped for the same reason as suffix(): unused when n<=ps
     reg = F.concat_ws(".", F.slice(labels, F.greatest(n - ps, F.lit(1)), ps + 1))
     return F.when(
         col.isNotNull() & ~col.rlike(_IPV4) & (n > ps), reg
+    )
+
+
+def registrable_domain_join(
+    df, host_col: str = "host", rules=None, out_col: str = "url_domain"
+):
+    """DataFrame-level registrable-domain lookup via a BROADCAST rule
+    join — the above-expression-scale strategy: where the unrolled
+    expression carries every rule as array literals in the plan, this
+    keeps the rules in a (tiny) broadcast table, so plan size stays
+    constant no matter how large the list grows (full upstream PSL,
+    org-private suffix lists, ...).
+
+    Shape: DISTINCT hosts explode to their <= max-depth trailing-label
+    candidates (bounded by the deepest rule, not by data), one
+    broadcast hash join on the candidate string, one partial-agg max
+    per host, then a hash join back onto ``df`` (row multiplicity
+    preserved).  Same semantics as :func:`registrable_domain`
+    (exceptions beat wildcards, longest wins, default ``*`` = 1; NULL
+    for public-suffix-only / single-label / IPv4 / NULL hosts),
+    equality-tested against the expression path in
+    ``tests/test_psl_full_scale.py``."""
+    exact, wildcard, exception = rules if rules is not None else (
+        _EXACT, _WILDCARD, _EXCEPTION
+    )
+    max_ps = _max_ps_labels((exact, wildcard, exception))
+    spark = df.sparkSession
+    rows = (
+        [(n_, i, False) for i, names in exact.items() for n_ in names]
+        + [(n_, i + 1, False) for i, names in wildcard.items() for n_ in names]
+        + [(n_, i - 1, True) for i, names in exception.items() for n_ in names]
+    )
+    rtable = spark.createDataFrame(rows, "_sfx string, _ps int, _exc boolean")
+
+    hosts = df.select(F.col(host_col).alias("_h")).distinct()
+    col = F.lower(F.col("_h"))
+    labels = F.split(col, r"\.")
+    n = F.size(labels)
+    cands = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    n >= F.lit(i),
+                    F.concat_ws(
+                        ".",
+                        F.slice(labels, F.greatest(n - F.lit(i - 1), F.lit(1)), i),
+                    ),
+                )
+                for i in range(1, max_ps + 1)
+            ]
+        )
+    )
+    keyed = hosts.select("_h", F.explode_outer(cands).alias("_cand"))
+    hits = keyed.join(F.broadcast(rtable), keyed["_cand"] == rtable["_sfx"], "left")
+    # a candidate of length i can only have matched a host with >= i
+    # trailing labels, so exact (_ps = i) and exception (_ps = i - 1)
+    # hits are always valid; a WILDCARD hit (_ps = base + 1) needs one
+    # label beyond its base — exactly n >= _ps, which covers all three
+    n2 = F.size(F.split(F.lower(F.col("_h")), r"\."))
+    ps_valid = F.when(F.col("_ps").isNotNull() & (n2 >= F.col("_ps")), F.col("_ps"))
+    agg = hits.groupBy("_h").agg(
+        F.max(F.when(F.col("_exc"), ps_valid)).alias("_eps"),
+        F.max(
+            F.when(~F.coalesce(F.col("_exc"), F.lit(False)), ps_valid)
+        ).alias("_rps"),
+    )
+    ps = F.coalesce(F.col("_eps"), F.greatest(F.col("_rps"), F.lit(1)), F.lit(1))
+    labels3 = F.split(F.lower(F.col("_h")), r"\.")
+    n3 = F.size(labels3)
+    reg = F.concat_ws(".", F.slice(labels3, F.greatest(n3 - ps, F.lit(1)), ps + 1))
+    domains = agg.select(
+        "_h",
+        F.when(
+            F.col("_h").isNotNull() & ~F.lower(F.col("_h")).rlike(_IPV4) & (n3 > ps),
+            reg,
+        ).alias(out_col),
+    )
+    return df.join(
+        domains.withColumnRenamed("_h", host_col), host_col, "left"
     )
