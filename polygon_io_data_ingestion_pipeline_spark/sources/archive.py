@@ -962,3 +962,149 @@ def extract_outlinks(
             )
 
     return df.mapInPandas(run, schema=schema)
+
+
+# --- HTML -> page metadata ---------------------------------------------------
+
+
+def _extract_page_meta(html: str, base_url: str | None) -> dict:
+    """Head metadata of an HTML document: ``title``, ``meta
+    description``, canonical URL (resolved against the page URL /
+    ``<base href>``), the ``<html lang>`` attribute, and the robots
+    meta directives (``noindex``/``nofollow``) — the page-level
+    counterparts of robots.txt (``noindex`` pages must drop from a
+    compliant corpus, ``canonical`` collapses syndicated copies ahead
+    of content dedup, declared ``lang`` cross-checks langid)."""
+    from html.parser import HTMLParser
+    from urllib.parse import urljoin
+
+    class _Meta(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.title: str | None = None
+            self.in_title = 0
+            self.title_parts: list[str] = []
+            self.description: str | None = None
+            self.canonical: str | None = None
+            self.lang: str | None = None
+            self.noindex = False
+            self.nofollow = False
+            self.base: str | None = None
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "html" and self.lang is None:
+                self.lang = a.get("lang") or None
+            elif tag == "base" and self.base is None and a.get("href"):
+                self.base = a["href"]
+            elif tag == "title" and self.title is None:
+                self.in_title += 1
+            elif tag == "meta":
+                name = (a.get("name") or a.get("property") or "").lower()
+                content = a.get("content")
+                if name == "description" and content and self.description is None:
+                    self.description = " ".join(content.split())
+                elif name == "robots" and content:
+                    vals = {v.strip().lower() for v in content.split(",")}
+                    self.noindex = self.noindex or "noindex" in vals or "none" in vals
+                    self.nofollow = self.nofollow or "nofollow" in vals or "none" in vals
+            elif tag == "link":
+                rels = (a.get("rel") or "").lower().split()
+                if "canonical" in rels and a.get("href") and self.canonical is None:
+                    self.canonical = a["href"]
+
+        def handle_endtag(self, tag):
+            if tag == "title" and self.in_title:
+                self.in_title = 0
+                if self.title is None:
+                    self.title = " ".join("".join(self.title_parts).split()) or None
+
+        def handle_data(self, data):
+            if self.in_title:
+                self.title_parts.append(data)
+
+    p = _Meta()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass  # best effort on malformed markup; keep what parsed
+    if p.in_title and p.title is None:  # unclosed <title>
+        p.title = " ".join("".join(p.title_parts).split()) or None
+    canonical = None
+    if p.canonical:
+        base = base_url or ""
+        if p.base:
+            base = urljoin(base_url or "", p.base)
+        try:
+            resolved = urljoin(base, p.canonical.strip())
+            if resolved.lower().startswith(("http://", "https://")):
+                canonical = resolved
+        except ValueError:
+            canonical = None
+    return {
+        "title": p.title,
+        "meta_description": p.description,
+        "canonical_url": canonical,
+        "html_lang": p.lang,
+        "meta_noindex": p.noindex,
+        "meta_nofollow": p.nofollow,
+    }
+
+
+def extract_page_meta(
+    df: DataFrame,
+    payload_col: str = "payload",
+    url_col: str = "url",
+    content_type_col: str | None = None,
+) -> DataFrame:
+    """Binary HTML page rows -> the input columns plus ``title``,
+    ``meta_description``, ``canonical_url`` (absolutized),
+    ``html_lang``, ``meta_noindex``, ``meta_nofollow``.
+
+    A compliant corpus drops ``meta_noindex`` pages (the page-level
+    robots channel), collapses ``canonical_url`` groups ahead of
+    content dedup (syndicated copies declare the same canonical), and
+    cross-checks ``html_lang`` against the statistical langid.  Same
+    Arrow-batched charset-aware lane as :func:`html_to_text` /
+    :func:`extract_outlinks`; undecodable pages yield NULL metadata."""
+    if content_type_col is None and "content_type" in df.columns:
+        content_type_col = "content_type"
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    schema = (
+        f"{out_fields}, title string, meta_description string, "
+        "canonical_url string, html_lang string, "
+        "meta_noindex boolean, meta_nofollow boolean"
+    )
+    cols = [
+        "title", "meta_description", "canonical_url", "html_lang",
+        "meta_noindex", "meta_nofollow",
+    ]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas: list[dict] = []
+            ctypes = (
+                batch[content_type_col]
+                if content_type_col is not None
+                else [None] * len(batch)
+            )
+            for p, u, ct in zip(batch[payload_col], batch[url_col], ctypes):
+                if p is None:
+                    metas.append({})
+                    continue
+                try:
+                    raw, _enc, _ok = _decode_payload(
+                        bytes(p), ct if isinstance(ct, str) else None
+                    )
+                    metas.append(_extract_page_meta(raw, u))
+                except Exception:
+                    metas.append({})
+            batch = batch.copy()
+            for c in cols:
+                batch[c] = [m.get(c) for m in metas]
+            yield batch
+
+    return df.mapInPandas(run, schema=schema)
