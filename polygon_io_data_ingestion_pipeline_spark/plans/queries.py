@@ -5337,6 +5337,80 @@ def docs_outlink_graph(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_web_pagerank",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CAST((doc_id * 7) % 40 AS VARCHAR) AS tgt
+  FROM documents
+),
+pages AS (
+  SELECT 'http://' || host || '/p' || CAST(doc_id AS VARCHAR) AS src,
+         'http://' || host || '/p' || tgt AS dst
+  FROM d
+),
+edges AS (SELECT DISTINCT src, dst FROM pages),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+r0 AS (SELECT node, CAST(coalesce(od, 0) AS BIGINT) AS od,
+              round(1.0 / n, 12) AS rank
+       FROM nodes LEFT JOIN odeg USING (node), nn),
+e1 AS (SELECT e.dst AS u,
+              CAST(round(r.rank / r.od * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM edges e JOIN r0 r ON r.node = e.src AND r.od > 0),
+s1 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e1 GROUP BY u),
+d1 AS (SELECT CAST(coalesce(sum(CAST(round(rank * 1000000000000.0, 0) AS BIGINT)), 0) AS BIGINT) AS dang
+       FROM r0 WHERE od = 0),
+r1 AS (SELECT r0.node, r0.od,
+              round(0.15 / nn.n + 0.85 * (coalesce(s1.s, 0) / 1000000000000.0
+                    + d1.dang / 1000000000000.0 / nn.n), 12) AS rank
+       FROM r0 LEFT JOIN s1 ON s1.u = r0.node, nn, d1),
+e2 AS (SELECT e.dst AS u,
+              CAST(round(r.rank / r.od * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM edges e JOIN r1 r ON r.node = e.src AND r.od > 0),
+s2 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e2 GROUP BY u),
+d2 AS (SELECT CAST(coalesce(sum(CAST(round(rank * 1000000000000.0, 0) AS BIGINT)), 0) AS BIGINT) AS dang
+       FROM r1 WHERE od = 0),
+r2 AS (SELECT r1.node, r1.od,
+              round(0.15 / nn.n + 0.85 * (coalesce(s2.s, 0) / 1000000000000.0
+                    + d2.dang / 1000000000000.0 / nn.n), 12) AS rank
+       FROM r1 LEFT JOIN s2 ON s2.u = r1.node, nn, d2)
+SELECT node, od AS out_degree, rank FROM r2
+""",
+    doc="Directed PageRank over the real web link graph "
+    "(operators/graph.py pagerank_directed fed by sources/archive.py "
+    "extract_outlinks): the outlink fixture's followed edges — "
+    "endorsement-directional, with crawl-frontier leaves as DANGLING "
+    "nodes whose mass redistributes uniformly (rank conserved).  Two "
+    "power iterations, each one keyed join + one partial-agg shuffle "
+    "+ a one-row dangling aggregate; ranks quantize to 12 decimals "
+    "and contributions/dangling mass sum as scaled BIGINTs, so the "
+    "oracle (the SAME iterations unrolled in SQL) reproduces the "
+    "trajectory exactly.",
+    tags=("graph",),
+)
+def docs_web_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import pagerank_directed
+    from ..sources.archive import extract_outlinks
+
+    d = table(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example"))
+    tgt = ((F.col("doc_id") * 7) % 40).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/p'), tgt, F.lit('">to '), tgt,
+        F.lit("</a></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("payload"),
+    )
+    edges = extract_outlinks(pages).select("src", "dst").distinct()
+    return pagerank_directed(edges, iters=2)
+
+
+@q(
     "docs_robots_filter",
     oracle="""
 SELECT doc_id,
@@ -5732,11 +5806,16 @@ PINNED_WINDOW = [
     "dedup_simhash_pairs",
     "dedup_duplicate_clusters",
     "docs_decontam_overlap",
-    # ANN family anchors (brute-force/IVF/PQ/semantic/kNN-join).
+    # ANN family anchors (brute-force/IVF/PQ/kNN-join).
+    # emb_semantic_dedup_clusters rotates as of round 9: it is the same
+    # CC label-propagation code path as dedup_duplicate_clusters (only
+    # the edge source differs) and the same embedding lane as the other
+    # emb anchors — the registry outgrew the <=4-round latency bound at
+    # 24 anchors, and trimming the most redundant one keeps every
+    # family represented AND the bound intact.
     "emb_cosine_topk",
     "emb_ivf_topk",
     "emb_pq_topk_rerank",
-    "emb_semantic_dedup_clusters",
     "emb_knn_join",
     # Text/LLM-pipeline anchors.
     "docs_token_stats",
