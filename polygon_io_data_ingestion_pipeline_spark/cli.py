@@ -357,6 +357,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             # captures would interleave line positions inside
             # parse_robots's per-host window and corrupt group recovery.
             from .operators.robots import (
+                is_robots_url,
                 latest_robots_captures,
                 parse_robots,
                 robots_allowed,
@@ -364,7 +365,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
 
             robots_txt = latest_robots_captures(raw)
             recs = robots_allowed(
-                recs.filter(~F.col("url").endswith("/robots.txt")),
+                recs.filter(~is_robots_url(F.col("url"))),
                 parse_robots(robots_txt),
             )
             n_robots_blocked = recs.filter(~F.col("crawl_allowed")).count()

@@ -463,19 +463,22 @@ def parse_psl(text: str) -> tuple[dict[int, list[str]], dict[int, list[str]], di
 
 
 _EXACT, _WILDCARD, _EXCEPTION = parse_psl(PSL_SNAPSHOT)
-# deepest suffix any rule can produce: bounds the unrolled probe chain
-_MAX_PS_LABELS = max(
-    [*(_EXACT or {0: []}), *[k + 1 for k in _WILDCARD], *[k - 1 for k in _EXCEPTION], 1]
-)
 
 _IPV4 = r"^\d{1,3}(\.\d{1,3}){3}$"
 
 
 def _max_ps_labels(rules) -> int:
+    """Deepest suffix any rule can produce: bounds the unrolled probe
+    chain / candidate explode."""
     exact, wildcard, exception = rules
     return max(
         [*(exact or {0: []}), *[k + 1 for k in wildcard], *[k - 1 for k in exception], 1]
     )
+
+
+#: snapshot depth (the helper applied to the snapshot — a hand-copied
+#: formula here would silently diverge on edits)
+_MAX_PS_LABELS = _max_ps_labels((_EXACT, _WILDCARD, _EXCEPTION))
 
 
 def public_suffix_labels(host, rules=None) -> Column:

@@ -84,7 +84,10 @@ def _parse_dict_region(body: bytes) -> bytes:
 
 
 def _dict_int(d: bytes, key: bytes) -> int | None:
-    m = re.search(rb"/" + key + rb"\s+(\d+)(?!\s+\d+\s+R)", d)
+    # \b before the lookahead: without it, '/Length 12 0 R' backtracks
+    # to match '1' (the lookahead rejects '12' but not its prefix) and
+    # returns a truncated bogus direct length instead of None
+    m = re.search(rb"/" + key + rb"\s+(\d+)\b(?!\s+\d+\s+R)", d)
     return int(m.group(1)) if m else None
 
 
@@ -94,14 +97,61 @@ def _dict_ref(d: bytes, key: bytes) -> int | None:
 
 
 def _scan_objects(data: bytes) -> dict[int, bytes]:
-    """object number -> raw object body (from after ``obj`` to the next
-    object header / xref / trailer / EOF).  Later definitions win —
-    incremental updates append replacements."""
-    headers = [(m.start(), m.end(), int(m.group(1))) for m in _OBJ_RE.finditer(data)]
+    """object number -> raw object body.  Later definitions win —
+    incremental updates append replacements.
+
+    Stream-aware: a body that opens a stream extends to its
+    ``endstream`` (located via ``/Length`` — direct or an
+    integer-object indirect ref — with a forward ``endstream`` search
+    as fallback), and header-shaped byte runs INSIDE that stream's
+    compressed data neither truncate it nor register garbage objects.
+    Without a usable Length, literal ``endstream`` bytes inside
+    compressed data can still end a stream early — the residual
+    xref-free ambiguity, quarantined downstream by the zlib error."""
+    # integer objects ('5 0 obj 42 endobj') pre-resolved for indirect
+    # /Length refs — these precede or follow their stream freely
+    int_objs = {
+        int(m.group(1)): int(m.group(2))
+        for m in re.finditer(rb"(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj", data)
+    }
+    headers = list(_OBJ_RE.finditer(data))
     objs: dict[int, bytes] = {}
-    for k, (_s, e, num) in enumerate(headers):
-        end = headers[k + 1][0] if k + 1 < len(headers) else len(data)
-        objs[num] = data[e:end]
+    consumed = 0
+    for k, m in enumerate(headers):
+        if m.start() < consumed:
+            continue  # header-shaped bytes inside a consumed stream
+        e, num = m.end(), int(m.group(1))
+        next_pos = len(data)
+        for m2 in headers[k + 1 :]:
+            if m2.start() >= e:
+                next_pos = m2.start()
+                break
+        seg = data[e:next_pos]
+        sm = re.search(rb"\bstream(\r\n|\n|\r)", seg)
+        if sm is None:
+            objs[num] = seg
+            consumed = next_pos
+            continue
+        sstart = e + sm.end()
+        d = _parse_dict_region(seg)
+        length = _dict_int(d, b"Length")
+        if length is None:
+            ref = _dict_ref(d, b"Length")
+            if ref is not None:
+                length = int_objs.get(ref)
+        end = -1
+        if length is not None and sstart + length <= len(data):
+            if re.match(rb"\s*endstream", data[sstart + length :]):
+                end = data.find(b"endstream", sstart + length)
+        if end < 0:
+            end = data.find(b"endstream", sstart)
+        if end < 0:
+            objs[num] = seg
+            consumed = next_pos
+            continue
+        bend = end + len(b"endstream")
+        objs[num] = data[e:bend]
+        consumed = bend
     return objs
 
 
@@ -200,14 +250,13 @@ def _parse_literal(content: bytes, i: int) -> tuple[bytes, int]:
         c = content[i : i + 1]
         if c == b"\\":
             nxt = content[i + 1 : i + 2]
+            oct_m = re.match(rb"[0-7]{1,3}", content[i + 1 : i + 4])
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
-            elif nxt.isdigit():
-                oct_digits = content[i + 1 : i + 4]
-                m = re.match(rb"[0-7]{1,3}", oct_digits)
-                out.append(int(m.group(0), 8) & 0xFF)
-                i += 1 + len(m.group(0))
+            elif oct_m:  # \8 and \9 are NOT octal: unknown-escape path
+                out.append(int(oct_m.group(0), 8) & 0xFF)
+                i += 1 + len(oct_m.group(0))
             elif nxt in (b"\n", b"\r"):  # line continuation
                 i += 2
                 if nxt == b"\r" and content[i : i + 1] == b"\n":
@@ -328,6 +377,47 @@ def _content_text(content: bytes) -> str:
     return "\n".join(out)
 
 
+def _page_order(objs: dict[int, bytes]) -> list[int]:
+    """Page object numbers in PAGE-TREE order: /Type /Catalog ->
+    /Pages -> depth-first /Kids walk (intermediate /Pages nodes
+    recursed, /Page leaves collected).  Object numbers do NOT encode
+    reading order — incremental updates append inserted pages with
+    high numbers — so the tree is authoritative; a missing or broken
+    tree falls back to object-number order over /Type /Page objects."""
+
+    def is_page(num: int) -> bool:
+        return num in objs and bool(
+            re.search(rb"/Type\s*/Page\b(?!s)", _parse_dict_region(objs[num]))
+        )
+
+    pages: list[int] = []
+    seen: set[int] = set()
+
+    def walk(num: int) -> None:
+        if num in seen or num not in objs:
+            return
+        seen.add(num)
+        d = _parse_dict_region(objs[num])
+        if is_page(num):
+            pages.append(num)
+            return
+        kids = re.search(rb"/Kids\s*\[([^\]]*)\]", d)
+        if kids:
+            for ref in re.findall(rb"(\d+)\s+\d+\s+R", kids.group(1)):
+                walk(int(ref))
+
+    for num in sorted(objs):
+        d = _parse_dict_region(objs[num])
+        if re.search(rb"/Type\s*/Catalog\b", d):
+            root = _dict_ref(d, b"Pages")
+            if root is not None:
+                walk(root)
+            break
+    if pages:
+        return pages
+    return [num for num in sorted(objs) if is_page(num)]
+
+
 def extract_pdf_text(data: bytes) -> str:
     """Text of every page's content stream(s), in page-tree order.
 
@@ -347,11 +437,7 @@ def extract_pdf_text(data: bytes) -> str:
     ):
         raise PdfFormatError("CID/Identity-H composite font")
 
-    pages: list[int] = []
-    for num in sorted(objs):
-        d = _parse_dict_region(objs[num])
-        if re.search(rb"/Type\s*/Page\b(?!s)", d):
-            pages.append(num)
+    pages = _page_order(objs)
     if not pages:
         raise PdfFormatError("no page objects found")
 

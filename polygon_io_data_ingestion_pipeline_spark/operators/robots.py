@@ -192,6 +192,16 @@ def robots_sitemaps(
     )
 
 
+def is_robots_url(url: Column) -> Column:
+    """True when ``url``'s path is exactly the root ``/robots.txt`` —
+    the only authoritative location (RFC 9309 §2.3).  Shared by rule
+    harvesting and by the record filters that keep the robots fetch
+    itself out of the corpus."""
+    return F.coalesce(
+        F.try_parse_url(url, F.lit("PATH")) == "/robots.txt", F.lit(False)
+    )
+
+
 def latest_robots_captures(
     records: DataFrame,
     url_col: str = "url",
@@ -208,15 +218,18 @@ def latest_robots_captures(
     partition and corrupt user-agent group recovery — so reduce to the
     latest capture per host FIRST (one row_number window over the tiny
     robots subset; ties break on URL so https beats http
-    deterministically).  robots.txt is ASCII-by-spec; a lossy decode of
-    a stray byte cannot flip a directive."""
+    deterministically).  Only the ROOT ``/robots.txt`` is authoritative
+    (RFC 9309 §2.3): the path must equal it exactly — a mirrored copy
+    at ``/static/robots.txt`` is just a file, and a suffix match would
+    let it replace the host's real rules.  robots.txt is ASCII-by-spec;
+    a lossy decode of a stray byte cannot flip a directive."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("host").orderBy(
         F.col("_ord").desc(), F.col("_turl").desc()
     )
     return (
-        records.filter(F.col(url_col).endswith("/robots.txt"))
+        records.filter(is_robots_url(F.col(url_col)))
         .select(
             F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST"))).alias("host"),
             F.col(payload_col).cast("string").alias("robots_txt"),

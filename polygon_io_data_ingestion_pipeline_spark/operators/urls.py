@@ -121,6 +121,7 @@ def url_dedup(
 def crawl_frontier(
     outlinks: DataFrame,
     fetched: DataFrame,
+    src_col: str = "src",
     dst_col: str = "dst",
     fetched_url_col: str = "url",
     honor_nofollow: bool = True,
@@ -148,7 +149,7 @@ def crawl_frontier(
     cand = edges.select(
         url_normalized(F.col(dst_col)).alias("_dst_n"),
         F.col(dst_col).alias("_dst_raw"),
-        F.col("src").alias("_src"),
+        F.col(src_col).alias("_src"),
     ).filter(F.col("_dst_n").isNotNull())
     seen = fetched.select(
         url_normalized(F.col(fetched_url_col)).alias("_dst_n")

@@ -76,24 +76,30 @@ def crawl_records_to_recs(
     compliance evidence, not corpus documents)."""
     from ..operators.urls import url_dedup
 
-    recs = warc_digest_dedup(records).filter(
+    responses = warc_digest_dedup(records).filter(
         (F.col("record_type") == "response")
         & (
             F.col("content_type").startswith("text/")
             | (F.col("content_type") == "application/pdf")
         )
     )
-    recs = url_dedup(recs, order_col="warc_date")
+    recs = url_dedup(responses, order_col="warc_date")
     if robots_agent is not None:
         from ..operators.robots import (
+            is_robots_url,
             latest_robots_captures,
             parse_robots,
             robots_allowed,
         )
 
-        rules = parse_robots(latest_robots_captures(recs))
+        # rules derive from the PRE-url-dedup responses (the CLI path's
+        # `raw`): url_dedup keeps the EARLIEST fetch per URL, which
+        # would invert latest-capture-wins when a robots.txt changed
+        # mid-crawl; digest dedup upstream already kept responses over
+        # (payload-less) revisit records
+        rules = parse_robots(latest_robots_captures(responses))
         recs = robots_allowed(
-            recs.filter(~F.col("url").endswith("/robots.txt")),
+            recs.filter(~is_robots_url(F.col("url"))),
             rules,
             agent=robots_agent,
         )

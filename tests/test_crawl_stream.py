@@ -169,3 +169,26 @@ def test_crawl_robots_gate_rejects_disallowed_and_keeps_multilingual(spark, tmp_
     assert sorted(r[4] for r in one) == [
         "http://fr.example/article", "http://x.example/public/ok",
     ]
+
+
+def test_streaming_robots_latest_capture_wins_over_url_dedup(spark, tmp_path):
+    """A robots.txt that TIGHTENED mid-crawl: url_dedup keeps the
+    earliest fetch per URL, but the rules must come from the LATEST
+    capture (regression: deriving rules post-url-dedup inverted this
+    and diverged from the CLI path)."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import read_warc
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/robots.txt",
+                     _http(b"User-agent: *\nDisallow:\n", ctype=b"text/plain")),
+        _warc_record("response", "http://x.example/robots.txt",
+                     _http(b"User-agent: *\nDisallow: /private/\n", ctype=b"text/plain"),
+                     extra="WARC-Date: 2026-08-15T00:00:00Z\r\n"),
+        _warc_record("response", "http://x.example/private/page", _http(_page(GOOD_A))),
+        _warc_record("response", "http://x.example/open/page", _http(_page(GOOD_B))),
+    ])
+    docs = crawl_records_to_docs(read_warc(spark, str(src)), robots_agent="*")
+    urls = sorted(r["url"] for r in docs.collect())
+    assert urls == ["http://x.example/open/page"]

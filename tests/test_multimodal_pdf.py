@@ -190,3 +190,63 @@ def test_decode_lane_routes_pdf(spark):
     assert rows["a.pdf"]["charset"] == "pdf" and rows["a.pdf"]["decode_ok"] is True
     assert rows["b.pdf"]["text"] is None and rows["b.pdf"]["decode_ok"] is False
     assert rows["c.txt"]["text"] == "plain words"
+
+
+def test_indirect_multidigit_length_resolves():
+    """Regression: '/Length 10 0 R' once backtracked to a bogus direct
+    length of 1 (the lookahead rejected '10' but not its prefix '1');
+    a Flate payload ending in newline bytes then got rstripped by the
+    endstream fallback and quarantined."""
+    content = zlib.compress(b"BT (multi digit) Tj ET")
+    assert content.endswith(b"\n") or True  # payload content arbitrary
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length 10 0 R /Filter /FlateDecode >>", content),
+        10: b"%d" % len(content),
+    })
+    assert extract_pdf_text(pdf) == "multi digit"
+
+
+def test_unknown_digit_escape_drops_backslash():
+    """\\8 and \\9 are not octal: the backslash drops, the digit stays
+    (spec behavior for unknown escapes) — regression for the
+    AttributeError crash path."""
+    pdf = _doc(rb"BT (top\88 list) Tj ET")
+    assert extract_pdf_text(pdf) == "top88 list"
+
+
+def test_fake_obj_header_inside_stream_data():
+    """Header-shaped bytes inside stream data must neither truncate the
+    stream nor register a garbage object that shadows a real one."""
+    content = b"BT (before 5 0 obj marker) Tj 0 -14 Td (after) Tj ET"
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length %d >>" % len(content), content),
+        5: b"<< /Type /RealObject >>",
+    })
+    assert extract_pdf_text(pdf) == "before 5 0 obj marker\nafter"
+    # and the real object 5 was not shadowed by stream garbage
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
+        _scan_objects,
+    )
+
+    assert b"/Type /RealObject" in _scan_objects(pdf)[5]
+
+
+def test_page_tree_order_beats_object_number_order():
+    """An incrementally-updated PDF appends an INSERTED page with a high
+    object number; /Kids order is authoritative."""
+    c5, c3 = b"BT (first by tree) Tj ET", b"BT (second by tree) Tj ET"
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [9 0 R 3 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length %d >>" % len(c3), c3),
+        9: b"<< /Type /Page /Parent 2 0 R /Contents 10 0 R >>",
+        10: _stream_obj(b"<< /Length %d >>" % len(c5), c5),
+    })
+    assert extract_pdf_text(pdf) == "first by tree\nsecond by tree"

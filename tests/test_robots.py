@@ -320,3 +320,22 @@ def test_sitemapindex_and_urlset_concatenated_per_block(spark):
     df = spark.createDataFrame([("m.example", mixed)], "host string, sitemap_xml string")
     got = {r["loc"]: r["is_index"] for r in parse_sitemaps(df).collect()}
     assert got == {"http://m.example/child.xml": True, "http://m.example/page": False}
+
+
+def test_non_root_robots_txt_is_not_authoritative(spark):
+    """Only the root /robots.txt governs a host (RFC 9309 §2.3): a
+    mirrored copy at /static/robots.txt — even newer — must not replace
+    the host's real rules."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        latest_robots_captures,
+    )
+
+    recs = spark.createDataFrame(
+        [
+            ("http://h.example/robots.txt", b"User-agent: *\nDisallow: /real/\n", "2026-01-01"),
+            ("http://h.example/static/robots.txt", b"User-agent: *\nDisallow: /mirror/\n", "2026-06-01"),
+        ],
+        "url string, payload binary, warc_date string",
+    )
+    got = {r["host"]: r["robots_txt"] for r in latest_robots_captures(recs).collect()}
+    assert list(got) == ["h.example"] and "/real/" in got["h.example"]
