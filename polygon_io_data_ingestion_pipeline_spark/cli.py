@@ -372,8 +372,37 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             recs = recs.filter(F.col("crawl_allowed")).drop("crawl_allowed")
             print(f"robots: blocked={n_robots_blocked}")
         html = recs.filter(F.col("content_type").startswith("text/html"))
+        if args.meta_robots or args.canonical_dedup:
+            # page-LEVEL compliance/canonicalization (an extra parser
+            # pass over the HTML lane — opt-in for that reason): robots
+            # meta noindex pages drop with accounting, and pages
+            # declaring rel=canonical collapse to one fetch per
+            # canonical target ahead of content dedup
+            from .sources.archive import extract_page_meta
+
+            html = extract_page_meta(html).persist()
+            if args.meta_robots:
+                n_noindex = html.filter(F.col("meta_noindex")).count()
+                html = html.filter(~F.coalesce(F.col("meta_noindex"), F.lit(False)))
+                print(f"meta-robots: noindex={n_noindex}")
+            if args.canonical_dedup:
+                from .operators.urls import url_dedup as _canon_dedup
+
+                html = _canon_dedup(
+                    html.withColumn(
+                        "_canon", F.coalesce(F.col("canonical_url"), F.col("url"))
+                    ),
+                    url_col="_canon",
+                    order_col="warc_date",
+                ).drop("_canon")
+            html = html.drop(
+                "title", "meta_description", "canonical_url", "html_lang",
+                "meta_noindex", "meta_nofollow",
+            )
         # non-HTML text rides the same charset-aware decode (the
-        # Content-Type charset param applies to text/plain too)
+        # Content-Type charset param applies to text/plain too);
+        # application/pdf payloads route through the PDF text codec
+        # inside that same lane (magic-sniffed)
         plain = decode_text_members(
             recs.filter(~F.col("content_type").startswith("text/html"))
         )
@@ -698,6 +727,19 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="drop pages disallowed by the robots.txt captures found "
         "in the crawl itself (--input-format warc)",
+    )
+    p.add_argument(
+        "--meta-robots",
+        action="store_true",
+        help="drop pages whose robots META tag declares noindex — the "
+        "page-level compliance channel (--input-format warc; extra "
+        "HTML parse pass)",
+    )
+    p.add_argument(
+        "--canonical-dedup",
+        action="store_true",
+        help="collapse pages declaring the same rel=canonical target "
+        "to one fetch before content dedup (--input-format warc)",
     )
     p.add_argument("--line-dedup-min-docs", type=int, default=2)
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")

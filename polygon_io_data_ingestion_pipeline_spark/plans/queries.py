@@ -5242,6 +5242,7 @@ def docs_script_langid(spark: SparkSession, sf: str) -> DataFrame:
     "tables), so a hash match certifies the scoring itself, not just "
     "a restated construction.  One JVM token pass, zero Python.",
     tags=("text",),
+    bench=True,
 )
 def docs_latin_langid(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.stopwords import predicted_lang_latin
@@ -5390,6 +5391,7 @@ SELECT node, od AS out_degree, rank FROM r2
     "oracle (the SAME iterations unrolled in SQL) reproduces the "
     "trajectory exactly.",
     tags=("graph",),
+    bench=True,
 )
 def docs_web_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.graph import pagerank_directed

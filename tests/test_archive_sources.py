@@ -597,3 +597,76 @@ def test_nested_same_name_plain_tag_keeps_boiler_scope():
     assert "Real body paragraph" in main
     assert "Inner chrome" not in main
     assert "Outer chrome after inner close" not in main
+
+
+def test_corpus_cli_meta_robots_canonical_and_pdf(spark, tmp_path, capsys):
+    """The page-level compliance journey: noindex pages drop with
+    accounting, rel=canonical duplicates collapse to one fetch, and an
+    application/pdf record extracts through the PDF codec — all in one
+    corpus command."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    body_text = (
+        "the data in a table is the value of the row and the key for the "
+        "batch while the line in a window is the part of the sort"
+    )
+    page = f"<html><body><p>{body_text}</p></body></html>".encode()
+    noindex_page = (
+        '<html><head><meta name="robots" content="noindex"></head>'
+        f"<body><p>{body_text} but this one said noindex</p></body></html>"
+    ).encode()
+    canon = (
+        '<html><head><link rel="canonical" href="http://x.example/canon">'
+        f"</head><body><p>{body_text} syndicated copy</p></body></html>"
+    ).encode()
+    pdf_words = " ".join(
+        ["a scan of the table shows the key and the value where the row of",
+         "the batch meets the line of the window in a sort of merge"]
+    )
+    pdf_stream = _zlib.compress(f"BT ({pdf_words}) Tj ET".encode())
+    pdf = b"\n".join([
+        b"%PDF-1.4",
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj",
+        b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj",
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj",
+        b"4 0 obj\n<< /Length %d /Filter /FlateDecode >>\nstream" % len(pdf_stream),
+        pdf_stream,
+        b"endstream\nendobj",
+        b"trailer\n<< /Root 1 0 R >>\n%%EOF",
+    ])
+    wdir = tmp_path / "crawl"
+    wdir.mkdir()
+    recs = [
+        _warc_record("response", "http://x.example/keep", _http_response(page)),
+        _warc_record("response", "http://x.example/hidden", _http_response(noindex_page)),
+        _warc_record("response", "http://x.example/copy-1", _http_response(canon)),
+        _warc_record("response", "http://x.example/copy-2", _http_response(canon)),
+        _warc_record(
+            "response", "http://x.example/report.pdf",
+            _http_response(pdf, ctype=b"application/pdf"),
+        ),
+    ]
+    (wdir / "c.warc.gz").write_bytes(b"".join(_gzip.compress(r) for r in recs))
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus", "--src", str(wdir), "--out", out,
+        "--input-format", "warc", "--meta-robots", "--canonical-dedup",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "meta-robots: noindex=1" in msg
+    rows = spark.read.parquet(out).collect()
+    urls = sorted(r["url"] for r in rows)
+    # noindex page dropped; the two canonical copies collapsed to the
+    # earliest fetch; the PDF extracted as a document
+    assert "http://x.example/hidden" not in urls
+    assert urls == [
+        "http://x.example/copy-1", "http://x.example/keep",
+        "http://x.example/report.pdf",
+    ]
+    by_url = {r["url"]: r["text"] for r in rows}
+    assert by_url["http://x.example/report.pdf"] == pdf_words
