@@ -125,6 +125,8 @@ def crawl_frontier(
     dst_col: str = "dst",
     fetched_url_col: str = "url",
     honor_nofollow: bool = True,
+    candidates: DataFrame | None = None,
+    candidate_col: str = "loc",
 ) -> DataFrame:
     """Outlink edges + already-fetched URLs -> the fetch FRONTIER:
     one row per normalized not-yet-fetched destination,
@@ -142,7 +144,12 @@ def crawl_frontier(
     Scale shape: one left-anti hash join on the normalized key (the
     fetched side is typically the smaller — AQE broadcasts it when so)
     plus one partial-agg shuffle for the distinct-referrer count; no
-    windows, no Python."""
+    windows, no Python.
+
+    ``candidates`` adds a referrer-less discovery channel — sitemap
+    ``loc`` entries (``operators/robots.py:parse_sitemaps``) union in
+    as frontier candidates whose ``in_refs`` counts only real
+    referring pages (0 when sitemap-only)."""
     edges = outlinks
     if honor_nofollow and "nofollow" in outlinks.columns:
         edges = edges.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
@@ -151,6 +158,14 @@ def crawl_frontier(
         F.col(dst_col).alias("_dst_raw"),
         F.col(src_col).alias("_src"),
     ).filter(F.col("_dst_n").isNotNull())
+    if candidates is not None:
+        cand = cand.unionByName(
+            candidates.select(
+                url_normalized(F.col(candidate_col)).alias("_dst_n"),
+                F.col(candidate_col).alias("_dst_raw"),
+                F.lit(None).cast("string").alias("_src"),
+            ).filter(F.col("_dst_n").isNotNull())
+        )
     seen = fetched.select(
         url_normalized(F.col(fetched_url_col)).alias("_dst_n")
     ).filter(F.col("_dst_n").isNotNull()).distinct()
@@ -163,3 +178,53 @@ def crawl_frontier(
         )
         .select("url", "in_refs")
     )
+
+
+def fetch_schedule(
+    frontier: DataFrame,
+    rules: DataFrame | None = None,
+    politeness: DataFrame | None = None,
+    agent: str = "*",
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier -> what a compliant crawler may fetch next, and how
+    fast: ``(url, in_refs, host, crawl_delay)`` with robots-disallowed
+    URLs dropped (``rules`` from ``operators/robots.py:parse_robots``,
+    RFC 9309 longest-match for ``agent``) and each host's declared
+    ``Crawl-delay`` attached (``politeness`` from
+    ``robots_politeness``; an exact-agent declaration overrides the
+    ``*`` group's, mirroring the rule-group semantics; hosts declaring
+    none get NULL — the scheduler's default applies).
+
+    The closing piece of the crawl loop: pages -> outlinks + sitemaps
+    -> :func:`crawl_frontier` -> this schedule -> fetcher.  Scale
+    shape: the robots evaluation is one hash join + per-row fold, the
+    politeness attach one more small join on host — nothing
+    driver-side."""
+    out = frontier
+    if rules is not None:
+        from .robots import robots_allowed
+
+        out = (
+            robots_allowed(out, rules, agent=agent, url_col=url_col)
+            .filter(F.col("crawl_allowed"))
+            .drop("crawl_allowed")
+        )
+    out = out.withColumn(
+        "host", F.lower(F.try_parse_url(F.col(url_col), F.lit("HOST")))
+    )
+    if politeness is None:
+        return out.withColumn("crawl_delay", F.lit(None).cast("double"))
+    agent = agent.lower()
+    exact = politeness.filter(F.col("agent") == agent)
+    star = politeness.filter(F.col("agent") == "*")
+    effective = (
+        exact.unionByName(
+            star.join(exact.select("host").distinct(), "host", "left_anti")
+        )
+        if agent != "*"
+        else star
+    )
+    return out.join(
+        effective.select("host", "crawl_delay"), "host", "left"
+    ).select(url_col, "in_refs", "host", "crawl_delay")

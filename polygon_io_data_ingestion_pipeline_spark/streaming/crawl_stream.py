@@ -178,6 +178,7 @@ def write_crawl_batch(
     main_content: bool = False,
     exact_history: bool = False,
     robots_agent: str | None = None,
+    outlinks_path: str | None = None,
 ) -> None:
     """foreachBatch sink: records -> documents -> idempotent corpus
     commit.  The docs frame feeds one sink write but its lineage tops a
@@ -189,19 +190,40 @@ def write_crawl_batch(
     With ``robots_agent`` set, the record stage is persisted too (the
     blocked-count audit and the doc pipeline both read it — without
     this each would re-walk every crawl file) and the per-batch robots
-    accounting prints to the driver log, mirroring the CLI's."""
+    accounting prints to the driver log, mirroring the CLI's.
+
+    With ``outlinks_path`` set, each batch ALSO emits its pages' link
+    edges (``sources/archive.py:extract_outlinks``) under
+    ``batch_id=N/`` — batch-keyed overwrite, so a replay rewrites the
+    same deterministic rows.  The edges table is what keeps the crawl
+    LOOP alive: join it with the lake's fetched URLs through
+    ``operators/urls.py:crawl_frontier`` / ``fetch_schedule`` to
+    produce the next fetch list."""
+    import os
+
     recs = None
-    if robots_agent is not None:
+    kept = None
+    if robots_agent is not None or outlinks_path is not None:
         recs = crawl_records_to_recs(batch_df, robots_agent=robots_agent).persist()
-        n_blocked = recs.filter(~F.col("crawl_allowed")).count()
-        print(f"robots[batch {batch_id}]: blocked={n_blocked}")
-        docs = _recs_to_docs(
-            recs.filter(F.col("crawl_allowed")).drop("crawl_allowed"),
-            main_content=main_content,
-        ).persist()
+        kept = recs
+        if robots_agent is not None:
+            n_blocked = recs.filter(~F.col("crawl_allowed")).count()
+            print(f"robots[batch {batch_id}]: blocked={n_blocked}")
+            kept = recs.filter(F.col("crawl_allowed")).drop("crawl_allowed")
+        docs = _recs_to_docs(kept, main_content=main_content).persist()
     else:
         docs = crawl_records_to_docs(batch_df, main_content=main_content).persist()
     try:
+        if outlinks_path is not None:
+            from ..sources.archive import extract_outlinks
+
+            (
+                extract_outlinks(
+                    kept.filter(F.col("content_type").startswith("text/html"))
+                )
+                .write.mode("overwrite")
+                .parquet(os.path.join(outlinks_path, f"batch_id={batch_id}"))
+            )
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
         sink(docs, batch_id, lake_path)
     finally:
@@ -218,6 +240,7 @@ def start_crawl_ingest(
     main_content: bool = False,
     exact_history: bool = False,
     robots_agent: str | None = None,
+    outlinks_path: str | None = None,
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
@@ -232,7 +255,12 @@ def start_crawl_ingest(
     crawl files (Common Crawl ships robots fetches alongside pages); a
     host whose robots.txt is absent from the batch defaults to allowed,
     so for cross-batch robots state keep the captures in each segment
-    or gate again lake-side with the batch CLI's ``--robots``."""
+    or gate again lake-side with the batch CLI's ``--robots``.
+
+    ``outlinks_path`` maintains a batch-keyed link-edge table alongside
+    the corpus — the discovery output that, joined with the lake's
+    fetched URLs (``crawl_frontier``/``fetch_schedule``), produces the
+    next drop of URLs to fetch: the crawl loop closes."""
     return (
         read_warc_stream(spark, src_glob)
         .writeStream.foreachBatch(
@@ -242,6 +270,7 @@ def start_crawl_ingest(
                 main_content=main_content,
                 exact_history=exact_history,
                 robots_agent=robots_agent,
+                outlinks_path=outlinks_path,
             )
         )
         .option("checkpointLocation", checkpoint)

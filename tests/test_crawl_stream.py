@@ -192,3 +192,38 @@ def test_streaming_robots_latest_capture_wins_over_url_dedup(spark, tmp_path):
     docs = crawl_records_to_docs(read_warc(spark, str(src)), robots_agent="*")
     urls = sorted(r["url"] for r in docs.collect())
     assert urls == ["http://x.example/open/page"]
+
+
+def test_streaming_outlinks_feed_the_next_frontier(spark, tmp_path):
+    """The crawl loop closes: drain a batch with outlinks_path set, the
+    edge table lands batch-keyed, and frontier(edges, lake) yields the
+    not-yet-fetched destinations for the next drop."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        crawl_frontier,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt, edges_dir = tmp_path / "lake", tmp_path / "ckpt", tmp_path / "edges"
+    page_a = (
+        f"<html><body><p>{GOOD_A}</p>"
+        '<a href="/b">b</a><a href="/undiscovered">n</a></body></html>'
+    ).encode()
+    page_b = f"<html><body><p>{GOOD_B}</p><a href='/undiscovered'>n</a></body></html>".encode()
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/a", _http(page_a)),
+        _warc_record("response", "http://x.example/b", _http(page_b)),
+    ])
+    _drain(spark, src, lake, ckpt, outlinks_path=str(edges_dir))
+    edges = spark.read.parquet(str(edges_dir))
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert ("http://x.example/a", "http://x.example/b") in got
+    assert ("http://x.example/a", "http://x.example/undiscovered") in got
+    fetched = spark.read.parquet(str(lake)).select("url")
+    frontier = {
+        r["url"]: r["in_refs"]
+        for r in crawl_frontier(edges, fetched).collect()
+    }
+    # /b was fetched this batch -> not frontier; /undiscovered has two
+    # distinct referrers and is the next fetch
+    assert frontier == {"http://x.example/undiscovered": 2}

@@ -170,3 +170,71 @@ def test_pagerank_over_extracted_web_graph(spark):
     hub = ranks.pop("http://h.example/hub")
     assert hub == max([hub, *ranks.values()])
     assert hub > ranks["http://h.example/p2"]
+
+
+def test_sitemap_candidates_join_the_frontier(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        crawl_frontier,
+    )
+
+    edges = spark.createDataFrame(
+        [("http://h.example/a", "http://h.example/new", False)],
+        "src string, dst string, nofollow boolean",
+    )
+    sitemap = spark.createDataFrame(
+        [("http://h.example/new#frag",), ("http://h.example/sitemap-only",),
+         ("http://h.example/a",)],
+        "loc string",
+    )
+    fetched = spark.createDataFrame([("http://h.example/a",)], "url string")
+    got = {
+        r["url"]: r["in_refs"]
+        for r in crawl_frontier(edges, fetched, candidates=sitemap).collect()
+    }
+    # sitemap-only URL arrives with 0 referrers; the fragment variant
+    # of /new normalizes into the same frontier row (1 real referrer);
+    # the already-fetched /a never re-enters
+    assert got == {"http://h.example/new": 1, "http://h.example/sitemap-only": 0}
+
+
+def test_fetch_schedule_closes_the_crawl_loop(spark):
+    """pages -> robots(+politeness) -> frontier -> schedule: disallowed
+    URLs drop, crawl_delay attaches per host with exact-agent override,
+    undeclared hosts get NULL."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_robots,
+        robots_politeness,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        fetch_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [
+            ("slow.example",
+             "User-agent: *\nCrawl-delay: 10\nDisallow: /private/\n"
+             "User-agent: fastbot\nCrawl-delay: 1\nDisallow: /private/\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [
+            ("http://slow.example/page", 3),
+            ("http://slow.example/private/x", 9),
+            ("http://quiet.example/page", 1),
+        ],
+        "url string, in_refs long",
+    )
+    rules, polite = parse_robots(robots), robots_politeness(robots)
+    star = {
+        r["url"]: (r["crawl_delay"], r["host"])
+        for r in fetch_schedule(frontier, rules, polite).collect()
+    }
+    assert "http://slow.example/private/x" not in star
+    assert star["http://slow.example/page"] == (10.0, "slow.example")
+    assert star["http://quiet.example/page"] == (None, "quiet.example")
+    fast = {
+        r["url"]: r["crawl_delay"]
+        for r in fetch_schedule(frontier, rules, polite, agent="fastbot").collect()
+    }
+    assert fast["http://slow.example/page"] == 1.0  # exact agent overrides *
