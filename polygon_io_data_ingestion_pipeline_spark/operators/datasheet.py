@@ -7,7 +7,9 @@ long-format ``(metric, value)`` frame a release process can print,
 diff (``snapshot_diff`` on metric), or gate on:
 
 - volume:   n_docs, token totals/means, short-doc share
-- language: per-language share from the n-gram language-ID heuristic
+- language: per-language share from the REAL language ID —
+  Unicode-script counting with the function-word frequency classifier
+  for Latin-dominant text (``predicted_lang_script``)
 - quality:  quality-gate pass rate plus per-rule failure attribution
 - dedup:    exact-duplicate rate (1 - distinct fingerprints / docs)
 
@@ -17,9 +19,9 @@ rollups are tiny partial-agg reductions over that cached frame, and
 the output is O(metrics + languages) rows. No Python UDFs.
 
 Composition of oracle-verified pieces (`docs_token_stats`,
-`docs_langid_markers`, `docs_quality_filter`, `dedup_exact_hash_classes`
-all hold DuckDB parity); the composition itself is pytest-verified in
-``tests/test_datasheet.py``.
+`docs_script_langid`/`docs_latin_langid`, `docs_quality_filter`,
+`dedup_exact_hash_classes` all hold DuckDB parity); the composition
+itself is pytest-verified in ``tests/test_datasheet.py``.
 """
 
 from __future__ import annotations
@@ -27,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint, predicted_lang, quality_filter
+from .text import fingerprint, predicted_lang_script, quality_filter
 
 #: quality_filter audit flags rolled into failure-rate metrics.
 _RULES = ("ok_length", "ok_word_len", "ok_stopwords", "ok_repetition")
@@ -45,7 +47,7 @@ def corpus_datasheet(
     per_doc = quality_filter(df, text_col=text_col, id_col=id_col).join(
         df.select(
             F.col(id_col),
-            predicted_lang(text_col).alias("__lang"),
+            predicted_lang_script(text_col).alias("__lang"),
             fingerprint(text_col).alias("__fp"),
         ),
         id_col,

@@ -46,3 +46,21 @@ def test_datasheet_consistent_with_composed_operators(spark, sf_dir):
     assert got["n_docs"] == float(n)
     distinct_fp = exact_duplicates(docs).count()
     assert got["exact_dup_rate"] == round(1 - distinct_fp / n, 6)
+
+
+def test_datasheet_language_shares_use_real_langid(spark):
+    """A German and a Russian document must land under their own
+    lang_share metrics (regression: the old marker table labeled every
+    non-English Latin page by fixture-shaped keywords)."""
+    rows = [
+        (1, GOOD),
+        (2, "das wetter war kalt und die kinder blieben mit ihren eltern "
+            "zu hause weil der regen den ganzen tag nicht aufhören wollte "
+            "und die straßen unter wasser standen"),
+        (3, "Привет мир как дела сегодня утром после дождя на улице"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["metric"]: r["value"] for r in corpus_datasheet(df).collect()}
+    assert got["lang_share:en"] == round(1 / 3, 6)
+    assert got["lang_share:de"] == round(1 / 3, 6)
+    assert got["lang_share:ru"] == round(1 / 3, 6)
