@@ -430,6 +430,23 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             .filter(F.col("text").isNotNull())
             .persist()
         )
+    elif args.input_format == "wet":
+        # Common Crawl's extracted-text sidecar: conversion records are
+        # already plain text, so the pipeline starts at the decode lane
+        from .sources.archive import read_wet
+
+        decoded = read_wet(spark, args.src).persist()
+        n_quarantined = decoded.filter(F.col("decode_ok") == F.lit(False)).count()
+        docs = (
+            decoded.filter(F.col("decode_ok").isNull() | F.col("decode_ok"))
+            .select(
+                F.xxhash64("url", "warc_date").alias("doc_id"),
+                "text",
+                "url",
+                F.col("warc_file").alias("source"),
+            )
+            .filter(F.col("text").isNotNull())
+        )
     elif args.input_format in ("zip", "tar"):
         from .sources.archive import (
             decode_text_members,
@@ -484,7 +501,9 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     # reject clean foreign-language pages as gibberish (JSONL/parquet
     # corpora keep the default to match the docs_corpus_prep oracle)
     gate_words = (
-        multilingual_stopwords() if args.input_format == "warc" else STOPWORDS
+        multilingual_stopwords()
+        if args.input_format in ("warc", "wet")
+        else STOPWORDS
     )
     gated = quality_filter(docs, keep_cols=passthrough, stopwords=gate_words)
     # Multi-consumer frame (the dedup-representatives branch AND the
@@ -701,7 +720,7 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument(
         "--input-format",
-        choices=["jsonl", "parquet", "warc", "zip", "tar"],
+        choices=["jsonl", "parquet", "warc", "wet", "zip", "tar"],
         default="jsonl",
     )
     p.add_argument(

@@ -445,6 +445,35 @@ def read_warc(
     )
 
 
+def read_wet(
+    spark: SparkSession,
+    path_glob: str,
+    batch_rows: int = _BATCH_ROWS,
+    batch_bytes: int = _BATCH_BYTES,
+) -> DataFrame:
+    """Common Crawl WET files (the extracted-text sidecar format) ->
+    one decoded document row per ``conversion`` record: (warc_file,
+    url, warc_date, text, charset, decode_ok).
+
+    WET is WARC framing with ``WARC-Type: conversion`` records whose
+    payload is the ALREADY-extracted plain text of a page (no HTTP
+    envelope; ``Content-Type: text/plain`` in the WARC header) — the
+    cheapest entry point when the HTML walk has already been paid by
+    the crawl provider.  Same bounded-memory walk and charset-aware
+    decode lane as :func:`read_warc`; mojibake rows carry
+    ``decode_ok=false`` for the standard quarantine accounting."""
+    recs = read_warc(
+        spark,
+        path_glob,
+        record_types=("conversion",),
+        batch_rows=batch_rows,
+        batch_bytes=batch_bytes,
+    )
+    return decode_text_members(recs).select(
+        "warc_file", "url", "warc_date", "text", "charset", "decode_ok"
+    )
+
+
 def warc_digest_dedup(
     df: DataFrame,
     digest_col: str = "payload_digest",

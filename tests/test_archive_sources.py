@@ -670,3 +670,56 @@ def test_corpus_cli_meta_robots_canonical_and_pdf(spark, tmp_path, capsys):
     ]
     by_url = {r["url"]: r["text"] for r in rows}
     assert by_url["http://x.example/report.pdf"] == pdf_words
+
+
+def test_read_wet_and_corpus_cli(spark, tmp_path, capsys):
+    """Common Crawl WET sidecar: conversion records are pre-extracted
+    text — read_wet decodes them (charset lane, quarantine accounting)
+    and the corpus CLI ingests them end to end with the multilingual
+    gate."""
+    import gzip as _gzip
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import read_wet
+
+    en = (
+        "the data in a table is the value of the row and the key for the "
+        "batch while the line in a window is the part of the sort"
+    )
+    de = (
+        "das wetter war kalt und die kinder blieben mit ihren eltern zu "
+        "hause weil der regen den ganzen tag nicht aufhören wollte und "
+        "die straßen unter wasser standen"
+    )
+
+    def conv(url, text):
+        body = text.encode()
+        head = (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-08-14T00:00:00Z\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    wdir = tmp_path / "wet"
+    wdir.mkdir()
+    (wdir / "c.warc.wet.gz").write_bytes(
+        b"".join(_gzip.compress(r) for r in (
+            conv("http://x.example/en", en),
+            conv("http://de.example/artikel", de),
+        ))
+    )
+    rows = {r["url"]: r for r in read_wet(spark, str(wdir)).collect()}
+    assert rows["http://x.example/en"]["text"] == en
+    assert rows["http://de.example/artikel"]["decode_ok"] is True
+
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus", "--src", str(wdir), "--out", out,
+        "--input-format", "wet", "--master", "local[4]",
+    ])
+    assert rc == 0
+    result = {r["url"]: r for r in spark.read.parquet(out).collect()}
+    # BOTH documents survive: the German page passes the multilingual
+    # gate (the English-only stopword set would have rejected it)
+    assert set(result) == {"http://x.example/en", "http://de.example/artikel"}
