@@ -386,9 +386,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 html = html.filter(~F.coalesce(F.col("meta_noindex"), F.lit(False)))
                 print(f"meta-robots: noindex={n_noindex}")
             if args.canonical_dedup:
-                from .operators.urls import url_dedup as _canon_dedup
-
-                html = _canon_dedup(
+                html = url_dedup(
                     html.withColumn(
                         "_canon", F.coalesce(F.col("canonical_url"), F.col("url"))
                     ),

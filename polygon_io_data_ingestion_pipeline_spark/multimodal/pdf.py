@@ -83,6 +83,16 @@ def _parse_dict_region(body: bytes) -> bytes:
     return body[i:]
 
 
+def _dict_span(body: bytes) -> tuple[bytes, int]:
+    """(dict bytes, offset just past the dict) — the span variant of
+    :func:`_parse_dict_region`, for callers that must anchor what
+    FOLLOWS the dict (the ``stream`` keyword)."""
+    d = _parse_dict_region(body)
+    if not d:
+        return b"", 0
+    return d, body.find(d) + len(d)
+
+
 def _dict_int(d: bytes, key: bytes) -> int | None:
     # \b before the lookahead: without it, '/Length 12 0 R' backtracks
     # to match '1' (the lookahead rejects '12' but not its prefix) and
@@ -127,13 +137,18 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                 next_pos = m2.start()
                 break
         seg = data[e:next_pos]
-        sm = re.search(rb"\bstream(\r\n|\n|\r)", seg)
+        d, dict_end = _dict_span(seg)
+        # a stream's keyword sits IMMEDIATELY after its dict (PDF
+        # syntax); searching the whole segment would let a literal
+        # string containing "stream\n" in a plain dict object open a
+        # phantom stream and swallow every object up to some far
+        # endstream
+        sm = re.match(rb"\s*stream(\r\n|\n|\r)", seg[dict_end:]) if d else None
         if sm is None:
             objs[num] = seg
             consumed = next_pos
             continue
-        sstart = e + sm.end()
-        d = _parse_dict_region(seg)
+        sstart = e + dict_end + sm.end()
         length = _dict_int(d, b"Length")
         if length is None:
             ref = _dict_ref(d, b"Length")
@@ -160,11 +175,11 @@ def _stream_bytes(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     None when the object has no stream.  ``/Length`` (direct or an
     indirect ref into ``objs``) bounds the read; a missing/unusable
     Length falls back to the last ``endstream``."""
-    m = re.search(rb"\bstream(\r\n|\n|\r)", body)
+    d, dict_end = _dict_span(body)
+    m = re.match(rb"\s*stream(\r\n|\n|\r)", body[dict_end:]) if d else None
     if m is None:
         return None
-    start = m.end()
-    d = _parse_dict_region(body)
+    start = dict_end + m.end()
     length = _dict_int(d, b"Length")
     if length is None:
         ref = _dict_ref(d, b"Length")
@@ -377,7 +392,7 @@ def _content_text(content: bytes) -> str:
     return "\n".join(out)
 
 
-def _page_order(objs: dict[int, bytes]) -> list[int]:
+def _page_order(objs: dict[int, bytes], _raw: bytes | None = None) -> list[int]:
     """Page object numbers in PAGE-TREE order: /Type /Catalog ->
     /Pages -> depth-first /Kids walk (intermediate /Pages nodes
     recursed, /Page leaves collected).  Object numbers do NOT encode
@@ -406,13 +421,37 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
             for ref in re.findall(rb"(\d+)\s+\d+\s+R", kids.group(1)):
                 walk(int(ref))
 
-    for num in sorted(objs):
-        d = _parse_dict_region(objs[num])
-        if re.search(rb"/Type\s*/Catalog\b", d):
-            root = _dict_ref(d, b"Pages")
-            if root is not None:
-                walk(root)
-            break
+    # the governing catalog: the LAST trailer's /Root (incremental
+    # updates append replacement trailers pointing at a NEW catalog
+    # object — the stale low-numbered catalog must not govern), else an
+    # xref-stream object's /Root (PDF 1.5 files carry no trailer
+    # keyword), else the highest-numbered /Type /Catalog (later
+    # definitions win, as everywhere in this scan)
+    catalog = None
+    if _raw is not None:
+        for m in re.finditer(rb"trailer", _raw):
+            d = _parse_dict_region(_raw[m.end() :])
+            ref = _dict_ref(d, b"Root")
+            if ref is not None:
+                catalog = ref
+    if catalog is None:
+        for num in sorted(objs):
+            d = _parse_dict_region(objs[num])
+            if re.search(rb"/Type\s*/XRef\b", d):
+                ref = _dict_ref(d, b"Root")
+                if ref is not None:
+                    catalog = ref
+    if catalog is None:
+        cats = [
+            num
+            for num in sorted(objs)
+            if re.search(rb"/Type\s*/Catalog\b", _parse_dict_region(objs[num]))
+        ]
+        catalog = cats[-1] if cats else None
+    if catalog is not None and catalog in objs:
+        root = _dict_ref(_parse_dict_region(objs[catalog]), b"Pages")
+        if root is not None:
+            walk(root)
     if pages:
         return pages
     return [num for num in sorted(objs) if is_page(num)]
@@ -437,7 +476,7 @@ def extract_pdf_text(data: bytes) -> str:
     ):
         raise PdfFormatError("CID/Identity-H composite font")
 
-    pages = _page_order(objs)
+    pages = _page_order(objs, data)
     if not pages:
         raise PdfFormatError("no page objects found")
 

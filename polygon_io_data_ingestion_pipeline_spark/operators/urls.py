@@ -97,18 +97,24 @@ def url_dedup(
     df: DataFrame, url_col: str = "url", order_col: str | None = None
 ) -> DataFrame:
     """One row per NORMALIZED URL: ties broken by ``order_col``
-    ascending (e.g. the crawl date — keep the earliest fetch) or
-    arbitrarily-but-deterministically by the url column itself.  Rows
-    whose URL fails to normalize (NULL) are KEPT as-is — they carry no
-    evidence of being refetches.  One hash shuffle on the normalized
-    key; the window frame per key is the refetch count, naturally
-    small."""
+    ascending (e.g. the crawl date — keep the earliest fetch) with the
+    raw url column as the SECONDARY key — two refetches sharing one
+    crawl timestamp (same-second fetches are routine in real crawls)
+    must resolve the same way on every run, or the surviving
+    url/text/doc_id varies with partitioning.  Rows whose URL fails to
+    normalize (NULL) are KEPT as-is — they carry no evidence of being
+    refetches.  One hash shuffle on the normalized key; the window
+    frame per key is the refetch count, naturally small."""
     from pyspark.sql import Window
 
     with_norm = df.withColumn("__norm", url_normalized(F.col(url_col)))
     null_part = with_norm.filter(F.col("__norm").isNull()).drop("__norm")
-    order = F.col(order_col).asc_nulls_last() if order_col else F.col(url_col).asc()
-    w = Window.partitionBy("__norm").orderBy(order)
+    order = (
+        [F.col(order_col).asc_nulls_last(), F.col(url_col).asc()]
+        if order_col
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy("__norm").orderBy(*order)
     kept = (
         with_norm.filter(F.col("__norm").isNotNull())
         .withColumn("__rk", F.row_number().over(w))
@@ -192,9 +198,10 @@ def fetch_schedule(
     URLs dropped (``rules`` from ``operators/robots.py:parse_robots``,
     RFC 9309 longest-match for ``agent``) and each host's declared
     ``Crawl-delay`` attached (``politeness`` from
-    ``robots_politeness``; an exact-agent declaration overrides the
-    ``*`` group's, mirroring the rule-group semantics; hosts declaring
-    none get NULL — the scheduler's default applies).
+    ``robots_politeness``; the governing GROUP is chosen once — a host
+    where the exact agent has any group, rule or politeness, never
+    inherits the ``*`` group's delay; hosts declaring none get NULL —
+    the scheduler's default applies).
 
     The closing piece of the crawl loop: pages -> outlinks + sitemaps
     -> :func:`crawl_frontier` -> this schedule -> fetcher.  Scale
@@ -218,10 +225,17 @@ def fetch_schedule(
     agent = agent.lower()
     exact = politeness.filter(F.col("agent") == agent)
     star = politeness.filter(F.col("agent") == "*")
-    effective = (
-        exact.unionByName(
-            star.join(exact.select("host").distinct(), "host", "left_anti")
+    # group semantics: when the exact agent has ANY group on a host —
+    # a rule group counts even if it declares no Crawl-delay — that
+    # group governs, so the * group's delay must NOT leak in (the host
+    # declared nothing for this agent: NULL, scheduler default)
+    exact_hosts = exact.select("host")
+    if rules is not None:
+        exact_hosts = exact_hosts.unionByName(
+            rules.filter(F.col("agent") == agent).select("host")
         )
+    effective = (
+        exact.unionByName(star.join(exact_hosts.distinct(), "host", "left_anti"))
         if agent != "*"
         else star
     )

@@ -198,7 +198,6 @@ def test_indirect_multidigit_length_resolves():
     a Flate payload ending in newline bytes then got rstripped by the
     endstream fallback and quarantined."""
     content = zlib.compress(b"BT (multi digit) Tj ET")
-    assert content.endswith(b"\n") or True  # payload content arbitrary
     pdf = _pdf({
         1: b"<< /Type /Catalog /Pages 2 0 R >>",
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
@@ -250,3 +249,42 @@ def test_page_tree_order_beats_object_number_order():
         10: _stream_obj(b"<< /Length %d >>" % len(c5), c5),
     })
     assert extract_pdf_text(pdf) == "first by tree\nsecond by tree"
+
+
+def test_stream_keyword_inside_literal_string_is_not_a_stream():
+    """A plain dict object whose literal string contains 'stream\\n'
+    must not open a phantom stream that swallows the page objects up
+    to some far endstream (regression: the keyword is now anchored
+    immediately after the dict)."""
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length 19 >>", b"BT (survives) Tj ET"),
+        6: b"<< /Subject (data stream\nprocessing) >>",
+    })
+    assert extract_pdf_text(pdf) == "survives"
+
+
+def test_incremental_update_replacement_catalog_wins():
+    """An incremental update appends a NEW catalog object and a trailer
+    pointing at it; the stale low-numbered catalog must not govern the
+    page walk."""
+    old_page = b"BT (old page) Tj ET"
+    new_page = b"BT (new page) Tj ET"
+    base = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(b"<< /Length %d >>" % len(old_page), old_page),
+    })
+    update = b"\n".join([
+        b"7 0 obj\n<< /Type /Catalog /Pages 8 0 R >>\nendobj",
+        b"8 0 obj\n<< /Type /Pages /Kids [9 0 R] /Count 1 >>\nendobj",
+        b"9 0 obj\n<< /Type /Page /Contents 10 0 R >>\nendobj",
+        b"10 0 obj\n<< /Length %d >>\nstream" % len(new_page),
+        new_page,
+        b"endstream\nendobj",
+        b"trailer\n<< /Root 7 0 R /Prev 0 >>\nstartxref\n0\n%%EOF",
+    ])
+    assert extract_pdf_text(base + b"\n" + update) == "new page"

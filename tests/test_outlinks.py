@@ -238,3 +238,32 @@ def test_fetch_schedule_closes_the_crawl_loop(spark):
         for r in fetch_schedule(frontier, rules, polite, agent="fastbot").collect()
     }
     assert fast["http://slow.example/page"] == 1.0  # exact agent overrides *
+
+
+def test_fetch_schedule_group_semantics_no_star_leak(spark):
+    """An agent with its OWN rule group that declares no Crawl-delay
+    must get NULL — not inherit the * group's delay (the governing
+    group is chosen once; rules and politeness must agree about which
+    group that is)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        parse_robots,
+        robots_politeness,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        fetch_schedule,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.example",
+          "User-agent: quietbot\nDisallow: /x/\n\n"
+          "User-agent: *\nCrawl-delay: 10\nDisallow: /y/\n")],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [("http://h.example/page", 1)], "url string, in_refs long"
+    )
+    rules, polite = parse_robots(robots), robots_politeness(robots)
+    got = fetch_schedule(frontier, rules, polite, agent="quietbot").collect()
+    assert got[0]["crawl_delay"] is None  # own group governs: no delay
+    star = fetch_schedule(frontier, rules, polite).collect()
+    assert star[0]["crawl_delay"] == 10.0
