@@ -392,6 +392,10 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                     ),
                     url_col="_canon",
                     order_col="warc_date",
+                    # _canon is the GROUP key here — the real url is the
+                    # only column that varies within a canonical group,
+                    # so it must carry the same-timestamp tiebreak
+                    tiebreak_col="url",
                 ).drop("_canon")
             html = html.drop(
                 "title", "meta_description", "canonical_url", "html_lang",

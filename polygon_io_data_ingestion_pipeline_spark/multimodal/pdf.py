@@ -53,6 +53,10 @@ UNSUPPORTED_FEATURES = (
 )
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+# position-anchored probes (used via .match(data, pos) — never slice the
+# file remainder per object; that turns the scan O(objects x file size))
+_STREAM_KW_RE = re.compile(rb"\s*stream(\r\n|\n|\r)")
+_ENDSTREAM_RE = re.compile(rb"\s*endstream")
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -143,12 +147,12 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         # string containing "stream\n" in a plain dict object open a
         # phantom stream and swallow every object up to some far
         # endstream
-        sm = re.match(rb"\s*stream(\r\n|\n|\r)", seg[dict_end:]) if d else None
+        sm = _STREAM_KW_RE.match(seg, dict_end) if d else None
         if sm is None:
             objs[num] = seg
             consumed = next_pos
             continue
-        sstart = e + dict_end + sm.end()
+        sstart = e + sm.end()  # sm matched seg at pos=dict_end: end() is absolute
         length = _dict_int(d, b"Length")
         if length is None:
             ref = _dict_ref(d, b"Length")
@@ -156,7 +160,10 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                 length = int_objs.get(ref)
         end = -1
         if length is not None and sstart + length <= len(data):
-            if re.match(rb"\s*endstream", data[sstart + length :]):
+            # match at a POSITION, never data[pos:]: slicing the file
+            # remainder per stream object is O(objects x file size) in
+            # memcpy on multi-thousand-object PDFs
+            if _ENDSTREAM_RE.match(data, sstart + length):
                 end = data.find(b"endstream", sstart + length)
         if end < 0:
             end = data.find(b"endstream", sstart)

@@ -218,7 +218,11 @@ def latest_robots_captures(
     partition and corrupt user-agent group recovery — so reduce to the
     latest capture per host FIRST (one row_number window over the tiny
     robots subset; ties break on URL so https beats http
-    deterministically).  Only the ROOT ``/robots.txt`` is authoritative
+    deterministically, then on the payload bytes themselves — two
+    same-second same-URL captures of a file that changed mid-crawl
+    differ ONLY in payload, and without that final key the governing
+    rules would vary with partitioning).  Only the ROOT ``/robots.txt``
+    is authoritative
     (RFC 9309 §2.3): the path must equal it exactly — a mirrored copy
     at ``/static/robots.txt`` is just a file, and a suffix match would
     let it replace the host's real rules.  robots.txt is ASCII-by-spec;
@@ -226,7 +230,7 @@ def latest_robots_captures(
     from pyspark.sql import Window
 
     w = Window.partitionBy("host").orderBy(
-        F.col("_ord").desc(), F.col("_turl").desc()
+        F.col("_ord").desc(), F.col("_turl").desc(), F.col("robots_txt").desc()
     )
     return (
         records.filter(is_robots_url(F.col(url_col)))

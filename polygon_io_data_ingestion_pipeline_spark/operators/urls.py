@@ -94,25 +94,33 @@ def url_parts(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def url_dedup(
-    df: DataFrame, url_col: str = "url", order_col: str | None = None
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """One row per NORMALIZED URL: ties broken by ``order_col``
-    ascending (e.g. the crawl date — keep the earliest fetch) with the
-    raw url column as the SECONDARY key — two refetches sharing one
-    crawl timestamp (same-second fetches are routine in real crawls)
-    must resolve the same way on every run, or the surviving
-    url/text/doc_id varies with partitioning.  Rows whose URL fails to
-    normalize (NULL) are KEPT as-is — they carry no evidence of being
-    refetches.  One hash shuffle on the normalized key; the window
-    frame per key is the refetch count, naturally small."""
+    ascending (e.g. the crawl date — keep the earliest fetch) with
+    ``tiebreak_col`` (default: the raw url column) as the SECONDARY
+    key — two refetches sharing one crawl timestamp (same-second
+    fetches are routine in real crawls) must resolve the same way on
+    every run, or the surviving url/text/doc_id varies with
+    partitioning.  Callers whose ``url_col`` is a GROUP key (e.g.
+    canonical-URL dedup, where every member shares the same canonical
+    target) must pass a ``tiebreak_col`` that actually varies within
+    the group, or the secondary key is a no-op.  Rows whose URL fails
+    to normalize (NULL) are KEPT as-is — they carry no evidence of
+    being refetches.  One hash shuffle on the normalized key; the
+    window frame per key is the refetch count, naturally small."""
     from pyspark.sql import Window
 
+    tie = tiebreak_col or url_col
     with_norm = df.withColumn("__norm", url_normalized(F.col(url_col)))
     null_part = with_norm.filter(F.col("__norm").isNull()).drop("__norm")
     order = (
-        [F.col(order_col).asc_nulls_last(), F.col(url_col).asc()]
+        [F.col(order_col).asc_nulls_last(), F.col(tie).asc()]
         if order_col
-        else [F.col(url_col).asc()]
+        else [F.col(tie).asc()]
     )
     w = Window.partitionBy("__norm").orderBy(*order)
     kept = (

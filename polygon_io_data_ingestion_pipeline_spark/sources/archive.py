@@ -633,17 +633,26 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
             self.cur_boiler = False
             self.skip = 0
             self.link_depth = 0
-            # [tag, depth]: depth counts same-name PLAIN descendants so
-            # a non-boiler <div> inside <div class="nav"> doesn't end
-            # the boiler scope at its own </div>
-            self.boiler_stack: list[list] = []
+            # browser-style scoping: open_tags is the stack of ALL open
+            # non-void elements; boiler_depths records the open_tags
+            # length at which each active boiler scope began.  A close
+            # pops through unclosed inners to the nearest matching open
+            # element (HTML auto-close), and a boiler scope retires the
+            # moment the element stack shrinks past its depth — so a
+            # plain <div> inside <div class="nav"> cannot end the scope
+            # at its own </div>, and an UNCLOSED inner same-name element
+            # leaks the scope only until the nearest properly-closed
+            # ancestor (not to end-of-document, as per-name counting
+            # would).
+            self.open_tags: list[str] = []
+            self.boiler_depths: list[int] = []
 
         def _flush(self):
             text = " ".join("".join(self.cur).split())
             if text:
                 self.blocks.append((text, self.cur_link, self.cur_boiler))
             self.cur, self.cur_link = [], 0
-            self.cur_boiler = bool(self.boiler_stack)
+            self.cur_boiler = bool(self.boiler_depths)
 
         def handle_starttag(self, tag, attrs):
             if tag in _SKIP_TAGS:
@@ -653,46 +662,47 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
                 self._flush()
             if tag == "a":
                 self.link_depth += 1
+            if tag == "main":
+                # a page has one <main> and it is never chrome: treat it
+                # as an authoritative main-content signal that recovers
+                # from any boiler scope left open by unbalanced markup
+                self.boiler_depths.clear()
+                self.cur_boiler = False
             if tag not in _VOID_TAGS:
+                self.open_tags.append(tag)
                 if tag in _BOILER_TAGS or any(
                     k in ("class", "id", "role") and v and _BOILER_HINT.search(v)
                     for k, v in attrs
                 ):
-                    self.boiler_stack.append([tag, 1])
+                    self.boiler_depths.append(len(self.open_tags))
                     self.cur_boiler = True
-                elif self.boiler_stack:
-                    # a plain same-name element nested inside a boiler
-                    # scope: bump the innermost matching entry's depth
-                    # so only the MATCHING close ends the scope
-                    for entry in reversed(self.boiler_stack):
-                        if entry[0] == tag:
-                            entry[1] += 1
-                            break
 
         def handle_endtag(self, tag):
             if tag in _SKIP_TAGS:
                 if self.skip:
                     self.skip -= 1
                 return
-            if tag in _BLOCK_TAGS:
-                self._flush()
             if tag == "a" and self.link_depth:
                 self.link_depth -= 1
-            for i in range(len(self.boiler_stack) - 1, -1, -1):
-                if self.boiler_stack[i][0] == tag:
-                    self.boiler_stack[i][1] -= 1
-                    if self.boiler_stack[i][1] == 0:
-                        # tolerant un-nesting: unclosed inner entries
-                        # above the matched one close with it
-                        del self.boiler_stack[i:]
+            # pop BEFORE the block flush so the flush's reset reads the
+            # post-close scope state (text between a closed boiler
+            # container and the next block tag is NOT chrome)
+            for i in range(len(self.open_tags) - 1, -1, -1):
+                if self.open_tags[i] == tag:
+                    del self.open_tags[i:]
+                    while self.boiler_depths and self.boiler_depths[-1] > len(
+                        self.open_tags
+                    ):
+                        self.boiler_depths.pop()
                     break
-            self.cur_boiler = self.cur_boiler or bool(self.boiler_stack)
+            if tag in _BLOCK_TAGS:
+                self._flush()
 
         def handle_data(self, data):
             if self.skip:
                 return
             self.cur.append(data)
-            if self.boiler_stack:
+            if self.boiler_depths:
                 self.cur_boiler = True
             if self.link_depth:
                 self.cur_link += len(" ".join(data.split()))

@@ -599,6 +599,68 @@ def test_nested_same_name_plain_tag_keeps_boiler_scope():
     assert "Outer chrome after inner close" not in main
 
 
+def test_text_directly_after_boiler_close_is_kept():
+    """Bare text between a closed boiler container and the next block
+    tag is NOT chrome: the scope must end at the close itself, not at
+    the next flush."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    html = (
+        "<html><body>"
+        '<div class="nav">menu menu menu</div>'
+        "This long legitimate sentence follows the navigation close directly."
+        "<p>Another real paragraph with enough length to keep around.</p>"
+        "</body></html>"
+    )
+    main = _extract_main_text(html)
+    assert "legitimate sentence follows" in main
+    assert "Another real paragraph" in main
+    assert "menu" not in main
+
+
+def test_unclosed_inner_same_name_recovers_at_closed_ancestor():
+    """Tag soup: an UNCLOSED plain <div> inside <div class="nav"> means
+    the nav's own </div> closes the inner one (browser auto-close), so
+    the scope genuinely leaks — but it must recover at the nearest
+    properly-closed ancestor (here </header>), not persist to
+    end-of-document as per-name depth counting would."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    html = (
+        "<html><body><header>"
+        '<div class="nav"><div>chrome a</div><div>chrome b</div>'  # 2nd div unclosed
+        "</header>"
+        "<p>Real article body paragraph long enough to survive scoring.</p>"
+        "</body></html>"
+    )
+    main = _extract_main_text(html)
+    assert "Real article body" in main
+    assert "chrome a" not in main
+
+
+def test_main_tag_clears_leaked_boiler_scope():
+    """<main> is an authoritative main-content signal: even when broken
+    markup leaks a boiler scope with no closed ancestor before the
+    body, content inside <main> is kept."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    html = (
+        "<html><body>"
+        '<div class="nav"><div>chrome x</div><div>chrome y'  # never recovers
+        "<main><p>Body text inside main long enough to survive scoring.</p></main>"
+        "</body></html>"
+    )
+    main = _extract_main_text(html)
+    assert "Body text inside main" in main
+    assert "chrome x" not in main
+
+
 def test_corpus_cli_meta_robots_canonical_and_pdf(spark, tmp_path, capsys):
     """The page-level compliance journey: noindex pages drop with
     accounting, rel=canonical duplicates collapse to one fetch, and an

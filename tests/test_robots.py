@@ -304,6 +304,28 @@ def test_latest_robots_capture_per_host(spark):
     }
 
 
+def test_latest_robots_capture_payload_tiebreak_is_deterministic(spark):
+    """Two captures sharing host, URL, AND warc_date (a robots.txt that
+    changed mid-crawl inside one second — digest dedup keeps both)
+    differ only in payload; the payload itself is the final sort key, so
+    the governing rules never vary with partitioning."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.robots import (
+        latest_robots_captures,
+    )
+
+    rows = [
+        ("https://t.example/robots.txt", b"User-agent: *\nDisallow: /a/\n", "2026-05-01T00:00:00Z"),
+        ("https://t.example/robots.txt", b"User-agent: *\nDisallow: /z/\n", "2026-05-01T00:00:00Z"),
+    ]
+    for perm in (rows, rows[::-1]):
+        recs = spark.createDataFrame(
+            perm, "url string, payload binary, warc_date string"
+        ).repartition(4)
+        got = latest_robots_captures(recs).collect()
+        assert len(got) == 1
+        assert "/z/" in got[0]["robots_txt"]  # bytewise-greatest payload wins
+
+
 def test_sitemapindex_and_urlset_concatenated_per_block(spark):
     """is_index derives from each block's own element, not a whole-doc
     contains(): a document carrying both a <sitemapindex> and a

@@ -65,6 +65,30 @@ def test_url_dedup_keeps_earliest_fetch(spark):
     assert got == {"early", "other", "nullurl", "badurl"}
 
 
+def test_url_dedup_group_key_needs_explicit_tiebreak(spark):
+    """Canonical-URL dedup partitions on a column that is IDENTICAL for
+    every group member, so the default secondary key (the url_col
+    itself) cannot break same-timestamp ties — tiebreak_col must carry
+    a column that varies within the group, and the survivor must be its
+    minimum regardless of input order."""
+    rows = [
+        ("http://a.com/art?page=2", "http://a.com/art", "2026-08-14T00:00:00Z"),
+        ("http://a.com/art?page=1", "http://a.com/art", "2026-08-14T00:00:00Z"),
+        ("http://a.com/other", "http://a.com/other", "2026-08-14T00:00:00Z"),
+    ]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            perm, "url string, _canon string, warc_date string"
+        ).repartition(4)
+        got = sorted(
+            r["url"]
+            for r in url_dedup(
+                df, url_col="_canon", order_col="warc_date", tiebreak_col="url"
+            ).collect()
+        )
+        assert got == ["http://a.com/art?page=1", "http://a.com/other"]
+
+
 def test_plan_stays_native(spark):
     """The normalization is whole-stage-codegen material: no Python
     workers (BatchEvalPython/ArrowEvalPython) anywhere in the plan."""
