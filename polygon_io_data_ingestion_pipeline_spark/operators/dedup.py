@@ -762,6 +762,120 @@ def duplicated_line_removal(
     )
 
 
+def duplicated_span_removal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact cross-document SPAN dedup: rewrite each document with every
+    token covered by a duplicated ``span_tokens``-gram removed — the
+    distributed form of the suffix-array substring dedup published for
+    LM training corpora (remove repeated substrings of >= N tokens that
+    recur across documents), at token granularity.  Line dedup only
+    catches boilerplate that happens to align with line breaks; licence
+    paragraphs, templated sentences, and quoted chunks embedded
+    mid-paragraph need span-level removal.
+
+    A K-token gram whose whitespace-normalized key occurs in
+    >= ``min_docs`` DISTINCT documents flags positions ``p..p+K-1`` in
+    every document containing it; overlapping flagged grams merge into
+    maximal spans (so a duplicated run of length L >= K is removed in
+    full).  Text is rebuilt from surviving tokens joined by single
+    spaces — intra-document whitespace is normalized as a side effect
+    (tokenization is whitespace-split), the same contract published
+    recipes accept.  Documents shorter than ``span_tokens`` tokens
+    carry no grams and are never rewritten beyond the whitespace
+    normalization; NULL text stays NULL; a document whose every token
+    is removed keeps its row with empty text.
+
+    Scale shape: all native expressions, linear shuffles only —
+    gram keys explode from a per-document ``transform`` over the token
+    array (O(K) slice per position, interpreted per element but
+    bounded by the document's own length), ONE partial-agg
+    countDistinct per gram key, an equi-join of grams against the
+    frequent-key set (AQE handles hot keys; the set is O(corpus
+    grams), never broadcast or collected), a per-document
+    gaps-and-islands window that merges overlapping flagged grams into
+    disjoint spans BEFORE exploding covered token indices (so a
+    duplicated region of length L costs L rows, not (L-K+1) x K), a
+    left-anti join of token positions against covered indices, and the
+    same order-preserving array_sort rebuild as
+    :func:`duplicated_line_removal`.
+
+    Returns ``docs`` with ``text_col`` rewritten.
+    """
+    from pyspark.sql import Window
+
+    k = int(span_tokens)
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n = F.size("_toks")
+    gram_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.struct(
+                i.alias("_gpos"),
+                F.array_join(F.slice("_toks", i + 1, k), " ").alias("_gkey"),
+            ),
+        ),
+    ).otherwise(F.array())
+    grams = base.select(
+        id_col, F.explode(gram_arr).alias("_g")
+    ).select(id_col, F.col("_g._gpos").alias("_gpos"), F.col("_g._gkey").alias("_gkey"))
+    frequent = (
+        grams.groupBy("_gkey")
+        .agg(F.countDistinct(id_col).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= min_docs)
+        .select("_gkey")
+    )
+    flagged = grams.join(frequent, "_gkey").select(id_col, "_gpos")
+    # merge overlapping [p, p+K-1] intervals per document: a new island
+    # starts where the gram no longer touches the running coverage
+    w = Window.partitionBy(id_col).orderBy("_gpos")
+    prev_max = F.max("_gpos").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = flagged.withColumn(
+        "_brk",
+        F.when(prev_max.isNull() | (F.col("_gpos") > prev_max + k), 1).otherwise(0),
+    ).withColumn("_island", F.sum("_brk").over(w))
+    covered = (
+        flagged.groupBy(id_col, "_island")
+        .agg(F.min("_gpos").alias("_s"), (F.max("_gpos") + k - 1).alias("_e"))
+        .select(id_col, F.explode(F.sequence("_s", "_e")).alias("_tpos"))
+    )
+    tokens = base.select(
+        id_col, F.posexplode("_toks").alias("_tpos", "_tok")
+    )
+    kept = tokens.join(covered, [id_col, "_tpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("_rebuilt")
+    )
+    # same null contract as duplicated_line_removal: NULL text never
+    # becomes '' (no tokens -> absent from the rebuild -> the when()
+    # guard leaves it NULL); all-removed documents get empty text
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn(
+            text_col,
+            F.coalesce(
+                F.col("_rebuilt"),
+                F.when(F.col(text_col).isNotNull(), F.lit("")),
+            ),
+        )
+        .drop("_rebuilt")
+    )
+
+
 def simhash_pairs_allpairs(
     df: DataFrame,
     text_col: str = "text",

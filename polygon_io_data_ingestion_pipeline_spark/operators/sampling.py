@@ -318,3 +318,41 @@ def token_budget_mixture(
     return out.filter(F.col("cum_tokens") <= F.col("__budget")).select(
         id_col, source_col, "n_tokens", "cum_tokens"
     )
+
+
+def group_capped_sample(
+    df: DataFrame,
+    cap: int,
+    group_col: str = "domain",
+    key_col: str = "doc_id",
+    salt: str = "domcap",
+) -> DataFrame:
+    """Hard per-group cap: keep at most ``cap`` rows per group, selected
+    by keyed-hash rank — the standard crawl-corpus skew control ("max N
+    pages per registrable domain").  Web corpora are Zipfian in domains;
+    without a cap a handful of hosts dominate the training mixture.
+    The selection is a deterministic function of ``(salt, key)``, so
+    re-runs and a DuckDB audit agree row-for-row and the KEPT set for a
+    group only changes when that group's membership changes — though
+    unlike the rate-based :func:`stratified_sample`, a hard cap is
+    necessarily rank-based: new rows hashing below the current
+    threshold CAN displace old ones on a re-run over a grown corpus
+    (that is the semantics of a cap, not a defect).
+
+    Scale shape: one row_number window over the group key.  Spark's
+    WindowGroupLimit optimization (3.5+) pushes the ``rank <= cap``
+    filter into a per-map-partition top-``cap`` AHEAD of the exchange,
+    so a hot domain ships at most ``cap`` rows per input partition
+    instead of materializing millions of rows in one window partition —
+    the plan survives Zipfian skew without salting
+    (``tests/test_group_cap.py`` pins the WindowGroupLimit node).
+    """
+    order = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(cap))
+        .drop("__rk")
+    )

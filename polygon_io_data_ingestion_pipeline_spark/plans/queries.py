@@ -5573,6 +5573,181 @@ def docs_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return duplicated_line_removal(d, min_docs=2).select("doc_id", "text")
 
 
+@q(
+    "docs_span_dedup",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 40) ||
+         ' the quick brown fox jumps over the lazy dog near the river ' ||
+         CASE WHEN doc_id % 4 = 0
+              THEN 'creative commons attribution license applies to this work here '
+              ELSE '' END ||
+         substr(text, 41, 40) AS text
+  FROM documents
+),
+arr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+  FROM d
+),
+toks AS (
+  SELECT doc_id, i - 1 AS tpos, toks[i] AS tok
+  FROM arr, UNNEST(generate_series(1, len(toks))) AS t(i)
+),
+grams AS (
+  SELECT doc_id, i - 1 AS gpos,
+         array_to_string(list_slice(toks, i, i + 7), ' ') AS gkey
+  FROM arr, UNNEST(generate_series(1, len(toks) - 7)) AS g(i)
+),
+freq AS (
+  SELECT gkey FROM grams GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT g.doc_id, g.gpos FROM grams g JOIN freq USING (gkey)
+),
+covered AS (
+  SELECT DISTINCT doc_id, gpos + o AS tpos
+  FROM flagged, UNNEST(generate_series(0, 7)) AS u(o)
+),
+kept AS (
+  SELECT t.doc_id, t.tpos, t.tok
+  FROM toks t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+  WHERE c.doc_id IS NULL
+)
+SELECT d.doc_id, coalesce(k.text, '') AS text
+FROM d LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS text
+  FROM kept GROUP BY doc_id
+) k USING (doc_id)
+""",
+    doc="Exact cross-document SPAN dedup (operators/dedup.py:"
+    "duplicated_span_removal — the suffix-array substring-dedup recipe "
+    "for LM corpora, distributed at 8-token-gram granularity): a shared "
+    "mid-paragraph sentence and a licence sentence on every 4th doc are "
+    "removed in full (overlapping duplicated grams merge into maximal "
+    "spans via a per-doc gaps-and-islands window BEFORE exploding "
+    "covered positions), doc-unique prefixes/suffixes survive.  The "
+    "oracle replays gram/count/join/cover/anti-join/reassemble in SQL.",
+    tags=("text", "dedup"),
+    bench=True,
+)
+def docs_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.dedup import duplicated_span_removal
+
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" the quick brown fox jumps over the lazy dog near the river "),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit(
+                    "creative commons attribution license applies to this work here "
+                ),
+            ).otherwise(F.lit("")),
+            F.substring("text", 41, 40),
+        ).alias("text"),
+    )
+    return duplicated_span_removal(d, span_tokens=8, min_docs=2).select(
+        "doc_id", "text"
+    )
+
+
+@q(
+    "docs_domain_capped_sample",
+    oracle="""
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang, row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('domcap|' || CAST(doc_id AS VARCHAR)), doc_id
+  ) AS rk FROM documents
+) WHERE rk <= 20
+""",
+    doc="Hard per-domain document cap (operators/sampling.py:"
+    "group_capped_sample — the crawl-corpus skew control 'max N pages "
+    "per domain'): at most 20 docs survive per source, selected by "
+    "keyed md5 rank so re-runs and the DuckDB audit agree row-for-row.  "
+    "One window; Spark's WindowGroupLimit pushes the rank filter into "
+    "a per-map-partition top-cap ahead of the exchange (plan-pinned in "
+    "tests/test_group_cap.py), so Zipfian domains never materialize in "
+    "one window partition.",
+    tags=("text", "sampling"),
+)
+def docs_domain_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import group_capped_sample
+
+    d = table(spark, sf, "documents").select("doc_id", "source", "lang")
+    return group_capped_sample(
+        d, cap=20, group_col="source", key_col="doc_id", salt="domcap"
+    ).select("doc_id", "source", "lang")
+
+
+@q(
+    "docs_lm_cross_entropy",
+    oracle="""
+WITH rarr AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE lang = 'en'
+),
+rbig AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM rarr, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+),
+bg AS (SELECT w1, w2, count(*) AS n12 FROM rbig GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(n12) AS n1 FROM bg GROUP BY w1),
+voc AS (SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM rarr)),
+darr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+dbig AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM darr, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(round(CASE WHEN c.n1 IS NOT NULL
+              THEN ln((coalesce(b.n12, 0) + 1.0) / (c.n1 + 1.0 * v.v))
+              ELSE -ln(CAST(v.v AS DOUBLE)) END * 1e6, 0) AS BIGINT) AS slp
+  FROM dbig d
+  LEFT JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ctx c ON d.w1 = c.w1
+  CROSS JOIN voc v
+),
+per AS (
+  SELECT dd.doc_id, count(s.slp) AS n_bigrams, sum(s.slp) AS s
+  FROM documents dd LEFT JOIN scored s USING (doc_id)
+  GROUP BY dd.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CASE WHEN n_bigrams > 0 THEN round(-s / 1e6 / n_bigrams, 6) END
+         AS cross_entropy
+FROM per
+""",
+    doc="Cross-corpus n-gram LM quality scoring (operators/ngram_lm.py "
+    "— the CCNet perplexity-filter recipe with BOTH phases in-engine): "
+    "a bigram model trained on the English reference slice scores every "
+    "document by average negative log-probability; non-English docs "
+    "exercise the unseen-bigram and unseen-context backoffs.  Training "
+    "is two partial-agg shuffles; scoring is two equi-joins against the "
+    "count tables (model never broadcast/collected) + one per-doc agg; "
+    "each ln is quantized to micro-nats and integer-summed so the "
+    "DuckDB replay is exact.",
+    tags=("text", "quality"),
+)
+def docs_lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ngram_lm import ngram_lm_cross_entropy, ngram_lm_train
+
+    docs = table(spark, sf, "documents")
+    model = ngram_lm_train(docs.filter(F.col("lang") == "en"))
+    return ngram_lm_cross_entropy(docs, model).select(
+        "doc_id", "n_bigrams", "cross_entropy"
+    )
+
+
 def _synth_url() -> Column:
     """Deterministic crawl-style URL per document row, built so every
     cosmetic variant of one logical page normalizes identically.
@@ -5803,7 +5978,13 @@ PINNED_WINDOW = [
     "events_scd_window_join",
     "events_split_gap_inference",
     # Dedup family anchors (exact/Jaccard/MinHash-LSH/SimHash/clusters).
-    "dedup_ngram_jaccard_pairs",
+    # dedup_ngram_jaccard_pairs rotates as of round 9 (second session):
+    # its pair-generation path (shingles -> jaccard_pairs) is exercised
+    # EVERY round as dedup_duplicate_clusters' edge stage, so the code
+    # path keeps an every-round external row via that anchor — the
+    # registry outgrew the <=4-round latency bound at 23 anchors, and
+    # trimming the most redundant one keeps every family represented
+    # AND the bound intact.
     "dedup_lsh_verified_pairs",
     "dedup_simhash_pairs",
     "dedup_duplicate_clusters",

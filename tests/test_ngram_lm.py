@@ -1,0 +1,100 @@
+"""Cross-corpus n-gram LM quality scoring (the CCNet recipe with both
+phases in-engine): reference-trained bigram model, join-based scoring,
+add-k backoff for unseen bigrams and unseen contexts, and the micro-nat
+quantization that makes a DuckDB audit exact."""
+
+from __future__ import annotations
+
+import math
+
+from polygon_io_data_ingestion_pipeline_spark.operators.ngram_lm import (
+    ngram_lm_cross_entropy,
+    ngram_lm_train,
+)
+
+
+def _df(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema)
+
+
+def _score(spark, ref_rows, doc_rows, add_k=1.0):
+    model = ngram_lm_train(_df(spark, ref_rows))
+    got = ngram_lm_cross_entropy(_df(spark, doc_rows), model, add_k=add_k)
+    return {r["doc_id"]: (r["n_bigrams"], r["cross_entropy"]) for r in got.collect()}
+
+
+def test_model_counts_and_hand_computed_score(spark):
+    """ref = two docs over a 3-word vocab; score a doc whose bigrams are
+    all in-model — cross-entropy must equal the hand-computed
+    add-1-smoothed value (quantized to micro-nats per bigram)."""
+    ref = [(1, "a b a b"), (2, "b a c")]
+    # bigram counts: (a,b)=2 (b,a)=2 (a,c)=1 ; contexts: a->3, b->2 ; V=3
+    model_rows = {
+        (r["w1"], r["w2"]): r["n12"]
+        for r in ngram_lm_train(_df(spark, ref))["bigrams"].collect()
+    }
+    assert model_rows == {("a", "b"): 2, ("b", "a"): 2, ("a", "c"): 1}
+
+    def q(p):  # per-bigram micro-nat quantization, as the scorer does
+        return round(math.log(p) * 1e6)
+
+    def half_up6(x):  # Spark's round() is HALF_UP, Python's is banker's
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    # doc "a b a": bigrams (a,b), (b,a)
+    # p(b|a) = (2+1)/(3+3) = 0.5 ; p(a|b) = (2+1)/(2+3) = 0.6
+    want = half_up6(-(q(0.5) + q(0.6)) / 1e6 / 2)
+    got = _score(spark, ref, [(10, "A b a")])  # case-folded
+    assert got[10] == (2, want)
+
+
+def test_backoff_unseen_bigram_and_unseen_context(spark):
+    """The two cases self-scoring never exercises: a seen context with
+    an unseen next word gets k/(n1+kV); an unseen context gets 1/V."""
+    ref = [(1, "a b a b"), (2, "b a c")]
+
+    def q(p):
+        return round(math.log(p) * 1e6)
+
+    # doc "a a": bigram (a,a) — context a seen (n1=3), pair unseen:
+    # p = 1/(3+3)
+    got = _score(spark, ref, [(20, "a a"), (21, "z q")])
+    assert got[20] == (1, round(-q(1 / 6) / 1e6, 6))
+    # doc "z q": context z unseen -> uniform 1/V = 1/3
+    assert got[21] == (1, round(-q(1 / 3) / 1e6, 6))
+
+
+def test_gibberish_scores_worse_than_reference_like_text(spark):
+    """The point of the gate: text drawn from the reference's own
+    phrasing scores lower cross-entropy than token salad."""
+    ref = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the lazy dog sleeps while the quick fox runs"),
+        (3, "a quick fox and a lazy dog play in the sun"),
+    ]
+    docs = [
+        (10, "the quick fox jumps over the lazy dog"),
+        (11, "dog the sun lazy a runs brown the while"),
+    ]
+    got = _score(spark, ref, docs)
+    assert got[10][1] < got[11][1]
+
+
+def test_short_null_docs_contract(spark):
+    """Docs with fewer than two tokens keep their row with n_bigrams=0
+    and NULL cross-entropy; NULL text likewise."""
+    ref = [(1, "a b a")]
+    got = _score(spark, ref, [(30, "single"), (31, ""), (32, None)])
+    assert got[30] == (0, None)
+    assert got[31] == (0, None)
+    assert got[32] == (0, None)
+
+
+def test_plan_native_and_model_not_collected(spark):
+    """Scoring is join-based: no Python workers, and the model tables
+    join by key (the 1-row vocab is the only broadcast)."""
+    ref = _df(spark, [(1, "a b c a b")])
+    model = ngram_lm_train(ref)
+    out = ngram_lm_cross_entropy(_df(spark, [(2, "a b x")]), model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
