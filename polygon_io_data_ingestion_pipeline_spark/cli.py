@@ -498,6 +498,19 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             docs, min_docs=args.line_dedup_min_docs
         )
 
+    if args.span_dedup:
+        # same CCNet-stage ordering as line dedup, one granularity
+        # finer: licence/template sentences embedded mid-paragraph
+        # (invisible to line dedup because they don't align with line
+        # breaks) are removed before the gate judges the remainder
+        from .operators.dedup import duplicated_span_removal
+
+        docs = duplicated_span_removal(
+            docs,
+            span_tokens=args.span_tokens,
+            min_docs=args.line_dedup_min_docs,
+        )
+
     passthrough = tuple(c for c in docs.columns if c != "doc_id")
     # crawls are multilingual: the English-only stopword signal would
     # reject clean foreign-language pages as gibberish (JSONL/parquet
@@ -518,6 +531,24 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         F.col("canonical_id").alias("doc_id")
     )
     unique = kept.join(reps, "doc_id", "left_semi")
+
+    if args.domain_cap:
+        # Zipfian skew control after dedup, before the split: at most N
+        # docs per registrable domain (PSL eTLD+1 when a url column
+        # exists; bare-host/unparseable fall back to the host, non-crawl
+        # corpora to their source label)
+        from .operators.sampling import group_capped_sample
+
+        if "url" in unique.columns:
+            from .functions.psl import registrable_domain
+
+            host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
+            dom = F.coalesce(registrable_domain(host), host, F.col("source"))
+        else:
+            dom = F.col("source")
+        unique = group_capped_sample(
+            unique.withColumn("_dom", dom), cap=args.domain_cap, group_col="_dom"
+        ).drop("_dom")
 
     out = hash_split(unique).persist()
     n_unique = out.count()
@@ -763,6 +794,21 @@ def main(argv: list[str] | None = None) -> int:
         "to one fetch before content dedup (--input-format warc)",
     )
     p.add_argument("--line-dedup-min-docs", type=int, default=2)
+    p.add_argument(
+        "--span-dedup",
+        action="store_true",
+        help="remove token spans covered by an 8-gram occurring in >= "
+        "--line-dedup-min-docs distinct documents (mid-paragraph "
+        "boilerplate line dedup cannot see)",
+    )
+    p.add_argument("--span-tokens", type=int, default=8)
+    p.add_argument(
+        "--domain-cap",
+        type=int,
+        default=None,
+        help="keep at most N documents per registrable domain "
+        "(deterministic keyed-hash selection)",
+    )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument("--partitions", type=int, default=None)

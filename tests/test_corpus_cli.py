@@ -261,3 +261,61 @@ def test_corpus_cli_line_dedup_stage(spark, tmp_path, capsys):
     ]) == 0
     rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert rows == {1: body1, 2: body2}  # footer gone, bodies verbatim
+
+
+def test_corpus_cli_span_dedup_stage(spark, tmp_path, capsys):
+    """--span-dedup removes a mid-paragraph licence sentence shared by
+    two pages (no line break alignment — invisible to --line-dedup);
+    unique bodies survive verbatim."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    lic = ("this work is licensed under the creative commons attribution "
+           "share alike international license terms")
+    body1 = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort")
+    body2 = ("a scan of the table shows the key and the value where the row "
+             "of the batch meets the line of the window in a sort of merge")
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": f"{b} {lic}", "source": "s"})
+        for i, b in ((1, body1), (2, body2))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--span-dedup", "--master", "local[4]",
+    ]) == 0
+    rows = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1: body1, 2: body2}  # licence span gone, bodies kept
+
+
+def test_corpus_cli_domain_cap(spark, tmp_path, capsys):
+    """--domain-cap keeps at most N docs per registrable domain (PSL
+    eTLD+1 of the url column: www./news. subdomains share one cap) —
+    the parquet lane carries url through; the JSONL lane's fixed schema
+    does not (there the cap falls back to source)."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    words = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort")
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (i, f"{words} marker{i}", f"https://www{i % 2}.big.co.uk/p/{i}", "s")
+        for i in range(6)
+    ] + [(10, f"{words} markerx", "https://solo.example.com/only", "s")]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, url string, source string"
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", src, "--out", out,
+        "--domain-cap", "2", "--master", "local[4]",
+    ]) == 0
+    rows = spark.read.parquet(out).collect()
+    by_dom: dict[str, int] = {}
+    for r in rows:
+        key = "big" if "big.co.uk" in r["url"] else "solo"
+        by_dom[key] = by_dom.get(key, 0) + 1
+    assert by_dom == {"big": 2, "solo": 1}
