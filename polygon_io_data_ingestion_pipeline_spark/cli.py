@@ -525,7 +525,29 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     # semi-join back) atop the full parse+scrub+gate lineage — persist
     # it or the whole corpus re-reads once per consumer, exactly the
     # cost the registry twin docs_corpus_prep pins with its .persist().
-    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough).persist()
+    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough)
+
+    if args.lm_ref:
+        # CCNet's LM stage, after the heuristic gate: score survivors
+        # under a bigram model trained on the clean reference corpus and
+        # drop high-cross-entropy (reference-unlike) pages.  Unscorable
+        # docs (< 2 tokens, already past the gate) keep — the LM cannot
+        # judge them.  The scores frame is tiny (id, n, ce): persist it
+        # so the accounting count and the semi-join don't re-run the
+        # model joins.
+        from .operators.ngram_lm import ngram_lm_cross_entropy, ngram_lm_train
+
+        model = ngram_lm_train(spark.read.parquet(args.lm_ref))
+        scores = ngram_lm_cross_entropy(kept, model).persist()
+        bad = scores.filter(
+            F.col("cross_entropy").isNotNull()
+            & (F.col("cross_entropy") > args.lm_max_ce)
+        )
+        n_lm_dropped = bad.count()
+        kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
+        print(f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce}")
+
+    kept = kept.persist()
 
     reps = exact_duplicates(kept.select("doc_id", "text")).select(
         F.col("canonical_id").alias("doc_id")
@@ -809,6 +831,14 @@ def main(argv: list[str] | None = None) -> int:
         help="keep at most N documents per registrable domain "
         "(deterministic keyed-hash selection)",
     )
+    p.add_argument(
+        "--lm-ref",
+        default=None,
+        help="parquet documents table to train the bigram LM on; "
+        "gate-surviving docs scoring above --lm-max-ce are dropped "
+        "(the CCNet perplexity filter, in-engine)",
+    )
+    p.add_argument("--lm-max-ce", type=float, default=8.0)
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument("--partitions", type=int, default=None)

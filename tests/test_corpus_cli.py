@@ -319,3 +319,56 @@ def test_corpus_cli_domain_cap(spark, tmp_path, capsys):
         key = "big" if "big.co.uk" in r["url"] else "solo"
         by_dom[key] = by_dom.get(key, 0) + 1
     assert by_dom == {"big": 2, "solo": 1}
+
+
+def test_corpus_cli_lm_gate(spark, tmp_path, capsys):
+    """--lm-ref/--lm-max-ce: the CCNet LM stage — pages phrased like the
+    reference survive, token salad over the same vocabulary is dropped
+    with accounting (the heuristic gate alone passes both)."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.operators.ngram_lm import (
+        ngram_lm_cross_entropy,
+        ngram_lm_train,
+    )
+
+    ref_rows = [
+        (i, "the data in the table is the value of the row and the key "
+            "of the batch while the line in the window is the part of "
+            "the sort and the scan of the batch is the merge")
+        for i in range(8)
+    ]
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(ref_rows, "doc_id long, text string").write.parquet(ref)
+
+    good = ("the data in the table is the value of the row and the key of "
+            "the batch while the line in the window is the part of the sort")
+    salad = ("sort the of while line data key the and batch value in row of "
+             "the the is table the the window part the scan merge is of")
+    # pick a threshold between the two scores so the gate separates them
+    model = ngram_lm_train(spark.createDataFrame(ref_rows, "doc_id long, text string"))
+    docs_df = spark.createDataFrame(
+        [(1, good), (2, salad)], "doc_id long, text string"
+    )
+    ce = {
+        r["doc_id"]: r["cross_entropy"]
+        for r in ngram_lm_cross_entropy(docs_df, model).collect()
+    }
+    assert ce[1] < ce[2]
+    thr = (ce[1] + ce[2]) / 2
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in ((1, good), (2, salad))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--lm-ref", ref, "--lm-max-ce", str(thr), "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "lm-gate: dropped=1" in msg
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
