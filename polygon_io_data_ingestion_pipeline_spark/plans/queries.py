@@ -5748,6 +5748,68 @@ def docs_lm_cross_entropy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_web_components",
+    oracle="""
+WITH RECURSIVE d AS (SELECT doc_id FROM documents),
+e0 AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM d
+  WHERE doc_id % 10 < 9
+    AND EXISTS (SELECT 1 FROM d d2 WHERE d2.doc_id = d.doc_id + 1)
+  UNION ALL
+  SELECT doc_id, doc_id - doc_id % 100 FROM d
+  WHERE doc_id % 20 = 0 AND doc_id % 100 <> 0
+    AND EXISTS (SELECT 1 FROM d d3 WHERE d3.doc_id = d.doc_id - d.doc_id % 100)
+),
+edges AS (
+  SELECT 'n' || CAST(a AS VARCHAR) AS src, 'n' || CAST(b AS VARCHAR) AS dst
+  FROM e0
+  UNION
+  SELECT 'n' || CAST(b AS VARCHAR), 'n' || CAST(a AS VARCHAR) FROM e0
+),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst
+),
+labels AS (SELECT node, min(label) AS component_id FROM reach GROUP BY node)
+SELECT 'n' || CAST(d.doc_id AS VARCHAR) AS node,
+       coalesce(l.component_id, 'n' || CAST(d.doc_id AS VARCHAR)) AS component_id
+FROM d LEFT JOIN labels l ON l.node = 'n' || CAST(d.doc_id AS VARCHAR)
+""",
+    doc="Web-graph connected components by alternating large-star/"
+    "small-star contraction (operators/graph.py "
+    "connected_components_star — O(log n) rounds on chain-shaped "
+    "components, where duplicate_clusters' label propagation needs "
+    "O(diameter)): a synthesized page graph of 10-node link chains "
+    "with periodic cross-links; component_id = lexicographic min URL "
+    "(string nodes).  The oracle computes the same closure as a "
+    "recursive CTE.",
+    tags=("graph",),
+)
+def docs_web_components(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import connected_components_star
+
+    d = table(spark, sf, "documents").select("doc_id")
+    ids = d.select(F.col("doc_id").alias("nbr"))
+    chain = (
+        d.filter(F.col("doc_id") % 10 < 9)
+        .select("doc_id", (F.col("doc_id") + 1).alias("nbr"))
+        .join(ids, "nbr", "left_semi")
+    )
+    cross = (
+        d.filter((F.col("doc_id") % 20 == 0) & (F.col("doc_id") % 100 != 0))
+        .select("doc_id", (F.col("doc_id") - F.col("doc_id") % 100).alias("nbr"))
+        .join(ids, "nbr", "left_semi")
+    )
+    n = lambda c: F.concat(F.lit("n"), F.col(c).cast("string"))  # noqa: E731
+    edges = chain.unionByName(cross).select(
+        n("doc_id").alias("src"), n("nbr").alias("dst")
+    )
+    nodes = d.select(n("doc_id").alias("node"))
+    return connected_components_star(edges, all_ids=nodes, id_col="node")
+
+
 def _synth_url() -> Column:
     """Deterministic crawl-style URL per document row, built so every
     cosmetic variant of one logical page normalizes identically.
