@@ -250,3 +250,64 @@ def fetch_schedule(
     return out.join(
         effective.select("host", "crawl_delay"), "host", "left"
     ).select(url_col, "in_refs", "host", "crawl_delay")
+
+
+def anchor_text_index(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    anchor_col: str = "anchor",
+    nofollow_col: str | None = "nofollow",
+    max_anchors: int = 16,
+) -> DataFrame:
+    """Inbound anchor-text index: for every normalized link destination,
+    how many distinct pages point at it and what they CALL it — the
+    classic web-search signal (anchor text describes the target better
+    than the target describes itself), and in a training-data pipeline
+    the source of inbound titles/descriptions attached to documents.
+
+    Returns ``(url, in_refs, anchors)``: distinct referrer count and
+    the lexicographically-first ``max_anchors`` distinct non-empty
+    whitespace-normalized anchor strings, sorted.  ``nofollow`` edges
+    are excluded when the column exists: nofollow is an explicit "no
+    endorsement" and its anchors are navigation chrome.
+
+    Scale shape: the anchor list is HARD-BOUNDED before any per-row
+    materialization — popular pages accumulate millions of inbound
+    anchors, so a collect_set-then-slice would build an arbitrarily
+    wide row first.  Instead: distinct (url, anchor) pairs, a
+    row_number rank that Spark's WindowGroupLimit pushes into a
+    per-map-partition top-``max_anchors``, THEN a collect_list whose
+    per-group size is <= ``max_anchors`` by construction.  The
+    referrer count is its own partial-agg shuffle on the same key.
+    Unparseable destinations quarantine under their raw string key
+    rather than conflating."""
+    from pyspark.sql import Window
+
+    e = edges
+    if nofollow_col is not None and nofollow_col in e.columns:
+        e = e.filter(~F.coalesce(F.col(nofollow_col), F.lit(False)))
+    anchor = F.regexp_replace(F.trim(F.col(anchor_col)), r"\s+", " ")
+    keyed = e.select(
+        F.coalesce(url_normalized(F.col(dst_col)), F.col(dst_col)).alias("url"),
+        F.col(src_col).alias("_src"),
+        anchor.alias("_anchor"),
+    )
+    refs = keyed.groupBy("url").agg(F.countDistinct("_src").alias("in_refs"))
+    w = Window.partitionBy("url").orderBy("_anchor")
+    top_anchors = (
+        keyed.filter(F.length("_anchor") > 0)
+        .select("url", "_anchor")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(max_anchors))
+        .groupBy("url")
+        .agg(F.array_sort(F.collect_list("_anchor")).alias("anchors"))
+    )
+    return refs.join(top_anchors, "url", "left").select(
+        "url",
+        "in_refs",
+        F.coalesce(F.col("anchors"), F.array().cast("array<string>")).alias(
+            "anchors"
+        ),
+    )

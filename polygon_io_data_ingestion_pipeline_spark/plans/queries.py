@@ -5810,6 +5810,101 @@ def docs_web_components(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components_star(edges, all_ids=nodes, id_col="node")
 
 
+@q(
+    "docs_anchor_text_index",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CAST((doc_id * 7) % 40 AS VARCHAR) AS tgt,
+         CAST(doc_id % 3 AS VARCHAR) AS variant
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, host,
+         'http://' || host || '/p' || CAST(doc_id AS VARCHAR) AS url,
+         '<html><body><a href="/p' || tgt || '">see  ' || tgt
+         || ' ref ' || variant || '</a>'
+         || '<a href="/p' || tgt || '" rel="nofollow">chrome nav</a>'
+         || '<a href="mailto:team@example.com">mail</a></body></html>' AS html
+  FROM d
+),
+tags AS (
+  SELECT url, host,
+         unnest(regexp_extract_all(html,
+                '<a href="[^"]*"[^>]*>[^<]*</a>')) AS tag
+  FROM pages
+),
+links AS (
+  SELECT url AS src, host,
+         regexp_extract(tag, '<a href="([^"]*)"', 1) AS href,
+         regexp_replace(trim(regexp_extract(tag, '>([^<]*)</a>', 1)),
+                        '\\s+', ' ', 'g') AS anchor,
+         contains(tag, 'nofollow') AS nofollow
+  FROM tags
+),
+resolved AS (
+  SELECT src, anchor,
+         CASE WHEN href LIKE 'http%' THEN href
+              WHEN href LIKE '/%' THEN 'http://' || host || href END AS dst
+  FROM links
+  WHERE NOT nofollow AND href NOT LIKE 'mailto:%' AND href NOT LIKE '#%'
+),
+refs AS (
+  SELECT dst AS url, CAST(count(DISTINCT src) AS BIGINT) AS in_refs
+  FROM resolved GROUP BY dst
+),
+topa AS (
+  SELECT url, string_agg(anchor, '|' ORDER BY anchor) AS anchors
+  FROM (
+    SELECT dst AS url, anchor,
+           row_number() OVER (PARTITION BY dst ORDER BY anchor) AS rk
+    FROM (SELECT DISTINCT dst, anchor FROM resolved WHERE length(anchor) > 0)
+  ) WHERE rk <= 16 GROUP BY url
+)
+SELECT r.url, r.in_refs, coalesce(t.anchors, '') AS anchors
+FROM refs r LEFT JOIN topa t USING (url)
+""",
+    doc="Inbound anchor-text index (operators/urls.py anchor_text_index "
+    "fed by sources/archive.py extract_outlinks): for every link "
+    "destination, distinct-referrer count and the sorted capped set of "
+    "distinct anchor strings pointing at it — the classic web-search "
+    "signal and the source of inbound titles in a training pipeline.  "
+    "nofollow anchors are chrome and excluded; the anchor list is "
+    "hard-bounded BEFORE materialization (distinct pairs -> "
+    "WindowGroupLimit-pushed row_number cap -> collect_list).  The "
+    "oracle RE-EXTRACTS anchors with DuckDB regexps from the same "
+    "constructed HTML, so the hash certifies extraction + aggregation "
+    "semantics.",
+    tags=("text", "graph"),
+)
+def docs_anchor_text_index(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.urls import anchor_text_index
+    from ..sources.archive import extract_outlinks
+
+    d = table(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example"))
+    tgt = ((F.col("doc_id") * 7) % 40).cast("string")
+    variant = (F.col("doc_id") % 3).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/p'), tgt, F.lit('">see  '), tgt,
+        F.lit(" ref "), variant, F.lit("</a>"),
+        F.lit('<a href="/p'), tgt, F.lit('" rel="nofollow">chrome nav</a>'),
+        F.lit('<a href="mailto:team@example.com">mail</a></body></html>'),
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("http://"), host, F.lit("/p"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(html, "utf-8").alias("payload"),
+    )
+    edges = extract_outlinks(pages)
+    idx = anchor_text_index(edges)
+    return idx.select(
+        "url", "in_refs", F.array_join("anchors", "|").alias("anchors")
+    )
+
+
 def _synth_url() -> Column:
     """Deterministic crawl-style URL per document row, built so every
     cosmetic variant of one logical page normalizes identically.

@@ -141,3 +141,52 @@ def test_url_parts_uses_psl_not_two_label_proxy(spark):
     # bbc.co.uk and guardian.co.uk are DIFFERENT domains; a bare public
     # suffix falls back to the host itself
     assert got == ["bbc.co.uk", "guardian.co.uk", "co.uk"]
+
+
+# --- round 9 (second session): inbound anchor-text index ---------------------
+
+
+def test_anchor_text_index_semantics(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        anchor_text_index,
+    )
+
+    rows = [
+        ("http://a.example/1", "http://T.example/page?utm_source=x", "  Good   Page ", False),
+        ("http://a.example/2", "http://t.example/page", "good page", False),
+        ("http://a.example/3", "http://t.example/page", "Good Page", False),
+        ("http://a.example/4", "http://t.example/page", "nav chrome", True),  # nofollow
+        ("http://a.example/5", "http://t.example/page", "", False),           # empty anchor
+        ("http://a.example/1", "http://t.example/page", "another name", False),
+        ("http://a.example/6", "::::", "raw key kept", False),                # unparseable dst
+    ]
+    df = spark.createDataFrame(rows, "src string, dst string, anchor string, nofollow boolean")
+    got = {r["url"]: r for r in anchor_text_index(df, max_anchors=2).collect()}
+    page = got["http://t.example/page"]
+    # normalization folds host case + tracking params into one key;
+    # 1,2,3,5 and the second edge from 1 -> 5 distinct referrers... but
+    # nofollow row 4 is excluded: referrers {1,2,3,5,1} -> 4 distinct
+    assert page["in_refs"] == 4
+    # distinct whitespace-normalized anchors sorted: "Good Page",
+    # "another name", "good page" -> capped at 2, lexicographic order
+    # (uppercase sorts before lowercase)
+    assert list(page["anchors"]) == ["Good Page", "another name"]
+    assert got["::::"]["in_refs"] == 1  # quarantined under raw key
+
+
+def test_anchor_text_index_plan_bounded(spark):
+    """The anchor cap must appear as WindowGroupLimit (map-side top-k),
+    and the plan stays JVM-side."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        anchor_text_index,
+    )
+
+    df = spark.createDataFrame(
+        [("s", "http://t.example/p", "a", False)],
+        "src string, dst string, anchor string, nofollow boolean",
+    )
+    plan = (
+        anchor_text_index(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
