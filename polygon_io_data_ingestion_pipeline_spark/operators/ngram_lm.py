@@ -144,3 +144,143 @@ def ngram_lm_cross_entropy(
             F.round(-F.col("_s") / F.lit(1e6) / F.col("n_bigrams"), 6),
         ).alias("cross_entropy"),
     )
+
+
+def _ngram_rows(toks: Column, order: int) -> Column:
+    """Array of (w, ctx1, ..., ctx{order-1}) structs, one per token
+    position: ``ctxj`` = the space-joined j previous tokens, NULL when
+    the position has fewer than j predecessors (document start).  The
+    NULL is load-bearing: a boundary-missing context must fall through
+    to the lower order WITHOUT the backoff penalty, and the scorer
+    branches on exactly this nullity."""
+    n = F.size(toks)
+
+    def build(i: Column) -> Column:
+        parts = [F.element_at(toks, i + 1).alias("w")]
+        for j in range(1, order):
+            ctx = F.when(i >= j, F.array_join(F.slice(toks, i - j + 1, j), " "))
+            parts.append(ctx.alias(f"ctx{j}"))
+        return F.struct(*parts)
+
+    return F.when(
+        n >= 1, F.transform(F.sequence(F.lit(0), n - 1), build)
+    ).otherwise(F.array())
+
+
+def ngram_lm_train_counts(
+    ref: DataFrame, text_col: str = "text", order: int = 3
+) -> dict:
+    """Count tables for an order-``order`` stupid-backoff LM (Brants et
+    al. 2007, "Large Language Models in Machine Translation" — the
+    web-scale smoothing: relative frequency when the n-gram is seen,
+    else a fixed-penalty fall-through to the next lower order; no
+    discounting pass, so training stays per-order partial-agg
+    counting).
+
+    Returns ``{"grams": {k: (ctx, w, n)}, "ctx": {k: (ctx, nc)},
+    "totals": 1-row (total, v_size)}`` — grams[1] has ctx='' (the
+    unigram context is the whole corpus)."""
+    base = ref.select(_toks(text_col).alias("_toks"))
+    rows = base.select(
+        F.explode(_ngram_rows(F.col("_toks"), order)).alias("_g")
+    ).select("_g.*")
+    grams: dict[int, DataFrame] = {}
+    ctx: dict[int, DataFrame] = {}
+    for k in range(1, order + 1):
+        ctx_col = F.lit("") if k == 1 else F.col(f"ctx{k - 1}")
+        gk = (
+            rows.filter(F.lit(True) if k == 1 else ctx_col.isNotNull())
+            .groupBy(ctx_col.alias("ctx"), F.col("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        grams[k] = gk
+        ctx[k] = gk.groupBy("ctx").agg(F.sum("n").alias("nc"))
+    totals = rows.agg(
+        F.count("*").alias("total"), F.countDistinct("w").alias("v_size")
+    )
+    return {"grams": grams, "ctx": ctx, "totals": totals}
+
+
+def stupid_backoff_score(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Per-document average negative log stupid-backoff score (nats) —
+    the quality signal of a web-scale n-gram LM without a discounting
+    pass.  Per token: relative frequency under the LONGEST seen
+    context; each backoff from a context that EXISTS in the document
+    but is unseen in the model multiplies by ``alpha`` (0.4, the
+    published constant); a context missing because the document just
+    started falls through without penalty; an out-of-vocabulary token
+    bottoms out at ``1 / (total + v_size)``.
+
+    Scale shape: the document token stream left-joins each order's
+    gram and context tables on the (ctx, w) / (ctx) keys — 2 x order
+    equi-joins, model never broadcast or collected (AQE does so by
+    itself when a small reference makes it tiny), one per-document
+    partial agg; the per-token log is quantized to micro-nats and
+    integer-summed (the engine-parity discipline).  Returns
+    ``(id_col, n_tokens, avg_neg_logscore)`` with NULL score for
+    empty/NULL documents."""
+    order = max(model["grams"])
+    doc_rows = docs.select(
+        F.col(id_col),
+        F.explode_outer(_ngram_rows(_toks(text_col), order)).alias("_g"),
+    ).select(id_col, "_g.*")
+    j = doc_rows
+    for k in range(1, order + 1):
+        # the join key for a missing context is a sentinel that matches
+        # no real ctx (real contexts are space-joined non-empty tokens,
+        # never the single space) — NULL itself would never equi-match,
+        # but an explicit sentinel keeps the intent readable
+        ctx_expr = (
+            F.lit("") if k == 1 else F.coalesce(F.col(f"ctx{k - 1}"), F.lit(" "))
+        )
+        gk = model["grams"][k].select(
+            F.col("ctx").alias(f"_c{k}"),
+            F.col("w").alias(f"_w{k}"),
+            F.col("n").alias(f"_n{k}"),
+        )
+        ck = model["ctx"][k].select(
+            F.col("ctx").alias(f"_cc{k}"), F.col("nc").alias(f"_nc{k}")
+        )
+        j = (
+            j.join(
+                gk,
+                (ctx_expr == F.col(f"_c{k}"))
+                & (F.col("w") == F.col(f"_w{k}")),
+                "left",
+            )
+            .join(ck, ctx_expr == F.col(f"_cc{k}"), "left")
+            .drop(f"_c{k}", f"_w{k}", f"_cc{k}")
+        )
+    j = j.crossJoin(F.broadcast(model["totals"]))
+    # innermost: unigram relative frequency, OOV floor
+    score = F.when(
+        F.col("_n1").isNotNull(),
+        F.col("_n1").cast("double") / F.col("_nc1"),
+    ).otherwise(F.lit(1.0) / (F.col("total") + F.col("v_size")))
+    for k in range(2, order + 1):
+        ctx_present = F.col(f"ctx{k - 1}").isNotNull()
+        score = F.when(
+            F.col(f"_n{k}").isNotNull(),
+            F.col(f"_n{k}").cast("double") / F.col(f"_nc{k}"),
+        ).otherwise(
+            F.when(ctx_present, F.lit(float(alpha)) * score).otherwise(score)
+        )
+    slp = F.round(F.log(score) * 1e6, 0).cast("long")
+    scored = j.withColumn("_slp", F.when(F.col("w").isNotNull(), slp))
+    per = scored.groupBy(id_col).agg(
+        F.count("_slp").alias("n_tokens"), F.sum("_slp").alias("_s")
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(-F.col("_s") / F.lit(1e6) / F.col("n_tokens"), 6),
+        ).alias("avg_neg_logscore"),
+    )

@@ -90,6 +90,69 @@ def test_short_null_docs_contract(spark):
     assert got[32] == (0, None)
 
 
+def _q(p):
+    return round(math.log(p) * 1e6)
+
+
+def _half_up6(x):
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _backoff(spark, ref_rows, doc_rows, order=3, alpha=0.4):
+    from polygon_io_data_ingestion_pipeline_spark.operators.ngram_lm import (
+        ngram_lm_train_counts,
+        stupid_backoff_score,
+    )
+
+    model = ngram_lm_train_counts(_df(spark, ref_rows), order=order)
+    got = stupid_backoff_score(_df(spark, doc_rows), model, alpha=alpha)
+    return {r["doc_id"]: (r["n_tokens"], r["avg_neg_logscore"]) for r in got.collect()}
+
+
+def test_stupid_backoff_hand_computed(spark):
+    """ref 'a b c'/'a b d': trigram hit, boundary fall-through without
+    penalty, unseen-gram backoff WITH penalty, and the OOV floor — each
+    against the published stupid-backoff recursion by hand."""
+    ref = [(1, "a b c"), (2, "a b d")]
+    # counts: uni a2 b2 c1 d1 (total 6, V=4); bi (a,b)=2 /nc(a)=2,
+    # (b,c)=1,(b,d)=1 /nc(b)=2; tri ("a b",c)=1,("a b",d)=1 /nc("a b")=2
+    got = _backoff(spark, ref, [(10, "a b c"), (11, "b z"), (12, "q b")])
+    # "a b c": uni(a)=2/6; bigram(a,b)=1.0 (no ctx2 -> NO penalty);
+    # trigram("a b",c)=1/2
+    want10 = _half_up6(-(_q(2 / 6) + _q(1.0) + _q(0.5)) / 1e6 / 3)
+    assert got[10] == (3, want10)
+    # "b z": uni(b)=2/6; ctx 'b' EXISTS but (b,z) unseen and z is OOV:
+    # alpha * floor = 0.4 * 1/(6+4)
+    want11 = _half_up6(-(_q(2 / 6) + _q(0.4 * 0.1)) / 1e6 / 2)
+    assert got[11] == (2, want11)
+    # "q b": q OOV floor; ctx 'q' present-in-doc but unseen-in-model:
+    # alpha * uni(b)
+    want12 = _half_up6(-(_q(0.1) + _q(0.4 * 2 / 6)) / 1e6 / 2)
+    assert got[12] == (2, want12)
+
+
+def test_stupid_backoff_contracts_and_ranking(spark):
+    """Empty/NULL docs stay NULL; reference-like text outscores salad
+    under the trigram model too."""
+    ref = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the lazy dog sleeps while the quick fox runs"),
+    ]
+    got = _backoff(
+        spark,
+        ref,
+        [
+            (20, "the quick brown fox jumps"),
+            (21, "fox the jumps quick the brown"),
+            (22, ""),
+            (23, None),
+        ],
+    )
+    assert got[20][1] < got[21][1]
+    assert got[22] == (0, None)
+    assert got[23] == (0, None)
+
+
 def test_plan_native_and_model_not_collected(spark):
     """Scoring is join-based: no Python workers, and the model tables
     join by key (the 1-row vocab is the only broadcast)."""
