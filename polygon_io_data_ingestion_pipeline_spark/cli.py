@@ -525,16 +525,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     # semi-join back) atop the full parse+scrub+gate lineage — persist
     # it or the whole corpus re-reads once per consumer, exactly the
     # cost the registry twin docs_corpus_prep pins with its .persist().
-    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough)
+    kept = gated.filter(F.col("keep")).select("doc_id", *passthrough).persist()
 
     if args.lm_ref:
         # CCNet's LM stage, after the heuristic gate: score survivors
         # under a bigram model trained on the clean reference corpus and
         # drop high-cross-entropy (reference-unlike) pages.  Unscorable
         # docs (< 2 tokens, already past the gate) keep — the LM cannot
-        # judge them.  The scores frame is tiny (id, n, ce): persist it
-        # so the accounting count and the semi-join don't re-run the
-        # model joins.
+        # judge them.  kept is ALREADY persisted above (the scoring pass
+        # must not re-run the parse/scrub/dedup/gate lineage), and the
+        # tiny scores frame (id, n, ce) persists so the accounting count
+        # and the anti-join don't re-run the model joins.
         from .operators.ngram_lm import ngram_lm_cross_entropy, ngram_lm_train
 
         model = ngram_lm_train(spark.read.parquet(args.lm_ref))
@@ -546,8 +547,6 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         n_lm_dropped = bad.count()
         kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
         print(f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce}")
-
-    kept = kept.persist()
 
     reps = exact_duplicates(kept.select("doc_id", "text")).select(
         F.col("canonical_id").alias("doc_id")
@@ -561,13 +560,20 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # corpora to their source label)
         from .operators.sampling import group_capped_sample
 
+        # build the grouping from whatever the lane carries: PSL eTLD+1
+        # of url (parquet/WARC lanes), then the source label, then a
+        # constant (pure-text parquet with neither column: the cap
+        # degrades to a global cap rather than crashing on an
+        # unresolvable column)
+        parts = []
         if "url" in unique.columns:
             from .functions.psl import registrable_domain
 
             host = F.lower(F.try_parse_url(F.col("url"), F.lit("HOST")))
-            dom = F.coalesce(registrable_domain(host), host, F.col("source"))
-        else:
-            dom = F.col("source")
+            parts += [registrable_domain(host), host]
+        if "source" in unique.columns:
+            parts.append(F.col("source"))
+        dom = F.coalesce(*parts, F.lit("__all__"))
         unique = group_capped_sample(
             unique.withColumn("_dom", dom), cap=args.domain_cap, group_col="_dom"
         ).drop("_dom")

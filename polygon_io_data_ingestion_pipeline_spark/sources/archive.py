@@ -612,6 +612,15 @@ _VOID_TAGS = {
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
     "meta", "source", "track", "wbr",
 }
+# inline formatting elements: a stray close of one of these must NOT
+# pop through a structural container (browsers run the adoption agency
+# instead of closing the container; we approximate by ignoring the
+# misnested close), while a stray close of a STRUCTURAL tag still
+# auto-closes unclosed inners (the <li>/<p>/unclosed-<div> case)
+_FORMATTING_TAGS = {
+    "a", "abbr", "b", "big", "code", "em", "font", "i", "mark", "s",
+    "small", "span", "strong", "sub", "sup", "u",
+}
 
 
 def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
@@ -665,7 +674,11 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
             if tag == "main":
                 # a page has one <main> and it is never chrome: treat it
                 # as an authoritative main-content signal that recovers
-                # from any boiler scope left open by unbalanced markup
+                # from any boiler scope left open by unbalanced markup.
+                # Flush FIRST — text accumulated inside the (still-open)
+                # chrome scope must ship as boiler, not inherit the
+                # cleared state at the next block tag
+                self._flush()
                 self.boiler_depths.clear()
                 self.cur_boiler = False
             if tag not in _VOID_TAGS:
@@ -688,12 +701,18 @@ def _extract_blocks(html: str) -> list[tuple[str, int, bool]]:
             # post-close scope state (text between a closed boiler
             # container and the next block tag is NOT chrome)
             for i in range(len(self.open_tags) - 1, -1, -1):
-                if self.open_tags[i] == tag:
+                t = self.open_tags[i]
+                if t == tag:
                     del self.open_tags[i:]
                     while self.boiler_depths and self.boiler_depths[-1] > len(
                         self.open_tags
                     ):
                         self.boiler_depths.pop()
+                    break
+                if tag in _FORMATTING_TAGS and t not in _FORMATTING_TAGS:
+                    # a misnested inline close ('</b>' opened before a
+                    # still-open <div class=nav>) must not auto-close
+                    # the structural container — ignore it
                     break
             if tag in _BLOCK_TAGS:
                 self._flush()

@@ -642,6 +642,47 @@ def test_unclosed_inner_same_name_recovers_at_closed_ancestor():
     assert "chrome a" not in main
 
 
+def test_main_tag_flushes_pending_chrome_before_clearing():
+    """Text accumulated inside a still-open chrome scope when <main>
+    opens must ship as boiler — <main> clears the scope for what
+    FOLLOWS, not retroactively."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_main_text,
+    )
+
+    html = (
+        '<html><body><div class="nav">Home About Contact'
+        "<main><p>Real article body text long enough to survive scoring.</p>"
+        "</main></div></body></html>"
+    )
+    main = _extract_main_text(html)
+    assert "Real article body" in main
+    assert "Home About Contact" not in main
+
+
+def test_misnested_inline_close_does_not_end_boiler_container():
+    """A stray inline close ('</b>' opened before the nav) must not
+    auto-close the structural container — text still inside the nav
+    stays chrome (browsers run the adoption agency here, they never
+    close the div)."""
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        _extract_blocks,
+        _extract_main_text,
+    )
+
+    html = (
+        '<html><body><b>bold<div class="nav"><p>one</p></b>'
+        "<p>two three four nav links</p></div>"
+        "<p>Real body paragraph long enough to survive the scoring.</p>"
+        "</body></html>"
+    )
+    blocks = {t: b for t, _l, b in _extract_blocks(html)}
+    assert blocks["two three four nav links"] is True  # still chrome
+    main = _extract_main_text(html)
+    assert "Real body paragraph" in main
+    assert "nav links" not in main
+
+
 def test_main_tag_clears_leaked_boiler_scope():
     """<main> is an authoritative main-content signal: even when broken
     markup leaks a boiler scope with no closed ancestor before the

@@ -372,3 +372,23 @@ def test_corpus_cli_lm_gate(spark, tmp_path, capsys):
     assert "lm-gate: dropped=1" in msg
     rows = spark.read.parquet(out).collect()
     assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_corpus_cli_domain_cap_without_url_or_source(spark, tmp_path, capsys):
+    """A parquet corpus carrying neither url nor source must not crash
+    --domain-cap: the cap degrades to a global constant group."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    words = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"{words} marker{i}") for i in range(5)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", src, "--out", out,
+        "--domain-cap", "3", "--master", "local[4]",
+    ]) == 0
+    assert len(spark.read.parquet(out).collect()) == 3
