@@ -593,6 +593,45 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_webgraph(args: argparse.Namespace) -> int:
+    """Crawl outlink edges -> the web-graph analytics tables: directed
+    PageRank (endorsement centrality with dangling-node mass),
+    large-star/small-star connected components (site/mirror clusters),
+    and the inbound anchor-text index — one read of the batch-keyed
+    edge tables the streaming crawl emits, three parquet outputs."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .operators.graph import connected_components_star, pagerank_directed
+    from .operators.urls import anchor_text_index
+
+    spark = get_spark("poly-webgraph", master=args.master)
+    edges = spark.read.parquet(args.edges)
+    # endorsement outputs (pagerank, components) exclude nofollow edges;
+    # the anchor index applies its own nofollow rule.  The filtered
+    # frame feeds two branches — persist or each re-reads the edge
+    # tables.
+    followed = edges
+    if "nofollow" in edges.columns:
+        followed = edges.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
+    followed = followed.select("src", "dst").persist()
+    pr = pagerank_directed(followed, iters=args.pagerank_iters)
+    pr.write.mode("overwrite").parquet(_os.path.join(args.out, "pagerank"))
+    cc = connected_components_star(followed, id_col="node")
+    cc.write.mode("overwrite").parquet(_os.path.join(args.out, "components"))
+    n_nodes = pr.count()
+    n_comps = cc.select("component_id").distinct().count()
+    summary = f"webgraph -> {args.out}: nodes={n_nodes} components={n_comps}"
+    if "anchor" in edges.columns:
+        ai = anchor_text_index(edges, max_anchors=args.max_anchors)
+        ai.write.mode("overwrite").parquet(_os.path.join(args.out, "anchors"))
+        summary += f" anchor_targets={ai.count()}"
+    followed.unpersist()
+    print(summary)
+    return 0
+
+
 def cmd_datasheet(args: argparse.Namespace) -> int:
     """Corpus report card: documents in (JSONL or parquet) ->
     long-format (metric, value) datasheet printed and optionally
@@ -859,6 +898,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input-format", choices=["jsonl", "parquet"], default="jsonl")
     _add_common(p)
     p.set_defaults(fn=cmd_datasheet)
+
+    p = sub.add_parser(
+        "webgraph",
+        help="crawl outlink edges -> pagerank / components / anchor-index tables",
+    )
+    p.add_argument("--edges", required=True, help="outlink edge parquet (src, dst[, anchor, nofollow])")
+    p.add_argument("--out", required=True, help="output root (pagerank/, components/, anchors/)")
+    p.add_argument("--pagerank-iters", type=int, default=2)
+    p.add_argument("--max-anchors", type=int, default=16)
+    _add_common(p)
+    p.set_defaults(fn=cmd_webgraph)
 
     p = sub.add_parser(
         "lake", help="lake maintenance: compact | delete (takedown) | merge (upsert)"

@@ -392,3 +392,41 @@ def test_corpus_cli_domain_cap_without_url_or_source(spark, tmp_path, capsys):
         "--domain-cap", "3", "--master", "local[4]",
     ]) == 0
     assert len(spark.read.parquet(out).collect()) == 3
+
+
+def test_webgraph_cli(spark, tmp_path, capsys):
+    """The webgraph journey: batch-keyed outlink edges -> pagerank,
+    star components, and anchor index tables in one command."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    edges = str(tmp_path / "edges")
+    rows = [
+        ("http://a.x/1", "http://a.x/2", "next page", False),
+        ("http://a.x/2", "http://a.x/1", "back", False),
+        ("http://a.x/1", "http://b.x/1", "partner site", False),
+        ("http://a.x/1", "http://spam.x/1", "sponsored", True),  # nofollow
+        ("http://c.x/1", "http://c.x/2", "island", False),
+    ]
+    spark.createDataFrame(
+        rows, "src string, dst string, anchor string, nofollow boolean"
+    ).write.partitionBy().parquet(edges)
+    out = str(tmp_path / "wg")
+    assert main([
+        "webgraph", "--edges", edges, "--out", out, "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "components=2" in msg  # {a.x/1,a.x/2,b.x/1} and {c.x/1,c.x/2}
+
+    pr = {r["node"] for r in spark.read.parquet(out + "/pagerank").collect()}
+    assert "http://spam.x/1" not in pr  # nofollow edge excluded
+    cc = {
+        r["node"]: r["component_id"]
+        for r in spark.read.parquet(out + "/components").collect()
+    }
+    assert cc["http://b.x/1"] == "http://a.x/1"
+    ai = {
+        r["url"]: list(r["anchors"])
+        for r in spark.read.parquet(out + "/anchors").collect()
+    }
+    assert ai["http://b.x/1"] == ["partner site"]
+    assert "http://spam.x/1" not in ai
