@@ -536,17 +536,40 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # must not re-run the parse/scrub/dedup/gate lineage), and the
         # tiny scores frame (id, n, ce) persists so the accounting count
         # and the anti-join don't re-run the model joins.
-        from .operators.ngram_lm import ngram_lm_cross_entropy, ngram_lm_train
+        ref = spark.read.parquet(args.lm_ref)
+        if args.lm_order >= 3:
+            # order-n stupid backoff (web-scale smoothing); score is
+            # avg negative log backoff score — same scale family as the
+            # bigram cross-entropy, one threshold flag serves both
+            from .operators.ngram_lm import (
+                ngram_lm_train_counts,
+                stupid_backoff_score,
+            )
 
-        model = ngram_lm_train(spark.read.parquet(args.lm_ref))
-        scores = ngram_lm_cross_entropy(kept, model).persist()
+            model = ngram_lm_train_counts(ref, order=args.lm_order)
+            scores = (
+                stupid_backoff_score(kept, model)
+                .withColumnRenamed("avg_neg_logscore", "cross_entropy")
+                .persist()
+            )
+        else:
+            from .operators.ngram_lm import (
+                ngram_lm_cross_entropy,
+                ngram_lm_train,
+            )
+
+            model = ngram_lm_train(ref)
+            scores = ngram_lm_cross_entropy(kept, model).persist()
         bad = scores.filter(
             F.col("cross_entropy").isNotNull()
             & (F.col("cross_entropy") > args.lm_max_ce)
         )
         n_lm_dropped = bad.count()
         kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
-        print(f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce}")
+        print(
+            f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce} "
+            f"order={args.lm_order}"
+        )
 
     reps = exact_duplicates(kept.select("doc_id", "text")).select(
         F.col("canonical_id").alias("doc_id")
@@ -884,6 +907,13 @@ def main(argv: list[str] | None = None) -> int:
         "(the CCNet perplexity filter, in-engine)",
     )
     p.add_argument("--lm-max-ce", type=float, default=8.0)
+    p.add_argument(
+        "--lm-order",
+        type=int,
+        default=2,
+        help="LM order: 2 = add-k bigram cross-entropy, >= 3 = stupid "
+        "backoff (Brants et al.)",
+    )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")
     p.add_argument("--partitions", type=int, default=None)

@@ -430,3 +430,56 @@ def test_webgraph_cli(spark, tmp_path, capsys):
     }
     assert ai["http://b.x/1"] == ["partner site"]
     assert "http://spam.x/1" not in ai
+
+
+def test_corpus_cli_lm_gate_backoff_order(spark, tmp_path, capsys):
+    """--lm-order 3 routes the gate through stupid backoff: the same
+    good/salad separation holds under the trigram model."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.operators.ngram_lm import (
+        ngram_lm_train_counts,
+        stupid_backoff_score,
+    )
+
+    ref_rows = [
+        (i, "the data in the table is the value of the row and the key "
+            "of the batch while the line in the window is the part of "
+            "the sort and the scan of the batch is the merge")
+        for i in range(8)
+    ]
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(ref_rows, "doc_id long, text string").write.parquet(ref)
+
+    good = ("the data in the table is the value of the row and the key of "
+            "the batch while the line in the window is the part of the sort")
+    salad = ("sort the of while line data key the and batch value in row of "
+             "the the is table the the window part the scan merge is of")
+    model = ngram_lm_train_counts(
+        spark.createDataFrame(ref_rows, "doc_id long, text string"), order=3
+    )
+    ce = {
+        r["doc_id"]: r["avg_neg_logscore"]
+        for r in stupid_backoff_score(
+            spark.createDataFrame([(1, good), (2, salad)], "doc_id long, text string"),
+            model,
+        ).collect()
+    }
+    assert ce[1] < ce[2]
+    thr = (ce[1] + ce[2]) / 2
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in ((1, good), (2, salad))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--lm-ref", ref, "--lm-max-ce", str(thr), "--lm-order", "3",
+        "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "lm-gate: dropped=1" in msg and "order=3" in msg
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]

@@ -153,6 +153,81 @@ def test_stupid_backoff_contracts_and_ranking(spark):
     assert got[23] == (0, None)
 
 
+def test_stupid_backoff_matches_python_reference(spark):
+    """Property check: the join-cascade scorer equals a direct Python
+    restatement of the recursion on random tiny-vocab corpora (tiny so
+    seen/unseen/boundary branches all fire)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.ngram_lm import (
+        ngram_lm_train_counts,
+        stupid_backoff_score,
+    )
+
+    VOCAB = ["a", "b", "c"]
+    corpus = st.lists(
+        st.lists(st.sampled_from(VOCAB), min_size=1, max_size=6),
+        min_size=1,
+        max_size=3,
+    )
+    target = st.lists(st.sampled_from(VOCAB + ["z"]), min_size=1, max_size=6)
+
+    def ref_score(ref_docs, doc, order=3, alpha=0.4):
+        grams: dict[int, dict] = {k: {} for k in range(1, order + 1)}
+        total = 0
+        vocab = set()
+        for toks in ref_docs:
+            for i, w in enumerate(toks):
+                total += 1
+                vocab.add(w)
+                for k in range(1, order + 1):
+                    if i >= k - 1:
+                        ctx = " ".join(toks[i - k + 1 : i]) if k > 1 else ""
+                        grams[k][(ctx, w)] = grams[k].get((ctx, w), 0) + 1
+        nc = {k: {} for k in grams}
+        for k, g in grams.items():
+            for (ctx, _w), n in g.items():
+                nc[k][ctx] = nc[k].get(ctx, 0) + n
+        logs = []
+        for i, w in enumerate(doc):
+            s = (
+                grams[1].get(("", w), 0) / nc[1][""]
+                if ("", w) in grams[1]
+                else 1.0 / (total + len(vocab))
+            )
+            for k in range(2, order + 1):
+                if i >= k - 1:
+                    ctx = " ".join(doc[i - k + 1 : i])
+                    if (ctx, w) in grams[k]:
+                        s = grams[k][(ctx, w)] / nc[k][ctx]
+                    else:
+                        s = alpha * s
+                # boundary: keep lower-order s, no penalty
+            logs.append(round(math.log(s) * 1e6))
+        import math as _m
+
+        return len(logs), _m.floor(-sum(logs) / 1e6 / len(logs) * 1e6 + 0.5) / 1e6
+
+    @given(ref_docs=corpus, doc=target)
+    @settings(
+        max_examples=8, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(ref_docs, doc):
+        model = ngram_lm_train_counts(
+            _df(spark, [(i, " ".join(t)) for i, t in enumerate(ref_docs)]),
+            order=3,
+        )
+        got = stupid_backoff_score(
+            _df(spark, [(0, " ".join(doc))]), model
+        ).collect()[0]
+        n, ce = ref_score(ref_docs, doc)
+        assert got["n_tokens"] == n
+        assert got["avg_neg_logscore"] == ce, (ref_docs, doc)
+
+    run()
+
+
 def test_plan_native_and_model_not_collected(spark):
     """Scoring is join-based: no Python workers, and the model tables
     join by key (the 1-row vocab is the only broadcast)."""
