@@ -536,6 +536,12 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # must not re-run the parse/scrub/dedup/gate lineage), and the
         # tiny scores frame (id, n, ce) persists so the accounting count
         # and the anti-join don't re-run the model joins.
+        if args.lm_order < 2:
+            print(
+                f"corpus: --lm-order must be >= 2, got {args.lm_order}",
+                file=sys.stderr,
+            )
+            return 2
         ref = spark.read.parquet(args.lm_ref)
         if args.lm_order >= 3:
             # order-n stupid backoff (web-scale smoothing); score is
@@ -629,27 +635,44 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
     from .operators.graph import connected_components_star, pagerank_directed
     from .operators.urls import anchor_text_index
 
+    from .operators.urls import url_normalized
+
     spark = get_spark("poly-webgraph", master=args.master)
-    edges = spark.read.parquet(args.edges)
-    # endorsement outputs (pagerank, components) exclude nofollow edges;
-    # the anchor index applies its own nofollow rule.  The filtered
-    # frame feeds two branches — persist or each re-reads the edge
-    # tables.
+    raw = spark.read.parquet(args.edges)
+    # ONE key space for all three outputs: normalize src/dst up front
+    # (raw string kept for unparseables) so anchors/ joins against
+    # pagerank/ and components/, and alias spellings ("/p" vs "/p/")
+    # don't split rank across nodes the anchor index merges
+    norm = lambda c: F.coalesce(url_normalized(F.col(c)), F.col(c))  # noqa: E731
+    edges = raw.withColumn("src", norm("src")).withColumn("dst", norm("dst"))
+    # endorsement outputs (pagerank, components) exclude nofollow edges
+    # and count DISTINCT endorsement (batch-keyed crawl tables re-emit a
+    # page's links per batch; nav+footer duplicate (src,dst) pairs —
+    # multiplicity must not weight rank).  The deduped frame feeds two
+    # branches — persist or each re-reads the edge tables.
     followed = edges
     if "nofollow" in edges.columns:
         followed = edges.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
-    followed = followed.select("src", "dst").persist()
+    followed = followed.select("src", "dst").distinct().persist()
     pr = pagerank_directed(followed, iters=args.pagerank_iters)
     pr.write.mode("overwrite").parquet(_os.path.join(args.out, "pagerank"))
     cc = connected_components_star(followed, id_col="node")
     cc.write.mode("overwrite").parquet(_os.path.join(args.out, "components"))
-    n_nodes = pr.count()
-    n_comps = cc.select("component_id").distinct().count()
+    # summary counts read the just-written parquet — counting the
+    # DataFrames would re-run the whole iteration DAGs a second time
+    n_nodes = spark.read.parquet(_os.path.join(args.out, "pagerank")).count()
+    n_comps = (
+        spark.read.parquet(_os.path.join(args.out, "components"))
+        .select("component_id")
+        .distinct()
+        .count()
+    )
     summary = f"webgraph -> {args.out}: nodes={n_nodes} components={n_comps}"
     if "anchor" in edges.columns:
         ai = anchor_text_index(edges, max_anchors=args.max_anchors)
         ai.write.mode("overwrite").parquet(_os.path.join(args.out, "anchors"))
-        summary += f" anchor_targets={ai.count()}"
+        n_targets = spark.read.parquet(_os.path.join(args.out, "anchors")).count()
+        summary += f" anchor_targets={n_targets}"
     followed.unpersist()
     print(summary)
     return 0

@@ -409,7 +409,7 @@ def test_webgraph_cli(spark, tmp_path, capsys):
     ]
     spark.createDataFrame(
         rows, "src string, dst string, anchor string, nofollow boolean"
-    ).write.partitionBy().parquet(edges)
+    ).write.parquet(edges)
     out = str(tmp_path / "wg")
     assert main([
         "webgraph", "--edges", edges, "--out", out, "--master", "local[4]",
@@ -483,3 +483,53 @@ def test_corpus_cli_lm_gate_backoff_order(spark, tmp_path, capsys):
     msg = capsys.readouterr().out
     assert "lm-gate: dropped=1" in msg and "order=3" in msg
     assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [1]
+
+
+def test_webgraph_cli_dedup_normalize_one_keyspace(spark, tmp_path, capsys):
+    """Batch-keyed tables re-emit edges and spell aliases differently:
+    duplicates must not weight rank, alias spellings must merge, and
+    the three outputs must share one key space."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    rows = [
+        # same endorsement emitted twice (two batches) + alias spelling
+        ("http://a.x/1", "http://B.x/p/?utm_source=s", "partner", False, 1),
+        ("http://a.x/1", "http://b.x/p/", "partner", False, 2),
+        ("http://a.x/1", "http://b.x/p", "partner two", False, 2),
+        ("http://c.x/1", "http://b.x/p", "other ref", False, 1),
+    ]
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        rows,
+        "src string, dst string, anchor string, nofollow boolean, batch_id int",
+    ).write.parquet(edges)
+    out = str(tmp_path / "wg")
+    assert main([
+        "webgraph", "--edges", edges, "--out", out, "--master", "local[4]",
+    ]) == 0
+    pr = {r["node"]: r for r in spark.read.parquet(out + "/pagerank").collect()}
+    # one normalized target node; each source endorses it exactly once
+    assert "http://b.x/p" in pr
+    assert not any("utm_source" in n or n.endswith("/p/") for n in pr)
+    assert pr["http://a.x/1"]["out_degree"] == 1
+    ai = {r["url"]: list(r["anchors"]) for r in spark.read.parquet(out + "/anchors").collect()}
+    assert ai["http://b.x/p"] == ["other ref", "partner", "partner two"]
+    # one key space: anchors keys are pagerank nodes
+    assert set(ai) <= set(pr)
+
+
+def test_corpus_cli_lm_order_validation(spark, tmp_path, capsys):
+    """--lm-order below 2 exits 2 with a message, never silently runs
+    the bigram path under a misreported order."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(_json.dumps({"doc_id": 1, "text": "a b", "source": "s"}))
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame([(1, "a b c")], "doc_id long, text string").write.parquet(ref)
+    assert main([
+        "corpus", "--src", str(src), "--out", str(tmp_path / "o"),
+        "--lm-ref", ref, "--lm-order", "1", "--master", "local[4]",
+    ]) == 2
