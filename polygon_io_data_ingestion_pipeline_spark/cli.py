@@ -577,7 +577,9 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             f"order={args.lm_order}"
         )
 
-    reps = exact_duplicates(kept.select("doc_id", "text")).select(
+    reps = exact_duplicates(
+        kept.select("doc_id", "text"), normalized=args.normalized_dedup
+    ).select(
         F.col("canonical_id").alias("doc_id")
     )
     unique = kept.join(reps, "doc_id", "left_semi")
@@ -936,6 +938,13 @@ def main(argv: list[str] | None = None) -> int:
         default=2,
         help="LM order: 2 = add-k bigram cross-entropy, >= 3 = stupid "
         "backoff (Brants et al.)",
+    )
+    p.add_argument(
+        "--normalized-dedup",
+        action="store_true",
+        help="exact dedup keys on the aggressive normalized form "
+        "(punctuation folded, digit runs bucketed) so cosmetic "
+        "variants collapse",
     )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")

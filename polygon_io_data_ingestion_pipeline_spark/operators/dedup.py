@@ -27,13 +27,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import fingerprint, word_shingles
+from .text import dedup_normalized, fingerprint, word_shingles
 
 
-def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Duplicate classes by exact (case-folded) content hash."""
+def exact_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalized: bool = False,
+) -> DataFrame:
+    """Duplicate classes by exact (case-folded) content hash.
+    ``normalized=True`` keys on the aggressive
+    :func:`..text.dedup_normalized` form instead (punctuation folded,
+    digit runs bucketed) — pages differing only cosmetically collapse
+    into one class, the published near-exact web-dedup recipe."""
+    key = F.md5(dedup_normalized(text_col)) if normalized else fingerprint(text_col)
     return (
-        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        df.select(key.alias("fp"), F.col(id_col))
         .groupBy("fp")
         .agg(
             F.count("*").alias("dup_count"),

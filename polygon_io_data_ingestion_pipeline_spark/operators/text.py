@@ -165,6 +165,24 @@ def fingerprint(text_col: str = "text") -> Column:
     return F.md5(F.lower(F.col(text_col)))
 
 
+def dedup_normalized(text_col: str = "text", fold_digits: bool = True) -> Column:
+    """Aggressive normalization for NEAR-exact dedup keys — the
+    published web-corpus recipe (Gopher/SlimPajama-style): lowercase,
+    every punctuation/symbol run (anything not letter/digit/whitespace
+    in any script — curly quotes, em-dashes, NBSP included) folded to a
+    single space, digit runs bucketed to ``0`` (timestamps, view
+    counts, and article ids are the classic cosmetic variants), and
+    whitespace collapsed.  Two pages differing only in these render as
+    ONE key; use ``md5(dedup_normalized(...))`` where
+    :func:`fingerprint` is too strict.  Pure JVM regex expressions —
+    codegen-resident at any scale."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]+", " ")
+    if fold_digits:
+        c = F.regexp_replace(c, r"\p{N}+", "0")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 #: BPE-style pre-tokenizer regex: letter runs, digit runs, and single
 #: punctuation marks — the coarse shape of GPT-2's pre-split, kept to
 #: RE2/Java-common syntax so Spark and SQL oracles agree exactly.

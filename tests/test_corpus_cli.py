@@ -533,3 +533,31 @@ def test_corpus_cli_lm_order_validation(spark, tmp_path, capsys):
         "corpus", "--src", str(src), "--out", str(tmp_path / "o"),
         "--lm-ref", ref, "--lm-order", "1", "--master", "local[4]",
     ]) == 2
+
+
+def test_corpus_cli_normalized_dedup(spark, tmp_path, capsys):
+    """--normalized-dedup collapses cosmetic variants (punctuation,
+    digits) the strict fingerprint keeps apart."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    words = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort")
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in (
+            (1, f"{words} (updated 2024-01-01)"),
+            (2, f"{words} — updated 2025-06-30"),  # cosmetic variant of 1
+        )
+    ))
+    out = str(tmp_path / "strict")
+    assert main(["corpus", "--src", str(src), "--out", out,
+                 "--master", "local[4]"]) == 0
+    assert len(spark.read.parquet(out).collect()) == 2  # strict: both kept
+    out2 = str(tmp_path / "norm")
+    assert main(["corpus", "--src", str(src), "--out", out2,
+                 "--normalized-dedup", "--master", "local[4]"]) == 0
+    rows = spark.read.parquet(out2).collect()
+    assert [r["doc_id"] for r in rows] == [1]  # variants collapse, min id

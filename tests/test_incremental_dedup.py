@@ -56,3 +56,45 @@ def test_sharded_replay_equals_one_batch(spark):
         got.extend(r["doc_id"] for r in novel.collect())
         history = delta if history is None else history.union(delta)
     assert sorted(got) == expect
+
+
+def test_exact_duplicates_normalized_key(spark):
+    """normalized=True collapses cosmetic variants (curly quotes,
+    punctuation, NBSP, differing timestamps/ids) the strict fingerprint
+    keeps apart; genuinely different text stays distinct."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    rows = [
+        (1, "The cat sat -- 2024-01-01 (id 42)"),
+        (2, "the  cat sat — 2025-12-31 [id 7]"),  # cosmetic variant
+        (3, "the dog sat -- 2024-01-01 (id 42)"),          # real difference
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    strict = exact_duplicates(df)
+    assert strict.count() == 3  # fingerprint keeps all apart
+    classes = {
+        r["canonical_id"]: r["dup_count"]
+        for r in exact_duplicates(df, normalized=True).collect()
+    }
+    assert classes == {1: 2, 3: 1}  # 1 and 2 collapse, 3 stays
+
+
+def test_dedup_normalized_expression_rules(spark):
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        dedup_normalized,
+    )
+
+    df = spark.createDataFrame(
+        [("“Hello,”  World’s #1 — best 2024!",)], "text string"
+    )
+    got = df.select(dedup_normalized("text").alias("n")).collect()[0]["n"]
+    assert got == "hello world s 0 best 0"
+    # digits preserved when fold_digits=False
+    got2 = df.select(
+        dedup_normalized("text", fold_digits=False).alias("n")
+    ).collect()[0]["n"]
+    assert got2 == "hello world s 1 best 2024"
