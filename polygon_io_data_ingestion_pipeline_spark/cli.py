@@ -670,6 +670,21 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
         .count()
     )
     summary = f"webgraph -> {args.out}: nodes={n_nodes} components={n_comps}"
+    if args.trust_seeds:
+        # TrustRank: teleport restricted to the vetted seed list —
+        # pages unreachable from any seed get zero trust however
+        # densely a spam farm interlinks
+        from .operators.graph import personalized_pagerank
+
+        seeds = spark.read.parquet(args.trust_seeds)
+        tr = personalized_pagerank(followed, seeds, iters=args.pagerank_iters)
+        tr.write.mode("overwrite").parquet(_os.path.join(args.out, "trust"))
+        n_trusted = (
+            spark.read.parquet(_os.path.join(args.out, "trust"))
+            .filter(F.col("trust") > 0)
+            .count()
+        )
+        summary += f" trusted={n_trusted}"
     if "anchor" in edges.columns:
         ai = anchor_text_index(edges, max_anchors=args.max_anchors)
         ai.write.mode("overwrite").parquet(_os.path.join(args.out, "anchors"))
@@ -969,6 +984,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output root (pagerank/, components/, anchors/)")
     p.add_argument("--pagerank-iters", type=int, default=2)
     p.add_argument("--max-anchors", type=int, default=16)
+    p.add_argument(
+        "--trust-seeds",
+        default=None,
+        help="parquet of vetted seed nodes (column 'node') -> trust/ "
+        "output (TrustRank: personalized pagerank from the seeds)",
+    )
     _add_common(p)
     p.set_defaults(fn=cmd_webgraph)
 

@@ -350,3 +350,107 @@ def connected_components_star(
             singles.withColumn("component_id", F.col(id_col))
         )
     return out
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+    seed_col: str = "node",
+) -> DataFrame:
+    """Seeded (personalized) PageRank over a directed edge list — the
+    TrustRank construction (Gyongyi et al., "Combating Web Spam with
+    TrustRank"): teleport mass lands ONLY on a hand-vetted seed set,
+    so trust flows outward along links and pages unreachable from any
+    seed score zero.  The standard crawl-quality companion to plain
+    PageRank: rank says "important", trust says "important AND
+    reachable from pages we vetted" — spam farms rank, but don't
+    trust.
+
+    Same shape and engine-exactness discipline as
+    :func:`pagerank_directed` (one keyed join + one partial-agg
+    shuffle + a one-row dangling aggregate per iteration; ranks
+    quantized to 12 decimals, contributions summed as scaled BIGINTs),
+    with two TrustRank-specific differences: the initial vector and
+    the teleport are uniform over the seeds PRESENT IN THE GRAPH
+    (seeds naming absent nodes are ignored — counting them would leak
+    mass), and dangling mass redistributes to the seeds, not
+    uniformly.  Returns ``(node, out_degree, trust)``; an empty
+    effective seed set yields all-zero trust rather than an error."""
+    base = round(1.0 - damping, 6)
+    e = edges.select(F.col(src).alias("v"), F.col(dst).alias("u")).localCheckpoint()
+    nodes = (
+        e.select(F.col("v").alias("node"))
+        .union(e.select(F.col("u").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("v").agg(F.count("*").alias("out_degree"))
+    seedset = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("_is_seed", F.lit(True))
+    )
+    flagged = nodes.join(seedset, "node", "left")
+    ns = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_is_seed"), 1).otherwise(0)), F.lit(0)
+        ).alias("ns")
+    )
+    teleport = F.when(
+        F.col("_is_seed") & (F.col("ns") > 0),
+        F.round(F.lit(1.0) / F.col("ns"), 12),
+    ).otherwise(F.lit(0.0))
+    ranks = (
+        flagged.join(outdeg, flagged["node"] == outdeg["v"], "left")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            "_is_seed",
+        )
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "node", "out_degree",
+            teleport.alias("t"),
+        )
+        .withColumn("trust", F.col("t"))
+    )
+    for _ in range(iters):
+        per_edge = e.join(
+            ranks.filter(
+                (F.col("out_degree") > 0) & (F.col("trust") > 0)
+            ).select(
+                F.col("node").alias("v"),
+                F.round(F.col("trust") / F.col("out_degree") * _SCALE, 0)
+                .cast("long")
+                .alias("c"),
+            ),
+            "v",
+        )
+        contribs = per_edge.groupBy("u").agg(F.sum("c").alias("s"))
+        dangling = ranks.filter(F.col("out_degree") == 0).agg(
+            F.coalesce(
+                F.sum(F.round(F.col("trust") * _SCALE, 0).cast("long")),
+                F.lit(0),
+            ).alias("dang")
+        )
+        ranks = (
+            ranks.drop("trust")
+            .join(contribs, ranks["node"] == contribs["u"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node", "out_degree", "t",
+                F.round(
+                    F.lit(base) * F.col("t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0)) / F.lit(float(_SCALE))
+                        + F.col("dang") / F.lit(float(_SCALE)) * F.col("t")
+                    ),
+                    12,
+                ).alias("trust"),
+            )
+        )
+    return ranks.select("node", "out_degree", "trust")

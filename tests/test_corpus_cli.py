@@ -561,3 +561,32 @@ def test_corpus_cli_normalized_dedup(spark, tmp_path, capsys):
                  "--normalized-dedup", "--master", "local[4]"]) == 0
     rows = spark.read.parquet(out2).collect()
     assert [r["doc_id"] for r in rows] == [1]  # variants collapse, min id
+
+
+def test_webgraph_cli_trust_seeds(spark, tmp_path, capsys):
+    """--trust-seeds adds the TrustRank table: the unreachable spam
+    farm scores zero while seeded-side pages carry trust."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    rows = [
+        ("http://good.x/1", "http://good.x/2", "a", False),
+        ("http://good.x/2", "http://page.x/1", "b", False),
+        ("http://spam.x/1", "http://spam.x/2", "c", False),
+        ("http://spam.x/2", "http://spam.x/1", "d", False),
+    ]
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        rows, "src string, dst string, anchor string, nofollow boolean"
+    ).write.parquet(edges)
+    seeds = str(tmp_path / "seeds")
+    spark.createDataFrame([("http://good.x/1",)], "node string").write.parquet(seeds)
+    out = str(tmp_path / "wg")
+    assert main([
+        "webgraph", "--edges", edges, "--out", out,
+        "--trust-seeds", seeds, "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "trusted=3" in msg  # good1, good2, page — never the farm
+    tr = {r["node"]: r["trust"] for r in spark.read.parquet(out + "/trust").collect()}
+    assert tr["http://spam.x/1"] == 0.0 and tr["http://spam.x/2"] == 0.0
+    assert tr["http://page.x/1"] > 0

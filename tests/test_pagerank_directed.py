@@ -92,3 +92,79 @@ def test_plan_has_no_python(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+# --- round 9 (second session): TrustRank / personalized PageRank -------------
+
+
+def test_trustrank_hand_computed_two_nodes(spark):
+    """Seeds {A}, edge A->B, two iterations — every value from the
+    TrustRank recursion by hand (dangling mass returns to the seed)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([("A", "B")], "src string, dst string")
+    seeds = spark.createDataFrame([("A",)], "node string")
+    got = {
+        r["node"]: r["trust"]
+        for r in personalized_pagerank(e, seeds, iters=2).collect()
+    }
+    # r0 = (A:1, B:0)
+    # it1: A = 0.15*1 + 0.85*(0 + 0*1)      = 0.15
+    #      B = 0.15*0 + 0.85*(1 + 0)        = 0.85
+    # it2: dangling = r(B) = 0.85 -> back to the seed
+    #      A = 0.15 + 0.85*(0 + 0.85*1)     = 0.8725
+    #      B = 0      + 0.85*(0.15 + 0)     = 0.1275
+    assert got == {"A": 0.8725, "B": 0.1275}
+
+
+def test_trustrank_spam_cluster_scores_zero(spark):
+    """A cluster unreachable from any seed gets exactly zero trust no
+    matter how densely it interlinks (the point of the construction —
+    plain pagerank ranks it)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.graph import (
+        pagerank_directed,
+        personalized_pagerank,
+    )
+
+    rows = [
+        ("good1", "good2"), ("good2", "good1"), ("good1", "page"),
+        # spam farm: dense, high pagerank, no inlink from the good side
+        ("spam1", "spam2"), ("spam2", "spam3"), ("spam3", "spam1"),
+        ("spam1", "spam3"), ("spam2", "spam1"), ("spam3", "spam2"),
+    ]
+    e = spark.createDataFrame(rows, "src string, dst string")
+    seeds = spark.createDataFrame([("good1",)], "node string")
+    trust = {
+        r["node"]: r["trust"]
+        for r in personalized_pagerank(e, seeds, iters=3).collect()
+    }
+    rank = {
+        r["node"]: r["rank"] for r in pagerank_directed(e, iters=3).collect()
+    }
+    assert all(trust[n] == 0.0 for n in ("spam1", "spam2", "spam3"))
+    assert trust["page"] > 0 and trust["good2"] > 0
+    assert rank["spam1"] > rank["page"]  # pagerank falls for the farm
+
+
+def test_trustrank_absent_seeds_ignored_and_empty_seed_set(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = spark.createDataFrame([("A", "B")], "src string, dst string")
+    # a seed not in the graph is ignored: mass still sums over {A}
+    seeds = spark.createDataFrame([("A",), ("ghost",)], "node string")
+    got = {
+        r["node"]: r["trust"]
+        for r in personalized_pagerank(e, seeds, iters=2).collect()
+    }
+    assert got == {"A": 0.8725, "B": 0.1275}
+    # empty effective seed set -> all zero, no error
+    none = spark.createDataFrame([("ghost",)], "node string")
+    got0 = {
+        r["node"]: r["trust"]
+        for r in personalized_pagerank(e, none, iters=1).collect()
+    }
+    assert got0 == {"A": 0.0, "B": 0.0}
