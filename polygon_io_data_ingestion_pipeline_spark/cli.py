@@ -316,6 +316,15 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     )
     from .sources.jsonl import read_jsonl, write_jsonl
 
+    # flag validation BEFORE any Spark work: a bad --lm-order must not
+    # cost a full corpus scan before exiting 2
+    if args.lm_ref and args.lm_order < 2:
+        print(
+            f"corpus: --lm-order must be >= 2, got {args.lm_order}",
+            file=sys.stderr,
+        )
+        return 2
+
     spark = get_spark("poly-corpus", master=args.master)
     if args.input_format == "warc":
         from .operators.urls import url_dedup
@@ -536,12 +545,6 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # must not re-run the parse/scrub/dedup/gate lineage), and the
         # tiny scores frame (id, n, ce) persists so the accounting count
         # and the anti-join don't re-run the model joins.
-        if args.lm_order < 2:
-            print(
-                f"corpus: --lm-order must be >= 2, got {args.lm_order}",
-                file=sys.stderr,
-            )
-            return 2
         ref = spark.read.parquet(args.lm_ref)
         if args.lm_order >= 3:
             # order-n stupid backoff (web-scale smoothing); score is
@@ -635,9 +638,7 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
     from .operators.graph import connected_components_star, pagerank_directed
-    from .operators.urls import anchor_text_index
-
-    from .operators.urls import url_normalized
+    from .operators.urls import anchor_text_index, url_normalized
 
     spark = get_spark("poly-webgraph", master=args.master)
     raw = spark.read.parquet(args.edges)
@@ -655,7 +656,16 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
     followed = edges
     if "nofollow" in edges.columns:
         followed = edges.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
-    followed = followed.select("src", "dst").distinct().persist()
+    # self-loops fabricated by normalization (a page permalinking its
+    # own alias spelling) are not endorsement — pagerank would feed a
+    # node's rank back to itself every iteration (components drops
+    # them internally already)
+    followed = (
+        followed.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
     pr = pagerank_directed(followed, iters=args.pagerank_iters)
     pr.write.mode("overwrite").parquet(_os.path.join(args.out, "pagerank"))
     cc = connected_components_star(followed, id_col="node")
@@ -676,7 +686,12 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
         # densely a spam farm interlinks
         from .operators.graph import personalized_pagerank
 
-        seeds = spark.read.parquet(args.trust_seeds)
+        # seeds arrive in crawl spellings — normalize into the SAME key
+        # space as the graph or canonical-variant seeds silently match
+        # nothing and trust collapses to all zeros
+        seeds = spark.read.parquet(args.trust_seeds).select(
+            F.coalesce(url_normalized(F.col("node")), F.col("node")).alias("node")
+        )
         tr = personalized_pagerank(followed, seeds, iters=args.pagerank_iters)
         tr.write.mode("overwrite").parquet(_os.path.join(args.out, "trust"))
         n_trusted = (
@@ -686,7 +701,12 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
         )
         summary += f" trusted={n_trusted}"
     if "anchor" in edges.columns:
-        ai = anchor_text_index(edges, max_anchors=args.max_anchors)
+        # dst is already in the normalized key space — re-normalizing
+        # (~6 try_parse_url calls per row) would be a wasted second pass
+        # over the largest table in the job
+        ai = anchor_text_index(
+            edges, max_anchors=args.max_anchors, normalize=False
+        )
         ai.write.mode("overwrite").parquet(_os.path.join(args.out, "anchors"))
         n_targets = spark.read.parquet(_os.path.join(args.out, "anchors")).count()
         summary += f" anchor_targets={n_targets}"

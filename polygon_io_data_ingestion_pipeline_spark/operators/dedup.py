@@ -40,8 +40,19 @@ def exact_duplicates(
     ``normalized=True`` keys on the aggressive
     :func:`..text.dedup_normalized` form instead (punctuation folded,
     digit runs bucketed) — pages differing only cosmetically collapse
-    into one class, the published near-exact web-dedup recipe."""
-    key = F.md5(dedup_normalized(text_col)) if normalized else fingerprint(text_col)
+    into one class, the published near-exact web-dedup recipe.
+    Documents whose normalized form is EMPTY (emoji-only, ASCII-art,
+    punctuation-only — no letters or digits anywhere) fall back to the
+    strict fingerprint: they are not cosmetic variants of each other,
+    and one shared empty key would silently collapse them all
+    corpus-wide."""
+    if normalized:
+        norm = dedup_normalized(text_col)
+        key = F.when(F.length(norm) > 0, F.md5(norm)).otherwise(
+            fingerprint(text_col)
+        )
+    else:
+        key = fingerprint(text_col)
     return (
         df.select(key.alias("fp"), F.col(id_col))
         .groupBy("fp")

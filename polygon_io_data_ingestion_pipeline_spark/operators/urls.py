@@ -259,6 +259,7 @@ def anchor_text_index(
     anchor_col: str = "anchor",
     nofollow_col: str | None = "nofollow",
     max_anchors: int = 16,
+    normalize: bool = True,
 ) -> DataFrame:
     """Inbound anchor-text index: for every normalized link destination,
     how many distinct pages point at it and what they CALL it — the
@@ -288,8 +289,16 @@ def anchor_text_index(
     if nofollow_col is not None and nofollow_col in e.columns:
         e = e.filter(~F.coalesce(F.col(nofollow_col), F.lit(False)))
     anchor = F.regexp_replace(F.trim(F.col(anchor_col)), r"\s+", " ")
+    # normalize=False for callers whose dst is ALREADY in the
+    # normalized key space (the webgraph CLI) — url_normalized is ~6
+    # try_parse_url calls per row, a wasted second pass there
+    key = (
+        F.coalesce(url_normalized(F.col(dst_col)), F.col(dst_col))
+        if normalize
+        else F.col(dst_col)
+    )
     keyed = e.select(
-        F.coalesce(url_normalized(F.col(dst_col)), F.col(dst_col)).alias("url"),
+        key.alias("url"),
         F.col(src_col).alias("_src"),
         anchor.alias("_anchor"),
     )

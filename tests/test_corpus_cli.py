@@ -590,3 +590,34 @@ def test_webgraph_cli_trust_seeds(spark, tmp_path, capsys):
     tr = {r["node"]: r["trust"] for r in spark.read.parquet(out + "/trust").collect()}
     assert tr["http://spam.x/1"] == 0.0 and tr["http://spam.x/2"] == 0.0
     assert tr["http://page.x/1"] > 0
+
+
+def test_webgraph_cli_seed_normalization_and_self_loops(spark, tmp_path, capsys):
+    """Seeds in crawl spellings must match the normalized key space,
+    and alias self-links must not self-endorse rank."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    rows = [
+        ("http://good.x/1", "http://good.x/2", "a", False),
+        # alias self-link: normalizes to a self-loop, must be dropped
+        ("http://good.x/2", "http://good.x/2/", "self", False),
+    ]
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(
+        rows, "src string, dst string, anchor string, nofollow boolean"
+    ).write.parquet(edges)
+    seeds = str(tmp_path / "seeds")
+    # crawl spelling: uppercase host, tracking param, trailing slash
+    spark.createDataFrame(
+        [("http://GOOD.x/1?utm_source=s",)], "node string"
+    ).write.parquet(seeds)
+    out = str(tmp_path / "wg")
+    assert main([
+        "webgraph", "--edges", edges, "--out", out,
+        "--trust-seeds", seeds, "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "trusted=2" in msg  # seed matched after normalization
+    pr = {r["node"]: r for r in spark.read.parquet(out + "/pagerank").collect()}
+    # self-loop dropped: good.x/2 has no out-edges left
+    assert pr["http://good.x/2"]["out_degree"] == 0

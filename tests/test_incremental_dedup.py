@@ -98,3 +98,20 @@ def test_dedup_normalized_expression_rules(spark):
         dedup_normalized("text", fold_digits=False).alias("n")
     ).collect()[0]["n"]
     assert got2 == "hello world s 1 best 2024"
+
+
+def test_normalized_dedup_empty_form_falls_back_to_strict(spark):
+    """Letter/digit-free docs (emoji, ASCII art, punctuation) normalize
+    to '' — they must NOT all collapse into one corpus-wide class;
+    identical ones still dedup via the strict fingerprint."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    rows = [(1, "-----"), (2, "!!!"), (3, "-----"), (4, "real words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    classes = {
+        r["canonical_id"]: r["dup_count"]
+        for r in exact_duplicates(df, normalized=True).collect()
+    }
+    assert classes == {1: 2, 2: 1, 4: 1}  # 1+3 identical; 2 distinct
