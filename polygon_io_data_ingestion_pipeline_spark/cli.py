@@ -324,6 +324,12 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.span_dedup and args.span_tokens < 2:
+        print(
+            f"corpus: --span-tokens must be >= 2, got {args.span_tokens}",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("poly-corpus", master=args.master)
     if args.input_format == "warc":
@@ -949,7 +955,9 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="remove token spans covered by an 8-gram occurring in >= "
         "--line-dedup-min-docs distinct documents (mid-paragraph "
-        "boilerplate line dedup cannot see)",
+        "boilerplate line dedup cannot see); rebuilds every document's "
+        "text from its token stream, so ALL whitespace/newlines collapse "
+        "to single spaces even in documents with no duplicated span",
     )
     p.add_argument("--span-tokens", type=int, default=8)
     p.add_argument(

@@ -308,7 +308,10 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     sig = _sig(e)
+    converged = sig[0] == 0  # no edges -> nothing to contract
     for _ in range(max_iter):
+        if converged:
+            break
         # large-star over the symmetrized neighborhood
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         mins = sym.groupBy("u").agg(
@@ -336,8 +339,20 @@ def connected_components_star(
         new_sig = _sig(small)
         e = small
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # max_iter exhausted with the edge set still changing: the labels
+        # below would be PARTIALLY contracted (silently wrong components).
+        # 20 alternations cover any graph that fits a cluster (O(log n)),
+        # so hitting this means max_iter was lowered or the input is
+        # pathological — fail loudly rather than return wrong labels.
+        raise RuntimeError(
+            f"connected_components_star: star contraction did not converge "
+            f"within max_iter={max_iter} rounds; component labels would be "
+            f"incomplete. Raise max_iter."
+        )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     out = sym.groupBy("u").agg(
         F.least(F.min("v"), F.first("u")).alias("component_id")

@@ -95,3 +95,24 @@ def test_self_loops_nulls_and_singletons(spark):
         for r in connected_components_star(df, all_ids=ids).collect()
     }
     assert got == {1: 1, 2: 2, 3: 3, 4: 4, 5: 4, 6: 6}
+
+def test_max_iter_exhaustion_raises_not_silent(spark):
+    """max_iter exhausted with the edge set still contracting must RAISE:
+    returning the labels at that point would be partially-contracted
+    (silently wrong) components."""
+    import pytest
+
+    n = 40  # long chain: one round cannot finish contracting it
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_star(df, max_iter=1)
+    # an empty edge list is trivially converged, never an error
+    empty = spark.createDataFrame([], "src long, dst long")
+    ids = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {
+        r["node"]: r["component_id"]
+        for r in connected_components_star(empty, all_ids=ids, max_iter=0).collect()
+    }
+    assert got == {1: 1, 2: 2}

@@ -535,6 +535,23 @@ def test_corpus_cli_lm_order_validation(spark, tmp_path, capsys):
     ]) == 2
 
 
+def test_corpus_cli_span_tokens_validation(tmp_path):
+    """--span-tokens below 2 exits 2 before any Spark work: 0/negative
+    values would build 0-grams with empty keys and garbage coverage
+    ranges only after a full corpus scan."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(_json.dumps({"doc_id": 1, "text": "a b", "source": "s"}))
+    for bad in ("0", "-3", "1"):
+        assert main([
+            "corpus", "--src", str(src), "--out", str(tmp_path / "o"),
+            "--span-dedup", "--span-tokens", bad, "--master", "local[4]",
+        ]) == 2, bad
+
+
 def test_corpus_cli_normalized_dedup(spark, tmp_path, capsys):
     """--normalized-dedup collapses cosmetic variants (punctuation,
     digits) the strict fingerprint keeps apart."""
