@@ -6133,7 +6133,11 @@ PINNED_WINDOW = [
     "corporate_actions_adjust",
     "events_asof_forward_snap",
     "events_scd_window_join",
-    "events_split_gap_inference",
+    # events_split_gap_inference rotates as of round 10: its entire code
+    # path (day_edges -> guess_split_ratio snap) is COMPOSED inside the
+    # pinned events_gap_declared_reconcile, whose oracle replays the same
+    # inference before the declared-merge join — the inference path earns
+    # an external row every round through that anchor.
     # Dedup family anchors (exact/Jaccard/MinHash-LSH/SimHash/clusters).
     # dedup_ngram_jaccard_pairs rotates as of round 9 (second session):
     # its pair-generation path (shingles -> jaccard_pairs) is exercised
@@ -6153,7 +6157,10 @@ PINNED_WINDOW = [
     # emb anchors — the registry outgrew the <=4-round latency bound at
     # 24 anchors, and trimming the most redundant one keeps every
     # family represented AND the bound intact.
-    "emb_cosine_topk",
+    # emb_cosine_topk rotates as of round 10: its cosine() scoring +
+    # TakeOrdered shape is exactly what the pinned emb_ivf_topk runs
+    # over the probed lists, and the exact-verify cosine also anchors
+    # every round via emb_knn_join — both pinned.
     "emb_ivf_topk",
     "emb_pq_topk_rerank",
     "emb_knn_join",
