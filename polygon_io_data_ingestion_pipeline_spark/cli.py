@@ -721,6 +721,61 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_imagededup(args: argparse.Namespace) -> int:
+    """Image near-duplicate detection over a media parquet table:
+    decode + perceptual-hash every payload once (dHash and pHash,
+    multimodal/phash.py), banded-hamming candidate pairs (NEVER
+    all-pairs), connected-component duplicate clusters, and the
+    keep/drop accounting — the image twin of the corpus text-dedup
+    stages."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .multimodal.phash import image_hashes
+    from .operators.dedup import duplicate_clusters, hamming_pairs
+
+    if args.max_hamming < 0:
+        print(
+            f"imagededup: --max-hamming must be >= 0, got {args.max_hamming}",
+            file=sys.stderr,
+        )
+        return 2
+
+    spark = get_spark("poly-imagededup", master=args.master)
+    media = spark.read.parquet(args.src)
+    sig = image_hashes(
+        media, id_col=args.id_col, payload_col=args.payload_col
+    ).persist()
+    n_total = sig.count()
+    decoded = sig.filter(F.col("decode_ok"))
+    n_decoded = decoded.count()
+    pairs = hamming_pairs(
+        decoded,
+        args.hash,
+        id_col=args.id_col,
+        bits=64,
+        max_hamming=args.max_hamming,
+    )
+    pairs.write.mode("overwrite").parquet(_os.path.join(args.out, "pairs"))
+    pairs_back = spark.read.parquet(_os.path.join(args.out, "pairs"))
+    clusters = duplicate_clusters(
+        pairs_back, all_ids=decoded.select(args.id_col), id_col=args.id_col
+    )
+    clusters.write.mode("overwrite").parquet(_os.path.join(args.out, "clusters"))
+    cl = spark.read.parquet(_os.path.join(args.out, "clusters"))
+    n_pairs = pairs_back.count()
+    n_clusters = cl.select("cluster_id").distinct().count()
+    n_drop = cl.filter(F.col(args.id_col) != F.col("cluster_id")).count()
+    sig.unpersist()
+    print(
+        f"imagededup -> {args.out}: images={n_total} decoded={n_decoded} "
+        f"quarantined={n_total - n_decoded} pairs={n_pairs} "
+        f"clusters={n_clusters} duplicates_to_drop={n_drop}"
+    )
+    return 0
+
+
 def cmd_datasheet(args: argparse.Namespace) -> int:
     """Corpus report card: documents in (JSONL or parquet) ->
     long-format (metric, value) datasheet printed and optionally
@@ -1020,6 +1075,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_webgraph)
+
+    p = sub.add_parser(
+        "imagededup",
+        help="perceptual-hash image near-dup pairs + duplicate clusters",
+    )
+    p.add_argument("--src", required=True, help="media parquet (id + binary payload)")
+    p.add_argument("--out", required=True, help="output root (pairs/, clusters/)")
+    p.add_argument(
+        "--hash",
+        choices=["dhash", "phash"],
+        default="phash",
+        help="dhash = gradient difference hash (engine-portable); "
+        "phash = DCT low-frequency hash (more robust to blur/recompression)",
+    )
+    p.add_argument("--max-hamming", type=int, default=6)
+    p.add_argument("--id-col", default="media_id")
+    p.add_argument("--payload-col", default="payload")
+    _add_common(p)
+    p.set_defaults(fn=cmd_imagededup)
 
     p = sub.add_parser(
         "lake", help="lake maintenance: compact | delete (takedown) | merge (upsert)"

@@ -437,6 +437,31 @@ def simhash_pairs(
     without its |docs|^2 cartesian.
     """
     sig = simhash(df, text_col, id_col, bits)
+    return hamming_pairs(sig, "simhash", id_col=id_col, bits=bits, max_hamming=max_hamming)
+
+
+def hamming_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    id_col: str = "doc_id",
+    bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Pairs of ids whose integer hashes are within ``max_hamming`` bits,
+    via the pigeonhole banded join — the generalized core of
+    :func:`simhash_pairs`, reused by image perceptual-hash dedup
+    (:mod:`..multimodal.phash`) and anything else carrying a precomputed
+    fixed-width hash column.
+
+    Split each hash into ``max_hamming + 1`` disjoint bit chunks: two
+    hashes within the threshold must agree EXACTLY on at least one
+    chunk, so candidates come from a (chunk index, chunk value) hash
+    equi-join — shuffle linear in the corpus, never all-pairs — then an
+    exact ``bit_count(xor)`` verification on candidates only.  64-bit
+    hashes with the sign bit set are handled: chunking uses
+    ``shiftrightunsigned``.  Returns ``(id1, id2, hamming)`` with
+    ``id1 < id2``.
+    """
     n_chunks = max_hamming + 1
     width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
     mask = (1 << width) - 1
@@ -444,7 +469,7 @@ def simhash_pairs(
         *[
             F.struct(
                 F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col("simhash"), c * width)
+                F.shiftrightunsigned(F.col(hash_col), c * width)
                 .bitwiseAND(F.lit(mask))
                 .alias("ckey"),
             )
@@ -452,10 +477,10 @@ def simhash_pairs(
         ]
     )
     entries = sig.select(
-        F.col(id_col), F.col("simhash"), F.explode(chunk_entries).alias("e")
-    ).select(id_col, "simhash", F.col("e.chunk").alias("chunk"), F.col("e.ckey").alias("ckey"))
-    a = entries.select(F.col(id_col).alias("id1"), F.col("simhash").alias("h1"), "chunk", "ckey")
-    b = entries.select(F.col(id_col).alias("id2"), F.col("simhash").alias("h2"), "chunk", "ckey")
+        F.col(id_col), F.col(hash_col).alias("__h"), F.explode(chunk_entries).alias("e")
+    ).select(id_col, "__h", F.col("e.chunk").alias("chunk"), F.col("e.ckey").alias("ckey"))
+    a = entries.select(F.col(id_col).alias("id1"), F.col("__h").alias("h1"), "chunk", "ckey")
+    b = entries.select(F.col(id_col).alias("id2"), F.col("__h").alias("h2"), "chunk", "ckey")
     return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("id1") < F.col("id2"))

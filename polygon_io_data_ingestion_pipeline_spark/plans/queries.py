@@ -6091,6 +6091,86 @@ def docs_url_psl_domains(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "img_dhash_dup_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+px AS (
+  SELECT doc_id, r, c,
+         CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || '_' ||
+                                  CAST(r AS VARCHAR)), 2 * c + 1, 2))
+              AS BIGINT) AS p0
+  FROM d, range(0, 8) rr(r), range(0, 9) cc(c)),
+pert AS (
+  SELECT doc_id, r, c,
+         CASE WHEN doc_id % 2 = 1 AND r = 0 AND c = 4
+              THEN (p0 + 32) % 256 ELSE p0 END AS p
+  FROM px),
+bits AS (
+  SELECT a.doc_id, a.r * 8 + a.c AS i
+  FROM pert a JOIN pert b
+    ON a.doc_id = b.doc_id AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.p > b.p),
+h AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN bits.i = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << CAST(bits.i AS INT))
+                           END), 0) AS BIGINT) AS hash
+  FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id
+  GROUP BY d.doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.hash, b.hash)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hash, b.hash)) <= 6
+""",
+    doc="Image near-duplicate detection by perceptual difference hash "
+    "(multimodal/phash.py): one deterministic 9x8 grayscale PNM per "
+    "document (pixels = md5 bytes of doc_id//2, odd docs perturb ONE "
+    "pixel — a near-dup of their even sibling), pushed through the "
+    "REAL pipeline: decode_pnm -> luma -> box downsample -> 64-bit "
+    "dHash -> the pigeonhole hamming-banded equi-join shared with "
+    "SimHash (operators/dedup.py hamming_pairs; linear shuffles, "
+    "never all-pairs).  The oracle re-derives the pixels from the "
+    "same md5 arithmetic, restates the 64 comparison bits in SQL "
+    "(bit 63 via the signed-BIGINT constant), and verifies pairs "
+    "ALL-PAIRS — an independent physical strategy, so the banded "
+    "join's recall is certified, not replicated.  pHash (DCT) rides "
+    "the same lane, pytest-pinned (float DCT is not SQL-portable).",
+    tags=("dedup", "multimodal"),
+    bench=True,
+)
+def img_dhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal.phash import image_dup_pairs
+
+    docs = table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..multimodal.binaryops import encode_pnm
+
+        for batch in batches:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                base = did // 2
+                px = _np.empty((8, 9), dtype=_np.uint8)
+                for r in range(8):
+                    hx = _hl.md5(f"{base}_{r}".encode()).hexdigest()
+                    px[r] = [int(hx[2 * c : 2 * c + 2], 16) for c in range(9)]
+                if did % 2 == 1:
+                    px[0, 4] = (int(px[0, 4]) + 32) % 256
+                payloads.append(encode_pnm(px))
+            yield _pd.DataFrame({"media_id": batch["doc_id"], "payload": payloads})
+
+    imgs = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    pairs = image_dup_pairs(imgs, hash_col="dhash", max_hamming=6)
+    return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
