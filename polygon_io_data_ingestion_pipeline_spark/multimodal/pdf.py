@@ -9,9 +9,13 @@ Surface (the baseline subset that covers machine-generated text PDFs):
   (direct or indirect) with an ``endstream`` fallback; PDF 1.5+
   **object streams** (``/Type /ObjStm``) are unpacked so page trees of
   modern compressed PDFs resolve.
-- **Filters**: unfiltered and ``/FlateDecode`` (zlib) content streams;
-  ``/FlateDecode`` with a ``/DecodeParms`` predictor, and every other
-  filter, quarantine.
+- **Filters**: unfiltered and ``/FlateDecode`` (zlib) content streams,
+  including ``/DecodeParms`` predictors — PNG predictors 10-15 (the
+  row-filter unfiltering shared with :mod:`.png`) and the TIFF
+  horizontal predictor 2 at 8 bits/component, the forms nearly every
+  machine-generated PDF emits for its xref/object streams.  Every
+  other filter, unknown predictor values, and indirect DecodeParms
+  quarantine.
 - **Text**: page ``/Contents`` (single ref or array) parsed as a
   content stream — ``Tj``/``'``/``"``/``TJ`` show operators inside
   ``BT``/``ET``, literal strings with nesting/escapes/octal and hex
@@ -19,12 +23,19 @@ Surface (the baseline subset that covers machine-generated text PDFs):
   (< -100/1000 em), inline dict/array skipping.  Byte strings decode
   as Latin-1 (≈ PDFDocEncoding over the printable range) or UTF-16BE
   on BOM.
+- **CID text**: ``/Encoding /Identity-H`` composite fonts decode
+  through their ``/ToUnicode`` CMap (``bfchar`` + both ``bfrange``
+  forms, multi-char UTF-16BE targets) — the form every modern PDF
+  generator emits for embedded-subset fonts.  Font selection follows
+  ``Tf`` against the page's ``/Resources /Font`` names (page-level
+  names win over names collected from the rest of the document).
 
 Quarantined variants raise :class:`PdfFormatError` (typed, like every
-codec here): encrypted documents, non-Flate stream filters, predictor
-DecodeParms, CID/Identity-H composite fonts (2-byte codes that would
-decode to mojibake — honesty over noise).  See
-:data:`UNSUPPORTED_FEATURES`.
+codec here): encrypted documents, non-Flate stream filters,
+unsupported predictor variants, and text SHOWN under a CID font that
+has no usable ToUnicode CMap (2-byte codes that would decode to
+mojibake — honesty over noise; a merely-declared unused CID font no
+longer blocks the document).  See :data:`UNSUPPORTED_FEATURES`.
 
 Per-document Python riding the Arrow-batched ``mapInPandas`` decode
 lane (``sources/archive.py:decode_text_members`` routes ``%PDF-``
@@ -48,8 +59,8 @@ class PdfFormatError(ValueError):
 UNSUPPORTED_FEATURES = (
     "encrypted",
     "non-Flate stream filters",
-    "predictor DecodeParms",
-    "CID/Identity-H composite fonts",
+    "unsupported predictor variants",
+    "CID text shown without a usable ToUnicode CMap",
 )
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
@@ -204,22 +215,93 @@ def _stream_bytes(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     return body[start:end].rstrip(b"\r\n")
 
 
+def _decode_parms(d: bytes) -> dict[bytes, int] | None:
+    """The ``/DecodeParms`` dictionary's integer entries, or None when
+    the key is absent.  Accepts the direct ``<< ... >>`` form and the
+    single-filter array form ``[ << ... >> ]`` (nulls skipped);
+    indirect refs and multi-dict arrays quarantine — they accompany
+    filter chains this codec rejects anyway."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[|\d+\s+\d+\s+R)", d)
+    if m is None:
+        return None
+    tok = m.group(1)
+    if tok not in (b"<<", b"["):
+        raise PdfFormatError("unsupported predictor variants: indirect DecodeParms")
+    region = d[m.start(1) :]
+    if tok == b"[":
+        inner = region[1 : region.find(b"]")]
+        dicts = re.findall(rb"<<.*?>>", inner, re.S)
+        if len(dicts) != 1:
+            raise PdfFormatError(
+                "unsupported predictor variants: DecodeParms array"
+            )
+        region = dicts[0]
+    parms_dict = _parse_dict_region(region)
+    out: dict[bytes, int] = {}
+    for key in (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent"):
+        v = _dict_int(parms_dict, key)
+        if v is not None:
+            out[key] = v
+    return out
+
+
+def _apply_predictor(data: bytes, parms: dict[bytes, int]) -> bytes:
+    """Reverse a FlateDecode predictor: PNG row filters 10-15 (delegated
+    to the shared :func:`..multimodal.png._unfilter`) or the TIFF
+    horizontal predictor 2 at 8 bits/component.  Row geometry from
+    Columns/Colors/BitsPerComponent (defaults 1/1/8)."""
+    pred = parms.get(b"Predictor", 1)
+    if pred == 1:
+        return data
+    cols = parms.get(b"Columns", 1)
+    colors = parms.get(b"Colors", 1)
+    bits = parms.get(b"BitsPerComponent", 8)
+    if cols < 1 or colors < 1 or bits < 1:
+        raise PdfFormatError("unsupported predictor variants: bad geometry")
+    row_bytes = (cols * colors * bits + 7) // 8
+    bpp = max(1, (colors * bits) // 8)
+    if pred == 2:
+        if bits != 8:
+            raise PdfFormatError(
+                "unsupported predictor variants: TIFF predictor below 8 bits"
+            )
+        if len(data) % row_bytes:
+            raise PdfFormatError("predictor data is not whole rows")
+        import numpy as np
+
+        arr = np.frombuffer(data, np.uint8).reshape(-1, row_bytes).copy()
+        for x in range(bpp, row_bytes):
+            arr[:, x] += arr[:, x - bpp]
+        return arr.tobytes()
+    if 10 <= pred <= 15:
+        if len(data) % (row_bytes + 1):
+            raise PdfFormatError("predictor data is not whole rows")
+        from .png import PngFormatError, _unfilter
+
+        try:
+            rows, _ = _unfilter(data, 0, len(data) // (row_bytes + 1), row_bytes, bpp)
+        except PngFormatError as exc:
+            raise PdfFormatError(f"bad predictor rows: {exc}") from exc
+        return rows.tobytes()
+    raise PdfFormatError(f"unsupported predictor variants: predictor {pred}")
+
+
 def _decode_stream(body: bytes, objs: dict[int, bytes]) -> bytes | None:
     raw = _stream_bytes(body, objs)
     if raw is None:
         return None
     d = _parse_dict_region(body)
-    if re.search(rb"/DecodeParms\b", d):
-        raise PdfFormatError("predictor DecodeParms unsupported")
+    parms = _decode_parms(d)
     filt = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", d)
     if filt is None:
         return raw
     names = re.findall(rb"/([A-Za-z0-9]+)", filt.group(1))
     if names == [b"FlateDecode"]:
         try:
-            return zlib.decompress(raw)
+            out = zlib.decompress(raw)
         except zlib.error as exc:
             raise PdfFormatError(f"bad Flate stream: {exc}") from exc
+        return _apply_predictor(out, parms) if parms else out
     raise PdfFormatError(
         "unsupported stream filter(s): "
         + b",".join(names).decode("latin-1")
@@ -253,6 +335,99 @@ def _pdf_string(raw: bytes) -> str:
     if raw[:2] == b"\xfe\xff":
         return raw[2:].decode("utf-16-be", errors="replace")
     return raw.decode("latin-1")
+
+
+def _parse_cmap(data: bytes) -> dict[int, str]:
+    """code -> text from a ToUnicode CMap stream: ``bfchar`` pairs and
+    both ``bfrange`` forms (``<lo> <hi> <dstStart>`` increments the
+    LAST UTF-16 code unit; ``<lo> <hi> [<d1> <d2> ...]`` lists each
+    destination).  Destinations are UTF-16BE and may be multi-char
+    (ligature expansions)."""
+
+    def dst(hx: bytes) -> str:
+        if len(hx) % 4:  # not whole UTF-16BE units: take as one unit
+            return chr(int(hx, 16))
+        return bytes.fromhex(hx.decode("ascii")).decode(
+            "utf-16-be", errors="replace"
+        )
+
+    cmap: dict[int, str] = {}
+    for m in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for sm in re.finditer(
+            rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>", m.group(1)
+        ):
+            cmap[int(sm.group(1), 16)] = dst(sm.group(2))
+    entry = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])",
+        re.S,
+    )
+    for m in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for sm in entry.finditer(m.group(1)):
+            lo, hi = int(sm.group(1), 16), int(sm.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                continue
+            third = sm.group(3)
+            if third.startswith(b"["):
+                dsts = re.findall(rb"<([0-9A-Fa-f]+)>", third)
+                for k in range(min(hi - lo + 1, len(dsts))):
+                    cmap[lo + k] = dst(dsts[k])
+            else:
+                base = third[1:-1]
+                text = dst(base)
+                if not text:
+                    continue
+                head, last = text[:-1], ord(text[-1])
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = head + chr(last + k)
+    return cmap
+
+
+def _cid_font_cmaps(objs: dict[int, bytes]) -> dict[int, dict[int, str] | None]:
+    """font object number -> ToUnicode cmap for every ``/Encoding
+    /Identity-H`` font; None marks a CID font with no usable CMap
+    (text shown under it quarantines at show time)."""
+    out: dict[int, dict[int, str] | None] = {}
+    for num, body in objs.items():
+        d = _parse_dict_region(body)
+        if not re.search(rb"/Encoding\s*/Identity-H\b", d):
+            continue
+        cmap = None
+        ref = _dict_ref(d, b"ToUnicode")
+        if ref is not None and ref in objs:
+            try:
+                payload = _decode_stream(objs[ref], objs)
+            except PdfFormatError:
+                payload = None
+            if payload:
+                parsed = _parse_cmap(payload)
+                if parsed:
+                    cmap = parsed
+        out[num] = cmap
+    return out
+
+
+def _resource_font_names(
+    d: bytes, objs: dict[int, bytes]
+) -> dict[bytes, int]:
+    """``/Resources`` (direct dict or ref) -> the ``/Font`` subdict's
+    name -> font-object-number pairs."""
+    res = d
+    ref = _dict_ref(d, b"Resources")
+    if ref is not None and ref in objs:
+        res = _parse_dict_region(objs[ref])
+    m = re.search(rb"/Font\s*(<<.*?>>|\d+\s+\d+\s+R)", res, re.S)
+    if m is None:
+        return {}
+    region = m.group(1)
+    if not region.startswith(b"<<"):
+        fref = int(re.match(rb"(\d+)", region).group(1))
+        if fref not in objs:
+            return {}
+        region = _parse_dict_region(objs[fref])
+    return {
+        name: int(num)
+        for name, num in re.findall(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", region)
+    }
 
 
 _ESCAPES = {
@@ -301,15 +476,42 @@ def _parse_literal(content: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _content_text(content: bytes) -> str:
+def _content_text(
+    content: bytes, fonts: dict[bytes, dict[int, str] | None] | None = None
+) -> str:
     """Text shown by a content stream: show operators inside BT/ET,
     line-positioning operators become newlines, TJ kerns below
-    -100/1000 em become spaces."""
+    -100/1000 em become spaces.
+
+    ``fonts`` maps resource font NAMES to ToUnicode cmaps for the
+    page's CID (Identity-H) fonts: while such a font is selected
+    (``Tf``), show strings decode as 2-byte codes through its cmap; a
+    CID font mapped to None (no usable ToUnicode) raises
+    :class:`PdfFormatError` the moment text is SHOWN under it —
+    selection alone is harmless.  Fonts absent from the map are simple
+    fonts (Latin-1 / UTF-16BE-on-BOM byte strings, as before)."""
+    fonts = fonts or {}
     out: list[str] = []
     line: list[str] = []
-    operands: list = []  # parsed strings (str) and numbers (float)
+    operands: list = []  # raw strings (bytes), numbers (float), names
     in_array = False
     array_acc: list = []
+    cur_cmap: dict[int, str] | None = None  # selected CID font's cmap
+    cur_cid_unmapped = False  # selected font is CID with no cmap
+
+    def show(raw: bytes) -> None:
+        if cur_cid_unmapped:
+            raise PdfFormatError(
+                "CID text shown without a usable ToUnicode CMap"
+            )
+        if cur_cmap is not None:
+            chars = []
+            for k in range(0, len(raw) - 1, 2):
+                code = (raw[k] << 8) | raw[k + 1]
+                chars.append(cur_cmap.get(code, "�"))
+            line.append("".join(chars))
+        else:
+            line.append(_pdf_string(raw))
 
     def endline():
         text = "".join(line).strip()
@@ -328,7 +530,7 @@ def _content_text(content: bytes) -> str:
             i = n if j < 0 else j + 1
         elif c == b"(":
             s, i = _parse_literal(content, i)
-            (array_acc if in_array else operands).append(_pdf_string(s))
+            (array_acc if in_array else operands).append(s)
         elif content[i : i + 2] == b"<<":  # inline dict: skip balanced
             depth = 0
             while i < n - 1:
@@ -350,7 +552,7 @@ def _content_text(content: bytes) -> str:
             if len(hx) % 2:
                 hx += b"0"
             (array_acc if in_array else operands).append(
-                _pdf_string(bytes.fromhex(hx.decode("ascii")))
+                bytes.fromhex(hx.decode("ascii"))
             )
             i = j + 1
         elif c == b"[":
@@ -360,10 +562,14 @@ def _content_text(content: bytes) -> str:
             in_array = False
             operands.append(array_acc)
             i += 1
-        elif c == b"/":  # name
+        elif c == b"/":  # name: pushed so Tf can resolve the font
             i += 1
+            start = i
             while i < n and content[i : i + 1] not in _WS + _DELIM:
                 i += 1
+            (array_acc if in_array else operands).append(
+                ("name", content[start:i])
+            )
         elif re.match(rb"[-+.0-9]", c):
             m = re.match(rb"[-+.0-9]+", content[i:])
             try:
@@ -380,18 +586,32 @@ def _content_text(content: bytes) -> str:
             op = m.group(0)
             i += m.end()
             if op == b"Tj" and operands:
-                if isinstance(operands[-1], str):
-                    line.append(operands[-1])
+                if isinstance(operands[-1], bytes):
+                    show(operands[-1])
             elif op in (b"'", b'"') and operands:
                 endline()
-                if isinstance(operands[-1], str):
-                    line.append(operands[-1])
+                if isinstance(operands[-1], bytes):
+                    show(operands[-1])
             elif op == b"TJ" and operands and isinstance(operands[-1], list):
                 for el in operands[-1]:
-                    if isinstance(el, str):
-                        line.append(el)
+                    if isinstance(el, bytes):
+                        show(el)
                     elif isinstance(el, float) and el < -100:
                         line.append(" ")
+            elif op == b"Tf" and operands:
+                names = [
+                    o[1]
+                    for o in operands
+                    if isinstance(o, tuple) and o[0] == "name"
+                ]
+                if names:
+                    selected = fonts.get(names[-1], "simple")
+                    if selected == "simple":
+                        cur_cmap, cur_cid_unmapped = None, False
+                    elif selected is None:
+                        cur_cmap, cur_cid_unmapped = None, True
+                    else:
+                        cur_cmap, cur_cid_unmapped = selected, False
             elif op in (b"Td", b"TD", b"T*", b"Tm", b"ET"):
                 endline()
             operands = []
@@ -477,15 +697,19 @@ def extract_pdf_text(data: bytes) -> str:
         raise PdfFormatError("encrypted document")
     objs = _scan_objects(data)
     _expand_object_streams(objs)
-    if any(
-        re.search(rb"/Encoding\s*/Identity-H\b", _parse_dict_region(b))
-        for b in objs.values()
-    ):
-        raise PdfFormatError("CID/Identity-H composite font")
+    cid_cmaps = _cid_font_cmaps(objs)
 
     pages = _page_order(objs, data)
     if not pages:
         raise PdfFormatError("no page objects found")
+
+    # font NAME -> cmap maps: page /Resources names win; names collected
+    # from every other object's /Font dict (Pages-node inheritance, odd
+    # generators) fill the gaps.  Only CID fonts enter the map — simple
+    # fonts keep the byte-string decode.
+    global_names: dict[bytes, int] = {}
+    for body in objs.values():
+        global_names.update(_resource_font_names(_parse_dict_region(body), objs))
 
     texts: list[str] = []
     for num in pages:
@@ -493,13 +717,20 @@ def extract_pdf_text(data: bytes) -> str:
         m = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", d)
         if m is None:
             continue
+        names = dict(global_names)
+        names.update(_resource_font_names(d, objs))
+        fonts = {
+            name: cid_cmaps[fnum]
+            for name, fnum in names.items()
+            if fnum in cid_cmaps
+        }
         refs = [int(r) for r in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
         content = b"\n".join(
             s
             for r in refs
             if r in objs and (s := _decode_stream(objs[r], objs)) is not None
         )
-        page_text = _content_text(content)
+        page_text = _content_text(content, fonts)
         if page_text:
             texts.append(page_text)
     return "\n".join(texts)

@@ -136,20 +136,38 @@ def test_quarantines_are_typed():
             3: b"<< /Type /Page /Contents 4 0 R >>",
             4: _stream_obj(b"<< /Length 4 /Filter /DCTDecode >>", b"\xff\xd8\xff\xe0"),
         }))
+    unknown_pred = zlib.compress(b"\x00xy")
+    with pytest.raises(PdfFormatError, match="predictor"):
+        extract_pdf_text(_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: _stream_obj(
+                b"<< /Length %d /Filter /FlateDecode "
+                b"/DecodeParms << /Predictor 5 >> >>" % len(unknown_pred),
+                unknown_pred,
+            ),
+        }))
     with pytest.raises(PdfFormatError, match="DecodeParms"):
         extract_pdf_text(_pdf({
             1: b"<< /Type /Catalog /Pages 2 0 R >>",
             2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
             3: b"<< /Type /Page /Contents 4 0 R >>",
             4: _stream_obj(
-                b"<< /Length 2 /Filter /FlateDecode "
-                b"/DecodeParms << /Predictor 12 >> >>", b"xx",
+                b"<< /Length %d /Filter /FlateDecode "
+                b"/DecodeParms 9 0 R >>" % len(unknown_pred),
+                unknown_pred,
             ),
         }))
-    with pytest.raises(PdfFormatError, match="Identity-H"):
+    with pytest.raises(PdfFormatError, match="ToUnicode"):
+        # text SHOWN under an Identity-H font with no ToUnicode
         extract_pdf_text(_doc(
-            b"BT (x) Tj ET",
+            b"BT /F1 12 Tf <00480069> Tj ET",
             extra={8: b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"},
+        ).replace(
+            b"/Type /Page /Parent 2 0 R /Contents 4 0 R",
+            b"/Type /Page /Parent 2 0 R /Contents 4 0 R "
+            b"/Resources << /Font << /F1 8 0 R >> >>",
         ))
     with pytest.raises(PdfFormatError, match="page"):
         extract_pdf_text(_pdf({1: b"<< /Type /Catalog >>"}))
@@ -288,3 +306,148 @@ def test_incremental_update_replacement_catalog_wins():
         b"trailer\n<< /Root 7 0 R /Prev 0 >>\nstartxref\n0\n%%EOF",
     ])
     assert extract_pdf_text(base + b"\n" + update) == "new page"
+
+
+def _png_predict(data: bytes, columns: int, ftype: int) -> bytes:
+    """PNG-predictor-encode ``data`` (len must be a columns multiple)
+    as rows of (filter byte + filtered bytes), bpp=1."""
+    assert len(data) % columns == 0
+    out = bytearray()
+    prev = bytes(columns)
+    for r in range(len(data) // columns):
+        row = data[r * columns : (r + 1) * columns]
+        out.append(ftype)
+        if ftype == 0:
+            out += row
+        elif ftype == 1:  # Sub
+            out += bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(columns))
+        elif ftype == 2:  # Up
+            out += bytes((row[i] - prev[i]) & 0xFF for i in range(columns))
+        else:
+            raise AssertionError("fixture supports filters 0/1/2")
+        prev = row
+    return bytes(out)
+
+
+def _pred_doc(content: bytes, columns: int, ftype: int, predictor: int = 12) -> bytes:
+    payload = zlib.compress(_png_predict(content, columns, ftype))
+    return _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor %d /Columns %d >> >>"
+            % (len(payload), predictor, columns), payload,
+        ),
+    })
+
+
+def test_flate_png_predictors_decode():
+    """PNG predictors 10-15 (/DecodeParms) — what most machine-generated
+    PDFs apply to their compressed streams — now decode instead of
+    quarantining; Up and Sub row filters exercised."""
+    content = b"BT (predictor text here) Tj ET"
+    pad = (-len(content)) % 6
+    content += b" " * pad
+    assert extract_pdf_text(_pred_doc(content, 6, 2)) == "predictor text here"
+    assert extract_pdf_text(_pred_doc(content, 6, 1)) == "predictor text here"
+    # array-form DecodeParms [ << ... >> ] for the single Flate filter
+    payload = zlib.compress(_png_predict(content, 6, 2))
+    arr = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"<< /Length %d /Filter [/FlateDecode] /DecodeParms "
+            b"[ << /Predictor 12 /Columns 6 >> ] >>" % len(payload), payload,
+        ),
+    })
+    assert extract_pdf_text(arr) == "predictor text here"
+
+
+def test_flate_tiff_predictor_2_decodes():
+    content = b"BT (tiff horizontal) Tj ET"
+    pad = (-len(content)) % 13
+    content += b" " * pad
+    rows = []
+    for r in range(len(content) // 13):
+        row = content[r * 13 : (r + 1) * 13]
+        rows.append(bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(13)))
+    payload = zlib.compress(b"".join(rows))
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 2 /Columns 13 >> >>" % len(payload), payload,
+        ),
+    })
+    assert extract_pdf_text(pdf) == "tiff horizontal"
+
+
+def _cid_doc(content: bytes, cmap: bytes, resources: bytes | None = None) -> bytes:
+    res = resources if resources is not None else b"<< /Font << /F7 8 0 R >> >>"
+    cm = zlib.compress(cmap)
+    return _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources " + res + b" >>",
+        4: _stream_obj(b"<< /Length %d >>" % len(content), content),
+        8: b"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Font "
+           b"/Encoding /Identity-H /ToUnicode 9 0 R >>",
+        9: _stream_obj(
+            b"<< /Length %d /Filter /FlateDecode >>" % len(cm), cm
+        ),
+    })
+
+
+_CMAP = (
+    b"/CIDInit /ProcSet findresource begin\n"
+    b"begincmap\n"
+    b"2 beginbfchar\n<0003> <0020>\n<0156> <FB01>\nendbfchar\n"
+    b"2 beginbfrange\n"
+    b"<0024> <003D> <0041>\n"            # 0x24..0x3D -> A..Z
+    b"<0044> <0046> [<0068> <0065> <006C>]\n"  # list form: h e l
+    b"endbfrange\nendcmap\nend\n"
+)
+
+
+def test_identity_h_with_tounicode_decodes():
+    """The big real-world class: Identity-H subset font WITH the
+    generator's ToUnicode CMap — text extracts through bfchar + both
+    bfrange forms; multi-char destinations (fi ligature) expand."""
+    # codes: 0x24='A'(range scalar), 0x44 0x45 0x46='h''e''l' (list),
+    # 0x03=space (bfchar), 0x0156=fi-ligature -> "fi" via U+FB01
+    content = b"BT /F7 12 Tf <0024 0003 0044 0045 0046 0046 0156> Tj ET"
+    assert extract_pdf_text(_cid_doc(content, _CMAP)) == "A hellﬁ"
+
+
+def test_mixed_simple_and_cid_fonts_one_page():
+    content = (
+        b"BT /F7 12 Tf <00240025> Tj 0 -14 Td "
+        b"/Fs 12 Tf (plain bytes) Tj ET"
+    )
+    res = b"<< /Font << /F7 8 0 R /Fs 11 0 R >> >>"
+    pdf = _cid_doc(content, _CMAP, resources=res)
+    pdf = pdf.replace(
+        b"trailer", b"11 0 obj\n<< /Type /Font /Subtype /Type1 "
+        b"/BaseFont /Helvetica >>\nendobj\ntrailer"
+    )
+    assert extract_pdf_text(pdf) == "AB\nplain bytes"
+
+
+def test_unused_cid_font_no_longer_blocks_document():
+    """Round-9 behavior quarantined any document merely DECLARING an
+    Identity-H font; now only showing text under an unmapped one does."""
+    pdf = _doc(
+        b"BT (simple text) Tj ET",
+        extra={8: b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H >>"},
+    )
+    assert extract_pdf_text(pdf) == "simple text"
+
+
+def test_cid_unmapped_code_yields_replacement_char():
+    content = b"BT /F7 12 Tf <0024 FFFE 0025> Tj ET"
+    assert extract_pdf_text(_cid_doc(content, _CMAP)) == "A�B"
