@@ -189,6 +189,182 @@ STOPWORD_FREQ: tuple[tuple[str, tuple[tuple[str, int], ...]], ...] = (
             ("hem", 1),
         ),
     ),
+    # round-10 coverage extension: the remaining high-volume
+    # Latin-script crawl languages.  Same public word-frequency-list
+    # provenance and per-1000 rounding as the rows above; closely
+    # related pairs (da/no, pl/cs) deliberately carry their mutual
+    # DISCRIMINATORS (af/av, efter/etter, hvad/hva, w/v, się/se ...)
+    # so page-length text separates.
+    (
+        "pl",
+        (
+            ("w", 32), ("i", 30), ("się", 28), ("nie", 25), ("na", 22),
+            ("z", 20), ("do", 16), ("to", 15), ("że", 15), ("a", 13),
+            ("o", 10), ("jak", 9), ("jest", 9), ("po", 7), ("co", 7),
+            ("ale", 6), ("czy", 5), ("przez", 5), ("od", 5), ("za", 5),
+            ("dla", 5), ("tak", 5), ("już", 4), ("tym", 4), ("tylko", 4),
+            ("był", 4), ("przy", 3), ("może", 3), ("być", 3), ("są", 3),
+            ("który", 3), ("która", 3), ("które", 3), ("ich", 3),
+            ("było", 3), ("była", 3), ("jego", 3), ("bardzo", 3),
+            ("przed", 2), ("kiedy", 2), ("jeszcze", 2), ("nad", 2),
+            ("bez", 2), ("więc", 2), ("gdy", 2), ("też", 2),
+            ("można", 2), ("ma", 2), ("mnie", 2), ("go", 2), ("im", 2),
+            ("nas", 2), ("pod", 2), ("ten", 2), ("ta", 2), ("oraz", 2),
+            ("również", 2), ("aby", 2), ("będzie", 2), ("tego", 2),
+        ),
+    ),
+    (
+        "sv",
+        (
+            ("och", 35), ("i", 30), ("att", 28), ("det", 25),
+            ("som", 22), ("en", 20), ("på", 18), ("är", 17), ("av", 15),
+            ("för", 14), ("med", 13), ("till", 12), ("den", 11),
+            ("har", 9), ("de", 9), ("inte", 9), ("om", 8), ("ett", 8),
+            ("men", 7), ("var", 6), ("jag", 6), ("sig", 5), ("från", 5),
+            ("vi", 5), ("så", 5), ("kan", 5), ("man", 4), ("när", 4),
+            ("han", 4), ("efter", 3), ("eller", 3), ("hade", 3),
+            ("vid", 3), ("skulle", 3), ("hon", 3), ("alla", 3),
+            ("då", 3), ("sin", 3), ("nu", 3), ("ska", 3), ("år", 3),
+            ("under", 2), ("även", 2), ("kommer", 2), ("ut", 2),
+            ("över", 2), ("där", 2), ("denna", 2), ("detta", 2),
+            ("sedan", 2), ("mycket", 2), ("bli", 2), ("blir", 2),
+            ("finns", 2), ("vad", 2), ("bara", 2), ("mot", 2),
+            ("också", 2), ("någon", 2), ("andra", 2),
+        ),
+    ),
+    (
+        "da",
+        (
+            ("og", 34), ("i", 30), ("at", 28), ("det", 24), ("er", 22),
+            ("en", 19), ("til", 16), ("af", 16), ("på", 14), ("som", 13),
+            ("de", 12), ("den", 11), ("der", 11), ("har", 10),
+            ("med", 10), ("for", 10), ("ikke", 9), ("et", 8),
+            ("men", 7), ("jeg", 6), ("var", 6), ("om", 6), ("han", 5),
+            ("vi", 5), ("så", 5), ("kan", 5), ("man", 4), ("fra", 4),
+            ("du", 4), ("sig", 4), ("hvor", 3), ("eller", 3),
+            ("hvad", 3), ("skal", 3), ("ved", 3), ("efter", 3),
+            ("vil", 3), ("nu", 3), ("da", 3), ("også", 3), ("være", 3),
+            ("havde", 3), ("blev", 2), ("over", 2), ("når", 2),
+            ("under", 2), ("dette", 2), ("denne", 2), ("noget", 2),
+            ("alle", 2), ("sin", 2), ("kun", 2), ("meget", 2),
+            ("op", 2), ("ud", 2), ("bliver", 2), ("hun", 2),
+            ("hans", 2), ("dig", 1), ("os", 1),
+        ),
+    ),
+    (
+        "no",
+        (
+            ("og", 34), ("i", 29), ("det", 24), ("er", 22), ("som", 18),
+            ("en", 17), ("å", 17), ("til", 15), ("på", 15), ("av", 14),
+            ("at", 16), ("for", 12), ("de", 11), ("med", 11),
+            ("den", 10), ("har", 10), ("ikke", 9), ("et", 8),
+            ("men", 7), ("om", 6), ("var", 6), ("jeg", 6), ("så", 5),
+            ("seg", 5), ("kan", 5), ("vi", 5), ("fra", 4), ("han", 4),
+            ("skal", 4), ("du", 4), ("vil", 3), ("eller", 3),
+            ("da", 3), ("etter", 3), ("ved", 3), ("når", 3),
+            ("også", 3), ("ble", 3), ("blir", 3), ("være", 3),
+            ("hadde", 3), ("dette", 3), ("noe", 3), ("hva", 2),
+            ("hvor", 2), ("denne", 2), ("alle", 2), ("sin", 2),
+            ("bare", 2), ("mot", 2), ("under", 2), ("nå", 2),
+            ("mer", 2), ("enn", 2), ("vet", 2), ("andre", 2),
+            ("opp", 2), ("ut", 2), ("år", 2), ("hun", 2), ("hans", 2),
+            ("man", 2), ("ennå", 1), ("dere", 1), ("oss", 1),
+        ),
+    ),
+    (
+        "tr",
+        (
+            ("bir", 25), ("ve", 24), ("bu", 15), ("da", 10), ("de", 10),
+            ("için", 8), ("ile", 7), ("olarak", 5), ("çok", 5),
+            ("daha", 5), ("gibi", 5), ("ama", 4), ("en", 4), ("ki", 4),
+            ("ne", 4), ("o", 4), ("var", 4), ("olan", 4), ("sonra", 3),
+            ("kadar", 3), ("değil", 3), ("her", 3), ("ben", 3),
+            ("diye", 2), ("ise", 2), ("ya", 2), ("şey", 2), ("yok", 2),
+            ("nasıl", 2), ("şu", 2), ("ancak", 2), ("biz", 2),
+            ("kendi", 2), ("arasında", 2), ("olduğunu", 2),
+            ("olduğu", 2), ("oldu", 2), ("böyle", 2), ("veya", 2),
+            ("mi", 2), ("bütün", 1), ("tüm", 1), ("hem", 1),
+            ("bana", 1), ("beni", 1), ("sen", 1), ("siz", 1),
+            ("onlar", 1), ("üzerine", 1), ("niye", 1), ("çünkü", 2),
+            ("göre", 2), ("zaman", 2), ("önce", 2), ("iki", 2),
+            ("eden", 1), ("hiç", 1), ("pek", 1),
+        ),
+    ),
+    (
+        "id",
+        (
+            ("yang", 35), ("dan", 30), ("di", 25), ("itu", 12),
+            ("dengan", 12), ("ini", 12), ("untuk", 11), ("dari", 10),
+            ("dalam", 9), ("tidak", 9), ("akan", 8), ("pada", 8),
+            ("juga", 7), ("ke", 6), ("ada", 6), ("adalah", 6),
+            ("orang", 4), ("mereka", 4), ("sudah", 4), ("saya", 4),
+            ("kita", 4), ("atau", 4), ("bisa", 4), ("telah", 4),
+            ("oleh", 4), ("bahwa", 4), ("saat", 3), ("seperti", 3),
+            ("karena", 3), ("hanya", 3), ("lebih", 3), ("tersebut", 3),
+            ("sebagai", 3), ("dapat", 3), ("menjadi", 3), ("masih", 2),
+            ("kami", 2), ("jika", 2), ("para", 2), ("banyak", 2),
+            ("harus", 2), ("secara", 2), ("namun", 2), ("serta", 2),
+            ("satu", 2), ("sangat", 2), ("setelah", 2), ("tentang", 2),
+            ("anda", 2), ("dia", 2), ("ia", 2), ("kata", 2),
+            ("sampai", 1), ("dua", 1), ("belum", 1), ("pun", 1),
+            ("terhadap", 1), ("melakukan", 1),
+        ),
+    ),
+    (
+        "vi",
+        (
+            ("của", 25), ("và", 22), ("là", 20), ("có", 18),
+            ("không", 15), ("được", 13), ("một", 12), ("trong", 12),
+            ("cho", 10), ("đã", 10), ("các", 10), ("người", 9),
+            ("này", 9), ("những", 9), ("với", 9), ("để", 9), ("khi", 7),
+            ("cũng", 7), ("về", 7), ("như", 6), ("từ", 6), ("mà", 5),
+            ("nhưng", 5), ("đó", 5), ("ra", 5), ("thì", 5), ("đến", 5),
+            ("vào", 5), ("sẽ", 5), ("lại", 4), ("trên", 4), ("tôi", 4),
+            ("còn", 4), ("nhiều", 4), ("làm", 4), ("theo", 3),
+            ("tại", 3), ("bị", 3), ("rất", 3), ("vì", 3), ("sau", 3),
+            ("chỉ", 3), ("việc", 3), ("đang", 3), ("phải", 3),
+            ("hơn", 3), ("họ", 3), ("anh", 3), ("nếu", 2), ("hay", 2),
+            ("ông", 2), ("nên", 2), ("nó", 2), ("mình", 2), ("gì", 2),
+            ("đây", 2), ("thế", 2), ("ai", 1), ("bà", 1),
+        ),
+    ),
+    (
+        "cs",
+        (
+            ("a", 35), ("se", 28), ("v", 28), ("na", 22), ("je", 17),
+            ("že", 15), ("s", 12), ("z", 11), ("do", 10), ("to", 10),
+            ("i", 9), ("o", 8), ("k", 7), ("ale", 6), ("za", 5),
+            ("jako", 5), ("po", 5), ("pro", 5), ("si", 5), ("tak", 5),
+            ("od", 4), ("jsou", 4), ("byl", 4), ("jsem", 4), ("co", 4),
+            ("jak", 4), ("který", 3), ("která", 3), ("které", 3),
+            ("už", 3), ("jeho", 3), ("byla", 3), ("bylo", 3),
+            ("být", 3), ("podle", 3), ("jen", 3), ("když", 3),
+            ("nebo", 3), ("při", 3), ("také", 3), ("má", 3),
+            ("není", 3), ("bude", 3), ("ještě", 2), ("může", 2),
+            ("však", 2), ("až", 2), ("mezi", 2), ("před", 2),
+            ("pak", 2), ("tam", 2), ("kde", 2), ("byly", 2), ("ho", 2),
+            ("mi", 2), ("my", 1), ("vy", 1), ("ty", 1), ("její", 1),
+        ),
+    ),
+    (
+        "ro",
+        (
+            ("de", 40), ("și", 35), ("în", 28), ("a", 25), ("la", 18),
+            ("cu", 15), ("să", 15), ("pe", 13), ("care", 12),
+            ("din", 12), ("o", 12), ("nu", 12), ("este", 10),
+            ("un", 10), ("mai", 10), ("se", 10), ("ce", 8),
+            ("pentru", 8), ("au", 6), ("lui", 5), ("sunt", 5),
+            ("dar", 4), ("al", 4), ("fost", 4), ("sau", 4), ("după", 4),
+            ("fi", 4), ("dacă", 3), ("când", 3), ("prin", 3), ("ar", 3),
+            ("cum", 3), ("acest", 3), ("această", 3), ("el", 3),
+            ("va", 3), ("doar", 3), ("foarte", 3), ("până", 3),
+            ("ei", 3), ("le", 3), ("între", 2), ("fie", 2), ("asta", 2),
+            ("ea", 2), ("noi", 2), ("vor", 2), ("unde", 2), ("toate", 2),
+            ("își", 2), ("îi", 2), ("fără", 2), ("peste", 2),
+            ("încă", 2), ("sub", 1), ("către", 1), ("aceasta", 1),
+            ("două", 1),
+        ),
+    ),
 )
 
 #: Sublinear damping: per-word weights cap here when compiled.  The
@@ -246,12 +422,59 @@ def stopword_scores(text_col: str = "text") -> Column:
     return F.expr(_scores_sql(text_col))
 
 
-def predicted_lang_latin(text_col: str = "text", default: str = "en") -> Column:
+def _ntokens_sql(text_col: str) -> str:
+    """Non-empty token count, agreed byte-for-byte with the oracle's
+    ``len(list_filter(...))`` (split can emit empty edge tokens)."""
+    toks = f"split(lower({text_col}), '[^\\\\p{{L}}]+')"
+    return f"size(filter({toks}, w -> w <> ''))"
+
+
+def _hits_sql(text_col: str) -> str:
+    """SQL for the per-language HIT-COUNT vector (how many tokens are
+    that language's function words) — the score fold with weights
+    replaced by 0/1 indicators; feeds the ``und_floor`` coverage
+    test."""
+    n = len(STOPWORD_FREQ)
+    entries = ", ".join(
+        "'{w}', array({v})".format(
+            w=word.replace("'", "''"),
+            v=", ".join(("1L" if x else "0L") for x in vec),
+        )
+        for word, vec in _weight_vocab().items()
+    )
+    toks = f"split(lower({text_col}), '[^\\\\p{{L}}]+')"
+    return (
+        f"aggregate("
+        f"filter(transform({toks}, w -> map({entries})[w]), v -> v IS NOT NULL), "
+        f"array_repeat(CAST(0 AS BIGINT), {n}), "
+        f"(acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
+    )
+
+
+def predicted_lang_latin(
+    text_col: str = "text",
+    default: str = "en",
+    und_floor: float | None = None,
+) -> Column:
     """Latin-script language ID: argmax of the function-word score
     vector with :data:`STOPWORD_FREQ` tuple order breaking ties; a text
     with ZERO function-word hits (code, name lists, an untabled
     language) falls back to ``default`` — English is the web prior, and
     adding a language = adding a table row.
+
+    ``und_floor`` (confidence floor, round-9 verdict ask): when set,
+    a document labels ``und`` unless the WINNING language's function
+    words cover at least that fraction of its tokens — the honest
+    signal for untabled Latin languages and word-salad, so per-language
+    downstream stages (LM gating trains per language) stop silently
+    ingesting mislabeled text.  Coverage, not score mass, is the robust
+    test: a language sharing one ultra-frequent token with a tabled
+    language (the Hungarian article ``a`` scores in eight tables) can
+    pile up score, but its winning-language HIT COUNT stays a sliver of
+    its tokens, while genuine prose in any tabled language is ~30-50%
+    function words.  The comparison runs in integers
+    (``hits*1000 < floor_milli*n_tokens``) so both engines decide
+    boundary documents identically.
 
     The score vector is bound ONCE as a lambda variable (the
     single-element-array + transform trick from ``word_shingles``), so
@@ -260,9 +483,27 @@ def predicted_lang_latin(text_col: str = "text", default: str = "en") -> Column:
         f"WHEN s[{i}] = array_max(s) THEN '{lang}'"
         for i, lang in enumerate(LATIN_LANGS)
     )
+    floor_case = ""
+    if und_floor is not None:
+        floor_milli = int(round(und_floor * 1000))
+        # winner's hit count: element_at(h, array_position(s, max)) —
+        # array_position returns the FIRST max (1-based), matching the
+        # argmax tie order
+        winner_hits = (
+            f"element_at({_hits_sql(text_col)}, "
+            f"CAST(array_position(s, array_max(s)) AS INT))"
+        )
+        floor_case = (
+            f"WHEN {winner_hits} * 1000 < {floor_milli} * "
+            f"{_ntokens_sql(text_col)} THEN 'und' "
+        )
+    # floor case FIRST: zero-hit NON-EMPTY text is exactly the
+    # untabled-language signal und exists for; tokenless text (ntokens
+    # 0 makes the floor comparison false) still falls to ``default``
     return F.expr(
         f"transform(array({_scores_sql(text_col)}), s -> "
-        f"CASE WHEN array_max(s) <= 0 THEN '{default}' {branches} END)[0]"
+        f"CASE {floor_case}WHEN array_max(s) <= 0 THEN '{default}' "
+        f"{branches} END)[0]"
     )
 
 
@@ -294,24 +535,63 @@ def oracle_langid_select(
     text_col: str = "text",
     out_col: str = "lang",
     default: str = "en",
+    und_floor: float | None = None,
+    score_col: str | None = None,
 ) -> str:
     """Full DuckDB SELECT replicating :func:`predicted_lang_latin` over
     ``doc_sql`` (a subquery producing ``(id_col, text_col)``), layered
     so each language's score computes ONCE: inner select materializes
     the per-language score columns, outer CASE does argmax with the
-    same tie order and zero-hit default as the Spark side."""
+    same tie order, confidence floor (``und_floor``, the same integer
+    winner-hit-coverage comparison) and zero-hit default as the Spark
+    side.  ``score_col`` additionally surfaces the winning score as
+    BIGINT."""
     scores = oracle_scores_sql(text_col)
     inner_cols = ", ".join(
         "(" + scores[lang] + ") AS s_" + lang for lang in LATIN_LANGS
     )
+    toks = "string_split_regex(lower(" + text_col + "), '[^\\p{L}]+')"
+    ntoks = "len(list_filter(" + toks + ", w -> w <> ''))"
     best = "greatest(" + ", ".join("s_" + lang for lang in LATIN_LANGS) + ")"
     branches = " ".join(
         "WHEN s_" + lang + " = " + best + " THEN '" + lang + "'"
         for lang in LATIN_LANGS
     )
+    floor_case = ""
+    inner_extra = ""
+    if und_floor is not None:
+        floor_milli = int(round(und_floor * 1000))
+        # per-language hit-count columns (0/1 indicator folds), then the
+        # winner's hits picked by the SAME first-max tie order
+        for lang, words in STOPWORD_FREQ:
+            cases = " ".join(
+                "WHEN '{w}' THEN 1".format(w=word.replace("'", "''"))
+                for word, _weight in words
+            )
+            inner_extra += (
+                ", (list_sum(list_transform(" + toks + ", w -> CASE w "
+                + cases + " ELSE 0 END))) AS h_" + lang
+            )
+        inner_extra += ", (" + ntoks + ") AS n_toks"
+        winner_hits = (
+            "(CASE "
+            + " ".join(
+                "WHEN s_" + lang + " = " + best + " THEN h_" + lang
+                for lang in LATIN_LANGS
+            )
+            + " END)"
+        )
+        floor_case = (
+            "WHEN " + winner_hits + " * 1000 < " + str(floor_milli)
+            + " * n_toks THEN 'und' "
+        )
+    score_sel = ""
+    if score_col is not None:
+        score_sel = ", CAST(" + best + " AS BIGINT) AS " + score_col
     return (
-        "SELECT " + id_col + ", CASE WHEN " + best + " <= 0 THEN '" + default
-        + "' " + branches + " END AS " + out_col
-        + " FROM (SELECT " + id_col + ", " + inner_cols
+        "SELECT " + id_col + ", CASE " + floor_case + "WHEN " + best
+        + " <= 0 THEN '" + default + "' " + branches + " END AS " + out_col
+        + score_sel
+        + " FROM (SELECT " + id_col + ", " + inner_cols + inner_extra
         + " FROM (" + doc_sql + "))"
     )

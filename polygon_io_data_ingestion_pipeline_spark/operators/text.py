@@ -123,7 +123,9 @@ def script_char_count(text_col, ranges: str) -> Column:
     return F.length(F.regexp_replace(col, f"[^{ranges}]", ""))
 
 
-def predicted_lang_script(text_col: str = "text") -> Column:
+def predicted_lang_script(
+    text_col: str = "text", latin_und_floor: float | None = None
+) -> Column:
     """Unicode-script language ID — the real first-pass heuristic for a
     multilingual crawl (charset-correct decode upstream is what makes
     it possible; mojibake has no script).
@@ -136,8 +138,13 @@ def predicted_lang_script(text_col: str = "text") -> Column:
     text is Latin-dominant and falls back to the function-word
     frequency classifier (:mod:`..functions.stopwords`
     ``predicted_lang_latin`` — committed per-language stopword
-    frequency tables covering en/es/fr/de/it/pt/nl, compiled to one
-    JVM token pass).  All JVM expressions — no Python."""
+    frequency tables covering en/es/fr/de/it/pt/nl + the round-10
+    extension pl/sv/da/no/tr/id/vi/cs/ro, compiled to one JVM token
+    pass).  ``latin_und_floor`` forwards the coverage-based confidence
+    floor: Latin text whose winning language's function words cover
+    less than that token fraction labels ``und`` instead of a
+    confident nearest-neighbour guess.  All JVM expressions — no
+    Python."""
     from ..functions.stopwords import predicted_lang_latin
 
     col = F.col(text_col) if isinstance(text_col, str) else text_col
@@ -156,7 +163,10 @@ def predicted_lang_script(text_col: str = "text") -> Column:
         (counts["ja"] > 0) & ((counts["zh"] + counts["ja"]) >= best), F.lit("ja")
     ).otherwise(script_pick)
     return F.when(best >= threshold, script_pick).otherwise(
-        predicted_lang_latin(text_col if isinstance(text_col, str) else "text")
+        predicted_lang_latin(
+            text_col if isinstance(text_col, str) else "text",
+            und_floor=latin_und_floor,
+        )
     )
 
 

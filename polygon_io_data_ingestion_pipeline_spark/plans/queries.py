@@ -5255,6 +5255,81 @@ def docs_latin_langid(spark: SparkSession, sf: str) -> DataFrame:
     return docs.select("doc_id", predicted_lang_latin("text").alias("lang"))
 
 
+#: round-10 langid fixtures: one page-register sentence per ADDED
+#: language (pl/sv/da/no/tr/id/vi/cs/ro), one untabled Latin language
+#: (Hungarian — its article 'a' scores in eight tables, the case the
+#: coverage floor exists for), one token-salad line, one tabled
+#: control.  Index = doc_id % 12.
+_LATIN_FIXTURES_V2 = (
+    "nie wiem co z tym zrobić ale myślę że jest jakieś rozwiązanie "
+    "które można znaleźć w tym przypadku",
+    "forskare har upptäckt att havet värms upp snabbare än man trodde "
+    "och att detta kommer att påverka alla länder",
+    "vejret var koldt og børnene blev hjemme hos deres forældre fordi "
+    "der ikke var noget andet at lave efter skolen",
+    "forskere har oppdaget at havet blir varmere raskere enn man trodde "
+    "og hva det betyr vet vi ikke ennå men de skal finne ut mer om "
+    "dette i årene som kommer fordi det er viktig å forstå hvordan "
+    "endringene vil påvirke alle sammen",
+    "hava çok soğuktu ve çocuklar bu yüzden evde kaldı çünkü yapacak "
+    "başka bir şey yoktu ve okul da kapalıydı",
+    "para peneliti menemukan bahwa laut menghangat lebih cepat dari "
+    "yang mereka kira dan ini akan menjadi masalah untuk semua",
+    "các nhà khoa học đã phát hiện ra rằng đại dương đang nóng lên "
+    "nhanh hơn những gì họ nghĩ và điều này sẽ là vấn đề cho mọi người",
+    "vědci zjistili že se oceán otepluje rychleji než si mysleli a to "
+    "bude podle nich problém pro všechny země",
+    "cercetătorii au descoperit că oceanul se încălzește mai repede "
+    "decât credeau și acest lucru va fi o problemă pentru toate țările",
+    "az időjárás hideg volt és a gyerekek otthon maradtak a "
+    "szüleikkel mert nem volt más tennivaló az iskola után",
+    "zkxq wvfjq pllmn rrtkz bbnnw qqssd ffghh jjkll",
+    "the committee said that it would publish the results of the study "
+    "next week and most of the members were in favour of the proposal",
+)
+
+
+@q(
+    "docs_latin_langid_scored",
+    oracle=oracle_langid_select(
+        "SELECT doc_id, CASE CAST(doc_id % 12 AS INT) "
+        + " ".join(
+            "WHEN {i} THEN '{t}'".format(i=i, t=t.replace("'", "''"))
+            for i, t in enumerate(_LATIN_FIXTURES_V2)
+        )
+        + " END AS text FROM documents",
+        und_floor=0.25,
+        score_col="score",
+    ),
+    doc="Round-10 langid extension certified end-to-end: the nine "
+    "added Latin-script crawl languages (pl/sv/da/no/tr/id/vi/cs/ro) "
+    "classify from their committed function-word tables, the "
+    "confidence floor labels an UNTABLED language (Hungarian) and "
+    "token salad 'und' instead of a confident nearest-neighbour guess "
+    "(coverage test: the winning language's function words must be "
+    ">= 25% of tokens — robust against shared ultra-frequent tokens "
+    "like the Hungarian article 'a', which piles up SCORE in eight "
+    "tables but covers almost nothing), and the winning score is "
+    "surfaced for auditing.  Oracle GENERATED from the same tables "
+    "incl. the same integer hit-coverage comparison — certifies "
+    "scoring, floor and tie order together.",
+    tags=("text",),
+)
+def docs_latin_langid_scored(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.stopwords import predicted_lang_latin, stopword_scores
+
+    bodies = F.array(*[F.lit(t) for t in _LATIN_FIXTURES_V2])
+    m = (F.col("doc_id") % 12).cast("int")
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.element_at(bodies, m + 1).alias("text")
+    )
+    return docs.select(
+        "doc_id",
+        predicted_lang_latin("text", und_floor=0.25).alias("lang"),
+        F.array_max(stopword_scores("text")).cast("long").alias("score"),
+    )
+
+
 @q(
     "docs_outlink_graph",
     oracle="""

@@ -133,8 +133,11 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
             "text",
             # script-based first (crawls are multilingual and the decode
             # upstream is charset-correct), the function-word frequency
-            # classifier for Latin-dominant pages
-            predicted_lang_script("text").alias("lang"),
+            # classifier for Latin-dominant pages; the coverage floor
+            # labels untabled-language pages 'und' instead of a
+            # confident wrong guess (per-language downstream stages
+            # must not silently train on mislabeled text)
+            predicted_lang_script("text", latin_und_floor=0.15).alias("lang"),
             F.element_at(F.split("warc_file", "/"), -1).alias("source"),
             "url",
             F.md5(F.lower(F.col("text"))).alias("fp"),

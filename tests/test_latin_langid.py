@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F
 
 from polygon_io_data_ingestion_pipeline_spark.functions.stopwords import (
     LATIN_LANGS,
@@ -166,3 +167,130 @@ def test_weights_are_sane():
             assert w and w == w.lower() and x > 0, (lang, w)
             assert w not in seen, (lang, w)
             seen.add(w)
+
+
+# round-10 coverage extension fixtures — page-register sentences in the
+# nine added languages, incl. the closely-related pairs (da/no, pl/cs)
+# whose mutual discriminators (af/av, efter/etter, hvad/hva, w/v,
+# się/se) the tables carry on purpose.
+MATRIX_V2 = [
+    ("pl", "nie wiem co z tym zrobić ale myślę że jest jakieś rozwiązanie "
+           "które można znaleźć w tym przypadku"),
+    ("pl", "naukowcy odkryli że ocean ogrzewa się szybciej niż myśleli "
+           "i dlatego trzeba było zmienić prognozy dla całego regionu"),
+    ("sv", "vädret var kallt och barnen stannade hemma med sina föräldrar "
+           "eftersom det inte fanns något annat att göra"),
+    ("sv", "forskare har upptäckt att havet värms upp snabbare än man "
+           "trodde och att detta kommer att påverka alla länder"),
+    ("da", "vejret var koldt og børnene blev hjemme hos deres forældre "
+           "fordi der ikke var noget andet at lave efter skolen"),
+    ("da", "forskere har opdaget at havet bliver varmere hurtigere end "
+           "man troede og hvad det betyder ved vi ikke endnu"),
+    ("no", "været var kaldt og barna ble hjemme hos foreldrene sine "
+           "fordi det ikke var noe annet å gjøre etter skolen"),
+    ("no", "forskere har oppdaget at havet blir varmere raskere enn man "
+           "trodde og hva det betyr vet vi ikke ennå men de skal finne ut "
+           "mer om dette i årene som kommer fordi det er viktig å forstå "
+           "hvordan endringene vil påvirke alle sammen"),
+    ("tr", "hava çok soğuktu ve çocuklar bu yüzden evde kaldı çünkü "
+           "yapacak başka bir şey yoktu ve okul da kapalıydı"),
+    ("tr", "bilim insanları okyanusun düşünülenden daha hızlı ısındığını "
+           "keşfetti ve bu durum her ülke için önemli olacak"),
+    ("id", "cuaca sangat dingin dan anak anak tinggal di rumah dengan "
+           "orang tua mereka karena tidak ada yang bisa dilakukan"),
+    ("id", "para peneliti menemukan bahwa laut menghangat lebih cepat "
+           "dari yang mereka kira dan ini akan menjadi masalah untuk semua"),
+    ("vi", "thời tiết rất lạnh và những đứa trẻ đã ở nhà với cha mẹ của "
+           "mình vì không có việc gì để làm trong ngày đó"),
+    ("vi", "các nhà khoa học đã phát hiện ra rằng đại dương đang nóng lên "
+           "nhanh hơn những gì họ nghĩ và điều này sẽ là vấn đề cho mọi người"),
+    ("cs", "počasí bylo studené a děti zůstaly doma se svými rodiči "
+           "protože nebylo co dělat a škola byla také zavřená"),
+    ("cs", "vědci zjistili že se oceán otepluje rychleji než si mysleli "
+           "a to bude podle nich problém pro všechny země"),
+    ("ro", "vremea era rece și copiii au rămas acasă cu părinții lor "
+           "pentru că nu era nimic de făcut după școală"),
+    ("ro", "cercetătorii au descoperit că oceanul se încălzește mai "
+           "repede decât credeau și acest lucru va fi o problemă pentru toate țările"),
+]
+
+
+def test_extended_language_matrix(spark):
+    got = _classify(spark, [t for _, t in MATRIX_V2])
+    assert got == [lang for lang, _ in MATRIX_V2]
+
+
+def test_extended_matrix_duckdb_agreement(spark):
+    rows = [(i, t) for i, (_, t) in enumerate(MATRIX_V2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select("doc_id", predicted_lang_latin("text").alias("lang")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = oracle_langid_select("SELECT doc_id, text FROM docs")
+    duck_got = dict(con.execute(sql).fetchall())
+    assert spark_got == duck_got
+
+
+def test_und_floor_flags_untabled_language_and_word_salad(spark):
+    """With und_floor set, an untabled Latin language (Hungarian) and
+    token salad label 'und' instead of a confident nearest-neighbour
+    guess; clean tabled text stays labeled; empty text keeps the
+    default."""
+    rows = [
+        # Hungarian — untabled; few incidental hits over many tokens
+        (1, "az időjárás hideg volt és a gyerekek otthon maradtak a "
+            "szüleikkel mert nem volt más tennivaló az iskola után"),
+        (2, "zkxq wvfjq pllmn rrtkz bbnnw qqssd ffghh jjkll"),  # salad
+        (3, MATRIX[0][1]),   # clean English
+        (4, ""),             # tokenless
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id",
+            predicted_lang_latin("text", und_floor=0.25).alias("lang"),
+        ).collect()
+    }
+    assert got[1] == "und"
+    assert got[2] == "und"
+    assert got[3] == "en"
+    assert got[4] == "en"  # no tokens: floor cannot fire, default holds
+    # floor=None keeps the round-9 behavior (nearest tabled neighbour)
+    legacy = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", predicted_lang_latin("text").alias("lang")
+        ).collect()
+    }
+    assert legacy[1] != "und" and legacy[2] != "und"
+
+
+def test_und_floor_duckdb_agreement(spark):
+    rows = [
+        (1, "az időjárás hideg volt és a gyerekek otthon maradtak"),
+        (2, MATRIX[4][1]),
+        (3, ""),
+        (4, "zkxq wvfjq pllmn"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_got = {
+        (r["doc_id"], r["lang"], r["score"])
+        for r in df.select(
+            "doc_id",
+            predicted_lang_latin("text", und_floor=0.25).alias("lang"),
+            F.array_max(stopword_scores("text")).cast("long").alias("score"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    sql = oracle_langid_select(
+        "SELECT doc_id, text FROM docs", und_floor=0.25, score_col="score"
+    )
+    duck_got = {(d, l, s) for d, l, s in con.execute(sql).fetchall()}
+    assert spark_got == duck_got
