@@ -330,6 +330,19 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 2
+    if (args.min_trust is not None or args.cap_by_rank) and not args.graph:
+        print(
+            "corpus: --min-trust/--cap-by-rank require --graph "
+            "(a webgraph output root)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.cap_by_rank and not args.domain_cap:
+        print(
+            "corpus: --cap-by-rank requires --domain-cap",
+            file=sys.stderr,
+        )
+        return 2
 
     spark = get_spark("poly-corpus", master=args.master)
     if args.input_format == "warc":
@@ -586,6 +599,36 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             f"order={args.lm_order}"
         )
 
+    if args.graph and args.min_trust is not None:
+        # graph -> selection: the quality half of the crawl loop.  The
+        # webgraph command's trust/ table (TrustRank from vetted seeds)
+        # joins back onto the corpus by normalized URL; crawl pages
+        # below the floor — including pages ABSENT from the table,
+        # which under TrustRank semantics are exactly "unreachable from
+        # any vetted seed" — drop with accounting.  Non-crawl rows
+        # (NULL url) are not trust-scorable and keep.
+        import os as _os
+
+        from .operators.urls import join_graph_signals
+
+        if "url" not in kept.columns:
+            print("corpus: --min-trust requires a url column", file=sys.stderr)
+            return 2
+        trust = spark.read.parquet(_os.path.join(args.graph, "trust")).select(
+            "node", "trust"
+        )
+        scored = join_graph_signals(kept, trust)
+        bad = scored.filter(
+            F.col("url").isNotNull() & (F.col("trust") < args.min_trust)
+        )
+        n_trust_dropped = bad.count()
+        kept = scored.filter(
+            F.col("url").isNull() | (F.col("trust") >= args.min_trust)
+        ).drop("trust")
+        print(
+            f"trust-gate: dropped={n_trust_dropped} min_trust={args.min_trust}"
+        )
+
     reps = exact_duplicates(
         kept.select("doc_id", "text"), normalized=args.normalized_dedup
     ).select(
@@ -614,9 +657,29 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         if "source" in unique.columns:
             parts.append(F.col("source"))
         dom = F.coalesce(*parts, F.lit("__all__"))
-        unique = group_capped_sample(
-            unique.withColumn("_dom", dom), cap=args.domain_cap, group_col="_dom"
-        ).drop("_dom")
+        if args.cap_by_rank:
+            # centrality-weighted cap: each domain keeps its HIGHEST-
+            # pagerank pages (webgraph pagerank/ joined by normalized
+            # URL) instead of a hash-random subset — the second half of
+            # the graph -> selection loop
+            import os as _os
+
+            from .operators.urls import join_graph_signals
+
+            rank = spark.read.parquet(
+                _os.path.join(args.graph, "pagerank")
+            ).select("node", "rank")
+            unique = join_graph_signals(unique, rank, value_cols=("rank",))
+            unique = group_capped_sample(
+                unique.withColumn("_dom", dom),
+                cap=args.domain_cap,
+                group_col="_dom",
+                order_col="rank",
+            ).drop("_dom", "rank")
+        else:
+            unique = group_capped_sample(
+                unique.withColumn("_dom", dom), cap=args.domain_cap, group_col="_dom"
+            ).drop("_dom")
 
     out = hash_split(unique).persist()
     n_unique = out.count()
@@ -1043,6 +1106,26 @@ def main(argv: list[str] | None = None) -> int:
         help="exact dedup keys on the aggressive normalized form "
         "(punctuation folded, digit runs bucketed) so cosmetic "
         "variants collapse",
+    )
+    p.add_argument(
+        "--graph",
+        default=None,
+        help="webgraph output root (trust/, pagerank/) to join onto "
+        "the corpus by normalized URL (graph -> selection loop)",
+    )
+    p.add_argument(
+        "--min-trust",
+        type=float,
+        default=None,
+        help="drop crawl pages whose TrustRank (--graph trust/ table) "
+        "is below this floor; pages absent from the table score 0 "
+        "(unreachable from any vetted seed)",
+    )
+    p.add_argument(
+        "--cap-by-rank",
+        action="store_true",
+        help="with --domain-cap and --graph: keep each domain's "
+        "highest-pagerank pages instead of a hash-random subset",
     )
     p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet")
     p.add_argument("--redact-pii", action="store_true")

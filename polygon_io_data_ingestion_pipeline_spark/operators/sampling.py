@@ -326,6 +326,7 @@ def group_capped_sample(
     group_col: str = "domain",
     key_col: str = "doc_id",
     salt: str = "domcap",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Hard per-group cap: keep at most ``cap`` rows per group, selected
     by keyed-hash rank — the standard crawl-corpus skew control ("max N
@@ -346,11 +347,26 @@ def group_capped_sample(
     instead of materializing millions of rows in one window partition —
     the plan survives Zipfian skew without salting
     (``tests/test_group_cap.py`` pins the WindowGroupLimit node).
+
+    ``order_col``: rank rows per group by that column DESCENDING
+    (nulls last, keyed hash tie-break) instead of hash order — the
+    graph->selection hook ("keep each domain's most central pages").
     """
     order = F.md5(
         F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string"))
     )
-    w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
+    if order_col is not None:
+        # centrality-weighted cap (graph -> selection loop): keep the
+        # HIGHEST-valued rows per group (e.g. pagerank/trust from the
+        # webgraph tables) instead of a hash-random subset; the keyed
+        # hash stays as the deterministic tie-break.  Same single
+        # row_number window — WindowGroupLimit pushes the cap map-side
+        # either way.
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(order_col).desc_nulls_last(), order.asc(), F.col(key_col).asc()
+        )
+    else:
+        w = Window.partitionBy(group_col).orderBy(order.asc(), F.col(key_col).asc())
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= int(cap))

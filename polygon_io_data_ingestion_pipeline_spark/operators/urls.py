@@ -320,3 +320,42 @@ def anchor_text_index(
             "anchors"
         ),
     )
+
+
+def join_graph_signals(
+    docs: DataFrame,
+    signals: DataFrame,
+    url_col: str = "url",
+    node_col: str = "node",
+    value_cols: tuple[str, ...] = ("trust",),
+    default: float = 0.0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Attach web-graph analytics (the ``webgraph`` CLI's ``trust/`` /
+    ``pagerank/`` tables) to documents by URL — the graph->selection
+    half of the crawl loop: corpus stages can then drop pages below a
+    trust floor or weight sampling by centrality.
+
+    Document URLs normalize into the SAME key space ``cmd_webgraph``
+    built its node ids in (crawl spellings vs canonical variants must
+    not miss), then ONE left equi-join on the node key.  Documents
+    absent from the signal table get ``default`` — under TrustRank
+    semantics an unscored page is exactly "unreachable from any vetted
+    seed", so a positive ``--min-trust`` floor drops it; documents with
+    a NULL ``url_col`` (non-crawl lanes) also carry ``default`` and the
+    caller decides whether the floor applies to them.  Broadcast-able
+    when the graph is small; AQE picks the strategy otherwise.
+    """
+    key = (
+        F.coalesce(url_normalized(F.col(url_col)), F.col(url_col))
+        if normalize
+        else F.col(url_col)
+    )
+    sig = signals.select(
+        F.col(node_col).alias("__node"),
+        *[F.col(c) for c in value_cols],
+    )
+    out = docs.withColumn("__node", key).join(sig, "__node", "left").drop("__node")
+    for c in value_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
+    return out

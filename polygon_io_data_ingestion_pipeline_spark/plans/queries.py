@@ -6246,6 +6246,111 @@ def img_dhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select("id1", "id2", F.col("hamming").cast("int").alias("hamming"))
 
 
+@q(
+    "docs_trust_selection",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+         CAST((doc_id * 7) % 40 AS VARCHAR) AS tgt
+  FROM documents
+),
+pages AS (
+  SELECT 'http://' || host || '/p' || CAST(doc_id AS VARCHAR) AS src,
+         'http://' || host || '/p' || tgt AS dst
+  FROM d
+),
+edges AS (SELECT DISTINCT src, dst FROM pages),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+odeg AS (SELECT src AS node, count(*) AS od FROM edges GROUP BY src),
+seeded AS (
+  SELECT node,
+         node IN ('http://h0.example/p0', 'http://h1.example/p1',
+                  'http://h2.example/p2', 'http://h3.example/p3',
+                  'http://h4.example/p4') AS is_seed
+  FROM nodes),
+ns AS (SELECT CAST(sum(CASE WHEN is_seed THEN 1 ELSE 0 END) AS BIGINT) AS n
+       FROM seeded),
+r0 AS (SELECT s.node, CAST(coalesce(o.od, 0) AS BIGINT) AS od,
+              CASE WHEN s.is_seed AND ns.n > 0
+                   THEN round(1.0 / ns.n, 12) ELSE 0.0 END AS t
+       FROM seeded s LEFT JOIN odeg o ON o.node = s.node, ns),
+t0 AS (SELECT node, od, t, t AS trust FROM r0),
+e1 AS (SELECT e.dst AS u,
+              CAST(round(r.trust / r.od * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM edges e JOIN t0 r ON r.node = e.src AND r.od > 0 AND r.trust > 0),
+s1 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e1 GROUP BY u),
+d1 AS (SELECT CAST(coalesce(sum(CAST(round(trust * 1000000000000.0, 0) AS BIGINT)), 0) AS BIGINT) AS dang
+       FROM t0 WHERE od = 0),
+t1 AS (SELECT t0.node, t0.od, t0.t,
+              round(0.15 * t0.t + 0.85 * (coalesce(s1.s, 0) / 1000000000000.0
+                    + d1.dang / 1000000000000.0 * t0.t), 12) AS trust
+       FROM t0 LEFT JOIN s1 ON s1.u = t0.node, d1),
+e2 AS (SELECT e.dst AS u,
+              CAST(round(r.trust / r.od * 1000000000000.0, 0) AS BIGINT) AS c
+       FROM edges e JOIN t1 r ON r.node = e.src AND r.od > 0 AND r.trust > 0),
+s2 AS (SELECT u, CAST(sum(c) AS BIGINT) AS s FROM e2 GROUP BY u),
+d2 AS (SELECT CAST(coalesce(sum(CAST(round(trust * 1000000000000.0, 0) AS BIGINT)), 0) AS BIGINT) AS dang
+       FROM t1 WHERE od = 0),
+t2 AS (SELECT t1.node, t1.od, t1.t,
+              round(0.15 * t1.t + 0.85 * (coalesce(s2.s, 0) / 1000000000000.0
+                    + d2.dang / 1000000000000.0 * t1.t), 12) AS trust
+       FROM t1 LEFT JOIN s2 ON s2.u = t1.node, d2)
+SELECT d.doc_id,
+       round(coalesce(t2.trust, 0.0), 12) AS trust,
+       coalesce(t2.trust, 0.0) > 0 AS selected
+FROM d LEFT JOIN t2
+  ON t2.node = 'http://' || d.host || '/p' || CAST(d.doc_id AS VARCHAR)
+""",
+    doc="The graph -> selection loop certified end-to-end: TrustRank "
+    "(operators/graph.py personalized_pagerank — seeded teleport, "
+    "dangling mass returns to seeds, spam unreachable from seeds "
+    "scores exactly zero) over the outlink fixture graph, joined back "
+    "onto every document by URL via operators/urls.py "
+    "join_graph_signals (the corpus --min-trust stage's exact code "
+    "path; absent-from-graph pages coalesce to 0 = unreachable), "
+    "selected = trust > 0.  The oracle unrolls BOTH seeded power "
+    "iterations in SQL (12-decimal quantization, scaled-BIGINT "
+    "contribution sums, per-iteration seed-directed dangling terms) "
+    "and replays the join — certifying trust propagation AND the "
+    "selection join, not a restated fixture.",
+    tags=("graph", "urls"),
+)
+def docs_trust_selection(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.graph import personalized_pagerank
+    from ..operators.urls import join_graph_signals
+    from ..sources.archive import extract_outlinks
+
+    d = table(spark, sf, "documents").select("doc_id")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"), F.lit(".example"))
+    tgt = ((F.col("doc_id") * 7) % 40).cast("string")
+    html = F.concat(
+        F.lit('<html><body><a href="/p'), tgt, F.lit('">to '), tgt,
+        F.lit("</a></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("http://"), host, F.lit("/p"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("payload"),
+    )
+    edges = extract_outlinks(pages).select("src", "dst").distinct()
+    seeds = spark.createDataFrame(
+        [(f"http://h{k}.example/p{k}",) for k in range(5)], "node string"
+    )
+    trust = personalized_pagerank(edges, seeds, iters=2)
+    docs_urls = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), host, F.lit("/p"), F.col("doc_id").cast("string")
+        ).alias("url"),
+    )
+    joined = join_graph_signals(docs_urls, trust.select("node", "trust"))
+    return joined.select(
+        "doc_id",
+        F.round("trust", 12).alias("trust"),
+        (F.col("trust") > 0).alias("selected"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

@@ -638,3 +638,89 @@ def test_webgraph_cli_seed_normalization_and_self_loops(spark, tmp_path, capsys)
     pr = {r["node"]: r for r in spark.read.parquet(out + "/pagerank").collect()}
     # self-loop dropped: good.x/2 has no out-edges left
     assert pr["http://good.x/2"]["out_degree"] == 0
+
+
+def test_corpus_cli_graph_selection_loop(spark, tmp_path, capsys):
+    """The graph -> selection loop: webgraph trust/ + pagerank/ feed
+    corpus --min-trust (spam pages dropped with accounting) and
+    --domain-cap --cap-by-rank (each domain keeps its most central
+    pages, not a hash-random subset)."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    # graph: good.x cluster (seeded) + spam.x farm (unreachable from
+    # seeds, densely interlinked)
+    edges = str(tmp_path / "edges")
+    rows = [
+        ("http://good.x/1", "http://good.x/2", "a", False),
+        ("http://good.x/2", "http://good.x/1", "b", False),
+        ("http://good.x/1", "http://good.x/3", "c", False),
+        ("http://good.x/3", "http://good.x/2", "d", False),
+        ("http://spam.x/1", "http://spam.x/2", "s", False),
+        ("http://spam.x/2", "http://spam.x/1", "s", False),
+    ]
+    spark.createDataFrame(
+        rows, "src string, dst string, anchor string, nofollow boolean"
+    ).write.parquet(edges)
+    seeds = str(tmp_path / "seeds")
+    spark.createDataFrame([("http://good.x/1",)], "node string").write.parquet(seeds)
+    wg = str(tmp_path / "wg")
+    assert main([
+        "webgraph", "--edges", edges, "--out", wg,
+        "--trust-seeds", seeds, "--master", "local[4]",
+    ]) == 0
+    capsys.readouterr()
+
+    words = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort "
+             "and the file holds the record that the user wrote for the test")
+    docs = []
+    for i, url in enumerate([
+        "http://good.x/1", "http://good.x/2", "http://good.x/3",
+        "http://spam.x/1", "http://spam.x/2",
+    ]):
+        docs.append({"doc_id": i, "text": f"{words} page {i}", "source": "s",
+                     "url": url})
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(d["doc_id"], d["text"], d["source"], d["url"]) for d in docs],
+        "doc_id long, text string, source string, url string",
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", src, "--out", out,
+        "--graph", wg, "--min-trust", "0.000001", "--master", "local[4]",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "trust-gate: dropped=2" in text
+    kept_urls = {
+        r["url"] for r in spark.read.parquet(out).collect()
+    }
+    assert kept_urls == {
+        "http://good.x/1", "http://good.x/2", "http://good.x/3"
+    }
+
+    # --cap-by-rank: cap good.x to 2 pages -> the two highest-pagerank
+    # pages survive (2 is endorsed by both 1 and 3; 3 only by 1 —
+    # strict rank order, no tie-break dependence)
+    out2 = str(tmp_path / "corpus2")
+    assert main([
+        "corpus", "--src", src, "--out", out2,
+        "--graph", wg, "--min-trust", "0.000001",
+        "--domain-cap", "2", "--cap-by-rank", "--master", "local[4]",
+    ]) == 0
+    capsys.readouterr()
+    kept2 = {r["url"] for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {"http://good.x/1", "http://good.x/2"}
+
+    # flag validation before any Spark work
+    assert main([
+        "corpus", "--src", src, "--out", out, "--min-trust", "0.5",
+        "--master", "local[4]",
+    ]) == 2
+    assert main([
+        "corpus", "--src", src, "--out", out, "--graph", wg,
+        "--cap-by-rank", "--master", "local[4]",
+    ]) == 2
