@@ -735,9 +735,40 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
         .distinct()
         .persist()
     )
-    pr = pagerank_directed(followed, iters=args.pagerank_iters)
+    # incremental maintenance: --warm-start seeds this run from the
+    # PREVIOUS run's output tables (pagerank/trust fixpoints are
+    # unique, so warm ranks converge in fewer rounds on a grown graph;
+    # prior component labels enter star contraction pre-contracted).
+    # Previous tables must be MATERIALIZED (eager localCheckpoint)
+    # before the overwrite below deletes the files a lazy scan would
+    # still need.
+    prev_pr = prev_cc = prev_tr = None
+    if args.warm_start:
+        def _prev(table: str, cols: tuple[str, ...]):
+            path = _os.path.join(args.out, table)
+            try:
+                return (
+                    spark.read.parquet(path)
+                    .select(*cols)
+                    .localCheckpoint(eager=True)
+                )
+            except Exception:
+                return None  # first run: nothing to warm from
+
+        prev_pr = _prev("pagerank", ("node", "rank"))
+        prev_cc = _prev("components", ("node", "component_id"))
+        prev_tr = _prev("trust", ("node", "trust"))
+    pr = pagerank_directed(
+        followed,
+        iters=args.pagerank_iters,
+        damping=args.pagerank_damping,
+        tol=args.pagerank_tol,
+        init_ranks=prev_pr,
+    )
     pr.write.mode("overwrite").parquet(_os.path.join(args.out, "pagerank"))
-    cc = connected_components_star(followed, id_col="node")
+    cc = connected_components_star(
+        followed, id_col="node", prior_labels=prev_cc
+    )
     cc.write.mode("overwrite").parquet(_os.path.join(args.out, "components"))
     # summary counts read the just-written parquet — counting the
     # DataFrames would re-run the whole iteration DAGs a second time
@@ -761,7 +792,14 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
         seeds = spark.read.parquet(args.trust_seeds).select(
             F.coalesce(url_normalized(F.col("node")), F.col("node")).alias("node")
         )
-        tr = personalized_pagerank(followed, seeds, iters=args.pagerank_iters)
+        tr = personalized_pagerank(
+            followed,
+            seeds,
+            iters=args.pagerank_iters,
+            damping=args.pagerank_damping,
+            tol=args.pagerank_tol,
+            init_ranks=prev_tr,
+        )
         tr.write.mode("overwrite").parquet(_os.path.join(args.out, "trust"))
         n_trusted = (
             spark.read.parquet(_os.path.join(args.out, "trust"))
@@ -1149,6 +1187,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--edges", required=True, help="outlink edge parquet (src, dst[, anchor, nofollow])")
     p.add_argument("--out", required=True, help="output root (pagerank/, components/, anchors/)")
     p.add_argument("--pagerank-iters", type=int, default=2)
+    p.add_argument("--pagerank-damping", type=float, default=0.85)
+    p.add_argument(
+        "--pagerank-tol",
+        type=float,
+        default=None,
+        help="run pagerank/trust to a fixpoint (max per-node change "
+        "<= tol) instead of the fixed --pagerank-iters unroll",
+    )
+    p.add_argument(
+        "--warm-start",
+        action="store_true",
+        help="seed pagerank/components/trust from the previous run's "
+        "tables under --out (incremental webgraph maintenance)",
+    )
     p.add_argument("--max-anchors", type=int, default=16)
     p.add_argument(
         "--trust-seeds",

@@ -24,11 +24,28 @@ repo's float oracles share).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 #: rank quantization: 12 decimals (ranks are ~1/N; 6 would be too coarse)
 _SCALE = 1_000_000_000_000
+
+
+def _rank_delta(old: DataFrame, new: DataFrame, key: str, col: str) -> float:
+    """Max |new - old| over the shared key — the ONE-action-per-round
+    convergence probe (the star-contraction ``_sig`` discipline) behind
+    the graph iterators' ``tol=`` mode."""
+    row = (
+        old.select(F.col(key).alias("__k"), F.col(col).alias("__o"))
+        .join(
+            new.select(F.col(key).alias("__k"), F.col(col).alias("__n")), "__k"
+        )
+        .agg(F.max(F.abs(F.col("__n") - F.col("__o"))).alias("d"))
+        .collect()[0]
+    )
+    return float(row["d"] or 0.0)
 
 
 def pagerank(
@@ -37,6 +54,9 @@ def pagerank(
     damping: float = 0.85,
     src: str = "id1",
     dst: str = "id2",
+    tol: float | None = None,
+    max_iter: int = 200,
+    return_iters: bool = False,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED graph given as unique (src, dst)
     pairs; edges are symmetrized internally. Returns
@@ -45,6 +65,13 @@ def pagerank(
     Symmetric graphs have no dangling mass (every out-edge has a
     reverse), so the classic simplified update is exact:
     ``r'(u) = (1-d)/N + d * sum over neighbors v of r(v)/deg(v)``.
+
+    Two modes: the default FIXED UNROLL (``iters`` rounds, shallow
+    lineage, SQL-replicable — right for centrality screening) and,
+    with ``tol=``, RUN-TO-FIXPOINT: iterate to ``max_iter`` rounds,
+    stopping once the max per-node rank change falls to ``tol`` (one
+    1-row probe action + a localCheckpoint per round — ranking-grade
+    output).  ``return_iters=True`` returns ``(ranks, rounds_run)``.
     """
     base = round(1.0 - damping, 6)
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
@@ -62,7 +89,8 @@ def pagerank(
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "u", "degree", "n", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
     )
-    for _ in range(iters):
+    rounds = 0
+    for _ in range(iters if tol is None else max_iter):
         # contribution r(v)/deg(v) flows along each (v -> u) edge;
         # quantize to scaled BIGINT so the per-node sum is exact.
         per_edge = sym.join(
@@ -75,7 +103,7 @@ def pagerank(
             "v",
         )
         contribs = per_edge.groupBy("u").agg(F.sum("c").alias("s"))
-        ranks = (
+        new_ranks = (
             ranks.drop("rank")
             .join(contribs, "u")
             .select(
@@ -89,7 +117,20 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-    return ranks.select(F.col("u").alias("node"), "degree", "rank")
+        rounds += 1
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            if _rank_delta(ranks, new_ranks, "u", "rank") <= tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    if tol is not None and rounds == max_iter:
+        warnings.warn(
+            f"pagerank: tol={tol} not reached within max_iter={max_iter} "
+            "rounds; returning the best iterate", stacklevel=2,
+        )
+    out = ranks.select(F.col("u").alias("node"), "degree", "rank")
+    return (out, rounds) if return_iters else out
 
 
 def triangle_stats(
@@ -163,6 +204,10 @@ def pagerank_directed(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    tol: float | None = None,
+    max_iter: int = 200,
+    init_ranks: DataFrame | None = None,
+    return_iters: bool = False,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list — the web-link-graph variant
     (:func:`pagerank` symmetrizes, which is right for similarity graphs
@@ -183,7 +228,16 @@ def pagerank_directed(
     shared with :func:`pagerank`: ranks quantize to 12 decimals per
     iteration and both the per-edge contributions and the dangling mass
     sum as scaled BIGINTs, so a SQL oracle unrolling the same
-    iterations reproduces the trajectory bit-for-bit."""
+    iterations reproduces the trajectory bit-for-bit.
+
+    ``tol=`` switches the fixed unroll to run-to-fixpoint (stop when
+    the max per-node rank change falls to ``tol``, ``max_iter`` cap,
+    one 1-row probe + localCheckpoint per round — ranking-grade
+    output).  ``init_ranks`` WARM-STARTS from a previous run's
+    ``(node, rank)`` table (incremental webgraph maintenance: the
+    fixpoint is unique, so seeding with last run's ranks converges in
+    fewer rounds on a grown graph; nodes new since then start at 1/N).
+    ``return_iters=True`` returns ``(ranks, rounds_run)``."""
     base = round(1.0 - damping, 6)
     e = edges.select(F.col(src).alias("v"), F.col(dst).alias("u")).localCheckpoint()
     nodes = (
@@ -204,7 +258,26 @@ def pagerank_directed(
             F.round(F.lit(1.0) / F.col("n"), 12).alias("rank"),
         )
     )
-    for _ in range(iters):
+    if init_ranks is not None:
+        # warm ranks + 1/N for new nodes sum to MORE than 1; the
+        # iteration preserves total mass toward ITS total's fixpoint,
+        # so an unnormalized warm vector converges to a scaled — wrong —
+        # fixpoint.  Renormalize to mass 1 (one 1-row aggregate, warm
+        # start only).
+        prev = init_ranks.select(
+            F.col("node"), F.col("rank").alias("__prev")
+        )
+        seeded = ranks.join(prev, "node", "left").withColumn(
+            "rank", F.coalesce("__prev", "rank")
+        ).drop("__prev")
+        total = seeded.agg(F.sum("rank").alias("__t"))
+        ranks = (
+            seeded.crossJoin(F.broadcast(total))
+            .withColumn("rank", F.round(F.col("rank") / F.col("__t"), 12))
+            .drop("__t")
+        )
+    rounds = 0
+    for _ in range(iters if tol is None else max_iter):
         per_edge = e.join(
             ranks.filter(F.col("out_degree") > 0).select(
                 F.col("node").alias("v"),
@@ -220,7 +293,7 @@ def pagerank_directed(
                 F.sum(F.round(F.col("rank") * _SCALE, 0).cast("long")), F.lit(0)
             ).alias("dang")
         )
-        ranks = (
+        new_ranks = (
             ranks.drop("rank")
             .join(contribs, ranks["node"] == contribs["u"], "left")
             .crossJoin(F.broadcast(dangling))
@@ -237,7 +310,21 @@ def pagerank_directed(
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", "out_degree", "rank")
+        rounds += 1
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            if _rank_delta(ranks, new_ranks, "node", "rank") <= tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    if tol is not None and rounds == max_iter:
+        warnings.warn(
+            f"pagerank_directed: tol={tol} not reached within "
+            f"max_iter={max_iter} rounds; returning the best iterate",
+            stacklevel=2,
+        )
+    out = ranks.select("node", "out_degree", "rank")
+    return (out, rounds) if return_iters else out
 
 
 def connected_components_star(
@@ -247,6 +334,7 @@ def connected_components_star(
     all_ids: DataFrame | None = None,
     id_col: str = "node",
     max_iter: int = 20,
+    prior_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -273,6 +361,14 @@ def connected_components_star(
     as singleton components of themselves (the
     :func:`..dedup.duplicate_clusters` convention).
 
+    ``prior_labels`` WARM-STARTS incremental maintenance: a previous
+    run's ``(id_col, component_id)`` table joins the edge set as
+    pre-contracted (node -> old label) edges.  Labels only assert
+    connectivity that already held, so the result on the grown graph
+    EQUALS a full recompute — but every previously-labelled component
+    enters already star-shaped, so only the delta's structure costs
+    contraction rounds.
+
     Scale shape per round: two grouped min-aggregations and two keyed
     joins (all partial-agg hash shuffles on the node key), one
     ``distinct`` to canonicalize the shrinking edge set, and one count
@@ -297,8 +393,17 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
+    base_edges = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    )
+    if prior_labels is not None:
+        base_edges = base_edges.unionByName(
+            prior_labels.select(
+                F.col(id_col).alias("a"), F.col("component_id").alias("b")
+            )
+        )
     e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        base_edges
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .filter(F.col("a") != F.col("b"))
         .select(
@@ -375,6 +480,10 @@ def personalized_pagerank(
     src: str = "src",
     dst: str = "dst",
     seed_col: str = "node",
+    tol: float | None = None,
+    max_iter: int = 200,
+    init_ranks: DataFrame | None = None,
+    return_iters: bool = False,
 ) -> DataFrame:
     """Seeded (personalized) PageRank over a directed edge list — the
     TrustRank construction (Gyongyi et al., "Combating Web Spam with
@@ -394,7 +503,12 @@ def personalized_pagerank(
     (seeds naming absent nodes are ignored — counting them would leak
     mass), and dangling mass redistributes to the seeds, not
     uniformly.  Returns ``(node, out_degree, trust)``; an empty
-    effective seed set yields all-zero trust rather than an error."""
+    effective seed set yields all-zero trust rather than an error.
+
+    ``tol=`` / ``max_iter`` / ``init_ranks`` (a previous run's
+    ``(node, trust)`` table; nodes new since then start from the
+    seed-teleport vector) / ``return_iters`` behave as in
+    :func:`pagerank_directed`."""
     base = round(1.0 - damping, 6)
     e = edges.select(F.col(src).alias("v"), F.col(dst).alias("u")).localCheckpoint()
     nodes = (
@@ -432,7 +546,29 @@ def personalized_pagerank(
         )
         .withColumn("trust", F.col("t"))
     )
-    for _ in range(iters):
+    if init_ranks is not None:
+        # same mass-renormalization as pagerank_directed's warm start
+        # (the trust iteration also drives total mass to 1 when seeds
+        # exist); an all-zero warm vector (empty seed history) is left
+        # alone — dividing by zero mass would poison the vector
+        prev = init_ranks.select(F.col("node"), F.col("trust").alias("__prev"))
+        seeded = ranks.join(prev, "node", "left").withColumn(
+            "trust", F.coalesce("__prev", "trust")
+        ).drop("__prev")
+        total = seeded.agg(F.sum("trust").alias("__t"))
+        ranks = (
+            seeded.crossJoin(F.broadcast(total))
+            .withColumn(
+                "trust",
+                F.when(
+                    F.col("__t") > 0,
+                    F.round(F.col("trust") / F.col("__t"), 12),
+                ).otherwise(F.col("trust")),
+            )
+            .drop("__t")
+        )
+    rounds = 0
+    for _ in range(iters if tol is None else max_iter):
         per_edge = e.join(
             ranks.filter(
                 (F.col("out_degree") > 0) & (F.col("trust") > 0)
@@ -451,7 +587,7 @@ def personalized_pagerank(
                 F.lit(0),
             ).alias("dang")
         )
-        ranks = (
+        new_ranks = (
             ranks.drop("trust")
             .join(contribs, ranks["node"] == contribs["u"], "left")
             .crossJoin(F.broadcast(dangling))
@@ -468,4 +604,18 @@ def personalized_pagerank(
                 ).alias("trust"),
             )
         )
-    return ranks.select("node", "out_degree", "trust")
+        rounds += 1
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            if _rank_delta(ranks, new_ranks, "node", "trust") <= tol:
+                ranks = new_ranks
+                break
+        ranks = new_ranks
+    if tol is not None and rounds == max_iter:
+        warnings.warn(
+            f"personalized_pagerank: tol={tol} not reached within "
+            f"max_iter={max_iter} rounds; returning the best iterate",
+            stacklevel=2,
+        )
+    out = ranks.select("node", "out_degree", "trust")
+    return (out, rounds) if return_iters else out
