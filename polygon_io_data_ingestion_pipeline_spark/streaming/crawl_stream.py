@@ -64,6 +64,18 @@ def read_warc_stream(
     )
 
 
+def _text_responses(records: DataFrame) -> DataFrame:
+    """Digest-deduplicated text/PDF response records — the shared head
+    of the doc pipeline and the per-batch schedule emission."""
+    return warc_digest_dedup(records).filter(
+        (F.col("record_type") == "response")
+        & (
+            F.col("content_type").startswith("text/")
+            | (F.col("content_type") == "application/pdf")
+        )
+    )
+
+
 def crawl_records_to_recs(
     records: DataFrame, robots_agent: str | None = None
 ) -> DataFrame:
@@ -76,13 +88,7 @@ def crawl_records_to_recs(
     compliance evidence, not corpus documents)."""
     from ..operators.urls import url_dedup
 
-    responses = warc_digest_dedup(records).filter(
-        (F.col("record_type") == "response")
-        & (
-            F.col("content_type").startswith("text/")
-            | (F.col("content_type") == "application/pdf")
-        )
-    )
+    responses = _text_responses(records)
     recs = url_dedup(responses, order_col="warc_date")
     if robots_agent is not None:
         from ..operators.robots import (
@@ -182,6 +188,7 @@ def write_crawl_batch(
     exact_history: bool = False,
     robots_agent: str | None = None,
     outlinks_path: str | None = None,
+    schedule_path: str | None = None,
 ) -> None:
     """foreachBatch sink: records -> documents -> idempotent corpus
     commit.  The docs frame feeds one sink write but its lineage tops a
@@ -201,8 +208,22 @@ def write_crawl_batch(
     same deterministic rows.  The edges table is what keeps the crawl
     LOOP alive: join it with the lake's fetched URLs through
     ``operators/urls.py:crawl_frontier`` / ``fetch_schedule`` to
-    produce the next fetch list."""
+    produce the next fetch list.
+
+    With ``schedule_path`` set (requires ``outlinks_path``), each batch
+    CLOSES that loop itself: after the corpus commit, the batch's edges
+    join the lake's now-current fetched set (``crawl_frontier``), the
+    batch's own robots captures supply disallow rules and per-host
+    ``Crawl-delay`` (``fetch_schedule``, agent = ``robots_agent`` or
+    ``*``), and the ready-to-fetch table lands under
+    ``schedule/batch_id=N/`` — a fetcher tails that directory and the
+    crawl is end-to-end.  A crash-replay rewrites the same rows (the
+    lake state it reads is the idempotent sink's own just-rewritten
+    batch)."""
     import os
+
+    if schedule_path is not None and outlinks_path is None:
+        raise ValueError("schedule_path requires outlinks_path")
 
     recs = None
     kept = None
@@ -229,6 +250,40 @@ def write_crawl_batch(
             )
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
         sink(docs, batch_id, lake_path)
+        if schedule_path is not None:
+            from ..operators.robots import (
+                latest_robots_captures,
+                parse_robots,
+                robots_politeness,
+            )
+            from ..operators.urls import crawl_frontier, fetch_schedule
+
+            spark = batch_df.sparkSession
+            # the batch's own robots captures -> disallow rules +
+            # per-host politeness (the tiny robots subset; captures
+            # frame feeds two consumers, persist it)
+            captures = latest_robots_captures(_text_responses(batch_df)).persist()
+            try:
+                edges = spark.read.parquet(
+                    os.path.join(outlinks_path, f"batch_id={batch_id}")
+                )
+                try:
+                    fetched = spark.read.parquet(lake_path).select("url")
+                except Exception:
+                    # zero-doc lake so far: nothing fetched yet
+                    fetched = spark.createDataFrame([], "url string")
+                sched = fetch_schedule(
+                    crawl_frontier(edges, fetched),
+                    rules=parse_robots(captures),
+                    politeness=robots_politeness(captures),
+                    agent=robots_agent or "*",
+                )
+                target = os.path.join(schedule_path, f"batch_id={batch_id}")
+                sched.write.mode("overwrite").parquet(target)
+                n_sched = spark.read.parquet(target).count()
+                print(f"schedule[batch {batch_id}]: urls={n_sched}")
+            finally:
+                captures.unpersist()
     finally:
         docs.unpersist()
         if recs is not None:
@@ -244,6 +299,7 @@ def start_crawl_ingest(
     exact_history: bool = False,
     robots_agent: str | None = None,
     outlinks_path: str | None = None,
+    schedule_path: str | None = None,
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
@@ -263,7 +319,11 @@ def start_crawl_ingest(
     ``outlinks_path`` maintains a batch-keyed link-edge table alongside
     the corpus — the discovery output that, joined with the lake's
     fetched URLs (``crawl_frontier``/``fetch_schedule``), produces the
-    next drop of URLs to fetch: the crawl loop closes."""
+    next drop of URLs to fetch; ``schedule_path`` additionally EMITS
+    that ready-to-fetch table per batch (``schedule/batch_id=N/`` —
+    robots-disallowed URLs dropped, per-host ``Crawl-delay`` attached
+    from the batch's own captures): the crawl loop closes end-to-end
+    inside the stream."""
     return (
         read_warc_stream(spark, src_glob)
         .writeStream.foreachBatch(
@@ -274,6 +334,7 @@ def start_crawl_ingest(
                 exact_history=exact_history,
                 robots_agent=robots_agent,
                 outlinks_path=outlinks_path,
+                schedule_path=schedule_path,
             )
         )
         .option("checkpointLocation", checkpoint)

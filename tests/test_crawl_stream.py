@@ -227,3 +227,49 @@ def test_streaming_outlinks_feed_the_next_frontier(spark, tmp_path):
     # /b was fetched this batch -> not frontier; /undiscovered has two
     # distinct referrers and is the next fetch
     assert frontier == {"http://x.example/undiscovered": 2}
+
+
+def test_streaming_schedule_closes_the_loop(spark, tmp_path):
+    """schedule_path: each drained batch emits schedule/batch_id=N with
+    robots-disallowed frontier URLs dropped and the host's Crawl-delay
+    attached — the ready-to-fetch table, end-to-end in the stream."""
+    import pytest
+
+    from polygon_io_data_ingestion_pipeline_spark.streaming.crawl_stream import (
+        write_crawl_batch,
+    )
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt = tmp_path / "lake", tmp_path / "ckpt"
+    edges_dir, sched_dir = tmp_path / "edges", tmp_path / "sched"
+    robots = (
+        b"User-agent: *\r\nDisallow: /private/\r\nCrawl-delay: 2.5\r\n"
+    )
+    page_a = (
+        f"<html><body><p>{GOOD_A}</p>"
+        '<a href="/next">n</a><a href="/private/x">p</a></body></html>'
+    ).encode()
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/robots.txt",
+                     _http(robots, ctype=b"text/plain")),
+        _warc_record("response", "http://x.example/a", _http(page_a)),
+    ])
+    _drain(
+        spark, src, lake, ckpt,
+        robots_agent="*",
+        outlinks_path=str(edges_dir),
+        schedule_path=str(sched_dir),
+    )
+    sched = {r["url"]: r for r in spark.read.parquet(str(sched_dir)).collect()}
+    # /next is schedulable with the host's declared delay; /private/x is
+    # robots-disallowed and must NOT be scheduled; /a is already fetched
+    assert set(sched) == {"http://x.example/next"}
+    assert sched["http://x.example/next"]["crawl_delay"] == 2.5
+    assert sched["http://x.example/next"]["host"] == "x.example"
+    # schedule_path without outlinks_path is a usage error, not silence
+    with pytest.raises(ValueError, match="outlinks_path"):
+        write_crawl_batch(
+            spark.createDataFrame([], "url string"), 0, str(lake),
+            schedule_path=str(sched_dir),
+        )
