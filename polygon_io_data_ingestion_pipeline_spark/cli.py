@@ -657,6 +657,13 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         if "source" in unique.columns:
             parts.append(F.col("source"))
         dom = F.coalesce(*parts, F.lit("__all__"))
+        if args.cap_by_rank and "url" not in unique.columns:
+            print(
+                "corpus: --cap-by-rank requires a url column to join "
+                "pagerank on",
+                file=sys.stderr,
+            )
+            return 2
         if args.cap_by_rank:
             # centrality-weighted cap: each domain keeps its HIGHEST-
             # pagerank pages (webgraph pagerank/ joined by normalized
@@ -709,6 +716,17 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
     from .operators.graph import connected_components_star, pagerank_directed
     from .operators.urls import anchor_text_index, url_normalized
 
+    if args.warm_start and args.pagerank_tol is None:
+        # a fixed 2-round unroll APPLIED TO the previous run's output is
+        # neither the documented unroll nor the fixpoint — the tables
+        # would depend on how many runs preceded them.  Warm starts are
+        # only well-defined in run-to-fixpoint mode.
+        print(
+            "webgraph: --warm-start requires --pagerank-tol "
+            "(warm-started ranks are only well-defined run-to-fixpoint)",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("poly-webgraph", master=args.master)
     raw = spark.read.parquet(args.edges)
     # ONE key space for all three outputs: normalize src/dst up front
@@ -757,7 +775,16 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
 
         prev_pr = _prev("pagerank", ("node", "rank"))
         prev_cc = _prev("components", ("node", "component_id"))
-        prev_tr = _prev("trust", ("node", "trust"))
+        # trust only warms when this run will actually recompute it —
+        # otherwise the read is wasted AND a previous run's trust/ would
+        # silently sit stale next to refreshed pagerank/components
+        prev_tr = _prev("trust", ("node", "trust")) if args.trust_seeds else None
+    if not args.trust_seeds and _os.path.isdir(_os.path.join(args.out, "trust")):
+        print(
+            "webgraph: WARNING trust/ under --out is from a previous run "
+            "(no --trust-seeds this run) and is now stale",
+            file=sys.stderr,
+        )
     pr = pagerank_directed(
         followed,
         iters=args.pagerank_iters,

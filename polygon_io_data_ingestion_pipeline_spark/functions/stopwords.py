@@ -394,15 +394,21 @@ def _weight_vocab() -> dict[str, list[int]]:
     return dict(sorted(vocab.items()))
 
 
-def _scores_sql(text_col: str) -> str:
-    """SQL for the per-document score vector: ONE token pass — map
-    lookup per token (misses filter out), zip_with fold of the hits.
-    The map/array literals are constants; everything stays JVM-side."""
+def _fold_sql(text_col: str, indicator: bool) -> str:
+    """SQL for a per-document vector fold over the token stream — the
+    ONE shared implementation behind scores (per-language weight sums)
+    and hits (per-language 0/1 coverage counts): map lookup per token
+    (misses filter out), zip_with fold of the hits.  The map/array
+    literals are constants; everything stays JVM-side.  A tokenizer or
+    fold fix lands here ONCE for both vectors (and the oracle
+    generator mirrors the same tables)."""
     n = len(STOPWORD_FREQ)
     entries = ", ".join(
         "'{w}', array({v})".format(
             w=word.replace("'", "''"),
-            v=", ".join(f"{x}L" for x in vec),
+            v=", ".join(
+                (("1L" if x else "0L") if indicator else f"{x}L") for x in vec
+            ),
         )
         for word, vec in _weight_vocab().items()
     )
@@ -413,6 +419,11 @@ def _scores_sql(text_col: str) -> str:
         f"array_repeat(CAST(0 AS BIGINT), {n}), "
         f"(acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
     )
+
+
+def _scores_sql(text_col: str) -> str:
+    """Per-document score vector (weighted fold) — see :func:`_fold_sql`."""
+    return _fold_sql(text_col, indicator=False)
 
 
 def stopword_scores(text_col: str = "text") -> Column:
@@ -430,25 +441,9 @@ def _ntokens_sql(text_col: str) -> str:
 
 
 def _hits_sql(text_col: str) -> str:
-    """SQL for the per-language HIT-COUNT vector (how many tokens are
-    that language's function words) — the score fold with weights
-    replaced by 0/1 indicators; feeds the ``und_floor`` coverage
-    test."""
-    n = len(STOPWORD_FREQ)
-    entries = ", ".join(
-        "'{w}', array({v})".format(
-            w=word.replace("'", "''"),
-            v=", ".join(("1L" if x else "0L") for x in vec),
-        )
-        for word, vec in _weight_vocab().items()
-    )
-    toks = f"split(lower({text_col}), '[^\\\\p{{L}}]+')"
-    return (
-        f"aggregate("
-        f"filter(transform({toks}, w -> map({entries})[w]), v -> v IS NOT NULL), "
-        f"array_repeat(CAST(0 AS BIGINT), {n}), "
-        f"(acc, v) -> zip_with(acc, v, (x, y) -> x + y))"
-    )
+    """Per-language HIT-COUNT vector (0/1 indicator fold, feeds the
+    ``und_floor`` coverage test) — see :func:`_fold_sql`."""
+    return _fold_sql(text_col, indicator=True)
 
 
 def predicted_lang_latin(

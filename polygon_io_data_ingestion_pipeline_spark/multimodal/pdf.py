@@ -239,6 +239,13 @@ def _decode_parms(d: bytes) -> dict[bytes, int] | None:
     parms_dict = _parse_dict_region(region)
     out: dict[bytes, int] = {}
     for key in (b"Predictor", b"Columns", b"Colors", b"BitsPerComponent"):
+        if re.search(rb"/" + key + rb"\s+\d+\s+\d+\s+R", parms_dict):
+            # an indirect VALUE would read as "key absent" and skip the
+            # predictor reversal entirely — garbage text extracted
+            # silently; quarantine instead (honesty over noise)
+            raise PdfFormatError(
+                "unsupported predictor variants: indirect DecodeParms value"
+            )
         v = _dict_int(parms_dict, key)
         if v is not None:
             out[key] = v
@@ -346,7 +353,10 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
 
     def dst(hx: bytes) -> str:
         if len(hx) % 4:  # not whole UTF-16BE units: take as one unit
-            return chr(int(hx, 16))
+            v = int(hx, 16)
+            if v > 0x10FFFF:  # malformed destination: not a code point
+                return "�"
+            return chr(v)
         return bytes.fromhex(hx.decode("ascii")).decode(
             "utf-16-be", errors="replace"
         )
@@ -378,6 +388,8 @@ def _parse_cmap(data: bytes) -> dict[int, str]:
                     continue
                 head, last = text[:-1], ord(text[-1])
                 for k in range(hi - lo + 1):
+                    if last + k > 0x10FFFF:  # range runs off Unicode
+                        break
                     cmap[lo + k] = head + chr(last + k)
     return cmap
 
@@ -399,7 +411,12 @@ def _cid_font_cmaps(objs: dict[int, bytes]) -> dict[int, dict[int, str] | None]:
             except PdfFormatError:
                 payload = None
             if payload:
-                parsed = _parse_cmap(payload)
+                try:
+                    parsed = _parse_cmap(payload)
+                except ValueError:
+                    # malformed CMap syntax: typed-quarantine contract —
+                    # the font stays unusable (None), never a raw crash
+                    parsed = None
                 if parsed:
                     cmap = parsed
         out[num] = cmap

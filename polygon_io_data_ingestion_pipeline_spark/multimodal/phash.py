@@ -75,9 +75,9 @@ def _box_downsample(gray: np.ndarray, width: int, height: int) -> np.ndarray:
     re = (np.arange(height + 1) * h) // height
     ce = (np.arange(width + 1) * w) // width
     if np.any(np.diff(re) == 0) or np.any(np.diff(ce) == 0):
-        rows = np.minimum((np.arange(height) * h) // height, h - 1)
-        cols = np.minimum((np.arange(width) * w) // width, w - 1)
-        return gray[rows][:, cols]
+        from .binaryops import _resize_nn
+
+        return _resize_nn(gray, width, height).astype(np.float64)
     s = np.zeros((h + 1, w + 1))
     s[1:, 1:] = np.cumsum(np.cumsum(gray, axis=0), axis=1)
     r0, r1 = re[:-1], re[1:]
@@ -157,8 +157,12 @@ def image_hashes(
                 }
             )
 
+    # the id column keeps ITS OWN type (string URIs are ids too) — a
+    # hard-coded bigint would Arrow-crash the first non-integer batch
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, payload_col).mapInPandas(
-        run, schema=f"{id_col} bigint, dhash bigint, phash bigint, decode_ok boolean"
+        run,
+        schema=f"{id_col} {id_type}, dhash bigint, phash bigint, decode_ok boolean",
     )
 
 

@@ -90,6 +90,7 @@ def pagerank(
         "u", "degree", "n", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
     )
     rounds = 0
+    converged = False
     for _ in range(iters if tol is None else max_iter):
         # contribution r(v)/deg(v) flows along each (v -> u) edge;
         # quantize to scaled BIGINT so the per-node sum is exact.
@@ -122,9 +123,10 @@ def pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
             if _rank_delta(ranks, new_ranks, "u", "rank") <= tol:
                 ranks = new_ranks
+                converged = True
                 break
         ranks = new_ranks
-    if tol is not None and rounds == max_iter:
+    if tol is not None and not converged:
         warnings.warn(
             f"pagerank: tol={tol} not reached within max_iter={max_iter} "
             "rounds; returning the best iterate", stacklevel=2,
@@ -277,6 +279,7 @@ def pagerank_directed(
             .drop("__t")
         )
     rounds = 0
+    converged = False
     for _ in range(iters if tol is None else max_iter):
         per_edge = e.join(
             ranks.filter(F.col("out_degree") > 0).select(
@@ -315,9 +318,10 @@ def pagerank_directed(
             new_ranks = new_ranks.localCheckpoint(eager=True)
             if _rank_delta(ranks, new_ranks, "node", "rank") <= tol:
                 ranks = new_ranks
+                converged = True
                 break
         ranks = new_ranks
-    if tol is not None and rounds == max_iter:
+    if tol is not None and not converged:
         warnings.warn(
             f"pagerank_directed: tol={tol} not reached within "
             f"max_iter={max_iter} rounds; returning the best iterate",
@@ -568,6 +572,7 @@ def personalized_pagerank(
             .drop("__t")
         )
     rounds = 0
+    converged = False
     for _ in range(iters if tol is None else max_iter):
         per_edge = e.join(
             ranks.filter(
@@ -609,9 +614,10 @@ def personalized_pagerank(
             new_ranks = new_ranks.localCheckpoint(eager=True)
             if _rank_delta(ranks, new_ranks, "node", "trust") <= tol:
                 ranks = new_ranks
+                converged = True
                 break
         ranks = new_ranks
-    if tol is not None and rounds == max_iter:
+    if tol is not None and not converged:
         warnings.warn(
             f"personalized_pagerank: tol={tol} not reached within "
             f"max_iter={max_iter} rounds; returning the best iterate",

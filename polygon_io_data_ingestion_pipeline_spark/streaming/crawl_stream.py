@@ -77,7 +77,9 @@ def _text_responses(records: DataFrame) -> DataFrame:
 
 
 def crawl_records_to_recs(
-    records: DataFrame, robots_agent: str | None = None
+    records: DataFrame,
+    robots_agent: str | None = None,
+    responses: DataFrame | None = None,
 ) -> DataFrame:
     """WARC record rows -> deduplicated text responses: digest dedup
     (revisit records honored) -> text/* responses -> URL dedup.  With
@@ -85,10 +87,14 @@ def crawl_records_to_recs(
     host, latest wins) are parsed distributed and every record gains a
     ``crawl_allowed`` column under RFC 9309 longest-match semantics for
     that agent; the robots.txt fetches themselves drop (they are
-    compliance evidence, not corpus documents)."""
+    compliance evidence, not corpus documents).  ``responses`` accepts
+    a precomputed (possibly persisted) :func:`_text_responses` frame so
+    a caller that ALSO needs the responses (the schedule emission)
+    pays the non-splittable WARC walk once."""
     from ..operators.urls import url_dedup
 
-    responses = _text_responses(records)
+    if responses is None:
+        responses = _text_responses(records)
     recs = url_dedup(responses, order_col="warc_date")
     if robots_agent is not None:
         from ..operators.robots import (
@@ -227,8 +233,15 @@ def write_crawl_batch(
 
     recs = None
     kept = None
+    responses = None
+    if schedule_path is not None:
+        # the schedule ALSO needs the responses (robots captures); a
+        # persisted frame keeps the non-splittable WARC walk to one pass
+        responses = _text_responses(batch_df).persist()
     if robots_agent is not None or outlinks_path is not None:
-        recs = crawl_records_to_recs(batch_df, robots_agent=robots_agent).persist()
+        recs = crawl_records_to_recs(
+            batch_df, robots_agent=robots_agent, responses=responses
+        ).persist()
         kept = recs
         if robots_agent is not None:
             n_blocked = recs.filter(~F.col("crawl_allowed")).count()
@@ -261,8 +274,9 @@ def write_crawl_batch(
             spark = batch_df.sparkSession
             # the batch's own robots captures -> disallow rules +
             # per-host politeness (the tiny robots subset; captures
-            # frame feeds two consumers, persist it)
-            captures = latest_robots_captures(_text_responses(batch_df)).persist()
+            # frame feeds two consumers, persist it; ``responses`` is
+            # the persisted single-walk frame from above)
+            captures = latest_robots_captures(responses).persist()
             try:
                 edges = spark.read.parquet(
                     os.path.join(outlinks_path, f"batch_id={batch_id}")
@@ -288,6 +302,8 @@ def write_crawl_batch(
         docs.unpersist()
         if recs is not None:
             recs.unpersist()
+        if responses is not None:
+            responses.unpersist()
 
 
 def start_crawl_ingest(

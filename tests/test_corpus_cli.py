@@ -724,3 +724,22 @@ def test_corpus_cli_graph_selection_loop(spark, tmp_path, capsys):
         "corpus", "--src", src, "--out", out, "--graph", wg,
         "--cap-by-rank", "--master", "local[4]",
     ]) == 2
+
+
+def test_corpus_cli_cap_by_rank_requires_url_column(spark, tmp_path, capsys):
+    """Review regression: --cap-by-rank on a corpus with no url column
+    exits 2 with a message instead of an unresolved-column traceback."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    words = ("the data in a table is the value of the row and the key for "
+             "the batch while the line in a window is the part of the sort")
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, words, "s")], "doc_id long, text string, source string"
+    ).write.parquet(src)
+    wg = str(tmp_path / "wg")  # never read: the guard fires first
+    assert main([
+        "corpus", "--src", src, "--out", str(tmp_path / "o"),
+        "--graph", wg, "--domain-cap", "2", "--cap-by-rank",
+        "--master", "local[4]",
+    ]) == 2

@@ -156,3 +156,31 @@ def test_fixed_unroll_unchanged_by_new_params(spark):
     legacy = _ranks(pagerank_directed(e, iters=2))
     again = _ranks(pagerank_directed(e, iters=2, tol=None))
     assert legacy == again
+
+
+def test_no_spurious_warning_when_converged_on_last_round(spark):
+    """Review regression: convergence ON round max_iter must not warn
+    'tol not reached' — the 2-node cycle converges in round 1, so
+    max_iter=1 converges exactly at the cap."""
+    import warnings as _w
+
+    e = spark.createDataFrame([("a", "b"), ("b", "a")], "src string, dst string")
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning fails the test
+        out, rounds = pagerank_directed(
+            e, tol=1e-9, max_iter=1, return_iters=True
+        )
+        assert rounds == 1
+        assert _ranks(out)["a"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_webgraph_warm_start_requires_tol(spark, tmp_path, capsys):
+    """Review regression: --warm-start without --pagerank-tol would make
+    ranks path-dependent (2 rounds applied to the previous output) —
+    the CLI exits 2 before any Spark work."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    assert main([
+        "webgraph", "--edges", str(tmp_path / "nope"), "--out",
+        str(tmp_path / "wg"), "--warm-start", "--master", "local[4]",
+    ]) == 2

@@ -191,3 +191,16 @@ def test_imagededup_cli_journey(spark, tmp_path, capsys):
         "imagededup", "--src", src, "--out", out, "--max-hamming", "-1",
         "--master", "local[4]",
     ]) == 2
+
+
+def test_string_id_column_supported(spark):
+    """Review regression: the id column keeps its own type — string
+    URIs must not Arrow-crash against a hard-coded bigint schema."""
+    img = _smooth_img(5)
+    df = spark.createDataFrame(
+        [("s3://bucket/img-1.pnm", bytearray(encode_pnm(img)))],
+        "uri string, payload binary",
+    )
+    [row] = image_hashes(df, id_col="uri").collect()
+    assert row["uri"] == "s3://bucket/img-1.pnm"
+    assert row["dhash"] == dhash64(img)

@@ -451,3 +451,38 @@ def test_unused_cid_font_no_longer_blocks_document():
 def test_cid_unmapped_code_yields_replacement_char():
     content = b"BT /F7 12 Tf <0024 FFFE 0025> Tj ET"
     assert extract_pdf_text(_cid_doc(content, _CMAP)) == "A�B"
+
+
+def test_malformed_cmap_never_raises_untyped(capsys):
+    """Review regression: a ToUnicode CMap with out-of-Unicode hex
+    destinations (<FFFFFF>, or a bfrange running past U+10FFFF) must
+    never escape as a raw ValueError — bad destinations map to the
+    replacement char, overflowing ranges stop at the Unicode ceiling."""
+    bad_cmap = (
+        b"begincmap\n"
+        b"1 beginbfchar\n<0024> <FFFFFF>\nendbfchar\n"
+        b"1 beginbfrange\n<0030> <0039> <10FFFE>\nendbfrange\n"
+        b"endcmap\n"
+    )
+    content = b"BT /F7 12 Tf <0024 0030> Tj ET"
+    text = extract_pdf_text(_cid_doc(content, bad_cmap))
+    assert text[0] == "�"  # bad bfchar dst -> replacement char
+    assert text[1] == chr(0x10FFFE)  # first range entry still valid
+
+
+def test_indirect_decodeparms_value_quarantines():
+    """Review regression: an INDIRECT /Predictor value inside a direct
+    DecodeParms dict must quarantine, not silently skip the predictor
+    reversal and extract garbage."""
+    payload = zlib.compress(b"\x00garbage")
+    with pytest.raises(PdfFormatError, match="indirect DecodeParms value"):
+        extract_pdf_text(_pdf({
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Contents 4 0 R >>",
+            4: _stream_obj(
+                b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+                b"<< /Predictor 9 0 R /Columns 5 >> >>" % len(payload),
+                payload,
+            ),
+        }))
