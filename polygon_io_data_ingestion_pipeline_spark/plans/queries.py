@@ -6351,6 +6351,48 @@ def docs_trust_selection(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@q(
+    "docs_rank_capped_sample",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'd' || CAST(doc_id % 7 AS VARCHAR) AS domain,
+         CAST((doc_id * 37) % 101 AS BIGINT) AS rank
+  FROM documents
+),
+r AS (
+  SELECT doc_id, domain, rank,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY rank DESC,
+                    md5('domcap|' || CAST(doc_id AS VARCHAR)) ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM d
+)
+SELECT doc_id, domain, rank FROM r WHERE rk <= 5
+""",
+    doc="Centrality-ordered per-domain cap (the corpus --cap-by-rank "
+    "path): operators/sampling.py group_capped_sample(order_col=) "
+    "keeps each group's HIGHEST-ranked rows (graph centrality), keyed "
+    "md5 + key ascending as the deterministic tie-break — same single "
+    "row_number window, WindowGroupLimit still pushes the cap "
+    "map-side.  Synthetic rank (doc_id*37 % 101) makes real ties "
+    "INSIDE groups, so the oracle certifies the full three-level "
+    "ordering, not just the happy path.",
+    tags=("sampling",),
+)
+def docs_rank_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.sampling import group_capped_sample
+
+    d = table(spark, sf, "documents").select(
+        "doc_id",
+        F.concat(F.lit("d"), (F.col("doc_id") % 7).cast("string")).alias("domain"),
+        ((F.col("doc_id") * 37) % 101).cast("long").alias("rank"),
+    )
+    return group_capped_sample(d, cap=5, group_col="domain", order_col="rank")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
