@@ -176,9 +176,16 @@ def image_dup_pairs(
     """Image near-duplicate pairs: decode+hash once (quarantined
     payloads drop out), then the banded hamming join.  One Python
     decode pass + linear shuffles — the image twin of
-    :func:`..operators.dedup.simhash_pairs`."""
-    sig = image_hashes(df, id_col=id_col, payload_col=payload_col).filter(
-        F.col("decode_ok")
+    :func:`..operators.dedup.simhash_pairs`.
+
+    The signature frame feeds BOTH sides of the band self-join; Spark
+    has no cross-branch CSE, so without the localCheckpoint the
+    expensive Python decode would execute twice (the multi-consumer
+    discipline from duplicate_clusters)."""
+    sig = (
+        image_hashes(df, id_col=id_col, payload_col=payload_col)
+        .filter(F.col("decode_ok"))
+        .localCheckpoint(eager=True)
     )
     return hamming_pairs(sig, hash_col, id_col=id_col, bits=64, max_hamming=max_hamming)
 

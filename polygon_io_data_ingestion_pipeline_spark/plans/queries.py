@@ -6217,7 +6217,14 @@ WHERE bit_count(xor(a.hash, b.hash)) <= 6
 def img_dhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     from ..multimodal.phash import image_dup_pairs
 
-    docs = table(spark, sf, "documents").select("doc_id")
+    # the sf tables are one parquet file: without a repartition the
+    # whole Python decode lane would run as ONE task (a 5k-row shuffle
+    # buys full-cluster parallelism for the per-image work)
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def synth(batches):
         import hashlib as _hl
