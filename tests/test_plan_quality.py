@@ -60,12 +60,18 @@ def test_registry_passes_the_plan_linter(spark, sf_dir):
     any plan. The linter IS the per-query mechanism; this keeps the
     library check and the test suite from drifting apart.
 
-    One acknowledged suppression: tpch_q22's global-average threshold
-    is a filter against a broadcast 1-ROW aggregate; Catalyst fuses the
-    filter into the nested-loop join's condition, which the linter
-    cannot tell apart from a real range join (cardinality is not in
-    the plan text). Per-pair cost with |build| = 1 is linear — fine."""
-    allowed = {"tpch_q22_idle_balance": ("nested-loop-join",)}
+    Acknowledged suppressions — both the same shape: a filter against a
+    broadcast 1-ROW aggregate that Catalyst fuses into the nested-loop
+    join's condition, which the linter cannot tell apart from a real
+    range join (cardinality is not in the plan text).  Per-pair cost
+    with |build| = 1 is linear — fine.  tpch_q22: the global-average
+    balance threshold.  docs_trust_selection: personalized_pagerank's
+    seed-count (ns) and dangling-mass (dang) one-row broadcasts, whose
+    downstream ``trust > 0`` contribution filter fuses the same way."""
+    allowed = {
+        "tpch_q22_idle_balance": ("nested-loop-join",),
+        "docs_trust_selection": ("nested-loop-join",),
+    }
     for name, spec in REGISTRY.items():
         assert_scalable(spec.fn(spark, sf_dir), allow=allowed.get(name, ()))
 
