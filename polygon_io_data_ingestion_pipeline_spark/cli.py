@@ -871,7 +871,30 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
         return 2
 
     spark = get_spark("poly-imagededup", master=args.master)
-    media = spark.read.parquet(args.src)
+    if args.input_format == "warc":
+        # crawl -> image dedup directly: image/* responses from the
+        # WARC files (digest dedup first — the crawler's own duplicate
+        # markers are free), keyed like the text lane; a media_id->url
+        # mapping lands beside the outputs so pairs/clusters resolve
+        # back to pages
+        from .sources.archive import read_warc, warc_digest_dedup
+
+        id_col, payload_col = "media_id", "payload"
+        args.id_col, args.payload_col = id_col, payload_col
+        recs = warc_digest_dedup(read_warc(spark, args.src)).filter(
+            (F.col("record_type") == "response")
+            & F.col("content_type").startswith("image/")
+        )
+        media = recs.select(
+            F.xxhash64("url", "warc_date").alias(id_col),
+            "url",
+            payload_col,
+        )
+        media.select(id_col, "url").write.mode("overwrite").parquet(
+            _os.path.join(args.out, "media")
+        )
+    else:
+        media = spark.read.parquet(args.src)
     sig = image_hashes(
         media, id_col=args.id_col, payload_col=args.payload_col
     ).persist()
@@ -1254,6 +1277,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-hamming", type=int, default=6)
     p.add_argument("--id-col", default="media_id")
     p.add_argument("--payload-col", default="payload")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="warc: dedup the image/* responses of a crawl directly "
+        "(digest-deduped; media/ mapping table written beside pairs/)",
+    )
     _add_common(p)
     p.set_defaults(fn=cmd_imagededup)
 

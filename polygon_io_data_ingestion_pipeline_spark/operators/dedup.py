@@ -464,7 +464,10 @@ def hamming_pairs(
     """
     n_chunks = max_hamming + 1
     width = -(-bits // n_chunks)  # ceil: last chunk may be narrower
-    mask = (1 << width) - 1
+    # a full-width chunk (max_hamming=0 degenerates the banding to a
+    # plain equality join) needs the signed all-ones literal: the
+    # unsigned (1<<64)-1 overflows a LongType literal
+    mask = -1 if width >= 64 else (1 << width) - 1
     chunk_entries = F.array(
         *[
             F.struct(

@@ -204,3 +204,101 @@ def test_string_id_column_supported(spark):
     [row] = image_hashes(df, id_col="uri").collect()
     assert row["uri"] == "s3://bucket/img-1.pnm"
     assert row["dhash"] == dhash64(img)
+
+
+def test_hamming_pairs_property_vs_bruteforce(spark):
+    """Hypothesis pin on the pigeonhole banding math itself: for ANY
+    set of signed 64-bit hashes (sign bit exercised), the banded join
+    returns exactly the brute-force pairs at the threshold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        hamming_pairs,
+    )
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+    @given(
+        hashes=st.lists(i64, min_size=2, max_size=12, unique=True),
+        max_hamming=st.integers(min_value=0, max_value=8),
+    )
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(hashes, max_hamming):
+        rows = [(i, h) for i, h in enumerate(hashes)]
+        sig = spark.createDataFrame(rows, "media_id long, h long")
+        got = {
+            (r["id1"], r["id2"], r["hamming"])
+            for r in hamming_pairs(
+                sig, "h", id_col="media_id", bits=64, max_hamming=max_hamming
+            ).collect()
+        }
+        want = set()
+        for i, a in rows:
+            for j, b in rows:
+                if i < j:
+                    d = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        want.add((i, j, d))
+        assert got == want
+
+    run()
+
+
+def test_imagededup_cli_warc_lane(spark, tmp_path, capsys):
+    """Crawl -> image dedup directly: image/* responses from WARC files
+    hash and pair; non-image records ignored; corrupt images
+    quarantine; the media/ mapping resolves pairs back to URLs."""
+    import gzip
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.binaryops import (
+        encode_pnm,
+    )
+
+    def _rec(url, body, ctype):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    base = _smooth_img(60)
+    variant = base.copy()
+    variant[0, 0] = variant[0, 0] // 2
+    other = _smooth_img(61)
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    recs = [
+        _rec("http://a.x/img1", encode_pnm(base), b"image/x-portable-graymap"),
+        _rec("http://a.x/img1-edit", encode_pnm(variant), b"image/x-portable-graymap"),
+        _rec("http://b.x/other", encode_pnm(other), b"image/x-portable-graymap"),
+        _rec("http://a.x/broken", b"P5\n9 9\n255\nxx", b"image/x-portable-graymap"),
+        _rec("http://a.x/page", b"<html><body>hi</body></html>", b"text/html"),
+    ]
+    (crawl / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    out = str(tmp_path / "imgdedup")
+    assert main([
+        "imagededup", "--src", str(crawl / "*.warc.gz"), "--out", out,
+        "--input-format", "warc", "--hash", "phash", "--master", "local[4]",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "images=4" in text and "decoded=3" in text and "quarantined=1" in text
+    urls = {r["media_id"]: r["url"]
+            for r in spark.read.parquet(out + "/media").collect()}
+    pairs = [
+        (urls[r["id1"]], urls[r["id2"]])
+        for r in spark.read.parquet(out + "/pairs").collect()
+    ]
+    assert sorted(pairs[0]) == ["http://a.x/img1", "http://a.x/img1-edit"]
+    assert len(pairs) == 1  # the unrelated image pairs with nothing
