@@ -870,6 +870,15 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
         )
         return 2
 
+    if args.input_format == "warc" and (
+        args.id_col != "media_id" or args.payload_col != "payload"
+    ):
+        print(
+            "imagededup: --id-col/--payload-col cannot be combined with "
+            "--input-format warc (the crawl lane keys media_id/payload)",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("poly-imagededup", master=args.master)
     if args.input_format == "warc":
         # crawl -> image dedup directly: image/* responses from the
@@ -885,11 +894,15 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
             (F.col("record_type") == "response")
             & F.col("content_type").startswith("image/")
         )
+        # persist: the mapping write below AND the hash pass both
+        # consume this frame, and its lineage is the full non-splittable
+        # gunzip+WARC walk — without the persist the crawl parses twice
+        # (the exact defect the streaming schedule fix removed)
         media = recs.select(
             F.xxhash64("url", "warc_date").alias(id_col),
             "url",
             payload_col,
-        )
+        ).persist()
         media.select(id_col, "url").write.mode("overwrite").parquet(
             _os.path.join(args.out, "media")
         )
@@ -919,6 +932,8 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
     n_clusters = cl.select("cluster_id").distinct().count()
     n_drop = cl.filter(F.col(args.id_col) != F.col("cluster_id")).count()
     sig.unpersist()
+    if args.input_format == "warc":
+        media.unpersist()
     print(
         f"imagededup -> {args.out}: images={n_total} decoded={n_decoded} "
         f"quarantined={n_total - n_decoded} pairs={n_pairs} "

@@ -181,11 +181,15 @@ def image_dup_pairs(
     The signature frame feeds BOTH sides of the band self-join; Spark
     has no cross-branch CSE, so without the localCheckpoint the
     expensive Python decode would execute twice (the multi-consumer
-    discipline from duplicate_clusters)."""
+    discipline from duplicate_clusters).  LAZY checkpoint: it
+    materializes at the first action and is reused after, without
+    running a full decode job as a plan-construction side effect
+    (the registry plan linter explains 138 query plans without
+    executing them)."""
     sig = (
         image_hashes(df, id_col=id_col, payload_col=payload_col)
         .filter(F.col("decode_ok"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     return hamming_pairs(sig, hash_col, id_col=id_col, bits=64, max_hamming=max_hamming)
 

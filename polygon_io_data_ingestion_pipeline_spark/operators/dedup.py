@@ -468,14 +468,28 @@ def hamming_pairs(
     # plain equality join) needs the signed all-ones literal: the
     # unsigned (1<<64)-1 overflows a LongType literal
     mask = -1 if width >= 64 else (1 << width) - 1
+
+    def _ckey(c: int):
+        # chunks that start AT or past the hash width are PHANTOM (the
+        # ceil division over-covers: 9 chunks x 8 bits span 72 > 64) —
+        # their key is constant 0, an always-matching chunk that keeps
+        # the pigeonhole guarantee.  Computing them with a shift would
+        # be WRONG, not just wasteful: the JVM masks shift counts mod
+        # 64, so shiftrightunsigned(h, 64) silently equals h and the
+        # phantom chunk duplicated chunk 0 — two hashes spreading their
+        # <= max_hamming differences across every REAL chunk then
+        # matched nowhere and the pair was LOST (caught by the
+        # Hypothesis recall pin with correlated hashes).
+        if c * width >= bits:
+            return F.lit(0).cast("long")
+        return (
+            F.shiftrightunsigned(F.col(hash_col), c * width)
+            .bitwiseAND(F.lit(mask))
+        )
+
     chunk_entries = F.array(
         *[
-            F.struct(
-                F.lit(c).alias("chunk"),
-                F.shiftrightunsigned(F.col(hash_col), c * width)
-                .bitwiseAND(F.lit(mask))
-                .alias("ckey"),
-            )
+            F.struct(F.lit(c).alias("chunk"), _ckey(c).alias("ckey"))
             for c in range(n_chunks)
         ]
     )

@@ -219,16 +219,38 @@ def test_hamming_pairs_property_vs_bruteforce(spark):
 
     i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
 
+    def _signed(v: int) -> int:
+        return v - (1 << 64) if v >= 1 << 63 else v
+
+    # CORRELATED hashes: a base plus up to 10 flipped bit positions per
+    # variant.  Uniform random 64-bit ints are essentially never within
+    # hamming distance 8 of each other (P ~ 1e-11 per pair), so a
+    # uniform generator can never exercise the recall side of the
+    # pigeonhole claim — the first version of this test stayed green
+    # on a tree that provably LOST distance-8 pairs (the shift-64
+    # phantom-chunk wrap).
     @given(
-        hashes=st.lists(i64, min_size=2, max_size=12, unique=True),
+        base=i64,
+        flips=st.lists(
+            st.lists(st.integers(min_value=0, max_value=63), min_size=0,
+                     max_size=10, unique=True),
+            min_size=1, max_size=8,
+        ),
         max_hamming=st.integers(min_value=0, max_value=8),
     )
     @settings(
-        max_examples=12,
+        max_examples=20,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
-    def run(hashes, max_hamming):
+    def run(base, flips, max_hamming):
+        hashes = [base]
+        for positions in flips:
+            v = base & ((1 << 64) - 1)
+            for p in positions:
+                v ^= 1 << p
+            hashes.append(_signed(v))
+        hashes = list(dict.fromkeys(hashes))
         rows = [(i, h) for i, h in enumerate(hashes)]
         sig = spark.createDataFrame(rows, "media_id long, h long")
         got = {
@@ -300,5 +322,5 @@ def test_imagededup_cli_warc_lane(spark, tmp_path, capsys):
         (urls[r["id1"]], urls[r["id2"]])
         for r in spark.read.parquet(out + "/pairs").collect()
     ]
-    assert sorted(pairs[0]) == ["http://a.x/img1", "http://a.x/img1-edit"]
     assert len(pairs) == 1  # the unrelated image pairs with nothing
+    assert sorted(pairs[0]) == ["http://a.x/img1", "http://a.x/img1-edit"]
