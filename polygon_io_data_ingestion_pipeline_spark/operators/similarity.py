@@ -1251,3 +1251,68 @@ def ivfpq_topk_rerank(
         .limit(k)
         .select(id_col, F.round("__cos", 6).alias("cos"))
     )
+
+
+def semantic_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.5,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    bench_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SEMANTIC benchmark decontamination — the embedding-space
+    companion to ``dedup.contamination_overlap`` (shingle overlap):
+    flag corpus documents whose embedding is within ``threshold``
+    cosine of ANY benchmark item, catching paraphrased/reformatted
+    benchmark leakage that exact and n-gram decontamination provably
+    cannot see (no shared shingles, same meaning).
+
+    Scale shape — the cross-corpus variant of
+    :func:`cosine_neardup_lsh`: both sides hash into the SAME
+    multi-table random-hyperplane buckets (the planes are md5-derived
+    constants, so the two frames agree without any shared state),
+    candidates come from a (table, bucket) hash equi-join — shuffle
+    linear in corpus + benchmark, never |corpus| x |benchmark| — and
+    only candidates pay the exact cosine.  Per flagged document the
+    BEST benchmark match survives (highest cosine, ties to the lowest
+    benchmark id; one partial-agg max-struct, no window).
+
+    Returns ``(id_col, bench_id, cos)`` — one row per CONTAMINATED
+    corpus document; anti-join the corpus against it to scrub."""
+    ec = rp_lsh_entries(corpus, n_planes, n_tables, id_col, vec_col)
+    eb = rp_lsh_entries(benchmark, n_planes, n_tables, bench_id_col, vec_col)
+    cand = (
+        ec.select(F.col(id_col).alias("__cid"), "tbl", "bucket")
+        .join(
+            eb.select(F.col(bench_id_col).alias("__bid"), "tbl", "bucket"),
+            ["tbl", "bucket"],
+        )
+        .select("__cid", "__bid")
+        .distinct()
+    )
+    cd = corpus.select(
+        F.col(id_col).alias("__cid"), _as_double(F.col(vec_col)).alias("cv")
+    ).select("__cid", "cv", norm(F.col("cv")).alias("cn"))
+    bd = benchmark.select(
+        F.col(bench_id_col).alias("__bid"), _as_double(F.col(vec_col)).alias("bv")
+    ).select("__bid", "bv", norm(F.col("bv")).alias("bn"))
+    scored = (
+        cand.join(cd, "__cid")
+        .join(bd, "__bid")
+        .withColumn(
+            "__cos",
+            F.round(dot(F.col("cv"), F.col("bv")) / (F.col("cn") * F.col("bn")), 6),
+        )
+        .filter(F.col("__cos") >= threshold)
+    )
+    best = scored.groupBy("__cid").agg(
+        F.max(F.struct(F.col("__cos"), (-F.col("__bid")).alias("__nb"))).alias("b")
+    )
+    return best.select(
+        F.col("__cid").alias(id_col),
+        (-F.col("b.__nb")).alias("bench_id"),
+        F.col("b.__cos").alias("cos"),
+    )

@@ -6400,6 +6400,55 @@ def docs_rank_capped_sample(spark: SparkSession, sf: str) -> DataFrame:
     return group_capped_sample(d, cap=5, group_col="domain", order_col="rank")
 
 
+@q(
+    "emb_semantic_decontam",
+    oracle="""
+WITH e AS (SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+           FROM embeddings),
+proj AS (
+  SELECT vec_id, p,
+         list_sum(list_transform(range(1, len(x) + 1), d ->
+           x[d] * (CAST(('0x' || substr(md5(p || '_' || CAST(d - 1 AS VARCHAR)), 1, 4)) AS BIGINT)
+                   / 32768.0 - 1.0))) AS s
+  FROM e, range(0, 24) r(p)),
+b AS (SELECT vec_id, p // 6 AS tbl,
+             CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT)) ELSE 0 END)
+                  AS BIGINT) AS bucket
+      FROM proj GROUP BY vec_id, p // 6),
+cand AS (SELECT DISTINCT c.vec_id AS cid, bm.vec_id AS bid
+         FROM b c JOIN b bm ON c.tbl = bm.tbl AND c.bucket = bm.bucket
+         WHERE c.vec_id % 19 <> 0 AND bm.vec_id % 19 = 0),
+s AS (SELECT c.cid, c.bid,
+             round(list_sum(list_transform(range(1, len(a.x) + 1), i -> a.x[i] * bb.x[i]))
+             / (sqrt(list_sum(list_transform(a.x, v -> v * v)))
+                * sqrt(list_sum(list_transform(bb.x, v -> v * v)))), 6) AS cos
+      FROM cand c JOIN e a ON a.vec_id = c.cid JOIN e bb ON bb.vec_id = c.bid),
+best AS (SELECT cid, bid, cos,
+                row_number() OVER (PARTITION BY cid ORDER BY cos DESC, bid ASC) AS rk
+         FROM s WHERE cos >= 0.3)
+SELECT cid AS vec_id, bid AS bench_id, cos FROM best WHERE rk = 1
+""",
+    doc="SEMANTIC benchmark decontamination (operators/similarity.py "
+    "semantic_decontam): the embedding-space companion to the shingle "
+    "decontam — corpus vectors (vec_id % 19 != 0) within 0.3 cosine of "
+    "ANY benchmark vector (% 19 == 0) flag with their best match, "
+    "catching paraphrased leakage exact/n-gram overlap provably "
+    "cannot see.  Cross-corpus multi-table RP-LSH (both sides hash "
+    "into the SAME md5-derived buckets) -> (table, bucket) equi-join "
+    "-> exact cosine verify of candidates only -> per-document best "
+    "match by one partial-agg max-struct — linear in corpus + "
+    "benchmark, never their product.  The oracle replays planes, "
+    "buckets, verification and the (cos DESC, bench_id ASC) best-match "
+    "tie order.",
+    tags=("dedup", "similarity"),
+)
+def emb_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    emb = table(spark, sf, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 19 == 0)
+    corpus = emb.filter(F.col("vec_id") % 19 != 0)
+    return SIM.semantic_decontam(corpus, bench, threshold=0.3)
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------

@@ -61,3 +61,55 @@ def test_registry_config_is_exact_subset(spark, exact_pairs):
     assert all(lsh[k] == exact_pairs[k] for k in lsh)
     recall = len(set(lsh) & set(exact_pairs)) / len(exact_pairs)
     assert recall >= 0.10, f"registry-config recall collapsed: {recall:.3f}"
+
+
+def test_semantic_decontam_flags_planted_contamination(spark):
+    """Planted leakage: corpus items that are tiny perturbations of
+    benchmark vectors flag (at the 3x16 recall config), unrelated
+    corpus items do not, and every flagged row's best-match is exact
+    against the brute-force cross product."""
+    import numpy as np
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.similarity import (
+        semantic_decontam,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def unit(v):
+        return (v / np.linalg.norm(v)).tolist()
+
+    bench_rows, corpus_rows = [], []
+    for b in range(8):
+        v = rng.normal(size=16)
+        bench_rows.append((b, unit(v)))
+        # contaminated corpus doc = benchmark + small noise ("paraphrase")
+        corpus_rows.append((100 + b, unit(v + rng.normal(scale=0.05, size=16))))
+    for u in range(8):  # unrelated corpus docs
+        corpus_rows.append((200 + u, unit(rng.normal(size=16))))
+    schema = "vec_id long, embedding array<double>"
+    bench = spark.createDataFrame(bench_rows, schema)
+    corpus = spark.createDataFrame(corpus_rows, schema)
+    got = {
+        r["vec_id"]: (r["bench_id"], r["cos"])
+        for r in semantic_decontam(
+            corpus, bench, threshold=0.9, n_planes=3, n_tables=16
+        ).collect()
+    }
+    # brute-force cross check
+    import itertools
+
+    best = {}
+    for cid, cv in corpus_rows:
+        cands = []
+        for bid, bv in bench_rows:
+            cos = round(float(np.dot(cv, bv)), 6)
+            if cos >= 0.9:
+                cands.append((cos, -bid))
+        if cands:
+            cos, nbid = max(cands)
+            best[cid] = (-nbid, cos)
+    assert set(got) == set(best) == {100 + b for b in range(8)}
+    for cid in best:
+        assert got[cid][0] == best[cid][0]
+        assert got[cid][1] == pytest.approx(best[cid][1], abs=2e-6)
