@@ -296,6 +296,11 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     return 0
 
 
+#: bucket-name order for --lm-keep-buckets: bucket 1 = head (best
+#: scores, lowest cross-entropy), per the CCNet tercile convention
+_LM_BUCKETS = ("head", "middle", "tail")
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Training-corpus prep, end to end: JSONL/parquet documents in ->
     PII scrub (optional) -> quality gate -> exact dedup (min-id
@@ -327,6 +332,31 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     if args.span_dedup and args.span_tokens < 2:
         print(
             f"corpus: --span-tokens must be >= 2, got {args.span_tokens}",
+            file=sys.stderr,
+        )
+        return 2
+    lm_buckets: list[str] = []
+    if args.lm_keep_buckets is not None:
+        if not args.lm_ref:
+            print(
+                "corpus: --lm-keep-buckets requires --lm-ref",
+                file=sys.stderr,
+            )
+            return 2
+        lm_buckets = [
+            b.strip() for b in args.lm_keep_buckets.split(",") if b.strip()
+        ]
+        bad_names = [b for b in lm_buckets if b not in _LM_BUCKETS]
+        if bad_names or not lm_buckets:
+            print(
+                "corpus: --lm-keep-buckets takes a comma list from "
+                f"head,middle,tail; got {args.lm_keep_buckets!r}",
+                file=sys.stderr,
+            )
+            return 2
+    if bool(args.clf_good) != bool(args.clf_bad):
+        print(
+            "corpus: --clf-good and --clf-bad must be given together",
             file=sys.stderr,
         )
         return 2
@@ -588,15 +618,75 @@ def cmd_corpus(args: argparse.Namespace) -> int:
 
             model = ngram_lm_train(ref)
             scores = ngram_lm_cross_entropy(kept, model).persist()
-        bad = scores.filter(
-            F.col("cross_entropy").isNotNull()
-            & (F.col("cross_entropy") > args.lm_max_ce)
+        if lm_buckets:
+            # CCNet's actual gate shape: keep per-LANGUAGE score
+            # terciles, not one absolute threshold — a fixed max_ce
+            # over-drops languages the reference covers thinly.  Docs
+            # bucket within their own language's distribution (global
+            # when the corpus carries no lang column); unscorable docs
+            # (NULL bucket) keep, same as the threshold path.
+            from .operators.sampling import score_quantile_buckets
+
+            by = "lang" if "lang" in kept.columns else None
+            frame = (
+                scores.join(kept.select("doc_id", "lang"), "doc_id")
+                if by
+                else scores
+            )
+            keep_ids = [
+                i + 1 for i, nm in enumerate(_LM_BUCKETS) if nm in lm_buckets
+            ]
+            bad = score_quantile_buckets(
+                frame, "cross_entropy", by_col=by, k=3
+            ).filter(
+                F.col("bucket").isNotNull()
+                & ~F.col("bucket").isin(keep_ids)
+            )
+            n_lm_dropped = bad.count()
+            kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
+            print(
+                f"lm-gate: dropped={n_lm_dropped} "
+                f"keep_buckets={','.join(lm_buckets)} order={args.lm_order}"
+            )
+        else:
+            bad = scores.filter(
+                F.col("cross_entropy").isNotNull()
+                & (F.col("cross_entropy") > args.lm_max_ce)
+            )
+            n_lm_dropped = bad.count()
+            kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
+            print(
+                f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce} "
+                f"order={args.lm_order}"
+            )
+
+    if args.clf_good:
+        # the model-based quality filter (GPT-3/CCNet-style): a Naive
+        # Bayes classifier trains in-engine on the two references and
+        # every surviving doc is kept only when its good-vs-bad
+        # log-odds clears the margin.  Unscorable docs (no tokens —
+        # already past the heuristic gate) keep: the classifier cannot
+        # judge them, symmetric with the LM gate.  The tiny scores
+        # frame persists so the accounting count and the anti-join
+        # don't re-run the model joins.
+        from .operators.classify import nb_log_odds, nb_train
+
+        good = spark.read.parquet(args.clf_good).select(
+            F.lit("good").alias("label"), "text"
         )
-        n_lm_dropped = bad.count()
+        badref = spark.read.parquet(args.clf_bad).select(
+            F.lit("bad").alias("label"), "text"
+        )
+        model = nb_train(good.unionByName(badref))
+        odds = nb_log_odds(kept, model, "good", "bad").persist()
+        bad = odds.filter(
+            F.col("log_odds").isNotNull()
+            & (F.col("log_odds") < args.clf_margin)
+        )
+        n_clf_dropped = bad.count()
         kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
         print(
-            f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce} "
-            f"order={args.lm_order}"
+            f"clf-gate: dropped={n_clf_dropped} margin={args.clf_margin}"
         )
 
     if args.graph and args.min_trust is not None:
@@ -1202,6 +1292,35 @@ def main(argv: list[str] | None = None) -> int:
         default=2,
         help="LM order: 2 = add-k bigram cross-entropy, >= 3 = stupid "
         "backoff (Brants et al.)",
+    )
+    p.add_argument(
+        "--lm-keep-buckets",
+        default=None,
+        help="with --lm-ref: per-language quantile gate instead of the "
+        "fixed --lm-max-ce threshold — comma list from head,middle,tail "
+        "(CCNet keeps head,middle); docs outside the kept terciles of "
+        "THEIR language's score distribution drop; unscorable docs keep",
+    )
+    p.add_argument(
+        "--clf-good",
+        default=None,
+        help="parquet documents table of GOOD reference text; with "
+        "--clf-bad, trains the in-engine Naive Bayes quality classifier "
+        "(the GPT-3-style model-based filter) and drops docs whose "
+        "good-vs-bad log-odds falls below --clf-margin",
+    )
+    p.add_argument(
+        "--clf-bad",
+        default=None,
+        help="parquet documents table of BAD reference text (see "
+        "--clf-good)",
+    )
+    p.add_argument(
+        "--clf-margin",
+        type=float,
+        default=0.0,
+        help="minimum good-vs-bad log-odds (nats) to keep a document "
+        "(default 0.0 = predicted good); unscorable docs keep",
     )
     p.add_argument(
         "--normalized-dedup",

@@ -1,0 +1,217 @@
+"""In-engine supervised text classification — the "model-based quality
+filter" of LLM corpus pipelines (GPT-3's WebText-vs-CommonCrawl linear
+classifier, CCNet's fastText gate, FineWeb-Edu's scorer): train a
+classifier on labeled reference corpora and score every crawl document,
+with BOTH phases as DataFrame programs.  No sklearn/fastText binary, no
+model file on the driver, no UDFs.
+
+The model is multinomial Naive Bayes over whitespace tokens (lowercased
+— the ``ngram_lm`` tokenizer, so the LM gate and the classifier gate
+see the same token stream):
+
+    log p(label | doc) ∝ log p(label) + Σ_t log p(t | label)
+    p(t | label) = (c(label, t) + k) / (c(label, ·) + k·V)
+
+with ``V`` = training vocabulary size and add-k smoothing applied at
+SCORING time (training stores exact integer counts, so one trained
+model serves any ``add_k``).  Out-of-vocabulary tokens smooth the same
+way — ``k / (c(label, ·) + k·V)`` — which preserves the classic NB
+property that OOV mass slightly favors the label with the smaller
+training corpus rather than being dropped.
+
+Naive Bayes is the aggregation-native member of the linear-classifier
+family (its decision function is a per-token log-odds sum, exactly what
+fastText computes after training): training is ONE partial-agg shuffle
+over (label, token) plus an L-row label summary, and scoring is one
+equi-join of the document token stream against the count table — the
+model is O(training vocabulary) and is deliberately NEVER collected or
+broadcast by hand (AQE broadcasts it by itself when the reference is
+small).  Everything stays native expressions inside whole-stage
+codegen.
+
+Engine-parity discipline (shared with ``ngram_lm`` / ``unigram_logprob``):
+every ``ln`` is quantized to micro-nats (round(x·1e6) as BIGINT) before
+any aggregation, so per-document totals are exact integer sums a DuckDB
+audit replays bit-for-bit, association order notwithstanding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .ngram_lm import _toks
+
+
+def nb_train(
+    labeled: DataFrame, label_col: str = "label", text_col: str = "text"
+) -> dict[str, DataFrame]:
+    """Train multinomial NB on a labeled corpus: returns the count
+    tables the scorer joins against —
+
+    - ``token_counts``: (label, token, n) exact token counts;
+    - ``label_totals``: (label, n_tokens, n_docs) — per-label token
+      mass (denominator) and document count (prior numerator), computed
+      from the SAME pass so labels whose documents are all empty still
+      carry a prior;
+    - ``stats``: single row (v_size,) — distinct training tokens across
+      all labels.
+
+    Binary quality gates train this with two references under labels
+    like ``good``/``bad`` (see ``nb_log_odds``); the multiclass scorer
+    (``nb_score``) handles any label arity."""
+    base = labeled.select(
+        F.col(label_col).alias("label"), _toks(text_col).alias("_toks")
+    )
+    tok_rows = base.select("label", F.explode("_toks").alias("token"))
+    token_counts = tok_rows.groupBy("label", "token").agg(
+        F.count("*").alias("n")
+    )
+    label_totals = base.groupBy("label").agg(
+        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    stats = tok_rows.agg(F.countDistinct("token").alias("v_size"))
+    return {
+        "token_counts": token_counts,
+        "label_totals": label_totals,
+        "stats": stats,
+    }
+
+
+def _per_label_totals(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str,
+    id_col: str,
+    add_k: float,
+) -> DataFrame:
+    """(id, label, prior_micro, n_tok, tot) — one row per document per
+    trained label; ``tot`` = prior + Σ token log-likelihoods in exact
+    integer micro-nats.  Shared by the multiclass argmax and the binary
+    log-odds reductions.
+
+    Shape: explode_outer keeps empty/NULL documents (one NULL-token row
+    each); the L-row label summary (with its precomputed prior) attaches
+    via a broadcast cross join — the same condition-less
+    1-small-build-side BNLJ the LM scorers use for their scalar tables;
+    the count table attaches via a (label, token) equi-join."""
+    k = float(add_k)
+    pri = (
+        model["label_totals"]
+        .crossJoin(
+            F.broadcast(
+                model["label_totals"].agg(F.sum("n_docs").alias("_nd"))
+            )
+        )
+        .select(
+            "label",
+            F.col("n_tokens").alias("_lt"),
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("_nd")) * 1e6, 0
+            )
+            .cast("long")
+            .alias("prior_micro"),
+        )
+    )
+    d = docs.select(
+        F.col(id_col), F.explode_outer(_toks(text_col)).alias("token")
+    )
+    rows = (
+        d.crossJoin(F.broadcast(pri))
+        .join(model["token_counts"], ["label", "token"], "left")
+        .crossJoin(F.broadcast(model["stats"]))
+    )
+    logp = F.log(
+        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k))
+        / (F.col("_lt") + F.lit(k) * F.col("v_size"))
+    )
+    slp = F.when(
+        F.col("token").isNotNull(), F.round(logp * 1e6, 0).cast("long")
+    )
+    return (
+        rows.withColumn("_slp", slp)
+        .groupBy(id_col, "label", "prior_micro")
+        .agg(
+            F.count("_slp").alias("n_tok"),
+            F.coalesce(F.sum("_slp"), F.lit(0)).alias("_lik"),
+        )
+        .withColumn("tot", F.col("prior_micro") + F.col("_lik"))
+    )
+
+
+def nb_score(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Multiclass prediction: ``(id_col, n_tokens, pred_label, margin)``.
+
+    ``pred_label`` = argmax label posterior (ties break to the
+    lexicographically smallest label — deterministic across engines and
+    re-runs); ``margin`` = best minus second-best log-posterior in nats
+    (rounded to 6 decimals), the standard abstention/confidence signal —
+    NULL when the model has a single label.  Documents with no tokens
+    (empty/NULL text) are not classifiable: NULL prediction and margin,
+    ``n_tokens`` 0.
+
+    The argmax runs as a row_number window over the L rows per document
+    (L = label count, single digits in practice) — partitioned by the
+    document key, so no global sort and no skew beyond L."""
+    per = _per_label_totals(docs, model, text_col, id_col, add_k)
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tot"), F.asc("label")
+    )
+    ranked = per.withColumn("_rn", F.row_number().over(w))
+    out = ranked.groupBy(id_col).agg(
+        F.max("n_tok").alias("n_tokens"),
+        F.max(F.when(F.col("_rn") == 1, F.col("label"))).alias("_pred"),
+        F.max(F.when(F.col("_rn") == 1, F.col("tot"))).alias("_t1"),
+        F.max(F.when(F.col("_rn") == 2, F.col("tot"))).alias("_t2"),
+    )
+    scorable = F.col("n_tokens") > 0
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.when(scorable, F.col("_pred")).alias("pred_label"),
+        F.when(
+            scorable, F.round((F.col("_t1") - F.col("_t2")) / F.lit(1e6), 6)
+        ).alias("margin"),
+    )
+
+
+def nb_log_odds(
+    docs: DataFrame,
+    model: dict[str, DataFrame],
+    pos_label: str,
+    neg_label: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Binary decision function: ``(id_col, n_tokens, log_odds)`` with
+    ``log_odds`` = log p(pos|doc) − log p(neg|doc) in nats (rounded to
+    6 decimals) — positive means the document reads like the
+    ``pos_label`` reference.  This is the exact quantity the GPT-3-style
+    quality gate thresholds (keep when log-odds ≥ margin).
+
+    NULL ``log_odds`` for unclassifiable documents (no tokens) AND for
+    labels absent from the trained model — callers gating on it should
+    treat NULL as "cannot judge" (keep), symmetrical with the LM gate's
+    unscorable-docs-keep contract."""
+    per = _per_label_totals(docs, model, text_col, id_col, add_k)
+    out = per.groupBy(id_col).agg(
+        F.max("n_tok").alias("n_tokens"),
+        F.max(F.when(F.col("label") == pos_label, F.col("tot"))).alias("_p"),
+        F.max(F.when(F.col("label") == neg_label, F.col("tot"))).alias("_n"),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round((F.col("_p") - F.col("_n")) / F.lit(1e6), 6),
+        ).alias("log_odds"),
+    )

@@ -372,3 +372,82 @@ def group_capped_sample(
         .filter(F.col("__rk") <= int(cap))
         .drop("__rk")
     )
+
+
+def score_quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    by_col: str | None = None,
+    k: int = 3,
+    quantize: float | None = None,
+) -> DataFrame:
+    """Assign each row a quantile bucket 1..``k`` of ``score_col``
+    within its ``by_col`` group — the CCNet head/middle/tail recipe
+    (Wenzek et al. 2020: split each language's documents into
+    perplexity terciles and keep the reference-like ones), generalized
+    to any score and ``k``.  Returns the input columns plus ``bucket``
+    (INT, 1 = best/lowest score); rows with a NULL score get a NULL
+    bucket (unscorable — the caller decides their fate, symmetric with
+    the LM gate's unscorable-docs-keep contract).
+
+    Semantics are ``percentile_disc``-compatible and integer-exact:
+    within a group of ``n`` scored rows, the row whose 1-based position
+    (ordered by score ascending) is ``p`` lands in bucket
+    ``floor((p-1)·k/n) + 1``, and TIED scores share the bucket of their
+    FIRST position — so bucket boundaries never split a tie group, and
+    the result is a pure function of the score multiset (no row-id
+    tiebreak, no engine-dependent ordering).  A DuckDB audit of the
+    identical construction matches bit-for-bit.
+
+    Scale shape — the naive formulation (row_number window over every
+    document, partitioned by language) funnels each language through
+    one task; with 'en' at tens of TB that is THE skew hazard.  Instead
+    the ranks are computed on the DISTINCT-score histogram: one
+    (group, score) partial-agg shuffle, a cumulative-count window over
+    the distinct scores only (micro-nat-rounded LM scores collapse
+    heavily; pass ``quantize`` to bound the histogram hard — e.g.
+    ``1e-3`` caps it at a few thousand rows per group for nat-scale
+    scores, CCNet itself computes its cutoffs on quantized/sampled
+    distributions), then one equi-join of the tiny bucket map back onto
+    the corpus (AQE broadcasts it).  ``quantize`` rounds the score to
+    that multiple for BOTH the histogram and the join key, so buckets
+    remain exact for the quantized score.
+    """
+    if k < 2:
+        raise ValueError(f"score_quantile_buckets: k must be >= 2, got {k}")
+    by = [by_col] if by_col else []
+    score = F.col(score_col)
+    if quantize is not None:
+        step = float(quantize)
+        qscore = (F.round(score / F.lit(step), 0) * F.lit(step)).alias("__q")
+    else:
+        qscore = score.alias("__q")
+    keyed = df.select(*df.columns, qscore)
+    hist = keyed.filter(F.col("__q").isNotNull()).groupBy(*by, "__q").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w_cum = (
+        Window.partitionBy(*by)
+        .orderBy("__q")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*by)
+    pos_first = F.sum("__c").over(w_cum) - F.col("__c") + F.lit(1)
+    n = F.sum("__c").over(w_all)
+    buckets = hist.select(
+        *[F.col(c).alias(f"__b_{c}") for c in by],
+        F.col("__q").alias("__b_q"),
+        (F.floor((pos_first - 1) * F.lit(int(k)) / n) + 1)
+        .cast("int")
+        .alias("bucket"),
+    )
+    # the group key joins NULL-SAFELY: a NULL group value ("unknown
+    # language") is a legitimate group — the histogram aggregates it as
+    # one, and a plain equality join would silently hand every one of
+    # its rows a NULL bucket.  The score key stays plain equality (the
+    # histogram has no NULL scores, and NULL-score rows must NOT match).
+    cond = F.col("__q") == F.col("__b_q")
+    for c in by:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__b_{c}"))
+    joined = keyed.join(buckets, cond, "left")
+    return joined.drop("__q", "__b_q", *[f"__b_{c}" for c in by])

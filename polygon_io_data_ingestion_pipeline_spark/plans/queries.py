@@ -6449,6 +6449,189 @@ def emb_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
     return SIM.semantic_decontam(corpus, bench, threshold=0.3)
 
 
+@q(
+    "docs_nb_quality_classifier",
+    oracle="""
+WITH tr AS (
+  SELECT lang AS label,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id % 3 = 0
+),
+lt AS (
+  SELECT label, sum(coalesce(len(toks), 0)) AS n_tokens,
+         count(*) AS n_docs
+  FROM tr GROUP BY label
+),
+pri AS (
+  SELECT label, n_tokens AS lt,
+         CAST(round(ln(CAST(n_docs AS DOUBLE)
+                       / (SELECT sum(n_docs) FROM lt)) * 1e6, 0)
+              AS BIGINT) AS prior
+  FROM lt
+),
+tc AS (
+  SELECT label, tok AS token, count(*) AS n
+  FROM (SELECT label, unnest(toks) AS tok FROM tr) GROUP BY 1, 2
+),
+v AS (SELECT count(DISTINCT token) AS v_size FROM tc),
+drows AS (
+  SELECT doc_id, unnest(
+           list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       x -> x <> '')) AS token
+  FROM documents
+),
+scored AS (
+  SELECT d.doc_id, p.label, p.prior,
+         CAST(round(ln((coalesce(t.n, 0) + 1.0)
+                       / (p.lt + 1.0 * v.v_size)) * 1e6, 0)
+              AS BIGINT) AS slp
+  FROM drows d
+  CROSS JOIN pri p
+  LEFT JOIN tc t ON t.label = p.label AND t.token = d.token
+  CROSS JOIN v
+),
+per AS (
+  SELECT doc_id, label, count(slp) AS n_tok,
+         prior + coalesce(sum(slp), 0) AS tot
+  FROM scored GROUP BY doc_id, label, prior
+),
+ranked AS (
+  SELECT doc_id, label, n_tok, tot,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tot DESC, label ASC) AS rn
+  FROM per
+),
+agg AS (
+  SELECT doc_id, max(n_tok) AS n_tokens,
+         max(CASE WHEN rn = 1 THEN label END) AS pred,
+         max(CASE WHEN rn = 1 THEN tot END) AS t1,
+         max(CASE WHEN rn = 2 THEN tot END) AS t2
+  FROM ranked GROUP BY doc_id
+)
+SELECT dd.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0 THEN a.pred END AS pred_label,
+       CASE WHEN coalesce(a.n_tokens, 0) > 0
+            THEN round((a.t1 - a.t2) / 1e6, 6) END AS margin
+FROM documents dd LEFT JOIN agg a USING (doc_id)
+""",
+    doc="In-engine supervised text classification (operators/classify.py "
+    "— the model-based quality filter of LLM corpus pipelines, as "
+    "multinomial Naive Bayes with both phases as DataFrame programs): "
+    "a 5-class model trained on the doc_id%3 slice (label = lang) "
+    "predicts every document's label with the best-vs-second-best "
+    "margin; empty docs are unclassifiable (NULL).  Training is one "
+    "(label, token) partial-agg shuffle; scoring is one equi-join "
+    "against the count table (model never collected/broadcast by hand) "
+    "+ an L-row-per-doc argmax window; each ln is quantized to "
+    "micro-nats and integer-summed so the DuckDB replay is exact.",
+    tags=("text", "quality"),
+)
+def docs_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.classify import nb_score, nb_train
+
+    docs = table(spark, sf, "documents")
+    model = nb_train(
+        docs.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("lang").alias("label"), "text"
+        )
+    )
+    return nb_score(docs, model).select(
+        "doc_id", "n_tokens", "pred_label", "margin"
+    )
+
+
+@q(
+    "docs_lm_quality_buckets",
+    oracle="""
+WITH rarr AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents WHERE lang = 'en'
+),
+rbig AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM rarr, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+),
+bg AS (SELECT w1, w2, count(*) AS n12 FROM rbig GROUP BY w1, w2),
+ctx AS (SELECT w1, sum(n12) AS n1 FROM bg GROUP BY w1),
+voc AS (SELECT count(DISTINCT tok) AS v
+        FROM (SELECT unnest(toks) AS tok FROM rarr)),
+darr AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+dbig AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+  FROM darr, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(round(CASE WHEN c.n1 IS NOT NULL
+              THEN ln((coalesce(b.n12, 0) + 1.0) / (c.n1 + 1.0 * v.v))
+              ELSE -ln(CAST(v.v AS DOUBLE)) END * 1e6, 0) AS BIGINT) AS slp
+  FROM dbig d
+  LEFT JOIN bg b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN ctx c ON d.w1 = c.w1
+  CROSS JOIN voc v
+),
+per AS (
+  SELECT dd.doc_id, count(s.slp) AS n_bigrams, sum(s.slp) AS s
+  FROM documents dd LEFT JOIN scored s USING (doc_id)
+  GROUP BY dd.doc_id
+),
+j AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN p.n_bigrams > 0
+              THEN round(-p.s / 1e6 / p.n_bigrams, 6) END AS cross_entropy
+  FROM documents d JOIN per p USING (doc_id)
+),
+hist AS (
+  SELECT lang, cross_entropy AS q, count(*) AS c
+  FROM j WHERE cross_entropy IS NOT NULL GROUP BY 1, 2
+),
+b AS (
+  SELECT lang, q,
+         CAST(floor((sum(c) OVER (PARTITION BY lang ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - c) * 3
+                    / (sum(c) OVER (PARTITION BY lang))) + 1 AS INT)
+           AS bucket
+  FROM hist
+)
+SELECT j.doc_id, j.lang, j.cross_entropy, b.bucket
+FROM j LEFT JOIN b ON b.lang = j.lang AND b.q = j.cross_entropy
+""",
+    doc="Per-language quantile bucketing of LM quality scores "
+    "(operators/sampling.py score_quantile_buckets over "
+    "operators/ngram_lm.py cross-entropy — the full CCNet gate: CCNet "
+    "keeps each language's best-scoring perplexity tercile, not a "
+    "fixed threshold): every document lands in head/middle/tail "
+    "(bucket 1..3) of ITS language's score distribution; unscorable "
+    "docs (< 2 tokens) get NULL.  Percentile-disc semantics — ties "
+    "share their first position's bucket, so the result is a pure "
+    "function of the score multiset.  Scale shape: ranks come from a "
+    "cumulative-count window over the DISTINCT-score histogram (never "
+    "a per-document window per language — the 'en' skew trap), then "
+    "the tiny bucket map equi-joins back.  The oracle replays LM "
+    "scoring, histogram, window and join.",
+    tags=("text", "quality", "sampling"),
+)
+def docs_lm_quality_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.ngram_lm import ngram_lm_cross_entropy, ngram_lm_train
+    from ..operators.sampling import score_quantile_buckets
+
+    docs = table(spark, sf, "documents")
+    model = ngram_lm_train(docs.filter(F.col("lang") == "en"))
+    scored = ngram_lm_cross_entropy(docs, model).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return score_quantile_buckets(
+        scored, "cross_entropy", by_col="lang", k=3
+    ).select("doc_id", "lang", "cross_entropy", "bucket")
+
+
 # ---------------------------------------------------------------------------
 # Driver CORRECTNESS window: pinned anchors + history-aware rotation
 # ---------------------------------------------------------------------------
@@ -6523,7 +6706,16 @@ PINNED_WINDOW = [
     "emb_pq_topk_rerank",
     "emb_knn_join",
     # Text/LLM-pipeline anchors.
-    "docs_token_stats",
+    # docs_token_stats rotates as of round 10 (second session): it is a
+    # single-pass all-scalar query (token/char counts + ratio
+    # expressions, no join or aggregation semantics to drift between
+    # engines), each constituent function is hand-pinned in pytest
+    # (test_text_quality), and the stopword/token-count/is_short path
+    # earns external rows through the corpus-prep gate queries; the
+    # text-quality family stays anchored by docs_repetition_metrics.
+    # The trim keeps the <=4-round latency bound after this round's two
+    # registrations (classifier + LM buckets) revealed the r10 pool
+    # count was off by one (119, not 118).
     "docs_repetition_metrics",
     "docs_sequence_packing",
     "docs_split_and_sample",

@@ -743,3 +743,99 @@ def test_corpus_cli_cap_by_rank_requires_url_column(spark, tmp_path, capsys):
         "--graph", wg, "--domain-cap", "2", "--cap-by-rank",
         "--master", "local[4]",
     ]) == 2
+
+
+def test_corpus_cli_clf_gate(spark, tmp_path, capsys):
+    """--clf-good/--clf-bad: the model-based quality filter — a Naive
+    Bayes classifier trains on the two references in-engine; docs that
+    read like the bad reference drop with accounting, docs that read
+    like the good one survive (the heuristic gate alone passes both)."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    goodish = ("the data in the table is the value of the row and the key "
+               "of the batch while the line in the window is the part of "
+               "the sort and the scan of the batch is the merge")
+    spammy = ("the cheap pills and the lucky prize of the winner in the "
+              "draw are the offer of the day while the bonus of the deal "
+              "is the gift of the spin and the jackpot of the club")
+    gref = str(tmp_path / "good.parquet")
+    bref = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [(i, goodish) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(gref)
+    spark.createDataFrame(
+        [(i, spammy) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(bref)
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in ((1, goodish), (2, spammy))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--clf-good", gref, "--clf-bad", bref, "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "clf-gate: dropped=1 margin=0.0" in msg
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+
+def test_corpus_cli_lm_keep_buckets(spark, tmp_path, capsys):
+    """--lm-keep-buckets head,middle: the CCNet tercile gate — with
+    three docs of strictly ordered cross-entropy the worst tercile
+    drops, without hand-picking a threshold."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    ref_rows = [
+        (i, "the data in the table is the value of the row and the key "
+            "of the batch while the line in the window is the part of "
+            "the sort and the scan of the batch is the merge")
+        for i in range(8)
+    ]
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(ref_rows, "doc_id long, text string").write.parquet(ref)
+
+    good = ("the data in the table is the value of the row and the key of "
+            "the batch while the line in the window is the part of the sort")
+    mid = ("the data in the table is the value of the row and the key of "
+           "the batch while the sort of the window is the line in the part")
+    salad = ("sort the of while line data key the and batch value in row of "
+             "the the is table the the window part the scan merge is of")
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in ((1, good), (2, mid), (3, salad))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--lm-ref", ref, "--lm-keep-buckets", "head,middle",
+        "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "lm-gate: dropped=1 keep_buckets=head,middle" in msg
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+
+
+def test_corpus_cli_clf_and_bucket_flag_validation(tmp_path):
+    """Flag misuse exits 2 BEFORE any Spark work: --clf-good without
+    --clf-bad, --lm-keep-buckets without --lm-ref, and a bucket name
+    outside head/middle/tail."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text('{"doc_id": 1, "text": "the a of"}')
+    base = ["corpus", "--src", str(src), "--out", str(tmp_path / "o")]
+    assert main(base + ["--clf-good", "g.parquet"]) == 2
+    assert main(base + ["--lm-keep-buckets", "head"]) == 2
+    assert main(
+        base + ["--lm-ref", "r.parquet", "--lm-keep-buckets", "head,best"]
+    ) == 2
