@@ -354,6 +354,15 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.lm_max_ce is not None:
+            # one gate or the other: silently ignoring the user's
+            # explicit threshold would misreport what was dropped
+            print(
+                "corpus: --lm-max-ce and --lm-keep-buckets are "
+                "mutually exclusive",
+                file=sys.stderr,
+            )
+            return 2
     if bool(args.clf_good) != bool(args.clf_bad):
         print(
             "corpus: --clf-good and --clf-bad must be given together",
@@ -636,11 +645,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             keep_ids = [
                 i + 1 for i, nm in enumerate(_LM_BUCKETS) if nm in lm_buckets
             ]
-            bad = score_quantile_buckets(
-                frame, "cross_entropy", by_col=by, k=3
-            ).filter(
-                F.col("bucket").isNotNull()
-                & ~F.col("bucket").isin(keep_ids)
+            # persist the dropped-ids frame: the accounting count and
+            # the anti-join would otherwise each re-run the lang join +
+            # histogram shuffle + window + join-back over the corpus
+            bad = (
+                score_quantile_buckets(frame, "cross_entropy", by_col=by, k=3)
+                .filter(
+                    F.col("bucket").isNotNull()
+                    & ~F.col("bucket").isin(keep_ids)
+                )
+                .select("doc_id")
+                .persist()
             )
             n_lm_dropped = bad.count()
             kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
@@ -649,14 +664,15 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 f"keep_buckets={','.join(lm_buckets)} order={args.lm_order}"
             )
         else:
+            max_ce = args.lm_max_ce if args.lm_max_ce is not None else 8.0
             bad = scores.filter(
                 F.col("cross_entropy").isNotNull()
-                & (F.col("cross_entropy") > args.lm_max_ce)
+                & (F.col("cross_entropy") > max_ce)
             )
             n_lm_dropped = bad.count()
             kept = kept.join(bad.select("doc_id"), "doc_id", "left_anti")
             print(
-                f"lm-gate: dropped={n_lm_dropped} max_ce={args.lm_max_ce} "
+                f"lm-gate: dropped={n_lm_dropped} max_ce={max_ce} "
                 f"order={args.lm_order}"
             )
 
@@ -1285,7 +1301,14 @@ def main(argv: list[str] | None = None) -> int:
         "gate-surviving docs scoring above --lm-max-ce are dropped "
         "(the CCNet perplexity filter, in-engine)",
     )
-    p.add_argument("--lm-max-ce", type=float, default=8.0)
+    p.add_argument(
+        "--lm-max-ce",
+        type=float,
+        default=None,
+        help="absolute cross-entropy ceiling for the LM gate (default "
+        "8.0 when neither this nor --lm-keep-buckets is given); "
+        "mutually exclusive with --lm-keep-buckets",
+    )
     p.add_argument(
         "--lm-order",
         type=int,

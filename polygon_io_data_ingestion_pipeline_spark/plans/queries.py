@@ -6601,7 +6601,8 @@ b AS (
   FROM hist
 )
 SELECT j.doc_id, j.lang, j.cross_entropy, b.bucket
-FROM j LEFT JOIN b ON b.lang = j.lang AND b.q = j.cross_entropy
+FROM j LEFT JOIN b ON b.lang IS NOT DISTINCT FROM j.lang
+                  AND b.q = j.cross_entropy
 """,
     doc="Per-language quantile bucketing of LM quality scores "
     "(operators/sampling.py score_quantile_buckets over "

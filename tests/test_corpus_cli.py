@@ -839,3 +839,17 @@ def test_corpus_cli_clf_and_bucket_flag_validation(tmp_path):
     assert main(
         base + ["--lm-ref", "r.parquet", "--lm-keep-buckets", "head,best"]
     ) == 2
+
+
+def test_corpus_cli_lm_gate_flags_mutually_exclusive(tmp_path):
+    """--lm-max-ce together with --lm-keep-buckets exits 2: silently
+    ignoring the user's explicit threshold would misreport the gate."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text('{"doc_id": 1, "text": "the a of"}')
+    assert main([
+        "corpus", "--src", str(src), "--out", str(tmp_path / "o"),
+        "--lm-ref", "r.parquet", "--lm-max-ce", "5.0",
+        "--lm-keep-buckets", "head",
+    ]) == 2
