@@ -122,10 +122,17 @@ def _per_label_totals(
         .join(model["token_counts"], ["label", "token"], "left")
         .crossJoin(F.broadcast(model["stats"]))
     )
-    logp = F.log(
-        (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k))
-        / (F.col("_lt") + F.lit(k) * F.col("v_size"))
-    )
+    # degenerate empty-vocabulary model (a training corpus with no
+    # tokens at all): the likelihood term is undefined, so every label
+    # contributes 0 and prediction falls back to priors alone — a loud
+    # DIVIDE_BY_ZERO under ANSI mode otherwise
+    logp = F.when(
+        F.col("v_size") > 0,
+        F.log(
+            (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k))
+            / (F.col("_lt") + F.lit(k) * F.col("v_size"))
+        ),
+    ).otherwise(F.lit(0.0))
     slp = F.when(
         F.col("token").isNotNull(), F.round(logp * 1e6, 0).cast("long")
     )

@@ -6527,6 +6527,7 @@ FROM documents dd LEFT JOIN agg a USING (doc_id)
     "+ an L-row-per-doc argmax window; each ln is quantized to "
     "micro-nats and integer-summed so the DuckDB replay is exact.",
     tags=("text", "quality"),
+    bench=True,
 )
 def docs_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     from ..operators.classify import nb_score, nb_train

@@ -176,3 +176,94 @@ def test_plan_is_native_and_scalable(spark):
     # the L-row label summary attaches via the documented condition-less
     # broadcast; nothing beyond warn-class may appear
     assert all(f.severity == "warn" for f in findings)
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: the engine vs a pure-Python NB restatement
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# tiny vocab so label distributions actually overlap and ties happen
+_WORDS = st.sampled_from(["a", "b", "c"])
+_TEXT = st.lists(_WORDS, min_size=0, max_size=6).map(" ".join)
+_CORPUS = st.lists(
+    st.tuples(st.sampled_from(["g", "h"]), _TEXT), min_size=1, max_size=8
+)
+_DOCS = st.lists(_TEXT, min_size=1, max_size=6)
+
+
+def _python_nb(train_rows, doc_texts, add_k=1.0):
+    """Independent restatement of the scorer (same micro-nat
+    quantization, same tie rule) in plain Python."""
+    counts: dict[str, dict[str, int]] = {}
+    ndocs: dict[str, int] = {}
+    for lab, text in train_rows:
+        ndocs[lab] = ndocs.get(lab, 0) + 1
+        c = counts.setdefault(lab, {})
+        for t in text.split():
+            c[t] = c.get(t, 0) + 1
+    lt = {lab: sum(c.values()) for lab, c in counts.items()}
+    vocab = len({t for c in counts.values() for t in c})
+    total = sum(ndocs.values())
+    out = {}
+    for i, text in enumerate(doc_texts):
+        toks = text.split()
+        if not toks:
+            out[i] = (0, None, None)
+            continue
+        tot = {}
+        for lab in counts:
+            s = round(math.log(ndocs[lab] / total) * 1e6)
+            for t in toks:
+                # empty-vocabulary model: prior-only prediction
+                if vocab > 0:
+                    s += round(
+                        math.log(
+                            (counts[lab].get(t, 0) + add_k)
+                            / (lt[lab] + add_k * vocab)
+                        )
+                        * 1e6
+                    )
+            tot[lab] = s
+        order = sorted(tot.items(), key=lambda kv: (-kv[1], kv[0]))
+        margin = (
+            math.floor((order[0][1] - order[1][1]) / 1e6 * 1e6 + 0.5) / 1e6
+            if len(order) > 1
+            else None
+        )
+        out[i] = (len(toks), order[0][0], margin)
+    return out
+
+
+@given(train=_CORPUS, texts=_DOCS)
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_property_engine_matches_python_restatement(spark, train, texts):
+    model = nb_train(
+        spark.createDataFrame(train, "label string, text string")
+    )
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["pred_label"], r["margin"])
+        for r in nb_score(docs, model).collect()
+    }
+    want = _python_nb(train, texts)
+    assert got == want
+
+
+def test_empty_vocabulary_model_predicts_by_priors(spark):
+    """A training corpus with no tokens at all (empty/NULL texts) must
+    not raise DIVIDE_BY_ZERO under ANSI mode: the likelihood term is
+    undefined, so prediction falls back to priors alone — two docs of
+    'g' vs one of 'h' predicts 'g' with margin ln(2/3)-ln(1/3)."""
+    model = _train(spark, [("g", ""), ("g", None), ("h", "")])
+    got = nb_score(_docs(spark, [(1, "x y")]), model).collect()[0]
+    assert got["pred_label"] == "g"
+    assert got["margin"] == pytest.approx(
+        _half_up6((_q(2 / 3) - _q(1 / 3)) / 1e6)
+    )
