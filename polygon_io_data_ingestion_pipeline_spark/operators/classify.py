@@ -79,6 +79,35 @@ def nb_train(
     }
 
 
+def nb_save(model: dict[str, DataFrame], path: str) -> None:
+    """Persist a trained model as three parquet tables under ``path``
+    (``token_counts/``, ``label_totals/``, ``stats/``) — the model
+    lifecycle a real pipeline needs: train once on the big reference
+    corpora, then serve the SAME counts in later batch runs and in the
+    streaming ingest (``streaming/crawl_stream.py`` takes the loaded
+    model).  Tables are plain parquet, so the saved model is also
+    auditable with any SQL engine."""
+    import os
+
+    for name in ("token_counts", "label_totals", "stats"):
+        model[name].write.mode("overwrite").parquet(
+            os.path.join(path, name)
+        )
+
+
+def nb_load(spark, path: str) -> dict[str, DataFrame]:
+    """Load a model saved by :func:`nb_save`.  Returns the same dict
+    shape ``nb_train`` produces; scoring joins read the parquet tables
+    directly (callers gating many batches should ``persist()`` the
+    three frames once — they are O(training vocabulary))."""
+    import os
+
+    return {
+        name: spark.read.parquet(os.path.join(path, name))
+        for name in ("token_counts", "label_totals", "stats")
+    }
+
+
 def _per_label_totals(
     docs: DataFrame,
     model: dict[str, DataFrame],

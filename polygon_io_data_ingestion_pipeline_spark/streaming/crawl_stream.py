@@ -195,6 +195,8 @@ def write_crawl_batch(
     robots_agent: str | None = None,
     outlinks_path: str | None = None,
     schedule_path: str | None = None,
+    clf_model: dict | None = None,
+    clf_margin: float = 0.0,
 ) -> None:
     """foreachBatch sink: records -> documents -> idempotent corpus
     commit.  The docs frame feeds one sink write but its lineage tops a
@@ -250,6 +252,7 @@ def write_crawl_batch(
         docs = _recs_to_docs(kept, main_content=main_content).persist()
     else:
         docs = crawl_records_to_docs(batch_df, main_content=main_content).persist()
+    bad_ids = None
     try:
         if outlinks_path is not None:
             from ..sources.archive import extract_outlinks
@@ -261,8 +264,32 @@ def write_crawl_batch(
                 .write.mode("overwrite")
                 .parquet(os.path.join(outlinks_path, f"batch_id={batch_id}"))
             )
+        out_docs = docs
+        if clf_model is not None:
+            # the model-based quality gate, in-stream: score this
+            # batch's survivors under the good-vs-bad NB model
+            # (``operators/classify.py`` — trained offline, loaded via
+            # nb_load) and drop below-margin pages with accounting.
+            # Unscorable docs keep (the classifier cannot judge them);
+            # the tiny dropped-ids frame persists so the count and the
+            # anti-join don't re-run the model joins; deterministic per
+            # batch, so the replay contract holds.
+            from ..operators.classify import nb_log_odds
+
+            bad_ids = (
+                nb_log_odds(docs, clf_model, "good", "bad")
+                .filter(
+                    F.col("log_odds").isNotNull()
+                    & (F.col("log_odds") < float(clf_margin))
+                )
+                .select("doc_id")
+                .persist()
+            )
+            n_clf = bad_ids.count()
+            print(f"clf[batch {batch_id}]: dropped={n_clf}")
+            out_docs = docs.join(bad_ids, "doc_id", "left_anti")
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
-        sink(docs, batch_id, lake_path)
+        sink(out_docs, batch_id, lake_path)
         if schedule_path is not None:
             from ..operators.robots import (
                 latest_robots_captures,
@@ -300,6 +327,8 @@ def write_crawl_batch(
                 captures.unpersist()
     finally:
         docs.unpersist()
+        if bad_ids is not None:
+            bad_ids.unpersist()
         if recs is not None:
             recs.unpersist()
         if responses is not None:
@@ -316,6 +345,8 @@ def start_crawl_ingest(
     robots_agent: str | None = None,
     outlinks_path: str | None = None,
     schedule_path: str | None = None,
+    clf_model: dict | None = None,
+    clf_margin: float = 0.0,
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
@@ -339,7 +370,19 @@ def start_crawl_ingest(
     that ready-to-fetch table per batch (``schedule/batch_id=N/`` —
     robots-disallowed URLs dropped, per-host ``Crawl-delay`` attached
     from the batch's own captures): the crawl loop closes end-to-end
-    inside the stream."""
+    inside the stream.
+
+    ``clf_model`` (the dict from ``operators/classify.py`` ``nb_train``
+    or ``nb_load``, labels ``good``/``bad``) gates each batch with the
+    model-based quality filter: pages whose good-vs-bad log-odds falls
+    below ``clf_margin`` drop with per-batch accounting; unscorable
+    pages keep.  The three model frames are persisted ONCE here (they
+    are O(training vocabulary) and every batch joins them — without
+    this each batch re-reads the model parquet); they stay cached for
+    the life of the stream, not per batch."""
+    if clf_model is not None:
+        for frame in clf_model.values():
+            frame.persist()
     return (
         read_warc_stream(spark, src_glob)
         .writeStream.foreachBatch(
@@ -351,6 +394,8 @@ def start_crawl_ingest(
                 robots_agent=robots_agent,
                 outlinks_path=outlinks_path,
                 schedule_path=schedule_path,
+                clf_model=clf_model,
+                clf_margin=clf_margin,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -267,3 +267,26 @@ def test_empty_vocabulary_model_predicts_by_priors(spark):
     assert got["margin"] == pytest.approx(
         _half_up6((_q(2 / 3) - _q(1 / 3)) / 1e6)
     )
+
+
+def test_save_load_roundtrip_scores_identically(spark, tmp_path):
+    """nb_save/nb_load: the persisted model (three parquet tables) must
+    score exactly like the in-memory one — the train-offline /
+    serve-in-stream lifecycle."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_load,
+        nb_save,
+    )
+
+    model = _train(spark)
+    nb_save(model, str(tmp_path / "model"))
+    loaded = nb_load(spark, str(tmp_path / "model"))
+    want = sorted(
+        nb_score(_docs(spark), model).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    got = sorted(
+        nb_score(_docs(spark), loaded).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert got == want

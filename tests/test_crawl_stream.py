@@ -273,3 +273,46 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
             spark.createDataFrame([], "url string"), 0, str(lake),
             schedule_path=str(sched_dir),
         )
+
+
+def test_streaming_clf_gate_drops_bad_pages(spark, tmp_path):
+    """The model-based quality gate, in-stream: a NB model trained on
+    good/bad references (persisted with nb_save, served with nb_load)
+    drops the spam-like page from the batch with accounting, keeps the
+    reference-like one, and a checkpointed replay stays deterministic."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_load,
+        nb_save,
+        nb_train,
+    )
+
+    spammy = (
+        "the cheap pills and the lucky prize of the winner in the draw "
+        "are the offer of the day while the bonus of the deal is the "
+        "gift of the spin and the jackpot of the club"
+    )
+    train = spark.createDataFrame(
+        [("good", GOOD_A), ("good", GOOD_B)]
+        + [("bad", spammy), ("bad", spammy)],
+        "label string, text string",
+    )
+    nb_save(nb_train(train), str(tmp_path / "model"))
+    model = nb_load(spark, str(tmp_path / "model"))
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt = tmp_path / "lake", tmp_path / "ckpt"
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/good", _http(_page(GOOD_A))),
+        _warc_record("response", "http://x.example/spam", _http(_page(spammy))),
+    ])
+    _drain(spark, src, lake, ckpt, clf_model=model)
+    urls = sorted(r["url"] for r in spark.read.parquet(str(lake)).collect())
+    assert urls == ["http://x.example/good"]
+
+    # drain again with a NEW checkpoint (replay of the same files):
+    # the gate is deterministic, the idempotent sink rewrites the same
+    # batch directory and the lake is unchanged
+    _drain(spark, src, lake, tmp_path / "ckpt2", clf_model=model)
+    urls2 = sorted(r["url"] for r in spark.read.parquet(str(lake)).collect())
+    assert urls2 == urls
