@@ -301,6 +301,46 @@ def cmd_rollup(args: argparse.Namespace) -> int:
 _LM_BUCKETS = ("head", "middle", "tail")
 
 
+def cmd_clftrain(args: argparse.Namespace) -> int:
+    """Train the in-engine NB quality classifier on two reference
+    corpora and persist it (operators/classify.py nb_train + nb_save):
+    the train-once half of the model lifecycle — `corpus --clf-model`
+    and the streaming crawl (`start_crawl_ingest(clf_model=)`) serve
+    the saved tables without retraining.  Prints per-label token/doc
+    totals and the vocabulary size as the training accounting."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from .operators.classify import nb_save, nb_train
+
+    spark = get_spark("poly-clftrain", master=args.master)
+    good = spark.read.parquet(args.good).select(
+        F.lit("good").alias("label"), F.col(args.text_col).alias("text")
+    )
+    bad = spark.read.parquet(args.bad).select(
+        F.lit("bad").alias("label"), F.col(args.text_col).alias("text")
+    )
+    model = nb_train(good.unionByName(bad))
+    nb_save(model, args.out)
+    # read the SAVED tables for the accounting so the printed numbers
+    # certify what landed on disk, not just the in-memory lineage
+    totals = {
+        r["label"]: (r["n_tokens"], r["n_docs"])
+        for r in spark.read.parquet(
+            os.path.join(args.out, "label_totals")
+        ).collect()
+    }
+    v = spark.read.parquet(os.path.join(args.out, "stats")).collect()[0][
+        "v_size"
+    ]
+    for lab in sorted(totals):
+        n_tok, n_doc = totals[lab]
+        print(f"clftrain: label={lab} docs={n_doc} tokens={n_tok}")
+    print(f"clftrain: vocab={v} -> {args.out}")
+    return 0
+
+
 def cmd_corpus(args: argparse.Namespace) -> int:
     """Training-corpus prep, end to end: JSONL/parquet documents in ->
     PII scrub (optional) -> quality gate -> exact dedup (min-id
@@ -366,6 +406,13 @@ def cmd_corpus(args: argparse.Namespace) -> int:
     if bool(args.clf_good) != bool(args.clf_bad):
         print(
             "corpus: --clf-good and --clf-bad must be given together",
+            file=sys.stderr,
+        )
+        return 2
+    if args.clf_model and args.clf_good:
+        print(
+            "corpus: --clf-model and --clf-good/--clf-bad are mutually "
+            "exclusive (a saved model IS the trained references)",
             file=sys.stderr,
         )
         return 2
@@ -676,24 +723,28 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 f"order={args.lm_order}"
             )
 
-    if args.clf_good:
+    if args.clf_good or args.clf_model:
         # the model-based quality filter (GPT-3/CCNet-style): a Naive
-        # Bayes classifier trains in-engine on the two references and
-        # every surviving doc is kept only when its good-vs-bad
-        # log-odds clears the margin.  Unscorable docs (no tokens —
-        # already past the heuristic gate) keep: the classifier cannot
-        # judge them, symmetric with the LM gate.  The tiny scores
-        # frame persists so the accounting count and the anti-join
-        # don't re-run the model joins.
-        from .operators.classify import nb_log_odds, nb_train
+        # Bayes classifier trains in-engine on the two references (or
+        # loads a model the clftrain command saved) and every surviving
+        # doc is kept only when its good-vs-bad log-odds clears the
+        # margin.  Unscorable docs (no tokens — already past the
+        # heuristic gate) keep: the classifier cannot judge them,
+        # symmetric with the LM gate.  The tiny scores frame persists
+        # so the accounting count and the anti-join don't re-run the
+        # model joins.
+        from .operators.classify import nb_load, nb_log_odds, nb_train
 
-        good = spark.read.parquet(args.clf_good).select(
-            F.lit("good").alias("label"), "text"
-        )
-        badref = spark.read.parquet(args.clf_bad).select(
-            F.lit("bad").alias("label"), "text"
-        )
-        model = nb_train(good.unionByName(badref))
+        if args.clf_model:
+            model = nb_load(spark, args.clf_model)
+        else:
+            good = spark.read.parquet(args.clf_good).select(
+                F.lit("good").alias("label"), "text"
+            )
+            badref = spark.read.parquet(args.clf_bad).select(
+                F.lit("bad").alias("label"), "text"
+            )
+            model = nb_train(good.unionByName(badref))
         odds = nb_log_odds(kept, model, "good", "bad").persist()
         bad = odds.filter(
             F.col("log_odds").isNotNull()
@@ -1346,6 +1397,13 @@ def main(argv: list[str] | None = None) -> int:
         "(default 0.0 = predicted good); unscorable docs keep",
     )
     p.add_argument(
+        "--clf-model",
+        default=None,
+        help="saved classifier root from the clftrain command (loads "
+        "the model tables instead of retraining; mutually exclusive "
+        "with --clf-good/--clf-bad)",
+    )
+    p.add_argument(
         "--normalized-dedup",
         action="store_true",
         help="exact dedup keys on the aggressive normalized form "
@@ -1417,6 +1475,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_webgraph)
+
+    p = sub.add_parser(
+        "clftrain",
+        help="train the NB quality classifier on good/bad references "
+        "and save it (parquet tables) for corpus --clf-model and the "
+        "streaming ingest",
+    )
+    p.add_argument("--good", required=True, help="parquet documents table of GOOD reference text")
+    p.add_argument("--bad", required=True, help="parquet documents table of BAD reference text")
+    p.add_argument("--out", required=True, help="model output root (token_counts/, label_totals/, stats/)")
+    p.add_argument("--text-col", default="text")
+    _add_common(p)
+    p.set_defaults(fn=cmd_clftrain)
 
     p = sub.add_parser(
         "imagededup",

@@ -853,3 +853,56 @@ def test_corpus_cli_lm_gate_flags_mutually_exclusive(tmp_path):
         "--lm-ref", "r.parquet", "--lm-max-ce", "5.0",
         "--lm-keep-buckets", "head",
     ]) == 2
+
+
+def test_clftrain_then_corpus_clf_model(spark, tmp_path, capsys):
+    """The full model lifecycle on the CLI: clftrain saves the NB model
+    with accounting; corpus --clf-model serves it without retraining
+    and gates identically to the inline --clf-good/--clf-bad path."""
+    import json as _json
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    goodish = ("the data in the table is the value of the row and the key "
+               "of the batch while the line in the window is the part of "
+               "the sort and the scan of the batch is the merge")
+    spammy = ("the cheap pills and the lucky prize of the winner in the "
+              "draw are the offer of the day while the bonus of the deal "
+              "is the gift of the spin and the jackpot of the club")
+    gref, bref = str(tmp_path / "g.parquet"), str(tmp_path / "b.parquet")
+    spark.createDataFrame(
+        [(i, goodish) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(gref)
+    spark.createDataFrame(
+        [(i, spammy) for i in range(6)], "doc_id long, text string"
+    ).write.parquet(bref)
+
+    model = str(tmp_path / "model")
+    assert main([
+        "clftrain", "--good", gref, "--bad", bref, "--out", model,
+        "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "clftrain: label=bad docs=6" in msg
+    assert "clftrain: label=good docs=6" in msg
+    assert "clftrain: vocab=" in msg
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in ((1, goodish), (2, spammy))
+    ))
+    out = str(tmp_path / "corpus")
+    assert main([
+        "corpus", "--src", str(src), "--out", out,
+        "--clf-model", model, "--master", "local[4]",
+    ]) == 0
+    assert "clf-gate: dropped=1" in capsys.readouterr().out
+    rows = spark.read.parquet(out).collect()
+    assert [r["doc_id"] for r in rows] == [1]
+
+    # mutual exclusion validates before Spark work
+    assert main([
+        "corpus", "--src", str(src), "--out", str(tmp_path / "o2"),
+        "--clf-model", model, "--clf-good", gref, "--clf-bad", bref,
+    ]) == 2
