@@ -449,14 +449,19 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # duplicate markers, whose content_type would not survive the
         # filter — and it collapses exact duplicates before any HTML
         # parse or payload hash is paid.
-        # text/* pages plus application/pdf: crawls carry PDFs, and the
-        # decode lane extracts their text (quarantining encrypted/exotic
-        # ones) instead of dropping them as non-text
+        # text/* pages plus PDF and Office documents (DOCX/ODT): crawls
+        # carry them, and the decode lane extracts their text
+        # (quarantining encrypted/exotic ones) instead of dropping them
+        # as non-text
+        from .multimodal.docx import OFFICE_CONTENT_TYPES
+
         raw = warc_digest_dedup(read_warc(spark, args.src)).filter(
             (F.col("record_type") == "response")
             & (
                 F.col("content_type").startswith("text/")
-                | (F.col("content_type") == "application/pdf")
+                | F.col("content_type").isin(
+                    "application/pdf", *OFFICE_CONTENT_TYPES
+                )
             )
         ).persist()
         # refetches of the same page (tracking params, fragments, case)

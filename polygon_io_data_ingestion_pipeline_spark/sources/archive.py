@@ -782,7 +782,17 @@ def _decoded_text_column(
     (:mod:`...multimodal.pdf`) — charset-decoding PDF bytes would only
     produce mojibake; extracted documents report ``charset='pdf'``,
     quarantined ones (encrypted, exotic filters, CID fonts) come back
-    NULL with ``decode_ok=false``, the same accounting as mojibake."""
+    NULL with ``decode_ok=false``, the same accounting as mojibake.
+    ZIP-magic payloads that are Office documents (DOCX/ODT — sniffed by
+    container member, :mod:`...multimodal.docx`) route the same way
+    with ``charset='docx'``/``'odt'``; any OTHER zip falls through to
+    the charset lane (zip BUNDLES belong to the archive source, which
+    explodes members before this lane sees them)."""
+    from ..multimodal.docx import (
+        extract_docx_text,
+        extract_odt_text,
+        sniff_office_kind,
+    )
     from ..multimodal.pdf import PdfFormatError, extract_pdf_text
 
     if content_type_col is None and "content_type" in df.columns:
@@ -815,6 +825,23 @@ def _decoded_text_column(
                         oks.append(False)
                     charsets.append("pdf")
                     continue
+                if bytes(p[:4]) == b"PK\x03\x04":
+                    kind = sniff_office_kind(bytes(p))
+                    if kind is not None:
+                        fn = (
+                            extract_docx_text
+                            if kind == "docx"
+                            else extract_odt_text
+                        )
+                        try:
+                            texts.append(fn(bytes(p)))
+                            oks.append(True)
+                        except Exception:  # OfficeFormatError + surprises
+                            texts.append(None)
+                            oks.append(False)
+                        charsets.append(kind)
+                        continue
+                    # a plain zip: fall through to the charset lane
                 try:
                     raw, enc, ok = _decode_payload(
                         bytes(p), ct if isinstance(ct, str) else None

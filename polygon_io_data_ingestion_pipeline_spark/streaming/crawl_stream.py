@@ -65,13 +65,18 @@ def read_warc_stream(
 
 
 def _text_responses(records: DataFrame) -> DataFrame:
-    """Digest-deduplicated text/PDF response records — the shared head
-    of the doc pipeline and the per-batch schedule emission."""
+    """Digest-deduplicated text/PDF/Office response records — the
+    shared head of the doc pipeline and the per-batch schedule
+    emission."""
+    from ..multimodal.docx import OFFICE_CONTENT_TYPES
+
     return warc_digest_dedup(records).filter(
         (F.col("record_type") == "response")
         & (
             F.col("content_type").startswith("text/")
-            | (F.col("content_type") == "application/pdf")
+            | F.col("content_type").isin(
+                "application/pdf", *OFFICE_CONTENT_TYPES
+            )
         )
     )
 

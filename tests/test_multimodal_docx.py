@@ -1,0 +1,208 @@
+"""Office document text extraction (multimodal/docx.py — DOCX/ODT as
+stdlib zip+XML): paragraph/table/tab/break semantics, ODT run-length
+spaces, sniffing (plain zips fall through), typed quarantine, the
+decode-lane integration, and the crawl-to-corpus CLI journey."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zipfile
+
+import pytest
+
+from polygon_io_data_ingestion_pipeline_spark.multimodal.docx import (
+    OfficeFormatError,
+    extract_docx_text,
+    extract_odt_text,
+    sniff_office_kind,
+)
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_T = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+
+
+def _zip_bytes(members: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in members.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def make_docx(body_xml: str) -> bytes:
+    doc = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{_W}">'
+        f"<w:body>{body_xml}</w:body></w:document>"
+    ).encode()
+    return _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "word/document.xml": doc,
+        }
+    )
+
+
+def make_odt(body_xml: str) -> bytes:
+    doc = (
+        f'<?xml version="1.0"?>'
+        f'<office:document-content xmlns:office="o" xmlns:text="{_T}">'
+        f"<office:body><office:text>{body_xml}</office:text>"
+        f"</office:body></office:document-content>"
+    ).encode()
+    return _zip_bytes(
+        {
+            "mimetype": b"application/vnd.oasis.opendocument.text",
+            "content.xml": doc,
+        }
+    )
+
+
+def test_docx_paragraphs_runs_tabs_breaks():
+    data = make_docx(
+        "<w:p><w:r><w:t>Hello</w:t></w:r>"
+        '<w:r><w:t xml:space="preserve"> world</w:t></w:r></w:p>'
+        "<w:p><w:r><w:t>a</w:t><w:tab/><w:t>b</w:t>"
+        "<w:br/><w:t>c</w:t></w:r></w:p>"
+    )
+    assert sniff_office_kind(data) == "docx"
+    assert extract_docx_text(data) == "Hello world\na\tb\nc"
+
+
+def test_docx_table_cells_extract_in_order():
+    data = make_docx(
+        "<w:p><w:r><w:t>before</w:t></w:r></w:p>"
+        "<w:tbl><w:tr>"
+        "<w:tc><w:p><w:r><w:t>c1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>c2</w:t></w:r></w:p></w:tc>"
+        "</w:tr></w:tbl>"
+        "<w:p><w:r><w:t>after</w:t></w:r></w:p>"
+    )
+    assert extract_docx_text(data) == "before\nc1\nc2\nafter"
+
+
+def test_odt_blocks_spaces_tabs_breaks_and_spans():
+    data = make_odt(
+        "<text:h>Title</text:h>"
+        '<text:p>a<text:s text:c="3"/>b<text:tab/>c'
+        "<text:line-break/>d</text:p>"
+        '<text:p>x <text:span>in <text:a href="u">link</text:a>'
+        "</text:span> tail</text:p>"
+    )
+    assert sniff_office_kind(data) == "odt"
+    assert extract_odt_text(data) == (
+        "Title\na   b\tc\nd\nx in link tail"
+    )
+
+
+def test_plain_zip_is_not_an_office_doc():
+    data = _zip_bytes({"readme.txt": b"hello", "data.bin": b"\x00\x01"})
+    assert sniff_office_kind(data) is None
+    assert sniff_office_kind(b"not a zip at all") is None
+
+
+def test_malformed_document_xml_quarantines_typed():
+    data = _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "word/document.xml": b"<w:document ... not xml",
+        }
+    )
+    assert sniff_office_kind(data) == "docx"
+    with pytest.raises(OfficeFormatError, match="malformed"):
+        extract_docx_text(data)
+
+
+def test_truncated_container_is_not_sniffed():
+    whole = make_docx("<w:p><w:r><w:t>x</w:t></w:r></w:p>")
+    # keep the zip magic, destroy the central directory
+    assert sniff_office_kind(whole[: len(whole) // 2]) is None
+
+
+def test_decode_lane_routes_office_docs(spark):
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        decode_text_members,
+    )
+
+    docx = make_docx("<w:p><w:r><w:t>docx body text</w:t></w:r></w:p>")
+    odt = make_odt("<text:p>odt body text</text:p>")
+    broken = _zip_bytes(
+        {
+            "[Content_Types].xml": b"<Types/>",
+            "word/document.xml": b"<broken",
+        }
+    )
+    plain_zip = _zip_bytes({"a.txt": b"not routed here"})
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(docx)),
+            (2, bytearray(odt)),
+            (3, bytearray(broken)),
+            (4, bytearray(b"plain text payload")),
+            (5, bytearray(plain_zip)),
+        ],
+        "id long, payload binary",
+    )
+    rows = {
+        r["id"]: r for r in decode_text_members(df).collect()
+    }
+    assert rows[1]["text"] == "docx body text"
+    assert rows[1]["charset"] == "docx"
+    assert rows[1]["decode_ok"] is True
+    assert rows[2]["text"] == "odt body text"
+    assert rows[2]["charset"] == "odt"
+    assert rows[3]["text"] is None
+    assert rows[3]["charset"] == "docx"
+    assert rows[3]["decode_ok"] is False
+    assert rows[4]["text"] == "plain text payload"
+    # a plain zip is NOT an office doc: falls through to the charset
+    # lane (binary -> quarantine there), never charset='docx'
+    assert rows[5]["charset"] not in ("docx", "odt")
+
+
+def test_corpus_cli_extracts_docx_from_crawl(spark, tmp_path, capsys):
+    """A WARC crawl carrying a DOCX response extracts its text into the
+    corpus through the same command as HTML and PDF."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    body = (
+        "the data in the table is the value of the row and the key of "
+        "the batch while the line in the window is the part of the sort"
+    )
+    docx = make_docx(f"<w:p><w:r><w:t>{body}</w:t></w:r></w:p>")
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: application/vnd."
+        b"openxmlformats-officedocument.wordprocessingml.document\r\n"
+        b"Content-Length: " + str(len(docx)).encode() + b"\r\n\r\n" + docx
+    )
+    rec = (
+        (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: http://x.example/report.docx\r\n"
+            "WARC-Date: 2026-08-14T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        + http
+        + b"\r\n\r\n"
+    )
+    src = tmp_path / "crawl"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(gzip.compress(rec))
+    out = str(tmp_path / "corpus")
+    assert main(
+        [
+            "corpus",
+            "--src",
+            str(src / "*.warc.gz"),
+            "--input-format",
+            "warc",
+            "--out",
+            out,
+            "--master",
+            "local[4]",
+        ]
+    ) == 0
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert body in rows[0]["text"]
+    assert rows[0]["url"] == "http://x.example/report.docx"
