@@ -1,8 +1,8 @@
 """Office document text extraction, pure stdlib — DOCX (OOXML
-WordprocessingML) and ODT (OpenDocument Text), the two word-processor
-formats a real crawl carries after HTML and PDF.  Both are ZIP
-containers of XML, so the whole codec is ``zipfile`` +
-``xml.etree.ElementTree``; no external library.
+WordprocessingML), PPTX (PresentationML) and ODT (OpenDocument Text),
+the word-processor/slide formats a real crawl carries after HTML and
+PDF.  All are ZIP containers of XML, so the whole codec is ``zipfile``
++ ``xml.etree.ElementTree``; no external library.
 
 Surface:
 
@@ -13,6 +13,10 @@ Surface:
   ``w:br``/``w:cr`` as in-paragraph line breaks.  Namespace handling is
   by local tag name, so documents using a non-standard prefix (or the
   strict-OOXML namespace) extract identically.
+- **PPTX**: ``ppt/slides/slideN.xml`` in numeric deck order (zip
+  member order is generator-dependent) — one line per ``a:p``
+  paragraph of each shape, ``a:br`` expanded; notes/masters are chrome
+  and skipped.
 - **ODT**: ``content.xml`` — ``text:p`` and ``text:h`` blocks in
   order, with ``text:s`` (run-length encoded spaces, ``text:c``
   count), ``text:tab`` and ``text:line-break`` expanded; nested spans
@@ -49,6 +53,8 @@ class OfficeFormatError(ValueError):
 OFFICE_CONTENT_TYPES = (
     "application/vnd.openxmlformats-officedocument"
     ".wordprocessingml.document",
+    "application/vnd.openxmlformats-officedocument"
+    ".presentationml.presentation",
     "application/vnd.oasis.opendocument.text",
 )
 
@@ -75,6 +81,8 @@ def sniff_office_kind(data: bytes) -> str | None:
         return None
     if "word/document.xml" in names:
         return "docx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
     if "content.xml" in names and (
         "mimetype" in names or "META-INF/manifest.xml" in names
     ):
@@ -182,14 +190,57 @@ def extract_odt_text(data: bytes) -> str:
     return "\n".join(out)
 
 
+def extract_pptx_text(data: bytes) -> str:
+    """PPTX bytes -> plain text: slides in deck order (the numeric
+    suffix of ``ppt/slides/slideN.xml`` — the zip's member order is
+    whatever the generator wrote), one line per ``a:p`` paragraph of
+    each shape, ``a:br`` as an in-paragraph break.  Slide notes and
+    masters are chrome and skipped.  Raises :class:`OfficeFormatError`
+    on a corrupt container or XML."""
+    import re
+
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            slides = sorted(
+                (
+                    int(m.group(1)), n
+                )
+                for n in zf.namelist()
+                if (m := re.fullmatch(r"ppt/slides/slide(\d+)\.xml", n))
+            )
+            raws = [zf.read(n) for _, n in slides]
+    except (zipfile.BadZipFile, OSError, EOFError) as e:
+        raise OfficeFormatError(f"unreadable container: {e}") from e
+    out: list[str] = []
+    for raw in raws:
+        root = _parse_xml(raw)
+        for el in root.iter():
+            if _local(el.tag) != "p":
+                continue
+            parts: list[str] = []
+            for sub in el.iter():
+                tag = _local(sub.tag)
+                if tag == "t":
+                    parts.append(sub.text or "")
+                elif tag == "br":
+                    parts.append("\n")
+            out.append("".join(parts))
+    return "\n".join(out)
+
+
+_EXTRACTORS = {
+    "docx": extract_docx_text,
+    "odt": extract_odt_text,
+    "pptx": extract_pptx_text,
+}
+
+
 def extract_office_text(data: bytes) -> str:
     """Dispatch on :func:`sniff_office_kind`; raises
     :class:`OfficeFormatError` when the payload is not a recognizable
     Office document (callers should sniff first and fall through to
     their normal lane instead of treating that as a quarantine)."""
     kind = sniff_office_kind(data)
-    if kind == "docx":
-        return extract_docx_text(data)
-    if kind == "odt":
-        return extract_odt_text(data)
-    raise OfficeFormatError("not a DOCX/ODT container")
+    if kind is None:
+        raise OfficeFormatError("not a DOCX/PPTX/ODT container")
+    return _EXTRACTORS[kind](data)

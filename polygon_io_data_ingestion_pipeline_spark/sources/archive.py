@@ -788,11 +788,7 @@ def _decoded_text_column(
     with ``charset='docx'``/``'odt'``; any OTHER zip falls through to
     the charset lane (zip BUNDLES belong to the archive source, which
     explodes members before this lane sees them)."""
-    from ..multimodal.docx import (
-        extract_docx_text,
-        extract_odt_text,
-        sniff_office_kind,
-    )
+    from ..multimodal.docx import _EXTRACTORS, sniff_office_kind
     from ..multimodal.pdf import PdfFormatError, extract_pdf_text
 
     if content_type_col is None and "content_type" in df.columns:
@@ -828,13 +824,8 @@ def _decoded_text_column(
                 if bytes(p[:4]) == b"PK\x03\x04":
                     kind = sniff_office_kind(bytes(p))
                     if kind is not None:
-                        fn = (
-                            extract_docx_text
-                            if kind == "docx"
-                            else extract_odt_text
-                        )
                         try:
-                            texts.append(fn(bytes(p)))
+                            texts.append(_EXTRACTORS[kind](bytes(p)))
                             oks.append(True)
                         except Exception:  # OfficeFormatError + surprises
                             texts.append(None)

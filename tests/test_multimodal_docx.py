@@ -206,3 +206,54 @@ def test_corpus_cli_extracts_docx_from_crawl(spark, tmp_path, capsys):
     assert len(rows) == 1
     assert body in rows[0]["text"]
     assert rows[0]["url"] == "http://x.example/report.docx"
+
+
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def make_pptx(slides: list[str]) -> bytes:
+    members = {"ppt/presentation.xml": b"<p:presentation/>"}
+    for i, body in enumerate(slides, 1):
+        members[f"ppt/slides/slide{i}.xml"] = (
+            f'<?xml version="1.0"?><p:sld xmlns:p="pp" xmlns:a="{_A}">'
+            f"<p:cSld>{body}</p:cSld></p:sld>"
+        ).encode()
+    return _zip_bytes(members)
+
+
+def test_pptx_slides_extract_in_deck_order():
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.docx import (
+        extract_pptx_text,
+    )
+
+    # write slide2 FIRST so member order differs from deck order
+    members = {"ppt/presentation.xml": b"<p:presentation/>"}
+    s2 = (
+        f'<p:sld xmlns:p="pp" xmlns:a="{_A}"><a:p><a:r>'
+        "<a:t>second slide</a:t></a:r></a:p></p:sld>"
+    ).encode()
+    s1 = (
+        f'<p:sld xmlns:p="pp" xmlns:a="{_A}">'
+        "<a:p><a:r><a:t>first</a:t></a:r><a:br/>"
+        "<a:r><a:t>line</a:t></a:r></a:p></p:sld>"
+    ).encode()
+    members["ppt/slides/slide2.xml"] = s2
+    members["ppt/slides/slide1.xml"] = s1
+    data = _zip_bytes(members)
+    assert sniff_office_kind(data) == "pptx"
+    assert extract_pptx_text(data) == "first\nline\nsecond slide"
+
+
+def test_pptx_through_decode_lane(spark):
+    from polygon_io_data_ingestion_pipeline_spark.sources.archive import (
+        decode_text_members,
+    )
+
+    data = make_pptx(["<a:p><a:r><a:t>deck text</a:t></a:r></a:p>"])
+    df = spark.createDataFrame(
+        [(1, bytearray(data))], "id long, payload binary"
+    )
+    row = decode_text_members(df).collect()[0]
+    assert row["text"] == "deck text"
+    assert row["charset"] == "pptx"
+    assert row["decode_ok"] is True
