@@ -359,3 +359,90 @@ def join_graph_signals(
     for c in value_cols:
         out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
     return out
+
+
+#: feed content types crawls label syndication documents with — the
+#: third discovery channel after outlinks and sitemaps
+FEED_CONTENT_TYPES = (
+    "application/rss+xml",
+    "application/atom+xml",
+    "application/xml",
+    "text/xml",
+)
+
+
+def _xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities (same coverage as the sitemap
+    parser in operators/robots.py) — amp LAST so ``&amp;lt;`` does not
+    double-unescape."""
+    for pat, rep in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+        ("&amp;", "&"),
+    ):
+        c = F.regexp_replace(c, pat, rep)
+    return c
+
+
+def parse_feeds(
+    df: DataFrame, url_col: str = "url", text_col: str = "feed_xml"
+) -> DataFrame:
+    """(feed URL, feed XML) -> one row per entry:
+    ``(feed_url, entry_url, title, published, kind)`` — RSS 2.0
+    ``<item>`` and Atom ``<entry>`` blocks, the syndication complement
+    of ``operators/robots.py:parse_sitemaps`` (sitemaps enumerate what
+    exists; feeds announce what is NEW — the freshness discovery
+    channel).  Entry URLs feed ``crawl_frontier(candidates=)`` exactly
+    like sitemap locs.
+
+    Both dialects are rigidly flat at the entry level, so the parse is
+    pure JVM regexp — one ``regexp_extract_all`` explode per document,
+    no XML library, no Python: ``kind`` derives from each block's own
+    element name (backreference-matched close tag); the entry link is
+    Atom ``<link href>`` (``rel="alternate"`` or unqualified — enclosure
+    /self links are chrome) falling back to the RSS ``<link>`` text
+    element; titles unwrap one CDATA layer and unescape the predefined
+    entities; ``published`` coalesces ``pubDate``/``published``/
+    ``updated`` as the raw string (feed date formats are a zoo — the
+    caller parses what it needs).  Entries without a resolvable link
+    are dropped (nothing to fetch)."""
+    block_re = r"(?s)<(item|entry)[\s>].*?</\1\s*>"
+    blocks = df.select(
+        F.col(url_col).alias("feed_url"),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(block_re), F.lit(0))
+        ).alias("_block"),
+    )
+
+    def field(name: str) -> Column:
+        v = F.regexp_extract(
+            "_block", f"(?s)<{name}[^>]*>\\s*(.*?)\\s*</{name}\\s*>", 1
+        )
+        # unwrap one CDATA layer, then entity-unescape
+        v = F.regexp_replace(v, r"(?s)^<!\[CDATA\[(.*)\]\]>$", r"$1")
+        return F.when(v == "", F.lit(None)).otherwise(_xml_unescape(v))
+
+    atom_href = F.regexp_extract(
+        "_block",
+        r'(?s)<link(?![^>]*\brel="(?!alternate)[^"]*")[^>]*'
+        r'\bhref="([^"]*)"',
+        1,
+    )
+    rss_link = F.regexp_extract("_block", r"(?s)<link>\s*([^<\s]+)\s*</link>", 1)
+    entry_url = F.when(atom_href != "", _xml_unescape(atom_href)).otherwise(
+        F.when(rss_link != "", _xml_unescape(rss_link))
+    )
+    kind = F.when(
+        F.col("_block").startswith("<item"), F.lit("rss")
+    ).otherwise(F.lit("atom"))
+    return (
+        blocks.select(
+            "feed_url",
+            entry_url.alias("entry_url"),
+            field("title").alias("title"),
+            F.coalesce(
+                field("pubDate"), field("published"), field("updated")
+            ).alias("published"),
+            kind.alias("kind"),
+        )
+        .filter(F.col("entry_url").isNotNull())
+    )

@@ -65,17 +65,22 @@ def read_warc_stream(
 
 
 def _text_responses(records: DataFrame) -> DataFrame:
-    """Digest-deduplicated text/PDF/Office response records — the
+    """Digest-deduplicated text/PDF/Office/feed response records — the
     shared head of the doc pipeline and the per-batch schedule
-    emission."""
+    emission.  RSS/Atom responses ride along for the schedule's
+    syndication discovery; the DOC pipeline excludes them again
+    (:func:`_recs_to_docs` — raw feed XML is discovery evidence, not
+    corpus text)."""
     from ..multimodal.docx import OFFICE_CONTENT_TYPES
+    from ..operators.urls import FEED_CONTENT_TYPES
 
     return warc_digest_dedup(records).filter(
         (F.col("record_type") == "response")
         & (
             F.col("content_type").startswith("text/")
             | F.col("content_type").isin(
-                "application/pdf", *OFFICE_CONTENT_TYPES
+                "application/pdf", *OFFICE_CONTENT_TYPES,
+                *FEED_CONTENT_TYPES,
             )
         )
     )
@@ -136,7 +141,17 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
         predicted_lang_script,
         quality_filter,
     )
+    from ..operators.urls import FEED_CONTENT_TYPES
 
+    # syndication responses are discovery evidence (the schedule parses
+    # their entries), not corpus documents — raw feed XML must not reach
+    # the text lane.  text/xml stays: it may be any XML document, and a
+    # non-feed one is legitimately plain text for the gate to judge.
+    recs = recs.filter(
+        ~F.col("content_type").isin(
+            *[t for t in FEED_CONTENT_TYPES if t != "text/xml"]
+        )
+    )
     html = recs.filter(F.col("content_type").startswith("text/html"))
     plain = recs.filter(~F.col("content_type").startswith("text/html"))
     parsed = html_to_text(html, main_content=main_content).unionByName(
@@ -301,7 +316,13 @@ def write_crawl_batch(
                 parse_robots,
                 robots_politeness,
             )
-            from ..operators.urls import crawl_frontier, fetch_schedule
+            from ..operators.urls import (
+                FEED_CONTENT_TYPES,
+                crawl_frontier,
+                fetch_schedule,
+                parse_feeds,
+            )
+            from ..sources.archive import decode_text_members
 
             spark = batch_df.sparkSession
             # the batch's own robots captures -> disallow rules +
@@ -318,8 +339,23 @@ def write_crawl_batch(
                 except Exception:
                     # zero-doc lake so far: nothing fetched yet
                     fetched = spark.createDataFrame([], "url string")
+                # syndication discovery: RSS/Atom responses in THIS
+                # batch announce fresh URLs — their entries join the
+                # frontier as referrer-less candidates (in_refs counts
+                # real referring pages only), exactly like sitemap locs
+                # on the batch CLI path.  The decode rides the persisted
+                # single-walk responses frame.
+                feed_entries = parse_feeds(
+                    decode_text_members(
+                        responses.filter(
+                            F.col("content_type").isin(*FEED_CONTENT_TYPES)
+                        )
+                    ).filter(F.col("text").isNotNull()),
+                    url_col="url",
+                    text_col="text",
+                ).select(F.col("entry_url").alias("loc"))
                 sched = fetch_schedule(
-                    crawl_frontier(edges, fetched),
+                    crawl_frontier(edges, fetched, candidates=feed_entries),
                     rules=parse_robots(captures),
                     politeness=robots_politeness(captures),
                     agent=robots_agent or "*",

@@ -250,10 +250,20 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
         f"<html><body><p>{GOOD_A}</p>"
         '<a href="/next">n</a><a href="/private/x">p</a></body></html>'
     ).encode()
+    feed = (
+        b'<?xml version="1.0"?><rss version="2.0"><channel>'
+        b"<item><title>fresh</title>"
+        b"<link>http://x.example/fresh</link></item>"
+        b"<item><title>blocked</title>"
+        b"<link>http://x.example/private/y</link></item>"
+        b"</channel></rss>"
+    )
     _write_warc(src, "a.warc.gz", [
         _warc_record("response", "http://x.example/robots.txt",
                      _http(robots, ctype=b"text/plain")),
         _warc_record("response", "http://x.example/a", _http(page_a)),
+        _warc_record("response", "http://x.example/feed.xml",
+                     _http(feed, ctype=b"application/rss+xml")),
     ])
     _drain(
         spark, src, lake, ckpt,
@@ -262,10 +272,13 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
         schedule_path=str(sched_dir),
     )
     sched = {r["url"]: r for r in spark.read.parquet(str(sched_dir)).collect()}
-    # /next is schedulable with the host's declared delay; /private/x is
-    # robots-disallowed and must NOT be scheduled; /a is already fetched
-    assert set(sched) == {"http://x.example/next"}
+    # /next (outlink) and /fresh (RSS entry — the syndication discovery
+    # channel) are schedulable with the host's declared delay; the
+    # robots-disallowed /private/x outlink AND /private/y feed entry
+    # must NOT be scheduled; /a is already fetched
+    assert set(sched) == {"http://x.example/next", "http://x.example/fresh"}
     assert sched["http://x.example/next"]["crawl_delay"] == 2.5
+    assert sched["http://x.example/fresh"]["crawl_delay"] == 2.5
     assert sched["http://x.example/next"]["host"] == "x.example"
     # schedule_path without outlinks_path is a usage error, not silence
     with pytest.raises(ValueError, match="outlinks_path"):

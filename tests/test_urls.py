@@ -190,3 +190,79 @@ def test_anchor_text_index_plan_bounded(spark):
     )
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_parse_feeds_rss_and_atom(spark):
+    """RSS <item> and Atom <entry> entries: CDATA titles unwrap, XML
+    entities unescape, Atom alternate links beat self/enclosure links,
+    RSS link text trims, published coalesces pubDate/published/updated,
+    entries without a link drop."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        parse_feeds,
+    )
+
+    rss = (
+        '<?xml version="1.0"?><rss version="2.0"><channel>'
+        "<title>Blog</title><link>http://b.example/</link>"
+        "<item><title><![CDATA[Post &amp; one]]></title>"
+        "<link>http://b.example/p1</link>"
+        "<pubDate>Mon, 10 Aug 2026 00:00:00 GMT</pubDate></item>"
+        "<item><title>two</title><link> http://b.example/p2 </link></item>"
+        "<item><title>no link</title></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<?xml version="1.0"?><feed xmlns="http://www.w3.org/2005/Atom">'
+        '<title>site</title><link href="http://a.example/"/>'
+        "<entry><title>alpha</title>"
+        '<link rel="self" href="http://a.example/self.xml"/>'
+        '<link rel="alternate" href="http://a.example/e1"/>'
+        "<updated>2026-08-11T00:00:00Z</updated></entry>"
+        "<entry><title>beta</title>"
+        '<link href="http://a.example/e2"/>'
+        "<published>2026-08-12T00:00:00Z</published></entry>"
+        "</feed>"
+    )
+    df = spark.createDataFrame(
+        [("http://b.example/feed", rss), ("http://a.example/atom", atom)],
+        "url string, feed_xml string",
+    )
+    rows = {r["entry_url"]: r for r in parse_feeds(df).collect()}
+    assert set(rows) == {
+        "http://b.example/p1", "http://b.example/p2",
+        "http://a.example/e1", "http://a.example/e2",
+    }
+    assert rows["http://b.example/p1"]["title"] == "Post & one"
+    assert rows["http://b.example/p1"]["kind"] == "rss"
+    assert rows["http://b.example/p1"]["published"].startswith("Mon, 10 Aug")
+    assert rows["http://b.example/p2"]["published"] is None
+    assert rows["http://a.example/e1"]["kind"] == "atom"
+    assert rows["http://a.example/e1"]["published"] == "2026-08-11T00:00:00Z"
+    assert rows["http://a.example/e2"]["published"] == "2026-08-12T00:00:00Z"
+
+
+def test_parse_feeds_entries_join_the_frontier(spark):
+    """Feed entries are frontier candidates exactly like sitemap locs:
+    referrer-less (in_refs 0), deduped against the fetched set."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        crawl_frontier,
+        parse_feeds,
+    )
+
+    rss = (
+        "<rss><channel>"
+        "<item><link>http://s.example/new</link></item>"
+        "<item><link>http://s.example/old</link></item>"
+        "</channel></rss>"
+    )
+    feeds = spark.createDataFrame(
+        [("http://s.example/feed", rss)], "url string, feed_xml string"
+    )
+    entries = parse_feeds(feeds).selectExpr("entry_url AS loc")
+    edges = spark.createDataFrame([], "src string, dst string")
+    fetched = spark.createDataFrame([("http://s.example/old",)], ["url"])
+    front = {
+        r["url"]: r["in_refs"]
+        for r in crawl_frontier(edges, fetched, candidates=entries).collect()
+    }
+    assert front == {"http://s.example/new": 0}
