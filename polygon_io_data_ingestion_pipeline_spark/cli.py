@@ -325,12 +325,14 @@ def cmd_clftrain(args: argparse.Namespace) -> int:
     nb_save(model, args.out)
     # read the SAVED tables for the accounting so the printed numbers
     # certify what landed on disk, not just the in-memory lineage
+    # bounded: label_totals is one row per label (single digits)
     totals = {
         r["label"]: (r["n_tokens"], r["n_docs"])
         for r in spark.read.parquet(
             os.path.join(args.out, "label_totals")
         ).collect()
     }
+    # bounded: stats is a single-row aggregate table
     v = spark.read.parquet(os.path.join(args.out, "stats")).collect()[0][
         "v_size"
     ]

@@ -59,7 +59,9 @@ def nb_train(
 
     Binary quality gates train this with two references under labels
     like ``good``/``bad`` (see ``nb_log_odds``); the multiclass scorer
-    (``nb_score``) handles any label arity."""
+    (``nb_score``) handles any label arity.  The summary tables derive
+    from ``token_counts``, so persisting that one frame (``nb_save``
+    does) pays the tokenize pass once across all three."""
     base = labeled.select(
         F.col(label_col).alias("label"), _toks(text_col).alias("_toks")
     )
@@ -67,11 +69,23 @@ def nb_train(
     token_counts = tok_rows.groupBy("label", "token").agg(
         F.count("*").alias("n")
     )
-    label_totals = base.groupBy("label").agg(
-        F.coalesce(F.sum(F.size("_toks")), F.lit(0)).alias("n_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
+    # label_totals and stats DERIVE from token_counts (not from fresh
+    # passes over the corpus): with token_counts persisted — nb_save
+    # does — the expensive tokenize+explode lineage runs ONCE for all
+    # three tables; only the cheap label-only doc count (column-pruned,
+    # no tokenize) touches the corpus again.  Labels whose documents
+    # are all empty carry a prior via the doc-count side (token mass
+    # coalesces to 0 — the prior-only contract).
+    doc_counts = base.groupBy("label").agg(F.count(F.lit(1)).alias("n_docs"))
+    tok_totals = token_counts.groupBy("label").agg(
+        F.sum("n").alias("_nt")
     )
-    stats = tok_rows.agg(F.countDistinct("token").alias("v_size"))
+    label_totals = doc_counts.join(tok_totals, "label", "left").select(
+        "label",
+        F.coalesce(F.col("_nt"), F.lit(0)).alias("n_tokens"),
+        "n_docs",
+    )
+    stats = token_counts.agg(F.countDistinct("token").alias("v_size"))
     return {
         "token_counts": token_counts,
         "label_totals": label_totals,
@@ -86,13 +100,21 @@ def nb_save(model: dict[str, DataFrame], path: str) -> None:
     corpora, then serve the SAME counts in later batch runs and in the
     streaming ingest (``streaming/crawl_stream.py`` takes the loaded
     model).  Tables are plain parquet, so the saved model is also
-    auditable with any SQL engine."""
+    auditable with any SQL engine.
+
+    ``token_counts`` is persisted for the duration of the save: the
+    summary tables derive from it (see ``nb_train``), so the reference
+    corpora are tokenized once, not once per table."""
     import os
 
-    for name in ("token_counts", "label_totals", "stats"):
-        model[name].write.mode("overwrite").parquet(
-            os.path.join(path, name)
-        )
+    model["token_counts"].persist()
+    try:
+        for name in ("token_counts", "label_totals", "stats"):
+            model[name].write.mode("overwrite").parquet(
+                os.path.join(path, name)
+            )
+    finally:
+        model["token_counts"].unpersist()
 
 
 def nb_load(spark, path: str) -> dict[str, DataFrame]:

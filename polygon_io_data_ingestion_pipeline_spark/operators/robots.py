@@ -328,23 +328,13 @@ def parse_sitemaps(
     backreference-matched close tag), so a document that concatenates
     a ``<sitemapindex>`` and a ``<urlset>`` — or merely mentions the
     token in text — labels each entry correctly."""
+    from .urls import xml_unescape
+
     block_re = r"(?s)<(url|sitemap)>.*?</\1>"
-    unescape = lambda c: F.regexp_replace(  # noqa: E731
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(c, "&lt;", "<"), "&gt;", ">"
-                ),
-                "&quot;", '"',
-            ),
-            "&apos;", "'",
-        ),
-        "&amp;", "&",
-    )
 
     def field(name: str) -> Column:
         v = F.regexp_extract("_block", f"(?s)<{name}>\\s*(.*?)\\s*</{name}>", 1)
-        return F.when(v == "", F.lit(None)).otherwise(unescape(v))
+        return F.when(v == "", F.lit(None)).otherwise(xml_unescape(v))
 
     blocks = df.select(
         F.col(host_col).alias("host"),

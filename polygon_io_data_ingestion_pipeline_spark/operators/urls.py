@@ -371,10 +371,11 @@ FEED_CONTENT_TYPES = (
 )
 
 
-def _xml_unescape(c: Column) -> Column:
-    """The five predefined XML entities (same coverage as the sitemap
-    parser in operators/robots.py) — amp LAST so ``&amp;lt;`` does not
-    double-unescape."""
+def xml_unescape(c: Column) -> Column:
+    """The five predefined XML entities — amp LAST so ``&amp;lt;`` does
+    not double-unescape.  Shared by the feed parser here and the
+    sitemap parser (``operators/robots.py:parse_sitemaps``), so the two
+    XML discovery channels can never diverge on escaping."""
     for pat, rep in (
         ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
         ("&amp;", "&"),
@@ -413,23 +414,34 @@ def parse_feeds(
         ).alias("_block"),
     )
 
-    def field(name: str) -> Column:
-        v = F.regexp_extract(
-            "_block", f"(?s)<{name}[^>]*>\\s*(.*?)\\s*</{name}\\s*>", 1
+    def _cdata(v: Column) -> Column:
+        # unwrap one CDATA layer (generators that CDATA-wrap every
+        # text node are common), then trim the verbatim content
+        return F.trim(
+            F.regexp_replace(v, r"(?s)^<!\[CDATA\[(.*)\]\]>$", r"$1")
         )
-        # unwrap one CDATA layer, then entity-unescape
-        v = F.regexp_replace(v, r"(?s)^<!\[CDATA\[(.*)\]\]>$", r"$1")
-        return F.when(v == "", F.lit(None)).otherwise(_xml_unescape(v))
 
+    def field(name: str) -> Column:
+        v = _cdata(
+            F.regexp_extract(
+                "_block", f"(?s)<{name}[^>]*>\\s*(.*?)\\s*</{name}\\s*>", 1
+            )
+        )
+        return F.when(v == "", F.lit(None)).otherwise(xml_unescape(v))
+
+    # single- AND double-quoted attributes are legal XML; enclosure/
+    # self links are chrome, alternate or unqualified rel wins
     atom_href = F.regexp_extract(
         "_block",
-        r'(?s)<link(?![^>]*\brel="(?!alternate)[^"]*")[^>]*'
-        r'\bhref="([^"]*)"',
+        "(?s)<link(?![^>]*\\brel=[\"'](?!alternate)[^\"']*[\"'])[^>]*"
+        "\\bhref=[\"']([^\"']*)[\"']",
         1,
     )
-    rss_link = F.regexp_extract("_block", r"(?s)<link>\s*([^<\s]+)\s*</link>", 1)
-    entry_url = F.when(atom_href != "", _xml_unescape(atom_href)).otherwise(
-        F.when(rss_link != "", _xml_unescape(rss_link))
+    rss_link = _cdata(
+        F.regexp_extract("_block", r"(?s)<link>\s*(.*?)\s*</link>", 1)
+    )
+    entry_url = F.when(atom_href != "", xml_unescape(atom_href)).otherwise(
+        F.when(rss_link != "", xml_unescape(rss_link))
     )
     kind = F.when(
         F.col("_block").startswith("<item"), F.lit("rss")

@@ -788,7 +788,7 @@ def _decoded_text_column(
     with ``charset='docx'``/``'odt'``; any OTHER zip falls through to
     the charset lane (zip BUNDLES belong to the archive source, which
     explodes members before this lane sees them)."""
-    from ..multimodal.docx import _EXTRACTORS, sniff_office_kind
+    from ..multimodal.docx import OfficeFormatError, try_extract_office
     from ..multimodal.pdf import PdfFormatError, extract_pdf_text
 
     if content_type_col is None and "content_type" in df.columns:
@@ -822,14 +822,18 @@ def _decoded_text_column(
                     charsets.append("pdf")
                     continue
                 if bytes(p[:4]) == b"PK\x03\x04":
-                    kind = sniff_office_kind(bytes(p))
-                    if kind is not None:
-                        try:
-                            texts.append(_EXTRACTORS[kind](bytes(p)))
-                            oks.append(True)
-                        except Exception:  # OfficeFormatError + surprises
-                            texts.append(None)
-                            oks.append(False)
+                    # ONE container open for sniff + extraction
+                    try:
+                        got = try_extract_office(bytes(p))
+                    except OfficeFormatError as e:
+                        texts.append(None)
+                        oks.append(False)
+                        charsets.append(getattr(e, "kind", "office"))
+                        continue
+                    if got is not None:
+                        kind, text = got
+                        texts.append(text)
+                        oks.append(True)
                         charsets.append(kind)
                         continue
                     # a plain zip: fall through to the charset lane

@@ -240,14 +240,19 @@ def write_crawl_batch(
 
     With ``schedule_path`` set (requires ``outlinks_path``), each batch
     CLOSES that loop itself: after the corpus commit, the batch's edges
-    join the lake's now-current fetched set (``crawl_frontier``), the
+    (plus this batch's RSS/Atom entries — the syndication discovery
+    channel) join the already-ATTEMPTED set (``crawl_frontier``), the
     batch's own robots captures supply disallow rules and per-host
     ``Crawl-delay`` (``fetch_schedule``, agent = ``robots_agent`` or
     ``*``), and the ready-to-fetch table lands under
     ``schedule/batch_id=N/`` — a fetcher tails that directory and the
-    crawl is end-to-end.  A crash-replay rewrites the same rows (the
-    lake state it reads is the idempotent sink's own just-rewritten
-    batch)."""
+    crawl is end-to-end.  The attempted set = every response URL any
+    batch carried (batch-keyed ``<schedule_path>_attempted/`` sibling
+    table) unioned with the lake: a page fetched and then gate-dropped
+    must not be re-scheduled forever just because a feed keeps
+    announcing it.  A crash-replay rewrites the same rows (the lake and
+    attempted state it reads are the idempotent sinks' own
+    just-rewritten batches)."""
     import os
 
     if schedule_path is not None and outlinks_path is None:
@@ -334,11 +339,32 @@ def write_crawl_batch(
                 edges = spark.read.parquet(
                     os.path.join(outlinks_path, f"batch_id={batch_id}")
                 )
+                # "fetched" must mean ATTEMPTED, not "kept in the lake":
+                # a page fetched and then dropped by the quality/clf
+                # gates never lands in the lake, and a feed (or a stable
+                # outlink) that keeps announcing it would re-schedule it
+                # every batch — an indefinite refetch loop.  Each batch
+                # records its response URLs under a batch-keyed sibling
+                # table (replay rewrites the same rows), and the
+                # frontier anti-joins against lake ∪ attempted.
+                attempted_root = schedule_path.rstrip("/") + "_attempted"
+                (
+                    responses.select("url")
+                    .distinct()
+                    .write.mode("overwrite")
+                    .parquet(
+                        os.path.join(attempted_root, f"batch_id={batch_id}")
+                    )
+                )
+                fetched = spark.read.parquet(attempted_root).select("url")
                 try:
-                    fetched = spark.read.parquet(lake_path).select("url")
+                    fetched = fetched.unionByName(
+                        spark.read.parquet(lake_path).select("url")
+                    )
                 except Exception:
-                    # zero-doc lake so far: nothing fetched yet
-                    fetched = spark.createDataFrame([], "url string")
+                    # zero-doc lake so far (every batch gated away):
+                    # the attempted table alone carries the history
+                    pass
                 # syndication discovery: RSS/Atom responses in THIS
                 # batch announce fresh URLs — their entries join the
                 # frontier as referrer-less candidates (in_refs counts
@@ -417,13 +443,10 @@ def start_crawl_ingest(
     or ``nb_load``, labels ``good``/``bad``) gates each batch with the
     model-based quality filter: pages whose good-vs-bad log-odds falls
     below ``clf_margin`` drop with per-batch accounting; unscorable
-    pages keep.  The three model frames are persisted ONCE here (they
-    are O(training vocabulary) and every batch joins them — without
-    this each batch re-reads the model parquet); they stay cached for
-    the life of the stream, not per batch."""
-    if clf_model is not None:
-        for frame in clf_model.values():
-            frame.persist()
+    pages keep.  The model tables are re-read per batch (bounded
+    parquet scans of O(training vocabulary) — leak-free by default;
+    a caller running very many batches in one session may persist the
+    three frames itself and unpersist them after the stream ends)."""
     return (
         read_warc_stream(spark, src_glob)
         .writeStream.foreachBatch(

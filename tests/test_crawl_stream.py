@@ -256,12 +256,17 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
         b"<link>http://x.example/fresh</link></item>"
         b"<item><title>blocked</title>"
         b"<link>http://x.example/private/y</link></item>"
+        b"<item><title>gated</title>"
+        b"<link>http://x.example/tiny</link></item>"
         b"</channel></rss>"
     )
     _write_warc(src, "a.warc.gz", [
         _warc_record("response", "http://x.example/robots.txt",
                      _http(robots, ctype=b"text/plain")),
         _warc_record("response", "http://x.example/a", _http(page_a)),
+        # fetched but quality-gated (too short): never reaches the lake,
+        # yet must count as ATTEMPTED or the feed re-schedules it forever
+        _warc_record("response", "http://x.example/tiny", _http(_page("tiny"))),
         _warc_record("response", "http://x.example/feed.xml",
                      _http(feed, ctype=b"application/rss+xml")),
     ])
@@ -275,11 +280,16 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
     # /next (outlink) and /fresh (RSS entry — the syndication discovery
     # channel) are schedulable with the host's declared delay; the
     # robots-disallowed /private/x outlink AND /private/y feed entry
-    # must NOT be scheduled; /a is already fetched
+    # must NOT be scheduled; /a is already fetched; /tiny was fetched
+    # and gate-dropped - attempted, so the feed cannot re-schedule it
     assert set(sched) == {"http://x.example/next", "http://x.example/fresh"}
     assert sched["http://x.example/next"]["crawl_delay"] == 2.5
     assert sched["http://x.example/fresh"]["crawl_delay"] == 2.5
     assert sched["http://x.example/next"]["host"] == "x.example"
+    # the lake holds only /a (tiny gated, feed XML excluded from docs)
+    assert sorted(
+        r["url"] for r in spark.read.parquet(str(lake)).collect()
+    ) == ["http://x.example/a"]
     # schedule_path without outlinks_path is a usage error, not silence
     with pytest.raises(ValueError, match="outlinks_path"):
         write_crawl_batch(

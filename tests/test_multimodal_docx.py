@@ -257,3 +257,42 @@ def test_pptx_through_decode_lane(spark):
     assert row["text"] == "deck text"
     assert row["charset"] == "pptx"
     assert row["decode_ok"] is True
+
+
+def test_docx_textbox_alternatecontent_emits_text_once():
+    """Regression: Word writes text boxes as mc:AlternateContent with a
+    mc:Choice + mc:Fallback DUPLICATE of the same runs, and the boxed
+    w:p nests inside the anchoring paragraph — naive iteration emitted
+    the boxed text up to 4 times (Choice + Fallback, inline + as its
+    own paragraph).  It must appear exactly once."""
+    data = make_docx(
+        "<w:p><w:r><w:t>anchor </w:t></w:r>"
+        '<mc:AlternateContent xmlns:mc="m">'
+        "<mc:Choice><w:drawing><w:txbxContent>"
+        "<w:p><w:r><w:t>boxed</w:t></w:r></w:p>"
+        "</w:txbxContent></w:drawing></mc:Choice>"
+        "<mc:Fallback><w:pict>"
+        "<w:p><w:r><w:t>boxed</w:t></w:r></w:p>"
+        "</w:pict></mc:Fallback>"
+        "</mc:AlternateContent></w:p>"
+    )
+    assert extract_docx_text(data) == "anchor boxed"
+
+
+def test_ods_and_odp_are_not_text_documents():
+    """Regression: ODS/ODP share the ODF container layout; the mimetype
+    member's CONTENT must gate, or spreadsheets dump cells as prose."""
+    ods = _zip_bytes(
+        {
+            "mimetype": b"application/vnd.oasis.opendocument.spreadsheet",
+            "content.xml": b"<office:document-content/>",
+        }
+    )
+    assert sniff_office_kind(ods) is None
+    odp = _zip_bytes(
+        {
+            "mimetype": b"application/vnd.oasis.opendocument.presentation",
+            "content.xml": b"<office:document-content/>",
+        }
+    )
+    assert sniff_office_kind(odp) is None

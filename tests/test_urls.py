@@ -266,3 +266,29 @@ def test_parse_feeds_entries_join_the_frontier(spark):
         for r in crawl_frontier(edges, fetched, candidates=entries).collect()
     }
     assert front == {"http://s.example/new": 0}
+
+
+def test_parse_feeds_cdata_links_and_single_quotes(spark):
+    """Regression: generators that CDATA-wrap the RSS <link> and Atom
+    documents with single-quoted attributes are legal — both entries
+    must survive, not silently drop from discovery."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        parse_feeds,
+    )
+
+    rss = (
+        "<rss><channel><item><title>c</title>"
+        "<link><![CDATA[http://b.example/cdata]]></link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        "<feed><entry><title>q</title>"
+        "<link rel='self' href='http://a.example/self.xml'/>"
+        "<link rel='alternate' href='http://a.example/sq'/>"
+        "</entry></feed>"
+    )
+    df = spark.createDataFrame(
+        [("f1", rss), ("f2", atom)], "url string, feed_xml string"
+    )
+    got = {r["entry_url"] for r in parse_feeds(df).collect()}
+    assert got == {"http://b.example/cdata", "http://a.example/sq"}
