@@ -335,6 +335,7 @@ def write_crawl_batch(
             # frame feeds two consumers, persist it; ``responses`` is
             # the persisted single-walk frame from above)
             captures = latest_robots_captures(responses).persist()
+            xmlish = None
             try:
                 edges = spark.read.parquet(
                     os.path.join(outlinks_path, f"batch_id={batch_id}")
@@ -365,23 +366,48 @@ def write_crawl_batch(
                     # zero-doc lake so far (every batch gated away):
                     # the attempted table alone carries the history
                     pass
-                # syndication discovery: RSS/Atom responses in THIS
-                # batch announce fresh URLs — their entries join the
-                # frontier as referrer-less candidates (in_refs counts
-                # real referring pages only), exactly like sitemap locs
-                # on the batch CLI path.  The decode rides the persisted
-                # single-walk responses frame.
-                feed_entries = parse_feeds(
+                # discovery from THIS batch's own XML responses: RSS/
+                # Atom entries AND sitemap locs join the frontier as
+                # referrer-less candidates (in_refs counts real
+                # referring pages only).  One decode over the xml-ish
+                # subset serves BOTH parsers — each is inert on the
+                # other's format (parse_feeds matches <item>/<entry>
+                # blocks, parse_sitemaps <url>/<sitemap> blocks), and a
+                # <sitemapindex>'s child locs are sitemap URLs worth
+                # fetching themselves, so they schedule too.  The
+                # decode rides the persisted single-walk responses
+                # frame; the tiny decoded xml frame feeds two parsers,
+                # persist it.
+                from ..operators.robots import parse_sitemaps
+
+                xmlish = (
                     decode_text_members(
                         responses.filter(
                             F.col("content_type").isin(*FEED_CONTENT_TYPES)
                         )
-                    ).filter(F.col("text").isNotNull()),
-                    url_col="url",
-                    text_col="text",
+                    )
+                    .filter(F.col("text").isNotNull())
+                    .persist()
+                )
+                feed_entries = parse_feeds(
+                    xmlish, url_col="url", text_col="text"
                 ).select(F.col("entry_url").alias("loc"))
+                sitemap_locs = (
+                    parse_sitemaps(
+                        xmlish.select(
+                            F.col("url").alias("host"),
+                            F.col("text").alias("sitemap_xml"),
+                        )
+                    )
+                    .filter(F.col("loc").isNotNull())
+                    .select("loc")
+                )
                 sched = fetch_schedule(
-                    crawl_frontier(edges, fetched, candidates=feed_entries),
+                    crawl_frontier(
+                        edges,
+                        fetched,
+                        candidates=feed_entries.unionByName(sitemap_locs),
+                    ),
                     rules=parse_robots(captures),
                     politeness=robots_politeness(captures),
                     agent=robots_agent or "*",
@@ -392,6 +418,8 @@ def write_crawl_batch(
                 print(f"schedule[batch {batch_id}]: urls={n_sched}")
             finally:
                 captures.unpersist()
+                if xmlish is not None:
+                    xmlish.unpersist()
     finally:
         docs.unpersist()
         if bad_ids is not None:

@@ -269,6 +269,12 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
         _warc_record("response", "http://x.example/tiny", _http(_page("tiny"))),
         _warc_record("response", "http://x.example/feed.xml",
                      _http(feed, ctype=b"application/rss+xml")),
+        # a sitemap response in the SAME batch: its locs are candidates
+        # too (one decoded xml frame serves both discovery parsers)
+        _warc_record("response", "http://x.example/sitemap.xml",
+                     _http(b"<urlset><url><loc>http://x.example/mapped"
+                           b"</loc></url></urlset>",
+                           ctype=b"application/xml")),
     ])
     _drain(
         spark, src, lake, ckpt,
@@ -282,7 +288,11 @@ def test_streaming_schedule_closes_the_loop(spark, tmp_path):
     # robots-disallowed /private/x outlink AND /private/y feed entry
     # must NOT be scheduled; /a is already fetched; /tiny was fetched
     # and gate-dropped - attempted, so the feed cannot re-schedule it
-    assert set(sched) == {"http://x.example/next", "http://x.example/fresh"}
+    assert set(sched) == {
+        "http://x.example/next", "http://x.example/fresh",
+        "http://x.example/mapped",
+    }
+    assert sched["http://x.example/mapped"]["crawl_delay"] == 2.5
     assert sched["http://x.example/next"]["crawl_delay"] == 2.5
     assert sched["http://x.example/fresh"]["crawl_delay"] == 2.5
     assert sched["http://x.example/next"]["host"] == "x.example"
