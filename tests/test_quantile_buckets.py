@@ -119,3 +119,65 @@ def test_null_group_key_is_a_real_group(spark):
     got = _buckets(_df(spark, rows), by_col="lang", k=3)
     assert (got[1], got[2], got[3]) == (1, 2, 3)
     assert got[4] == 1
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: the engine vs a pure-Python percentile-disc restatement
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# small score domain so tie groups actually form
+_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["en", "de", None]),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _python_buckets(rows, k):
+    """Independent restatement: within each group, a row whose tie
+    group FIRST occupies 1-based position p lands in floor((p-1)k/n)+1;
+    NULL scores -> NULL."""
+    from collections import Counter, defaultdict
+
+    by_group = defaultdict(list)
+    for i, (g, s) in enumerate(rows):
+        if s is not None:
+            by_group[g].append(float(s))
+    out = {}
+    for i, (g, s) in enumerate(rows):
+        if s is None:
+            out[i] = None
+            continue
+        scores = sorted(by_group[g])
+        n = len(scores)
+        counts = Counter(scores)
+        pos_first = 1 + sum(
+            c for v, c in counts.items() if v < float(s)
+        )
+        out[i] = int((pos_first - 1) * k // n) + 1
+    return out
+
+
+@given(rows=_ROWS, k=st.integers(min_value=2, max_value=5))
+@settings(
+    max_examples=12, deadline=None, suppress_health_check=list(HealthCheck)
+)
+def test_property_engine_matches_python_restatement(spark, rows, k):
+    df = spark.createDataFrame(
+        [(i, g, float(s) if s is not None else None)
+         for i, (g, s) in enumerate(rows)],
+        "doc_id long, lang string, score double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in score_quantile_buckets(
+            df, "score", by_col="lang", k=k
+        ).collect()
+    }
+    assert got == _python_buckets(rows, k)
