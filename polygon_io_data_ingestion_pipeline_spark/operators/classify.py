@@ -93,6 +93,36 @@ def nb_train(
     }
 
 
+def nb_merge(*models: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Combine trained models by summing their exact count tables — NB
+    is a mergeable aggregate, so training distributes trivially: train
+    per shard / per day / per source, merge, serve.  The result is
+    EXACTLY the model ``nb_train`` would produce on the concatenated
+    corpora (counts are additive; the vocabulary size is recomputed
+    from the merged token counts, since distinct counts do not add).
+    An incremental update is ``nb_merge(old_model, nb_train(new))``.
+
+    Shape: one unionByName + partial-agg shuffle per table family; the
+    vocab aggregate is a 1-row reduction of the merged counts."""
+    if not models:
+        raise ValueError("nb_merge: at least one model required")
+    tc = models[0]["token_counts"]
+    lt = models[0]["label_totals"]
+    for m in models[1:]:
+        tc = tc.unionByName(m["token_counts"])
+        lt = lt.unionByName(m["label_totals"])
+    token_counts = tc.groupBy("label", "token").agg(F.sum("n").alias("n"))
+    label_totals = lt.groupBy("label").agg(
+        F.sum("n_tokens").alias("n_tokens"), F.sum("n_docs").alias("n_docs")
+    )
+    stats = token_counts.agg(F.countDistinct("token").alias("v_size"))
+    return {
+        "token_counts": token_counts,
+        "label_totals": label_totals,
+        "stats": stats,
+    }
+
+
 def nb_save(model: dict[str, DataFrame], path: str) -> None:
     """Persist a trained model as three parquet tables under ``path``
     (``token_counts/``, ``label_totals/``, ``stats/``) — the model

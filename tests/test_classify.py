@@ -290,3 +290,48 @@ def test_save_load_roundtrip_scores_identically(spark, tmp_path):
         key=lambda r: r["doc_id"],
     )
     assert got == want
+
+
+def test_merge_equals_training_on_concatenated_corpus(spark):
+    """nb_merge: NB is a mergeable aggregate — per-shard models merged
+    must score EXACTLY like one model trained on the concatenation
+    (vocab recomputed from merged counts, not summed; a token the
+    shards share must not double-count in v_size)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_merge,
+    )
+
+    shard1, shard2 = TRAIN[:2], TRAIN[2:]
+    merged = nb_merge(
+        _train(spark, shard1 + [("bad", "buy now")]),
+        _train(spark, shard2 + [("good", "the mat")]),
+    )
+    whole = _train(spark, shard1 + [("bad", "buy now")] + shard2 + [("good", "the mat")])
+    want = sorted(
+        nb_score(_docs(spark), whole).collect(), key=lambda r: r["doc_id"]
+    )
+    got = sorted(
+        nb_score(_docs(spark), merged).collect(), key=lambda r: r["doc_id"]
+    )
+    assert got == want
+    # vocab recomputed, not summed: both shards contain 'the' and 'buy'
+    v_merged = merged["stats"].collect()[0]["v_size"]
+    v_whole = whole["stats"].collect()[0]["v_size"]
+    assert v_merged == v_whole
+
+
+def test_merge_single_and_empty_contracts(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_merge,
+    )
+    import pytest as _pytest
+
+    m = _train(spark)
+    one = nb_merge(m)
+    assert sorted(
+        nb_score(_docs(spark), one).collect(), key=lambda r: r["doc_id"]
+    ) == sorted(
+        nb_score(_docs(spark), m).collect(), key=lambda r: r["doc_id"]
+    )
+    with _pytest.raises(ValueError, match="at least one"):
+        nb_merge()
