@@ -6450,6 +6450,105 @@ def emb_semantic_decontam(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_feed_entries",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'http://f' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host
+  FROM documents
+),
+rss1 AS (
+  SELECT host || '/feed' AS feed_url,
+         host || '/p' || CAST(doc_id AS VARCHAR) AS entry_url,
+         'T ' || CAST(doc_id AS VARCHAR) || ' & co' AS title,
+         'Mon, ' || CAST(doc_id % 28 + 1 AS VARCHAR)
+           || ' Aug 2026 00:00:00 GMT' AS published,
+         'rss' AS kind
+  FROM d WHERE doc_id % 2 = 0
+),
+rss2 AS (
+  SELECT host || '/feed' AS feed_url,
+         host || '/extra' || CAST(doc_id AS VARCHAR) AS entry_url,
+         'bonus' AS title,
+         CAST(NULL AS VARCHAR) AS published,
+         'rss' AS kind
+  FROM d WHERE doc_id % 2 = 0 AND doc_id % 4 = 0
+),
+atom1 AS (
+  SELECT host || '/atom' AS feed_url,
+         host || '/e' || CAST(doc_id AS VARCHAR) AS entry_url,
+         'A' || CAST(doc_id AS VARCHAR) AS title,
+         '2026-08-' || CAST(doc_id % 28 + 1 AS VARCHAR) AS published,
+         'atom' AS kind
+  FROM d WHERE doc_id % 2 = 1
+)
+SELECT * FROM rss1 UNION ALL SELECT * FROM rss2 UNION ALL SELECT * FROM atom1
+""",
+    doc="RSS/Atom feed entry extraction (operators/urls.py parse_feeds "
+    "— the syndication discovery channel feeding crawl_frontier): every "
+    "even doc synthesizes an RSS feed (CDATA-wrapped title with an "
+    "&amp; entity; a second item on doc_id%4; a linkless third item on "
+    "doc_id%8 that must DROP), every odd doc an Atom feed whose "
+    "rel='self' link must lose to rel='alternate' (single-quoted "
+    "attributes).  One JVM regexp explode, no Python.  The oracle "
+    "derives the expected entries DIRECTLY from the generative "
+    "construction (ground truth, not a re-parse), so the hash "
+    "certifies CDATA unwrap, entity unescape, link preference, "
+    "linkless-drop and pubDate/updated coalescing end to end.",
+    tags=("text", "crawl"),
+)
+def docs_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.urls import parse_feeds
+
+    d = table(spark, sf, "documents").select("doc_id")
+    sid = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("http://f"), (F.col("doc_id") % 7).cast("string"),
+                    F.lit(".example"))
+    day = (F.col("doc_id") % 28 + 1).cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              "<title>chan</title><item><title><![CDATA[T "),
+        sid,
+        F.lit(" &amp; co]]></title><link>"),
+        host, F.lit("/p"), sid,
+        F.lit("</link><pubDate>Mon, "), day,
+        F.lit(" Aug 2026 00:00:00 GMT</pubDate></item>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("<item><title>bonus</title><link>"),
+                     host, F.lit("/extra"), sid, F.lit("</link></item>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 8 == 0,
+            F.lit("<item><title>no link here</title></item>"),
+        ).otherwise(F.lit("")),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<?xml version="1.0"?>'
+              '<feed xmlns="http://www.w3.org/2005/Atom">'
+              "<title>site</title><entry><title>A"),
+        sid,
+        F.lit("</title><link rel='self' href='"),
+        host, F.lit("/self.xml'/>"),
+        F.lit("<link rel='alternate' href='"),
+        host, F.lit("/e"), sid, F.lit("'/><updated>2026-08-"),
+        day, F.lit("</updated></entry></feed>"),
+    )
+    feeds = d.select(
+        F.when(F.col("doc_id") % 2 == 0, F.concat(host, F.lit("/feed")))
+        .otherwise(F.concat(host, F.lit("/atom")))
+        .alias("url"),
+        F.when(F.col("doc_id") % 2 == 0, rss).otherwise(atom).alias(
+            "feed_xml"
+        ),
+    )
+    return parse_feeds(feeds).select(
+        "feed_url", "entry_url", "title", "published", "kind"
+    )
+
+
+@q(
     "docs_nb_quality_classifier",
     oracle="""
 WITH tr AS (
