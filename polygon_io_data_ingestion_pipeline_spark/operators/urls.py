@@ -414,20 +414,24 @@ def parse_feeds(
         ).alias("_block"),
     )
 
-    def _cdata(v: Column) -> Column:
-        # unwrap one CDATA layer (generators that CDATA-wrap every
-        # text node are common), then trim the verbatim content
-        return F.trim(
-            F.regexp_replace(v, r"(?s)^<!\[CDATA\[(.*)\]\]>$", r"$1")
+    def _text_value(raw: Column) -> Column:
+        # XML-spec text semantics: CDATA content is VERBATIM (a title
+        # legitimately containing '&amp;' must survive as-is), while a
+        # plain text node entity-unescapes.  Generators that CDATA-wrap
+        # every text node are common, so both paths are hot.
+        inner = F.regexp_extract(raw, r"(?s)^<!\[CDATA\[(.*)\]\]>$", 1)
+        is_cdata = raw.startswith("<![CDATA[") & raw.endswith("]]>")
+        return F.when(is_cdata, F.trim(inner)).otherwise(
+            xml_unescape(F.trim(raw))
         )
 
     def field(name: str) -> Column:
-        v = _cdata(
+        v = _text_value(
             F.regexp_extract(
                 "_block", f"(?s)<{name}[^>]*>\\s*(.*?)\\s*</{name}\\s*>", 1
             )
         )
-        return F.when(v == "", F.lit(None)).otherwise(xml_unescape(v))
+        return F.when(v == "", F.lit(None)).otherwise(v)
 
     # single- AND double-quoted attributes are legal XML; enclosure/
     # self links are chrome, alternate or unqualified rel wins
@@ -437,11 +441,13 @@ def parse_feeds(
         "\\bhref=[\"']([^\"']*)[\"']",
         1,
     )
-    rss_link = _cdata(
+    # attribute values entity-unescape (CDATA cannot occur there); the
+    # RSS text-node link follows the same text semantics as field()
+    rss_link = _text_value(
         F.regexp_extract("_block", r"(?s)<link>\s*(.*?)\s*</link>", 1)
     )
     entry_url = F.when(atom_href != "", xml_unescape(atom_href)).otherwise(
-        F.when(rss_link != "", xml_unescape(rss_link))
+        F.when(rss_link != "", rss_link)
     )
     kind = F.when(
         F.col("_block").startswith("<item"), F.lit("rss")

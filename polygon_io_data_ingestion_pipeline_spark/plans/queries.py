@@ -6460,7 +6460,7 @@ WITH d AS (
 rss1 AS (
   SELECT host || '/feed' AS feed_url,
          host || '/p' || CAST(doc_id AS VARCHAR) AS entry_url,
-         'T ' || CAST(doc_id AS VARCHAR) || ' & co' AS title,
+         'T ' || CAST(doc_id AS VARCHAR) || ' &amp; co' AS title,
          'Mon, ' || CAST(doc_id % 28 + 1 AS VARCHAR)
            || ' Aug 2026 00:00:00 GMT' AS published,
          'rss' AS kind
@@ -6477,7 +6477,7 @@ rss2 AS (
 atom1 AS (
   SELECT host || '/atom' AS feed_url,
          host || '/e' || CAST(doc_id AS VARCHAR) AS entry_url,
-         'A' || CAST(doc_id AS VARCHAR) AS title,
+         'A' || CAST(doc_id AS VARCHAR) || ' & b' AS title,
          '2026-08-' || CAST(doc_id % 28 + 1 AS VARCHAR) AS published,
          'atom' AS kind
   FROM d WHERE doc_id % 2 = 1
@@ -6486,15 +6486,17 @@ SELECT * FROM rss1 UNION ALL SELECT * FROM rss2 UNION ALL SELECT * FROM atom1
 """,
     doc="RSS/Atom feed entry extraction (operators/urls.py parse_feeds "
     "— the syndication discovery channel feeding crawl_frontier): every "
-    "even doc synthesizes an RSS feed (CDATA-wrapped title with an "
-    "&amp; entity; a second item on doc_id%4; a linkless third item on "
-    "doc_id%8 that must DROP), every odd doc an Atom feed whose "
-    "rel='self' link must lose to rel='alternate' (single-quoted "
-    "attributes).  One JVM regexp explode, no Python.  The oracle "
-    "derives the expected entries DIRECTLY from the generative "
-    "construction (ground truth, not a re-parse), so the hash "
-    "certifies CDATA unwrap, entity unescape, link preference, "
-    "linkless-drop and pubDate/updated coalescing end to end.",
+    "even doc synthesizes an RSS feed (CDATA-wrapped title whose "
+    "'&amp;' must stay VERBATIM — CDATA content never unescapes; a "
+    "second item on doc_id%4; a linkless third item on doc_id%8 that "
+    "must DROP), every odd doc an Atom feed with an entitied plain "
+    "title (must unescape) whose rel='self' link loses to "
+    "rel='alternate' (single-quoted attributes).  One JVM regexp "
+    "explode, no Python.  The oracle derives the expected entries "
+    "DIRECTLY from the generative construction (ground truth, not a "
+    "re-parse), so the hash certifies the CDATA-verbatim vs "
+    "plain-unescape distinction, link preference, linkless-drop and "
+    "pubDate/updated coalescing end to end.",
     tags=("text", "crawl"),
 )
 def docs_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
@@ -6529,7 +6531,7 @@ def docs_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
               '<feed xmlns="http://www.w3.org/2005/Atom">'
               "<title>site</title><entry><title>A"),
         sid,
-        F.lit("</title><link rel='self' href='"),
+        F.lit(" &amp; b</title><link rel='self' href='"),
         host, F.lit("/self.xml'/>"),
         F.lit("<link rel='alternate' href='"),
         host, F.lit("/e"), sid, F.lit("'/><updated>2026-08-"),

@@ -319,6 +319,7 @@ def write_crawl_batch(
             from ..operators.robots import (
                 latest_robots_captures,
                 parse_robots,
+                parse_sitemaps,
                 robots_politeness,
             )
             from ..operators.urls import (
@@ -378,8 +379,6 @@ def write_crawl_batch(
                 # decode rides the persisted single-walk responses
                 # frame; the tiny decoded xml frame feeds two parsers,
                 # persist it.
-                from ..operators.robots import parse_sitemaps
-
                 xmlish = (
                     decode_text_members(
                         responses.filter(

@@ -324,7 +324,6 @@ def test_merge_single_and_empty_contracts(spark):
     from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
         nb_merge,
     )
-    import pytest as _pytest
 
     m = _train(spark)
     one = nb_merge(m)
@@ -333,5 +332,5 @@ def test_merge_single_and_empty_contracts(spark):
     ) == sorted(
         nb_score(_docs(spark), m).collect(), key=lambda r: r["doc_id"]
     )
-    with _pytest.raises(ValueError, match="at least one"):
+    with pytest.raises(ValueError, match="at least one"):
         nb_merge()

@@ -232,7 +232,9 @@ def test_parse_feeds_rss_and_atom(spark):
         "http://b.example/p1", "http://b.example/p2",
         "http://a.example/e1", "http://a.example/e2",
     }
-    assert rows["http://b.example/p1"]["title"] == "Post & one"
+    # CDATA content is VERBATIM per the XML spec: the '&amp;' inside
+    # the CDATA title must NOT unescape
+    assert rows["http://b.example/p1"]["title"] == "Post &amp; one"
     assert rows["http://b.example/p1"]["kind"] == "rss"
     assert rows["http://b.example/p1"]["published"].startswith("Mon, 10 Aug")
     assert rows["http://b.example/p2"]["published"] is None
@@ -292,3 +294,24 @@ def test_parse_feeds_cdata_links_and_single_quotes(spark):
     )
     got = {r["entry_url"] for r in parse_feeds(df).collect()}
     assert got == {"http://b.example/cdata", "http://a.example/sq"}
+
+
+def test_parse_feeds_cdata_verbatim_vs_plain_unescape(spark):
+    """XML-spec text semantics: a CDATA title keeps '&amp;' literally;
+    a plain text title unescapes it."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        parse_feeds,
+    )
+
+    rss = (
+        "<rss><channel>"
+        "<item><title><![CDATA[AT&amp;T <3]]></title>"
+        "<link>http://b.example/cd</link></item>"
+        "<item><title>AT&amp;T plain</title>"
+        "<link>http://b.example/pl</link></item>"
+        "</channel></rss>"
+    )
+    df = spark.createDataFrame([("f", rss)], "url string, feed_xml string")
+    rows = {r["entry_url"]: r["title"] for r in parse_feeds(df).collect()}
+    assert rows["http://b.example/cd"] == "AT&amp;T <3"
+    assert rows["http://b.example/pl"] == "AT&T plain"
