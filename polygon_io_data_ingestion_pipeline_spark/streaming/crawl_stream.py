@@ -252,7 +252,11 @@ def write_crawl_batch(
     must not be re-scheduled forever just because a feed keeps
     announcing it.  A crash-replay rewrites the same rows (the lake and
     attempted state it reads are the idempotent sinks' own
-    just-rewritten batches)."""
+    just-rewritten batches).  Operational note: the attempted table
+    accrues one batch directory per drain; for very long-running crawls
+    compact it periodically (``sources/lake.py:compact_lake`` works on
+    any batch-keyed parquet root) so the per-batch listing stays
+    cheap."""
     import os
 
     if schedule_path is not None and outlinks_path is None:
