@@ -740,16 +740,27 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         # symmetric with the LM gate.  The tiny scores frame persists
         # so the accounting count and the anti-join don't re-run the
         # model joins.
-        from .operators.classify import nb_load, nb_log_odds, nb_train
+        from .operators.classify import (
+            nb_load,
+            nb_log_odds,
+            nb_require_labels,
+            nb_train,
+        )
 
         if args.clf_model:
             model = nb_load(spark, args.clf_model)
+            # a model saved with other labels would NULL every score
+            # and the NULL-keeps contract would keep everything with
+            # dropped=0 — fail loudly at setup instead
+            nb_require_labels(model, ("good", "bad"))
         else:
             good = spark.read.parquet(args.clf_good).select(
-                F.lit("good").alias("label"), "text"
+                F.lit("good").alias("label"),
+                F.col(args.clf_text_col).alias("text"),
             )
             badref = spark.read.parquet(args.clf_bad).select(
-                F.lit("bad").alias("label"), "text"
+                F.lit("bad").alias("label"),
+                F.col(args.clf_text_col).alias("text"),
             )
             model = nb_train(good.unionByName(badref))
         odds = nb_log_odds(kept, model, "good", "bad").persist()
@@ -1409,6 +1420,13 @@ def main(argv: list[str] | None = None) -> int:
         help="saved classifier root from the clftrain command (loads "
         "the model tables instead of retraining; mutually exclusive "
         "with --clf-good/--clf-bad)",
+    )
+    p.add_argument(
+        "--clf-text-col",
+        default="text",
+        help="text column name inside the --clf-good/--clf-bad "
+        "reference tables (the clftrain command's --text-col twin; "
+        "the corpus itself always gates on its own text column)",
     )
     p.add_argument(
         "--normalized-dedup",

@@ -160,6 +160,28 @@ def nb_load(spark, path: str) -> dict[str, DataFrame]:
     }
 
 
+def nb_require_labels(
+    model: dict[str, DataFrame], labels: tuple[str, ...] | list[str]
+) -> None:
+    """Fail LOUDLY when the model was not trained on ``labels``.
+
+    ``nb_log_odds`` returns NULL for labels absent from the model, and
+    every gate treats NULL as "cannot judge" (keep) — so a model saved
+    with the wrong labels (anything but the gate's good/bad) would
+    silently keep everything with dropped=0.  Gate setup calls this
+    once; ``label_totals`` is one row per label, so the collect is
+    bounded by the label count (single digits)."""
+    # bounded: label_totals holds one row per trained label
+    present = {r["label"] for r in model["label_totals"].collect()}
+    missing = [l for l in labels if l not in present]
+    if missing:
+        raise ValueError(
+            f"classifier model lacks required labels {missing}; trained "
+            f"labels are {sorted(present)} — a gate on absent labels "
+            "would silently keep every document"
+        )
+
+
 def _per_label_totals(
     docs: DataFrame,
     model: dict[str, DataFrame],

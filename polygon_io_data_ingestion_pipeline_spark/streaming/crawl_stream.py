@@ -363,14 +363,22 @@ def write_crawl_batch(
                     )
                 )
                 fetched = spark.read.parquet(attempted_root).select("url")
-                try:
+                # zero-doc lake so far (every batch gated away) is a
+                # NORMAL state — the attempted table alone carries the
+                # history.  Anything else (corrupt footer, transient
+                # FS/permission error) must fail the batch loudly:
+                # silently dropping the lake side would re-schedule
+                # already-kept URLs.  Probe existence instead of
+                # classifying exception flavours — the FS check is
+                # unambiguous where error classes differ by backend.
+                jvm_path = spark._jvm.org.apache.hadoop.fs.Path(lake_path)
+                fs = jvm_path.getFileSystem(
+                    spark._jsc.hadoopConfiguration()
+                )
+                if fs.exists(jvm_path):
                     fetched = fetched.unionByName(
                         spark.read.parquet(lake_path).select("url")
                     )
-                except Exception:
-                    # zero-doc lake so far (every batch gated away):
-                    # the attempted table alone carries the history
-                    pass
                 # discovery from THIS batch's own XML responses: RSS/
                 # Atom entries AND sitemap locs join the frontier as
                 # referrer-less candidates (in_refs counts real
@@ -477,7 +485,14 @@ def start_crawl_ingest(
     pages keep.  The model tables are re-read per batch (bounded
     parquet scans of O(training vocabulary) — leak-free by default;
     a caller running very many batches in one session may persist the
-    three frames itself and unpersist them after the stream ends)."""
+    three frames itself and unpersist them after the stream ends).
+    A model trained on other labels fails HERE, at stream setup: the
+    gate's NULL-keeps contract would otherwise keep every page with
+    dropped=0."""
+    if clf_model is not None:
+        from ..operators.classify import nb_require_labels
+
+        nb_require_labels(clf_model, ("good", "bad"))
     return (
         read_warc_stream(spark, src_glob)
         .writeStream.foreachBatch(

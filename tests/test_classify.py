@@ -334,3 +334,17 @@ def test_merge_single_and_empty_contracts(spark):
     )
     with pytest.raises(ValueError, match="at least one"):
         nb_merge()
+
+
+def test_require_labels_fails_loudly_on_wrong_model(spark):
+    """nb_require_labels: a model trained on other labels raises at
+    gate setup instead of NULL-scoring (and thus silently keeping)
+    every document (round-11 ADVICE fix)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_require_labels,
+    )
+
+    model = _train(spark)
+    nb_require_labels(model, ("good", "bad"))  # trained labels pass
+    with pytest.raises(ValueError, match="lacks required labels"):
+        nb_require_labels(model, ("good", "spam"))

@@ -906,3 +906,59 @@ def test_clftrain_then_corpus_clf_model(spark, tmp_path, capsys):
         "corpus", "--src", str(src), "--out", str(tmp_path / "o2"),
         "--clf-model", model, "--clf-good", gref, "--clf-bad", bref,
     ]) == 2
+
+
+def test_corpus_clf_text_col_and_label_validation(spark, tmp_path, capsys):
+    """--clf-text-col reads reference corpora whose text column is not
+    named `text`, and a saved model lacking the good/bad labels fails
+    loudly at gate setup instead of keeping everything with dropped=0
+    (round-11 ADVICE fixes)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_save,
+        nb_train,
+    )
+    import pyspark.sql.functions as F
+
+    goodish = ("the data in the table is the value of the row and the key "
+               "of the batch while the line in the window is the part of "
+               "the sort and the scan of the batch is the merge")
+    spammy = ("the cheap pills and the lucky prize of the winner in the "
+              "draw are the offer of the day while the bonus of the deal "
+              "is the gift of the spin and the jackpot of the club")
+    gref, bref = str(tmp_path / "g.parquet"), str(tmp_path / "b.parquet")
+    # reference tables with a NON-default text column name
+    spark.createDataFrame(
+        [(i, goodish) for i in range(4)], "doc_id long, body string"
+    ).write.parquet(gref)
+    spark.createDataFrame(
+        [(i, spammy) for i in range(4)], "doc_id long, body string"
+    ).write.parquet(bref)
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(
+        _json.dumps({"doc_id": i, "text": t, "source": "s"})
+        for i, t in ((1, goodish), (2, spammy))
+    ))
+    assert main([
+        "corpus", "--src", str(src), "--out", str(tmp_path / "o"),
+        "--clf-good", gref, "--clf-bad", bref, "--clf-text-col", "body",
+        "--master", "local[4]",
+    ]) == 0
+    assert "clf-gate: dropped=1" in capsys.readouterr().out
+
+    # wrong-label model: fail at setup, not silently keep
+    wrong = nb_train(spark.createDataFrame(
+        [("spam", spammy), ("ham", goodish)], "label string, text string"
+    ))
+    mpath = str(tmp_path / "wrong_model")
+    nb_save(wrong, mpath)
+    with _pytest.raises(ValueError, match="lacks required labels"):
+        main([
+            "corpus", "--src", str(src), "--out", str(tmp_path / "o2"),
+            "--clf-model", mpath, "--master", "local[4]",
+        ])

@@ -349,3 +349,37 @@ def test_streaming_clf_gate_drops_bad_pages(spark, tmp_path):
     _drain(spark, src, lake, tmp_path / "ckpt2", clf_model=model)
     urls2 = sorted(r["url"] for r in spark.read.parquet(str(lake)).collect())
     assert urls2 == urls
+
+
+def test_streaming_schedule_fails_loudly_on_corrupt_lake(spark, tmp_path):
+    """A lake that EXISTS but cannot be read (corrupt footer, transient
+    FS error) must fail the batch — silently treating it as a zero-doc
+    lake would drop the lake side of the fetched set and re-schedule
+    already-kept URLs (round-11 ADVICE fix).  The genuinely-absent-lake
+    case stays a normal state (covered by the schedule loop test, whose
+    first batch schedules before any lake write)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt = tmp_path / "lake", tmp_path / "ckpt"
+    edges_dir, sched_dir = tmp_path / "edges", tmp_path / "sched"
+    # a corrupt data file inside a committed batch directory (a bare
+    # root-level file is skipped by partition discovery, not read)
+    (lake / "batch_id=999").mkdir(parents=True)
+    (lake / "batch_id=999" / "part-00000.parquet").write_bytes(
+        b"this is not a parquet file"
+    )
+    page_a = (
+        f"<html><body><p>{GOOD_A}</p><a href=\"/next\">n</a></body></html>"
+    ).encode()
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/a", _http(page_a)),
+    ])
+    with pytest.raises(StreamingQueryException):
+        _drain(
+            spark, src, lake, ckpt,
+            outlinks_path=str(edges_dir),
+            schedule_path=str(sched_dir),
+        )
