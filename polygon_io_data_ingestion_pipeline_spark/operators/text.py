@@ -124,7 +124,9 @@ def script_char_count(text_col, ranges: str) -> Column:
 
 
 def predicted_lang_script(
-    text_col: str = "text", latin_und_floor: float | None = None
+    text_col: str = "text",
+    latin_und_floor: float | None = None,
+    intra_script: bool = True,
 ) -> Column:
     """Unicode-script language ID — the real first-pass heuristic for a
     multilingual crawl (charset-correct decode upstream is what makes
@@ -143,30 +145,52 @@ def predicted_lang_script(
     pass).  ``latin_und_floor`` forwards the coverage-based confidence
     floor: Latin text whose winning language's function words cover
     less than that token fraction labels ``und`` instead of a
-    confident nearest-neighbour guess.  All JVM expressions — no
-    Python."""
+    confident nearest-neighbour guess.
+
+    ``intra_script`` (round-11): the multi-language scripts refine
+    through their own function-word families
+    (:mod:`..functions.script_families`) — a Cyrillic winner routes to
+    the ru/uk/bg/sr classifier, an Arabic-script winner to ar/fa/ur, a
+    Devanagari winner to hi/mr/ne; zero-hit text keeps the script's
+    web-prior label (ru/ar/hi), so the pre-round-11 behavior is the
+    fallback, not a different answer.  The family folds sit in CASE
+    branches, so only rows whose script actually wins pay them.  All
+    JVM expressions — no Python."""
+    from ..functions.script_families import (
+        predicted_lang_arabic_script,
+        predicted_lang_cyrillic,
+        predicted_lang_devanagari,
+    )
     from ..functions.stopwords import predicted_lang_latin
 
     col = F.col(text_col) if isinstance(text_col, str) else text_col
+    name = text_col if isinstance(text_col, str) else "text"
     counts = {
         lang: script_char_count(col, ranges) for lang, ranges in SCRIPT_RANGES
     }
     best = F.greatest(*counts.values())
     threshold = F.greatest(F.lit(1), (F.length(col) * F.lit(0.15)).cast("int"))
+    refiners = (
+        {
+            "ru": predicted_lang_cyrillic(name),
+            "ar": predicted_lang_arabic_script(name),
+            "hi": predicted_lang_devanagari(name),
+        }
+        if intra_script
+        else {}
+    )
     # first matching lang in SCRIPT_RANGES order (ja before zh: a text
     # whose kana count ties or beats Han is Japanese by construction)
     script_pick = F.lit(None).cast("string")
     for lang, _ in reversed(SCRIPT_RANGES):
-        script_pick = F.when(counts[lang] == best, F.lit(lang)).otherwise(script_pick)
+        pick = refiners.get(lang, F.lit(lang))
+        script_pick = F.when(counts[lang] == best, pick).otherwise(script_pick)
     # kana presence overrides a Han plurality: Japanese mixes scripts
     script_pick = F.when(
         (counts["ja"] > 0) & ((counts["zh"] + counts["ja"]) >= best), F.lit("ja")
     ).otherwise(script_pick)
     return F.when(best >= threshold, script_pick).otherwise(
-        predicted_lang_latin(
-            text_col if isinstance(text_col, str) else "text",
-            und_floor=latin_und_floor,
-        )
+        predicted_lang_latin(name, und_floor=latin_und_floor)
     )
 
 

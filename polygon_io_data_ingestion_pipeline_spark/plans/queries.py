@@ -5330,6 +5330,173 @@ def docs_latin_langid_scored(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+#: round-11 intra-script langid fixtures: page-register sentences per
+#: tabled language of each non-Latin family, one UNTABLED language of
+#: the same script (Kazakh / Pashto / Sanskrit — the coverage floor's
+#: reason to exist) and one letter-salad line per script.  Index =
+#: doc_id % len(table).
+_CYRILLIC_FIXTURES = (
+    "ученые обнаружили что океан нагревается быстрее чем они думали и "
+    "это будет проблемой для всех стран в ближайшие годы если не "
+    "принять меры",
+    "вчені виявили що океан нагрівається швидше ніж вони думали і це "
+    "буде проблемою для всіх країн у найближчі роки якщо не вжити "
+    "заходів",
+    "учените откриха че океанът се затопля по-бързо отколкото са "
+    "смятали и това ще бъде проблем за всички страни през следващите "
+    "години",
+    "научници су открили да се океан загрева брже него што су мислили "
+    "и то ће бити проблем за све земље у наредним годинама ако се "
+    "ништа не предузме",
+    # Kazakh (untabled Cyrillic): coverage floor labels und
+    "барлық адамдар тумысынан азат және қадір-қасиеті мен құқықтары "
+    "тең болып дүниеге келеді оларға ақыл-парасат берілген",
+    # Cyrillic letter salad: und
+    "жфыкп щцврб длмтн гхзшс чбнмю эяфжд",
+)
+
+_ARABIC_FIXTURES = (
+    "اكتشف العلماء أن المحيط يسخن بشكل أسرع مما كانوا يعتقدون من قبل "
+    "وقالوا إن هذا سيكون مشكلة في كل البلدان على مستوى العالم",
+    "دانشمندان دریافتند که اقیانوس سریعتر از آنچه فکر می‌کردند در حال "
+    "گرم شدن است و این برای همه کشورها مشکل خواهد بود",
+    "سائنسدانوں نے دریافت کیا ہے کہ سمندر ان کی سوچ سے زیادہ تیزی سے "
+    "گرم ہو رہا ہے اور یہ سب کے لیے ایک مسئلہ ہو گا",
+    # Pashto (untabled Arabic script): und via the coverage floor
+    "ټول انسانان آزاد نړۍ ته راځي او د عزت او حقونو له پلوه سره برابر "
+    "دي دوی ته عقل او وجدان ورکړل شوی دی",
+    # Arabic-script letter salad: und
+    "قشغف خضمث طلبج ذسعن كهرو زحيد",
+)
+
+_DEVANAGARI_FIXTURES = (
+    "वैज्ञानिकों ने पाया है कि महासागर उनकी सोच से अधिक तेजी से गर्म "
+    "हो रहा है और यह सभी देशों के लिए एक समस्या होगी",
+    "शास्त्रज्ञांना असे आढळले आहे की महासागर त्यांच्या अपेक्षेपेक्षा "
+    "वेगाने गरम होत आहे आणि ही सर्व देशांसाठी एक समस्या आहे",
+    "वैज्ञानिकहरूले पत्ता लगाएका छन् कि समुद्र उनीहरूले सोचेको भन्दा "
+    "छिटो तातो हुँदैछ र यो सबै देशहरूका लागि समस्या हुनेछ",
+    # Sanskrit (untabled Devanagari): und via the coverage floor
+    "धर्मक्षेत्रे कुरुक्षेत्रे समवेता युयुत्सवः मामकाः पाण्डवाश्चैव "
+    "किमकुर्वत सञ्जय उवाच दृष्ट्वा तु पाण्डवानीकं व्यूढं",
+    # Devanagari letter salad: und
+    "खगझट ठडढण थधफभ शषक्ष ज्ञचछज",
+)
+
+
+def _family_fixture_query(fixtures, predict, score_fn):
+    """Shared plan shape for the three intra-script langid queries:
+    family fixtures replace the corpus text by doc_id % k, classify
+    with the coverage floor, surface the winning score."""
+    def run(spark: SparkSession, sf: str) -> DataFrame:
+        bodies = F.array(*[F.lit(t) for t in fixtures])
+        m = (F.col("doc_id") % len(fixtures)).cast("int")
+        docs = table(spark, sf, "documents").select(
+            "doc_id", F.element_at(bodies, m + 1).alias("text")
+        )
+        return docs.select(
+            "doc_id",
+            predict("text", und_floor=0.25).alias("lang"),
+            F.array_max(score_fn("text")).cast("long").alias("score"),
+        )
+    return run
+
+
+def _family_fixture_oracle(fixtures, freq, default):
+    from ..functions.script_families import family_oracle_select
+
+    return family_oracle_select(
+        freq,
+        "SELECT doc_id, CASE CAST(doc_id % {k} AS INT) ".format(k=len(fixtures))
+        + " ".join(
+            "WHEN {i} THEN '{t}'".format(i=i, t=t.replace("'", "''"))
+            for i, t in enumerate(fixtures)
+        )
+        + " END AS text FROM documents",
+        default=default,
+        und_floor=0.25,
+        score_col="score",
+    )
+
+
+from ..functions.script_families import (  # noqa: E402
+    ARABIC_FREQ as _ARABIC_FREQ,
+    CYRILLIC_FREQ as _CYRILLIC_FREQ,
+    DEVANAGARI_FREQ as _DEVANAGARI_FREQ,
+    family_score_vector as _family_score_vector,
+    predicted_lang_arabic_script as _predicted_lang_arabic_script,
+    predicted_lang_cyrillic as _predicted_lang_cyrillic,
+    predicted_lang_devanagari as _predicted_lang_devanagari,
+)
+
+_FAMILY_LANGID_DOC = (
+    "Round-11 intra-script language ID (functions/script_families.py, "
+    "routed from predicted_lang_script): page-register sentences per "
+    "tabled language replace the corpus text by doc_id % k, an "
+    "UNTABLED language of the same script and a letter-salad line "
+    "label 'und' via the integer winner-hit coverage floor, and the "
+    "winning score is surfaced for auditing.  The tokenizer keeps "
+    "combining marks inside tokens (Devanagari matras/virama are Mn; "
+    "the ZWNJ still splits, which standalone-izes the Persian "
+    "progressive prefix می).  Oracle GENERATED from the same frequency "
+    "table + tokenizer, so the hash certifies scoring, floor and tie "
+    "order together.  One JVM token pass over the prefix-partitioned "
+    "vocab map, zero Python, zero shuffles."
+)
+
+
+@q(
+    "docs_cyrillic_langid_scored",
+    oracle=_family_fixture_oracle(_CYRILLIC_FIXTURES, _CYRILLIC_FREQ, "ru"),
+    doc=_FAMILY_LANGID_DOC + "  Family: Cyrillic ru/uk/bg/sr (Kazakh "
+    "untabled; uk's і/що/це vs ru's и/что/это are distinct codepoints; "
+    "bg/sr share да/се and separate on е/това/ще vs је/су/што).",
+    tags=("text",),
+)
+def docs_cyrillic_langid_scored(spark: SparkSession, sf: str) -> DataFrame:
+    return _family_fixture_query(
+        _CYRILLIC_FIXTURES,
+        _predicted_lang_cyrillic,
+        lambda c: _family_score_vector(_CYRILLIC_FREQ, c),
+    )(spark, sf)
+
+
+@q(
+    "docs_arabic_langid_scored",
+    oracle=_family_fixture_oracle(_ARABIC_FIXTURES, _ARABIC_FREQ, "ar"),
+    doc=_FAMILY_LANGID_DOC + "  Family: Arabic-script ar/fa/ur (Pashto "
+    "untabled; fa/ur ی and ur ہ/ے are distinct codepoints from ar ي/ه; "
+    "Arabic's و conjunction writes attached so it is fa's signal, not "
+    "ar's).",
+    tags=("text",),
+)
+def docs_arabic_langid_scored(spark: SparkSession, sf: str) -> DataFrame:
+    return _family_fixture_query(
+        _ARABIC_FIXTURES,
+        _predicted_lang_arabic_script,
+        lambda c: _family_score_vector(_ARABIC_FREQ, c),
+    )(spark, sf)
+
+
+@q(
+    "docs_devanagari_langid_scored",
+    oracle=_family_fixture_oracle(
+        _DEVANAGARI_FIXTURES, _DEVANAGARI_FREQ, "hi"
+    ),
+    doc=_FAMILY_LANGID_DOC + "  Family: Devanagari hi/mr/ne (Sanskrit "
+    "untabled; copulas alone separate page-length text — hi है/हैं, "
+    "mr आहे/आहेत, ne छ/छन् — and the mark-keeping tokenizer is what "
+    "keeps them whole).",
+    tags=("text",),
+)
+def docs_devanagari_langid_scored(spark: SparkSession, sf: str) -> DataFrame:
+    return _family_fixture_query(
+        _DEVANAGARI_FIXTURES,
+        _predicted_lang_devanagari,
+        lambda c: _family_score_vector(_DEVANAGARI_FREQ, c),
+    )(spark, sf)
+
+
 @q(
     "docs_outlink_graph",
     oracle="""
@@ -6821,10 +6988,23 @@ PINNED_WINDOW = [
     # count was off by one (119, not 118).
     "docs_repetition_metrics",
     "docs_sequence_packing",
-    "docs_split_and_sample",
+    # docs_split_and_sample rotates as of round 11: it is map-side-only
+    # deterministic md5-bucket arithmetic with no join/aggregation
+    # semantics to drift between engines, its constituents (hash_split,
+    # stratified_sample) are hand-pinned in pytest, and the md5-bucket
+    # sampling path earns external rows through the rotating mixture/
+    # cap queries (docs_token_budget_mixture, docs_domain_capped_sample,
+    # docs_rank_capped_sample).  The trim frees rotation slots for the
+    # round-11 registrations (three intra-script langid families +
+    # audio fingerprint dedup) while keeping the <=4-round bound.
     "docs_tfidf_top_terms",
     # Events analytics + iterative-graph anchors.
-    "events_funnel_conversion",
+    # events_funnel_conversion rotates as of round 11: the events
+    # family holds FIVE other pinned anchors (gap_declared_reconcile,
+    # asof_forward_snap, scd_window_join, day-calendar join, tpch_q01)
+    # covering the same sessionization-window machinery, making it the
+    # most redundant anchor in the list — same rationale as the
+    # docs_token_stats / series_minute_exact_join trims.
     "docs_pagerank_centrality",
 ]
 
