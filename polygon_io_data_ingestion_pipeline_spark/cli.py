@@ -1117,6 +1117,86 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_audiodedup(args: argparse.Namespace) -> int:
+    """Audio near-duplicate detection over a media parquet table: the
+    audio twin of the imagededup command (multimodal/afp.py) — decode +
+    fingerprint every payload once (WAV/FLAC/ADPCM through the real
+    codec lane), banded-hamming candidate pairs (NEVER all-pairs),
+    connected-component duplicate clusters, keep/drop accounting."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .multimodal.afp import audio_fingerprints
+    from .operators.dedup import duplicate_clusters, hamming_pairs
+
+    if args.max_hamming < 0:
+        print(
+            f"audiodedup: --max-hamming must be >= 0, got {args.max_hamming}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.input_format == "warc" and (
+        args.id_col != "media_id" or args.payload_col != "payload"
+    ):
+        print(
+            "audiodedup: --id-col/--payload-col cannot be combined with "
+            "--input-format warc (the crawl lane keys media_id/payload)",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark("poly-audiodedup", master=args.master)
+    if args.input_format == "warc":
+        # crawl -> audio dedup directly: audio/* responses from the
+        # WARC files (digest dedup first), keyed like the image lane
+        from .sources.archive import read_warc, warc_digest_dedup
+
+        recs = warc_digest_dedup(read_warc(spark, args.src)).filter(
+            (F.col("record_type") == "response")
+            & F.col("content_type").startswith("audio/")
+        )
+        # persist: the mapping write AND the fingerprint pass both
+        # consume this frame whose lineage is the non-splittable WARC walk
+        media = recs.select(
+            F.xxhash64("url", "warc_date").alias("media_id"),
+            "url",
+            "payload",
+        ).persist()
+        media.select("media_id", "url").write.mode("overwrite").parquet(
+            _os.path.join(args.out, "media")
+        )
+    else:
+        media = spark.read.parquet(args.src)
+    sig = audio_fingerprints(
+        media, id_col=args.id_col, payload_col=args.payload_col
+    ).persist()
+    n_total = sig.count()
+    decoded = sig.filter(F.col("decode_ok"))
+    n_decoded = decoded.count()
+    pairs = hamming_pairs(
+        decoded, "afp", id_col=args.id_col, bits=64, max_hamming=args.max_hamming
+    )
+    pairs.write.mode("overwrite").parquet(_os.path.join(args.out, "pairs"))
+    pairs_back = spark.read.parquet(_os.path.join(args.out, "pairs"))
+    clusters = duplicate_clusters(
+        pairs_back, all_ids=decoded.select(args.id_col), id_col=args.id_col
+    )
+    clusters.write.mode("overwrite").parquet(_os.path.join(args.out, "clusters"))
+    cl = spark.read.parquet(_os.path.join(args.out, "clusters"))
+    n_pairs = pairs_back.count()
+    n_clusters = cl.select("cluster_id").distinct().count()
+    n_drop = cl.filter(F.col(args.id_col) != F.col("cluster_id")).count()
+    sig.unpersist()
+    if args.input_format == "warc":
+        media.unpersist()
+    print(
+        f"audiodedup -> {args.out}: clips={n_total} decoded={n_decoded} "
+        f"quarantined={n_total - n_decoded} pairs={n_pairs} "
+        f"clusters={n_clusters} duplicates_to_drop={n_drop}"
+    )
+    return 0
+
+
 def cmd_datasheet(args: argparse.Namespace) -> int:
     """Corpus report card: documents in (JSONL or parquet) ->
     long-format (metric, value) datasheet printed and optionally
@@ -1539,6 +1619,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_imagededup)
+
+    p = sub.add_parser(
+        "audiodedup",
+        help="perceptual spectral-fingerprint audio near-dup pairs + clusters",
+    )
+    p.add_argument("--src", required=True, help="media parquet (id + binary payload)")
+    p.add_argument("--out", required=True, help="output root (pairs/, clusters/)")
+    p.add_argument("--max-hamming", type=int, default=6)
+    p.add_argument("--id-col", default="media_id")
+    p.add_argument("--payload-col", default="payload")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="warc: dedup the audio/* responses of a crawl directly "
+        "(digest-deduped; media/ mapping table written beside pairs/)",
+    )
+    _add_common(p)
+    p.set_defaults(fn=cmd_audiodedup)
 
     p = sub.add_parser(
         "lake", help="lake maintenance: compact | delete (takedown) | merge (upsert)"

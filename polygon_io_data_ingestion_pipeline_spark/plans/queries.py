@@ -6421,6 +6421,128 @@ def img_dhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "audio_fp_dup_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+blocks AS (
+  SELECT doc_id, blk,
+         md5('a' || CAST(doc_id // 2 AS VARCHAR) || '_' || CAST(blk AS VARCHAR)) AS ha,
+         md5('p' || CAST(doc_id // 2 AS VARCHAR) || '_' || CAST(blk AS VARCHAR)) AS hp
+  FROM d, range(0, 72) bb(blk)),
+raw AS (
+  SELECT doc_id, CAST(blk*8 + j AS INT) AS i,
+         CAST(('0x' || substr(ha, 4*j+1, 4)) AS BIGINT) - 32768 AS s,
+         CAST(('0x' || substr(hp, 4*j+1, 4)) AS BIGINT) - 32768 AS p
+  FROM blocks, range(0, 8) jj(j)),
+samp AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 2 = 1
+              THEN floor(s / 2.0) +
+                   (CASE WHEN i // 64 = 4 THEN floor(p / 8.0) ELSE 0 END)
+              ELSE CAST(s AS DOUBLE) END AS x
+  FROM raw),
+dft AS (
+  SELECT doc_id, CAST(i // 64 AS INT) AS t, k,
+         sum(x * cos(2 * pi() * k * (i % 64) / 64.0)) AS re,
+         sum(x * sin(2 * pi() * k * (i % 64) / 64.0)) AS im
+  FROM samp, range(1, 33) kk(k)
+  GROUP BY doc_id, i // 64, k),
+bande AS (
+  SELECT doc_id, t, CAST(b.b AS INT) AS b, sum(re*re + im*im) AS e
+  FROM dft, range(0, 9) b(b)
+  WHERE k - 1 >= (b.b * 32) // 9 AND k - 1 < ((b.b + 1) * 32) // 9
+  GROUP BY doc_id, t, b.b),
+bits AS (
+  SELECT e1.doc_id, e1.t * 8 + e1.b AS i
+  FROM bande e1
+  JOIN bande e2 ON e2.doc_id = e1.doc_id AND e2.t = e1.t AND e2.b = e1.b + 1
+  JOIN bande f1 ON f1.doc_id = e1.doc_id AND f1.t = e1.t + 1 AND f1.b = e1.b
+  JOIN bande f2 ON f2.doc_id = e1.doc_id AND f2.t = e1.t + 1 AND f2.b = e1.b + 1
+  WHERE e1.t < 8 AND e1.b < 8 AND ((f1.e - f2.e) - (e1.e - e2.e)) > 0),
+h AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN bits.i = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << CAST(bits.i AS INT))
+                           END), 0) AS BIGINT) AS fp
+  FROM d LEFT JOIN bits ON bits.doc_id = d.doc_id
+  GROUP BY d.doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= 6
+""",
+    doc="Audio near-duplicate detection by perceptual spectral "
+    "fingerprint (multimodal/afp.py, round-11 verdict ask #2 — the "
+    "audio twin of img_dhash_dup_pairs): one deterministic 576-sample "
+    "int16 WAV per document (samples = md5 halfwords of doc_id//2; odd "
+    "docs are a HALF-VOLUME re-level of their even sibling with 1/8-"
+    "amplitude noise mixed into ONE time segment — a true near-dup), "
+    "pushed through the REAL pipeline: stdlib WAV decode -> 9-segment "
+    "FFT -> 9 integer-edged spectral bands -> 64 Haitsma-Kalker "
+    "time/frequency second-difference sign bits -> the pigeonhole "
+    "hamming-banded equi-join shared with SimHash and image pHash "
+    "(operators/dedup.py hamming_pairs; linear shuffles, never "
+    "all-pairs).  Volume re-leveling flips ZERO bits by construction "
+    "(all energies scale uniformly); the localized edit flips a few — "
+    "sibling pairs land at hamming 0-4 while distinct clips differ on "
+    "~32 bits.  The oracle re-derives the samples from the same md5 "
+    "arithmetic, restates the band energies as naive DFT sums (an "
+    "independent numerical path from numpy's FFT butterflies; sign "
+    "decisions sit ~9 orders above the engines' rounding difference) "
+    "and verifies pairs ALL-PAIRS, certifying the banded join's "
+    "recall, not replicating it.",
+    tags=("dedup", "multimodal"),
+    bench=True,
+)
+def audio_fp_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal.afp import audio_dup_pairs
+
+    # one parquet file at sf scale: repartition so the Python decode
+    # lane runs wide instead of as one task (same move as img_dhash)
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..multimodal.afp import encode_wav_int16
+
+        def u16(base, tag):
+            out = _np.empty(576, dtype=_np.int64)
+            for blk in range(72):
+                h = _hl.md5(f"{tag}{base}_{blk}".encode()).digest()
+                for j in range(8):
+                    out[blk * 8 + j] = h[2 * j] * 256 + h[2 * j + 1]
+            return out
+
+        for batch in batches:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                base = did // 2
+                s = u16(base, "a") - 32768
+                if did % 2 == 1:
+                    p = u16(base, "p") - 32768
+                    t = _np.floor(s / 2.0)
+                    t[4 * 64 : 5 * 64] += _np.floor(p[4 * 64 : 5 * 64] / 8.0)
+                    s = t.astype(_np.int64)
+                payloads.append(encode_wav_int16(s))
+            yield _pd.DataFrame({"media_id": batch["doc_id"], "payload": payloads})
+
+    clips = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    pairs = audio_dup_pairs(clips, max_hamming=6)
+    return pairs.select(
+        F.col("id1"), F.col("id2"), F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@q(
     "docs_trust_selection",
     oracle="""
 WITH d AS (
