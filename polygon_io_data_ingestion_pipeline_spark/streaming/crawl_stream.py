@@ -43,22 +43,23 @@ def read_warc_stream(
     record_types: tuple[str, ...] = ("response", "revisit"),
     batch_rows: int = _BATCH_ROWS,
     batch_bytes: int = _BATCH_BYTES,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Streaming twin of :func:`..sources.archive.read_warc`: the
     binaryFile file-stream source discovers new crawl files (content
     column pruned — only paths flow), and the same bounded-memory
-    mapper explodes them to record rows."""
+    mapper explodes them to record rows.  ``max_files_per_trigger``
+    paces a large backlog into bounded batches (AvailableNow honors it
+    across multiple batches instead of one giant batch)."""
     # streaming sources demand an explicit schema; binaryFile's is fixed
     # (and selecting only `path` prunes the content read, as in batch)
-    files = (
-        spark.readStream.format("binaryFile")
-        .schema(
-            "path string, modificationTime timestamp, "
-            "length bigint, content binary"
-        )
-        .load(path_glob)
-        .select("path")
+    reader = spark.readStream.format("binaryFile").schema(
+        "path string, modificationTime timestamp, "
+        "length bigint, content binary"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path_glob).select("path")
     return files.mapInPandas(
         _warc_mapper(record_types, batch_rows, batch_bytes), schema=WARC_SCHEMA
     )
@@ -206,6 +207,79 @@ def crawl_records_to_docs(
     return _recs_to_docs(recs, main_content=main_content)
 
 
+def compact_attempted(
+    spark: SparkSession,
+    attempted_root: str,
+    min_batch_dirs: int = 16,
+) -> dict[str, int]:
+    """Compact the batch-keyed attempted-URL table: fold the accrued
+    ``batch_id=N/`` directories into ONE distinct-url baseline
+    directory so the per-batch listing stays cheap on a long-running
+    crawl (round-10 left this as an operational note; this is the code).
+
+    The attempted table is a SET under union-distinct semantics, which
+    makes compaction straightforwardly crash-safe when ordered
+    duplicates-first: (1) write the distinct union to a staging sibling,
+    (2) RENAME it into the root as a fresh, never-used negative
+    ``batch_id`` (one FS namespace op), (3) only then delete the
+    consumed directories.  A crash after (2) leaves duplicate rows —
+    harmless to a distinct union; no window ever has MISSING rows, the
+    failure that would re-schedule gate-dropped pages.  A checkpoint
+    replay of an already-compacted batch simply rewrites its own
+    ``batch_id=N`` directory next to the baseline — duplicates again,
+    set unchanged — so replay determinism holds through compaction.
+
+    Serialized behind the root's maintenance lease (the same protocol
+    every lake maintainer uses); no-ops below ``min_batch_dirs`` so the
+    steady-state cost is one directory listing."""
+    import os
+    import re
+
+    from ..sources.lease import LakeLease
+
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(attempted_root)
+    fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jvm_path):
+        return {"dirs_before": 0, "dirs_after": 0, "compacted": 0}
+    with LakeLease(spark, attempted_root, holder="compact_attempted"):
+        dirs = {}
+        for st in fs.listStatus(jvm_path):
+            name = st.getPath().getName()
+            m = re.fullmatch(r"batch_id=(-?\d+)", name)
+            if st.isDirectory() and m:
+                dirs[int(m.group(1))] = str(st.getPath())
+        if len(dirs) < min_batch_dirs:
+            return {
+                "dirs_before": len(dirs),
+                "dirs_after": len(dirs),
+                "compacted": 0,
+            }
+        baseline_id = min(list(dirs) + [0]) - 1
+        staging = attempted_root.rstrip("/") + "_compacting"
+        (
+            spark.read.parquet(attempted_root)
+            .select("url")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(staging)
+        )
+        dest = spark._jvm.org.apache.hadoop.fs.Path(
+            os.path.join(attempted_root, f"batch_id={baseline_id}")
+        )
+        if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), dest):
+            raise IOError(
+                f"compact_attempted: rename {staging} -> {dest} failed"
+            )
+        for _bid, p in dirs.items():
+            fs.delete(spark._jvm.org.apache.hadoop.fs.Path(p), True)
+        spark.catalog.refreshByPath(attempted_root)
+        return {
+            "dirs_before": len(dirs),
+            "dirs_after": 1,
+            "compacted": len(dirs),
+        }
+
+
 def write_crawl_batch(
     batch_df: DataFrame,
     batch_id: int,
@@ -217,6 +291,7 @@ def write_crawl_batch(
     schedule_path: str | None = None,
     clf_model: dict | None = None,
     clf_margin: float = 0.0,
+    compact_attempted_every: int | None = None,
 ) -> None:
     """foreachBatch sink: records -> documents -> idempotent corpus
     commit.  The docs frame feeds one sink write but its lineage tops a
@@ -252,11 +327,12 @@ def write_crawl_batch(
     must not be re-scheduled forever just because a feed keeps
     announcing it.  A crash-replay rewrites the same rows (the lake and
     attempted state it reads are the idempotent sinks' own
-    just-rewritten batches).  Operational note: the attempted table
-    accrues one batch directory per drain; for very long-running crawls
-    compact it periodically (``sources/lake.py:compact_lake`` works on
-    any batch-keyed parquet root) so the per-batch listing stays
-    cheap."""
+    just-rewritten batches).  The attempted table accrues one batch
+    directory per drain; ``compact_attempted_every=N`` folds them into
+    one distinct baseline every N batches (:func:`compact_attempted` —
+    duplicates-first ordering keeps every crash window a harmless
+    duplicate, never a missing row) so the per-batch listing stays
+    bounded on a long-running crawl."""
     import os
 
     if schedule_path is not None and outlinks_path is None:
@@ -362,23 +438,49 @@ def write_crawl_batch(
                         os.path.join(attempted_root, f"batch_id={batch_id}")
                     )
                 )
+                if compact_attempted_every is not None and (
+                    batch_id > 0 and batch_id % compact_attempted_every == 0
+                ):
+                    # fold the accrued batch dirs into one baseline BEFORE
+                    # this batch's frontier read, so the read already
+                    # benefits; idempotent under crash-replay (see
+                    # compact_attempted)
+                    stats = compact_attempted(spark, attempted_root)
+                    if stats["compacted"]:
+                        print(
+                            f"attempted-compact[batch {batch_id}]: "
+                            f"dirs {stats['dirs_before']} -> "
+                            f"{stats['dirs_after']}"
+                        )
                 fetched = spark.read.parquet(attempted_root).select("url")
                 # zero-doc lake so far (every batch gated away) is a
                 # NORMAL state — the attempted table alone carries the
-                # history.  Anything else (corrupt footer, transient
-                # FS/permission error) must fail the batch loudly:
-                # silently dropping the lake side would re-schedule
-                # already-kept URLs.  Probe existence instead of
-                # classifying exception flavours — the FS check is
-                # unambiguous where error classes differ by backend.
+                # history.  That state has two shapes: the lake path
+                # does not exist yet (probed with an FS check), or it
+                # holds only _SUCCESS-bearing batch dirs because every
+                # doc so far gated away (schema inference then fails
+                # with UNABLE_TO_INFER_SCHEMA — there is no data file
+                # to read, which is exactly "zero docs").  Anything
+                # else (corrupt footer, transient FS/permission error)
+                # must fail the batch loudly: silently dropping the
+                # lake side would re-schedule already-kept URLs.
                 jvm_path = spark._jvm.org.apache.hadoop.fs.Path(lake_path)
                 fs = jvm_path.getFileSystem(
                     spark._jsc.hadoopConfiguration()
                 )
                 if fs.exists(jvm_path):
-                    fetched = fetched.unionByName(
-                        spark.read.parquet(lake_path).select("url")
-                    )
+                    from pyspark.errors import AnalysisException
+
+                    try:
+                        lake_urls = spark.read.parquet(lake_path).select(
+                            "url"
+                        )
+                    except AnalysisException as e:
+                        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                            raise
+                        lake_urls = None
+                    if lake_urls is not None:
+                        fetched = fetched.unionByName(lake_urls)
                 # discovery from THIS batch's own XML responses: RSS/
                 # Atom entries AND sitemap locs join the frontier as
                 # referrer-less candidates (in_refs counts real
@@ -453,6 +555,8 @@ def start_crawl_ingest(
     schedule_path: str | None = None,
     clf_model: dict | None = None,
     clf_margin: float = 0.0,
+    compact_attempted_every: int | None = None,
+    max_files_per_trigger: int | None = None,
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
@@ -488,13 +592,20 @@ def start_crawl_ingest(
     three frames itself and unpersist them after the stream ends).
     A model trained on other labels fails HERE, at stream setup: the
     gate's NULL-keeps contract would otherwise keep every page with
-    dropped=0."""
+    dropped=0.
+
+    ``compact_attempted_every`` folds the attempted-URL table's accrued
+    batch directories into one distinct baseline every N batches (see
+    :func:`compact_attempted`) — bounds the per-batch listing on a
+    long-running crawl; ``max_files_per_trigger`` paces the backlog."""
     if clf_model is not None:
         from ..operators.classify import nb_require_labels
 
         nb_require_labels(clf_model, ("good", "bad"))
     return (
-        read_warc_stream(spark, src_glob)
+        read_warc_stream(
+            spark, src_glob, max_files_per_trigger=max_files_per_trigger
+        )
         .writeStream.foreachBatch(
             functools.partial(
                 write_crawl_batch,
@@ -506,6 +617,7 @@ def start_crawl_ingest(
                 schedule_path=schedule_path,
                 clf_model=clf_model,
                 clf_margin=clf_margin,
+                compact_attempted_every=compact_attempted_every,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -383,3 +383,154 @@ def test_streaming_schedule_fails_loudly_on_corrupt_lake(spark, tmp_path):
             outlinks_path=str(edges_dir),
             schedule_path=str(sched_dir),
         )
+
+def _drain_all(spark, src, lake, ckpt, timeout=560, **kw):
+    q = start_crawl_ingest(spark, str(src), str(lake), str(ckpt), **kw)
+    import time
+    t0 = time.time()
+    while q.isActive and time.time() - t0 < timeout:
+        q.awaitTermination(5)
+    assert not q.isActive, "stream did not drain in time"
+    if q.exception() is not None:
+        raise q.exception()
+
+
+def test_compact_attempted_unit_set_identity_and_idempotence(spark, tmp_path):
+    """compact_attempted over a 24-batch attempted root: folds every
+    batch dir into one negative-id baseline, preserves the URL set
+    exactly, no-ops below the threshold, is idempotent, and a crash-
+    replayed batch dir landing AFTER compaction only adds harmless
+    duplicates (set unchanged, folded by the next compaction)."""
+    import re
+
+    from polygon_io_data_ingestion_pipeline_spark.streaming.crawl_stream import (
+        compact_attempted,
+    )
+
+    root = str(tmp_path / "sched_attempted")
+    urls = []
+    for b in range(24):
+        batch_urls = [f"http://x.example/p{b}_{j}" for j in range(3)]
+        urls += batch_urls
+        spark.createDataFrame(
+            [(u,) for u in batch_urls], "url string"
+        ).write.parquet(os.path.join(root, f"batch_id={b}"))
+
+    def dirs():
+        return sorted(
+            d for d in os.listdir(root)
+            if re.fullmatch(r"batch_id=-?\d+", d)
+        )
+
+    def urlset():
+        return sorted(
+            r["url"] for r in
+            spark.read.parquet(root).select("url").distinct().collect()
+        )
+
+    before = urlset()
+    stats = compact_attempted(spark, root, min_batch_dirs=16)
+    assert stats == {"dirs_before": 24, "dirs_after": 1, "compacted": 24}
+    assert dirs() == ["batch_id=-1"]
+    assert urlset() == before
+    # idempotent: a second call is a below-threshold no-op
+    stats2 = compact_attempted(spark, root, min_batch_dirs=16)
+    assert stats2["compacted"] == 0 and urlset() == before
+    # crash-replayed batch rewrites its dir next to the baseline:
+    # duplicates only, set unchanged; the next compaction folds it
+    spark.createDataFrame(
+        [(u,) for u in [f"http://x.example/p3_{j}" for j in range(3)]],
+        "url string",
+    ).write.parquet(os.path.join(root, "batch_id=3"))
+    assert urlset() == before
+    stats3 = compact_attempted(spark, root, min_batch_dirs=2)
+    assert stats3["compacted"] == 2 and dirs() == ["batch_id=-2"]
+    assert urlset() == before
+
+
+def test_attempted_compaction_bounds_dirs_across_long_crawl(spark, tmp_path):
+    """Long-running crawl (21 one-file batches via maxFilesPerTrigger,
+    compact_attempted_every=5): the attempted root's directory count
+    stays bounded while the frontier semantics are unchanged — each
+    batch schedules exactly its own newly-announced URL, and the
+    gate-dropped /tiny that every batch's feed keeps announcing never
+    re-schedules even after its batch dir was folded into the
+    baseline.  (The uncompacted frontier behavior itself is pinned by
+    test_streaming_schedule_closes_the_loop; the unit test above pins
+    set identity — together: identical frontier pre/post compaction.)"""
+    import re
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+
+    def feed(extra_url=None):
+        items = (
+            b"<item><title>gated</title>"
+            b"<link>http://x.example/tiny</link></item>"
+        )
+        if extra_url:
+            items += (
+                b"<item><title>new</title><link>"
+                + extra_url.encode() + b"</link></item>"
+            )
+        return (
+            b'<?xml version="1.0"?><rss version="2.0"><channel>'
+            + items + b"</channel></rss>"
+        )
+
+    import time as _time
+
+    _write_warc(src, "b000.warc.gz", [
+        _warc_record("response", "http://x.example/tiny",
+                     _http(_page("tiny"))),
+        _warc_record("response", "http://x.example/feed.xml",
+                     _http(feed(), ctype=b"application/rss+xml")),
+    ])
+    for i in range(1, 21):
+        _write_warc(src, f"b{i:03d}.warc.gz", [
+            _warc_record("response", f"http://x.example/p{i}",
+                         _http(_page(GOOD_A + f" page {i}"))),
+            _warc_record("response", f"http://x.example/feed{i}.xml",
+                         _http(feed(f"http://x.example/fresh{i}"),
+                               ctype=b"application/rss+xml")),
+        ])
+    # pin batch order: the file stream picks files by modification time,
+    # and sub-second writes tie — make b000 (the /tiny fetch) strictly
+    # oldest so every later batch sees it as already attempted
+    now = _time.time()
+    for i in range(21):
+        os.utime(src / f"b{i:03d}.warc.gz", (now - 2100 + i * 100,) * 2)
+    _drain_all(
+        spark, src, tmp_path / "lake", tmp_path / "ckpt",
+        outlinks_path=str(tmp_path / "edges"),
+        schedule_path=str(tmp_path / "sched"),
+        compact_attempted_every=5,
+        max_files_per_trigger=1,
+    )
+    att = tmp_path / "sched_attempted"
+    dirs = [d for d in os.listdir(att) if re.fullmatch(r"batch_id=-?\d+", d)]
+    # compaction every 5 batches: baseline + at most 5 accrued dirs
+    assert len(dirs) <= 7, dirs
+    # attempted set == every response URL any batch carried
+    attempted = {
+        r["url"] for r in
+        spark.read.parquet(str(att)).select("url").distinct().collect()
+    }
+    expect = {"http://x.example/tiny", "http://x.example/feed.xml"}
+    for i in range(1, 21):
+        expect |= {f"http://x.example/p{i}", f"http://x.example/feed{i}.xml"}
+    assert attempted == expect
+    # frontier semantics unchanged through compaction: batch i schedules
+    # exactly its own fresh{i}; /tiny (attempted, gate-dropped) never
+    sched = spark.read.parquet(str(tmp_path / "sched")).collect()
+    by_batch = {}
+    for r in sched:
+        by_batch.setdefault(r["batch_id"], set()).add(r["url"])
+    assert all("tiny" not in u for us in by_batch.values() for u in us)
+    # every fresh URL scheduled exactly once, one per feed-bearing batch
+    # (file->batch order is the stream's choice, not the filename's)
+    all_sched = [u for us in by_batch.values() for u in us]
+    assert sorted(all_sched) == sorted(
+        f"http://x.example/fresh{i}" for i in range(1, 21)
+    )
+    assert all(len(us) == 1 for us in by_batch.values())
