@@ -30,12 +30,25 @@ Surface (the baseline subset that covers machine-generated text PDFs):
   ``Tf`` against the page's ``/Resources /Font`` names (page-level
   names win over names collected from the rest of the document).
 
+- **Encryption**: the standard security handler's ubiquitous
+  "owner-password-only" case — documents encrypted with an EMPTY user
+  password (most secured PDFs on the web: anyone can read, the owner
+  password only gates editing).  RC4 at revisions 2/3 and AES-128-CBC
+  (``/V 4`` crypt filters, ``/AESV2``) decrypt with the standard
+  padding key derivation; the empty password is VERIFIED against
+  ``/U`` first, so a genuinely password-protected document quarantines
+  instead of extracting mojibake.  RC4 and the AES inverse cipher are
+  pure stdlib (hashlib md5 + table math).
+
 Quarantined variants raise :class:`PdfFormatError` (typed, like every
-codec here): encrypted documents, non-Flate stream filters,
-unsupported predictor variants, and text SHOWN under a CID font that
-has no usable ToUnicode CMap (2-byte codes that would decode to
-mojibake — honesty over noise; a merely-declared unused CID font no
-longer blocks the document).  See :data:`UNSUPPORTED_FEATURES`.
+codec here): password-protected documents (non-empty user password),
+unsupported encryption variants (non-Standard handlers, AES-256/R6,
+unknown crypt filter methods), encrypted documents whose /Encrypt
+dictionary is missing, non-Flate stream filters, unsupported predictor
+variants, and text SHOWN under a CID font that has no usable ToUnicode
+CMap (2-byte codes that would decode to mojibake — honesty over noise;
+a merely-declared unused CID font no longer blocks the document).  See
+:data:`UNSUPPORTED_FEATURES`.
 
 Per-document Python riding the Arrow-batched ``mapInPandas`` decode
 lane (``sources/archive.py:decode_text_members`` routes ``%PDF-``
@@ -57,7 +70,9 @@ class PdfFormatError(ValueError):
 #: quarantined (typed-error) classes — kept in sync with the module
 #: docstring by tests/test_multimodal_pdf.py
 UNSUPPORTED_FEATURES = (
-    "encrypted",
+    "password-protected documents (non-empty user password)",
+    "unsupported encryption variants",
+    "encrypted documents with a missing /Encrypt dictionary",
     "non-Flate stream filters",
     "unsupported predictor variants",
     "CID text shown without a usable ToUnicode CMap",
@@ -701,6 +716,292 @@ def _page_order(objs: dict[int, bytes], _raw: bytes | None = None) -> list[int]:
     return [num for num in sorted(objs) if is_page(num)]
 
 
+# ---------------------------------------------------------------------------
+# Standard security handler — the empty-user-password ("owner password
+# only") case.  ISO 32000-1 §7.6.3: algorithms 2 (file key), 1 (object
+# key), 6 (user-password check).  Pure stdlib: md5 + RC4 + an AES-128
+# inverse cipher over the public FIPS-197 tables.
+# ---------------------------------------------------------------------------
+
+#: the standard 32-byte password padding string (ISO 32000-1 table 19)
+_PW_PAD = bytes(
+    [
+        0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+        0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+        0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+        0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+    ]
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+#: FIPS-197 S-box (public constant), its inverse derived from it
+_AES_SBOX = bytes.fromhex(
+    "637c777bf26b6fc53001672bfed7ab76ca82c97dfa5947f0add4a2af9ca472c0"
+    "b7fd9326363ff7cc34a5e5f171d8311504c723c31896059a071280e2eb27b275"
+    "09832c1a1b6e5aa0523bd6b329e32f8453d100ed20fcb15b6acbbe394a4c58cf"
+    "d0efaafb434d338545f9027f503c9fa851a3408f929d38f5bcb6da2110fff3d2"
+    "cd0c13ec5f974417c4a77e3d645d197360814fdc222a908846eeb814de5e0bdb"
+    "e0323a0a4906245cc2d3ac629195e479e7c8376d8dd54ea96c56f4ea657aae08"
+    "ba78252e1ca6b4c6e8dd741f4bbd8b8a703eb5664803f60e613557b986c11d9e"
+    "e1f8981169d98e949b1e87e9ce5528df8ca1890dbfe6426841992d0fb054bb16"
+)
+_AES_INV_SBOX = bytearray(256)
+for _i, _v in enumerate(_AES_SBOX):
+    _AES_INV_SBOX[_v] = _i
+_AES_INV_SBOX = bytes(_AES_INV_SBOX)
+
+
+def _xt(a: int) -> int:  # GF(2^8) multiply by x
+    a <<= 1
+    return (a ^ 0x1B) & 0xFF if a & 0x100 else a
+
+
+def _gmul(a: int, b: int) -> int:
+    p = 0
+    while b:
+        if b & 1:
+            p ^= a
+        a = _xt(a)
+        b >>= 1
+    return p
+
+
+def _aes128_round_keys(key: bytes) -> list[bytes]:
+    rcon = 1
+    words = [key[i : i + 4] for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        w = words[i - 1]
+        if i % 4 == 0:
+            w = bytes(
+                [
+                    _AES_SBOX[w[1]] ^ rcon,
+                    _AES_SBOX[w[2]],
+                    _AES_SBOX[w[3]],
+                    _AES_SBOX[w[0]],
+                ]
+            )
+            rcon = _xt(rcon)
+        words.append(bytes(a ^ b for a, b in zip(words[i - 4], w)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+
+
+def _aes128_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
+    for rnd in range(9, -1, -1):
+        # InvShiftRows (column-major state: byte r + 4*c)
+        t = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                t[r + 4 * ((c + r) % 4)] = s[r + 4 * c]
+        # InvSubBytes
+        for i in range(16):
+            t[i] = _AES_INV_SBOX[t[i]]
+        # AddRoundKey
+        for i in range(16):
+            t[i] ^= rk[rnd][i]
+        if rnd > 0:
+            # InvMixColumns
+            for c in range(4):
+                a0, a1, a2, a3 = t[4 * c : 4 * c + 4]
+                t[4 * c + 0] = (
+                    _gmul(a0, 14) ^ _gmul(a1, 11) ^ _gmul(a2, 13) ^ _gmul(a3, 9)
+                )
+                t[4 * c + 1] = (
+                    _gmul(a0, 9) ^ _gmul(a1, 14) ^ _gmul(a2, 11) ^ _gmul(a3, 13)
+                )
+                t[4 * c + 2] = (
+                    _gmul(a0, 13) ^ _gmul(a1, 9) ^ _gmul(a2, 14) ^ _gmul(a3, 11)
+                )
+                t[4 * c + 3] = (
+                    _gmul(a0, 11) ^ _gmul(a1, 13) ^ _gmul(a2, 9) ^ _gmul(a3, 14)
+                )
+        s = t
+    return bytes(s)
+
+
+def _aes_cbc_decrypt(key: bytes, blob: bytes) -> bytes:
+    """PDF AESV2 stream layout: 16-byte IV prefix + CBC ciphertext +
+    PKCS#5 padding.  Truncated/odd-length data quarantines (typed)."""
+    if len(blob) < 32 or (len(blob) - 16) % 16:
+        raise PdfFormatError("encrypted stream is not AES-block aligned")
+    rk = _aes128_round_keys(key)
+    prev = blob[:16]
+    out = bytearray()
+    for i in range(16, len(blob), 16):
+        ct = blob[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_aes128_decrypt_block(rk, ct), prev))
+        prev = ct
+    pad = out[-1]
+    if not 1 <= pad <= 16:
+        raise PdfFormatError("encrypted stream has invalid AES padding")
+    return bytes(out[:-pad])
+
+
+def _dict_string(d: bytes, key: bytes) -> bytes | None:
+    """A PDF string value (literal with escapes, or hex) for ``key``."""
+    m = re.search(rb"/" + key + rb"\s*\(", d)
+    if m:
+        raw, _end = _parse_literal(d, m.end() - 1)
+        return raw
+    m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f\s]*)>", d)
+    if m:
+        hx = re.sub(rb"\s", b"", m.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    return None
+
+
+def _file_id0(data: bytes) -> bytes:
+    """First element of the trailer /ID array (hex or literal form);
+    empty when the document has none (key derivation then omits it)."""
+    m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", data)
+    if m:
+        hx = re.sub(rb"\s", b"", m.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    m = re.search(rb"/ID\s*\[\s*\(", data)
+    if m:
+        raw, _end = _parse_literal(data, m.end() - 1)
+        return raw
+    return b""
+
+
+def _std_security_handler(
+    enc_dict: bytes, data: bytes
+) -> tuple[str | None, bytes]:
+    """(method, file_key) for the standard handler with the EMPTY user
+    password: method 'rc4' | 'aes' | None (/Identity — encrypted in
+    name only).  Raises the typed quarantines for non-Standard
+    handlers, unsupported revisions/methods, and documents whose /U
+    does not verify against the empty password (a REAL password)."""
+    import hashlib
+
+    fm = re.search(rb"/Filter\s*/(\w+)", enc_dict)
+    if fm is None or fm.group(1) != b"Standard":
+        raise PdfFormatError(
+            "unsupported encryption handler "
+            f"{(fm.group(1).decode('latin-1') if fm else '(none)')!r}"
+        )
+    v = _dict_int(enc_dict, b"V") or 0
+    r = _dict_int(enc_dict, b"R") or 2
+    o = _dict_string(enc_dict, b"O")
+    u = _dict_string(enc_dict, b"U")
+    # /P is SIGNED (a 32-bit permissions word, typically negative) —
+    # _dict_int's unsigned match would miss it
+    pm = re.search(rb"/P\s+(-?\d+)\b", enc_dict)
+    p = int(pm.group(1)) if pm else None
+    if o is None or u is None or p is None:
+        raise PdfFormatError("unsupported encryption: incomplete /Encrypt dict")
+    method = "rc4"
+    if v == 4:
+        sm = re.search(rb"/StmF\s*/(\w+)", enc_dict)
+        stmf = sm.group(1) if sm else b"Identity"
+        if stmf == b"Identity":
+            method = None
+        else:
+            cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
+            cfm = cm.group(1) if cm else b""
+            if cfm == b"AESV2":
+                method = "aes"
+            elif cfm == b"V2":
+                method = "rc4"
+            else:
+                raise PdfFormatError(
+                    f"unsupported encryption crypt filter method "
+                    f"{cfm.decode('latin-1')!r}"
+                )
+    elif v not in (1, 2):
+        raise PdfFormatError(f"unsupported encryption version /V {v} /R {r}")
+    if r not in (2, 3, 4):
+        raise PdfFormatError(f"unsupported encryption revision /R {r}")
+    n = 5 if r == 2 else max(5, (_dict_int(enc_dict, b"Length") or 40) // 8)
+    id0 = _file_id0(data)
+    # algorithm 2: file key from the (empty -> all-pad) user password
+    seed = _PW_PAD + o[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    if r >= 4:
+        em = re.search(rb"/EncryptMetadata\s+(true|false)", enc_dict)
+        if em and em.group(1) == b"false":
+            seed += b"\xff\xff\xff\xff"
+    h = hashlib.md5(seed).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    # algorithm 6: verify the empty user password against /U
+    if r == 2:
+        ok = _rc4(key, _PW_PAD) == u[:32]
+    else:
+        x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        ok = x == u[:16]
+    if not ok:
+        raise PdfFormatError(
+            "password-protected document (non-empty user password)"
+        )
+    return method, key
+
+
+def _object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
+    import hashlib
+
+    seed = key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    if aes:
+        seed += b"sAlT"
+    return hashlib.md5(seed).digest()[: min(len(key) + 5, 16)]
+
+
+def _decrypt_streams(
+    objs: dict[int, bytes], data: bytes, method: str, key: bytes
+) -> None:
+    """Decrypt every top-level object's stream in place (algorithm 1
+    per-object keys), rebuilding each body with a literal /Length so
+    downstream slicing stays exact.  XRef streams are never encrypted
+    (spec) and objects later unpacked from an /ObjStm are covered by
+    the container's decryption — both fall out naturally because this
+    runs BEFORE _expand_object_streams and skips /Type /XRef."""
+    gens = {
+        int(m.group(1)): int(m.group(2)) for m in _OBJ_RE.finditer(data)
+    }
+    for num, body in list(objs.items()):
+        raw = _stream_bytes(body, objs)
+        if raw is None:
+            continue
+        d = _parse_dict_region(body)
+        if re.search(rb"/Type\s*/XRef\b", d):
+            continue
+        ok = _object_key(key, num, gens.get(num, 0), method == "aes")
+        dec = _aes_cbc_decrypt(ok, raw) if method == "aes" else _rc4(ok, raw)
+        nd = re.sub(
+            rb"/Length\s+\d+(?:\s+\d+\s+R)?",
+            b"/Length %d" % len(dec),
+            d,
+            count=1,
+        )
+        if nd == d and b"/Length" not in d:
+            nd = d[:-2].rstrip() + b" /Length %d >>" % len(dec)
+        objs[num] = nd + b"\nstream\n" + dec + b"\nendstream"
+
+
 def extract_pdf_text(data: bytes) -> str:
     """Text of every page's content stream(s), in page-tree order.
 
@@ -710,9 +1011,17 @@ def extract_pdf_text(data: bytes) -> str:
     """
     if not data.startswith(b"%PDF-"):
         raise PdfFormatError("missing %PDF- header")
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", data):
-        raise PdfFormatError("encrypted document")
     objs = _scan_objects(data)
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
+    if em:
+        enc = objs.get(int(em.group(1)))
+        if enc is None:
+            raise PdfFormatError(
+                "encrypted document with a missing /Encrypt dictionary"
+            )
+        method, key = _std_security_handler(_parse_dict_region(enc), data)
+        if method is not None:
+            _decrypt_streams(objs, data, method, key)
     _expand_object_streams(objs)
     cid_cmaps = _cid_font_cmaps(objs)
 

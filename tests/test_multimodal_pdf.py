@@ -486,3 +486,169 @@ def test_indirect_decodeparms_value_quarantines():
                 payload,
             ),
         }))
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler: empty-user-password decryption (round 11).
+# Fixtures are encrypted FORWARD here (RC4 is symmetric; AES gets a
+# forward CBC encryptor built on the module's own tables) with /O and
+# /U computed per ISO 32000-1 algorithms 3-5, so extract_pdf_text's
+# decryption is verified against an independent construction.
+# ---------------------------------------------------------------------------
+import hashlib as _hl
+
+from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
+    _aes128_round_keys,
+    _AES_SBOX,
+    _gmul,
+    _object_key,
+    _PW_PAD,
+    _rc4,
+)
+
+_ID0 = bytes(range(16))
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def _compute_o(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    h = _hl.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hl.md5(h[:n]).digest()
+    key = h[:n]
+    o = _rc4(key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _file_key(o: bytes, p: int, r: int, n: int, user_pw: bytes = b"") -> bytes:
+    seed = _pad_pw(user_pw) + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + _ID0
+    h = _hl.md5(seed).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = _hl.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _compute_u(key: bytes, r: int) -> bytes:
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    x = _rc4(key, _hl.md5(_PW_PAD + _ID0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16  # arbitrary 16-byte tail per spec
+
+
+def _aes_encrypt_block(rk, block):
+    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, 11):
+        for i in range(16):
+            s[i] = _AES_SBOX[s[i]]
+        t = bytearray(16)
+        for c in range(4):
+            for rr in range(4):
+                t[rr + 4 * c] = s[rr + 4 * ((c + rr) % 4)]
+        s = t
+        if rnd < 10:
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3
+                s[4 * c + 1] = a0 ^ _gmul(a1, 2) ^ _gmul(a2, 3) ^ a3
+                s[4 * c + 2] = a0 ^ a1 ^ _gmul(a2, 2) ^ _gmul(a3, 3)
+                s[4 * c + 3] = _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2)
+        for i in range(16):
+            s[i] ^= rk[rnd][i]
+    return bytes(s)
+
+
+def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    rk = _aes128_round_keys(key)
+    out, prev = bytearray(iv), iv
+    for i in range(0, len(data), 16):
+        ct = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev)))
+        out += ct
+        prev = ct
+    return bytes(out)
+
+
+def _encrypted_doc(mode: str, user_pw: bytes = b"", content: bytes | None = None) -> bytes:
+    """One-page document whose content stream is Flate-compressed THEN
+    encrypted (the spec's storage order), with /O /U /P computed for
+    ``user_pw`` (empty = the owner-password-only case)."""
+    content = content or b"BT 72 720 Td (Secret page text) Tj ET"
+    p = -44  # typical permissions word (printing allowed, editing not)
+    if mode == "rc4-r2":
+        v, r, n, enc_extra = 1, 2, 5, b""
+    elif mode == "rc4-r3":
+        v, r, n, enc_extra = 2, 3, 16, b" /Length 128"
+    else:  # aes
+        v, r, n = 4, 4, 16
+        enc_extra = (
+            b" /Length 128 /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen"
+            b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        )
+    o = _compute_o(b"owner-secret", user_pw, r, n)
+    key = _file_key(o, p, r, n, user_pw=user_pw)
+    u = _compute_u(key, r)
+    payload = zlib.compress(content)
+    objkey = _object_key(key, 4, 0, mode == "aes")
+    if mode == "aes":
+        payload = _aes_cbc_encrypt(objkey, payload, iv=bytes(range(16, 32)))
+    else:
+        payload = _rc4(objkey, payload)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"<< /Length %d /Filter /FlateDecode >>" % len(payload), payload
+        ),
+        5: (
+            b"<< /Filter /Standard /V %d /R %d /P %d /O <%s> /U <%s>%s >>"
+            % (v, r, p, o.hex().encode(), u.hex().encode(), enc_extra)
+        ),
+    }
+    return _pdf(
+        objs,
+        trailer=b"<< /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+        % (_ID0.hex().encode(), _ID0.hex().encode()),
+    )
+
+
+@pytest.mark.parametrize("mode", ["rc4-r2", "rc4-r3", "aes"])
+def test_empty_user_password_decrypts(mode):
+    """The owner-password-only case: RC4 R2/R3 and AES-V2 documents
+    with an EMPTY user password extract their text end-to-end
+    (decrypt -> inflate -> content operators)."""
+    assert extract_pdf_text(_encrypted_doc(mode)) == "Secret page text"
+
+
+@pytest.mark.parametrize("mode", ["rc4-r3", "aes"])
+def test_real_user_password_still_quarantines(mode):
+    """A genuinely password-protected document (non-empty USER
+    password) fails the /U check and quarantines typed — never
+    extracts mojibake."""
+    pdf = _encrypted_doc(mode, user_pw=b"real-password")
+    with pytest.raises(PdfFormatError, match="password-protected"):
+        extract_pdf_text(pdf)
+
+
+def test_unsupported_crypt_filter_quarantines():
+    pdf = _encrypted_doc("aes").replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(PdfFormatError, match="crypt filter"):
+        extract_pdf_text(pdf)
+
+
+def test_non_standard_handler_quarantines():
+    pdf = _encrypted_doc("rc4-r3").replace(
+        b"/Filter /Standard", b"/Filter /MySecurity"
+    )
+    with pytest.raises(PdfFormatError, match="encryption handler"):
+        extract_pdf_text(pdf)
