@@ -1197,6 +1197,51 @@ def cmd_audiodedup(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sheetcells(args: argparse.Namespace) -> int:
+    """Structured spreadsheet extraction (multimodal/sheet.py): XLSX/
+    ODS payloads -> typed (sheet, row, col, value_type, value_string,
+    value_num) cell rows in one decode pass, with honest accounting for
+    quarantined workbooks and skipped formula/error cells (a formula's
+    cached value is the producing app's claim, not document content)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .multimodal.sheet import sheet_cells
+
+    spark = get_spark("poly-sheetcells", master=args.master)
+    media = spark.read.parquet(args.src)
+    out = sheet_cells(
+        media, id_col=args.id_col, payload_col=args.payload_col
+    ).persist()
+    cells = out.filter(F.col("sheet").isNotNull())
+    cells.write.mode("overwrite").parquet(_os.path.join(args.out, "cells"))
+    # per-workbook accounting: the skip counts repeat on every cell row
+    # (one decode pass), so reduce per id first, then sum
+    per_book = out.groupBy(args.id_col).agg(
+        F.max(F.col("decode_ok").cast("int")).alias("ok"),
+        F.max("skipped_formula").alias("nf"),
+        F.max("skipped_error").alias("ne"),
+    )
+    # bounded: one row of global accounting sums
+    tot = per_book.agg(
+        F.count("*").alias("books"),
+        F.sum("ok").alias("decoded"),
+        F.sum("nf").alias("skipped_formula"),
+        F.sum("ne").alias("skipped_error"),
+    ).collect()[0]
+    n_cells = spark.read.parquet(_os.path.join(args.out, "cells")).count()
+    out.unpersist()
+    print(
+        f"sheetcells -> {args.out}: workbooks={tot['books']} "
+        f"decoded={tot['decoded']} "
+        f"quarantined={tot['books'] - tot['decoded']} cells={n_cells} "
+        f"skipped_formula={tot['skipped_formula']} "
+        f"skipped_error={tot['skipped_error']}"
+    )
+    return 0
+
+
 def cmd_datasheet(args: argparse.Namespace) -> int:
     """Corpus report card: documents in (JSONL or parquet) ->
     long-format (metric, value) datasheet printed and optionally
@@ -1638,6 +1683,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_audiodedup)
+
+    p = sub.add_parser(
+        "sheetcells",
+        help="XLSX/ODS workbooks -> typed (sheet,row,col,value) cell rows",
+    )
+    p.add_argument("--src", required=True, help="media parquet (id + binary payload)")
+    p.add_argument("--out", required=True, help="output root (cells/)")
+    p.add_argument("--id-col", default="media_id")
+    p.add_argument("--payload-col", default="payload")
+    _add_common(p)
+    p.set_defaults(fn=cmd_sheetcells)
 
     p = sub.add_parser(
         "lake", help="lake maintenance: compact | delete (takedown) | merge (upsert)"

@@ -1,0 +1,489 @@
+"""Structured spreadsheet extraction: XLSX and ODS -> typed cell rows.
+
+The Office prose codecs (:mod:`.docx`) deliberately REFUSE spreadsheets
+— dumping a grid's cells as running text poisons a text corpus (that
+gate stays intact).  But the data itself is valuable to a training-data
+pipeline as STRUCTURE: this module extracts workbooks into
+``(sheet, row, col, value_type, value_string, value_num)`` rows — the
+long-format frame every downstream tabular consumer (the datasheet
+report card, table-QA corpus builders, schema profilers) wants.
+
+Containers, pure stdlib (zipfile + ElementTree, like :mod:`.docx`):
+
+- **XLSX** — sniffed by the ``xl/workbook.xml`` member.  Sheet names
+  and order come from the workbook part, resolved to worksheet parts
+  through ``xl/_rels/workbook.xml.rels`` (member NAMES are generator
+  whim; the relationship graph is normative).  Shared strings
+  (including rich-text runs), inline strings, booleans and numbers
+  decode; dates stay as their serial numbers (type ``n`` — date-ness
+  is a cell STYLE in xlsx, not a storage type).
+- **ODS** — sniffed by the ODF ``mimetype`` member content
+  (``opendocument.spreadsheet``), the same content-gate discipline the
+  prose codec uses in reverse.  ``office:value-type`` drives typing;
+  ``table:number-columns-repeated`` expands for VALUED cells (empty
+  trailing repeats — LibreOffice pads to 2^14 columns — are skipped,
+  so the repeat bomb never explodes into rows).
+
+**Formula and error cells are SKIPPED with accounting**, not emitted:
+a formula's cached value is the producing application's claim, not
+document content, and error literals (``#DIV/0!``) are noise.  The
+per-workbook skip counts ride the output rows so the CLI can report
+them without a second decode pass.
+
+Spark lane: Arrow-batched ``mapInPandas`` (the one legitimate Python
+stage — no JVM xlsx codec), one decode per payload; undecodable or
+cell-less workbooks yield a single marker row (NULL sheet) carrying
+``decode_ok`` and the skip accounting, so nothing silently vanishes.
+
+No reference counterpart — beyond-reference multimodal surface.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Iterator
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class SheetFormatError(ValueError):
+    """Unsupported or corrupt workbook container."""
+
+
+_ZIP_MAGIC = b"PK\x03\x04"
+_ODS_MIME = b"application/vnd.oasis.opendocument.spreadsheet"
+
+#: cap on expanding table:number-columns-repeated for VALUED cells —
+#: xlsx's own column limit; repeats past it are generator padding
+_MAX_REPEAT = 16384
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def sniff_sheet_kind(data: bytes) -> str | None:
+    """'xlsx' / 'ods' when the payload is a workbook container, else
+    None (plain zips, prose Office documents and corrupt zips fall
+    through to their own lanes)."""
+    if not data.startswith(_ZIP_MAGIC):
+        return None
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            return _kind_from_zip(zf)
+    except Exception:
+        return None
+
+
+def _kind_from_zip(zf: zipfile.ZipFile) -> str | None:
+    names = set(zf.namelist())
+    if "xl/workbook.xml" in names:
+        return "xlsx"
+    if "content.xml" in names and "mimetype" in names:
+        try:
+            if zf.read("mimetype").strip() == _ODS_MIME:
+                return "ods"
+        except Exception:
+            return None
+    return None
+
+
+def _xml(zf: zipfile.ZipFile, member: str) -> ElementTree.Element:
+    try:
+        return ElementTree.fromstring(zf.read(member))
+    except KeyError as e:
+        raise SheetFormatError(f"missing container member: {e}") from e
+    except ElementTree.ParseError as e:
+        raise SheetFormatError(f"malformed workbook XML: {e}") from e
+
+
+#: extraction result: (cells, n_skipped_formula, n_skipped_error);
+#: cell = (sheet, row, col, value_type, value_string, value_num)
+Cells = tuple[list[tuple], int, int]
+
+_CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(letters: str) -> int:
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    if "xl/sharedStrings.xml" not in zf.namelist():
+        return []
+    root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+    out: list[str] = []
+    for si in root:
+        if _local(si.tag) != "si":
+            continue
+        # plain <t> or rich-text <r><t> runs, concatenated in order
+        out.append(
+            "".join(t.text or "" for t in si.iter() if _local(t.tag) == "t")
+        )
+    return out
+
+
+def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
+    wb = _xml(zf, "xl/workbook.xml")
+    # r:id -> worksheet member via the rels part (names are generator
+    # whim; the relationship graph is the normative mapping)
+    rels = {}
+    if "xl/_rels/workbook.xml.rels" in zf.namelist():
+        for rel in _xml(zf, "xl/_rels/workbook.xml.rels"):
+            target = rel.get("Target", "")
+            if target.startswith("/"):
+                target = target.lstrip("/")
+            else:
+                target = "xl/" + target
+            rels[rel.get("Id")] = target
+    sheets: list[tuple[str, str]] = []
+    for el in wb.iter():
+        if _local(el.tag) != "sheet":
+            continue
+        rid = next(
+            (v for k, v in el.attrib.items() if _local(k) == "id"), None
+        )
+        member = rels.get(rid)
+        if member is None:
+            raise SheetFormatError(f"sheet {el.get('name')!r} has no part")
+        sheets.append((el.get("name") or "", member))
+    shared = _shared_strings(zf)
+    cells: list[tuple] = []
+    n_formula = n_error = 0
+    for sheet_name, member in sheets:
+        root = _xml(zf, member)
+        for c in root.iter():
+            if _local(c.tag) != "c":
+                continue
+            ref = c.get("r") or ""
+            m = _CELL_REF_RE.fullmatch(ref)
+            if m is None:
+                continue
+            col, row = _col_index(m.group(1)), int(m.group(2))
+            ctype = c.get("t") or "n"
+            has_formula = any(_local(ch.tag) == "f" for ch in c)
+            if has_formula or ctype == "str":
+                # 'str' is a formula's cached STRING result — same claim
+                n_formula += 1
+                continue
+            if ctype == "e":
+                n_error += 1
+                continue
+            v = next((ch for ch in c if _local(ch.tag) == "v"), None)
+            if ctype == "inlineStr":
+                text = "".join(
+                    t.text or "" for t in c.iter() if _local(t.tag) == "t"
+                )
+                cells.append((sheet_name, row, col, "s", text, None))
+            elif ctype == "s":
+                if v is None or v.text is None:
+                    continue
+                idx = int(v.text)
+                if not 0 <= idx < len(shared):
+                    raise SheetFormatError(f"shared string {idx} out of range")
+                cells.append((sheet_name, row, col, "s", shared[idx], None))
+            elif ctype == "b":
+                if v is None or v.text is None:
+                    continue
+                cells.append(
+                    (sheet_name, row, col, "b", v.text.strip(),
+                     float(int(v.text.strip() != "0")))
+                )
+            else:  # 'n' — numbers (dates are styled numbers in xlsx)
+                if v is None or v.text is None:
+                    continue
+                raw = v.text.strip()
+                cells.append((sheet_name, row, col, "n", raw, float(raw)))
+    return cells, n_formula, n_error
+
+
+_ODS_TYPE = {"float": "n", "percentage": "n", "currency": "n",
+             "boolean": "b", "string": "s", "date": "d", "time": "d"}
+
+
+def _ods_cells(zf: zipfile.ZipFile) -> Cells:
+    root = _xml(zf, "content.xml")
+    cells: list[tuple] = []
+    n_formula = n_error = 0
+    for tbl in root.iter():
+        if _local(tbl.tag) != "table":
+            continue
+        sheet_name = next(
+            (v for k, v in tbl.attrib.items() if _local(k) == "name"), ""
+        )
+        row_no = 0
+        for tr in tbl:
+            if _local(tr.tag) != "table-row":
+                continue
+            row_rep = int(
+                next((v for k, v in tr.attrib.items()
+                      if _local(k) == "number-rows-repeated"), 1)
+            )
+            row_no += 1
+            col_no = 0
+            for tc in tr:
+                tag = _local(tc.tag)
+                if tag not in ("table-cell", "covered-table-cell"):
+                    continue
+                rep = int(
+                    next((v for k, v in tc.attrib.items()
+                          if _local(k) == "number-columns-repeated"), 1)
+                )
+                attrs = {_local(k): v for k, v in tc.attrib.items()}
+                if tag == "covered-table-cell" or "value-type" not in attrs:
+                    col_no += rep  # merged shadows / empty padding: skip
+                    continue
+                if "formula" in attrs:
+                    # ODS error cells are formula cells too — one class
+                    n_formula += rep
+                    col_no += rep
+                    continue
+                vtype = _ODS_TYPE.get(attrs["value-type"])
+                if vtype is None:
+                    col_no += rep
+                    continue
+                text = "".join(
+                    "".join(p.itertext())
+                    for p in tc
+                    if _local(p.tag) == "p"
+                )
+                if vtype == "n":
+                    raw = attrs.get("value", text)
+                    val = (raw, float(raw))
+                elif vtype == "b":
+                    raw = attrs.get("boolean-value", text)
+                    val = (raw, float(raw == "true"))
+                elif vtype == "d":
+                    raw = attrs.get("date-value") or attrs.get(
+                        "time-value", text
+                    )
+                    val = (raw, None)
+                else:
+                    val = (text, None)
+                for i in range(min(rep, _MAX_REPEAT)):
+                    cells.append(
+                        (sheet_name, row_no, col_no + 1 + i, vtype) + val
+                    )
+                col_no += rep
+            # valued rows with number-rows-repeated are rare generator
+            # output; advance the row counter so later rows land right
+            row_no += row_rep - 1
+    return cells, n_formula, n_error
+
+
+def extract_sheet_cells(data: bytes) -> tuple[str, Cells]:
+    """(kind, (cells, skipped_formula, skipped_error)) for an XLSX or
+    ODS payload; raises :class:`SheetFormatError` for anything else
+    (including prose Office documents — those belong to the text lane)."""
+    if not data.startswith(_ZIP_MAGIC):
+        raise SheetFormatError("not a zip container")
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except Exception as e:
+        raise SheetFormatError(f"unreadable container: {e}") from e
+    with zf:
+        kind = _kind_from_zip(zf)
+        if kind is None:
+            raise SheetFormatError("not an XLSX/ODS workbook")
+        try:
+            return kind, (_xlsx_cells if kind == "xlsx" else _ods_cells)(zf)
+        except (ValueError, IndexError) as e:
+            raise SheetFormatError(f"corrupt {kind} workbook: {e}") from e
+
+
+def _col_letters(col: int) -> str:
+    out = ""
+    while col > 0:
+        col, rem = divmod(col - 1, 26)
+        out = chr(65 + rem) + out
+    return out
+
+
+#: fixture/test cell spec: (row, col, type, value) with type in
+#: n(umber) / s(tring) / b(ool) / f(ormula -> skipped) / e(rror -> skipped)
+def build_xlsx(cells: list[tuple], sheet: str = "S") -> bytes:
+    """Minimal spec-legal single-sheet XLSX — the fixture/test encoder
+    (shared strings for 's' cells, a cached <v> for formulas, real
+    rels), exact inverse of the extractor on its supported surface."""
+    shared: list[str] = []
+    by_row: dict[int, list[tuple]] = {}
+    for row, col, t, v in cells:
+        by_row.setdefault(row, []).append((col, t, v))
+    body = []
+    for row in sorted(by_row):
+        cs = []
+        for col, t, v in sorted(by_row[row]):
+            ref = f"{_col_letters(col)}{row}"
+            if t == "n":
+                cs.append(f'<c r="{ref}"><v>{v}</v></c>')
+            elif t == "s":
+                if v not in shared:
+                    shared.append(v)
+                cs.append(
+                    f'<c r="{ref}" t="s"><v>{shared.index(v)}</v></c>'
+                )
+            elif t == "b":
+                cs.append(f'<c r="{ref}" t="b"><v>{int(bool(v))}</v></c>')
+            elif t == "f":
+                cs.append(f'<c r="{ref}"><f>1+1</f><v>{v}</v></c>')
+            else:  # error
+                cs.append(f'<c r="{ref}" t="e"><v>{v}</v></c>')
+        body.append(f'<row r="{row}">' + "".join(cs) + "</row>")
+    ws = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main"><sheetData>'
+        + "".join(body) + "</sheetData></worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        f'<sheet name="{sheet}" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats'
+        '.org/spreadsheetml/2006/main">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", ws)
+        if shared:
+            zf.writestr("xl/sharedStrings.xml", sst)
+    return buf.getvalue()
+
+
+def build_ods(cells: list[tuple], sheet: str = "S") -> bytes:
+    """Minimal single-sheet ODS fixture encoder (formula AND error
+    cells both carry table:formula — ODS's one skipped class)."""
+    by_row: dict[int, dict[int, tuple]] = {}
+    for row, col, t, v in cells:
+        by_row.setdefault(row, {})[col] = (t, v)
+    rows_xml = []
+    for row in range(1, max(by_row, default=0) + 1):
+        cs = []
+        for col in range(1, max(by_row.get(row, {0: None}), default=0) + 1):
+            spec = by_row.get(row, {}).get(col)
+            if spec is None:
+                cs.append("<table:table-cell/>")
+                continue
+            t, v = spec
+            if t == "n":
+                cs.append(
+                    f'<table:table-cell office:value-type="float" '
+                    f'office:value="{v}"><text:p>{v}</text:p>'
+                    "</table:table-cell>"
+                )
+            elif t == "s":
+                cs.append(
+                    '<table:table-cell office:value-type="string">'
+                    f"<text:p>{v}</text:p></table:table-cell>"
+                )
+            elif t == "b":
+                bv = "true" if v else "false"
+                cs.append(
+                    f'<table:table-cell office:value-type="boolean" '
+                    f'office:boolean-value="{bv}"><text:p>{bv}</text:p>'
+                    "</table:table-cell>"
+                )
+            else:  # formula or error: both carry table:formula
+                cs.append(
+                    f'<table:table-cell table:formula="of:=1+1" '
+                    f'office:value-type="float" office:value="{0}">'
+                    f"<text:p>{v}</text:p></table:table-cell>"
+                )
+        rows_xml.append(
+            "<table:table-row>" + "".join(cs) + "</table:table-row>"
+        )
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        f'<table:table table:name="{sheet}">'
+        + "".join(rows_xml)
+        + "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", _ODS_MIME)
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+#: mapInPandas output schema — cell rows plus a NULL-sheet marker row
+#: per workbook carrying decode_ok and the skip accounting
+SHEET_CELLS_SCHEMA = (
+    "sheet string, row int, col int, value_type string, "
+    "value_string string, value_num double, kind string, "
+    "skipped_formula int, skipped_error int, decode_ok boolean"
+)
+
+
+def sheet_cells(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Workbook payloads -> typed cell rows (one decode pass).  The
+    formula/error skip counts and the container kind ride every cell
+    row; a workbook that decodes to ZERO cells (all formulas, empty) or
+    fails to decode emits one marker row (``sheet`` NULL, ``decode_ok``
+    honest) so nothing silently vanishes at 100 TB.  Filter
+    ``sheet IS NOT NULL`` for the pure cell frame."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows: list[tuple] = []
+            for rid, p in zip(batch[id_col], batch[payload_col]):
+                try:
+                    if p is None:
+                        raise SheetFormatError("null payload")
+                    kind, (cells, nf, ne) = extract_sheet_cells(bytes(p))
+                except SheetFormatError:
+                    rows.append(
+                        (rid, None, None, None, None, None, None, None,
+                         0, 0, False)
+                    )
+                    continue
+                for sheet, row, col, vt, vs, vn in cells:
+                    rows.append(
+                        (rid, sheet, row, col, vt, vs, vn, kind, nf, ne, True)
+                    )
+                if not cells:
+                    # cell-less decode still surfaces (marker row): the
+                    # skip accounting must not vanish with the cells
+                    rows.append(
+                        (rid, None, None, None, None, None, None, kind,
+                         nf, ne, True)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sheet", "row", "col", "value_type",
+                    "value_string", "value_num", "kind",
+                    "skipped_formula", "skipped_error", "decode_ok",
+                ],
+            )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.select(id_col, payload_col).mapInPandas(
+        run, schema=f"{id_col} {id_type}, " + SHEET_CELLS_SCHEMA
+    )

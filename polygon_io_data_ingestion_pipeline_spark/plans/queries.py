@@ -6543,6 +6543,81 @@ def audio_fp_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "sheet_cells_extract",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+nums AS (
+  SELECT doc_id, 'S' AS sheet, CAST(r AS INT) AS row, 1 AS col,
+         'n' AS value_type,
+         CAST(doc_id * 10 + r AS VARCHAR) AS value_string,
+         CAST(doc_id * 10 + r AS DOUBLE) AS value_num
+  FROM d, range(1, 4) rr(r)),
+strs AS (
+  SELECT doc_id, 'S' AS sheet, CAST(r AS INT) AS row, 2 AS col,
+         's' AS value_type,
+         'w' || CAST((doc_id + r) % 5 AS VARCHAR) AS value_string,
+         CAST(NULL AS DOUBLE) AS value_num
+  FROM d, range(1, 4) rr(r))
+SELECT * FROM nums UNION ALL SELECT * FROM strs
+""",
+    doc="Structured spreadsheet extraction (multimodal/sheet.py, "
+    "round-11 verdict ask #5): one deterministic workbook per document "
+    "— EVEN doc_ids build XLSX (workbook part -> rels -> worksheet, "
+    "shared strings), ODD doc_ids build ODS (mimetype content gate, "
+    "office:value-type cells) — each carrying 3 number cells, 3 "
+    "shared/string cells, and formula + error cells that must be "
+    "SKIPPED with accounting, pushed through the REAL container "
+    "parse into typed (sheet, row, col, value_type, value_string, "
+    "value_num) rows.  The prose gate stays intact: these containers "
+    "never reach the text lane (sniff_office_kind refuses "
+    "spreadsheets).  GENERATIVE oracle: expected cells re-derived "
+    "from the construction arithmetic — both container formats must "
+    "converge on identical typed rows, certifying both parsers and "
+    "the formula/error skip in one hash.",
+    tags=("multimodal",),
+)
+def sheet_cells_extract(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal.sheet import sheet_cells
+
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        from ..multimodal.sheet import build_ods, build_xlsx
+
+        for batch in batches:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                spec = []
+                for r in (1, 2, 3):
+                    spec.append((r, 1, "n", did * 10 + r))
+                    spec.append((r, 2, "s", f"w{(did + r) % 5}"))
+                spec.append((4, 1, "f", 99))
+                spec.append((4, 2, "e", "#DIV/0!"))
+                build = build_xlsx if did % 2 == 0 else build_ods
+                payloads.append(build(spec))
+            yield _pd.DataFrame(
+                {"media_id": batch["doc_id"], "payload": payloads}
+            )
+
+    books = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return (
+        sheet_cells(books)
+        .filter(F.col("sheet").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            "sheet", "row", "col", "value_type", "value_string", "value_num",
+        )
+    )
+
+
+@q(
     "docs_trust_selection",
     oracle="""
 WITH d AS (

@@ -1,0 +1,169 @@
+"""Structured spreadsheet extraction (multimodal/sheet.py): XLSX and
+ODS workbooks round-trip to identical typed cell rows, formula/error
+cells skip with accounting, the prose gate stays intact, repeats and
+merges behave, and the sheetcells CLI reports honestly."""
+
+from __future__ import annotations
+
+import pytest
+
+from polygon_io_data_ingestion_pipeline_spark.multimodal.sheet import (
+    SheetFormatError,
+    build_ods,
+    build_xlsx,
+    extract_sheet_cells,
+    sheet_cells,
+    sniff_sheet_kind,
+)
+
+SPEC = [
+    (1, 1, "n", 17), (1, 2, "s", "alpha"),
+    (2, 1, "n", 42.5), (2, 2, "s", "beta"),
+    (3, 1, "f", 99), (3, 2, "e", "#DIV/0!"),
+]
+WANT_CELLS = [
+    ("S", 1, 1, "n", "17", 17.0),
+    ("S", 1, 2, "s", "alpha", None),
+    ("S", 2, 1, "n", "42.5", 42.5),
+    ("S", 2, 2, "s", "beta", None),
+]
+
+
+def test_xlsx_and_ods_converge_on_identical_typed_rows():
+    kx, (cx, nfx, nex) = extract_sheet_cells(build_xlsx(SPEC))
+    ko, (co, nfo, neo) = extract_sheet_cells(build_ods(SPEC))
+    assert (kx, ko) == ("xlsx", "ods")
+    assert cx == WANT_CELLS and co == WANT_CELLS
+    # xlsx distinguishes error cells; ODS errors are formula cells
+    assert (nfx, nex) == (1, 1)
+    assert (nfo, neo) == (2, 0)
+
+
+def test_booleans_and_shared_string_reuse():
+    spec = [(1, 1, "b", True), (1, 2, "s", "x"), (2, 2, "s", "x")]
+    _, (cells, _, _) = extract_sheet_cells(build_xlsx(spec))
+    assert cells == [
+        ("S", 1, 1, "b", "1", 1.0),
+        ("S", 1, 2, "s", "x", None),
+        ("S", 2, 2, "s", "x", None),
+    ]
+    _, (ocells, _, _) = extract_sheet_cells(build_ods(spec))
+    assert ocells[0] == ("S", 1, 1, "b", "true", 1.0)
+
+
+def test_ods_repeats_and_covered_cells():
+    """number-columns-repeated expands VALUED cells; covered (merged)
+    and empty repeated cells advance the grid without emitting — the
+    LibreOffice trailing-repeat padding never explodes into rows."""
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="R">'
+        "<table:table-row>"
+        '<table:table-cell table:number-columns-repeated="1000"/>'
+        '<table:table-cell office:value-type="float" office:value="7" '
+        'table:number-columns-repeated="3"><text:p>7</text:p>'
+        "</table:table-cell>"
+        "<table:covered-table-cell/>"
+        '<table:table-cell office:value-type="string">'
+        "<text:p>end</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "mimetype", b"application/vnd.oasis.opendocument.spreadsheet"
+        )
+        zf.writestr("content.xml", content)
+    _, (cells, _, _) = extract_sheet_cells(buf.getvalue())
+    assert cells == [
+        ("R", 1, 1001, "n", "7", 7.0),
+        ("R", 1, 1002, "n", "7", 7.0),
+        ("R", 1, 1003, "n", "7", 7.0),
+        ("R", 1, 1005, "s", "end", None),
+    ]
+
+
+def test_prose_gate_stays_intact():
+    """Workbook containers never reach the text lane, and prose
+    containers never reach the sheet lane — the two sniffers partition
+    the Office space."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.docx import (
+        sniff_office_kind,
+        try_extract_office,
+    )
+
+    wb = build_ods(SPEC)
+    assert sniff_office_kind(wb) is None  # ODS is NOT prose
+    assert try_extract_office(wb) is None
+    assert sniff_sheet_kind(wb) == "ods"
+    xl = build_xlsx(SPEC)
+    assert sniff_office_kind(xl) is None
+    assert sniff_sheet_kind(xl) == "xlsx"
+    # and the reverse: a DOCX is not a workbook
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<d/>")
+    assert sniff_sheet_kind(buf.getvalue()) is None
+    with pytest.raises(SheetFormatError, match="not an XLSX/ODS"):
+        extract_sheet_cells(buf.getvalue())
+
+
+def test_spark_lane_markers_and_quarantine(spark):
+    """sheet_cells: cell rows carry kind + skip accounting; an
+    all-formula workbook surfaces as a marker row; garbage quarantines
+    with decode_ok=false."""
+    rows = [
+        (1, bytearray(build_xlsx(SPEC))),
+        (2, bytearray(build_xlsx([(1, 1, "f", 5)]))),
+        (3, bytearray(b"not a workbook")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = sheet_cells(df).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    cells1 = [r for r in by_id[1] if r["sheet"] is not None]
+    assert len(cells1) == 4
+    assert all(
+        (r["kind"], r["skipped_formula"], r["skipped_error"]) == ("xlsx", 1, 1)
+        for r in cells1
+    )
+    [m2] = by_id[2]
+    assert (m2["sheet"], m2["kind"], m2["skipped_formula"], m2["decode_ok"]) == (
+        None, "xlsx", 1, True
+    )
+    [m3] = by_id[3]
+    assert (m3["sheet"], m3["kind"], m3["decode_ok"]) == (None, None, False)
+
+
+def test_sheetcells_cli_journey(spark, tmp_path, capsys):
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    rows = [
+        (1, bytearray(build_xlsx(SPEC))),
+        (2, bytearray(build_ods(SPEC))),
+        (3, bytearray(b"garbage")),
+    ]
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, "media_id long, payload binary").write.parquet(src)
+    out = str(tmp_path / "out")
+    assert main(["sheetcells", "--src", src, "--out", out,
+                 "--master", "local[4]"]) == 0
+    msg = capsys.readouterr().out
+    assert ("workbooks=3 decoded=2 quarantined=1 cells=8 "
+            "skipped_formula=3 skipped_error=1") in msg
+    cells = spark.read.parquet(out + "/cells").collect()
+    assert len(cells) == 8
+    assert {r["value_string"] for r in cells} == {"17", "42.5", "alpha", "beta"}
