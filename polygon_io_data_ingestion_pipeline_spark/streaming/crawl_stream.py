@@ -292,6 +292,9 @@ def write_crawl_batch(
     clf_model: dict | None = None,
     clf_margin: float = 0.0,
     compact_attempted_every: int | None = None,
+    schedule_graph_path: str | None = None,
+    clf_drift_path: str | None = None,
+    clf_drift_hist: tuple[float, float, int] = (-50.0, 50.0, 40),
 ) -> None:
     """foreachBatch sink: records -> documents -> idempotent corpus
     commit.  The docs frame feeds one sink write but its lineage tops a
@@ -376,14 +379,15 @@ def write_crawl_batch(
             # (``operators/classify.py`` — trained offline, loaded via
             # nb_load) and drop below-margin pages with accounting.
             # Unscorable docs keep (the classifier cannot judge them);
-            # the tiny dropped-ids frame persists so the count and the
-            # anti-join don't re-run the model joins; deterministic per
-            # batch, so the replay contract holds.
+            # the tiny scores frame persists so the count, the
+            # anti-join and the drift fold don't re-run the model
+            # joins; deterministic per batch, so the replay contract
+            # holds.
             from ..operators.classify import nb_log_odds
 
+            odds = nb_log_odds(docs, clf_model, "good", "bad").persist()
             bad_ids = (
-                nb_log_odds(docs, clf_model, "good", "bad")
-                .filter(
+                odds.filter(
                     F.col("log_odds").isNotNull()
                     & (F.col("log_odds") < float(clf_margin))
                 )
@@ -393,6 +397,46 @@ def write_crawl_batch(
             n_clf = bad_ids.count()
             print(f"clf[batch {batch_id}]: dropped={n_clf}")
             out_docs = docs.join(bad_ids, "doc_id", "left_anti")
+            if clf_drift_path is not None:
+                # model-lifecycle drift monitor (round-11 verdict ask
+                # #8): fold this batch's log-odds HISTOGRAM into a
+                # versioned rollup (shard id = batch id, so a replay is
+                # a ledger no-op) and PSI-compare the newly-arrived
+                # slice against prior history — a model gone stale
+                # (the crawl's content drifted from the references)
+                # shows up as score-distribution drift, with zero fact
+                # rescans (O(bins) cell math).
+                from ..operators.rollup import (
+                    rollup_hist_drift,
+                    rollup_versions,
+                    update_rollup,
+                )
+
+                lo, hi, bins = clf_drift_hist
+                update_rollup(
+                    batch_df.sparkSession,
+                    clf_drift_path,
+                    odds.filter(F.col("log_odds").isNotNull()).select(
+                        F.lit("clf").alias("gate"), "log_odds"
+                    ),
+                    keys=["gate"],
+                    sum_cols=["log_odds"],
+                    shard_id=f"clf-batch-{batch_id}",
+                    hist_cols={"log_odds": (lo, hi, bins)},
+                )
+                if len(rollup_versions(clf_drift_path)) >= 2:
+                    # bounded: the PSI report is one row per feature
+                    rep = rollup_hist_drift(
+                        batch_df.sparkSession,
+                        clf_drift_path,
+                        "log_odds",
+                        mode="delta",
+                    ).collect()[0]
+                    print(
+                        f"clf-drift[batch {batch_id}]: "
+                        f"psi={rep['psi']:.4f} drifted={rep['drifted']}"
+                    )
+            odds.unpersist()
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
         sink(out_docs, batch_id, lake_path)
         if schedule_path is not None:
@@ -515,6 +559,16 @@ def write_crawl_batch(
                     .filter(F.col("loc").isNotNull())
                     .select("loc")
                 )
+                signals, signal_col = None, "rank"
+                if schedule_graph_path is not None:
+                    # webgraph pagerank/ or trust/ table: the frontier's
+                    # fetch-order priority (a re-read per batch of a
+                    # bounded table; a changed table changes priorities
+                    # only, never the URL set, so replay stays safe)
+                    signals = spark.read.parquet(schedule_graph_path)
+                    signal_col = next(
+                        c for c in signals.columns if c != "node"
+                    )
                 sched = fetch_schedule(
                     crawl_frontier(
                         edges,
@@ -524,6 +578,8 @@ def write_crawl_batch(
                     rules=parse_robots(captures),
                     politeness=robots_politeness(captures),
                     agent=robots_agent or "*",
+                    signals=signals,
+                    signal_col=signal_col,
                 )
                 target = os.path.join(schedule_path, f"batch_id={batch_id}")
                 sched.write.mode("overwrite").parquet(target)
@@ -557,6 +613,9 @@ def start_crawl_ingest(
     clf_margin: float = 0.0,
     compact_attempted_every: int | None = None,
     max_files_per_trigger: int | None = None,
+    schedule_graph_path: str | None = None,
+    clf_drift_path: str | None = None,
+    clf_drift_hist: tuple[float, float, int] = (-50.0, 50.0, 40),
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
@@ -597,7 +656,16 @@ def start_crawl_ingest(
     ``compact_attempted_every`` folds the attempted-URL table's accrued
     batch directories into one distinct baseline every N batches (see
     :func:`compact_attempted`) — bounds the per-batch listing on a
-    long-running crawl; ``max_files_per_trigger`` paces the backlog."""
+    long-running crawl; ``max_files_per_trigger`` paces the backlog;
+    ``schedule_graph_path`` (a webgraph ``pagerank/`` or ``trust/``
+    table) attaches a fetch-order ``priority`` column to each batch's
+    schedule so a fetcher drains high-value pages first within
+    crawl-delay constraints (unscored URLs default 0.0);
+    ``clf_drift_path`` maintains a versioned histogram rollup of the
+    classifier gate's per-batch log-odds and prints a PSI drift report
+    (``clf-drift[batch N]``) once two versions exist — the monitor
+    that catches a stale model as the crawl's content drifts away from
+    its training references (``clf_drift_hist`` = (lo, hi, bins))."""
     if clf_model is not None:
         from ..operators.classify import nb_require_labels
 
@@ -618,6 +686,9 @@ def start_crawl_ingest(
                 clf_model=clf_model,
                 clf_margin=clf_margin,
                 compact_attempted_every=compact_attempted_every,
+                schedule_graph_path=schedule_graph_path,
+                clf_drift_path=clf_drift_path,
+                clf_drift_hist=clf_drift_hist,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -534,3 +534,110 @@ def test_attempted_compaction_bounds_dirs_across_long_crawl(spark, tmp_path):
         f"http://x.example/fresh{i}" for i in range(1, 21)
     )
     assert all(len(us) == 1 for us in by_batch.values())
+
+
+def test_streaming_clf_drift_monitor_fires_on_model_staleness(
+    spark, tmp_path, capsys
+):
+    """clf_drift_path: each gated batch folds its log-odds histogram
+    into a versioned rollup (shard id = batch id) and PSI-compares the
+    new slice against history.  Batch 2 carries reference-like pages
+    (matching batch 1's distribution tail); batch 3's content drifts
+    hard toward the bad reference — the report fires with
+    drifted=True.  A fresh-checkpoint replay is a rollup-ledger no-op
+    (the histogram does not double-count)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_load,
+        nb_save,
+        nb_train,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.rollup import (
+        rollup_hist_counts,
+        rollup_versions,
+    )
+
+    spammy = (
+        "the cheap pills and the lucky prize of the winner in the draw "
+        "are the offer of the day while the bonus of the deal is the "
+        "gift of the spin and the jackpot of the club"
+    )
+    train = spark.createDataFrame(
+        [("good", GOOD_A), ("good", GOOD_B), ("bad", spammy), ("bad", spammy)],
+        "label string, text string",
+    )
+    nb_save(nb_train(train), str(tmp_path / "model"))
+    model = nb_load(spark, str(tmp_path / "model"))
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt = tmp_path / "lake", tmp_path / "ckpt"
+    drift = str(tmp_path / "clf_drift")
+    kw = dict(clf_model=model, clf_margin=-1e9, clf_drift_path=drift)
+
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", f"http://x.example/g{i}",
+                     _http(_page(GOOD_A + f" row {i}")))
+        for i in range(4)
+    ])
+    _drain(spark, src, lake, ckpt, **kw)
+    assert len(rollup_versions(drift)) == 1
+    # batch 2: same distribution -> report fires, not drifted
+    _write_warc(src, "b.warc.gz", [
+        _warc_record("response", f"http://x.example/h{i}",
+                     _http(_page(GOOD_B + f" row {i}")))
+        for i in range(4)
+    ])
+    _drain(spark, src, lake, ckpt, **kw)
+    out = capsys.readouterr().out
+    assert "clf-drift[batch 1]:" in out and "drifted=0" in out
+    # batch 3: the crawl's content has drifted to spam-like pages
+    _write_warc(src, "c.warc.gz", [
+        _warc_record("response", f"http://x.example/s{i}",
+                     _http(_page(spammy + f" row {i}")))
+        for i in range(4)
+    ])
+    _drain(spark, src, lake, ckpt, **kw)
+    out = capsys.readouterr().out
+    assert "clf-drift[batch 2]:" in out and "drifted=1" in out
+
+    # replay with a fresh checkpoint: every batch is a ledger no-op —
+    # version count and histogram cells unchanged (no double counting)
+    before = sorted(
+        map(tuple, rollup_hist_counts(spark, drift, "log_odds").collect())
+    )
+    n_vers = len(rollup_versions(drift))
+    _drain(spark, src, lake, tmp_path / "ckpt2", **kw)
+    assert len(rollup_versions(drift)) == n_vers
+    after = sorted(
+        map(tuple, rollup_hist_counts(spark, drift, "log_odds").collect())
+    )
+    assert after == before
+
+
+def test_streaming_schedule_priority_from_graph(spark, tmp_path):
+    """schedule_graph_path: the batch schedule carries the webgraph's
+    rank as a fetch-order priority; unscored URLs default to 0.0."""
+    src = tmp_path / "crawl"
+    src.mkdir()
+    graph = str(tmp_path / "pagerank")
+    spark.createDataFrame(
+        [("http://x.example/next", 0.7)], "node string, rank double"
+    ).write.parquet(graph)
+    page = (
+        f'<html><body><p>{GOOD_A}</p><a href="/next">n</a>'
+        '<a href="/other">o</a></body></html>'
+    ).encode()
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/a", _http(page)),
+    ])
+    _drain(
+        spark, src, tmp_path / "lake", tmp_path / "ckpt",
+        outlinks_path=str(tmp_path / "edges"),
+        schedule_path=str(tmp_path / "sched"),
+        schedule_graph_path=graph,
+    )
+    sched = {
+        r["url"]: r["priority"]
+        for r in spark.read.parquet(str(tmp_path / "sched")).collect()
+    }
+    assert sched == {"http://x.example/next": 0.7, "http://x.example/other": 0.0}

@@ -315,3 +315,46 @@ def test_parse_feeds_cdata_verbatim_vs_plain_unescape(spark):
     rows = {r["entry_url"]: r["title"] for r in parse_feeds(df).collect()}
     assert rows["http://b.example/cd"] == "AT&amp;T <3"
     assert rows["http://b.example/pl"] == "AT&T plain"
+
+
+def test_fetch_schedule_priority_from_graph_signals(spark):
+    """fetch_schedule(signals=): the webgraph's rank joins onto the
+    frontier by NORMALIZED url as a fetch-order priority — high-value
+    pages first within politeness constraints; unscored URLs default
+    to 0.0 (unreachable from anything ranked: fetch last, not never)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        fetch_schedule,
+    )
+
+    frontier = spark.createDataFrame(
+        [
+            ("http://a.example/hot", 3),
+            # crawl spelling with tracking params: must still match the
+            # graph's normalized node key
+            ("http://a.example/warm?utm_source=x", 2),
+            ("http://b.example/unknown", 1),
+        ],
+        "url string, in_refs long",
+    )
+    signals = spark.createDataFrame(
+        [
+            ("http://a.example/hot", 0.9),
+            ("http://a.example/warm", 0.4),
+        ],
+        "node string, rank double",
+    )
+    from pyspark.sql import functions as F
+
+    rows = fetch_schedule(frontier, signals=signals).orderBy(
+        F.desc("priority")
+    ).collect()
+    assert [r["url"] for r in rows] == [
+        "http://a.example/hot",
+        "http://a.example/warm?utm_source=x",
+        "http://b.example/unknown",
+    ]
+    assert [r["priority"] for r in rows] == [0.9, 0.4, 0.0]
+    assert rows[0]["host"] == "a.example"
+    # without signals the column is absent — existing schedules' schema
+    # is unchanged
+    assert "priority" not in fetch_schedule(frontier).columns
