@@ -1024,23 +1024,30 @@ def cmd_webgraph(args: argparse.Namespace) -> int:
     return 0
 
 
-def cmd_imagededup(args: argparse.Namespace) -> int:
-    """Image near-duplicate detection over a media parquet table:
-    decode + perceptual-hash every payload once (dHash and pHash,
-    multimodal/phash.py), banded-hamming candidate pairs (NEVER
-    all-pairs), connected-component duplicate clusters, and the
-    keep/drop accounting — the image twin of the corpus text-dedup
-    stages."""
+def _mediadedup(
+    args: argparse.Namespace,
+    name: str,
+    ctype_prefix: str,
+    sig_fn,
+    hash_col: str,
+    unit: str,
+) -> int:
+    """Shared shape of the perceptual media-dedup commands: decode +
+    fingerprint every payload once, banded-hamming candidate pairs
+    (NEVER all-pairs), connected-component duplicate clusters, and the
+    keep/drop accounting.  ``sig_fn(df, id_col=, payload_col=)`` is the
+    modality's fingerprint lane (image_hashes / audio_fingerprints);
+    the WARC branch ingests ``ctype_prefix`` responses of a crawl
+    directly."""
     import os as _os
 
     from pyspark.sql import functions as F
 
-    from .multimodal.phash import image_hashes
     from .operators.dedup import duplicate_clusters, hamming_pairs
 
     if args.max_hamming < 0:
         print(
-            f"imagededup: --max-hamming must be >= 0, got {args.max_hamming}",
+            f"{name}: --max-hamming must be >= 0, got {args.max_hamming}",
             file=sys.stderr,
         )
         return 2
@@ -1049,25 +1056,25 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
         args.id_col != "media_id" or args.payload_col != "payload"
     ):
         print(
-            "imagededup: --id-col/--payload-col cannot be combined with "
+            f"{name}: --id-col/--payload-col cannot be combined with "
             "--input-format warc (the crawl lane keys media_id/payload)",
             file=sys.stderr,
         )
         return 2
-    spark = get_spark("poly-imagededup", master=args.master)
+    spark = get_spark(f"poly-{name}", master=args.master)
     if args.input_format == "warc":
-        # crawl -> image dedup directly: image/* responses from the
-        # WARC files (digest dedup first — the crawler's own duplicate
-        # markers are free), keyed like the text lane; a media_id->url
-        # mapping lands beside the outputs so pairs/clusters resolve
-        # back to pages
+        # crawl -> media dedup directly: the modality's responses from
+        # the WARC files (digest dedup first — the crawler's own
+        # duplicate markers are free), keyed like the text lane; a
+        # media_id->url mapping lands beside the outputs so
+        # pairs/clusters resolve back to pages
         from .sources.archive import read_warc, warc_digest_dedup
 
         id_col, payload_col = "media_id", "payload"
         args.id_col, args.payload_col = id_col, payload_col
         recs = warc_digest_dedup(read_warc(spark, args.src)).filter(
             (F.col("record_type") == "response")
-            & F.col("content_type").startswith("image/")
+            & F.col("content_type").startswith(ctype_prefix)
         )
         # persist: the mapping write below AND the hash pass both
         # consume this frame, and its lineage is the full non-splittable
@@ -1083,7 +1090,7 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
         )
     else:
         media = spark.read.parquet(args.src)
-    sig = image_hashes(
+    sig = sig_fn(
         media, id_col=args.id_col, payload_col=args.payload_col
     ).persist()
     n_total = sig.count()
@@ -1091,7 +1098,7 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
     n_decoded = decoded.count()
     pairs = hamming_pairs(
         decoded,
-        args.hash,
+        hash_col,
         id_col=args.id_col,
         bits=64,
         max_hamming=args.max_hamming,
@@ -1110,91 +1117,34 @@ def cmd_imagededup(args: argparse.Namespace) -> int:
     if args.input_format == "warc":
         media.unpersist()
     print(
-        f"imagededup -> {args.out}: images={n_total} decoded={n_decoded} "
+        f"{name} -> {args.out}: {unit}={n_total} decoded={n_decoded} "
         f"quarantined={n_total - n_decoded} pairs={n_pairs} "
         f"clusters={n_clusters} duplicates_to_drop={n_drop}"
     )
     return 0
+
+
+def cmd_imagededup(args: argparse.Namespace) -> int:
+    """Image near-duplicate detection over a media parquet table:
+    decode + perceptual-hash every payload once (dHash and pHash,
+    multimodal/phash.py) through the shared media-dedup shape
+    (:func:`_mediadedup`)."""
+    from .multimodal.phash import image_hashes
+
+    return _mediadedup(
+        args, "imagededup", "image/", image_hashes, args.hash, "images"
+    )
 
 
 def cmd_audiodedup(args: argparse.Namespace) -> int:
     """Audio near-duplicate detection over a media parquet table: the
-    audio twin of the imagededup command (multimodal/afp.py) — decode +
-    fingerprint every payload once (WAV/FLAC/ADPCM through the real
-    codec lane), banded-hamming candidate pairs (NEVER all-pairs),
-    connected-component duplicate clusters, keep/drop accounting."""
-    import os as _os
-
-    from pyspark.sql import functions as F
-
+    audio twin of imagededup (multimodal/afp.py — WAV/FLAC/ADPCM
+    through the real codec lane) via the shared media-dedup shape."""
     from .multimodal.afp import audio_fingerprints
-    from .operators.dedup import duplicate_clusters, hamming_pairs
 
-    if args.max_hamming < 0:
-        print(
-            f"audiodedup: --max-hamming must be >= 0, got {args.max_hamming}",
-            file=sys.stderr,
-        )
-        return 2
-    if args.input_format == "warc" and (
-        args.id_col != "media_id" or args.payload_col != "payload"
-    ):
-        print(
-            "audiodedup: --id-col/--payload-col cannot be combined with "
-            "--input-format warc (the crawl lane keys media_id/payload)",
-            file=sys.stderr,
-        )
-        return 2
-    spark = get_spark("poly-audiodedup", master=args.master)
-    if args.input_format == "warc":
-        # crawl -> audio dedup directly: audio/* responses from the
-        # WARC files (digest dedup first), keyed like the image lane
-        from .sources.archive import read_warc, warc_digest_dedup
-
-        recs = warc_digest_dedup(read_warc(spark, args.src)).filter(
-            (F.col("record_type") == "response")
-            & F.col("content_type").startswith("audio/")
-        )
-        # persist: the mapping write AND the fingerprint pass both
-        # consume this frame whose lineage is the non-splittable WARC walk
-        media = recs.select(
-            F.xxhash64("url", "warc_date").alias("media_id"),
-            "url",
-            "payload",
-        ).persist()
-        media.select("media_id", "url").write.mode("overwrite").parquet(
-            _os.path.join(args.out, "media")
-        )
-    else:
-        media = spark.read.parquet(args.src)
-    sig = audio_fingerprints(
-        media, id_col=args.id_col, payload_col=args.payload_col
-    ).persist()
-    n_total = sig.count()
-    decoded = sig.filter(F.col("decode_ok"))
-    n_decoded = decoded.count()
-    pairs = hamming_pairs(
-        decoded, "afp", id_col=args.id_col, bits=64, max_hamming=args.max_hamming
+    return _mediadedup(
+        args, "audiodedup", "audio/", audio_fingerprints, "afp", "clips"
     )
-    pairs.write.mode("overwrite").parquet(_os.path.join(args.out, "pairs"))
-    pairs_back = spark.read.parquet(_os.path.join(args.out, "pairs"))
-    clusters = duplicate_clusters(
-        pairs_back, all_ids=decoded.select(args.id_col), id_col=args.id_col
-    )
-    clusters.write.mode("overwrite").parquet(_os.path.join(args.out, "clusters"))
-    cl = spark.read.parquet(_os.path.join(args.out, "clusters"))
-    n_pairs = pairs_back.count()
-    n_clusters = cl.select("cluster_id").distinct().count()
-    n_drop = cl.filter(F.col(args.id_col) != F.col("cluster_id")).count()
-    sig.unpersist()
-    if args.input_format == "warc":
-        media.unpersist()
-    print(
-        f"audiodedup -> {args.out}: clips={n_total} decoded={n_decoded} "
-        f"quarantined={n_total - n_decoded} pairs={n_pairs} "
-        f"clusters={n_clusters} duplicates_to_drop={n_drop}"
-    )
-    return 0
 
 
 def cmd_sheetcells(args: argparse.Namespace) -> int:

@@ -141,7 +141,10 @@ def audio_fingerprints(
                     try:
                         x, _rate = _audio_samples(bytes(p))
                         fp = afp64(x)
-                    except (ValueError, EOFError, _wave.Error):
+                    except (ValueError, EOFError, _wave.Error, RuntimeError):
+                        # RuntimeError: stdlib wave's Chunk.skip() raises
+                        # it BARE on a corrupted chunk-size field — one
+                        # such clip must quarantine, not kill the job
                         fp = None
                 fps.append(fp)
                 ok.append(fp is not None)

@@ -136,7 +136,9 @@ def _dict_ref(d: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
-def _scan_objects(data: bytes) -> dict[int, bytes]:
+def _scan_objects(
+    data: bytes, gens_out: dict[int, int] | None = None
+) -> dict[int, bytes]:
     """object number -> raw object body.  Later definitions win —
     incremental updates append replacements.
 
@@ -161,6 +163,13 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
         if m.start() < consumed:
             continue  # header-shaped bytes inside a consumed stream
         e, num = m.end(), int(m.group(1))
+        if gens_out is not None:
+            # generation numbers for the decryptor's per-object keys,
+            # recorded HERE (consumed-stream-aware) — a raw regex over
+            # the file would let header-shaped bytes inside encrypted
+            # stream data poison the key (last-wins) and turn a
+            # decryptable document into garbage
+            gens_out[num] = int(m.group(2))
         next_pos = len(data)
         for m2 in headers[k + 1 :]:
             if m2.start() >= e:
@@ -971,17 +980,16 @@ def _object_key(key: bytes, num: int, gen: int, aes: bool) -> bytes:
 
 
 def _decrypt_streams(
-    objs: dict[int, bytes], data: bytes, method: str, key: bytes
+    objs: dict[int, bytes], gens: dict[int, int], method: str, key: bytes
 ) -> None:
     """Decrypt every top-level object's stream in place (algorithm 1
     per-object keys), rebuilding each body with a literal /Length so
     downstream slicing stays exact.  XRef streams are never encrypted
     (spec) and objects later unpacked from an /ObjStm are covered by
     the container's decryption — both fall out naturally because this
-    runs BEFORE _expand_object_streams and skips /Type /XRef."""
-    gens = {
-        int(m.group(1)): int(m.group(2)) for m in _OBJ_RE.finditer(data)
-    }
+    runs BEFORE _expand_object_streams and skips /Type /XRef.
+    ``gens`` comes from the consumed-stream-aware scan — see the note
+    in :func:`_scan_objects`."""
     for num, body in list(objs.items()):
         raw = _stream_bytes(body, objs)
         if raw is None:
@@ -1011,7 +1019,8 @@ def extract_pdf_text(data: bytes) -> str:
     """
     if not data.startswith(b"%PDF-"):
         raise PdfFormatError("missing %PDF- header")
-    objs = _scan_objects(data)
+    gens: dict[int, int] = {}
+    objs = _scan_objects(data, gens_out=gens)
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
     if em:
         enc = objs.get(int(em.group(1)))
@@ -1021,7 +1030,7 @@ def extract_pdf_text(data: bytes) -> str:
             )
         method, key = _std_security_handler(_parse_dict_region(enc), data)
         if method is not None:
-            _decrypt_streams(objs, data, method, key)
+            _decrypt_streams(objs, gens, method, key)
     _expand_object_streams(objs)
     cid_cmaps = _cid_font_cmaps(objs)
 

@@ -159,14 +159,28 @@ def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
     n_formula = n_error = 0
     for sheet_name, member in sheets:
         root = _xml(zf, member)
-        for c in root.iter():
-            if _local(c.tag) != "c":
+        row_iter = (
+            el for el in root.iter() if _local(el.tag) in ("row", "c")
+        )
+        # position inference: ECMA-376 makes both row@r and c@r OPTIONAL
+        # (streaming writers omit them; readers infer sequentially) —
+        # a missing reference must not silently drop the cell
+        cur_row = 0
+        cur_col = 0
+        for el in row_iter:
+            if _local(el.tag) == "row":
+                r_attr = el.get("r")
+                cur_row = int(r_attr) if r_attr else cur_row + 1
+                cur_col = 0
                 continue
+            c = el
             ref = c.get("r") or ""
             m = _CELL_REF_RE.fullmatch(ref)
-            if m is None:
-                continue
-            col, row = _col_index(m.group(1)), int(m.group(2))
+            if m is not None:
+                col, row = _col_index(m.group(1)), int(m.group(2))
+            else:
+                col, row = cur_col + 1, cur_row
+            cur_col = col
             ctype = c.get("t") or "n"
             has_formula = any(_local(ch.tag) == "f" for ch in c)
             if has_formula or ctype == "str":
@@ -228,6 +242,7 @@ def _ods_cells(zf: zipfile.ZipFile) -> Cells:
             )
             row_no += 1
             col_no = 0
+            row_cells: list[tuple] = []
             for tc in tr:
                 tag = _local(tc.tag)
                 if tag not in ("table-cell", "covered-table-cell"):
@@ -241,8 +256,10 @@ def _ods_cells(zf: zipfile.ZipFile) -> Cells:
                     col_no += rep  # merged shadows / empty padding: skip
                     continue
                 if "formula" in attrs:
-                    # ODS error cells are formula cells too — one class
-                    n_formula += rep
+                    # ODS error cells are formula cells too — one class;
+                    # count per EMITTED row copy so the accounting and
+                    # the row-repeat expansion agree
+                    n_formula += rep * min(row_rep, _MAX_REPEAT)
                     col_no += rep
                     continue
                 vtype = _ODS_TYPE.get(attrs["value-type"])
@@ -268,12 +285,14 @@ def _ods_cells(zf: zipfile.ZipFile) -> Cells:
                 else:
                     val = (text, None)
                 for i in range(min(rep, _MAX_REPEAT)):
-                    cells.append(
-                        (sheet_name, row_no, col_no + 1 + i, vtype) + val
-                    )
+                    row_cells.append((col_no + 1 + i, vtype) + val)
                 col_no += rep
-            # valued rows with number-rows-repeated are rare generator
-            # output; advance the row counter so later rows land right
+            # number-rows-repeated EXPANDS valued rows (dropping the
+            # repeated copies would silently lose data — the column
+            # repeat expands, so must this one), same cap discipline
+            for rr in range(min(row_rep, _MAX_REPEAT)):
+                for col1, vtype, vs, vn in row_cells:
+                    cells.append((sheet_name, row_no + rr, col1, vtype, vs, vn))
             row_no += row_rep - 1
     return cells, n_formula, n_error
 

@@ -127,6 +127,7 @@ def predicted_lang_script(
     text_col: str = "text",
     latin_und_floor: float | None = None,
     intra_script: bool = True,
+    script_und_floor: float | None = None,
 ) -> Column:
     """Unicode-script language ID — the real first-pass heuristic for a
     multilingual crawl (charset-correct decode upstream is what makes
@@ -153,9 +154,16 @@ def predicted_lang_script(
     the ru/uk/bg/sr classifier, an Arabic-script winner to ar/fa/ur, a
     Devanagari winner to hi/mr/ne; zero-hit text keeps the script's
     web-prior label (ru/ar/hi), so the pre-round-11 behavior is the
-    fallback, not a different answer.  The family folds sit in CASE
-    branches, so only rows whose script actually wins pay them.  All
-    JVM expressions — no Python."""
+    fallback, not a different answer.  ``script_und_floor`` forwards
+    the same coverage-based confidence floor the Latin lane has: an
+    UNTABLED language of a multi-language script (Kazakh in Cyrillic,
+    Pashto in Arabic script) then labels ``und`` instead of a
+    confident nearest-tabled guess — production ingests that set
+    ``latin_und_floor`` should set this too, or their per-language
+    buckets absorb those pages under whichever tabled language shares
+    the most tokens.  The family folds sit in CASE branches, so only
+    rows whose script actually wins pay them.  All JVM expressions —
+    no Python."""
     from ..functions.script_families import (
         predicted_lang_arabic_script,
         predicted_lang_cyrillic,
@@ -172,9 +180,11 @@ def predicted_lang_script(
     threshold = F.greatest(F.lit(1), (F.length(col) * F.lit(0.15)).cast("int"))
     refiners = (
         {
-            "ru": predicted_lang_cyrillic(name),
-            "ar": predicted_lang_arabic_script(name),
-            "hi": predicted_lang_devanagari(name),
+            "ru": predicted_lang_cyrillic(name, und_floor=script_und_floor),
+            "ar": predicted_lang_arabic_script(
+                name, und_floor=script_und_floor
+            ),
+            "hi": predicted_lang_devanagari(name, und_floor=script_und_floor),
         }
         if intra_script
         else {}

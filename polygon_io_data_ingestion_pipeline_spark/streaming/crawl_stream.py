@@ -170,7 +170,9 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
             # labels untabled-language pages 'und' instead of a
             # confident wrong guess (per-language downstream stages
             # must not silently train on mislabeled text)
-            predicted_lang_script("text", latin_und_floor=0.15).alias("lang"),
+            predicted_lang_script(
+                "text", latin_und_floor=0.15, script_und_floor=0.15
+            ).alias("lang"),
             F.element_at(F.split("warc_file", "/"), -1).alias("source"),
             "url",
             F.md5(F.lower(F.col("text"))).alias("fp"),
@@ -425,17 +427,23 @@ def write_crawl_batch(
                     hist_cols={"log_odds": (lo, hi, bins)},
                 )
                 if len(rollup_versions(clf_drift_path)) >= 2:
-                    # bounded: the PSI report is one row per feature
-                    rep = rollup_hist_drift(
+                    # bounded: the PSI report is one row per feature —
+                    # and EMPTY when both readable versions hold zero
+                    # histogram rows (batches whose docs were all
+                    # unscorable); an empty report is "nothing to
+                    # compare", never a batch failure
+                    reps = rollup_hist_drift(
                         batch_df.sparkSession,
                         clf_drift_path,
                         "log_odds",
                         mode="delta",
-                    ).collect()[0]
-                    print(
-                        f"clf-drift[batch {batch_id}]: "
-                        f"psi={rep['psi']:.4f} drifted={rep['drifted']}"
-                    )
+                    ).collect()
+                    if reps:
+                        rep = reps[0]
+                        print(
+                            f"clf-drift[batch {batch_id}]: "
+                            f"psi={rep['psi']:.4f} drifted={rep['drifted']}"
+                        )
             odds.unpersist()
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
         sink(out_docs, batch_id, lake_path)
@@ -564,11 +572,29 @@ def write_crawl_batch(
                     # webgraph pagerank/ or trust/ table: the frontier's
                     # fetch-order priority (a re-read per batch of a
                     # bounded table; a changed table changes priorities
-                    # only, never the URL set, so replay stays safe)
+                    # only, never the URL set, so replay stays safe).
+                    # Column pick is DETERMINISTIC: the known score
+                    # names first, else the single non-node column —
+                    # anything ambiguous fails loudly instead of
+                    # prioritizing by an arbitrary column
                     signals = spark.read.parquet(schedule_graph_path)
-                    signal_col = next(
-                        c for c in signals.columns if c != "node"
-                    )
+                    value_cols = [c for c in signals.columns if c != "node"]
+                    known = [
+                        c for c in ("rank", "trust", "score")
+                        if c in value_cols
+                    ]
+                    if known:
+                        signal_col = known[0]
+                    elif len(value_cols) == 1:
+                        signal_col = value_cols[0]
+                    else:
+                        raise ValueError(
+                            f"schedule_graph_path table at "
+                            f"{schedule_graph_path} has no recognizable "
+                            f"score column (columns: {signals.columns}); "
+                            "expected rank/trust/score or exactly one "
+                            "non-node column"
+                        )
                 sched = fetch_schedule(
                     crawl_frontier(
                         edges,

@@ -176,3 +176,22 @@ def test_audiodedup_cli_journey(spark, tmp_path, capsys):
     assert main([
         "audiodedup", "--src", src, "--out", out, "--max-hamming", "-1",
     ]) == 2
+
+
+def test_corrupt_chunk_size_wav_quarantines_not_crashes(spark):
+    """stdlib wave raises a BARE RuntimeError on a corrupted chunk-size
+    field (Chunk.skip) — one such clip must quarantine, not kill the
+    job (round-11 review finding)."""
+    x16 = np.clip(_clip(9), -32768, 32767).astype(np.int16)
+    good = encode_wav_int16(x16)
+    # corrupt the fmt chunk's size field to a huge value so the chunk
+    # walk runs past EOF
+    bad = bytearray(good)
+    fmt_at = bad.index(b"fmt ")
+    bad[fmt_at + 4 : fmt_at + 8] = (2**31 - 1).to_bytes(4, "little")
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytes(bad))],
+        "media_id long, payload binary",
+    )
+    got = {r["media_id"]: r["decode_ok"] for r in audio_fingerprints(df).collect()}
+    assert got == {1: True, 2: False}

@@ -652,3 +652,22 @@ def test_non_standard_handler_quarantines():
     )
     with pytest.raises(PdfFormatError, match="encryption handler"):
         extract_pdf_text(pdf)
+
+
+def test_gen_map_ignores_headers_inside_streams():
+    """The decryptor's generation map comes from the consumed-stream-
+    aware scan: header-shaped bytes INSIDE a stream's data must not
+    override a real object's generation (they would poison the
+    per-object decryption key — round-11 review finding)."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
+        _scan_objects,
+    )
+
+    payload = b"prefix 4 7 obj suffix"  # fake header inside stream data
+    pdf = _pdf({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        4: _stream_obj(b"<< /Length %d >>" % len(payload), payload),
+    })
+    gens: dict[int, int] = {}
+    objs = _scan_objects(pdf, gens_out=gens)
+    assert 4 in objs and gens[4] == 0  # the REAL gen, not the in-stream 7

@@ -279,3 +279,29 @@ def test_prefix_fold_equals_flat_hypothesis(spark):
         predicted_lang_latin("text", und_floor=0.25, flat=True).alias("f"),
     ).collect()
     assert all(r["p"] == r["f"] for r in out)
+
+
+def test_script_routing_honors_script_und_floor(spark):
+    """predicted_lang_script(script_und_floor=): an untabled language
+    of a multi-language script (Kazakh — Cyrillic wins the script
+    vote) labels und under the floor instead of a confident
+    nearest-tabled guess; genuine tabled pages keep their labels
+    (round-11 review finding — production ingests that floor the Latin
+    lane must be able to floor the refined scripts too)."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        predicted_lang_script,
+    )
+
+    texts = [KK, CYR_MATRIX[2][1], ARB_MATRIX[2][1]]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = [
+        r["l"]
+        for r in df.select(
+            predicted_lang_script(
+                "text", latin_und_floor=0.15, script_und_floor=0.25
+            ).alias("l")
+        ).orderBy("doc_id").collect()
+    ]
+    assert got == ["und", "uk", "fa"]

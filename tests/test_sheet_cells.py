@@ -167,3 +167,92 @@ def test_sheetcells_cli_journey(spark, tmp_path, capsys):
     cells = spark.read.parquet(out + "/cells").collect()
     assert len(cells) == 8
     assert {r["value_string"] for r in cells} == {"17", "42.5", "alpha", "beta"}
+
+
+def test_ods_row_repeats_expand_and_account():
+    """table:number-rows-repeated on a VALUED row expands its cells
+    (dropping the copies would silently lose data, violating the
+    nothing-vanishes contract) and formula skips count per emitted row
+    copy (round-11 review finding)."""
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        '<table:table table:name="R">'
+        '<table:table-row table:number-rows-repeated="3">'
+        '<table:table-cell office:value-type="float" office:value="7">'
+        "<text:p>7</text:p></table:table-cell>"
+        '<table:table-cell table:formula="of:=1+1" '
+        'office:value-type="float" office:value="2">'
+        "<text:p>2</text:p></table:table-cell>"
+        "</table:table-row>"
+        '<table:table-cell/>'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string">'
+        "<text:p>after</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "mimetype", b"application/vnd.oasis.opendocument.spreadsheet"
+        )
+        zf.writestr("content.xml", content)
+    _, (cells, nf, ne) = extract_sheet_cells(buf.getvalue())
+    assert cells == [
+        ("R", 1, 1, "n", "7", 7.0),
+        ("R", 2, 1, "n", "7", 7.0),
+        ("R", 3, 1, "n", "7", 7.0),
+        ("R", 4, 1, "s", "after", None),
+    ]
+    assert (nf, ne) == (3, 0)  # the formula skipped once per row copy
+
+
+def test_xlsx_cells_without_r_attribute_infer_position():
+    """ECMA-376 makes both row@r and c@r optional (streaming writers
+    omit them) — cells must extract by sequential position inference,
+    never silently drop (round-11 review finding)."""
+    import io
+    import zipfile
+
+    ws = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main"><sheetData>'
+        "<row><c><v>5</v></c><c><v>6</v></c></row>"
+        '<row r="5"><c r="B5"><v>7</v></c><c><v>8</v></c></row>'
+        "<row><c><v>9</v></c></row>"
+        "</sheetData></worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships"><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.open'
+        'xmlformats.org/package/2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/2006/'
+        'relationships/worksheet" Target="worksheets/sheet1.xml"/>'
+        "</Relationships>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", ws)
+    _, (cells, _, _) = extract_sheet_cells(buf.getvalue())
+    assert cells == [
+        ("S", 1, 1, "n", "5", 5.0),
+        ("S", 1, 2, "n", "6", 6.0),
+        ("S", 5, 2, "n", "7", 7.0),
+        ("S", 5, 3, "n", "8", 8.0),
+        ("S", 6, 1, "n", "9", 9.0),
+    ]
