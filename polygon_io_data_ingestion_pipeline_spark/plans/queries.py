@@ -6618,6 +6618,109 @@ def sheet_cells_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "video_vhash_dup_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+px AS (
+  SELECT doc_id, f, r, c,
+         CAST(('0x' || substr(md5(CAST(doc_id // 2 AS VARCHAR) || '_' ||
+                                  CAST(f AS VARCHAR) || '_' ||
+                                  CAST(r AS VARCHAR)), 2 * c + 1, 2))
+              AS BIGINT) AS p0
+  FROM d, range(0, 4) ff(f), range(0, 8) rr(r), range(0, 9) cc(c)),
+pert AS (
+  SELECT doc_id, f, r, c,
+         CASE WHEN doc_id % 2 = 1 AND f = 2 AND r = 0 AND c = 4
+              THEN (p0 + 32) % 256 ELSE p0 END AS p
+  FROM px),
+fbits AS (
+  SELECT a.doc_id, a.f, a.r * 8 + a.c AS i
+  FROM pert a JOIN pert b
+    ON a.doc_id = b.doc_id AND a.f = b.f AND a.r = b.r AND b.c = a.c + 1
+  WHERE a.p > b.p),
+cnt AS (SELECT doc_id, i, count(*) AS c FROM fbits GROUP BY doc_id, i),
+h AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(SUM(CASE WHEN cnt.i = 63 THEN -9223372036854775808
+                                ELSE (CAST(1 AS BIGINT) << CAST(cnt.i AS INT))
+                           END), 0) AS BIGINT) AS vh
+  FROM d LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.c * 2 >= 4
+  GROUP BY d.doc_id)
+SELECT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.vh, b.vh)) AS INT) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.vh, b.vh)) <= 6
+""",
+    doc="Video near-duplicate detection by frame-majority perceptual "
+    "signature (multimodal/vhash.py — completes the modality set after "
+    "round 10's images and round 11's audio): one deterministic "
+    "4-frame PNMV clip per document (frame pixels = md5 bytes of "
+    "(doc_id//2, frame, row); odd docs perturb ONE pixel of ONE frame "
+    "— a re-encoded near-dup), pushed through the REAL pipeline: "
+    "container frame walk (frame_sample_video) -> per-frame decode + "
+    "dHash (the shared image lane) -> JVM majority-vote aggregation "
+    "(64 conditional sums in one groupBy — frame order and minority "
+    "frame edits cannot move a bit past the vote line) -> the "
+    "pigeonhole hamming-banded equi-join.  The oracle re-derives every "
+    "frame's pixels from the same md5 arithmetic, restates the "
+    "per-frame comparison bits, the per-clip majority AND the "
+    "all-pairs verification in SQL — certifying container walk, frame "
+    "hash, vote and banded recall in one hash.",
+    tags=("dedup", "multimodal"),
+)
+def video_vhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    from ..multimodal.vhash import video_dup_pairs
+
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import hashlib as _hl
+
+        import numpy as _np
+        import pandas as _pd
+
+        from ..multimodal.binaryops import encode_pnmv
+
+        for batch in batches:
+            payloads = []
+            for did in batch["doc_id"]:
+                did = int(did)
+                base = did // 2
+                clip = []
+                for f in range(4):
+                    px = _np.empty((8, 9), dtype=_np.uint8)
+                    for r in range(8):
+                        hx = _hl.md5(f"{base}_{f}_{r}".encode()).hexdigest()
+                        px[r] = [
+                            int(hx[2 * c : 2 * c + 2], 16) for c in range(9)
+                        ]
+                    if did % 2 == 1 and f == 2:
+                        px[0, 4] = (int(px[0, 4]) + 32) % 256
+                    clip.append(px)
+                payloads.append(encode_pnmv(clip, frame_ms=1000))
+            yield _pd.DataFrame(
+                {
+                    "media_id": batch["doc_id"],
+                    "payload": payloads,
+                    "meta": [None] * len(payloads),
+                }
+            )
+
+    vids = docs.mapInPandas(
+        synth,
+        "media_id bigint, payload binary, meta struct<duration_ms: bigint>",
+    )
+    pairs = video_dup_pairs(vids, every_ms=1000, max_hamming=6)
+    return pairs.select(
+        F.col("id1"), F.col("id2"), F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@q(
     "docs_trust_selection",
     oracle="""
 WITH d AS (
