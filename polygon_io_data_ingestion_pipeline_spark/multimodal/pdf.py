@@ -863,6 +863,94 @@ def _aes_cbc_decrypt(key: bytes, blob: bytes) -> bytes:
     return bytes(out[:-pad])
 
 
+def _aes128_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
+    """Forward AES cipher — the fixture/test encoder's half (decryption
+    is the product path); same FIPS-197 tables."""
+    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
+    for rnd in range(1, 11):
+        for i in range(16):
+            s[i] = _AES_SBOX[s[i]]
+        t = bytearray(16)
+        for c in range(4):
+            for r in range(4):
+                t[r + 4 * c] = s[r + 4 * ((c + r) % 4)]
+        s = t
+        if rnd < 10:
+            for c in range(4):
+                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
+                s[4 * c + 0] = _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3
+                s[4 * c + 1] = a0 ^ _gmul(a1, 2) ^ _gmul(a2, 3) ^ a3
+                s[4 * c + 2] = a0 ^ a1 ^ _gmul(a2, 2) ^ _gmul(a3, 3)
+                s[4 * c + 3] = _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2)
+        for i in range(16):
+            s[i] ^= rk[rnd][i]
+    return bytes(s)
+
+
+def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
+    """PDF AESV2 forward encryption: IV prefix + CBC + PKCS#5 padding —
+    exact inverse of :func:`_aes_cbc_decrypt` (fixture/test encoder)."""
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    rk = _aes128_round_keys(key)
+    out, prev = bytearray(iv), iv
+    for i in range(0, len(data), 16):
+        ct = _aes128_encrypt_block(
+            rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        )
+        out += ct
+        prev = ct
+    return bytes(out)
+
+
+def _pad_pw(pw: bytes) -> bytes:
+    return (pw + _PW_PAD)[:32]
+
+
+def std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
+    """/O per ISO 32000-1 algorithm 3 — the fixture encoder's half of
+    the standard security handler (the product path only consumes it)."""
+    import hashlib
+
+    h = hashlib.md5(_pad_pw(owner_pw)).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    o = _rc4(key, _pad_pw(user_pw))
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def std_file_key(
+    o: bytes, p: int, id0: bytes, r: int, n: int, user_pw: bytes = b""
+) -> bytes:
+    """File encryption key per algorithm 2 (fixture encoder; mirrors
+    the consuming derivation in :func:`_std_security_handler`)."""
+    import hashlib
+
+    seed = _pad_pw(user_pw) + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    h = hashlib.md5(seed).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def std_user_entry(key: bytes, id0: bytes, r: int) -> bytes:
+    """/U per algorithms 4 (R2) / 5 (R>=3) — fixture encoder."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(key, _PW_PAD)
+    x = _rc4(key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x + b"\x00" * 16  # arbitrary 16-byte tail per spec
+
+
 def _dict_string(d: bytes, key: bytes) -> bytes | None:
     """A PDF string value (literal with escapes, or hex) for ``key``."""
     m = re.search(rb"/" + key + rb"\s*\(", d)

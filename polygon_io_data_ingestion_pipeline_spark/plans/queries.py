@@ -6721,6 +6721,118 @@ def video_vhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "docs_pdf_decrypt_extract",
+    oracle="""
+SELECT doc_id,
+       'Confidential report ' || CAST(doc_id AS VARCHAR) ||
+       ' of the quarter' AS text,
+       CASE CAST(doc_id % 3 AS INT)
+            WHEN 0 THEN 'plain' WHEN 1 THEN 'rc4' ELSE 'aes' END AS mode
+FROM documents
+""",
+    doc="PDF text extraction incl. the round-11 owner-password-only "
+    "decryption, certified end-to-end (the PDF lane's FIRST external "
+    "anchor — until now it was pytest-only): one deterministic "
+    "one-page PDF per document, Flate-compressed content, doc_id%3 "
+    "picks plain / RC4-R3-encrypted / AES-V2-encrypted (the standard "
+    "security handler with an EMPTY user password; /O //U computed by "
+    "the module's own algorithm-3/4/5 fixture encoders, the same "
+    "functions the pytest matrix uses), pushed through the REAL "
+    "extract_pdf_text path: object scan -> /U verification -> "
+    "algorithm-1 per-object keys -> RC4 / AES-CBC decrypt -> inflate "
+    "-> content-stream text operators.  GENERATIVE oracle: the "
+    "expected text restates the construction — all three modes must "
+    "converge on identical extracted text in one hash.",
+    tags=("multimodal",),
+)
+def docs_pdf_decrypt_extract(spark: SparkSession, sf: str) -> DataFrame:
+    docs = (
+        table(spark, sf, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def synth(batches):
+        import zlib as _zlib
+
+        import pandas as _pd
+
+        from ..multimodal.pdf import (
+            _object_key,
+            _rc4,
+            aes_cbc_encrypt,
+            extract_pdf_text,
+            std_file_key,
+            std_owner_entry,
+            std_user_entry,
+        )
+
+        id0 = bytes(range(16))
+
+        def build(did: int) -> tuple[str, str]:
+            text = f"Confidential report {did} of the quarter"
+            content = ("BT 72 720 Td (" + text + ") Tj ET").encode()
+            payload = _zlib.compress(content)
+            mode = ("plain", "rc4", "aes")[did % 3]
+            objs: dict[int, bytes] = {
+                1: b"<< /Type /Catalog /Pages 2 0 R >>",
+                2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+                3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            }
+            trailer = b"<< /Root 1 0 R >>"
+            if mode != "plain":
+                p = -44
+                r, n = (3, 16)
+                o = std_owner_entry(b"owner-secret", b"", r, n)
+                key = std_file_key(o, p, id0, r, n)
+                u = std_user_entry(key, id0, r)
+                objkey = _object_key(key, 4, 0, mode == "aes")
+                if mode == "aes":
+                    payload = aes_cbc_encrypt(
+                        objkey, payload, iv=bytes(range(16, 32))
+                    )
+                    enc_extra = (
+                        b" /Length 128 /CF << /StdCF << /CFM /AESV2 "
+                        b"/AuthEvent /DocOpen /Length 16 >> >> "
+                        b"/StmF /StdCF /StrF /StdCF"
+                    )
+                    v = 4
+                else:
+                    payload = _rc4(objkey, payload)
+                    enc_extra, v = b" /Length 128", 2
+                objs[5] = (
+                    b"<< /Filter /Standard /V %d /R %d /P %d /O <%s> "
+                    b"/U <%s>%s >>"
+                    % (v, r, p, o.hex().encode(), u.hex().encode(), enc_extra)
+                )
+                trailer = (
+                    b"<< /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+                    % (id0.hex().encode(), id0.hex().encode())
+                )
+            objs[4] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(payload) + payload + b"\nendstream"
+            )
+            out = [b"%PDF-1.5"]
+            for num in sorted(objs):
+                out.append(b"%d 0 obj\n" % num + objs[num] + b"\nendobj")
+            out.append(b"trailer\n" + trailer + b"\nstartxref\n0\n%%EOF")
+            return extract_pdf_text(b"\n".join(out)), mode
+
+        for batch in batches:
+            texts, modes = [], []
+            for did in batch["doc_id"]:
+                t, m = build(int(did))
+                texts.append(t)
+                modes.append(m)
+            yield _pd.DataFrame(
+                {"doc_id": batch["doc_id"], "text": texts, "mode": modes}
+            )
+
+    return docs.mapInPandas(synth, "doc_id bigint, text string, mode string")
+
+
+@q(
     "docs_trust_selection",
     oracle="""
 WITH d AS (
@@ -7297,7 +7409,13 @@ PINNED_WINDOW = [
     # docs_rank_capped_sample).  The trim frees rotation slots for the
     # round-11 registrations (three intra-script langid families +
     # audio fingerprint dedup) while keeping the <=4-round bound.
-    "docs_tfidf_top_terms",
+    # docs_tfidf_top_terms ALSO rotates as of round 11 (second trim):
+    # its tokenize -> tf -> df -> idf-join -> top-k-window machinery is
+    # the same relevance-scoring family the rotating docs_bm25_search
+    # and docs_hybrid_search_rrf exercise (BM25 is tf/df with different
+    # weighting), every constituent is pytest-pinned, and the trim buys
+    # round 12 free registration slots after this round's SIX
+    # registrations (three langid families, audio, sheet, video, PDF).
     # Events analytics + iterative-graph anchors.
     # events_funnel_conversion rotates as of round 11: the events
     # family holds FIVE other pinned anchors (gap_declared_reconcile,

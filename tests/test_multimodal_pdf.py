@@ -495,87 +495,28 @@ def test_indirect_decodeparms_value_quarantines():
 # /U computed per ISO 32000-1 algorithms 3-5, so extract_pdf_text's
 # decryption is verified against an independent construction.
 # ---------------------------------------------------------------------------
-import hashlib as _hl
-
 from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
-    _aes128_round_keys,
-    _AES_SBOX,
-    _gmul,
     _object_key,
-    _PW_PAD,
+    aes_cbc_encrypt as _aes_cbc_encrypt,
     _rc4,
+    std_file_key,
+    std_owner_entry,
+    std_user_entry,
 )
 
 _ID0 = bytes(range(16))
 
 
-def _pad_pw(pw: bytes) -> bytes:
-    return (pw + _PW_PAD)[:32]
-
-
 def _compute_o(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
-    h = _hl.md5(_pad_pw(owner_pw)).digest()
-    if r >= 3:
-        for _ in range(50):
-            h = _hl.md5(h[:n]).digest()
-    key = h[:n]
-    o = _rc4(key, _pad_pw(user_pw))
-    if r >= 3:
-        for i in range(1, 20):
-            o = _rc4(bytes(b ^ i for b in key), o)
-    return o
+    return std_owner_entry(owner_pw, user_pw, r, n)
 
 
 def _file_key(o: bytes, p: int, r: int, n: int, user_pw: bytes = b"") -> bytes:
-    seed = _pad_pw(user_pw) + o + (p & 0xFFFFFFFF).to_bytes(4, "little") + _ID0
-    h = _hl.md5(seed).digest()
-    if r >= 3:
-        for _ in range(50):
-            h = _hl.md5(h[:n]).digest()
-    return h[:n]
+    return std_file_key(o, p, _ID0, r, n, user_pw=user_pw)
 
 
 def _compute_u(key: bytes, r: int) -> bytes:
-    if r == 2:
-        return _rc4(key, _PW_PAD)
-    x = _rc4(key, _hl.md5(_PW_PAD + _ID0).digest())
-    for i in range(1, 20):
-        x = _rc4(bytes(b ^ i for b in key), x)
-    return x + b"\x00" * 16  # arbitrary 16-byte tail per spec
-
-
-def _aes_encrypt_block(rk, block):
-    s = bytearray(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, 11):
-        for i in range(16):
-            s[i] = _AES_SBOX[s[i]]
-        t = bytearray(16)
-        for c in range(4):
-            for rr in range(4):
-                t[rr + 4 * c] = s[rr + 4 * ((c + rr) % 4)]
-        s = t
-        if rnd < 10:
-            for c in range(4):
-                a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
-                s[4 * c + 0] = _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3
-                s[4 * c + 1] = a0 ^ _gmul(a1, 2) ^ _gmul(a2, 3) ^ a3
-                s[4 * c + 2] = a0 ^ a1 ^ _gmul(a2, 2) ^ _gmul(a3, 3)
-                s[4 * c + 3] = _gmul(a0, 3) ^ a1 ^ a2 ^ _gmul(a3, 2)
-        for i in range(16):
-            s[i] ^= rk[rnd][i]
-    return bytes(s)
-
-
-def _aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
-    pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
-    rk = _aes128_round_keys(key)
-    out, prev = bytearray(iv), iv
-    for i in range(0, len(data), 16):
-        ct = _aes_encrypt_block(rk, bytes(a ^ b for a, b in zip(data[i : i + 16], prev)))
-        out += ct
-        prev = ct
-    return bytes(out)
+    return std_user_entry(key, _ID0, r)
 
 
 def _encrypted_doc(mode: str, user_pw: bytes = b"", content: bytes | None = None) -> bytes:
