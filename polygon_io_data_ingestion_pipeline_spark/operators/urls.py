@@ -341,6 +341,46 @@ def anchor_text_index(
     )
 
 
+def fetch_order(
+    schedule: DataFrame,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Turn a schedule (:func:`fetch_schedule` output) into a
+    deterministic FETCH ORDER a polite crawler can drain top-to-bottom:
+    within each host, URLs rank by ``priority`` DESC (when the schedule
+    carries one; ties and priority-less schedules fall back to
+    ``in_refs`` DESC, then URL), and each URL's earliest polite fetch
+    time is ``eta_s = host_rank * crawl_delay`` (the host's declared
+    Crawl-delay, else ``default_delay``) — the k-th page of a host
+    cannot start before k delays have elapsed, regardless of fleet
+    size.  Output adds ``host_rank`` (0-based within host) and
+    ``eta_s``; a fetcher sorting by ``(eta_s, host, url)`` interleaves
+    hosts naturally: slow (large-delay) hosts spread out while fast
+    hosts drain densely — high-value pages first WITHIN each host's
+    politeness envelope, which is exactly the contract the priority
+    column exists for.
+
+    Scale shape: ONE window partitioned by host (the same partitioning
+    a per-host fetcher shards by), all expressions JVM-native."""
+    from pyspark.sql import Window
+
+    order = []
+    if "priority" in schedule.columns:
+        order.append(F.col("priority").desc())
+    if "in_refs" in schedule.columns:
+        order.append(F.col("in_refs").desc())
+    order.append(F.col(url_col))
+    w = Window.partitionBy("host").orderBy(*order)
+    return schedule.withColumn(
+        "host_rank", F.row_number().over(w) - F.lit(1)
+    ).withColumn(
+        "eta_s",
+        F.col("host_rank")
+        * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+    )
+
+
 def join_graph_signals(
     docs: DataFrame,
     signals: DataFrame,

@@ -358,3 +358,43 @@ def test_fetch_schedule_priority_from_graph_signals(spark):
     # without signals the column is absent — existing schedules' schema
     # is unchanged
     assert "priority" not in fetch_schedule(frontier).columns
+
+
+def test_fetch_order_politeness_envelope(spark):
+    """fetch_order: within a host, priority DESC decides rank; eta_s =
+    host_rank * the host's crawl delay (default when undeclared), so a
+    fetcher draining by eta interleaves slow hosts while fast hosts
+    drain densely — and the k-th page of a host never starts before k
+    delays elapsed."""
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        fetch_order,
+    )
+
+    sched = spark.createDataFrame(
+        [
+            ("http://slow.example/a", 1, "slow.example", 10.0, 0.9),
+            ("http://slow.example/b", 5, "slow.example", 10.0, 0.1),
+            ("http://fast.example/x", 2, "fast.example", None, 0.5),
+            ("http://fast.example/y", 9, "fast.example", None, 0.5),
+        ],
+        "url string, in_refs long, host string, crawl_delay double, "
+        "priority double",
+    )
+    rows = {
+        r["url"]: (r["host_rank"], r["eta_s"])
+        for r in fetch_order(sched, default_delay=2.0).collect()
+    }
+    # slow host: priority 0.9 first at eta 0, 0.1 second at eta 10
+    assert rows["http://slow.example/a"] == (0, 0.0)
+    assert rows["http://slow.example/b"] == (1, 10.0)
+    # fast host (no declared delay): tie on priority -> in_refs DESC
+    assert rows["http://fast.example/y"] == (0, 0.0)
+    assert rows["http://fast.example/x"] == (1, 2.0)
+
+    # priority-less schedules (fetch_schedule without signals) still
+    # order deterministically by in_refs
+    plain = fetch_order(sched.drop("priority"))
+    got = {r["url"]: r["host_rank"] for r in plain.collect()}
+    assert got["http://slow.example/b"] == 0  # in_refs 5 beats 1
