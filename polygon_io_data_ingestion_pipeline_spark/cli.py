@@ -1159,8 +1159,41 @@ def cmd_sheetcells(args: argparse.Namespace) -> int:
 
     from .multimodal.sheet import sheet_cells
 
+    if args.input_format == "warc" and (
+        args.id_col != "media_id" or args.payload_col != "payload"
+    ):
+        print(
+            "sheetcells: --id-col/--payload-col cannot be combined with "
+            "--input-format warc (the crawl lane keys media_id/payload)",
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark("poly-sheetcells", master=args.master)
-    media = spark.read.parquet(args.src)
+    if args.input_format == "warc":
+        # crawl -> cell extraction directly: candidate responses from
+        # the WARC files (digest dedup first), prefiltered by the NATIVE
+        # zip-magic test — servers label workbooks application/
+        # octet-stream constantly, so content-type cannot be the filter;
+        # the AUTHORITATIVE sniff (xl/workbook.xml member / ODF
+        # spreadsheet mimetype) happens inside sheet_cells' one decode
+        # pass, where plain zips and prose Office documents quarantine
+        # as marker rows (they show in the 'quarantined' accounting)
+        from .sources.archive import read_warc, warc_digest_dedup
+
+        recs = warc_digest_dedup(read_warc(spark, args.src)).filter(
+            (F.col("record_type") == "response")
+            & (F.expr("substring(payload, 1, 4)") == F.lit(b"PK\x03\x04"))
+        )
+        media = recs.select(
+            F.xxhash64("url", "warc_date").alias("media_id"),
+            "url",
+            "payload",
+        ).persist()
+        media.select("media_id", "url").write.mode("overwrite").parquet(
+            _os.path.join(args.out, "media")
+        )
+    else:
+        media = spark.read.parquet(args.src)
     out = sheet_cells(
         media, id_col=args.id_col, payload_col=args.payload_col
     ).persist()
@@ -1182,6 +1215,8 @@ def cmd_sheetcells(args: argparse.Namespace) -> int:
     ).collect()[0]
     n_cells = spark.read.parquet(_os.path.join(args.out, "cells")).count()
     out.unpersist()
+    if args.input_format == "warc":
+        media.unpersist()
     print(
         f"sheetcells -> {args.out}: workbooks={tot['books']} "
         f"decoded={tot['decoded']} "
@@ -1642,6 +1677,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out", required=True, help="output root (cells/)")
     p.add_argument("--id-col", default="media_id")
     p.add_argument("--payload-col", default="payload")
+    p.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help="warc: extract cells from a crawl's zip-magic responses "
+        "directly (digest-deduped; sheet_cells' content sniff is the "
+        "authoritative workbook test — plain zips quarantine; media/ "
+        "mapping table written beside cells/)",
+    )
     _add_common(p)
     p.set_defaults(fn=cmd_sheetcells)
 

@@ -256,3 +256,63 @@ def test_xlsx_cells_without_r_attribute_infer_position():
         ("S", 5, 3, "n", "8", 8.0),
         ("S", 6, 1, "n", "9", 9.0),
     ]
+
+
+def test_sheetcells_cli_warc_lane(spark, tmp_path, capsys):
+    """Crawl -> cell extraction directly: zip-magic responses from WARC
+    files extract (content sniff is authoritative — servers label
+    workbooks octet-stream constantly); a plain zip quarantines; HTML
+    is never considered; the media/ mapping resolves cells back to
+    URLs."""
+    import gzip
+    import io
+    import zipfile
+
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    def _rec(url, body, ctype):
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype
+            + b"\r\nContent-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
+            f"WARC-Date: 2026-08-15T00:00:00Z\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    plain_zip = io.BytesIO()
+    with zipfile.ZipFile(plain_zip, "w") as zf:
+        zf.writestr("readme.txt", "not a workbook")
+    crawl = tmp_path / "crawl"
+    crawl.mkdir()
+    recs = [
+        # mislabeled octet-stream: the content sniff must still take it
+        _rec("http://a.x/q.xlsx", build_xlsx(SPEC), b"application/octet-stream"),
+        _rec("http://a.x/q.ods", build_ods(SPEC),
+             b"application/vnd.oasis.opendocument.spreadsheet"),
+        _rec("http://a.x/archive.zip", plain_zip.getvalue(), b"application/zip"),
+        _rec("http://a.x/page", b"<html><body>hi</body></html>", b"text/html"),
+    ]
+    (crawl / "c.warc.gz").write_bytes(b"".join(gzip.compress(r) for r in recs))
+    out = str(tmp_path / "cells_out")
+    assert main([
+        "sheetcells", "--src", str(crawl / "*.warc.gz"), "--out", out,
+        "--input-format", "warc", "--master", "local[4]",
+    ]) == 0
+    text = capsys.readouterr().out
+    assert "workbooks=3 decoded=2 quarantined=1 cells=8" in text
+    urls = {r["media_id"]: r["url"]
+            for r in spark.read.parquet(out + "/media").collect()}
+    by_url = {}
+    for r in spark.read.parquet(out + "/cells").collect():
+        by_url.setdefault(urls[r["media_id"]], []).append(r)
+    assert set(by_url) == {"http://a.x/q.xlsx", "http://a.x/q.ods"}
+    assert all(len(v) == 4 for v in by_url.values())
+    # id/payload overrides are a usage error with the warc lane
+    assert main([
+        "sheetcells", "--src", str(crawl / "*.warc.gz"), "--out", out,
+        "--input-format", "warc", "--id-col", "x",
+    ]) == 2
