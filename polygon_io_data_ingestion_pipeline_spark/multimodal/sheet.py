@@ -130,6 +130,82 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     return out
 
 
+#: built-in numFmtIds that are date/time formats (ECMA-376 §18.8.30:
+#: 14-22 dates/datetimes, 27-36 era/locale dates, 45-47 times,
+#: 50-58 locale datetimes)
+_BUILTIN_DATE_FMTS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + [45, 46, 47]
+    + list(range(50, 59))
+)
+
+
+def _is_date_format(code: str) -> bool:
+    """A custom number-format CODE is a date/time format when it uses
+    date tokens (y/m/d/h/s) OUTSIDE quoted literals, [brackets] and
+    backslash escapes — the standard heuristic every reader uses
+    (m is ambiguous month/minute; either way the cell is temporal)."""
+    out = []
+    i, n = 0, len(code)
+    while i < n:
+        ch = code[i]
+        if ch == '"':
+            j = code.find('"', i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "[":
+            j = code.find("]", i + 1)
+            i = n if j < 0 else j + 1
+        elif ch == "\\":
+            i += 2
+        else:
+            out.append(ch)
+            i += 1
+    return bool(re.search(r"[ymdhsYMDHS]", "".join(out)))
+
+
+def _date_styles(zf: zipfile.ZipFile) -> set[int]:
+    """Indices into cellXfs (what a cell's ``s=`` attribute references)
+    whose number format is a date/time — built-in ids plus custom
+    formatCodes that pass :func:`_is_date_format`."""
+    if "xl/styles.xml" not in zf.namelist():
+        return set()
+    root = ElementTree.fromstring(zf.read("xl/styles.xml"))
+    custom_date_ids = {
+        int(nf.get("numFmtId"))
+        for nf in root.iter()
+        if _local(nf.tag) == "numFmt"
+        and nf.get("numFmtId")
+        and _is_date_format(nf.get("formatCode") or "")
+    }
+    date_ids = _BUILTIN_DATE_FMTS | custom_date_ids
+    out: set[int] = set()
+    for el in root.iter():
+        if _local(el.tag) != "cellXfs":
+            continue
+        for i, xf in enumerate(x for x in el if _local(x.tag) == "xf"):
+            fid = xf.get("numFmtId")
+            if fid is not None and int(fid) in date_ids:
+                out.add(i)
+        break
+    return out
+
+
+def _serial_to_iso(serial: float) -> str:
+    """Excel 1900-system serial -> ISO date / datetime string.  Base
+    1899-12-30 (the standard library convention, correct for every
+    serial >= 61; the Lotus 1900 leap-bug window of Jan-Feb 1900 is off
+    by one in Excel ITSELF — readers uniformly pick this base).  A pure
+    date (integral serial) renders date-only; fractions render seconds
+    rounded to the nearest second."""
+    import datetime as _dt
+
+    base = _dt.datetime(1899, 12, 30)
+    secs = round(serial * 86400)
+    dt = base + _dt.timedelta(seconds=secs)
+    if secs % 86400 == 0:
+        return dt.date().isoformat()
+    return dt.isoformat(sep="T")
+
+
 def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
     wb = _xml(zf, "xl/workbook.xml")
     # r:id -> worksheet member via the rels part (names are generator
@@ -155,6 +231,7 @@ def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
             raise SheetFormatError(f"sheet {el.get('name')!r} has no part")
         sheets.append((el.get("name") or "", member))
     shared = _shared_strings(zf)
+    date_styles = _date_styles(zf)
     cells: list[tuple] = []
     n_formula = n_error = 0
     for sheet_name, member in sheets:
@@ -210,11 +287,21 @@ def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
                     (sheet_name, row, col, "b", v.text.strip(),
                      float(int(v.text.strip() != "0")))
                 )
-            else:  # 'n' — numbers (dates are styled numbers in xlsx)
+            else:  # 'n' — numbers; DATE-styled numbers type 'd'
                 if v is None or v.text is None:
                     continue
                 raw = v.text.strip()
-                cells.append((sheet_name, row, col, "n", raw, float(raw)))
+                s_attr = c.get("s")
+                if s_attr is not None and int(s_attr) in date_styles:
+                    # a date is a STYLE in xlsx, not a storage type:
+                    # surface it typed (ISO string, serial kept as
+                    # value_num) so it converges with ODS date cells
+                    cells.append(
+                        (sheet_name, row, col, "d",
+                         _serial_to_iso(float(raw)), float(raw))
+                    )
+                else:
+                    cells.append((sheet_name, row, col, "n", raw, float(raw)))
     return cells, n_formula, n_error
 
 
@@ -350,6 +437,8 @@ def build_xlsx(cells: list[tuple], sheet: str = "S") -> bytes:
                 )
             elif t == "b":
                 cs.append(f'<c r="{ref}" t="b"><v>{int(bool(v))}</v></c>')
+            elif t == "d":  # value = 1900-system serial; styled as date
+                cs.append(f'<c r="{ref}" s="1"><v>{v}</v></c>')
             elif t == "f":
                 cs.append(f'<c r="{ref}"><f>1+1</f><v>{v}</v></c>')
             else:  # error
@@ -378,11 +467,18 @@ def build_xlsx(cells: list[tuple], sheet: str = "S") -> bytes:
         '.org/spreadsheetml/2006/main">'
         + "".join(f"<si><t>{s}</t></si>" for s in shared) + "</sst>"
     )
+    styles = (
+        '<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxml'
+        'formats.org/spreadsheetml/2006/main"><cellXfs count="2">'
+        '<xf numFmtId="0"/><xf numFmtId="14"/></cellXfs></styleSheet>'
+    )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as zf:
         zf.writestr("xl/workbook.xml", wb)
         zf.writestr("xl/_rels/workbook.xml.rels", rels)
         zf.writestr("xl/worksheets/sheet1.xml", ws)
+        if any(t == "d" for _r, _c, t, _v in cells):
+            zf.writestr("xl/styles.xml", styles)
         if shared:
             zf.writestr("xl/sharedStrings.xml", sst)
     return buf.getvalue()
@@ -419,6 +515,12 @@ def build_ods(cells: list[tuple], sheet: str = "S") -> bytes:
                 cs.append(
                     f'<table:table-cell office:value-type="boolean" '
                     f'office:boolean-value="{bv}"><text:p>{bv}</text:p>'
+                    "</table:table-cell>"
+                )
+            elif t == "d":  # value = ISO date string
+                cs.append(
+                    f'<table:table-cell office:value-type="date" '
+                    f'office:date-value="{v}"><text:p>{v}</text:p>'
                     "</table:table-cell>"
                 )
             else:  # formula or error: both carry table:formula

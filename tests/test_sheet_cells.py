@@ -316,3 +316,34 @@ def test_sheetcells_cli_warc_lane(spark, tmp_path, capsys):
         "sheetcells", "--src", str(crawl / "*.warc.gz"), "--out", out,
         "--input-format", "warc", "--id-col", "x",
     ]) == 2
+
+
+def test_xlsx_dates_surface_typed_and_converge_with_ods():
+    """A date in xlsx is a STYLE over a 1900-system serial, not a
+    storage type — date-styled numbers surface as value_type 'd' with
+    an ISO value_string (serial kept in value_num), converging with
+    ODS date cells on (sheet,row,col,type,string); custom numFmt codes
+    with date tokens outside quotes/brackets count, number formats do
+    not."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.sheet import (
+        _is_date_format,
+        _serial_to_iso,
+    )
+
+    # serial 45000 = 2023-03-15; 45000.5 adds 12:00:00
+    _, (xc, _, _) = extract_sheet_cells(build_xlsx([
+        (1, 1, "d", 45000), (1, 2, "n", 45000), (2, 1, "d", 45000.5),
+    ]))
+    assert xc == [
+        ("S", 1, 1, "d", "2023-03-15", 45000.0),
+        ("S", 1, 2, "n", "45000", 45000.0),  # unstyled: stays a number
+        ("S", 2, 1, "d", "2023-03-15T12:00:00", 45000.5),
+    ]
+    _, (oc, _, _) = extract_sheet_cells(build_ods([(1, 1, "d", "2023-03-15")]))
+    assert oc[0][:5] == xc[0][:5]  # cross-format convergence (no serial in ODS)
+
+    assert _is_date_format("yyyy-mm-dd")
+    assert _is_date_format("[red]dd/mm")
+    assert not _is_date_format('0.00"m"')  # quoted literal m is not a token
+    assert not _is_date_format("#,##0.00")
+    assert _serial_to_iso(60) == "1900-02-28"  # the documented base convention
