@@ -427,11 +427,10 @@ def write_crawl_batch(
                     hist_cols={"log_odds": (lo, hi, bins)},
                 )
                 if len(rollup_versions(clf_drift_path)) >= 2:
-                    # bounded: the PSI report is one row per feature —
-                    # and EMPTY when both readable versions hold zero
-                    # histogram rows (batches whose docs were all
-                    # unscorable); an empty report is "nothing to
-                    # compare", never a batch failure
+                    # an EMPTY report (both readable versions hold zero
+                    # histogram rows — all-unscorable batches) is
+                    # "nothing to compare", never a batch failure
+                    # bounded: the PSI report is one row per feature
                     reps = rollup_hist_drift(
                         batch_df.sparkSession,
                         clf_drift_path,
