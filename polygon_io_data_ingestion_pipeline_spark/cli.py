@@ -1147,6 +1147,67 @@ def cmd_audiodedup(args: argparse.Namespace) -> int:
     )
 
 
+def cmd_videodedup(args: argparse.Namespace) -> int:
+    """Video near-duplicate detection over a media parquet table
+    (multimodal/vhash.py): container frame sampling -> per-frame dHash
+    through the image lane -> JVM majority clip signature ->
+    banded-hamming pairs -> duplicate clusters with accounting.  Clips
+    whose every frame quarantined (corrupt, inter-frame codecs) have no
+    signature and count as quarantined."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from .multimodal.binaryops import frame_sample_video
+    from .multimodal.vhash import video_signatures
+    from .operators.dedup import duplicate_clusters, hamming_pairs
+
+    if args.max_hamming < 0:
+        print(
+            f"videodedup: --max-hamming must be >= 0, got {args.max_hamming}",
+            file=sys.stderr,
+        )
+        return 2
+    spark = get_spark("poly-videodedup", master=args.master)
+    media = spark.read.parquet(args.src)
+    if args.id_col != "media_id":
+        media = media.withColumnRenamed(args.id_col, "media_id")
+    if args.payload_col != "payload":
+        media = media.withColumnRenamed(args.payload_col, "payload")
+    if "meta" not in media.columns:
+        # the frame sampler's stub lane reads meta.duration_ms; plain
+        # media tables may not carry it
+        media = media.withColumn(
+            "meta",
+            F.lit(None).cast("struct<duration_ms: bigint>"),
+        )
+    n_total = media.count()
+    sig = video_signatures(
+        frame_sample_video(media, every_ms=args.every_ms)
+    ).persist()
+    n_sig = sig.count()
+    pairs = hamming_pairs(
+        sig, "vhash", id_col="media_id", bits=64, max_hamming=args.max_hamming
+    )
+    pairs.write.mode("overwrite").parquet(_os.path.join(args.out, "pairs"))
+    pairs_back = spark.read.parquet(_os.path.join(args.out, "pairs"))
+    clusters = duplicate_clusters(
+        pairs_back, all_ids=sig.select("media_id"), id_col="media_id"
+    )
+    clusters.write.mode("overwrite").parquet(_os.path.join(args.out, "clusters"))
+    cl = spark.read.parquet(_os.path.join(args.out, "clusters"))
+    n_pairs = pairs_back.count()
+    n_clusters = cl.select("cluster_id").distinct().count()
+    n_drop = cl.filter(F.col("media_id") != F.col("cluster_id")).count()
+    sig.unpersist()
+    print(
+        f"videodedup -> {args.out}: clips={n_total} fingerprinted={n_sig} "
+        f"quarantined={n_total - n_sig} pairs={n_pairs} "
+        f"clusters={n_clusters} duplicates_to_drop={n_drop}"
+    )
+    return 0
+
+
 def cmd_sheetcells(args: argparse.Namespace) -> int:
     """Structured spreadsheet extraction (multimodal/sheet.py): XLSX/
     ODS payloads -> typed (sheet, row, col, value_type, value_string,
@@ -1668,6 +1729,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     _add_common(p)
     p.set_defaults(fn=cmd_audiodedup)
+
+    p = sub.add_parser(
+        "videodedup",
+        help="frame-majority perceptual video near-dup pairs + clusters",
+    )
+    p.add_argument("--src", required=True, help="media parquet (id + binary payload)")
+    p.add_argument("--out", required=True, help="output root (pairs/, clusters/)")
+    p.add_argument("--max-hamming", type=int, default=6)
+    p.add_argument("--every-ms", type=int, default=1000, help="frame sample period")
+    p.add_argument("--id-col", default="media_id")
+    p.add_argument("--payload-col", default="payload")
+    _add_common(p)
+    p.set_defaults(fn=cmd_videodedup)
 
     p = sub.add_parser(
         "sheetcells",

@@ -124,3 +124,34 @@ def test_mjpeg_avi_rides_the_same_lane(spark):
            video_signatures(frame_sample_video(df, every_ms=1000)).collect()}
     assert set(sig) == {1, 2}
     assert _ham(sig[1], sig[2]) <= 10
+
+
+def test_videodedup_cli_journey(spark, tmp_path, capsys):
+    """End-to-end CLI: media parquet in -> pairs/ + clusters/ out with
+    honest accounting (a meta-less table works; undecodable clips count
+    quarantined)."""
+    from polygon_io_data_ingestion_pipeline_spark.cli import main
+
+    rows = []
+    for base in range(3):
+        frames = [_frame(50 * base + f) for f in range(4)]
+        rows.append((2 * base, bytearray(encode_pnmv(frames, frame_ms=1000))))
+        pert = [f.copy() for f in frames]
+        pert[1][0, 4] = (int(pert[1][0, 4]) + 32) % 256
+        rows.append((2 * base + 1, bytearray(encode_pnmv(pert, frame_ms=1000))))
+    rows.append((100, bytearray(b"not a video at all")))
+    src = str(tmp_path / "media.parquet")
+    spark.createDataFrame(rows, "media_id long, payload binary").write.parquet(src)
+    out = str(tmp_path / "out")
+    assert main([
+        "videodedup", "--src", src, "--out", out, "--master", "local[4]",
+    ]) == 0
+    msg = capsys.readouterr().out
+    assert "clips=7 fingerprinted=6 quarantined=1" in msg
+    assert "duplicates_to_drop=3" in msg
+    cl = {r["media_id"]: r["cluster_id"] for r in
+          spark.read.parquet(out + "/clusters").collect()}
+    assert cl[1] == cl[0] and cl[3] == cl[2] and cl[5] == cl[4]
+    assert main([
+        "videodedup", "--src", src, "--out", out, "--max-hamming", "-1",
+    ]) == 2
