@@ -69,15 +69,28 @@ def stopword_ratio(
 def multilingual_stopwords() -> tuple[str, ...]:
     """The Gopher "natural language" stopword signal for a MULTILINGUAL
     crawl: the English :data:`STOPWORDS` plus every function word from
-    the committed per-language frequency tables
-    (:mod:`..functions.stopwords`) — so a clean German or Portuguese
-    page is not rejected as gibberish for containing no English.  Pass
-    to :func:`quality_filter`'s ``stopwords`` parameter."""
+    the committed per-language frequency tables — the Latin tables
+    (:mod:`..functions.stopwords`) AND the non-Latin script families
+    (:mod:`..functions.script_families`, round 11) — so a clean German,
+    Portuguese, Ukrainian, Urdu or Nepali page is not rejected as
+    gibberish for containing no English (the round-11 journey test
+    caught exactly that: the crawl labeled uk correctly and then
+    DROPPED the page).  All these scripts are space-delimited, so the
+    space-split ratio test applies; unsegmented CJK/Thai text needs a
+    different naturalness signal and stays a documented limitation of
+    this rule.  Pass to :func:`quality_filter`'s ``stopwords``
+    parameter."""
+    from ..functions.script_families import (
+        ARABIC_FREQ,
+        CYRILLIC_FREQ,
+        DEVANAGARI_FREQ,
+    )
     from ..functions.stopwords import STOPWORD_FREQ
 
     out = dict.fromkeys(STOPWORDS)
-    for _lang, pairs in STOPWORD_FREQ:
-        out.update(dict.fromkeys(w for w, _ in pairs))
+    for freq in (STOPWORD_FREQ, CYRILLIC_FREQ, ARABIC_FREQ, DEVANAGARI_FREQ):
+        for _lang, pairs in freq:
+            out.update(dict.fromkeys(w for w, _ in pairs))
     return tuple(out)
 
 

@@ -641,3 +641,38 @@ def test_streaming_schedule_priority_from_graph(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "sched")).collect()
     }
     assert sched == {"http://x.example/next": 0.7, "http://x.example/other": 0.0}
+
+
+def test_crawl_separates_intra_script_languages(spark, tmp_path):
+    """The point of round-11's intra-script langid, end to end: a
+    Russian and a Ukrainian page land in the lake with lang='ru' and
+    lang='uk' (pre-round-11 both pooled as 'ru' — and before the
+    multilingual_stopwords extension BOTH were dropped as gibberish:
+    the naturalness gate knew no Cyrillic function words), while a
+    Kazakh page — Cyrillic script, untabled language — quarantines at
+    the naturalness gate: with no tabled function words there is no
+    evidence it is natural language at all, and dropping beats
+    entering the corpus mislabeled (tabling kk is the one-row fix)."""
+    ru = ("ученые обнаружили что океан нагревается быстрее чем они "
+          "думали и это будет проблемой для всех стран в ближайшие годы "
+          "если не принять меры по сокращению выбросов")
+    uk = ("вчені виявили що океан нагрівається швидше ніж вони думали "
+          "і це буде проблемою для всіх країн у найближчі роки якщо не "
+          "вжити заходів для скорочення викидів")
+    kk = ("барлық адамдар тумысынан азат және қадір-қасиеті мен "
+          "құқықтары тең болып дүниеге келеді оларға ақыл-парасат "
+          "берілген сондықтан олар бір-бірімен туыстық бауырмалдық "
+          "қарым-қатынас жасаулары тиіс")
+    src = tmp_path / "crawl"
+    src.mkdir()
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://ru.example/a", _http(_page(ru))),
+        _warc_record("response", "http://uk.example/a", _http(_page(uk))),
+        _warc_record("response", "http://kk.example/a", _http(_page(kk))),
+    ])
+    _drain(spark, src, tmp_path / "lake", tmp_path / "ckpt")
+    langs = {
+        r["url"].split("//")[1].split(".")[0]: r["lang"]
+        for r in spark.read.parquet(str(tmp_path / "lake")).collect()
+    }
+    assert langs == {"ru": "ru", "uk": "uk"}
