@@ -641,7 +641,17 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         if args.input_format in ("warc", "wet")
         else STOPWORDS
     )
-    gated = quality_filter(docs, keep_cols=passthrough, stopwords=gate_words)
+    unseg_markers: tuple = ()
+    if args.input_format in ("warc", "wet"):
+        from .functions.script_families import UNSEGMENTED_FUNCTION_MARKERS
+
+        unseg_markers = UNSEGMENTED_FUNCTION_MARKERS
+    gated = quality_filter(
+        docs,
+        keep_cols=passthrough,
+        stopwords=gate_words,
+        unsegmented_markers=unseg_markers,
+    )
     # Multi-consumer frame (the dedup-representatives branch AND the
     # semi-join back) atop the full parse+scrub+gate lineage — persist
     # it or the whole corpus re-reads once per consumer, exactly the

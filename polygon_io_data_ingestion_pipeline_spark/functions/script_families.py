@@ -237,6 +237,32 @@ DEVANAGARI_FREQ: FreqTable = (
     ),
 )
 
+#: Function-word/character markers for the UNSEGMENTED scripts the
+#: space-split naturalness rule can never pass (Han, kana, Thai write
+#: without spaces): the quality gate's unsegmented lane tests
+#: CONTAINMENT of these instead of token membership.  Same committed
+#: public-frequency-snapshot discipline as the tables above — these are
+#: the highest-frequency grammatical particles of zh/ja/th.
+UNSEGMENTED_FUNCTION_MARKERS: tuple[str, ...] = (
+    # zh: structural particle, aspect, copula, locative, conjunctions
+    "的", "了", "是", "在", "有", "和", "不", "这", "這", "就", "而",
+    # ja: case particles, topic, copula/polite endings
+    "の", "に", "は", "を", "が", "で", "と", "も", "です", "ます",
+    # th: relativizer, conjunction, prepositions, negation, modals
+    "ที่", "และ", "ใน", "เป็น", "ของ", "การ", "ไม่", "ให้", "ได้", "มี",
+)
+
+#: Korean IS space-delimited (so the token rule applies) but its
+#: particles attach to words — the standalone closed-class items are
+#: bound nouns, conjunctions and light verbs.  Unioned into
+#: ``multilingual_stopwords`` so clean Korean prose passes the gate.
+KOREAN_STOPWORDS: tuple[str, ...] = (
+    "수", "있다", "있는", "없다", "것", "등", "및", "때", "또한",
+    "그리고", "하지만", "그러나", "위해", "대한", "통해", "모든",
+    "함께", "경우", "때문에", "다른", "가장", "매우", "지난", "이번",
+    "대해", "같은", "많은", "그는", "그녀는", "우리는", "바로",
+)
+
 #: script key (as predicted_lang_script emits it) -> (table, default)
 FAMILIES: dict[str, tuple[FreqTable, str]] = {
     "ru": (CYRILLIC_FREQ, "ru"),

@@ -84,6 +84,7 @@ def multilingual_stopwords() -> tuple[str, ...]:
         ARABIC_FREQ,
         CYRILLIC_FREQ,
         DEVANAGARI_FREQ,
+        KOREAN_STOPWORDS,
     )
     from ..functions.stopwords import STOPWORD_FREQ
 
@@ -91,6 +92,9 @@ def multilingual_stopwords() -> tuple[str, ...]:
     for freq in (STOPWORD_FREQ, CYRILLIC_FREQ, ARABIC_FREQ, DEVANAGARI_FREQ):
         for _lang, pairs in freq:
             out.update(dict.fromkeys(w for w, _ in pairs))
+    # Korean: space-delimited but particle-agglutinating — the committed
+    # standalone closed-class items carry the naturalness signal
+    out.update(dict.fromkeys(KOREAN_STOPWORDS))
     return tuple(out)
 
 
@@ -528,6 +532,7 @@ def quality_filter(
     keep_cols: tuple[str, ...] = (),
     bigram: str = "shuffle",
     stopwords: tuple[str, ...] = STOPWORDS,
+    unsegmented_markers: tuple[str, ...] = (),
 ) -> DataFrame:
     """Composite Gopher/RefinedWeb-style document quality gate: the
     keep/drop decision a training pipeline applies before dedup, with
@@ -546,6 +551,16 @@ def quality_filter(
       below their caps (boilerplate/spam score high on both). A doc too
       short to have a bigram passes the bigram half vacuously.
 
+    ``unsegmented_markers`` (round 11) opens the UNSEGMENTED lane: docs
+    dominated (>= 30% of characters) by a script that writes without
+    spaces (Han, kana, Thai) are judged by character-level analogues of
+    the same rules — chars-as-tokens length, containment of a committed
+    function marker instead of token membership, top character-bigram
+    fraction for repetition — because every word-level rule fails
+    STRUCTURALLY on spaceless text (a Chinese page is one 400-char
+    "token").  Empty (the default) keeps the pure word rules, matching
+    the docs_corpus_prep / docs_quality_filter oracles.
+
     Scale shape: ONE map-side scan computes every word-level metric
     (the same expressions as :func:`repetition_stats` /
     :func:`quality_stats`, fused); the top-bigram mode adds its two
@@ -561,6 +576,46 @@ def quality_filter(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         token_count(text_col).alias("n_tokens"),
+    ]
+    if unsegmented_markers:
+        # UNSEGMENTED lane (round 11): Han/kana/Thai prose has no
+        # spaces, so every word-level rule fails structurally — a
+        # Chinese page is ONE 400-char "token" (length and word-length
+        # both reject it) with zero space-split stopwords.  When a doc
+        # is unsegmented-script-DOMINANT (>= 30% of characters), the
+        # rules switch to character-level analogues: chars-as-tokens
+        # length (the CJK convention), word-length passes (no words
+        # exist), naturalness = contains at least one committed
+        # function marker (的/の/ที่ ... — the contains test, because
+        # token membership cannot apply to unsegmented text), and
+        # repetition = the top character-BIGRAM fraction of the script
+        # text via the same sort+fold used for word bigrams.  All in
+        # the same map-side JVM projection as the word metrics.
+        import re as _re
+
+        script_txt = (
+            f"regexp_replace({text_col}, "
+            f"'[^\\\\x{{4E00}}-\\\\x{{9FFF}}\\\\x{{3040}}-\\\\x{{30FF}}"
+            f"\\\\x{{0E00}}-\\\\x{{0E7F}}]', '')"
+        )
+        base_cols += [
+            F.expr(f"length({script_txt})").alias("__sc"),
+            F.length(F.col(text_col)).alias("__len"),
+            F.expr(
+                "CASE WHEN length({s}) < 2 THEN 0.0 ELSE round("
+                "aggregate(array_sort(transform(sequence(1, length({s}) - 1), "
+                "i -> substring({s}, i, 2))), "
+                "struct(CAST('' AS STRING) AS prev, 0 AS run, 0 AS best), "
+                "(acc, x) -> struct(x, IF(x = acc.prev, acc.run + 1, 1), "
+                "greatest(acc.best, IF(x = acc.prev, acc.run + 1, 1))), "
+                "acc -> CAST(acc.best AS DOUBLE)) / (length({s}) - 1), 6) "
+                "END".replace("{s}", script_txt)
+            ).alias("__top_cgram"),
+            F.col(text_col)
+            .rlike("|".join(_re.escape(m) for m in unsegmented_markers))
+            .alias("__marker"),
+        ]
+    base_cols += [
         F.round(
             1.0 - F.size(F.array_distinct(t)).cast("double") / F.size(t), 6
         ).alias("dup_word_ratio"),
@@ -597,6 +652,17 @@ def quality_filter(
     ok_rep = (F.col("dup_word_ratio") <= max_dup_word_ratio) & (
         F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac
     )
+    if unsegmented_markers:
+        unseg = F.col("__sc") * 10 >= F.col("__len") * 3
+        ok_length = F.when(
+            unseg,
+            (F.col("__sc") >= min_tokens) & (F.col("__sc") <= max_tokens),
+        ).otherwise(ok_length)
+        ok_word_len = F.when(unseg, F.lit(True)).otherwise(ok_word_len)
+        ok_stop = F.when(unseg, F.col("__marker")).otherwise(ok_stop)
+        ok_rep = F.when(
+            unseg, F.col("__top_cgram") <= max_top_bigram_frac
+        ).otherwise(ok_rep)
     return out.select(
         id_col,
         *keep_cols,

@@ -178,11 +178,14 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
             F.md5(F.lower(F.col("text"))).alias("fp"),
         )
     )
+    from ..functions.script_families import UNSEGMENTED_FUNCTION_MARKERS
+
     gated = quality_filter(
         docs,
         keep_cols=("text", "lang", "source", "url", "fp"),
         bigram="mapside",
         stopwords=multilingual_stopwords(),
+        unsegmented_markers=UNSEGMENTED_FUNCTION_MARKERS,
     )
     return gated.filter(F.col("keep")).select(
         "doc_id", "text", "lang", "source", "url", "fp", "n_tokens"

@@ -670,9 +670,19 @@ def test_crawl_separates_intra_script_languages(spark, tmp_path):
         _warc_record("response", "http://uk.example/a", _http(_page(uk))),
         _warc_record("response", "http://kk.example/a", _http(_page(kk))),
     ])
+    zh = ("科学家发现海洋变暖的速度比他们想象的要快这对所有国家来说都是"
+          "一个问题因为气候变化的影响正在不断加剧而且没有任何放缓的迹象")
+    ja = ("科学者たちは海洋が彼らの考えよりも速く温暖化していることを発見"
+          "しましたこれはすべての国にとって大きな問題になると考えられます")
+    _write_warc(src, "b.warc.gz", [
+        _warc_record("response", "http://zh.example/a", _http(_page(zh))),
+        _warc_record("response", "http://ja.example/a", _http(_page(ja))),
+    ])
     _drain(spark, src, tmp_path / "lake", tmp_path / "ckpt")
     langs = {
         r["url"].split("//")[1].split(".")[0]: r["lang"]
         for r in spark.read.parquet(str(tmp_path / "lake")).collect()
     }
-    assert langs == {"ru": "ru", "uk": "uk"}
+    # zh/ja pass through the unsegmented naturalness lane (pre-round-11
+    # every CJK page failed the word-level rules structurally)
+    assert langs == {"ru": "ru", "uk": "uk", "zh": "zh", "ja": "ja"}

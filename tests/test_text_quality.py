@@ -279,3 +279,69 @@ def test_predicted_lang_script(spark):
     df = spark.createDataFrame([(t,) for t, _ in cases], "text string")
     got = [r["l"] for r in df.select(predicted_lang_script("text").alias("l")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_quality_filter_unsegmented_lane(spark):
+    """Round 11: Han/kana/Thai prose fails every word-level rule
+    STRUCTURALLY (no spaces: one giant token, zero space-split
+    stopwords) — with unsegmented_markers the gate judges such docs by
+    character-level analogues; Latin docs keep the word rules bit-for
+    bit; marker-less CJK salad and repeated-bigram spam still fail."""
+    from polygon_io_data_ingestion_pipeline_spark.functions.script_families import (
+        UNSEGMENTED_FUNCTION_MARKERS,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        multilingual_stopwords,
+        quality_filter,
+    )
+
+    zh = ("科学家发现海洋变暖的速度比他们想象的要快这对所有国家来说都是"
+          "一个问题因为气候变化的影响正在不断加剧而且没有任何放缓的迹象")
+    ja = ("科学者たちは海洋が彼らの考えよりも速く温暖化していることを発見"
+          "しましたこれはすべての国にとって大きな問題になると考えられます")
+    th = ("นักวิทยาศาสตร์พบว่ามหาสมุทรกำลังอุ่นขึ้นเร็วกว่าที่พวกเขาคิดและนี่จะเป็น"
+          "ปัญหาสำหรับทุกประเทศในอีกไม่กี่ปีข้างหน้าเพราะผลกระทบของการเปลี่ยนแปลง")
+    salad = "科鯨山火水木金土日月車馬魚鳥石田力刀弓玉貝" * 3  # no markers
+    spam = "的了" * 60  # one character-bigram dominates
+    en = ("the data in a table is the value of the row and the key for "
+          "the batch while the line in a window is the part of the sort")
+    rows = [(1, zh), (2, ja), (3, th), (4, salad), (5, spam), (6, en)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            df,
+            stopwords=multilingual_stopwords(),
+            unsegmented_markers=UNSEGMENTED_FUNCTION_MARKERS,
+        ).collect()
+    }
+    assert got[1]["keep"] and got[2]["keep"] and got[3]["keep"]
+    assert not got[4]["keep"] and not got[4]["ok_stopwords"]
+    assert not got[5]["keep"] and not got[5]["ok_repetition"]
+    assert got[6]["keep"]
+
+    # Latin docs judge identically with the lane on or off
+    latin = df.filter("doc_id = 6")
+    with_lane = quality_filter(
+        latin, unsegmented_markers=UNSEGMENTED_FUNCTION_MARKERS
+    ).collect()
+    without = quality_filter(latin).collect()
+    assert [tuple(r) for r in with_lane] == [tuple(r) for r in without]
+
+
+def test_korean_prose_passes_multilingual_gate(spark):
+    """Korean is space-delimited but particle-agglutinating: the
+    committed standalone closed-class items (KOREAN_STOPWORDS) carry
+    the naturalness signal through the ordinary token rule."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        multilingual_stopwords,
+        quality_filter,
+    )
+
+    ko = ("과학자들은 바다가 예상보다 빠르게 따뜻해지고 있다는 사실을 "
+          "발견했다 그리고 이것은 모든 국가에 커다란 문제가 되리라고 "
+          "내다봤다 우리는 함께 해결책을 찾아야 한다고 말했다 기후변화 "
+          "때문에 상황은 점점 나빠지고 있다")
+    df = spark.createDataFrame([(1, ko)], "doc_id long, text string")
+    [row] = quality_filter(df, stopwords=multilingual_stopwords()).collect()
+    assert row["ok_stopwords"] and row["keep"], dict(row.asDict())
