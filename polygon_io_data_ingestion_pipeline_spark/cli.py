@@ -1180,6 +1180,17 @@ def cmd_videodedup(args: argparse.Namespace) -> int:
         return 2
     spark = get_spark("poly-videodedup", master=args.master)
     media = spark.read.parquet(args.src)
+    missing = [c for c in (args.id_col, args.payload_col) if c not in media.columns]
+    if missing:
+        # withColumnRenamed on an absent column is a silent no-op in
+        # Spark — a typo would otherwise surface as a KeyError deep in
+        # a Python worker after the count scan already ran
+        print(
+            f"videodedup: column(s) {missing} not in {args.src} "
+            f"(has: {media.columns})",
+            file=sys.stderr,
+        )
+        return 2
     if args.id_col != "media_id":
         media = media.withColumnRenamed(args.id_col, "media_id")
     if args.payload_col != "payload":

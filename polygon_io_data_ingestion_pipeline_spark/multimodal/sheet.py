@@ -118,7 +118,7 @@ def _col_index(letters: str) -> int:
 def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
     if "xl/sharedStrings.xml" not in zf.namelist():
         return []
-    root = ElementTree.fromstring(zf.read("xl/sharedStrings.xml"))
+    root = _xml(zf, "xl/sharedStrings.xml")  # ParseError -> typed quarantine
     out: list[str] = []
     for si in root:
         if _local(si.tag) != "si":
@@ -168,7 +168,9 @@ def _date_styles(zf: zipfile.ZipFile) -> set[int]:
     formatCodes that pass :func:`_is_date_format`."""
     if "xl/styles.xml" not in zf.namelist():
         return set()
-    root = ElementTree.fromstring(zf.read("xl/styles.xml"))
+    # _xml, not raw fromstring: a corrupt styles part must quarantine
+    # typed (ParseError subclasses SyntaxError, which no caller catches)
+    root = _xml(zf, "xl/styles.xml")
     custom_date_ids = {
         int(nf.get("numFmtId"))
         for nf in root.iter()
@@ -292,13 +294,21 @@ def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
                     continue
                 raw = v.text.strip()
                 s_attr = c.get("s")
+                iso = None
                 if s_attr is not None and int(s_attr) in date_styles:
                     # a date is a STYLE in xlsx, not a storage type:
                     # surface it typed (ISO string, serial kept as
-                    # value_num) so it converges with ODS date cells
+                    # value_num) so it converges with ODS date cells.
+                    # Junk styled as a date (a phone number, 1e999)
+                    # overflows the calendar — keep it an honest NUMBER
+                    # rather than failing the workbook
+                    try:
+                        iso = _serial_to_iso(float(raw))
+                    except (OverflowError, ValueError, OSError):
+                        iso = None
+                if iso is not None:
                     cells.append(
-                        (sheet_name, row, col, "d",
-                         _serial_to_iso(float(raw)), float(raw))
+                        (sheet_name, row, col, "d", iso, float(raw))
                     )
                 else:
                     cells.append((sheet_name, row, col, "n", raw, float(raw)))

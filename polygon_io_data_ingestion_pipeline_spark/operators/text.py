@@ -652,21 +652,32 @@ def quality_filter(
     ok_rep = (F.col("dup_word_ratio") <= max_dup_word_ratio) & (
         F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac
     )
+    n_tokens_out: Column = F.col("n_tokens")
     if unsegmented_markers:
+        # Composition, not replacement (a 30%-CJK page with natural
+        # ENGLISH prose must not lose its word-rule pass — review
+        # finding): accept-rules UNION the two kinds of evidence,
+        # the reject-rule (repetition) must hold under BOTH readings
+        # (word rules are vacuous on spaceless text; char rules are
+        # vacuous on spaced text — each covers the other's blind side).
         unseg = F.col("__sc") * 10 >= F.col("__len") * 3
-        ok_length = F.when(
-            unseg,
-            (F.col("__sc") >= min_tokens) & (F.col("__sc") <= max_tokens),
-        ).otherwise(ok_length)
-        ok_word_len = F.when(unseg, F.lit(True)).otherwise(ok_word_len)
-        ok_stop = F.when(unseg, F.col("__marker")).otherwise(ok_stop)
-        ok_rep = F.when(
-            unseg, F.col("__top_cgram") <= max_top_bigram_frac
-        ).otherwise(ok_rep)
+        ok_length = ok_length | (
+            unseg & (F.col("__sc") >= min_tokens) & (F.col("__sc") <= max_tokens)
+        )
+        ok_word_len = ok_word_len | unseg
+        ok_stop = ok_stop | (unseg & F.col("__marker"))
+        ok_rep = ok_rep & (
+            ~unseg | (F.col("__top_cgram") <= max_top_bigram_frac)
+        )
+        # chars-as-tokens: the emitted token count adds the unsegmented
+        # script's characters (a 120-char Chinese page is ONE space
+        # token — recording n_tokens=1 would undercount the newly
+        # admitted scripts ~100x in every downstream size stat)
+        n_tokens_out = (F.col("n_tokens") + F.col("__sc")).alias("n_tokens")
     return out.select(
         id_col,
         *keep_cols,
-        "n_tokens",
+        n_tokens_out,
         "avg_word_len",
         "stopword_ratio",
         "dup_word_ratio",

@@ -347,3 +347,54 @@ def test_xlsx_dates_surface_typed_and_converge_with_ods():
     assert not _is_date_format('0.00"m"')  # quoted literal m is not a token
     assert not _is_date_format("#,##0.00")
     assert _serial_to_iso(60) == "1900-02-28"  # the documented base convention
+
+
+def test_junk_styled_dates_and_corrupt_styles_quarantine_typed():
+    """Review findings: a phone number styled as a date overflows the
+    calendar — it stays an honest NUMBER instead of failing the
+    workbook; a corrupt styles.xml quarantines typed (ParseError
+    subclasses SyntaxError, which no except clause caught)."""
+    import io
+    import zipfile
+
+    _, (cells, _, _) = extract_sheet_cells(build_xlsx([
+        (1, 1, "d", 15551234567), (1, 2, "d", 45000),
+    ]))
+    assert cells == [
+        ("S", 1, 1, "n", "15551234567", 15551234567.0),
+        ("S", 1, 2, "d", "2023-03-15", 45000.0),
+    ]
+
+    # corrupt styles part -> SheetFormatError (so the Spark lane emits
+    # a quarantine marker, not a task failure)
+    good = build_xlsx([(1, 1, "d", 45000)])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(good)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            dst.writestr(
+                name,
+                b"<styleSheet" if name == "xl/styles.xml" else src.read(name),
+            )
+    with pytest.raises(SheetFormatError, match="malformed"):
+        extract_sheet_cells(buf.getvalue())
+    # and through the Spark lane: marker row, decode_ok false
+    import pyspark.sql  # noqa: F401  (spark fixture used below)
+
+
+def test_corrupt_styles_spark_lane_quarantines(spark):
+    import io
+    import zipfile
+
+    good = build_xlsx([(1, 1, "d", 45000)])
+    buf = io.BytesIO()
+    with zipfile.ZipFile(io.BytesIO(good)) as src, zipfile.ZipFile(buf, "w") as dst:
+        for name in src.namelist():
+            dst.writestr(
+                name,
+                b"<styleSheet" if name == "xl/styles.xml" else src.read(name),
+            )
+    df = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "media_id long, payload binary"
+    )
+    [row] = sheet_cells(df).collect()
+    assert (row["sheet"], row["decode_ok"]) == (None, False)

@@ -345,3 +345,40 @@ def test_korean_prose_passes_multilingual_gate(spark):
     df = spark.createDataFrame([(1, ko)], "doc_id long, text string")
     [row] = quality_filter(df, stopwords=multilingual_stopwords()).collect()
     assert row["ok_stopwords"] and row["keep"], dict(row.asDict())
+
+
+def test_unsegmented_lane_composes_instead_of_replacing(spark):
+    """Review finding: the lane must UNION evidence, not swap rule sets
+    at the 30% cliff — a mixed page whose English prose passes the word
+    rules keeps passing even when its marker-less CJK block crosses the
+    dominance line; pure-CJK repeated-bigram spam still fails; admitted
+    CJK docs report chars-as-tokens counts instead of n_tokens~1."""
+    from polygon_io_data_ingestion_pipeline_spark.functions.script_families import (
+        UNSEGMENTED_FUNCTION_MARKERS,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        multilingual_stopwords,
+        quality_filter,
+    )
+
+    english = ("the committee said that it would publish the results of "
+               "the study next week and most of the members were in "
+               "favour of the proposal so the work continues")
+    cjk_list = "科鯨山火水木金土日月車馬魚鳥石田力刀弓玉貝" * 16  # marker-less
+    mixed = english + " " + cjk_list  # CJK >= 30% of characters
+    zh = ("科学家发现海洋变暖的速度比他们想象的要快这对所有国家来说都是"
+          "一个问题因为气候变化的影响正在不断加剧而且没有任何放缓的迹象")
+    df = spark.createDataFrame(
+        [(1, mixed), (2, zh)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            df,
+            stopwords=multilingual_stopwords(),
+            unsegmented_markers=UNSEGMENTED_FUNCTION_MARKERS,
+        ).collect()
+    }
+    assert got[1]["keep"], dict(got[1].asDict())  # English evidence holds
+    # chars-as-tokens: the zh page reports ~its character count
+    assert got[2]["n_tokens"] >= 50
