@@ -263,6 +263,48 @@ KOREAN_STOPWORDS: tuple[str, ...] = (
     "대해", "같은", "많은", "그는", "그녀는", "우리는", "바로",
 )
 
+#: Chinese ORTHOGRAPHIC variant discriminators: characters whose
+#: simplified and traditional forms are distinct codepoints, committed
+#: as parallel snapshots (the same public-data discipline as the word
+#: tables — these are among the most frequent simplified-vs-traditional
+#: divergent characters).  A zh page's variant is the character-count
+#: plurality; pages using only shared characters stay plain 'zh'.
+SIMPLIFIED_ONLY = (
+    "国学会这说对时们来发见样东车马门电长头买卖书写读语话为级红经给"
+    "结几机难欢观现实听点么还过进远运动关开问间闻让认识记计证谁请谢"
+    "爱乐体万与专业临义从众优价儿党军农减没"
+)
+TRADITIONAL_ONLY = (
+    "國學會這說對時們來發見樣東車馬門電長頭買賣書寫讀語話為級紅經給"
+    "結幾機難歡觀現實聽點麼還過進遠運動關開問間聞讓認識記計證誰請謝"
+    "愛樂體萬與專業臨義從眾優價兒黨軍農減沒"
+)
+# 從/众... guard: the two snapshots must be parallel and disjoint
+assert len(SIMPLIFIED_ONLY) == len(TRADITIONAL_ONLY)
+assert not set(SIMPLIFIED_ONLY) & set(TRADITIONAL_ONLY)
+
+
+def han_variant(text_col: str = "text") -> Column:
+    """'zh-hans' / 'zh-hant' / 'zh' by distinctive-character plurality —
+    the intra-Han refinement (simplified and traditional Chinese are
+    different token distributions for every per-language corpus stage).
+    Two JVM regexp passes; ties and pages of purely shared characters
+    stay the unrefined 'zh'."""
+    from pyspark.sql import functions as F
+
+    simp = F.length(
+        F.regexp_replace(F.col(text_col), f"[^{SIMPLIFIED_ONLY}]", "")
+    )
+    trad = F.length(
+        F.regexp_replace(F.col(text_col), f"[^{TRADITIONAL_ONLY}]", "")
+    )
+    return (
+        F.when(simp > trad, F.lit("zh-hans"))
+        .when(trad > simp, F.lit("zh-hant"))
+        .otherwise(F.lit("zh"))
+    )
+
+
 #: script key (as predicted_lang_script emits it) -> (table, default)
 FAMILIES: dict[str, tuple[FreqTable, str]] = {
     "ru": (CYRILLIC_FREQ, "ru"),

@@ -145,6 +145,7 @@ def predicted_lang_script(
     latin_und_floor: float | None = None,
     intra_script: bool = True,
     script_und_floor: float | None = None,
+    han_variants: bool = False,
 ) -> Column:
     """Unicode-script language ID — the real first-pass heuristic for a
     multilingual crawl (charset-correct decode upstream is what makes
@@ -182,6 +183,7 @@ def predicted_lang_script(
     rows whose script actually wins pay them.  All JVM expressions —
     no Python."""
     from ..functions.script_families import (
+        han_variant,
         predicted_lang_arabic_script,
         predicted_lang_cyrillic,
         predicted_lang_devanagari,
@@ -206,6 +208,12 @@ def predicted_lang_script(
         if intra_script
         else {}
     )
+    if han_variants:
+        # zh-hans / zh-hant by distinctive-character plurality — opt-in
+        # (the default keeps the unrefined 'zh' label every existing
+        # oracle pins); applies to the Han plurality pick only (kana
+        # presence still forces ja first)
+        refiners["zh"] = han_variant(name)
     # first matching lang in SCRIPT_RANGES order (ja before zh: a text
     # whose kana count ties or beats Han is Japanese by construction)
     script_pick = F.lit(None).cast("string")

@@ -5497,6 +5497,64 @@ def docs_devanagari_langid_scored(spark: SparkSession, sf: str) -> DataFrame:
     )(spark, sf)
 
 
+#: Han-variant fixtures: the same sentence in simplified and
+#: traditional orthography, plus a shared-characters-only line (no
+#: distinctive characters on either side -> stays 'zh')
+_HAN_FIXTURES = (
+    "学习中文的时候我们会发现很多有趣的东西这让学习变得更加有意思",
+    "學習中文的時候我們會發現很多有趣的東西這讓學習變得更加有意思",
+    "中文文化有千年天地人日月山水春夏秋冬",
+)
+
+
+def _han_variant_oracle() -> str:
+    from ..functions.script_families import (
+        SIMPLIFIED_ONLY,
+        TRADITIONAL_ONLY,
+    )
+
+    body = (
+        "SELECT doc_id, CASE CAST(doc_id % 3 AS INT) "
+        + " ".join(
+            f"WHEN {i} THEN '{t}'" for i, t in enumerate(_HAN_FIXTURES)
+        )
+        + " END AS text FROM documents"
+    )
+    return (
+        "SELECT doc_id, CASE WHEN s > t THEN 'zh-hans' "
+        "WHEN t > s THEN 'zh-hant' ELSE 'zh' END AS lang FROM ("
+        f"SELECT doc_id, "
+        f"length(regexp_replace(text, '[^{SIMPLIFIED_ONLY}]', '', 'g')) AS s, "
+        f"length(regexp_replace(text, '[^{TRADITIONAL_ONLY}]', '', 'g')) AS t "
+        f"FROM ({body}))"
+    )
+
+
+@q(
+    "docs_han_variant_langid",
+    oracle=_han_variant_oracle(),
+    doc="Chinese orthographic-variant refinement "
+    "(functions/script_families.py han_variant, routed opt-in from "
+    "predicted_lang_script(han_variants=True) — the crawl lane enables "
+    "it): zh-hans / zh-hant by distinctive-character plurality over "
+    "the committed parallel simplified/traditional snapshots; the same "
+    "sentence in both orthographies separates, a shared-characters "
+    "page stays plain 'zh'.  Oracle GENERATED from the same character "
+    "sets (DuckDB regexp counts), so the hash certifies the counting "
+    "itself.  Two JVM regexp passes, zero Python.",
+    tags=("text",),
+)
+def docs_han_variant_langid(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.script_families import han_variant
+
+    bodies = F.array(*[F.lit(t) for t in _HAN_FIXTURES])
+    m = (F.col("doc_id") % 3).cast("int")
+    docs = table(spark, sf, "documents").select(
+        "doc_id", F.element_at(bodies, m + 1).alias("text")
+    )
+    return docs.select("doc_id", han_variant("text").alias("lang"))
+
+
 @q(
     "docs_outlink_graph",
     oracle="""

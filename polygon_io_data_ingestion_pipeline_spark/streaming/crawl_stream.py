@@ -171,7 +171,10 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
             # confident wrong guess (per-language downstream stages
             # must not silently train on mislabeled text)
             predicted_lang_script(
-                "text", latin_und_floor=0.15, script_und_floor=0.15
+                "text",
+                latin_und_floor=0.15,
+                script_und_floor=0.15,
+                han_variants=True,
             ).alias("lang"),
             F.element_at(F.split("warc_file", "/"), -1).alias("source"),
             "url",

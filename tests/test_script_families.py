@@ -305,3 +305,44 @@ def test_script_routing_honors_script_und_floor(spark):
         ).orderBy("doc_id").collect()
     ]
     assert got == ["und", "uk", "fa"]
+
+
+def test_han_variant_refinement(spark):
+    """zh-hans / zh-hant by distinctive-character plurality; pages of
+    purely shared characters stay 'zh'; opt-in through
+    predicted_lang_script(han_variants=True) — kana still forces ja."""
+    from polygon_io_data_ingestion_pipeline_spark.functions.script_families import (
+        han_variant,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        predicted_lang_script,
+    )
+
+    simp = ("学习中文的时候我们会发现很多有趣的东西这让学习变得更加有意思"
+            "而且还能认识很多新朋友")
+    trad = ("學習中文的時候我們會發現很多有趣的東西這讓學習變得更加有意思"
+            "而且還能認識很多新朋友")
+    shared = "中文文化有千年天地人日月山水春夏秋冬"
+    ja = "こんにちは世界です元気ですか学校に行きます"
+    df = spark.createDataFrame(
+        [(0, simp), (1, trad), (2, shared), (3, ja)],
+        "doc_id long, text string",
+    )
+    got = [
+        r["l"] for r in df.select(han_variant("text").alias("l"))
+        .orderBy("doc_id").collect()
+    ]
+    assert got[:3] == ["zh-hans", "zh-hant", "zh"]
+    routed = [
+        r["l"] for r in df.select(
+            predicted_lang_script("text", han_variants=True).alias("l")
+        ).orderBy("doc_id").collect()
+    ]
+    assert routed == ["zh-hans", "zh-hant", "zh", "ja"]
+    # default keeps the unrefined label every existing oracle pins
+    plain = [
+        r["l"] for r in df.select(
+            predicted_lang_script("text").alias("l")
+        ).orderBy("doc_id").collect()
+    ]
+    assert plain == ["zh", "zh", "zh", "ja"]
