@@ -21,8 +21,15 @@ Containers, pure stdlib (zipfile + ElementTree, like :mod:`.docx`):
   (``opendocument.spreadsheet``), the same content-gate discipline the
   prose codec uses in reverse.  ``office:value-type`` drives typing;
   ``table:number-columns-repeated`` expands for VALUED cells (empty
-  trailing repeats — LibreOffice pads to 2^14 columns — are skipped,
-  so the repeat bomb never explodes into rows).
+  trailing repeats — LibreOffice pads to 2^14 columns — are skipped).
+  Repeat bombs are bounded twice: each axis caps at ``_MAX_REPEAT``,
+  and because rows-repeated × columns-repeated MULTIPLIES, a total
+  per-workbook budget (``_MAX_CELLS``) quarantines any workbook whose
+  valued expansion would exceed it — a <1 KB crafted ODS can otherwise
+  demand ~2.7e8 tuples from one Python worker.
+- **ODS error cells** fold into the formula skip count (an ODF error
+  IS a formula result), so ``skipped_error`` is always 0 for ODS;
+  xlsx reports the two classes separately.
 
 **Formula and error cells are SKIPPED with accounting**, not emitted:
 a formula's cached value is the producing application's claim, not
@@ -60,6 +67,14 @@ _ODS_MIME = b"application/vnd.oasis.opendocument.spreadsheet"
 #: cap on expanding table:number-columns-repeated for VALUED cells —
 #: xlsx's own column limit; repeats past it are generator padding
 _MAX_REPEAT = 16384
+
+#: cap on TOTAL emitted cells per workbook. The per-axis repeat cap is
+#: not enough on its own: rows-repeated × columns-repeated multiplies
+#: (16384² ≈ 2.7e8 tuples from a <1 KB crafted ODS on the untrusted
+#: WARC lane — an executor-OOM vector). A workbook that exceeds the
+#: budget quarantines via SheetFormatError rather than truncating, so
+#: downstream accounting never sees a silently partial sheet.
+_MAX_CELLS = 1_000_000
 
 
 def _local(tag: str) -> str:
@@ -248,6 +263,12 @@ def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
         cur_col = 0
         for el in row_iter:
             if _local(el.tag) == "row":
+                # xlsx cells are explicit (no repeat multiplier), but a
+                # high-ratio zip member can still inflate — same budget
+                if len(cells) > _MAX_CELLS:
+                    raise SheetFormatError(
+                        f"cell budget exceeded (> {_MAX_CELLS} cells)"
+                    )
                 r_attr = el.get("r")
                 cur_row = int(r_attr) if r_attr else cur_row + 1
                 cur_col = 0
@@ -353,10 +374,14 @@ def _ods_cells(zf: zipfile.ZipFile) -> Cells:
                     col_no += rep  # merged shadows / empty padding: skip
                     continue
                 if "formula" in attrs:
-                    # ODS error cells are formula cells too — one class;
-                    # count per EMITTED row copy so the accounting and
-                    # the row-repeat expansion agree
-                    n_formula += rep * min(row_rep, _MAX_REPEAT)
+                    # ODS error cells are formula cells too (an error
+                    # IS a formula result in ODF) — they fold into
+                    # n_formula, so skipped_error is always 0 for ODS;
+                    # count per EMITTED copy with BOTH repeats capped,
+                    # mirroring the valued-cell emission caps, so a
+                    # crafted number-columns-repeated cannot inflate
+                    # the accounting past what emission would allow
+                    n_formula += min(rep, _MAX_REPEAT) * min(row_rep, _MAX_REPEAT)
                     col_no += rep
                     continue
                 vtype = _ODS_TYPE.get(attrs["value-type"])
@@ -386,7 +411,14 @@ def _ods_cells(zf: zipfile.ZipFile) -> Cells:
                 col_no += rep
             # number-rows-repeated EXPANDS valued rows (dropping the
             # repeated copies would silently lose data — the column
-            # repeat expands, so must this one), same cap discipline
+            # repeat expands, so must this one), same cap discipline;
+            # the total budget guards the rep×row_rep PRODUCT the
+            # per-axis caps cannot
+            n_expand = min(row_rep, _MAX_REPEAT) * len(row_cells)
+            if len(cells) + n_expand > _MAX_CELLS:
+                raise SheetFormatError(
+                    f"cell budget exceeded (> {_MAX_CELLS} cells)"
+                )
             for rr in range(min(row_rep, _MAX_REPEAT)):
                 for col1, vtype, vs, vn in row_cells:
                     cells.append((sheet_name, row_no + rr, col1, vtype, vs, vn))

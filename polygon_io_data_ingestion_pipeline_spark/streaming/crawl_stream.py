@@ -405,51 +405,56 @@ def write_crawl_batch(
             n_clf = bad_ids.count()
             print(f"clf[batch {batch_id}]: dropped={n_clf}")
             out_docs = docs.join(bad_ids, "doc_id", "left_anti")
-            if clf_drift_path is not None:
-                # model-lifecycle drift monitor (round-11 verdict ask
-                # #8): fold this batch's log-odds HISTOGRAM into a
-                # versioned rollup (shard id = batch id, so a replay is
-                # a ledger no-op) and PSI-compare the newly-arrived
-                # slice against prior history — a model gone stale
-                # (the crawl's content drifted from the references)
-                # shows up as score-distribution drift, with zero fact
-                # rescans (O(bins) cell math).
-                from ..operators.rollup import (
-                    rollup_hist_drift,
-                    rollup_versions,
-                    update_rollup,
-                )
+            try:
+                if clf_drift_path is not None:
+                    # model-lifecycle drift monitor (round-11 verdict ask
+                    # #8): fold this batch's log-odds HISTOGRAM into a
+                    # versioned rollup (shard id = batch id, so a replay is
+                    # a ledger no-op) and PSI-compare the newly-arrived
+                    # slice against prior history — a model gone stale
+                    # (the crawl's content drifted from the references)
+                    # shows up as score-distribution drift, with zero fact
+                    # rescans (O(bins) cell math).
+                    from ..operators.rollup import (
+                        rollup_hist_drift,
+                        rollup_versions,
+                        update_rollup,
+                    )
 
-                lo, hi, bins = clf_drift_hist
-                update_rollup(
-                    batch_df.sparkSession,
-                    clf_drift_path,
-                    odds.filter(F.col("log_odds").isNotNull()).select(
-                        F.lit("clf").alias("gate"), "log_odds"
-                    ),
-                    keys=["gate"],
-                    sum_cols=["log_odds"],
-                    shard_id=f"clf-batch-{batch_id}",
-                    hist_cols={"log_odds": (lo, hi, bins)},
-                )
-                if len(rollup_versions(clf_drift_path)) >= 2:
-                    # an EMPTY report (both readable versions hold zero
-                    # histogram rows — all-unscorable batches) is
-                    # "nothing to compare", never a batch failure
-                    # bounded: the PSI report is one row per feature
-                    reps = rollup_hist_drift(
+                    lo, hi, bins = clf_drift_hist
+                    update_rollup(
                         batch_df.sparkSession,
                         clf_drift_path,
-                        "log_odds",
-                        mode="delta",
-                    ).collect()
-                    if reps:
-                        rep = reps[0]
-                        print(
-                            f"clf-drift[batch {batch_id}]: "
-                            f"psi={rep['psi']:.4f} drifted={rep['drifted']}"
-                        )
-            odds.unpersist()
+                        odds.filter(F.col("log_odds").isNotNull()).select(
+                            F.lit("clf").alias("gate"), "log_odds"
+                        ),
+                        keys=["gate"],
+                        sum_cols=["log_odds"],
+                        shard_id=f"clf-batch-{batch_id}",
+                        hist_cols={"log_odds": (lo, hi, bins)},
+                    )
+                    if len(rollup_versions(clf_drift_path)) >= 2:
+                        # an EMPTY report (both readable versions hold zero
+                        # histogram rows — all-unscorable batches) is
+                        # "nothing to compare", never a batch failure
+                        # bounded: the PSI report is one row per feature
+                        reps = rollup_hist_drift(
+                            batch_df.sparkSession,
+                            clf_drift_path,
+                            "log_odds",
+                            mode="delta",
+                        ).collect()
+                        if reps:
+                            rep = reps[0]
+                            print(
+                                f"clf-drift[batch {batch_id}]: "
+                                f"psi={rep['psi']:.4f} drifted={rep['drifted']}"
+                            )
+            finally:
+                # always release the persisted log-odds frame —
+                # a drift-rollup or PSI failure must not leak it
+                # for the rest of the stream's session
+                odds.unpersist()
         sink = write_corpus_batch_exact if exact_history else write_corpus_batch
         sink(out_docs, batch_id, lake_path)
         if schedule_path is not None:

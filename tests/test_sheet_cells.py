@@ -398,3 +398,80 @@ def test_corrupt_styles_spark_lane_quarantines(spark):
     )
     [row] = sheet_cells(df).collect()
     assert (row["sheet"], row["decode_ok"]) == (None, False)
+
+
+def _ods_payload(body: str) -> bytes:
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?><office:document-content '
+        'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+        'xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0" '
+        'xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0">'
+        "<office:body><office:spreadsheet>"
+        f'<table:table table:name="R">{body}</table:table>'
+        "</office:spreadsheet></office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "mimetype", b"application/vnd.oasis.opendocument.spreadsheet"
+        )
+        zf.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def test_repeat_product_bomb_quarantines():
+    """Round-11 advisor finding: number-rows-repeated and
+    number-columns-repeated are each capped at 16384, but their PRODUCT
+    is not — a <1 KB crafted ODS from the untrusted WARC lane can
+    demand ~2.7e8 cell tuples in one Python worker.  The per-workbook
+    cell budget must quarantine it (SheetFormatError), never emit."""
+    bomb = _ods_payload(
+        '<table:table-row table:number-rows-repeated="16384">'
+        '<table:table-cell office:value-type="float" office:value="7" '
+        'table:number-columns-repeated="16384"><text:p>7</text:p>'
+        "</table:table-cell></table:table-row>"
+    )
+    assert len(bomb) < 1024
+    with pytest.raises(SheetFormatError, match="cell budget"):
+        extract_sheet_cells(bomb)
+
+
+def test_repeat_product_bomb_spark_lane_quarantines(spark):
+    bomb = _ods_payload(
+        '<table:table-row table:number-rows-repeated="16384">'
+        '<table:table-cell office:value-type="float" office:value="7" '
+        'table:number-columns-repeated="16384"><text:p>7</text:p>'
+        "</table:table-cell></table:table-row>"
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(bomb))], "media_id long, payload binary"
+    )
+    [row] = sheet_cells(df).collect()
+    assert (row["sheet"], row["decode_ok"]) == (None, False)
+
+
+def test_formula_accounting_caps_column_repeat():
+    """The formula skip count must apply the SAME per-axis cap as
+    valued-cell emission — a crafted number-columns-repeated must not
+    inflate skipped_formula past what emission would allow (round-11
+    advisor finding); ODS error cells fold into the formula class by
+    design (an ODF error IS a formula result), so skipped_error
+    stays 0."""
+    wb = _ods_payload(
+        '<table:table-row table:number-rows-repeated="2">'
+        '<table:table-cell table:formula="of:=1/0" '
+        'office:value-type="float" office:value="0" '
+        'table:number-columns-repeated="999999999">'
+        "<text:p>#DIV/0!</text:p></table:table-cell>"
+        "</table:table-row>"
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string">'
+        "<text:p>after</text:p></table:table-cell>"
+        "</table:table-row>"
+    )
+    _, (cells, nf, ne) = extract_sheet_cells(wb)
+    assert cells == [("R", 3, 1, "s", "after", None)]
+    assert (nf, ne) == (16384 * 2, 0)

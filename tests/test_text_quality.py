@@ -382,3 +382,43 @@ def test_unsegmented_lane_composes_instead_of_replacing(spark):
     assert got[1]["keep"], dict(got[1].asDict())  # English evidence holds
     # chars-as-tokens: the zh page reports ~its character count
     assert got[2]["n_tokens"] >= 50
+
+
+def test_incidental_cjk_keeps_honest_token_count(spark):
+    """Round-11 advisor finding: with unsegmented_markers on, the
+    chars-as-tokens addition applied to EVERY doc — a mostly-Latin page
+    with a few incidental CJK characters got an inflated n_tokens in
+    downstream size stats.  The addition must gate on the unsegmented
+    dominance predicate."""
+    from polygon_io_data_ingestion_pipeline_spark.functions.script_families import (
+        UNSEGMENTED_FUNCTION_MARKERS,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        multilingual_stopwords,
+        quality_filter,
+    )
+
+    en_with_cjk = (
+        "the committee said that it would publish the results of the "
+        "study of 東京 next week and most of the members were in favour "
+        "of the proposal so the work continues as before"
+    )
+    n_words = len(en_with_cjk.split())
+    zh = ("科学家发现海洋变暖的速度比他们想象的要快这对所有国家来说都是"
+          "一个问题因为气候变化的影响正在不断加剧而且没有任何放缓的迹象")
+    df = spark.createDataFrame(
+        [(1, en_with_cjk), (2, zh)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality_filter(
+            df,
+            stopwords=multilingual_stopwords(),
+            unsegmented_markers=UNSEGMENTED_FUNCTION_MARKERS,
+        ).collect()
+    }
+    # Latin-dominant: honest whitespace count, not words + 2 CJK chars
+    assert got[1]["n_tokens"] == n_words
+    assert got[1]["keep"]
+    # unsegmented-dominant: chars-as-tokens still applies
+    assert got[2]["n_tokens"] >= 50
