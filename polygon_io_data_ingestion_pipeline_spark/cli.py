@@ -608,6 +608,14 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         audit_cols = [f"n_{name}" for name, _, _ in PII_RULES] + ["n_redactions"]
         docs = red.drop("text", *audit_cols).withColumnRenamed("redacted", "text")
 
+    # crawl lanes are multilingual INCLUDING unsegmented scripts: token
+    # stages route CJK/Thai docs through character n-grams ('auto'),
+    # while JSONL/parquet corpora keep the word tokenizer to match the
+    # committed oracles (docs_corpus_prep, docs_span_dedup)
+    crawl_tokenizer = (
+        "auto" if args.input_format in ("warc", "wet") else "word"
+    )
+
     if args.line_dedup:
         # CCNet-stage ordering: strip cross-document boilerplate lines
         # BEFORE the quality gate, so the gate judges the content that
@@ -630,6 +638,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             docs,
             span_tokens=args.span_tokens,
             min_docs=args.line_dedup_min_docs,
+            tokenizer=crawl_tokenizer,
         )
 
     passthrough = tuple(c for c in docs.columns if c != "doc_id")
@@ -677,9 +686,11 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 stupid_backoff_score,
             )
 
-            model = ngram_lm_train_counts(ref, order=args.lm_order)
+            model = ngram_lm_train_counts(
+                ref, order=args.lm_order, tokenizer=crawl_tokenizer
+            )
             scores = (
-                stupid_backoff_score(kept, model)
+                stupid_backoff_score(kept, model, tokenizer=crawl_tokenizer)
                 .withColumnRenamed("avg_neg_logscore", "cross_entropy")
                 .persist()
             )
@@ -689,8 +700,10 @@ def cmd_corpus(args: argparse.Namespace) -> int:
                 ngram_lm_train,
             )
 
-            model = ngram_lm_train(ref)
-            scores = ngram_lm_cross_entropy(kept, model).persist()
+            model = ngram_lm_train(ref, tokenizer=crawl_tokenizer)
+            scores = ngram_lm_cross_entropy(
+                kept, model, tokenizer=crawl_tokenizer
+            ).persist()
         if lm_buckets:
             # CCNet's actual gate shape: keep per-LANGUAGE score
             # terciles, not one absolute threshold — a fixed max_ce

@@ -441,8 +441,15 @@ def _fold_sql(
     grew 7 -> 16).  The vocabulary is therefore PARTITIONED BY FIRST
     LETTER into a two-level map literal:
     ``outer[substring(w, 1, 1)][w]`` scans ~40 first-letter buckets
-    then ~20 bucket words instead of ~900 — an order of magnitude off
-    the per-token cost with results EQUAL BY CONSTRUCTION (same words,
+    then ~20 bucket words instead of ~900.  Measured honestly (round
+    12, sf0.1 fixture line): the full query reads 1.3s prefixed vs
+    2.4s flat — ~1.8x, NOT the isolated-fold 2.5-4x previously quoted,
+    because tokenize (0.18s) and the zip_with fold (0.45s) sit outside
+    the lookup (0.85s); and the r11 BENCH line did not move at all
+    because the sf0.1 scan is ONE partition, serializing the whole
+    fold on one core — fixed round 12 by the dedup-family ``_spread``
+    repartition in the registry queries.  Results EQUAL BY
+    CONSTRUCTION (same words,
     same vectors; a miss is NULL at either level and filters out),
     which beats any heuristic candidate-table prefilter: no behavior
     cliff for diacritic-stripped informal text, nothing to re-verify
@@ -467,22 +474,32 @@ def _fold_sql(
         )
         lookup = f"map({entries})[w]"
     else:
+        # Round-12 encoding: the two-level map ships as ONE JSON string
+        # literal through from_json (constant inputs -> evaluated once,
+        # never per row).  The round-11 map(...) literal shape built a
+        # ~15k-node expression tree that cost ~0.75s of parse+analysis
+        # per QUERY BUILD — more than the whole distributed execution —
+        # because every literal word and weight was its own Catalyst
+        # node; as one string node, build drops to ~0.07s and per-task
+        # setup shrinks too (measured round 12: the sf0.1 bench line
+        # fell 1.2s -> ~0.4s with results equal by construction — the
+        # flat= equality tests now pin from_json == naive map literal).
+        import json
+
         buckets: dict[str, dict[str, list[int]]] = {}
         for word, vec in vocab.items():
-            buckets.setdefault(word[0], {})[word] = vec
-        outer = ", ".join(
-            "'{p}', map({inner})".format(
-                p=prefix.replace("'", "''"),
-                inner=", ".join(
-                    "'{w}', array({v})".format(
-                        w=word.replace("'", "''"), v=fmt_vec(vec)
-                    )
-                    for word, vec in words.items()
-                ),
-            )
-            for prefix, words in sorted(buckets.items())
+            buckets.setdefault(word[0], {})[word] = [
+                (min(x, 1) if indicator else x) for x in vec
+            ]
+        js = json.dumps(
+            dict(sorted(buckets.items())),
+            ensure_ascii=False,
+            separators=(",", ":"),
+        ).replace("'", "''")
+        lookup = (
+            f"from_json('{js}', 'map<string,map<string,array<bigint>>>')"
+            f"[substring(w, 1, 1)][w]"
         )
-        lookup = f"map({outer})[substring(w, 1, 1)][w]"
     toks = _toks_sql(text_col, token_re)
     return (
         f"aggregate("

@@ -27,7 +27,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .text import dedup_normalized, fingerprint, word_shingles
+from .text import (
+    dedup_normalized,
+    fingerprint,
+    script_shingles,
+    script_tokens,
+    unsegmented_dominant,
+    word_shingles,
+)
+
+
+def _validate_tokenizer(tokenizer: str) -> None:
+    if tokenizer not in ("word", "auto"):
+        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
 
 
 def exact_duplicates(
@@ -128,7 +140,12 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def shingle_set(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    tokenizer: str = "word",
+    char_n: int = 5,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input.
 
@@ -136,10 +153,22 @@ def shingle_set(
     ``array_distinct`` before the explode — no global distinct shuffle
     (the naive ``explode().distinct()`` shuffles the full posting list
     once just to dedup rows that were never duplicated across keys).
-    """
+
+    ``tokenizer='auto'`` (round 12) routes unsegmented-script-dominant
+    docs (Han/kana/Thai — no spaces, so a whole sentence is ONE word
+    shingle and near-dup detection degrades to near-exact-only)
+    through character ``char_n``-grams instead
+    (:func:`..text.script_shingles`); spaced docs keep the word
+    shingles bit-for-bit."""
+    _validate_tokenizer(tokenizer)
+    sh = (
+        script_shingles(text_col, n, char_n)
+        if tokenizer == "auto"
+        else word_shingles(text_col, n)
+    )
     return _spread(df).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle"),
+        F.explode(F.array_distinct(sh)).alias("shingle"),
     )
 
 
@@ -151,6 +180,8 @@ def jaccard_pairs(
     threshold: float = 0.1,
     max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
     strategy: str = "auto",
+    tokenizer: str = "word",
+    char_n: int = 5,
 ) -> DataFrame:
     """Near-duplicate pairs by n-word-shingle Jaccard similarity (exact).
 
@@ -187,7 +218,7 @@ def jaccard_pairs(
     # lineage per consumer, so without truncation the shingle explode
     # runs that many times over the corpus. Materialize it once
     # (same fix as shared_substring_pairs / duplicated_ngram_fraction).
-    sh = shingle_set(df, text_col, id_col, n).localCheckpoint()
+    sh = shingle_set(df, text_col, id_col, n, tokenizer, char_n).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if strategy == "direct":
@@ -287,6 +318,8 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = 8,
+    tokenizer: str = "word",
+    char_n: int = 5,
 ) -> DataFrame:
     """k MinHash values per document. Output: (id, mh_0..mh_{k-1}).
 
@@ -304,7 +337,7 @@ def minhash_signatures(
     """
     if k > len(MINHASH_MIX):
         raise ValueError(f"k={k} exceeds the {len(MINHASH_MIX)} mixing pairs")
-    sh = shingle_set(df, text_col, id_col, n)
+    sh = shingle_set(df, text_col, id_col, n, tokenizer, char_n)
     h = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % MINHASH_P
@@ -350,6 +383,8 @@ def lsh_candidate_pairs(
     n: int = 3,
     k: int = 8,
     rows_per_band: int = 2,
+    tokenizer: str = "word",
+    char_n: int = 5,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any full band.
 
@@ -357,7 +392,7 @@ def lsh_candidate_pairs(
     produced by a self-join on (band, key) — shuffle volume linear in
     the corpus, never quadratic.
     """
-    mh = minhash_signatures(df, text_col, id_col, n, k)
+    mh = minhash_signatures(df, text_col, id_col, n, k, tokenizer, char_n)
     bands = _sig_band_keys(mh, id_col, k, rows_per_band)
     # Both self-join sides consume the band table; without truncation
     # the full minhash lineage (shingle explode + per-shingle md5 + the
@@ -375,17 +410,30 @@ def lsh_candidate_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Token-count-weighted SimHash signature (one long per document).
 
     Bit i of a token's hash is the high bit of hex digit i of its md5 —
     ``bits`` independent 1-bit hashes from one md5, identical in any
     engine with md5 (portable to the SQL oracle).
-    """
+
+    ``tokenizer='auto'`` routes unsegmented-script-dominant docs through
+    character bigram tokens (a spaceless CJK doc is otherwise ONE token
+    = one md5 — every edit flips the whole signature)."""
+    _validate_tokenizer(tokenizer)
+    tok_arr = (
+        script_tokens(text_col, 2)
+        if tokenizer == "auto"
+        else F.split(F.col(text_col), " ")
+    )
     toks = (
         _spread(df)
-        .select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .select(F.col(id_col), F.explode(tok_arr).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count("*").alias("w"))
         .withColumn("h", F.md5(F.col("tok")))
@@ -831,6 +879,7 @@ def duplicated_span_removal(
     id_col: str = "doc_id",
     span_tokens: int = 8,
     min_docs: int = 2,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Exact cross-document SPAN dedup: rewrite each document with every
     token covered by a duplicated ``span_tokens``-gram removed — the
@@ -872,9 +921,20 @@ def duplicated_span_removal(
     from pyspark.sql import Window
 
     k = int(span_tokens)
-    toks = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
-    )
+    _validate_tokenizer(tokenizer)
+    if tokenizer == "auto":
+        # unsegmented-dominant docs tokenize as SINGLE CHARACTERS (the
+        # only unit that rebuilds losslessly — overlapping bigrams
+        # cannot), so span_tokens means span CHARS for them; the gram
+        # keys still join with ' ' (internal key space only). The
+        # rebuild joins with ' ' then strips it for unseg docs: their
+        # tokens came from whitespace-stripped text, so every space in
+        # the rebuilt string is a separator, never content.
+        toks = script_tokens(text_col, 1)
+    else:
+        toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        )
     base = docs.select(F.col(id_col), toks.alias("_toks"))
     n = F.size("_toks")
     gram_arr = F.when(
@@ -926,15 +986,18 @@ def duplicated_span_removal(
     # same null contract as duplicated_line_removal: NULL text never
     # becomes '' (no tokens -> absent from the rebuild -> the when()
     # guard leaves it NULL); all-removed documents get empty text
+    out_text = F.coalesce(
+        F.col("_rebuilt"),
+        F.when(F.col(text_col).isNotNull(), F.lit("")),
+    )
+    if tokenizer == "auto":
+        out_text = F.when(
+            unsegmented_dominant(text_col),
+            F.regexp_replace(out_text, " ", ""),
+        ).otherwise(out_text)
     return (
         docs.join(rebuilt, id_col, "left")
-        .withColumn(
-            text_col,
-            F.coalesce(
-                F.col("_rebuilt"),
-                F.when(F.col(text_col).isNotNull(), F.lit("")),
-            ),
-        )
+        .withColumn(text_col, out_text)
         .drop("_rebuilt")
     )
 
@@ -979,6 +1042,7 @@ def incremental_near_dedup(
     k: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.7,
+    tokenizer: str = "word",
 ) -> tuple[DataFrame, DataFrame]:
     """NEAR-duplicate novelty filter for a growing corpus — the fuzzy
     twin of :func:`incremental_dedup` (which only catches byte-identical
@@ -1002,8 +1066,14 @@ def incremental_near_dedup(
     1.0, so this subsumes the exact filter. State is O(docs) x k longs —
     at 100 TB the signature table is ~1/10000th of the corpus, and the
     per-shard cost is the shard's own signatures plus band-key joins.
+
+    ``tokenizer`` must stay CONSTANT for the lifetime of a signature
+    history — signatures built under different tokenizers never
+    estimate correctly against each other.
     """
-    sigs = minhash_signatures(new_docs, text_col, id_col, n, k).localCheckpoint()
+    sigs = minhash_signatures(
+        new_docs, text_col, id_col, n, k, tokenizer
+    ).localCheckpoint()
     bands = _sig_band_keys(sigs, id_col, k, rows_per_band).localCheckpoint()
     hist_rename = [F.col(id_col).alias("__h_id")] + [
         F.col(f"mh_{i}").alias(f"__h_mh_{i}") for i in range(k)

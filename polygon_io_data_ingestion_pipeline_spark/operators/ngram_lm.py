@@ -57,7 +57,18 @@ def _bigram_structs(toks: Column) -> Column:
     ).otherwise(F.array())
 
 
-def _toks(text_col: str) -> Column:
+def _toks(text_col: str, tokenizer: str = "word") -> Column:
+    if tokenizer == "auto":
+        # script-aware route (round 12): unsegmented-dominant docs
+        # (Han/kana/Thai) tokenize as lowercased character BIGRAMS —
+        # whitespace-split makes a whole CJK sentence ONE token, so the
+        # LM would smooth nearly every position as OOV and the quality
+        # signal collapses to the smoothing constant
+        from .text import script_tokens
+
+        return script_tokens(text_col, 2, lower=True)
+    if tokenizer != "word":
+        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
     return F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),
@@ -65,7 +76,7 @@ def _toks(text_col: str) -> Column:
 
 
 def ngram_lm_train(
-    ref: DataFrame, text_col: str = "text"
+    ref: DataFrame, text_col: str = "text", tokenizer: str = "word"
 ) -> dict[str, DataFrame]:
     """Train the bigram model on a reference corpus: returns the three
     count tables the scorer joins against —
@@ -76,8 +87,10 @@ def ngram_lm_train(
     - ``vocab``: single row (v_size,)
 
     Counts are exact integers; smoothing happens at SCORING time so one
-    trained model serves any ``add_k``."""
-    base = ref.select(_toks(text_col).alias("_toks"))
+    trained model serves any ``add_k``.  ``tokenizer='auto'`` routes
+    unsegmented-script docs through char-bigram tokens — train and
+    score must use the SAME tokenizer."""
+    base = ref.select(_toks(text_col, tokenizer).alias("_toks"))
     pairs = base.select(F.explode(_bigram_structs(F.col("_toks"))).alias("_p")).select(
         F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
@@ -96,6 +109,7 @@ def ngram_lm_cross_entropy(
     text_col: str = "text",
     id_col: str = "doc_id",
     add_k: float = 1.0,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Score every document by average bigram negative log-probability
     (cross-entropy in nats) under the trained model.  Returns
@@ -109,7 +123,8 @@ def ngram_lm_cross_entropy(
     (CCNet keeps the best-scoring tercile)."""
     k = float(add_k)
     doc_pairs = docs.select(
-        F.col(id_col), F.explode_outer(_bigram_structs(_toks(text_col))).alias("_p")
+        F.col(id_col),
+        F.explode_outer(_bigram_structs(_toks(text_col, tokenizer))).alias("_p"),
     ).select(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
@@ -168,7 +183,8 @@ def _ngram_rows(toks: Column, order: int) -> Column:
 
 
 def ngram_lm_train_counts(
-    ref: DataFrame, text_col: str = "text", order: int = 3
+    ref: DataFrame, text_col: str = "text", order: int = 3,
+    tokenizer: str = "word",
 ) -> dict:
     """Count tables for an order-``order`` stupid-backoff LM (Brants et
     al. 2007, "Large Language Models in Machine Translation" — the
@@ -180,7 +196,7 @@ def ngram_lm_train_counts(
     Returns ``{"grams": {k: (ctx, w, n)}, "ctx": {k: (ctx, nc)},
     "totals": 1-row (total, v_size)}`` — grams[1] has ctx='' (the
     unigram context is the whole corpus)."""
-    base = ref.select(_toks(text_col).alias("_toks"))
+    base = ref.select(_toks(text_col, tokenizer).alias("_toks"))
     rows = base.select(
         F.explode(_ngram_rows(F.col("_toks"), order)).alias("_g")
     ).select("_g.*")
@@ -207,6 +223,7 @@ def stupid_backoff_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.4,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Per-document average negative log stupid-backoff score (nats) —
     the quality signal of a web-scale n-gram LM without a discounting
@@ -228,7 +245,7 @@ def stupid_backoff_score(
     order = max(model["grams"])
     doc_rows = docs.select(
         F.col(id_col),
-        F.explode_outer(_ngram_rows(_toks(text_col), order)).alias("_g"),
+        F.explode_outer(_ngram_rows(_toks(text_col, tokenizer), order)).alias("_g"),
     ).select(id_col, "_g.*")
     j = doc_rows
     for k in range(1, order + 1):

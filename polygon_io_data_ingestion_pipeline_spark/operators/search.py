@@ -96,17 +96,22 @@ def hybrid_topk_rrf(
     dim: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Top-``k`` documents by RRF over the BM25 and dense candidate
     lists: ``score = Σ_rankers 1 / (k_rrf + rank)``, a ranker
     contributing nothing for documents outside its top-``n_cand``.
     Returns (id, rrf_score, r_lex, r_dense) with null ranks for
     single-list hits."""
-    from .text import tokens
+    from .text import script_tokens, tokens
 
+    if tokenizer not in ("word", "auto"):
+        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
     # ONE corpus tokenize for BOTH rankers: the exploded postings frame
-    # is the dominant input of each (at 100 TB, one scan instead of two)
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w")).localCheckpoint()
+    # is the dominant input of each (at 100 TB, one scan instead of two);
+    # 'auto' indexes unsegmented-script docs as char bigrams
+    tok_arr = script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
+    tok = df.select(F.col(id_col), F.explode(tok_arr).alias("w")).localCheckpoint()
     lex = bm25_topk(
         df, query_terms, k=n_cand, text_col=text_col, id_col=id_col, tokens_df=tok
     )

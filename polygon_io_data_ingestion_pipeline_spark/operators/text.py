@@ -1079,6 +1079,7 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_df: DataFrame | None = None,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """BM25 ranked retrieval: the top-``k`` documents for a bag-of-words
     query — the lexical search primitive for corpus curation (find the
@@ -1102,15 +1103,25 @@ def bm25_topk(
     per-doc sum accumulates as exact scaled BIGINTs — the
     unigram_logprob discipline.
 
+    ``tokenizer='auto'`` (round 12) indexes unsegmented-script docs as
+    character BIGRAMS instead of one giant whitespace "word" per
+    sentence — pass the query's CJK terms as char bigrams too
+    (:func:`char_ngrams` semantics, e.g. '海洋' stays '海洋').
+
     Returns (id, score, n_terms_hit) ordered by (score desc, id).
     """
+    if tokenizer not in ("word", "auto"):
+        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
     terms = [t for t in query_terms]
     if tokens_df is not None:
         # caller-shared postings (id, w) — hybrid search tokenizes the
         # corpus ONCE for both its rankers and passes the frame here
         tok = tokens_df
     else:
-        tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        tok_arr = (
+            script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
+        )
+        tok = df.select(F.col(id_col), F.explode(tok_arr).alias("w"))
         # Four consumers derive from the token explode (lengths, corpus
         # totals via lengths, document frequencies, term frequencies);
         # with no cross-branch CSE the corpus-wide tokenize would re-run

@@ -67,7 +67,7 @@ def write_ingest_batch(batch_df: DataFrame, batch_id: int, lake_path: str, tf: s
     """
     keys = PARTITION_KEYS[tf]
     spark = batch_df.sparkSession
-    incoming = batch_df.withColumn("__src", F.lit(1))
+    incoming = batch_df
     touched = incoming.select(*keys).distinct().collect()
     if not touched:
         return
@@ -81,6 +81,42 @@ def write_ingest_batch(batch_df: DataFrame, batch_id: int, lake_path: str, tf: s
         _write_ingest_batch_locked(incoming, part_filter, lake_path, tf)
 
 
+def merge_keep_incoming(
+    existing: DataFrame | None,
+    incoming: DataFrame,
+    key: Iterable[str] = tuple(BAR_KEY),
+) -> DataFrame:
+    """The sink's batch-overlap resolution as a PURE transform: union
+    ``existing`` (lake rows) with ``incoming`` (the micro-batch) and
+    keep ONE row per ``key``, incoming winning over existing, ties
+    within a source broken by every non-key value column descending
+    (nulls last, columns in sorted-name order) so a replay reproduces
+    the lake byte-for-byte.  This is the late-correction-wins contract
+    of the reference's re-run-and-overwrite backfills
+    (emit_split_backfill_cmds.py:29) — factored out of the foreachBatch
+    sink so the registry query ``events_ingest_merge_keep_last`` can
+    hash-verify the exact resolution window the stream runs."""
+    key = list(key)
+    inc = incoming.withColumn("__src", F.lit(1))
+    if existing is None:
+        merged = inc
+    else:
+        merged = existing.withColumn("__src", F.lit(0)).unionByName(
+            inc, allowMissingColumns=True
+        )
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in sorted(merged.columns)
+        if c not in key and c != "__src"
+    ]
+    w = Window.partitionBy(*key).orderBy(F.col("__src").desc(), *tiebreak)
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
 def _write_ingest_batch_locked(incoming, part_filter, lake_path: str, tf: str) -> None:
     spark = incoming.sparkSession
     try:
@@ -88,25 +124,11 @@ def _write_ingest_batch_locked(incoming, part_filter, lake_path: str, tf: str) -
             spark.read.option("mergeSchema", True)
             .parquet(lake_path)
             .filter(part_filter)
-            .withColumn("__src", F.lit(0))
             .localCheckpoint(eager=True)
         )
-        merged = existing.unionByName(incoming, allowMissingColumns=True)
     except AnalysisException:  # first batch: no lake yet
-        merged = incoming
-
-    tiebreak = [
-        F.col(c).desc_nulls_last()
-        for c in sorted(merged.columns)
-        if c not in BAR_KEY and c != "__src"
-    ]
-    w = Window.partitionBy(*BAR_KEY).orderBy(F.col("__src").desc(), *tiebreak)
-    deduped = (
-        merged.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__src")
-    )
-    write_lake(deduped, lake_path, tf=tf)
+        existing = None
+    write_lake(merge_keep_incoming(existing, incoming, BAR_KEY), lake_path, tf=tf)
 
 
 def stream_ingest_bars(
