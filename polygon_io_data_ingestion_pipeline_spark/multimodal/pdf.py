@@ -33,17 +33,20 @@ Surface (the baseline subset that covers machine-generated text PDFs):
 - **Encryption**: the standard security handler's ubiquitous
   "owner-password-only" case — documents encrypted with an EMPTY user
   password (most secured PDFs on the web: anyone can read, the owner
-  password only gates editing).  RC4 at revisions 2/3 and AES-128-CBC
-  (``/V 4`` crypt filters, ``/AESV2``) decrypt with the standard
-  padding key derivation; the empty password is VERIFIED against
-  ``/U`` first, so a genuinely password-protected document quarantines
-  instead of extracting mojibake.  RC4 and the AES inverse cipher are
-  pure stdlib (hashlib md5 + table math).
+  password only gates editing).  RC4 at revisions 2/3, AES-128-CBC
+  (``/V 4`` crypt filters, ``/AESV2``) and AES-256 (``/V 5`` revisions
+  5/6 — SHA-2 key derivation incl. the ISO 32000-2 algorithm-2.B
+  iterated hash, ``/UE`` file-key unwrap, whole-document key per
+  algorithm 1.A, ``/Perms`` verified when present) decrypt with the
+  standard derivations; the empty password is VERIFIED against ``/U``
+  first, so a genuinely password-protected document quarantines
+  instead of extracting mojibake.  RC4 and the AES cipher (128- and
+  256-bit schedules) are pure stdlib (hashlib + table math).
 
 Quarantined variants raise :class:`PdfFormatError` (typed, like every
 codec here): password-protected documents (non-empty user password),
-unsupported encryption variants (non-Standard handlers, AES-256/R6,
-unknown crypt filter methods), encrypted documents whose /Encrypt
+unsupported encryption variants (non-Standard handlers, unknown crypt
+filter methods), encrypted documents whose /Encrypt
 dictionary is missing, non-Flate stream filters, unsupported predictor
 variants, and text SHOWN under a CID font that has no usable ToUnicode
 CMap (2-byte codes that would decode to mojibake — honesty over noise;
@@ -59,6 +62,7 @@ No reference counterpart — beyond-reference multimodal surface.
 
 from __future__ import annotations
 
+import functools
 import re
 import zlib
 
@@ -792,12 +796,19 @@ def _gmul(a: int, b: int) -> int:
     return p
 
 
-def _aes128_round_keys(key: bytes) -> list[bytes]:
+def _aes_round_keys(key: bytes) -> list[bytes]:
+    """FIPS-197 key expansion for 128- OR 256-bit keys (Nk = 4 / 8,
+    Nr = Nk + 6).  The 256-bit branch adds the extra SubWord step at
+    ``i % Nk == 4`` — the only difference from the 128-bit schedule."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise PdfFormatError(f"unsupported AES key length {len(key)}")
+    nr = nk + 6
     rcon = 1
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    words = [key[i : i + 4] for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         w = words[i - 1]
-        if i % 4 == 0:
+        if i % nk == 0:
             w = bytes(
                 [
                     _AES_SBOX[w[1]] ^ rcon,
@@ -807,13 +818,20 @@ def _aes128_round_keys(key: bytes) -> list[bytes]:
                 ]
             )
             rcon = _xt(rcon)
-        words.append(bytes(a ^ b for a, b in zip(words[i - 4], w)))
-    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(11)]
+        elif nk == 8 and i % nk == 4:
+            w = bytes(_AES_SBOX[b] for b in w)
+        words.append(bytes(a ^ b for a, b in zip(words[i - nk], w)))
+    return [b"".join(words[4 * r : 4 * r + 4]) for r in range(nr + 1)]
+
+
+def _aes128_round_keys(key: bytes) -> list[bytes]:
+    return _aes_round_keys(key)
 
 
 def _aes128_decrypt_block(rk: list[bytes], block: bytes) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, rk[10]))
-    for rnd in range(9, -1, -1):
+    nr = len(rk) - 1  # 10 (AES-128) or 14 (AES-256): same round body
+    s = bytearray(a ^ b for a, b in zip(block, rk[nr]))
+    for rnd in range(nr - 1, -1, -1):
         # InvShiftRows (column-major state: byte r + 4*c)
         t = bytearray(16)
         for c in range(4):
@@ -866,8 +884,9 @@ def _aes_cbc_decrypt(key: bytes, blob: bytes) -> bytes:
 def _aes128_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
     """Forward AES cipher — the fixture/test encoder's half (decryption
     is the product path); same FIPS-197 tables."""
+    nr = len(rk) - 1
     s = bytearray(a ^ b for a, b in zip(block, rk[0]))
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         for i in range(16):
             s[i] = _AES_SBOX[s[i]]
         t = bytearray(16)
@@ -875,7 +894,7 @@ def _aes128_encrypt_block(rk: list[bytes], block: bytes) -> bytes:
             for r in range(4):
                 t[r + 4 * c] = s[r + 4 * ((c + r) % 4)]
         s = t
-        if rnd < 10:
+        if rnd < nr:
             for c in range(4):
                 a0, a1, a2, a3 = s[4 * c : 4 * c + 4]
                 s[4 * c + 0] = _gmul(a0, 2) ^ _gmul(a1, 3) ^ a2 ^ a3
@@ -901,6 +920,101 @@ def aes_cbc_encrypt(key: bytes, data: bytes, iv: bytes) -> bytes:
         out += ct
         prev = ct
     return bytes(out)
+
+
+def _aes_cbc_nopad(
+    key: bytes, data: bytes, iv: bytes, encrypt: bool
+) -> bytes:
+    """Raw AES-CBC without padding or IV prefix — the shape ISO 32000-2
+    uses for /UE//OE unwrapping (zero IV) and inside hash 2.B."""
+    if len(data) % 16:
+        raise PdfFormatError("AES-CBC payload is not block aligned")
+    rk = _aes_round_keys(key)
+    out, prev = bytearray(), iv
+    for i in range(0, len(data), 16):
+        blk = data[i : i + 16]
+        if encrypt:
+            ct = _aes128_encrypt_block(
+                rk, bytes(a ^ b for a, b in zip(blk, prev))
+            )
+            out += ct
+            prev = ct
+        else:
+            out += bytes(
+                a ^ b for a, b in zip(_aes128_decrypt_block(rk, blk), prev)
+            )
+            prev = blk
+    return bytes(out)
+
+
+def hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 algorithm 2.B — the R6 iterated SHA-2 hash: start
+    from SHA-256(pw + salt + udata), then rounds of AES-128-CBC over 64
+    copies of (pw + K + udata) keyed/IV'd from K, picking SHA-256/384/
+    512 by the first 16 bytes' sum mod 3, until >= 64 rounds AND the
+    last byte of the AES output <= round - 32.  Public: the fixture
+    encoder computes /U //UE with the same function the decryptor
+    consumes (the std_* discipline)."""
+    import hashlib
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k1, k[16:32], encrypt=True)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e) if mod == 0
+            else hashlib.sha384(e) if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+@functools.lru_cache(maxsize=256)
+def _v5_password_hash(pw: bytes, salt: bytes, r: int) -> bytes:
+    """R5 (Adobe ExtensionLevel 3): plain SHA-256(pw + salt); R6
+    (ISO 32000-2): algorithm 2.B.  Memoized: 2.B costs ~10k pure-Python
+    AES block ops per call by DESIGN (it is a password KDF), and the
+    empty-password crawl path recomputes it for every document — the
+    same (pw, salt) pairs recur constantly (the fixture lanes reuse one
+    salt corpus-wide), so a small pure-function cache removes the KDF
+    from the per-document cost entirely."""
+    import hashlib
+
+    return (
+        hashlib.sha256(pw + salt).digest() if r == 5 else hash_2b(pw, salt)
+    )
+
+
+def std_v5_entries(
+    user_pw: bytes, file_key: bytes, vsalt: bytes, ksalt: bytes, r: int
+) -> tuple[bytes, bytes]:
+    """(/U, /UE) for a V5 document — fixture encoder half.  /U =
+    password hash over the validation salt + both salts; /UE = the
+    32-byte file key wrapped with AES-256-CBC (zero IV, no padding)
+    under the key-salt hash (ISO 32000-2 algorithms 8/8.A)."""
+    u = _v5_password_hash(user_pw, vsalt, r) + vsalt + ksalt
+    ik = _v5_password_hash(user_pw, ksalt, r)
+    ue = _aes_cbc_nopad(ik, file_key, bytes(16), encrypt=True)
+    return u, ue
+
+
+def std_v5_perms(p: int, file_key: bytes) -> bytes:
+    """/Perms per ISO 32000-2 algorithm 10: 16 bytes = signed /P
+    (little-endian, sign-extended to 8 bytes) + 'T' (EncryptMetadata) +
+    'adb' + 4 arbitrary bytes, AES-256-ECB-encrypted with the file
+    key.  Fixture encoder half of the _std_security_handler check."""
+    blk = (
+        (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + b"\xff\xff\xff\xff"
+        + b"Tadb"
+        + b"poly"
+    )
+    rk = _aes_round_keys(file_key)
+    return _aes128_encrypt_block(rk, blk)
 
 
 def _pad_pw(pw: bytes) -> bytes:
@@ -1008,6 +1122,45 @@ def _std_security_handler(
     p = int(pm.group(1)) if pm else None
     if o is None or u is None or p is None:
         raise PdfFormatError("unsupported encryption: incomplete /Encrypt dict")
+    if v == 5:
+        # AES-256 (R5 = Adobe ExtensionLevel 3 / R6 = ISO 32000-2):
+        # SHA-2 key derivation, /UE unwrap, whole-document file key
+        # (V5 has NO per-object md5 derivation — algorithm 1.A).
+        if r not in (5, 6):
+            raise PdfFormatError(
+                f"unsupported encryption version /V {v} /R {r}"
+            )
+        sm = re.search(rb"/StmF\s*/(\w+)", enc_dict)
+        if sm and sm.group(1) == b"Identity":
+            return None, b""
+        cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
+        if cm and cm.group(1) != b"AESV3":
+            raise PdfFormatError(
+                f"unsupported encryption crypt filter method "
+                f"{cm.group(1).decode('latin-1')!r}"
+            )
+        ue = _dict_string(enc_dict, b"UE")
+        if len(u) < 48 or ue is None or len(ue) < 32:
+            raise PdfFormatError(
+                "unsupported encryption: malformed V5 /U //UE entries"
+            )
+        vsalt, ksalt = u[32:40], u[40:48]
+        # verify the EMPTY user password before touching any key
+        if _v5_password_hash(b"", vsalt, r) != u[:32]:
+            raise PdfFormatError(
+                "password-protected document (non-empty user password)"
+            )
+        ik = _v5_password_hash(b"", ksalt, r)
+        file_key = _aes_cbc_nopad(ik, ue[:32], bytes(16), encrypt=False)
+        perms = _dict_string(enc_dict, b"Perms")
+        if perms is not None and len(perms) >= 16:
+            rk = _aes_round_keys(file_key)
+            dec = _aes128_decrypt_block(rk, perms[:16])
+            if dec[9:12] != b"adb":
+                raise PdfFormatError(
+                    "unsupported encryption: /Perms does not verify"
+                )
+        return "aes256", file_key
     method = "rc4"
     if v == 4:
         sm = re.search(rb"/StmF\s*/(\w+)", enc_dict)
@@ -1085,8 +1238,17 @@ def _decrypt_streams(
         d = _parse_dict_region(body)
         if re.search(rb"/Type\s*/XRef\b", d):
             continue
-        ok = _object_key(key, num, gens.get(num, 0), method == "aes")
-        dec = _aes_cbc_decrypt(ok, raw) if method == "aes" else _rc4(ok, raw)
+        if method == "aes256":
+            # V5: the FILE key encrypts every stream (algorithm 1.A) —
+            # no per-object md5 derivation
+            ok = key
+        else:
+            ok = _object_key(key, num, gens.get(num, 0), method == "aes")
+        dec = (
+            _aes_cbc_decrypt(ok, raw)
+            if method in ("aes", "aes256")
+            else _rc4(ok, raw)
+        )
         nd = re.sub(
             rb"/Length\s+\d+(?:\s+\d+\s+R)?",
             b"/Length %d" % len(dec),

@@ -7070,15 +7070,16 @@ def video_vhash_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
 SELECT doc_id,
        'Confidential report ' || CAST(doc_id AS VARCHAR) ||
        ' of the quarter' AS text,
-       CASE CAST(doc_id % 3 AS INT)
-            WHEN 0 THEN 'plain' WHEN 1 THEN 'rc4' ELSE 'aes' END AS mode
+       CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN 'plain' WHEN 1 THEN 'rc4' WHEN 2 THEN 'aes'
+            ELSE 'aes256' END AS mode
 FROM documents
 """,
     doc="PDF text extraction incl. the round-11 owner-password-only "
     "decryption, certified end-to-end (the PDF lane's FIRST external "
     "anchor — until now it was pytest-only): one deterministic "
     "one-page PDF per document, Flate-compressed content, doc_id%3 "
-    "picks plain / RC4-R3-encrypted / AES-V2-encrypted (the standard "
+    "picks plain / RC4-R3 / AES-V2 / AES-256-R6 (the standard "
     "security handler with an EMPTY user password; /O //U computed by "
     "the module's own algorithm-3/4/5 fixture encoders, the same "
     "functions the pytest matrix uses), pushed through the REAL "
@@ -7109,6 +7110,8 @@ def docs_pdf_decrypt_extract(spark: SparkSession, sf: str) -> DataFrame:
             std_file_key,
             std_owner_entry,
             std_user_entry,
+            std_v5_entries,
+            std_v5_perms,
         )
 
         id0 = bytes(range(16))
@@ -7117,14 +7120,40 @@ def docs_pdf_decrypt_extract(spark: SparkSession, sf: str) -> DataFrame:
             text = f"Confidential report {did} of the quarter"
             content = ("BT 72 720 Td (" + text + ") Tj ET").encode()
             payload = _zlib.compress(content)
-            mode = ("plain", "rc4", "aes")[did % 3]
+            mode = ("plain", "rc4", "aes", "aes256")[did % 4]
             objs: dict[int, bytes] = {
                 1: b"<< /Type /Catalog /Pages 2 0 R >>",
                 2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
                 3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
             }
             trailer = b"<< /Root 1 0 R >>"
-            if mode != "plain":
+            if mode == "aes256":
+                # V5 R6: SHA-2 derivation (algorithm 2.B), /UE-wrapped
+                # file key (random in real encoders, fixed per doc for
+                # determinism), whole-document key (algorithm 1.A),
+                # /Perms emitted and verified
+                p = -44
+                file_key = bytes((did * 7 + i) % 256 for i in range(32))
+                u, ue = std_v5_entries(
+                    b"", file_key, b"VALSALT0", b"KEYSALT0", 6
+                )
+                payload = aes_cbc_encrypt(
+                    file_key, payload, iv=bytes(range(16, 32))
+                )
+                objs[5] = (
+                    b"<< /Filter /Standard /V 5 /R 6 /P %d /Length 256"
+                    b" /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s>"
+                    b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                    b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                    % (p, bytes(48).hex().encode(), u.hex().encode(),
+                       bytes(32).hex().encode(), ue.hex().encode(),
+                       std_v5_perms(p, file_key).hex().encode())
+                )
+                trailer = (
+                    b"<< /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+                    % (id0.hex().encode(), id0.hex().encode())
+                )
+            elif mode != "plain":
                 p = -44
                 r, n = (3, 16)
                 o = std_owner_entry(b"owner-secret", b"", r, n)

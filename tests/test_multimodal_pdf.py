@@ -502,6 +502,8 @@ from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
     std_file_key,
     std_owner_entry,
     std_user_entry,
+    std_v5_entries,
+    std_v5_perms,
 )
 
 _ID0 = bytes(range(16))
@@ -525,6 +527,43 @@ def _encrypted_doc(mode: str, user_pw: bytes = b"", content: bytes | None = None
     ``user_pw`` (empty = the owner-password-only case)."""
     content = content or b"BT 72 720 Td (Secret page text) Tj ET"
     p = -44  # typical permissions word (printing allowed, editing not)
+    if mode in ("aes256-r5", "aes256-r6"):
+        # V5: the file key is RANDOM in real encoders (never derived
+        # from the password) — fixed here for determinism; /U //UE
+        # computed by the module's own encoder half (std_v5_entries),
+        # /O //OE are opaque to the empty-USER-password path
+        r = 5 if mode.endswith("r5") else 6
+        file_key = bytes(range(32, 64))
+        vsalt, ksalt = b"VALSALT0", b"KEYSALT0"
+        u, ue = std_v5_entries(user_pw, file_key, vsalt, ksalt, r)
+        o, oe = bytes(48), bytes(32)
+        perms = std_v5_perms(p, file_key)
+        payload = _aes_cbc_encrypt(
+            file_key, zlib.compress(content), iv=bytes(range(16, 32))
+        )
+        objs = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+            2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+            3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+            4: _stream_obj(
+                b"<< /Length %d /Filter /FlateDecode >>" % len(payload),
+                payload,
+            ),
+            5: (
+                b"<< /Filter /Standard /V 5 /R %d /P %d /Length 256"
+                b" /O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s>"
+                b" /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen"
+                b" /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+                % (r, p, o.hex().encode(), u.hex().encode(),
+                   oe.hex().encode(), ue.hex().encode(),
+                   perms.hex().encode())
+            ),
+        }
+        return _pdf(
+            objs,
+            trailer=b"<< /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+            % (_ID0.hex().encode(), _ID0.hex().encode()),
+        )
     if mode == "rc4-r2":
         v, r, n, enc_extra = 1, 2, 5, b""
     elif mode == "rc4-r3":
@@ -612,3 +651,103 @@ def test_gen_map_ignores_headers_inside_streams():
     gens: dict[int, int] = {}
     objs = _scan_objects(pdf, gens_out=gens)
     assert 4 in objs and gens[4] == 0  # the REAL gen, not the in-stream 7
+
+
+@pytest.mark.parametrize("mode", ["aes256-r5", "aes256-r6"])
+def test_aes256_empty_user_password_decrypts(mode):
+    """AES-256 (V5 R5/R6) owner-password-only documents extract their
+    text end-to-end: SHA-2 password hash (plain SHA-256 at R5, the
+    iterated algorithm-2.B at R6) verified against /U, the file key
+    unwrapped from /UE, /Perms verified, and every stream decrypted
+    with the whole-document key (algorithm 1.A — NO per-object md5)."""
+    assert extract_pdf_text(_encrypted_doc(mode)) == "Secret page text"
+
+
+@pytest.mark.parametrize("mode", ["aes256-r5", "aes256-r6"])
+def test_aes256_real_user_password_quarantines(mode):
+    pdf = _encrypted_doc(mode, user_pw=b"real-password")
+    with pytest.raises(PdfFormatError, match="password-protected"):
+        extract_pdf_text(pdf)
+
+
+def test_aes256_tampered_perms_quarantines():
+    """A /Perms block that does not decrypt to the 'adb' sentinel under
+    the unwrapped file key means the document is inconsistent — typed
+    quarantine, never silent acceptance."""
+    import re as _re
+
+    pdf = _encrypted_doc("aes256-r6")
+    m = _re.search(rb"/Perms <([0-9a-f]+)>", pdf)
+    bad = bytearray(bytes.fromhex(m.group(1).decode()))
+    bad[0] ^= 0xFF
+    pdf = pdf.replace(m.group(1), bad.hex().encode())
+    with pytest.raises(PdfFormatError, match="Perms"):
+        extract_pdf_text(pdf)
+
+
+def test_aes256_core_fips_197_known_answers():
+    """The 256-bit schedule is anchored to FIPS-197 appendix C.3 (and
+    C.1 re-pins the 128-bit path) — an external vector, so the
+    encoder/decoder pair cannot agree on a transcription error."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
+        _aes128_decrypt_block,
+        _aes128_encrypt_block,
+        _aes_round_keys,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    ct256 = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rk = _aes_round_keys(k256)
+    assert _aes128_encrypt_block(rk, pt) == ct256
+    assert _aes128_decrypt_block(rk, ct256) == pt
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    ct128 = bytes.fromhex("69c4e0d86a7b0430d8cdb78070b4c55a")
+    rk = _aes_round_keys(k128)
+    assert _aes128_encrypt_block(rk, pt) == ct128
+    assert _aes128_decrypt_block(rk, ct128) == pt
+
+
+def test_hash_2b_independent_restatement():
+    """hash_2b checked against a structurally independent restatement
+    (bytes-level loop, pycryptodome-style flow) — catches transcription
+    slips in the production implementation; the AES core underneath is
+    separately FIPS-anchored."""
+    import hashlib
+
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.pdf import (
+        _aes128_encrypt_block,
+        _aes_round_keys,
+        hash_2b,
+    )
+
+    def reference(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+        digests = {0: hashlib.sha256, 1: hashlib.sha384, 2: hashlib.sha512}
+        k = hashlib.sha256(pw + salt + udata).digest()
+        rounds = 0
+        while True:
+            block = (pw + k + udata) * 64
+            rk = _aes_round_keys(k[:16])
+            prev, out = k[16:32], bytearray()
+            for off in range(0, len(block), 16):
+                ct = _aes128_encrypt_block(
+                    rk,
+                    bytes(x ^ y for x, y in zip(block[off : off + 16], prev)),
+                )
+                out += ct
+                prev = ct
+            k = digests[sum(out[:16]) % 3](bytes(out)).digest()
+            rounds += 1
+            if rounds >= 64 and out[-1] <= rounds - 32:
+                return k[:32]
+
+    for pw, salt in [
+        (b"", b"VALSALT0"),
+        (b"", b"KEYSALT0"),
+        (b"real-password", b"\x00" * 8),
+        (b"x" * 40, b"saltsalt"),
+    ]:
+        assert hash_2b(pw, salt) == reference(pw, salt)
