@@ -160,6 +160,24 @@ def nb_load(spark, path: str) -> dict[str, DataFrame]:
     }
 
 
+def nb_persist(model: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Persist the three model frames IN PLACE and materialize them
+    eagerly (one bounded O(training-vocabulary) scan) so every later
+    consumer — a long stream gating hundreds of batches — reads the
+    cache instead of re-scanning the model parquet per batch.  Pair
+    with :func:`nb_unpersist` when the stream ends."""
+    for name in ("token_counts", "label_totals", "stats"):
+        model[name] = model[name].persist()
+        model[name].count()  # eager: the first batch must not pay the scan
+    return model
+
+
+def nb_unpersist(model: dict[str, DataFrame]) -> None:
+    """Release frames persisted by :func:`nb_persist`."""
+    for name in ("token_counts", "label_totals", "stats"):
+        model[name].unpersist()
+
+
 def nb_require_labels(
     model: dict[str, DataFrame], labels: tuple[str, ...] | list[str]
 ) -> None:

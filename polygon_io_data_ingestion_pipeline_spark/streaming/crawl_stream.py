@@ -652,6 +652,7 @@ def start_crawl_ingest(
     schedule_graph_path: str | None = None,
     clf_drift_path: str | None = None,
     clf_drift_hist: tuple[float, float, int] = (-50.0, 50.0, 40),
+    persist_model: bool = False,
 ):
     """Drain available crawl files into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).  A restart
@@ -681,10 +682,14 @@ def start_crawl_ingest(
     or ``nb_load``, labels ``good``/``bad``) gates each batch with the
     model-based quality filter: pages whose good-vs-bad log-odds falls
     below ``clf_margin`` drop with per-batch accounting; unscorable
-    pages keep.  The model tables are re-read per batch (bounded
-    parquet scans of O(training vocabulary) — leak-free by default;
-    a caller running very many batches in one session may persist the
-    three frames itself and unpersist them after the stream ends).
+    pages keep.  By default the model tables are re-read per batch
+    (bounded parquet scans of O(training vocabulary) — leak-free);
+    ``persist_model=True`` caches and eagerly materializes the three
+    frames ONCE at stream setup (``classify.nb_persist``) so a
+    long-running crawl scans the model exactly once per stream — the
+    caller releases them with ``classify.nb_unpersist(clf_model)``
+    after the stream terminates (the journey test pins the
+    scan-once contract across a 3-batch drain).
     A model trained on other labels fails HERE, at stream setup: the
     gate's NULL-keeps contract would otherwise keep every page with
     dropped=0.
@@ -703,9 +708,11 @@ def start_crawl_ingest(
     that catches a stale model as the crawl's content drifts away from
     its training references (``clf_drift_hist`` = (lo, hi, bins))."""
     if clf_model is not None:
-        from ..operators.classify import nb_require_labels
+        from ..operators.classify import nb_persist, nb_require_labels
 
         nb_require_labels(clf_model, ("good", "bad"))
+        if persist_model:
+            nb_persist(clf_model)
     return (
         read_warc_stream(
             spark, src_glob, max_files_per_trigger=max_files_per_trigger

@@ -687,3 +687,74 @@ def test_crawl_separates_intra_script_languages(spark, tmp_path):
     # every CJK page failed the word-level rules structurally)
     # the crawl refines Han variants (the fixture is simplified)
     assert langs == {"ru": "ru", "uk": "uk", "zh": "zh-hans", "ja": "ja"}
+
+
+def test_persist_model_scans_model_once_per_stream(spark, tmp_path):
+    """persist_model=True (round-12 verdict ask #5): the NB gate's
+    model frames are cached and materialized ONCE at stream setup, so
+    the per-batch scoring joins read the cache — the model scan count
+    is INDEPENDENT of how many batches the stream drains.  Pinned with
+    an accumulator ticking inside the model frames' lineage: equal
+    across a 1-batch and a 3-batch drain with persist_model=True, and
+    strictly larger on a 3-batch drain without it."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.classify import (
+        nb_load,
+        nb_save,
+        nb_train,
+        nb_unpersist,
+    )
+
+    spammy = (
+        "the cheap pills and the lucky prize of the winner in the draw "
+        "are the offer of the day while the bonus of the deal is the "
+        "gift of the spin and the jackpot of the club"
+    )
+    train = spark.createDataFrame(
+        [("good", GOOD_A), ("good", GOOD_B)]
+        + [("bad", spammy), ("bad", spammy)],
+        "label string, text string",
+    )
+    nb_save(nb_train(train), str(tmp_path / "model"))
+
+    def counting_model(acc):
+        model = nb_load(spark, str(tmp_path / "model"))
+
+        def wrap(df):
+            schema = df.schema
+
+            def tick(batches):
+                for b in batches:
+                    acc.add(len(b))
+                    yield b
+
+            return df.mapInPandas(tick, schema)
+
+        return {name: wrap(frame) for name, frame in model.items()}
+
+    def run(tag, n_batches, persist):
+        src = tmp_path / f"crawl-{tag}"
+        src.mkdir()
+        for i in range(n_batches):
+            _write_warc(src, f"{i}.warc.gz", [
+                _warc_record(
+                    "response", f"http://x.example/g{i}",
+                    _http(_page(GOOD_A)),
+                ),
+            ])
+        acc = spark.sparkContext.accumulator(0)
+        model = counting_model(acc)
+        _drain(
+            spark, src, tmp_path / f"lake-{tag}", tmp_path / f"ckpt-{tag}",
+            clf_model=model, persist_model=persist, max_files_per_trigger=1,
+        )
+        kept = spark.read.parquet(str(tmp_path / f"lake-{tag}")).count()
+        assert kept == n_batches  # every good page kept, one per batch
+        if persist:
+            nb_unpersist(model)
+        return acc.value
+
+    one = run("p1", 1, persist=True)
+    three = run("p3", 3, persist=True)
+    plain = run("n3", 3, persist=False)
+    assert one == three  # scan count independent of batch count
+    assert plain > three  # the default re-reads per batch (leak-free)
