@@ -215,27 +215,29 @@ def crawl_records_to_docs(
     return _recs_to_docs(recs, main_content=main_content)
 
 
-def compact_attempted(
+def _compact_batch_dirs(
     spark: SparkSession,
-    attempted_root: str,
-    min_batch_dirs: int = 16,
+    root: str,
+    holder: str,
+    min_batch_dirs: int,
+    select_cols: tuple[str, ...] | None,
 ) -> dict[str, int]:
-    """Compact the batch-keyed attempted-URL table: fold the accrued
-    ``batch_id=N/`` directories into ONE distinct-url baseline
-    directory so the per-batch listing stays cheap on a long-running
-    crawl (round-10 left this as an operational note; this is the code).
+    """Shared batch-directory fold for SET-semantic batch-keyed tables
+    (attempted URLs, outlink edges): fold the accrued ``batch_id=N/``
+    directories into ONE distinct-rows baseline directory so the
+    per-batch listing stays cheap on a long-running crawl.
 
-    The attempted table is a SET under union-distinct semantics, which
-    makes compaction straightforwardly crash-safe when ordered
+    Such a table is a SET under union-distinct semantics, which makes
+    compaction straightforwardly crash-safe when ordered
     duplicates-first: (1) write the distinct union to a staging sibling,
     (2) RENAME it into the root as a fresh, never-used negative
     ``batch_id`` (one FS namespace op), (3) only then delete the
     consumed directories.  A crash after (2) leaves duplicate rows —
-    harmless to a distinct union; no window ever has MISSING rows, the
-    failure that would re-schedule gate-dropped pages.  A checkpoint
-    replay of an already-compacted batch simply rewrites its own
-    ``batch_id=N`` directory next to the baseline — duplicates again,
-    set unchanged — so replay determinism holds through compaction.
+    harmless to a distinct union; no window ever has MISSING rows.  A
+    checkpoint replay of an already-compacted batch simply rewrites its
+    own ``batch_id=N`` directory next to the baseline — duplicates
+    again, set unchanged — so replay determinism holds through
+    compaction.
 
     Serialized behind the root's maintenance lease (the same protocol
     every lake maintainer uses); no-ops below ``min_batch_dirs`` so the
@@ -245,11 +247,11 @@ def compact_attempted(
 
     from ..sources.lease import LakeLease
 
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(attempted_root)
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path(root)
     fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
     if not fs.exists(jvm_path):
         return {"dirs_before": 0, "dirs_after": 0, "compacted": 0}
-    with LakeLease(spark, attempted_root, holder="compact_attempted"):
+    with LakeLease(spark, root, holder=holder):
         dirs = {}
         for st in fs.listStatus(jvm_path):
             name = st.getPath().getName()
@@ -263,29 +265,64 @@ def compact_attempted(
                 "compacted": 0,
             }
         baseline_id = min(list(dirs) + [0]) - 1
-        staging = attempted_root.rstrip("/") + "_compacting"
-        (
-            spark.read.parquet(attempted_root)
-            .select("url")
-            .distinct()
-            .write.mode("overwrite")
-            .parquet(staging)
-        )
+        staging = root.rstrip("/") + "_compacting"
+        base = spark.read.parquet(root)
+        if select_cols is not None:
+            base = base.select(*select_cols)
+        base.distinct().write.mode("overwrite").parquet(staging)
         dest = spark._jvm.org.apache.hadoop.fs.Path(
-            os.path.join(attempted_root, f"batch_id={baseline_id}")
+            os.path.join(root, f"batch_id={baseline_id}")
         )
         if not fs.rename(spark._jvm.org.apache.hadoop.fs.Path(staging), dest):
-            raise IOError(
-                f"compact_attempted: rename {staging} -> {dest} failed"
-            )
+            raise IOError(f"{holder}: rename {staging} -> {dest} failed")
         for _bid, p in dirs.items():
             fs.delete(spark._jvm.org.apache.hadoop.fs.Path(p), True)
-        spark.catalog.refreshByPath(attempted_root)
+        spark.catalog.refreshByPath(root)
         return {
             "dirs_before": len(dirs),
             "dirs_after": 1,
             "compacted": len(dirs),
         }
+
+
+def compact_attempted(
+    spark: SparkSession,
+    attempted_root: str,
+    min_batch_dirs: int = 16,
+) -> dict[str, int]:
+    """Fold the attempted-URL table's batch directories into one
+    distinct-url baseline — see :func:`_compact_batch_dirs` (round-10
+    left this as an operational note; this is the code)."""
+    return _compact_batch_dirs(
+        spark,
+        attempted_root,
+        holder="compact_attempted",
+        min_batch_dirs=min_batch_dirs,
+        select_cols=("url",),
+    )
+
+
+def compact_edges(
+    spark: SparkSession,
+    outlinks_root: str,
+    min_batch_dirs: int = 16,
+) -> dict[str, int]:
+    """Fold the outlinks edge table's batch directories into one
+    distinct-rows baseline (round-12 verdict ask #8 — the edge roots
+    grow exactly like the attempted table and ``webgraph`` re-reads
+    them whole).  Row-level distinct is OUTPUT-PRESERVING for every
+    edge consumer: pagerank/components run on ``distinct(src, dst)``
+    after the nofollow filter, and the anchor index counts DISTINCT
+    referrers and DISTINCT (url, anchor) pairs — none is sensitive to
+    cross-batch row multiplicity (a re-fetch of the same page emits
+    byte-identical edge rows)."""
+    return _compact_batch_dirs(
+        spark,
+        outlinks_root,
+        holder="compact_edges",
+        min_batch_dirs=min_batch_dirs,
+        select_cols=None,
+    )
 
 
 def write_crawl_batch(
@@ -343,7 +380,9 @@ def write_crawl_batch(
     one distinct baseline every N batches (:func:`compact_attempted` —
     duplicates-first ordering keeps every crash window a harmless
     duplicate, never a missing row) so the per-batch listing stays
-    bounded on a long-running crawl."""
+    bounded on a long-running crawl; the outlinks edge roots fold on
+    the same cadence (:func:`compact_edges`, round-12 verdict ask #8 —
+    row-distinct is output-preserving for every edge consumer)."""
     import os
 
     if schedule_path is not None and outlinks_path is None:
@@ -373,6 +412,25 @@ def write_crawl_batch(
         if outlinks_path is not None:
             from ..sources.archive import extract_outlinks
 
+            if compact_attempted_every is not None and (
+                batch_id > 0 and batch_id % compact_attempted_every == 0
+            ):
+                # the edge roots grow exactly like the attempted table
+                # (one dir per batch, whole-table re-reads in webgraph)
+                # — fold them on the same cadence; row-distinct is
+                # output-preserving for every edge consumer (see
+                # compact_edges).  BEFORE this batch's write: the
+                # schedule branch reads batch_id={batch_id} directly,
+                # which a fold running after the write would consume
+                estats = compact_edges(
+                    batch_df.sparkSession, outlinks_path
+                )
+                if estats["compacted"]:
+                    print(
+                        f"edges-compact[batch {batch_id}]: "
+                        f"dirs {estats['dirs_before']} -> "
+                        f"{estats['dirs_after']}"
+                    )
             (
                 extract_outlinks(
                     kept.filter(F.col("content_type").startswith("text/html"))
@@ -696,8 +754,9 @@ def start_crawl_ingest(
 
     ``compact_attempted_every`` folds the attempted-URL table's accrued
     batch directories into one distinct baseline every N batches (see
-    :func:`compact_attempted`) — bounds the per-batch listing on a
-    long-running crawl; ``max_files_per_trigger`` paces the backlog;
+    :func:`compact_attempted`) AND the outlinks edge roots on the same
+    cadence (:func:`compact_edges`) — bounds the per-batch listing and
+    the webgraph's whole-table re-read on a long-running crawl; ``max_files_per_trigger`` paces the backlog;
     ``schedule_graph_path`` (a webgraph ``pagerank/`` or ``trust/``
     table) attaches a fetch-order ``priority`` column to each batch's
     schedule so a fetcher drains high-value pages first within

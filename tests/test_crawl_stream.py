@@ -511,6 +511,14 @@ def test_attempted_compaction_bounds_dirs_across_long_crawl(spark, tmp_path):
     dirs = [d for d in os.listdir(att) if re.fullmatch(r"batch_id=-?\d+", d)]
     # compaction every 5 batches: baseline + at most 5 accrued dirs
     assert len(dirs) <= 7, dirs
+    # the outlinks edge root folds on the same cadence (round-12 ask
+    # #8) — bounded dirs; set identity + pagerank invariance are pinned
+    # by test_compact_edges_unit_pagerank_and_anchor_identity
+    edirs = [
+        d for d in os.listdir(tmp_path / "edges")
+        if re.fullmatch(r"batch_id=-?\d+", d)
+    ]
+    assert len(edirs) <= 7, edirs
     # attempted set == every response URL any batch carried
     attempted = {
         r["url"] for r in
@@ -758,3 +766,81 @@ def test_persist_model_scans_model_once_per_stream(spark, tmp_path):
     plain = run("n3", 3, persist=False)
     assert one == three  # scan count independent of batch count
     assert plain > three  # the default re-reads per batch (leak-free)
+
+
+def test_compact_edges_unit_pagerank_and_anchor_identity(spark, tmp_path):
+    """compact_edges over a 20-batch outlinks root: folds every batch
+    dir into one negative-id baseline and is OUTPUT-PRESERVING for the
+    edge consumers — pagerank_directed and anchor_text_index return
+    byte-identical rows before and after the fold (row-level distinct
+    collapses only cross-batch re-fetch duplicates, which every
+    consumer already ignores)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.graph import (
+        pagerank_directed,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.urls import (
+        anchor_text_index,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.streaming.crawl_stream import (
+        compact_edges,
+    )
+
+    root = str(tmp_path / "edges")
+    for b in range(20):
+        rows = [
+            # stable site chrome: the SAME edge row re-fetched every
+            # batch (the duplication compaction collapses)
+            ("http://x.example/home", "http://x.example/about",
+             "about us", False),
+            # per-batch fresh content edges
+            (f"http://x.example/p{b}", "http://x.example/home",
+             f"back home {b}", False),
+            (f"http://x.example/p{b}", f"http://x.example/p{b + 1}",
+             "next", False),
+            # nofollow edge (excluded by both consumers)
+            (f"http://x.example/p{b}", "http://ads.example/track",
+             "ad", True),
+        ]
+        spark.createDataFrame(
+            rows, "src string, dst string, anchor string, nofollow boolean"
+        ).write.parquet(os.path.join(root, f"batch_id={b}"))
+
+    def consume():
+        e = spark.read.parquet(root)
+        followed = (
+            e.filter(~F.coalesce(F.col("nofollow"), F.lit(False)))
+            .select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        pr = sorted(
+            (r["node"], r["out_degree"], r["rank"])
+            for r in pagerank_directed(followed, iters=2).collect()
+        )
+        anchors = sorted(
+            (r["url"], r["in_refs"], tuple(r["anchors"]))
+            for r in anchor_text_index(e, normalize=False).collect()
+        )
+        return pr, anchors
+
+    before = consume()
+    stats = compact_edges(spark, root, min_batch_dirs=16)
+    assert stats == {"dirs_before": 20, "dirs_after": 1, "compacted": 20}
+    dirs = [
+        d for d in os.listdir(root) if re.fullmatch(r"batch_id=-?\d+", d)
+    ]
+    assert dirs == ["batch_id=-1"]
+    assert consume() == before
+    # below-threshold second call is a no-op
+    assert compact_edges(spark, root, min_batch_dirs=16)["compacted"] == 0
+    # a crash-replayed batch dir next to the baseline: duplicates only
+    spark.createDataFrame(
+        [("http://x.example/home", "http://x.example/about",
+          "about us", False)],
+        "src string, dst string, anchor string, nofollow boolean",
+    ).write.parquet(os.path.join(root, "batch_id=3"))
+    assert consume() == before
