@@ -30,6 +30,11 @@ Containers, pure stdlib (zipfile + ElementTree, like :mod:`.docx`):
 - **ODS error cells** fold into the formula skip count (an ODF error
   IS a formula result), so ``skipped_error`` is always 0 for ODS;
   xlsx reports the two classes separately.
+- **XLS (BIFF8)** — sniffed by the OLE2 magic plus a Workbook-stream
+  directory probe (a legacy ``.doc`` is the same container; the probe
+  keeps prose out of the sheet lane).  Decoded by :mod:`.xls`
+  (pure-stdlib CFB walk + BIFF8 records) into the SAME typed rows;
+  FILEPASS-encrypted workbooks quarantine typed (round-12 ask #6).
 
 **Formula and error cells are SKIPPED with accounting**, not emitted:
 a formula's cached value is the producing application's claim, not
@@ -82,9 +87,20 @@ def _local(tag: str) -> str:
 
 
 def sniff_sheet_kind(data: bytes) -> str | None:
-    """'xlsx' / 'ods' when the payload is a workbook container, else
-    None (plain zips, prose Office documents and corrupt zips fall
-    through to their own lanes)."""
+    """'xlsx' / 'ods' / 'xls' when the payload is a workbook container,
+    else None (plain zips, prose Office documents, non-Workbook OLE2
+    compound files and corrupt containers fall through to their own
+    lanes)."""
+    from .xls import CFB_MAGIC, cfb_stream
+
+    if data.startswith(CFB_MAGIC):
+        # legacy BIFF8: an OLE2 compound file CONTAINING a Workbook
+        # stream (a .doc is also CFB — the directory probe is the gate)
+        try:
+            cfb_stream(data)
+            return "xls"
+        except Exception:
+            return None
     if not data.startswith(_ZIP_MAGIC):
         return None
     try:
@@ -430,6 +446,17 @@ def extract_sheet_cells(data: bytes) -> tuple[str, Cells]:
     """(kind, (cells, skipped_formula, skipped_error)) for an XLSX or
     ODS payload; raises :class:`SheetFormatError` for anything else
     (including prose Office documents — those belong to the text lane)."""
+    from struct import error as _struct_error
+
+    from .xls import CFB_MAGIC, xls_cells
+
+    if data.startswith(CFB_MAGIC):
+        # legacy BIFF8 (.xls) — round-12 ask #6; FILEPASS-encrypted
+        # workbooks and malformed containers quarantine typed here
+        try:
+            return "xls", xls_cells(data)
+        except (ValueError, IndexError, KeyError, _struct_error) as e:
+            raise SheetFormatError(f"corrupt xls workbook: {e}") from e
     if not data.startswith(_ZIP_MAGIC):
         raise SheetFormatError("not a zip container")
     try:

@@ -6905,19 +6905,21 @@ strs AS (
 SELECT * FROM nums UNION ALL SELECT * FROM strs
 """,
     doc="Structured spreadsheet extraction (multimodal/sheet.py, "
-    "round-11 verdict ask #5): one deterministic workbook per document "
-    "— EVEN doc_ids build XLSX (workbook part -> rels -> worksheet, "
-    "shared strings), ODD doc_ids build ODS (mimetype content gate, "
-    "office:value-type cells) — each carrying 3 number cells, 3 "
+    "round-11 verdict ask #5; round 12 adds the legacy lane): one "
+    "deterministic workbook per document — doc_id%3 picks XLSX "
+    "(workbook part -> rels -> worksheet, shared strings), ODS "
+    "(mimetype content gate, office:value-type cells) or BIFF8 .xls "
+    "(pure-stdlib CFB walk + SST/NUMBER/BOOLERR records, "
+    "multimodal/xls.py) — each carrying 3 number cells, 3 "
     "shared/string cells, and formula + error cells that must be "
     "SKIPPED with accounting, pushed through the REAL container "
     "parse into typed (sheet, row, col, value_type, value_string, "
     "value_num) rows.  The prose gate stays intact: these containers "
     "never reach the text lane (sniff_office_kind refuses "
     "spreadsheets).  GENERATIVE oracle: expected cells re-derived "
-    "from the construction arithmetic — both container formats must "
-    "converge on identical typed rows, certifying both parsers and "
-    "the formula/error skip in one hash.",
+    "from the construction arithmetic — all THREE container formats "
+    "must converge on identical typed rows, certifying the parsers "
+    "and the formula/error skip in one hash.",
     tags=("multimodal",),
 )
 def sheet_cells_extract(spark: SparkSession, sf: str) -> DataFrame:
@@ -6933,6 +6935,7 @@ def sheet_cells_extract(spark: SparkSession, sf: str) -> DataFrame:
         import pandas as _pd
 
         from ..multimodal.sheet import build_ods, build_xlsx
+        from ..multimodal.xls import build_xls
 
         for batch in batches:
             payloads = []
@@ -6944,7 +6947,7 @@ def sheet_cells_extract(spark: SparkSession, sf: str) -> DataFrame:
                     spec.append((r, 2, "s", f"w{(did + r) % 5}"))
                 spec.append((4, 1, "f", 99))
                 spec.append((4, 2, "e", "#DIV/0!"))
-                build = build_xlsx if did % 2 == 0 else build_ods
+                build = (build_xlsx, build_ods, build_xls)[did % 3]
                 payloads.append(build(spec))
             yield _pd.DataFrame(
                 {"media_id": batch["doc_id"], "payload": payloads}

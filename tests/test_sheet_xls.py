@@ -1,0 +1,195 @@
+"""Legacy Excel (BIFF8 .xls) lane — round-12 verdict ask #6: the same
+typed-rows contract as XLSX/ODS, pure-stdlib CFB + BIFF8, encrypted
+workbooks quarantine."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from polygon_io_data_ingestion_pipeline_spark.multimodal.sheet import (
+    SheetFormatError,
+    extract_sheet_cells,
+    sheet_cells,
+    sniff_sheet_kind,
+)
+from polygon_io_data_ingestion_pipeline_spark.multimodal.xls import (
+    CFB_MAGIC,
+    _cfb_wrap,
+    _rec,
+    build_xls,
+    xls_cells,
+)
+
+SPEC = [
+    (1, 1, "s", "name"),
+    (1, 2, "s", "qty"),
+    (2, 1, "s", "widget"),
+    (2, 2, "n", 7),
+    (3, 1, "s", "café £ ünïts"),
+    (3, 2, "n", 3.25),
+    (4, 1, "s", "科学家"),
+    (4, 2, "b", True),
+    (5, 1, "d", 45000),
+    (5, 2, "f", None),
+]
+
+
+def test_xls_roundtrip_typed_rows():
+    cells, nf, ne = xls_cells(build_xls(SPEC, sheet="R"))
+    assert cells == [
+        ("R", 1, 1, "s", "name", None),
+        ("R", 1, 2, "s", "qty", None),
+        ("R", 2, 1, "s", "widget", None),
+        ("R", 2, 2, "n", "7", 7.0),
+        ("R", 3, 1, "s", "café £ ünïts", None),
+        ("R", 3, 2, "n", "3.25", 3.25),
+        ("R", 4, 1, "s", "科学家", None),
+        ("R", 4, 2, "b", "true", 1.0),
+        ("R", 5, 1, "d", "2023-03-15", 45000.0),
+    ]
+    assert (nf, ne) == (1, 0)
+
+
+def test_xls_converges_with_xlsx_typed_rows():
+    """The same logical workbook through the xls and xlsx encoders must
+    yield IDENTICAL typed rows — the cross-container convergence
+    contract the sheet_cells_extract oracle pins for xlsx/ods."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.sheet import (
+        build_xlsx,
+    )
+
+    spec = [(1, 1, "s", "h"), (2, 1, "n", "7"), (2, 2, "s", "x y")]
+    _, (xc, _, _) = extract_sheet_cells(
+        build_xlsx([(r, c, t, v) for r, c, t, v in spec], sheet="S")
+    )
+    bc, _, _ = xls_cells(
+        build_xls([(1, 1, "s", "h"), (2, 1, "n", 7), (2, 2, "s", "x y")])
+    )
+    assert bc == xc
+
+
+def test_xls_sniff_and_extract_route():
+    wb = build_xls(SPEC)
+    assert sniff_sheet_kind(wb) == "xls"
+    kind, (cells, nf, ne) = extract_sheet_cells(wb)
+    assert kind == "xls" and len(cells) == 9 and nf == 1
+
+
+def test_doc_shaped_cfb_stays_out_of_the_sheet_lane():
+    """A legacy .doc is the same OLE2 container with a WordDocument
+    stream — the directory probe must NOT claim it."""
+    doc = _cfb_wrap(b"prose bytes".ljust(4096, b"\x00"), name="WordDocument")
+    assert doc.startswith(CFB_MAGIC)
+    assert sniff_sheet_kind(doc) is None
+    with pytest.raises(SheetFormatError, match="no Workbook"):
+        extract_sheet_cells(doc)
+
+
+def test_filepass_encrypted_workbook_quarantines():
+    """A FILEPASS record in the globals substream (RC4/XOR workbook
+    encryption) quarantines typed — built as a real stream through the
+    encoder pieces, not a byte splice (inserting bytes into the
+    CONTAINER would shift its sector layout)."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.xls import (
+        _BOF,
+        _EOF,
+    )
+
+    bof_g = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    filepass = _rec(0x002F, struct.pack("<HHH", 1, 1, 1))
+    eof = _rec(_EOF, b"")
+    wb = _cfb_wrap((bof_g + filepass + eof).ljust(4096, b"\x00"))
+    with pytest.raises(SheetFormatError, match="encrypted"):
+        extract_sheet_cells(wb)
+
+
+def test_rk_and_mulrk_cells_decode():
+    """RK compressed numbers (int, int/100, truncated-double forms) and
+    MULRK runs — the records real Excel writes for most numeric cells;
+    the fixture encoder emits NUMBER, so these are spliced by hand."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.xls import (
+        _BOF,
+        _EOF,
+        _BOUNDSHEET,
+        _XF,
+    )
+
+    def enc_rk_int(v):
+        return ((v << 2) | 0x02) & 0xFFFFFFFF
+
+    bof_g = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    xf = _rec(_XF, bytes(20))
+    name = b"\x01\x00S"
+    bs = _rec(_BOUNDSHEET, struct.pack("<IH", 0, 0) + name)
+    eof = _rec(_EOF, b"")
+    glen = len(bof_g) + len(xf) + len(bs) + len(eof)
+    bs = _rec(_BOUNDSHEET, struct.pack("<IH", glen, 0) + name)
+    # sheet: one RK int, one RK int/100, one MULRK of two ints
+    half_dbl = struct.unpack("<I", struct.pack("<d", 2.5)[4:])[0] & 0xFFFFFFFC
+    body = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    body += _rec(0x027E, struct.pack("<HHHI", 0, 0, 0, enc_rk_int(42)))
+    body += _rec(0x027E, struct.pack("<HHHI", 0, 1, 0, enc_rk_int(1234) | 0x01))
+    body += _rec(0x027E, struct.pack("<HHHI", 0, 2, 0, half_dbl))
+    body += _rec(
+        0x00BD,
+        struct.pack("<HH", 1, 0)
+        + struct.pack("<HI", 0, enc_rk_int(5))
+        + struct.pack("<HI", 0, enc_rk_int(6))
+        + struct.pack("<H", 1),
+    )
+    body += _rec(_EOF, b"")
+    wb = _cfb_wrap((bof_g + xf + bs + eof + body).ljust(4096, b"\x00"))
+    cells, nf, ne = xls_cells(wb)
+    assert cells == [
+        ("S", 1, 1, "n", "42", 42.0),
+        ("S", 1, 2, "n", "12.34", 12.34),
+        ("S", 1, 3, "n", "2.5", 2.5),
+        ("S", 2, 1, "n", "5", 5.0),
+        ("S", 2, 2, "n", "6", 6.0),
+    ]
+
+
+def test_sst_continue_split_mid_string():
+    """An SST string whose character data crosses into a CONTINUE
+    record restarts with a fresh options byte there — including a
+    narrow->wide width flip at the boundary (the BIFF8 trap)."""
+    from polygon_io_data_ingestion_pipeline_spark.multimodal.xls import (
+        _SSTReader,
+    )
+
+    # "abcdef" split after 3 narrow chars, continuation narrow
+    seg1 = struct.pack("<H", 6) + b"\x00" + b"abc"
+    seg2 = b"\x00" + b"def"
+    assert _SSTReader([seg1, seg2]).read_string() == "abcdef"
+    # "ab科学" split after 2 narrow chars, continuation WIDE
+    seg1 = struct.pack("<H", 4) + b"\x00" + b"ab"
+    seg2 = b"\x01" + "科学".encode("utf-16-le")
+    assert _SSTReader([seg1, seg2]).read_string() == "ab科学"
+
+
+def test_xls_spark_lane_and_cli_kind(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(build_xls(SPEC, sheet="R")))],
+        "media_id long, payload binary",
+    )
+    rows = sheet_cells(df).collect()
+    ok = [r for r in rows if r["decode_ok"]]
+    assert len(ok) == 9
+    assert {r["kind"] for r in ok} == {"xls"}
+    assert sorted(
+        (r["sheet"], r["row"], r["col"], r["value_type"]) for r in ok
+    )[0] == ("R", 1, 1, "s")
+    assert ok[0]["skipped_formula"] == 1
+
+
+def test_truncated_cfb_quarantines_typed(spark):
+    wb = build_xls(SPEC)[:700]
+    with pytest.raises(SheetFormatError):
+        extract_sheet_cells(wb)
+    df = spark.createDataFrame(
+        [(1, bytearray(wb))], "media_id long, payload binary"
+    )
+    [row] = sheet_cells(df).collect()
+    assert (row["sheet"], row["decode_ok"]) == (None, False)
