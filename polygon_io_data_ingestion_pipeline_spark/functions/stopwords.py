@@ -464,12 +464,19 @@ def _fold_sql(
             (("1L" if x else "0L") if indicator else f"{x}L") for x in vec
         )
 
+    def _sql_str(s: str) -> str:
+        # Spark's string-literal parser processes BACKSLASH escapes:
+        # a word containing \ or ' must escape both or the literal
+        # (and for the JSON encoding below, the embedded JSON) silently
+        # corrupts — from_json is permissive and would return a NULL
+        # map, classifying every document as the zero-hit default with
+        # no error anywhere (round-12 review finding)
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
     vocab = _weight_vocab(freq)
     if flat:
         entries = ", ".join(
-            "'{w}', array({v})".format(
-                w=word.replace("'", "''"), v=fmt_vec(vec)
-            )
+            "'{w}', array({v})".format(w=_sql_str(word), v=fmt_vec(vec))
             for word, vec in vocab.items()
         )
         lookup = f"map({entries})[w]"
@@ -491,11 +498,13 @@ def _fold_sql(
             buckets.setdefault(word[0], {})[word] = [
                 (min(x, 1) if indicator else x) for x in vec
             ]
-        js = json.dumps(
-            dict(sorted(buckets.items())),
-            ensure_ascii=False,
-            separators=(",", ":"),
-        ).replace("'", "''")
+        js = _sql_str(
+            json.dumps(
+                dict(sorted(buckets.items())),
+                ensure_ascii=False,
+                separators=(",", ":"),
+            )
+        )
         lookup = (
             f"from_json('{js}', 'map<string,map<string,array<bigint>>>')"
             f"[substring(w, 1, 1)][w]"

@@ -1007,12 +1007,11 @@ def std_v5_perms(p: int, file_key: bytes) -> bytes:
     (little-endian, sign-extended to 8 bytes) + 'T' (EncryptMetadata) +
     'adb' + 4 arbitrary bytes, AES-256-ECB-encrypted with the file
     key.  Fixture encoder half of the _std_security_handler check."""
-    blk = (
-        (p & 0xFFFFFFFF).to_bytes(4, "little")
-        + b"\xff\xff\xff\xff"
-        + b"Tadb"
-        + b"poly"
-    )
+    import struct
+
+    # SIGN extension, not a hardcoded high dword: /P >= 0 extends with
+    # zeros (round-12 review finding — real readers compare the dword)
+    blk = struct.pack("<q", p) + b"Tadb" + b"poly"
     rk = _aes_round_keys(file_key)
     return _aes128_encrypt_block(rk, blk)
 

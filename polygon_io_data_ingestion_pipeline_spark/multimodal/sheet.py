@@ -91,16 +91,13 @@ def sniff_sheet_kind(data: bytes) -> str | None:
     else None (plain zips, prose Office documents, non-Workbook OLE2
     compound files and corrupt containers fall through to their own
     lanes)."""
-    from .xls import CFB_MAGIC, cfb_stream
+    from .xls import CFB_MAGIC, cfb_has_stream
 
     if data.startswith(CFB_MAGIC):
         # legacy BIFF8: an OLE2 compound file CONTAINING a Workbook
-        # stream (a .doc is also CFB — the directory probe is the gate)
-        try:
-            cfb_stream(data)
-            return "xls"
-        except Exception:
-            return None
+        # stream (a .doc is also CFB — the directory probe is the
+        # gate); directory-only, never materializes the stream
+        return "xls" if cfb_has_stream(data) else None
     if not data.startswith(_ZIP_MAGIC):
         return None
     try:
@@ -279,16 +276,18 @@ def _xlsx_cells(zf: zipfile.ZipFile) -> Cells:
         cur_col = 0
         for el in row_iter:
             if _local(el.tag) == "row":
-                # xlsx cells are explicit (no repeat multiplier), but a
-                # high-ratio zip member can still inflate — same budget
-                if len(cells) > _MAX_CELLS:
-                    raise SheetFormatError(
-                        f"cell budget exceeded (> {_MAX_CELLS} cells)"
-                    )
                 r_attr = el.get("r")
                 cur_row = int(r_attr) if r_attr else cur_row + 1
                 cur_col = 0
                 continue
+            # xlsx cells are explicit (no repeat multiplier), but a
+            # high-ratio zip member can still inflate — same budget,
+            # checked PER CELL (a single-row sheet never re-enters the
+            # row branch — round-12 review finding)
+            if len(cells) >= _MAX_CELLS:
+                raise SheetFormatError(
+                    f"cell budget exceeded (> {_MAX_CELLS} cells)"
+                )
             c = el
             ref = c.get("r") or ""
             m = _CELL_REF_RE.fullmatch(ref)
@@ -422,6 +421,17 @@ def _ods_cells(zf: zipfile.ZipFile) -> Cells:
                     val = (raw, None)
                 else:
                     val = (text, None)
+                # budget check INSIDE the per-cell loop: one row with
+                # many repeated valued cells accumulates row_cells
+                # before the row-level check would ever run (round-12
+                # review finding — the within-row half of the bomb)
+                if (
+                    len(cells) + len(row_cells) + min(rep, _MAX_REPEAT)
+                    > _MAX_CELLS
+                ):
+                    raise SheetFormatError(
+                        f"cell budget exceeded (> {_MAX_CELLS} cells)"
+                    )
                 for i in range(min(rep, _MAX_REPEAT)):
                     row_cells.append((col_no + 1 + i, vtype) + val)
                 col_no += rep

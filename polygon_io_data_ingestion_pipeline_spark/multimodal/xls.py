@@ -83,10 +83,51 @@ def _u32(b: bytes, off: int) -> int:
 # CFB container
 # ---------------------------------------------------------------------------
 
+def cfb_has_stream(
+    data: bytes, names: tuple[str, ...] = ("Workbook", "Book")
+) -> bool:
+    """Directory-only probe: does this CFB container hold a stream with
+    one of ``names``?  Walks header/DIFAT/FAT/directory but never
+    materializes any stream's sectors — the sniff path runs this for
+    EVERY OLE2 payload on a crawl (.doc/.ppt/.msi included), so paying
+    the full Workbook-stream join there would double the per-workbook
+    container cost and waste it entirely on non-sheet files (round-12
+    review finding)."""
+    try:
+        _layout(data, names)
+        return True
+    except Exception:
+        return False
+
+
 def cfb_stream(data: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> bytes:
     """Bytes of the first directory stream whose name is in ``names``.
     Raises ValueError (typed by the caller into SheetFormatError) on a
     malformed container or a missing stream."""
+    (start, size), root_start, root_size, cutoff, mssz, fat, \
+        minifat_start, n_minifat, sector, chain, limit = _layout(data, names)
+    if size >= cutoff:
+        blob = b"".join(sector(i) for i in chain(start, fat, limit))
+        return blob[:size]
+    # mini stream: 64-byte sectors inside the root entry's regular chain
+    mini_container = b"".join(
+        sector(i) for i in chain(root_start, fat, limit)
+    )[:root_size]
+    minifat: list[int] = []
+    for i in chain(minifat_start, fat, limit) if n_minifat else []:
+        s = sector(i)
+        minifat += [_u32(s, 4 * j) for j in range(len(s) // 4)]
+    out = b"".join(
+        mini_container[i * mssz : (i + 1) * mssz]
+        for i in chain(start, minifat, limit)
+    )
+    return out[:size]
+
+
+def _layout(data: bytes, names: tuple[str, ...]):
+    """Parse header + DIFAT + FAT + directory; locate the target stream
+    WITHOUT materializing it.  Returns everything :func:`cfb_stream`
+    needs to then read the sectors."""
     if not data.startswith(CFB_MAGIC) or len(data) < 512:
         raise _Err("not a CFB container")
     ssz = 1 << _u16(data, 30)
@@ -159,25 +200,12 @@ def cfb_stream(data: bytes, names: tuple[str, ...] = ("Workbook", "Book")) -> by
     )
     if target is None:
         raise _Err("no Workbook stream in container")
-    start, size = target
-    if size > len(data):
+    if target[1] > len(data):
         raise _Err("stream size past end of file")
-    if size >= cutoff:
-        blob = b"".join(sector(i) for i in chain(start, fat, limit))
-        return blob[:size]
-    # mini stream: 64-byte sectors inside the root entry's regular chain
-    mini_container = b"".join(
-        sector(i) for i in chain(root_start, fat, limit)
-    )[:root_size]
-    minifat: list[int] = []
-    for i in chain(minifat_start, fat, limit) if n_minifat else []:
-        s = sector(i)
-        minifat += [_u32(s, 4 * j) for j in range(ssz // 4)]
-    out = b"".join(
-        mini_container[i * mssz : (i + 1) * mssz]
-        for i in chain(start, minifat, limit)
+    return (
+        target, root_start, root_size, cutoff, mssz, fat,
+        minifat_start, n_minifat, sector, chain, limit,
     )
-    return out[:size]
 
 
 # ---------------------------------------------------------------------------
@@ -323,21 +351,19 @@ def xls_cells(data: bytes):
     xf_fmt: list[int] = []
     custom_fmt: dict[int, str] = {}
     sheets: list[tuple[str, int]] = []  # (name, BOF stream position)
-    i = 0
     pos = 0
-    # recompute record positions for BOUNDSHEET offsets
-    positions: list[int] = []
+    # record positions, to validate BOUNDSHEET offsets point at records
+    positions: set[int] = set()
     for rid, payload in recs:
-        positions.append(pos)
+        positions.add(pos)
         pos += 4 + len(payload)
-    in_globals = True
     k = 0
     while k < len(recs):
         rid, payload = recs[k]
         if rid == _FILEPASS:
             raise _Err("encrypted workbook (FILEPASS)")
-        if rid == _EOF and in_globals:
-            break
+        if rid == _EOF:
+            break  # end of the globals substream
         if rid == _SST:
             segs = [payload[8:]]
             j = k + 1
@@ -387,9 +413,7 @@ def xls_cells(data: bytes):
 
     for name, bof_pos in sheets:
         # walk this sheet's substream (BOF .. EOF) by stream offset
-        try:
-            start_idx = positions.index(bof_pos)
-        except ValueError:
+        if bof_pos not in positions:
             raise _Err("BOUNDSHEET offset points outside the stream")
         for rid, payload in _records(stream[bof_pos:]):
             if rid == _EOF:

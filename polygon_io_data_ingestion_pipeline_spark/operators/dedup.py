@@ -33,13 +33,9 @@ from .text import (
     script_shingles,
     script_tokens,
     unsegmented_dominant,
+    validate_tokenizer as _validate_tokenizer,
     word_shingles,
 )
-
-
-def _validate_tokenizer(tokenizer: str) -> None:
-    if tokenizer not in ("word", "auto"):
-        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
 
 
 def exact_duplicates(
@@ -923,14 +919,27 @@ def duplicated_span_removal(
     k = int(span_tokens)
     _validate_tokenizer(tokenizer)
     if tokenizer == "auto":
-        # unsegmented-dominant docs tokenize as SINGLE CHARACTERS (the
-        # only unit that rebuilds losslessly — overlapping bigrams
-        # cannot), so span_tokens means span CHARS for them; the gram
-        # keys still join with ' ' (internal key space only). The
-        # rebuild joins with ' ' then strips it for unseg docs: their
-        # tokens came from whitespace-stripped text, so every space in
-        # the rebuilt string is a separator, never content.
-        toks = script_tokens(text_col, 1)
+        # unsegmented-dominant docs tokenize as SINGLE CHARACTERS
+        # INCLUDING their whitespace (the only unit that rebuilds
+        # losslessly — overlapping bigrams cannot, and stripping
+        # whitespace before tokenizing would delete the content spaces
+        # of embedded Latin runs on every routed doc, removal or not —
+        # round-12 review finding), so span_tokens means span CHARS for
+        # them and the rebuild joins with '' (each token IS the
+        # original character, spaces included).  Spaced docs keep the
+        # word tokens bit-for-bit.
+        word_toks = F.filter(
+            F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+        )
+        char_toks = F.expr(
+            f"CASE WHEN length({text_col}) = 0 THEN "
+            f"CAST(array() AS ARRAY<STRING>) ELSE "
+            f"transform(sequence(1, length({text_col})), "
+            f"i -> substring({text_col}, i, 1)) END"
+        )
+        toks = F.when(
+            unsegmented_dominant(text_col), char_toks
+        ).otherwise(word_toks)
     else:
         toks = F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
@@ -975,30 +984,31 @@ def duplicated_span_removal(
     )
     kept = tokens.join(covered, [id_col, "_tpos"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
-                lambda s: s["_tok"],
-            ),
-            " ",
-        ).alias("_rebuilt")
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_tpos", "_tok"))),
+            lambda s: s["_tok"],
+        ).alias("_kept_arr")
     )
     # same null contract as duplicated_line_removal: NULL text never
     # becomes '' (no tokens -> absent from the rebuild -> the when()
-    # guard leaves it NULL); all-removed documents get empty text
+    # guard leaves it NULL); all-removed documents get empty text.
+    # Unsegmented-dominant docs under 'auto' rebuild with NO separator:
+    # their tokens are the original characters verbatim (spaces
+    # included), so ''-join is the lossless inverse of tokenization.
+    joined = F.array_join(F.col("_kept_arr"), " ")
+    if tokenizer == "auto":
+        joined = F.when(
+            unsegmented_dominant(text_col),
+            F.array_join(F.col("_kept_arr"), ""),
+        ).otherwise(joined)
     out_text = F.coalesce(
-        F.col("_rebuilt"),
+        F.when(F.col("_kept_arr").isNotNull(), joined),
         F.when(F.col(text_col).isNotNull(), F.lit("")),
     )
-    if tokenizer == "auto":
-        out_text = F.when(
-            unsegmented_dominant(text_col),
-            F.regexp_replace(out_text, " ", ""),
-        ).otherwise(out_text)
     return (
         docs.join(rebuilt, id_col, "left")
         .withColumn(text_col, out_text)
-        .drop("_rebuilt")
+        .drop("_kept_arr")
     )
 
 

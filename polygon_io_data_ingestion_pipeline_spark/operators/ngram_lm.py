@@ -67,8 +67,9 @@ def _toks(text_col: str, tokenizer: str = "word") -> Column:
         from .text import script_tokens
 
         return script_tokens(text_col, 2, lower=True)
-    if tokenizer != "word":
-        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
+    from .text import validate_tokenizer
+
+    validate_tokenizer(tokenizer)
     return F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
         lambda t: t != F.lit(""),

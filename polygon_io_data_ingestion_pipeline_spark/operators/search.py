@@ -103,10 +103,9 @@ def hybrid_topk_rrf(
     contributing nothing for documents outside its top-``n_cand``.
     Returns (id, rrf_score, r_lex, r_dense) with null ranks for
     single-list hits."""
-    from .text import script_tokens, tokens
+    from .text import script_tokens, tokens, validate_tokenizer
 
-    if tokenizer not in ("word", "auto"):
-        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
+    validate_tokenizer(tokenizer)
     # ONE corpus tokenize for BOTH rankers: the exploded postings frame
     # is the dominant input of each (at 100 TB, one scan instead of two);
     # 'auto' indexes unsegmented-script docs as char bigrams

@@ -113,6 +113,13 @@ def _script_tokens_sql(text_col: str, char_n: int, lower: bool = False) -> str:
     )
 
 
+def validate_tokenizer(tokenizer: str) -> None:
+    """Shared guard for every tokenizer= parameter (dedup / LM / BM25 /
+    hybrid search route through this one definition)."""
+    if tokenizer not in ("word", "auto"):
+        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
+
+
 def script_tokens(
     text_col: str = "text", char_n: int = 2, lower: bool = False
 ) -> Column:
@@ -1110,8 +1117,7 @@ def bm25_topk(
 
     Returns (id, score, n_terms_hit) ordered by (score desc, id).
     """
-    if tokenizer not in ("word", "auto"):
-        raise ValueError(f"tokenizer must be word|auto, got {tokenizer!r}")
+    validate_tokenizer(tokenizer)
     terms = [t for t in query_terms]
     if tokens_df is not None:
         # caller-shared postings (id, w) — hybrid search tokenizes the

@@ -7081,7 +7081,7 @@ FROM documents
     doc="PDF text extraction incl. the round-11 owner-password-only "
     "decryption, certified end-to-end (the PDF lane's FIRST external "
     "anchor — until now it was pytest-only): one deterministic "
-    "one-page PDF per document, Flate-compressed content, doc_id%3 "
+    "one-page PDF per document, Flate-compressed content, doc_id%4 "
     "picks plain / RC4-R3 / AES-V2 / AES-256-R6 (the standard "
     "security handler with an EMPTY user password; /O //U computed by "
     "the module's own algorithm-3/4/5 fixture encoders, the same "

@@ -266,7 +266,13 @@ def _compact_batch_dirs(
             }
         baseline_id = min(list(dirs) + [0]) - 1
         staging = root.rstrip("/") + "_compacting"
-        base = spark.read.parquet(root)
+        # DROP the hive-discovered batch_id partition column before the
+        # distinct: it differs per source dir, so keeping it would (a)
+        # defeat the fold — the same re-fetched edge row survives once
+        # per batch — and (b) embed a junk batch_id DATA column in the
+        # staged baseline that conflicts with the partition column
+        # (round-12 review finding, verified live)
+        base = spark.read.parquet(root).drop("batch_id")
         if select_cols is not None:
             base = base.select(*select_cols)
         base.distinct().write.mode("overwrite").parquet(staging)

@@ -213,3 +213,30 @@ def test_char_ngrams_strip_whitespace_before_gramming(spark):
         .collect()
     )
     assert row["g"] == ["科学", "学家", "家发", "发现"]
+
+
+def test_span_dedup_auto_preserves_embedded_latin_spaces(spark):
+    """Round-12 review finding: the auto lane must not strip CONTENT
+    spaces from unsegmented-dominant docs — a Chinese page quoting a
+    Latin phrase keeps the phrase's inter-word spaces, both when no
+    span is removed and around a removed span (tokens are the original
+    characters verbatim, spaces included)."""
+    boiler = "本文版权所有转载请注明出处"
+    a = "今天的天气非常好我们去 iPhone 15 专卖店看看然后决定去公园散步走走" + boiler
+    b = boiler + "昨天的比赛结果让所有的球迷都很开心大家一起庆祝了很久"
+    untouched = ("科学家发现海洋变暖的速度比我们想的要快 the sea is warming "
+                 "快得让人吃惊而且没有任何放缓的迹象所以大家都很担心未来")
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, untouched)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in duplicated_span_removal(
+            docs, span_tokens=8, min_docs=2, tokenizer="auto"
+        ).collect()
+    }
+    # no span removed from doc 3: byte-identical, spaces intact
+    assert got[3] == untouched
+    # boiler removed; the embedded Latin phrase keeps its spaces
+    assert got[1] == "今天的天气非常好我们去 iPhone 15 专卖店看看然后决定去公园散步走走"
+    assert got[2] == "昨天的比赛结果让所有的球迷都很开心大家一起庆祝了很久"

@@ -835,6 +835,21 @@ def test_compact_edges_unit_pagerank_and_anchor_identity(spark, tmp_path):
     ]
     assert dirs == ["batch_id=-1"]
     assert consume() == before
+    # the fold actually COLLAPSES cross-batch duplicates (round-12
+    # review finding: the hive batch_id partition column must be
+    # dropped before the distinct or every copy survives under its own
+    # batch id) — the stable chrome edge is ONE row now, and the
+    # baseline carries no embedded batch_id data column
+    folded = spark.read.parquet(root)
+    assert folded.drop("batch_id").schema.fieldNames() == [
+        "src", "dst", "anchor", "nofollow",
+    ]
+    chrome = folded.filter(
+        (F.col("src") == "http://x.example/home")
+        & (F.col("dst") == "http://x.example/about")
+    )
+    assert chrome.count() == 1
+    assert folded.count() == 1 + 20 * 3  # chrome + 3 fresh rows/batch
     # below-threshold second call is a no-op
     assert compact_edges(spark, root, min_batch_dirs=16)["compacted"] == 0
     # a crash-replayed batch dir next to the baseline: duplicates only

@@ -294,3 +294,35 @@ def test_und_floor_duckdb_agreement(spark):
     )
     duck_got = {(d, l, s) for d, l, s in con.execute(sql).fetchall()}
     assert spark_got == duck_got
+
+
+def test_fold_survives_hostile_vocab_words(spark):
+    """Round-12 review finding: a vocab word containing a double quote
+    or backslash corrupts the SQL string literal (Spark unescapes
+    backslash sequences) — under the from_json encoding the WHOLE map
+    silently became NULL and every document classified as the zero-hit
+    default.  Both encodings must survive such words (the tokenizer
+    strips them from real tokens, so only the literal's integrity is
+    at stake) and stay equal."""
+    from pyspark.sql import functions as F
+
+    from polygon_io_data_ingestion_pipeline_spark.functions.stopwords import (
+        _fold_sql,
+    )
+
+    freq = (
+        ("xx", (('he"llo', 5), ("back\\slash", 3), ("eau", 2))),
+        ("yy", (("plain", 4),)),
+    )
+    df = spark.createDataFrame(
+        [('he"llo back\\slash plain eau',)], "text string"
+    )
+    got = [
+        df.select(
+            F.expr(_fold_sql("text", False, freq, flat=flat)).alias("v")
+        ).collect()[0]["v"]
+        for flat in (True, False)
+    ]
+    # a corrupted literal zeroes EVERYTHING (incl. 'plain'); the
+    # tokenizer-split hostile words themselves cannot match
+    assert got[0] == got[1] == [2, 4]
