@@ -44,17 +44,29 @@ def feature_hash_components(
     text_col: str = "text",
     id_col: str = "doc_id",
     tokens_df: DataFrame | None = None,
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Per-document signed-count components, pre-normalization.
 
     Returns (id, s_0 .. s_{dim-1}) — exact BIGINT bucket sums from ONE
     partial-aggregated shuffle on the document key. ``tokens_df``: a
     caller-shared (id, w) postings frame, so pipelines that already
-    exploded the corpus (hybrid search) skip the second scan."""
+    exploded the corpus (hybrid search) skip the second scan.
+
+    ``tokenizer='auto'`` embeds unsegmented-script docs by their char
+    bigrams — a whole spaceless CJK sentence is otherwise ONE token =
+    one hash bucket, and the "embedding" degenerates to a single-axis
+    unit vector (semantic dedup / ANN over such vectors is noise)."""
     if tokens_df is not None:
         tok = tokens_df
     else:
-        tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("w"))
+        from .text import script_tokens, validate_tokenizer
+
+        validate_tokenizer(tokenizer)
+        tok_arr = (
+            script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
+        )
+        tok = df.select(F.col(id_col), F.explode(tok_arr).alias("w"))
     bucket = F.expr(_hash64("w", 1, 8) + f" % {dim}")
     sign = F.expr(f"CASE WHEN {_hash64('w', 9, 1)} % 2 = 0 THEN 1 ELSE -1 END")
     hashed = tok.select(id_col, bucket.alias("b"), sign.alias("sg"))
@@ -70,13 +82,14 @@ def feature_hash_embed(
     dim: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    tokenizer: str = "word",
 ) -> DataFrame:
     """(id, embedding array<double>) — unit-L2 signed-hash vectors.
 
     All-zero vectors (every bucket cancelled) stay all-zero rather than
     dividing by zero.
     """
-    comp = feature_hash_components(df, dim, text_col, id_col)
+    comp = feature_hash_components(df, dim, text_col, id_col, tokenizer=tokenizer)
     sq = " + ".join(f"s_{i} * s_{i}" for i in range(dim))
     norm = F.expr(f"sqrt(CAST({sq} AS DOUBLE))")
     arr = F.array(*[F.col(f"s_{i}").cast("double") for i in range(dim)])

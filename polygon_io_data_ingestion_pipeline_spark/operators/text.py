@@ -538,7 +538,11 @@ def sequence_packing(
 
 
 def tfidf_top_terms(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokenizer: str = "word",
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF
     (``tf * ln((N + 1) / (df + 1))``), ties broken lexicographically —
@@ -554,11 +558,15 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window as W
 
+    validate_tokenizer(tokenizer)
+    # 'auto': char-bigram terms for unsegmented-script docs (a spaceless
+    # CJK page otherwise has ONE "term" — the whole sentence)
+    tok_arr = script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
     terms = df.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("term")
+        F.col(id_col), F.explode(F.array_distinct(tok_arr)).alias("term")
     )
     tf = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        df.select(F.col(id_col), F.explode(tok_arr).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )

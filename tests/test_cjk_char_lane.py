@@ -240,3 +240,50 @@ def test_span_dedup_auto_preserves_embedded_latin_spaces(spark):
     # boiler removed; the embedded Latin phrase keeps its spaces
     assert got[1] == "今天的天气非常好我们去 iPhone 15 专卖店看看然后决定去公园散步走走"
     assert got[2] == "昨天的比赛结果让所有的球迷都很开心大家一起庆祝了很久"
+
+
+def test_feature_hash_embed_auto_gives_multi_axis_cjk_vectors(spark):
+    """Word-mode embedding of a spaceless CJK doc is ONE token -> one
+    hash bucket -> a single-axis unit vector (semantic dedup over such
+    vectors is noise).  tokenizer='auto' embeds char bigrams: multiple
+    axes, and a one-character edit keeps high cosine while unrelated
+    text does not."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.embed import (
+        feature_hash_embed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ZH_A), (2, ZH_B), (3, ZH_OTHER)], "doc_id long, text string"
+    )
+    word = {
+        r["doc_id"]: r["embedding"]
+        for r in feature_hash_embed(df, dim=16).collect()
+    }
+    assert sum(1 for v in word[1] if v != 0.0) == 1  # the degenerate case
+    auto = {
+        r["doc_id"]: r["embedding"]
+        for r in feature_hash_embed(df, dim=16, tokenizer="auto").collect()
+    }
+    assert sum(1 for v in auto[1] if v != 0.0) > 4
+
+    def cos(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    assert cos(auto[1], auto[2]) > 0.9  # one-char edit stays near
+    assert cos(auto[1], auto[3]) < cos(auto[1], auto[2])
+
+
+def test_tfidf_auto_yields_char_bigram_terms(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        tfidf_top_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ZH_A), (2, EN_A)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["term"])
+        for r in tfidf_top_terms(df, k=2, tokenizer="auto").collect()
+    }
+    assert all(len(t) == 2 for d, t in got if d == 1)  # char bigrams
+    assert any(d == 2 and t.isascii() for d, t in got)  # words intact
