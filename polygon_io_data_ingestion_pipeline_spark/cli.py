@@ -377,6 +377,14 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.fuzzy_dedup is not None and not 0.0 < args.fuzzy_dedup <= 1.0:
+        # validate BEFORE any Spark action (the round-9 lesson)
+        print(
+            "corpus: --fuzzy-dedup must be a Jaccard threshold in (0, 1], "
+            f"got {args.fuzzy_dedup}",
+            file=sys.stderr,
+        )
+        return 2
     lm_buckets: list[str] = []
     if args.lm_keep_buckets is not None:
         if not args.lm_ref:
@@ -833,6 +841,30 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         F.col("canonical_id").alias("doc_id")
     )
     unique = kept.join(reps, "doc_id", "left_semi")
+
+    if args.fuzzy_dedup is not None:
+        # the CCNet/Gopher fuzzy stage after exact dedup: banded-LSH
+        # candidates, exact Jaccard verify on candidates only, then
+        # transitive closure — edited re-posts collapse to the min-id
+        # representative.  Crawl lanes pass tokenizer='auto' so CJK
+        # near-dups are visible (one whitespace token otherwise)
+        from .operators.dedup import duplicate_clusters, lsh_verified_pairs
+
+        near_pairs = lsh_verified_pairs(
+            unique.select("doc_id", "text"),
+            threshold=args.fuzzy_dedup,
+            tokenizer=crawl_tokenizer,
+        )
+        clusters = duplicate_clusters(near_pairs)
+        dupes = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
+        n_fuzzy = dupes.count()
+        unique = unique.join(dupes, "doc_id", "left_anti")
+        print(
+            f"fuzzy-dedup: dropped={n_fuzzy} "
+            f"threshold={args.fuzzy_dedup}"
+        )
 
     if args.domain_cap:
         # Zipfian skew control after dedup, before the split: at most N
@@ -1639,6 +1671,17 @@ def main(argv: list[str] | None = None) -> int:
         help="exact dedup keys on the aggressive normalized form "
         "(punctuation folded, digit runs bucketed) so cosmetic "
         "variants collapse",
+    )
+    p.add_argument(
+        "--fuzzy-dedup",
+        type=float,
+        default=None,
+        metavar="JACCARD",
+        help="after exact dedup, collapse NEAR-duplicate clusters at "
+        "this Jaccard threshold (MinHash-LSH candidates, exact verify "
+        "on candidates only, transitive closure keeps the min-id "
+        "representative); crawl lanes route unsegmented-script docs "
+        "through character shingles",
     )
     p.add_argument(
         "--graph",

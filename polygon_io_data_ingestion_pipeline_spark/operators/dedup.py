@@ -316,8 +316,13 @@ def minhash_signatures(
     k: int = 8,
     tokenizer: str = "word",
     char_n: int = 5,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """k MinHash values per document. Output: (id, mh_0..mh_{k-1}).
+
+    ``shingles_df``: a caller-shared (id, shingle) frame, so pipelines
+    that also need the raw shingles (candidate VERIFICATION) shingle
+    the corpus exactly once.
 
     One strong hash per distinct shingle (md5 -> int64), then k cheap
     universal-hash mixes ``(a_j*h + b_j) mod P`` — integer arithmetic
@@ -333,7 +338,11 @@ def minhash_signatures(
     """
     if k > len(MINHASH_MIX):
         raise ValueError(f"k={k} exceeds the {len(MINHASH_MIX)} mixing pairs")
-    sh = shingle_set(df, text_col, id_col, n, tokenizer, char_n)
+    sh = (
+        shingles_df
+        if shingles_df is not None
+        else shingle_set(df, text_col, id_col, n, tokenizer, char_n)
+    )
     h = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
         % MINHASH_P
@@ -402,6 +411,72 @@ def lsh_candidate_pairs(
         .filter(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
         .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    n: int = 3,
+    k: int = 8,
+    rows_per_band: int = 2,
+    tokenizer: str = "word",
+    char_n: int = 5,
+) -> DataFrame:
+    """Near-duplicate pairs at production scale: banded-LSH candidate
+    generation (linear shuffle volume) followed by EXACT Jaccard
+    verification computed on the candidates only — the published
+    web-dedup recipe (LSH recalls, the verify removes band-collision
+    false positives; recall is bounded by the banding, which is the
+    accepted trade at corpus scale — :func:`jaccard_pairs` is the
+    exhaustive alternative).
+
+    Scale shape: the corpus shingles EXACTLY ONCE (one localCheckpointed
+    (id, shingle) frame feeds the minhash aggregation, both sides of the
+    intersection join, and the per-doc sizes); candidates come from the
+    band-key equi-join; the intersection count touches candidate pairs
+    only.  Returns ``(id1, id2, jaccard)`` with id1 < id2,
+    jaccard >= threshold."""
+    sh = shingle_set(
+        df, text_col, id_col, n, tokenizer, char_n
+    ).localCheckpoint()
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    mh = minhash_signatures(df, text_col, id_col, n, k, shingles_df=sh)
+    bands = _sig_band_keys(mh, id_col, k, rows_per_band).localCheckpoint()
+    a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle").alias("s"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle").alias("s"))
+    inter = (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")),
+            "id1",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")),
+            "id2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
     )
 
 

@@ -1670,14 +1670,18 @@ FROM cand c JOIN inter ON inter.id1 = c.id1 AND inter.id2 = c.id2
 WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.05
 """,
     doc="The production near-dup pipeline: MinHash-LSH candidate "
-    "generation, then exact Jaccard verification of candidates only.",
+    "generation, then exact Jaccard verification of CANDIDATES ONLY "
+    "(round 12: runs the real operators/dedup.py lsh_verified_pairs — "
+    "the shingle frame is built exactly once for the minhash "
+    "aggregation, both intersection sides and the sizes; previously "
+    "the query verified exhaustively and semi-joined, an oracle-true "
+    "but non-production shape).  Backs corpus --fuzzy-dedup.",
     tags=("dedup",),
 )
 def lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
-    docs = table(spark, sf, "documents")
-    cand = D.lsh_candidate_pairs(docs, k=8, rows_per_band=2)
-    exact = D.jaccard_pairs(docs, threshold=0.05)
-    return exact.join(cand, ["id1", "id2"], "left_semi")
+    return D.lsh_verified_pairs(
+        table(spark, sf, "documents"), threshold=0.05, k=8, rows_per_band=2
+    )
 
 
 @q(

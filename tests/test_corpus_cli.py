@@ -962,3 +962,83 @@ def test_corpus_clf_text_col_and_label_validation(spark, tmp_path, capsys):
             "corpus", "--src", str(src), "--out", str(tmp_path / "o2"),
             "--clf-model", mpath, "--master", "local[4]",
         ])
+
+
+GOOD_B2 = (
+    "a scan of the table shows the key and the value where the row of "
+    "the batch meets the line of the window in a sort of merge"
+)
+
+
+def test_corpus_cli_fuzzy_dedup(spark, tmp_path, capsys):
+    """--fuzzy-dedup: near-duplicates past the exact stage (one edited
+    word) collapse to the min-id representative via LSH candidates +
+    exact verify + transitive closure; unrelated docs keep; a bogus
+    threshold exits 2 BEFORE any Spark action."""
+    src = tmp_path / "in"
+    src.mkdir()
+    near = GOOD.replace("window", "screen")  # 1-word edit: near-dup of GOOD
+    lines = [
+        _line(1, GOOD),
+        _line(2, near),
+        _line(3, GOOD_B2),
+    ]
+    (src / "docs.jsonl").write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "out")
+    rc = main([
+        "corpus", "--src", str(src), "--out", out, "--fuzzy-dedup", "0.5",
+    ])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "fuzzy-dedup: dropped=1 threshold=0.5" in msg
+    rows = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert rows == {1, 3}  # 2 collapsed into 1; 3 unrelated, kept
+
+    assert main([
+        "corpus", "--src", str(src), "--out", str(tmp_path / "o2"),
+        "--fuzzy-dedup", "1.5",
+    ]) == 2
+
+
+def test_lsh_verified_pairs_candidates_only_and_cjk(spark):
+    """lsh_verified_pairs == jaccard_pairs semi-joined with LSH
+    candidates (the verify runs on candidates ONLY); the auto tokenizer
+    surfaces the CJK near-dup pair the word path cannot see."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        lsh_verified_pairs,
+    )
+
+    zh_a = ("科学家发现海洋变暖的速度比他们想象的要快这对所有国家来说都"
+            "是一个问题因为气候变化的影响正在不断加剧而且没有任何放缓")
+    zh_b = zh_a.replace("想象", "想像")
+    docs = spark.createDataFrame(
+        [(1, GOOD), (2, GOOD.replace("window", "screen")),
+         (3, GOOD_B2), (4, zh_a), (5, zh_b)],
+        "doc_id long, text string",
+    )
+    for tok in ("word", "auto"):
+        got = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in lsh_verified_pairs(
+                docs, threshold=0.3, tokenizer=tok
+            ).collect()
+        }
+        cand = {
+            (r["id1"], r["id2"])
+            for r in lsh_candidate_pairs(docs, tokenizer=tok).collect()
+        }
+        exact = {
+            (r["id1"], r["id2"]): r["jaccard"]
+            for r in jaccard_pairs(
+                docs, threshold=0.3, tokenizer=tok
+            ).collect()
+        }
+        expect = {p: j for p, j in exact.items() if p in cand}
+        assert got == expect
+        if tok == "auto":
+            assert (4, 5) in got  # the CJK pair, invisible to word mode
+        else:
+            assert (4, 5) not in got
+        assert (1, 2) in got
