@@ -168,6 +168,47 @@ def shingle_set(
     )
 
 
+def _intersect_candidates(
+    cand: DataFrame, sh: DataFrame, id_col: str
+) -> DataFrame:
+    """(id1, id2, inter) — exact shingle-intersection counts computed on
+    candidate pairs ONLY (shared by jaccard_pairs' prefix strategy and
+    lsh_verified_pairs)."""
+    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle").alias("s"))
+    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle").alias("s"))
+    return (
+        cand.join(s1, "id1")
+        .join(s2, ["id2", "s"])
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+
+
+def _finalize_jaccard(
+    inter: DataFrame, sizes: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Join per-doc shingle-set sizes onto intersection counts, compute
+    jaccard, threshold, round — the one finalize every jaccard-pair
+    path shares."""
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")),
+            "id1",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")),
+            "id2",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -267,27 +308,11 @@ def jaccard_pairs(
             .select("id1", "id2")
             .distinct()
         )
-        s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle").alias("s"))
-        s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle").alias("s"))
-        inter = (
-            cand.join(s1, "id1")
-            .join(s2, ["id2", "s"])
-            .groupBy("id1", "id2")
-            .agg(F.count("*").alias("inter"))
-        )
+        inter = _intersect_candidates(cand, sh, id_col)
     else:
         raise ValueError(f"strategy must be auto|direct|prefix, got {strategy!r}")
 
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")), "id1")
-        .join(sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")), "id2")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double") / (F.col("n1") + F.col("n2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _finalize_jaccard(inter, sizes, id_col, threshold)
 
 
 #: Mersenne prime 2^31 - 1: modulus of the universal-hash family below.
@@ -381,6 +406,21 @@ def _sig_band_keys(
     )
 
 
+def _band_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """(id1, id2) candidates from a (id, band, bkey) frame: the band-key
+    equi self-join shared by lsh_candidate_pairs, lsh_verified_pairs and
+    the incremental near-dedup's within-shard stage — shuffle volume
+    linear in the corpus, never quadratic."""
+    a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
+    b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")
+    return (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -404,14 +444,7 @@ def lsh_candidate_pairs(
     # k-min aggregation) executes twice. The band table is tiny
     # (n_bands rows per document) — materialize it once.
     bands = bands.localCheckpoint()
-    a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
-    b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")
-    return (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
+    return _band_candidate_pairs(bands, id_col)
 
 
 def lsh_verified_pairs(
@@ -445,38 +478,9 @@ def lsh_verified_pairs(
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     mh = minhash_signatures(df, text_col, id_col, n, k, shingles_df=sh)
     bands = _sig_band_keys(mh, id_col, k, rows_per_band).localCheckpoint()
-    a = bands.select(F.col(id_col).alias("id1"), "band", "bkey")
-    b = bands.select(F.col(id_col).alias("id2"), "band", "bkey")
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2")
-        .distinct()
-    )
-    s1 = sh.select(F.col(id_col).alias("id1"), F.col("shingle").alias("s"))
-    s2 = sh.select(F.col(id_col).alias("id2"), F.col("shingle").alias("s"))
-    inter = (
-        cand.join(s1, "id1")
-        .join(s2, ["id2", "s"])
-        .groupBy("id1", "id2")
-        .agg(F.count("*").alias("inter"))
-    )
-    return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id1"), F.col("n_sh").alias("n1")),
-            "id1",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id2"), F.col("n_sh").alias("n2")),
-            "id2",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id1", "id2", F.round("jaccard", 6).alias("jaccard"))
+    cand = _band_candidate_pairs(bands, id_col)
+    return _finalize_jaccard(
+        _intersect_candidates(cand, sh, id_col), sizes, id_col, threshold
     )
 
 
@@ -656,12 +660,18 @@ def duplicate_clusters(
     ``all_ids`` (e.g. ``docs.select("doc_id")``) adds documents that
     appear in no pair as singleton clusters of themselves.
     """
+    # Materialize the PAIRS once BEFORE the symmetrizing union: both
+    # union branches reference the frame and Spark has no cross-branch
+    # CSE, so an expensive pair lineage (the LSH candidate join + exact
+    # verify of lsh_verified_pairs) would otherwise execute twice just
+    # to build the edge list (round-12 review finding).  The edge list
+    # then checkpoints again for the propagation rounds below.
+    pairs = pairs.select("id1", "id2").localCheckpoint(eager=True)
     edges = pairs.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
-    # Materialize the symmetrized edge list ONCE: it embeds the whole
-    # pair-generation lineage (shingle joins / LSH + exact verify) and is
-    # consumed by every propagation round — without this checkpoint each
-    # round re-executes pair generation from the raw corpus (measured:
-    # minutes instead of seconds at sf0.1).
+    # Materialize the symmetrized edge list ONCE: it is consumed by
+    # every propagation round — without this checkpoint each round
+    # re-executes the union/distinct (measured: minutes instead of
+    # seconds at sf0.1 when the pair lineage rode along).
     edges = (
         edges.union(pairs.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
@@ -1165,11 +1175,8 @@ def incremental_near_dedup(
     ]
 
     # within-shard: keep the min-id representative of every near pair
-    a = bands.select(F.col(id_col).alias("__a"), "band", "bkey")
-    b = bands.select(F.col(id_col).alias("__b"), "band", "bkey")
-    within_cand = (
-        a.join(b, ["band", "bkey"]).filter(F.col("__a") < F.col("__b"))
-        .select("__a", "__b").distinct()
+    within_cand = _band_candidate_pairs(bands, id_col).select(
+        F.col("id1").alias("__a"), F.col("id2").alias("__b")
     )
     within_scored = (
         within_cand.join(sigs.select(F.col(id_col).alias("__b"), *[f"mh_{i}" for i in range(k)]), "__b")

@@ -57,12 +57,20 @@ def feature_hash_components(
     bigrams — a whole spaceless CJK sentence is otherwise ONE token =
     one hash bucket, and the "embedding" degenerates to a single-axis
     unit vector (semantic dedup / ANN over such vectors is noise)."""
+    from .text import script_tokens, validate_tokenizer
+
+    validate_tokenizer(tokenizer)
     if tokens_df is not None:
+        if tokenizer != "word":
+            # a caller-shared postings frame IS the tokenization — a
+            # non-default tokenizer alongside it would be silently
+            # ignored (round-12 review finding); tokenize upstream
+            raise ValueError(
+                "feature_hash_components: pass EITHER tokens_df or a "
+                "non-default tokenizer, not both"
+            )
         tok = tokens_df
     else:
-        from .text import script_tokens, validate_tokenizer
-
-        validate_tokenizer(tokenizer)
         tok_arr = (
             script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
         )

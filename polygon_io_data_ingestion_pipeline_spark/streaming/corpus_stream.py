@@ -247,6 +247,7 @@ def write_corpus_batch_indexed(
     dim: int = 32,
     nlist: int = 8,
     max_train_rows: int = 65536,
+    tokenizer: str = "word",
 ) -> None:
     """Corpus sink + streaming ANN maintenance in ONE foreachBatch stage:
     accepted documents land in the corpus lake (exactly once, via
@@ -280,7 +281,13 @@ def write_corpus_batch_indexed(
 
     spark = batch_df.sparkSession
     ledger = os.path.join(index_path, "_indexed_batches.json")
-    emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
+    # tokenizer='auto' routes unsegmented-script docs through char
+    # bigrams (a spaceless CJK page otherwise embeds as a single-axis
+    # unit vector — noise to the index).  MUST stay constant for the
+    # index's lifetime AND match how queries are embedded.
+    emb = feature_hash_embed(
+        batch_df, dim=dim, tokenizer=tokenizer
+    ).localCheckpoint()
     empty = not emb.take(1)
 
     # Shared index state (ledger, codebook sidecar, partition dirs) is
@@ -343,6 +350,7 @@ def write_corpus_batch_indexed_pq(
     m: int = 4,
     ncodes: int = 8,
     max_train_rows: int = 65536,
+    tokenizer: str = "word",
 ) -> None:
     """:func:`write_corpus_batch_indexed`'s compressed twin: accepted
     documents land in the corpus lake AND in a materialized IVF+PQ
@@ -373,7 +381,13 @@ def write_corpus_batch_indexed_pq(
     spark = batch_df.sparkSession
     ledger = os.path.join(index_path, "_indexed_batches.json")
     sidecar = os.path.join(index_path, "_ivfpq.json")
-    emb = feature_hash_embed(batch_df, dim=dim).localCheckpoint()
+    # tokenizer='auto' routes unsegmented-script docs through char
+    # bigrams (a spaceless CJK page otherwise embeds as a single-axis
+    # unit vector — noise to the index).  MUST stay constant for the
+    # index's lifetime AND match how queries are embedded.
+    emb = feature_hash_embed(
+        batch_df, dim=dim, tokenizer=tokenizer
+    ).localCheckpoint()
     empty = not emb.take(1)
 
     # Every read/write of shared index state -- the idempotency ledger,
@@ -449,11 +463,13 @@ def start_corpus_ingest_indexed(
     watermark_delay: str = "10 minutes",
     dim: int = 32,
     nlist: int = 8,
+    tokenizer: str = "word",
 ):
     """ingest -> dedup -> gate -> corpus lake -> embed -> searchable IVF
     index, as ONE streaming pipeline (AvailableNow drain).  Documents
     accepted in batch k are retrievable via ``ivf_topk_indexed`` the
-    moment batch k commits."""
+    moment batch k commits.  ``tokenizer`` must stay CONSTANT for the
+    index's lifetime and match the query-embedding side."""
     import functools
 
     out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)
@@ -465,6 +481,7 @@ def start_corpus_ingest_indexed(
                 index_path=index_path,
                 dim=dim,
                 nlist=nlist,
+                tokenizer=tokenizer,
             )
         )
         .option("checkpointLocation", checkpoint)
@@ -484,6 +501,7 @@ def start_corpus_ingest_indexed_pq(
     nlist: int = 8,
     m: int = 4,
     ncodes: int = 8,
+    tokenizer: str = "word",
 ):
     """ingest -> dedup -> gate -> corpus lake -> embed -> searchable
     IVF+PQ index, as ONE streaming pipeline (AvailableNow drain).
@@ -498,6 +516,7 @@ def start_corpus_ingest_indexed_pq(
                 write_corpus_batch_indexed_pq,
                 lake_path=lake_path,
                 index_path=index_path,
+                tokenizer=tokenizer,
                 dim=dim,
                 nlist=nlist,
                 m=m,
