@@ -242,7 +242,7 @@ DEVANAGARI_FREQ: FreqTable = (
 #: without spaces): the quality gate's unsegmented lane tests
 #: CONTAINMENT of these instead of token membership.  Same committed
 #: public-frequency-snapshot discipline as the tables above — these are
-#: the highest-frequency grammatical particles of zh/ja/th.
+#: the highest-frequency grammatical particles of zh/ja/th/lo/my/km.
 UNSEGMENTED_FUNCTION_MARKERS: tuple[str, ...] = (
     # zh: structural particle, aspect, copula, locative, conjunctions
     "的", "了", "是", "在", "有", "和", "不", "这", "這", "就", "而",
@@ -250,6 +250,12 @@ UNSEGMENTED_FUNCTION_MARKERS: tuple[str, ...] = (
     "の", "に", "は", "を", "が", "で", "と", "も", "です", "ます",
     # th: relativizer, conjunction, prepositions, negation, modals
     "ที่", "และ", "ใน", "เป็น", "ของ", "การ", "ไม่", "ให้", "ได้", "มี",
+    # lo: conjunction, genitive, locative, negation, existential
+    "ແລະ", "ຂອງ", "ໃນ", "ບໍ່", "ມີ", "ທີ່", "ເປັນ",
+    # my: conjunction/comma particle, sentence-final, plural, genitive
+    "နှင့်", "သည်", "များ", "၏", "ကို", "တွင်",
+    # km: conjunction, genitive, locative, copula, negation
+    "និង", "របស់", "ក្នុង", "ជា", "មិន", "ដែល",
 )
 
 #: Korean IS space-delimited (so the token rule applies) but its

@@ -58,12 +58,15 @@ def word_shingles(text_col: str = "text", n: int = 3) -> Column:
 
 #: SQL regex character class of the UNSEGMENTED (spaceless) scripts
 #: this engine routes through character n-grams: Han (CJK Unified),
-#: kana, Thai.  Korean hangul is space-delimited and stays on the word
+#: kana, Thai, Lao, Myanmar, Khmer (round 12 added the last three —
+#: the same silently-rejected-at-the-gate shape CJK had for 11
+#: rounds).  Korean hangul is space-delimited and stays on the word
 #: path.  Written at the SQL-literal level (``\\x{..}`` survives
 #: Spark's string-literal unescape as the Java-regex ``\x{..}``); the
 #: same ranges drive quality_filter's unsegmented lane.
 UNSEGMENTED_SCRIPT_CLASS = (
     "\\\\x{4E00}-\\\\x{9FFF}\\\\x{3040}-\\\\x{30FF}\\\\x{0E00}-\\\\x{0E7F}"
+    "\\\\x{0E80}-\\\\x{0EFF}\\\\x{1000}-\\\\x{109F}\\\\x{1780}-\\\\x{17FF}"
 )
 
 

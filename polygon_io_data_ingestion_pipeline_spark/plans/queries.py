@@ -3163,7 +3163,11 @@ def _quality_gate_oracle() -> str:
     )
     stop = ", ".join(f"'{w}'" for w in _QG_STOPWORDS)
     markers = "|".join(UNSEGMENTED_FUNCTION_MARKERS)
-    ranges = "\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}\\x{0E00}-\\x{0E7F}"
+    # derive from the Spark-side constant so the two can never drift.
+    # The constant carries Spark SQL-LITERAL escaping (\\x{..} -> the
+    # literal parser unescapes to the regex \x{..}); DuckDB string
+    # literals do NOT unescape, so the oracle needs the single-\ form
+    ranges = T.UNSEGMENTED_SCRIPT_CLASS.replace("\\\\", "\\")
     return f"""
 WITH docs AS ({body}),
 toks AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM docs),

@@ -422,3 +422,41 @@ def test_incidental_cjk_keeps_honest_token_count(spark):
     assert got[1]["keep"]
     # unsegmented-dominant: chars-as-tokens still applies
     assert got[2]["n_tokens"] >= 50
+
+
+def test_lao_myanmar_khmer_pass_unsegmented_gate(spark):
+    """Round 12: Lao, Myanmar and Khmer are unsegmented scripts too —
+    the same silently-rejected-at-the-gate shape CJK/Thai had for 11
+    rounds.  Their ranges joined UNSEGMENTED_SCRIPT_CLASS and their
+    function markers joined UNSEGMENTED_FUNCTION_MARKERS; script-pure
+    marker-bearing prose routes through the char lane and keeps."""
+    from polygon_io_data_ingestion_pipeline_spark.functions.script_families import (
+        UNSEGMENTED_FUNCTION_MARKERS,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        multilingual_stopwords,
+        quality_filter,
+        unsegmented_dominant,
+    )
+
+    lo = ("ປະເທດລາວມີວັດທະນະທໍາທີ່ເກົ່າແກ່ແລະສວຍງາມຫຼາຍຄົນມັກເດີນທາງໄປທ່ຽວ"
+          "ຊົມທໍາມະຊາດຂອງພູເຂົາແລະແມ່ນໍ້າໃນລະດູຝົນອາກາດຈະເຢັນສະບາຍແລະມີຝົນ")
+    my = ("မြန်မာနိုင်ငံသည်ရှေးဟောင်းယဉ်ကျေးမှုများနှင့်သဘာဝအလှအပများရှိသည်"
+          "ခရီးသွားများသည်တောင်များနှင့်မြစ်များကိုကြည့်ရှုရန်နှစ်စဉ်လာရောက်")
+    km = ("ប្រទេសកម្ពុជាមានវប្បធម៌ចាស់និងស្រស់ស្អាតមនុស្សជាច្រើនចូលចិត្តធ្វើ"
+          "ដំណើរទៅមើលធម្មជាតិរបស់ភ្នំនិងទន្លេក្នុងរដូវវស្សាអាកាសធាតុត្រជាក់")
+    df = spark.createDataFrame(
+        [(1, lo), (2, my), (3, km)], "doc_id long, text string"
+    )
+    dom = {r["doc_id"]: r["d"] for r in df.select(
+        "doc_id", unsegmented_dominant("text").alias("d")).collect()}
+    assert dom == {1: True, 2: True, 3: True}
+    got = {
+        r["doc_id"]: r["keep"]
+        for r in quality_filter(
+            df,
+            stopwords=multilingual_stopwords(),
+            unsegmented_markers=UNSEGMENTED_FUNCTION_MARKERS,
+        ).collect()
+    }
+    assert got == {1: True, 2: True, 3: True}
