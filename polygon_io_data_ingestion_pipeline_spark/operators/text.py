@@ -224,6 +224,11 @@ SCRIPT_RANGES = (
     ("el", "Ͱ-Ͽ"),  # greek
     ("he", "֐-׿"),  # hebrew
     ("th", "฀-๿"),  # thai
+    # round 12 (with the unsegmented-lane extension): script implies
+    # language 1:1 for these three, so the plurality pick IS the label
+    ("lo", "຀-໿"),  # lao
+    ("my", "က-႟"),  # myanmar
+    ("km", "ក-៿"),  # khmer
 )
 
 

@@ -460,3 +460,27 @@ def test_lao_myanmar_khmer_pass_unsegmented_gate(spark):
         ).collect()
     }
     assert got == {1: True, 2: True, 3: True}
+
+
+def test_script_langid_labels_lo_my_km(spark):
+    """With the round-12 lane extension, script implies language 1:1
+    for Lao/Myanmar/Khmer — admitted pages get their own labels instead
+    of falling through to the Latin keyword heuristic."""
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        predicted_lang_script,
+    )
+
+    rows = [
+        (1, "ປະເທດລາວມີວັດທະນະທໍາທີ່ເກົ່າແກ່ແລະສວຍງາມຫຼາຍຄົນມັກເດີນທາງ"),
+        (2, "မြန်မာနိုင်ငံသည်ရှေးဟောင်းယဉ်ကျေးမှုများနှင့်သဘာဝအလှအပများရှိသည်"),
+        (3, "ប្រទេសកម្ពុជាមានវប្បធម៌ចាស់និងស្រស់ស្អាតមនុស្សជាច្រើនចូលចិត្ត"),
+        (4, "นักวิทยาศาสตร์พบว่ามหาสมุทรกำลังอุ่นขึ้นเร็วกว่าที่พวกเขาคิด"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["lang"]
+        for r in df.select(
+            "doc_id", predicted_lang_script("text").alias("lang")
+        ).collect()
+    }
+    assert got == {1: "lo", 2: "my", 3: "km", 4: "th"}
