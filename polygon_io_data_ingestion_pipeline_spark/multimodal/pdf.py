@@ -1130,7 +1130,10 @@ def _std_security_handler(
                 f"unsupported encryption version /V {v} /R {r}"
             )
         sm = re.search(rb"/StmF\s*/(\w+)", enc_dict)
-        if sm and sm.group(1) == b"Identity":
+        # ISO 32000-2: an absent /StmF defaults to Identity (streams
+        # NOT encrypted) — treating it as AESV3 would "decrypt"
+        # plaintext streams into garbage (round-13 ADVICE fix)
+        if sm is None or sm.group(1) == b"Identity":
             return None, b""
         cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
         if cm and cm.group(1) != b"AESV3":
@@ -1163,9 +1166,11 @@ def _std_security_handler(
     method = "rc4"
     if v == 4:
         sm = re.search(rb"/StmF\s*/(\w+)", enc_dict)
-        stmf = sm.group(1) if sm else b"Identity"
+        stmf = sm.group(1) if sm else b"Identity"  # absent = Identity (ISO 32000)
         if stmf == b"Identity":
-            method = None
+            # streams unencrypted — readable regardless of any password,
+            # so skip the /U verification entirely (mirrors the V5 branch)
+            return None, b""
         else:
             cm = re.search(rb"/CFM\s*/(\w+)", enc_dict)
             cfm = cm.group(1) if cm else b""

@@ -9,12 +9,17 @@ Two layers, both implemented here from the public specs:
   the mini-stream (64-byte sectors inside the root entry's chain) for
   streams under the 4096-byte cutoff.  The ``Workbook`` (or legacy
   ``Book``) stream is the only one consumed.
-- **BIFF8 records** ([MS-XLS]): the workbook-globals substream
+- **BIFF records** ([MS-XLS]): the workbook-globals substream
   (``SST`` shared strings with CONTINUE re-option-byte splits, ``XF``
   cell formats, custom ``FORMAT`` codes, ``BOUNDSHEET`` names) followed
   by one substream per sheet (``LABELSST``/``LABEL``/``NUMBER``/``RK``/
   ``MULRK``/``BOOLERR`` cells; ``FORMULA``+cached ``STRING`` and error
-  cells SKIP with the same accounting as the XLSX/ODS lanes).
+  cells SKIP with the same accounting as the XLSX/ODS lanes).  The
+  workbook ``BOF`` version field gates the dialect (round 13): 0x0600
+  decodes as BIFF8, 0x0500 as BIFF5/7 (codepage BYTE strings — inline
+  ``LABEL`` cells, short ``BOUNDSHEET``/``FORMAT`` names, ``CODEPAGE``
+  record selects the codec), anything else is a typed quarantine —
+  never a silent BIFF8-semantics misparse.
 
 Typing converges on the modern lane's contract
 (:mod:`.sheet`): strings ``s``, numbers ``n`` (integral doubles render
@@ -62,9 +67,16 @@ _FORMAT = 0x041E
 _BOUNDSHEET = 0x0085
 _FILEPASS = 0x002F
 
+_CODEPAGE = 0x0042
+
 #: sane bound on declared counts in a <2^31-byte file (DoS guard, same
 #: discipline as the sheet lane's _MAX_REPEAT/_MAX_CELLS)
 _MAX_DECL = 1 << 22
+
+#: BOUNDSHEET count cap — Excel's own UI limit is 255 sheets and no
+#: real workbook approaches this; an untrusted file declaring ~100k
+#: sheet entries was a per-sheet-walk stall vector (round-13 ADVICE)
+_MAX_SHEETS = 4096
 
 
 class _Err(ValueError):
@@ -305,6 +317,31 @@ def _parse_string8(payload: bytes, off: int) -> str:
     return payload[p : p + cch].decode("latin-1", "replace")
 
 
+def _codec_for(codepage: int | None) -> str:
+    """Python codec for a BIFF CODEPAGE value; byte strings in BIFF5
+    records decode through this (BIFF8 compressed strings stay latin-1:
+    they are low UTF-16 bytes by spec, not codepage text)."""
+    import codecs
+
+    if codepage is None:
+        return "latin-1"
+    if codepage == 10000:
+        return "mac-roman"
+    try:
+        codecs.lookup(f"cp{codepage}")
+        return f"cp{codepage}"
+    except LookupError:
+        return "latin-1"
+
+
+def _parse_bytestring16(payload: bytes, off: int, enc: str) -> str:
+    """BIFF5 inline byte string with a 16-bit length (LABEL form): cch
+    then codepage bytes — NO options byte (reading one is exactly the
+    BIFF8-semantics misparse the round-13 version gate exists to stop)."""
+    cch = _u16(payload, off)
+    return payload[off + 2 : off + 2 + cch].decode(enc, "replace")
+
+
 def _rk_value(rk: int) -> float:
     v: float
     if rk & 0x02:
@@ -324,8 +361,13 @@ def _num_str(v: float) -> str:
     return repr(v)
 
 
-def _records(stream: bytes):
-    pos, n = 0, len(stream)
+def _records(stream: bytes, start: int = 0):
+    """Record walk from ``start`` — per-sheet substreams pass their
+    BOUNDSHEET offset here instead of slicing ``stream[bof_pos:]``
+    (a full-stream copy PER SHEET: with a crafted workbook declaring
+    ~100k BOUNDSHEETs that was an O(n_sheets x stream_size)
+    executor-stall vector — round-13 ADVICE fix)."""
+    pos, n = start, len(stream)
     while pos + 4 <= n:
         rid = _u16(stream, pos)
         ln = _u16(stream, pos + 2)
@@ -338,19 +380,34 @@ def _records(stream: bytes):
 # ---------------------------------------------------------------------------
 
 def xls_cells(data: bytes):
-    """(cells, n_formula, n_error) from a BIFF8 ``.xls`` payload — the
-    same typed-rows contract as the XLSX/ODS lanes (sheet.py Cells).
-    Raises ValueError on malformed containers and on FILEPASS-encrypted
-    workbooks (typed quarantine)."""
+    """(cells, n_formula, n_error) from a BIFF8 or BIFF5 ``.xls``
+    payload — the same typed-rows contract as the XLSX/ODS lanes
+    (sheet.py Cells).  The workbook BOF's version field selects the
+    dialect; unsupported versions, malformed containers and
+    FILEPASS-encrypted workbooks raise ValueError (typed quarantine)."""
     from .sheet import _MAX_CELLS, _serial_to_iso, _is_date_format, _BUILTIN_DATE_FMTS
 
     stream = cfb_stream(data)
     recs = list(_records(stream))
+    # ---- BOF version gate (round-13 verdict ask #1): the container
+    # probe accepts both stream names ("Workbook"/"Book"), but "Book"
+    # is the BIFF5 name and BIFF5 strings are codepage BYTE strings —
+    # decoding them through the BIFF8 unicode form emits silently-
+    # garbled rows.  Decode 0x0600 as BIFF8 and 0x0500 as BIFF5
+    # (Excel 5/95 share the layouts we read); anything else is a
+    # typed quarantine, never a best-effort misparse. ----
+    if not recs or recs[0][0] != _BOF or len(recs[0][1]) < 4:
+        raise _Err("missing workbook BOF record")
+    vers = _u16(recs[0][1], 0)
+    if vers not in (0x0500, 0x0600):
+        raise _Err(f"unsupported BIFF version 0x{vers:04X}")
+    biff5 = vers == 0x0500
     # ---- globals substream: SST, XF formats, sheet names ----
     sst: list[str] = []
     xf_fmt: list[int] = []
-    custom_fmt: dict[int, str] = {}
-    sheets: list[tuple[str, int]] = []  # (name, BOF stream position)
+    fmt_raw: list[bytes] = []
+    bs_raw: list[bytes] = []
+    codepage: int | None = None
     pos = 0
     # record positions, to validate BOUNDSHEET offsets point at records
     positions: set[int] = set()
@@ -377,18 +434,46 @@ def xls_cells(data: bytes):
             sst = [rd.read_string() for _ in range(n_unique)]
         elif rid == _XF:
             xf_fmt.append(_u16(payload, 2))
+        elif rid == _CODEPAGE:
+            codepage = _u16(payload, 0)
         elif rid == _FORMAT:
-            fid = _u16(payload, 0)
-            custom_fmt[fid] = _parse_string8(payload, 2)
+            # parsed after the loop: BIFF5 format strings need the
+            # CODEPAGE value, which may be declared later in globals
+            fmt_raw.append(payload)
         elif rid == _BOUNDSHEET:
-            bof_pos = _u32(payload, 0)
+            if len(bs_raw) >= _MAX_SHEETS:
+                raise _Err(f"absurd sheet count (> {_MAX_SHEETS})")
+            bs_raw.append(payload)
+        k += 1
+
+    enc = _codec_for(codepage)
+    custom_fmt: dict[int, str] = {}
+    for payload in fmt_raw:
+        fid = _u16(payload, 0)
+        if biff5:
+            # ifmt(2) + cch BYTE + codepage chars
+            custom_fmt[fid] = payload[3 : 3 + payload[2]].decode(enc, "replace")
+        else:
+            custom_fmt[fid] = _parse_string8(payload, 2)
+    sheets: list[tuple[str, int]] = []  # (name, BOF stream position)
+    seen_bof: set[int] = set()
+    for payload in bs_raw:
+        bof_pos = _u32(payload, 0)
+        if bof_pos in seen_bof:
+            # two sheets cannot share a substream; duplicate offsets
+            # only appear in crafted files (walk-amplification vector)
+            continue
+        seen_bof.add(bof_pos)
+        cch = payload[6]
+        if biff5:
+            # name: BYTE length + codepage chars (no options byte)
+            name = payload[7 : 7 + cch].decode(enc, "replace")
+        else:
             # name: BYTE length + option flags + chars (short form)
-            cch = payload[6]
             opts = payload[7]
             raw = payload[8 : 8 + (2 * cch if opts & 1 else cch)]
             name = raw.decode("utf-16-le" if opts & 1 else "latin-1", "replace")
-            sheets.append((name, bof_pos))
-        k += 1
+        sheets.append((name, bof_pos))
 
     date_fmt_ids = set(_BUILTIN_DATE_FMTS) | {
         fid for fid, code in custom_fmt.items() if _is_date_format(code)
@@ -415,7 +500,7 @@ def xls_cells(data: bytes):
         # walk this sheet's substream (BOF .. EOF) by stream offset
         if bof_pos not in positions:
             raise _Err("BOUNDSHEET offset points outside the stream")
-        for rid, payload in _records(stream[bof_pos:]):
+        for rid, payload in _records(stream, bof_pos):
             if rid == _EOF:
                 break
             if len(cells) > _MAX_CELLS:
@@ -428,9 +513,12 @@ def xls_cells(data: bytes):
                 cells.append((name, row + 1, col + 1, "s", sst[isst], None))
             elif rid == _LABEL:
                 row, col = _u16(payload, 0), _u16(payload, 2)
-                cells.append(
-                    (name, row + 1, col + 1, "s", _parse_string8(payload, 6), None)
+                val = (
+                    _parse_bytestring16(payload, 6, enc)
+                    if biff5
+                    else _parse_string8(payload, 6)
                 )
+                cells.append((name, row + 1, col + 1, "s", val, None))
             elif rid == _NUMBER:
                 row, col, ixfe = _u16(payload, 0), _u16(payload, 2), _u16(payload, 4)
                 v = struct.unpack_from("<d", payload, 6)[0]
@@ -478,13 +566,19 @@ def _rec(rid: int, payload: bytes) -> bytes:
     return struct.pack("<HH", rid, len(payload)) + payload
 
 
-def build_xls(cells: list[tuple], sheet: str = "S") -> bytes:
+def build_xls(cells: list[tuple], sheet: str = "S", biff5: bool = False) -> bytes:
     """Minimal real CFB + BIFF8 workbook from ``(row, col, type, value)``
     tuples (types 's'/'n'/'b'/'d'/'f'/'e' — 'd' takes an Excel serial
     number and styles it with built-in date format 14; 'f' emits a
     FORMULA record for skip-accounting tests).  The Workbook stream
     pads past the 4096-byte mini-stream cutoff so the container takes
-    the regular FAT path."""
+    the regular FAT path.
+
+    ``biff5=True`` emits the pre-97 dialect this module's BIFF5 lane
+    decodes (round-13 verdict ask #8): BOF vers 0x0500, a CODEPAGE 1252
+    record, byte-string ``LABEL`` cells instead of SST/LABELSST, the
+    short no-options-byte ``BOUNDSHEET`` name, and the legacy ``Book``
+    CFB stream name."""
     strings: list[str] = []
     string_idx: dict[str, int] = {}
     for _r, _c, t, v in cells:
@@ -492,16 +586,21 @@ def build_xls(cells: list[tuple], sheet: str = "S") -> bytes:
             string_idx[v] = len(strings)
             strings.append(v)
 
-    # globals: BOF, XF x2 (0 general fmt 0, 1 date fmt 14), SST,
+    vers = 0x0500 if biff5 else 0x0600
+    # globals: BOF, XF x2 (0 general fmt 0, 1 date fmt 14), SST (BIFF8),
     # BOUNDSHEET (offset patched), EOF
-    bof_g = _rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+    bof_g = _rec(_BOF, struct.pack("<HHHHII", vers, 0x0005, 0, 0, 0, 0))
     xfs = _rec(_XF, struct.pack("<HHHHHHHHHH", 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
     xfs += _rec(_XF, struct.pack("<HHHHHHHHHH", 0, 14, 0, 0, 0, 0, 0, 0, 0, 0))
-    sst_payload = struct.pack("<II", len(strings), len(strings)) + b"".join(
-        _enc_string8(s) for s in strings
-    )
-    sst_rec = _rec(_SST, sst_payload)
-    bs_name = _enc_string8(sheet, short=True)
+    if biff5:
+        sst_rec = _rec(_CODEPAGE, struct.pack("<H", 1252))
+        bs_name = struct.pack("<B", len(sheet)) + sheet.encode("cp1252")
+    else:
+        sst_payload = struct.pack("<II", len(strings), len(strings)) + b"".join(
+            _enc_string8(s) for s in strings
+        )
+        sst_rec = _rec(_SST, sst_payload)
+        bs_name = _enc_string8(sheet, short=True)
     boundsheet = _rec(_BOUNDSHEET, struct.pack("<IH", 0, 0) + bs_name)
     eof = _rec(_EOF, b"")
     globals_len = len(bof_g) + len(xfs) + len(sst_rec) + len(boundsheet) + len(eof)
@@ -509,14 +608,21 @@ def build_xls(cells: list[tuple], sheet: str = "S") -> bytes:
         _BOUNDSHEET, struct.pack("<IH", globals_len, 0) + bs_name
     )
 
-    body = bytearray(_rec(_BOF, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0)))
+    body = bytearray(_rec(_BOF, struct.pack("<HHHHII", vers, 0x0010, 0, 0, 0, 0)))
     for r, c, t, v in cells:
         r0, c0 = r - 1, c - 1
         if t == "s":
-            body += _rec(
-                _LABELSST,
-                struct.pack("<HHHI", r0, c0, 0, string_idx[v]),
-            )
+            if biff5:
+                raw = v.encode("cp1252", "replace")
+                body += _rec(
+                    _LABEL,
+                    struct.pack("<HHHH", r0, c0, 0, len(raw)) + raw,
+                )
+            else:
+                body += _rec(
+                    _LABELSST,
+                    struct.pack("<HHHI", r0, c0, 0, string_idx[v]),
+                )
         elif t == "n":
             body += _rec(_NUMBER, struct.pack("<HHHd", r0, c0, 0, float(v)))
         elif t == "d":
@@ -541,7 +647,7 @@ def build_xls(cells: list[tuple], sheet: str = "S") -> bytes:
     # final EOF are outside every record and ignored by the walker
     if len(stream) < 4096:
         stream += bytes(4096 - len(stream))
-    return _cfb_wrap(stream)
+    return _cfb_wrap(stream, name="Book" if biff5 else "Workbook")
 
 
 def _cfb_wrap(stream: bytes, name: str = "Workbook") -> bytes:

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from .text import (
+    char_ngrams,
     dedup_normalized,
     fingerprint,
     script_shingles,
@@ -499,10 +500,19 @@ def simhash(
 
     ``tokenizer='auto'`` routes unsegmented-script-dominant docs through
     character bigram tokens (a spaceless CJK doc is otherwise ONE token
-    = one md5 — every edit flips the whole signature)."""
+    = one md5 — every edit flips the whole signature).  Spaced docs
+    keep the EXACT ``split(text, ' ')`` expression of the 'word' path
+    (empty tokens included), so switching a fully-spaced corpus to
+    'auto' is signature-identical — the same bit-compat contract
+    :func:`..text.script_shingles` documents (round-13 ADVICE fix:
+    the word branch previously went through script_tokens' filtered
+    ``\\s+`` split, silently changing Latin-corpus signatures)."""
     _validate_tokenizer(tokenizer)
     tok_arr = (
-        script_tokens(text_col, 2)
+        F.when(
+            # char bigrams, same as script_tokens' unsegmented branch
+            unsegmented_dominant(text_col), char_ngrams(text_col, 2)
+        ).otherwise(F.split(F.col(text_col), " "))
         if tokenizer == "auto"
         else F.split(F.col(text_col), " ")
     )

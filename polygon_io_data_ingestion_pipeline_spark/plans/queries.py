@@ -6916,8 +6916,9 @@ SELECT * FROM nums UNION ALL SELECT * FROM strs
     "round-11 verdict ask #5; round 12 adds the legacy lane): one "
     "deterministic workbook per document — doc_id%3 picks XLSX "
     "(workbook part -> rels -> worksheet, shared strings), ODS "
-    "(mimetype content gate, office:value-type cells) or BIFF8 .xls "
-    "(pure-stdlib CFB walk + SST/NUMBER/BOOLERR records, "
+    "(mimetype content gate, office:value-type cells) or legacy .xls "
+    "(pure-stdlib CFB walk; the BOF version gate routes BIFF8 "
+    "SST/LABELSST vs BIFF5 codepage byte-string records by doc_id%6, "
     "multimodal/xls.py) — each carrying 3 number cells, 3 "
     "shared/string cells, and formula + error cells that must be "
     "SKIPPED with accounting, pushed through the REAL container "
@@ -6955,7 +6956,15 @@ def sheet_cells_extract(spark: SparkSession, sf: str) -> DataFrame:
                     spec.append((r, 2, "s", f"w{(did + r) % 5}"))
                 spec.append((4, 1, "f", 99))
                 spec.append((4, 2, "e", "#DIV/0!"))
-                build = (build_xlsx, build_ods, build_xls)[did % 3]
+                # the xls lane alternates dialects: did%6==2 -> BIFF8,
+                # did%6==5 -> BIFF5 (round 13) — the generative oracle
+                # is container-independent, so all FOUR encodings must
+                # converge on the same typed rows under one hash
+                build = (
+                    build_xlsx,
+                    build_ods,
+                    lambda s, _b5=(did % 6 == 5): build_xls(s, biff5=_b5),
+                )[did % 3]
                 payloads.append(build(spec))
             yield _pd.DataFrame(
                 {"media_id": batch["doc_id"], "payload": payloads}

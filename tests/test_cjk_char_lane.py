@@ -287,3 +287,21 @@ def test_tfidf_auto_yields_char_bigram_terms(spark):
     }
     assert all(len(t) == 2 for d, t in got if d == 1)  # char bigrams
     assert any(d == 2 and t.isascii() for d, t in got)  # words intact
+
+
+def test_simhash_auto_is_bit_identical_to_word_for_spaced_docs(spark):
+    """Round-13 ADVICE fix: tokenizer='auto' previously routed spaced
+    docs through script_tokens' FILTERED \\s+ split while 'word' uses
+    split(text, ' ') with empty tokens — merely switching a Latin-only
+    corpus to 'auto' changed every signature.  The word branch of
+    'auto' now IS the 'word' expression; double spaces and leading
+    whitespace are the discriminating cases."""
+    rows = [
+        (1, EN_A),
+        (2, "double  space and\ttab separated   tokens here"),
+        (3, " leading space"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = {r["doc_id"]: r["simhash"] for r in simhash(docs, tokenizer="word").collect()}
+    a = {r["doc_id"]: r["simhash"] for r in simhash(docs, tokenizer="auto").collect()}
+    assert w == a

@@ -626,6 +626,41 @@ def test_unsupported_crypt_filter_quarantines():
         extract_pdf_text(pdf)
 
 
+@pytest.mark.parametrize("v_r", [(4, 4), (5, 6)])
+def test_absent_stmf_defaults_to_identity_streams(v_r):
+    """ISO 32000: an /Encrypt dict that OMITS /StmF leaves streams
+    unencrypted (Identity is the default) — both the V4 and V5
+    handlers must extract the plaintext content instead of
+    'decrypting' it into garbage (round-13 ADVICE fix).  The /O //U
+    entries here are deliberately junk: with Identity streams the
+    content is readable regardless of any password."""
+    v, r = v_r
+    content = b"BT 72 720 Td (Plain despite Encrypt) Tj ET"
+    payload = zlib.compress(content)
+    enc = (
+        b"<< /Filter /Standard /V %d /R %d /P -44 /Length 256"
+        b" /O <%s> /U <%s>"
+        b" /CF << /StdCF << /CFM /%s /AuthEvent /DocOpen >> >> >>"
+        % (v, r, (b"00" * 48), (b"00" * 48),
+           b"AESV3" if v == 5 else b"AESV2")
+    )
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: _stream_obj(
+            b"<< /Length %d /Filter /FlateDecode >>" % len(payload), payload
+        ),
+        5: enc,
+    }
+    pdf = _pdf(
+        objs,
+        trailer=b"<< /Root 1 0 R /Encrypt 5 0 R /ID [<%s> <%s>] >>"
+        % (_ID0.hex().encode(), _ID0.hex().encode()),
+    )
+    assert extract_pdf_text(pdf) == "Plain despite Encrypt"
+
+
 def test_non_standard_handler_quarantines():
     pdf = _encrypted_doc("rc4-r3").replace(
         b"/Filter /Standard", b"/Filter /MySecurity"
