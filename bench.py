@@ -61,14 +61,24 @@ def main() -> None:
         spark.range(1000).selectExpr("sum(id)").collect()
     _calibration(spark).write.format("noop").mode("overwrite").save()  # warm it too
 
-    # Calibration: median-of-3 of the fixed machine-speed workload,
-    # reported raw and as the divisor of the normalized timings below.
-    calib_reps = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _calibration(spark).write.format("noop").mode("overwrite").save()
-        calib_reps.append(time.perf_counter() - t0)
-    calibration = round(sorted(calib_reps)[1], 3)
+    # Calibration: median-of-9 of the fixed machine-speed workload,
+    # SPREAD ACROSS THE RUN (3 reps before, 3 midway, 3 after the query
+    # loop) — round 12's normalized totals moved 25% between two
+    # same-tree runs because a 0.4s probe sampled only at the start
+    # carries both sampling noise and start-of-run machine state; nine
+    # samples interleaved with the queries average over the load the
+    # queries themselves saw (round-13 verdict ask #7). The WORKLOAD is
+    # unchanged (frozen since round 8), so calibration_sec stays
+    # comparable across rounds.
+    calib_reps: list[float] = []
+
+    def _calibrate(n: int = 3) -> None:
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _calibration(spark).write.format("noop").mode("overwrite").save()
+            calib_reps.append(time.perf_counter() - t0)
+
+    _calibrate()
 
     # Median-of-3 per query, per-run times recorded: a single-shot
     # number lets one JIT-tiering / scheduler stall write the round's
@@ -81,7 +91,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     stall_threshold_s = 12.0
-    for name, spec in bench_queries.items():
+    names = list(bench_queries)
+    for qi, name in enumerate(names):
+        spec = bench_queries[name]
         reps: list[float] = []
         for rep in range(5):
             t0 = time.perf_counter()
@@ -92,6 +104,11 @@ def main() -> None:
         reps_sorted = sorted(reps)
         timings[name] = round(reps_sorted[(len(reps_sorted) - 1) // 2], 3)
         runs[name] = [round(r, 3) for r in reps]
+        if qi == len(names) // 2:
+            _calibrate()  # mid-run sample
+
+    _calibrate()  # end-of-run sample
+    calibration = round(sorted(calib_reps)[len(calib_reps) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -107,6 +124,7 @@ def main() -> None:
                 # together (normalized flat); a plan regression moves
                 # only its own normalized line
                 "calibration_sec": calibration,
+                "calibration_runs": [round(r, 3) for r in calib_reps],
                 "queries_normalized": {
                     n: round(t / calibration, 3) for n, t in timings.items()
                 },

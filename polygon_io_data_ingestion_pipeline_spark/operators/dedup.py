@@ -33,10 +33,28 @@ from .text import (
     fingerprint,
     script_shingles,
     script_tokens,
+    unicode_normalized,
     unsegmented_dominant,
     validate_tokenizer as _validate_tokenizer,
     word_shingles,
 )
+
+
+def _normalized_src(
+    df: DataFrame, text_col: str, normalize_form: str | None
+) -> DataFrame:
+    """Optionally Unicode-normalize the text column before any
+    fingerprint/shingle math (round-13 verdict ask #2): NFC vs NFD
+    variants of identical rendered text (decomposed Hangul, accented
+    Latin — macOS-originated crawl content ships NFD) otherwise hash
+    and shingle differently, silently splitting duplicate classes
+    along normalization-form lines.  ``None`` (default) is a no-op —
+    zero plan change for every existing caller."""
+    if normalize_form is None:
+        return df
+    return df.withColumn(
+        text_col, unicode_normalized(text_col, normalize_form)
+    )
 
 
 def exact_duplicates(
@@ -44,6 +62,7 @@ def exact_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalized: bool = False,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Duplicate classes by exact (case-folded) content hash.
     ``normalized=True`` keys on the aggressive
@@ -54,7 +73,12 @@ def exact_duplicates(
     punctuation-only — no letters or digits anywhere) fall back to the
     strict fingerprint: they are not cosmetic variants of each other,
     and one shared empty key would silently collapse them all
-    corpus-wide."""
+    corpus-wide.
+
+    ``normalize_form='NFC'`` first Unicode-normalizes the text
+    (:func:`_normalized_src`), so NFC/NFD variants of the same
+    rendered page land in ONE class; composes with ``normalized=``."""
+    df = _normalized_src(df, text_col, normalize_form)
     if normalized:
         norm = dedup_normalized(text_col)
         key = F.when(F.length(norm) > 0, F.md5(norm)).otherwise(
@@ -143,6 +167,7 @@ def shingle_set(
     n: int = 3,
     tokenizer: str = "word",
     char_n: int = 5,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Distinct (id, shingle) pairs — the inverted-index input.
 
@@ -156,8 +181,11 @@ def shingle_set(
     shingle and near-dup detection degrades to near-exact-only)
     through character ``char_n``-grams instead
     (:func:`..text.script_shingles`); spaced docs keep the word
-    shingles bit-for-bit."""
+    shingles bit-for-bit.  ``normalize_form='NFC'`` Unicode-normalizes
+    the text first (both lanes — word shingles and char grams shingle
+    the SAME canonical form)."""
     _validate_tokenizer(tokenizer)
+    df = _normalized_src(df, text_col, normalize_form)
     sh = (
         script_shingles(text_col, n, char_n)
         if tokenizer == "auto"
@@ -220,6 +248,7 @@ def jaccard_pairs(
     strategy: str = "auto",
     tokenizer: str = "word",
     char_n: int = 5,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by n-word-shingle Jaccard similarity (exact).
 
@@ -256,7 +285,9 @@ def jaccard_pairs(
     # lineage per consumer, so without truncation the shingle explode
     # runs that many times over the corpus. Materialize it once
     # (same fix as shared_substring_pairs / duplicated_ngram_fraction).
-    sh = shingle_set(df, text_col, id_col, n, tokenizer, char_n).localCheckpoint()
+    sh = shingle_set(
+        df, text_col, id_col, n, tokenizer, char_n, normalize_form
+    ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
 
     if strategy == "direct":
@@ -343,6 +374,7 @@ def minhash_signatures(
     tokenizer: str = "word",
     char_n: int = 5,
     shingles_df: DataFrame | None = None,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """k MinHash values per document. Output: (id, mh_0..mh_{k-1}).
 
@@ -367,7 +399,7 @@ def minhash_signatures(
     sh = (
         shingles_df
         if shingles_df is not None
-        else shingle_set(df, text_col, id_col, n, tokenizer, char_n)
+        else shingle_set(df, text_col, id_col, n, tokenizer, char_n, normalize_form)
     )
     h = (
         F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
@@ -431,6 +463,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     tokenizer: str = "word",
     char_n: int = 5,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: documents sharing any full band.
 
@@ -438,7 +471,10 @@ def lsh_candidate_pairs(
     produced by a self-join on (band, key) — shuffle volume linear in
     the corpus, never quadratic.
     """
-    mh = minhash_signatures(df, text_col, id_col, n, k, tokenizer, char_n)
+    mh = minhash_signatures(
+        df, text_col, id_col, n, k, tokenizer, char_n,
+        normalize_form=normalize_form,
+    )
     bands = _sig_band_keys(mh, id_col, k, rows_per_band)
     # Both self-join sides consume the band table; without truncation
     # the full minhash lineage (shingle explode + per-shingle md5 + the
@@ -458,6 +494,7 @@ def lsh_verified_pairs(
     rows_per_band: int = 2,
     tokenizer: str = "word",
     char_n: int = 5,
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs at production scale: banded-LSH candidate
     generation (linear shuffle volume) followed by EXACT Jaccard
@@ -474,7 +511,7 @@ def lsh_verified_pairs(
     only.  Returns ``(id1, id2, jaccard)`` with id1 < id2,
     jaccard >= threshold."""
     sh = shingle_set(
-        df, text_col, id_col, n, tokenizer, char_n
+        df, text_col, id_col, n, tokenizer, char_n, normalize_form
     ).localCheckpoint()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     mh = minhash_signatures(df, text_col, id_col, n, k, shingles_df=sh)

@@ -860,6 +860,63 @@ def dedup_cjk_char_shingle(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_nfc_collapse_classes",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents),
+t AS (SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0
+             THEN 'caf' || chr(233) || ' m' || chr(252) || 'nchen '
+                  || chr(54620) || chr(44397)
+                  || ' page ' || CAST(doc_id // 2 AS VARCHAR)
+             ELSE 'cafe' || chr(769) || ' mu' || chr(776) || 'nchen '
+                  || chr(4370) || chr(4449) || chr(4523)
+                  || chr(4352) || chr(4462) || chr(4520)
+                  || ' page ' || CAST(doc_id // 2 AS VARCHAR)
+        END AS text
+      FROM d)
+SELECT md5(lower(nfc_normalize(text))) AS fp,
+       count(*) AS dup_count,
+       min(doc_id) AS canonical_id
+FROM t GROUP BY 1
+""",
+    doc="Unicode-normalization-aware exact dedup (round-13 verdict ask "
+    "#2): the same rendered page ships in NFC from most encoders and "
+    "NFD from macOS-originated content (decomposed accents, conjoining "
+    "Hangul jamo), and a plain md5(lower(text)) fingerprint splits "
+    "those duplicate classes along normalization-form lines.  "
+    "Construction: doc pairs (2g, 2g+1) carry the SAME rendered text "
+    "('café münchen 한국 page g') — even docs composed (NFC literals), "
+    "odd docs fully decomposed (e+U+0301, u+U+0308, jamo) — through "
+    "exact_duplicates(normalize_form='NFC') (operators/dedup.py), whose "
+    "Arrow-batched unicodedata.normalize pass is the one sanctioned "
+    "Python stage (text.py unicode_normalized).  Every class must come "
+    "out dup_count=2; the oracle independently re-derives BOTH byte "
+    "forms with chr() and replays the collapse via DuckDB's native "
+    "nfc_normalize — two unrelated normalizer implementations must "
+    "agree on every fp hash.",
+    tags=("dedup", "text"),
+)
+def dedup_nfc_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id")
+    g = F.expr("doc_id DIV 2").cast("string")
+    # escapes, not raw chars: an NFC-normalizing editor would silently
+    # recompose the decomposed literal and kill the fixture
+    nfc = F.concat(F.lit("caf\u00e9 m\u00fcnchen \ud55c\uad6d page "), g)
+    nfd = F.concat(
+        F.lit(
+            "cafe\u0301 mu\u0308nchen "
+            "\u1112\u1161\u11ab\u1100\u116e\u11a8 page "
+        ),
+        g,
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, nfc).otherwise(nfd).alias("text"),
+    )
+    return D.exact_duplicates(docs, normalize_form="NFC")
+
+
+@q(
     "emb_cosine_topk",
     oracle="""
 WITH q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
