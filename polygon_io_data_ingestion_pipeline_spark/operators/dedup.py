@@ -31,6 +31,7 @@ from .text import (
     char_ngrams,
     dedup_normalized,
     fingerprint,
+    script_run_shingles,
     script_shingles,
     script_tokens,
     unicode_normalized,
@@ -181,14 +182,19 @@ def shingle_set(
     shingle and near-dup detection degrades to near-exact-only)
     through character ``char_n``-grams instead
     (:func:`..text.script_shingles`); spaced docs keep the word
-    shingles bit-for-bit.  ``normalize_form='NFC'`` Unicode-normalizes
-    the text first (both lanes — word shingles and char grams shingle
-    the SAME canonical form)."""
-    _validate_tokenizer(tokenizer)
+    shingles bit-for-bit.  ``tokenizer='runs'`` (round 13) shingles
+    over per-script-RUN tokens instead (:func:`..text
+    .script_run_shingles`) — an embedded CJK paragraph below the 30%
+    dominance line is char-grammed in place rather than being one
+    opaque token.  ``normalize_form='NFC'`` Unicode-normalizes the
+    text first (all lanes shingle the SAME canonical form)."""
+    _validate_tokenizer(tokenizer, allowed=("word", "auto", "runs"))
     df = _normalized_src(df, text_col, normalize_form)
     sh = (
         script_shingles(text_col, n, char_n)
         if tokenizer == "auto"
+        else script_run_shingles(text_col, n, char_n)
+        if tokenizer == "runs"
         else word_shingles(text_col, n)
     )
     return _spread(df).select(

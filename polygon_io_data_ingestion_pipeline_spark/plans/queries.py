@@ -916,6 +916,94 @@ def dedup_nfc_collapse(spark: SparkSession, sf: str) -> DataFrame:
     return D.exact_duplicates(docs, normalize_form="NFC")
 
 
+#: 16 common Hangul syllables for hex translation (all NFC-stable)
+_KR_POOL = "가나다라마바사아자차카타파하거너"
+
+
+@q(
+    "dedup_korean_char_shingle_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS is_b FROM documents),
+s AS (SELECT doc_id, g, is_b, md5(CAST(g AS VARCHAR)) AS h,
+             translate(md5(CAST(g AS VARCHAR)), '0123456789abcdef',
+                       '__KR_POOL__') AS t
+      FROM d),
+w AS (SELECT doc_id, g, is_b,
+             trim(regexp_replace(substr(t, 1, 20), '(....)', '\\1 ', 'g')) AS words,
+             h
+      FROM s),
+txt AS (SELECT doc_id, g % 2 = 0 AS is_kr,
+               CASE WHEN g % 2 = 0 THEN
+                 substr(words, 1, 14)
+                 || CASE WHEN is_b = 1 THEN '는' ELSE '은' END
+                 || substr(words, 15, 10)
+               ELSE
+                 CASE WHEN is_b = 1
+                      THEN trim(regexp_replace(substr(h, 1, 16) || 'zz' || substr(h, 19, 14),
+                                               '(..)', '\\1 ', 'g'))
+                      ELSE trim(regexp_replace(h, '(..)', '\\1 ', 'g')) END
+               END AS text
+        FROM w),
+sh AS (SELECT DISTINCT doc_id, sgl FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(length(c) - 3, 2)),
+                                      i -> substr(c, CAST(i AS INT), 5))) AS sgl
+         FROM (SELECT doc_id, replace(text, ' ', '') AS c
+               FROM txt WHERE is_kr)
+         UNION ALL
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(tk) - 1, 1)),
+                                      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sgl
+         FROM (SELECT doc_id, string_split(text, ' ') AS tk
+               FROM txt WHERE NOT is_kr))),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2,
+       round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+FROM p JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.5
+""".replace("__KR_POOL__", _KR_POOL),
+    doc="Korean near-dup lane (round-13 verdict ask #3): Korean is "
+    "agglutinative — a particle swap (은→는) rewrites every 3-word "
+    "shingle containing the eojeol, so word-shingle near-dup recall "
+    "was second-class for exactly the cosmetic-edit pairs dedup exists "
+    "to catch.  script_shingles now routes hangul-dominant docs "
+    "through char 5-grams via the widened chargram_dominant predicate "
+    "(operators/text.py) while token STATS keep the eojeol word path "
+    "(Korean whitespace is real structure).  Construction: even "
+    "groups are 5-eojeol Hangul sentences from md5(g) whose odd "
+    "partner differs ONLY by the topic particle — zero shared word "
+    "shingles, char-gram jaccard 12/22 ≈ 0.545; odd groups are the "
+    "spaced hex-word docs (must STAY on the word path).  The oracle "
+    "re-derives the texts and replays both lanes + the routing in "
+    "SQL: Korean falling onto the word path yields zero pairs and the "
+    "hash breaks.",
+    tags=("dedup", "text"),
+)
+def dedup_korean_char_shingle(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id")
+    g = F.expr("doc_id DIV 2")
+    is_b = F.col("doc_id") % 2 == 1
+    h = F.md5(g.cast("string"))
+    t = F.translate(h, "0123456789abcdef", _KR_POOL)
+    words = F.trim(F.regexp_replace(F.substring(t, 1, 20), "(....)", "$1 "))
+    particle = F.when(is_b, F.lit("는")).otherwise(F.lit("은"))
+    kr = F.concat(
+        F.substring(words, 1, 14), particle, F.substring(words, 15, 10)
+    )
+    h_edit = F.concat(F.substring(h, 1, 16), F.lit("zz"), F.substring(h, 19, 14))
+    latin = F.trim(
+        F.regexp_replace(F.when(is_b, h_edit).otherwise(h), "(..)", "$1 ")
+    )
+    docs = d.select(
+        "doc_id",
+        F.when(g % 2 == 0, kr).otherwise(latin).alias("text"),
+    )
+    return D.jaccard_pairs(docs, threshold=0.5, tokenizer="auto")
+
+
 @q(
     "emb_cosine_topk",
     oracle="""
@@ -1739,6 +1827,82 @@ def lsh_verified(spark: SparkSession, sf: str) -> DataFrame:
     return D.lsh_verified_pairs(
         table(spark, sf, "documents"), threshold=0.05, k=8, rows_per_band=2
     )
+
+
+@q(
+    "dedup_fuzzy_survivors",
+    oracle="""
+WITH RECURSIVE uniq AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(text))),
+docs AS (SELECT d.doc_id, d.text FROM documents d
+         JOIN uniq u ON u.doc_id = d.doc_id),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM docs),
+sh AS (SELECT DISTINCT doc_id, s FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         FROM toks)),
+hs AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+       FROM sh),
+mix(j, a, b) AS (VALUES (0, 1000003, 12345), (1, 999983, 54321), (2, 888887, 246810),
+                        (3, 777767, 135791), (4, 666671, 975310), (5, 555557, 864209),
+                        (6, 444443, 753198), (7, 333331, 642087)),
+mh AS (SELECT doc_id, j, min((a * h + b) % 2147483647) AS mh
+       FROM hs, mix GROUP BY doc_id, j),
+bands AS (SELECT doc_id, j // 2 AS band,
+                 md5(string_agg(CAST(mh AS VARCHAR), '|' ORDER BY j)) AS bkey
+          FROM mh GROUP BY doc_id, j // 2),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (SELECT c.id1, c.id2
+          FROM cand c JOIN inter ON inter.id1 = c.id1 AND inter.id2 = c.id2
+                      JOIN cnt c1 ON c1.doc_id = c.id1
+                      JOIN cnt c2 ON c2.doc_id = c.id2
+          WHERE CAST(i AS DOUBLE) / (c1.n + c2.n - i) >= 0.05),
+edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+reach(node, label) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.label FROM edges e JOIN reach r ON r.node = e.dst),
+labels AS (SELECT node, min(label) AS cluster_id FROM reach GROUP BY node),
+dupes AS (SELECT node AS doc_id FROM labels WHERE cluster_id <> node)
+SELECT doc_id FROM docs
+WHERE doc_id NOT IN (SELECT doc_id FROM dupes)
+""",
+    doc="The END-TO-END fuzzy-dedup survivor set (round-13 verdict ask "
+    "#5a): the exact composition `corpus --fuzzy-dedup` runs "
+    "(cli.py ~838-867) — exact dedup to min-id representatives, "
+    "left-semi to the unique docs, banded-LSH candidates + exact "
+    "Jaccard verify on candidates only (lsh_verified_pairs), "
+    "transitive closure to clusters, then anti-join of the non-"
+    "representative members.  The pairs and clusters each had their "
+    "own hashes since round 12; this anchors the COMPOSED survivor "
+    "set, where an off-by-one in any stage (a rep dropped by the "
+    "semi-join, a closure label leak, an anti-join keyed on the wrong "
+    "column) changes the surviving ids.  Oracle restates every stage "
+    "in SQL: exact-md5 grouping, the full MinHash/banding pipeline, "
+    "candidate-only verification, a recursive-CTE closure, and the "
+    "final set subtraction.",
+    tags=("dedup",),
+)
+def dedup_fuzzy_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    docs = table(spark, sf, "documents").select("doc_id", "text")
+    reps = D.exact_duplicates(docs).select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    unique = docs.join(reps, "doc_id", "left_semi")
+    near = D.lsh_verified_pairs(
+        unique, threshold=0.05, k=8, rows_per_band=2
+    )
+    clusters = D.duplicate_clusters(near)
+    dupes = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return unique.join(dupes, "doc_id", "left_anti").select("doc_id")
 
 
 @q(
@@ -7822,7 +7986,14 @@ PINNED_WINDOW = [
     "dedup_lsh_verified_pairs",
     "dedup_simhash_pairs",
     "dedup_duplicate_clusters",
-    "docs_decontam_overlap",
+    # docs_decontam_overlap rotates as of round 13: its machinery is
+    # shingle_set + a hash-join membership check — the SAME shingle
+    # frame the pinned dedup_lsh_verified_pairs builds every round and
+    # the same join shape dedup_duplicate_clusters' edge stage anchors;
+    # it also stays in the BENCH set (externally timed every round
+    # regardless of the correctness window).  The trim buys round 13's
+    # THIRD registration slot (NFC collapse, Korean char lane, fuzzy
+    # survivor set) while keeping the <=4-round latency bound.
     # ANN family anchors (brute-force/IVF/PQ/kNN-join).
     # emb_semantic_dedup_clusters rotates as of round 9: it is the same
     # CC label-propagation code path as dedup_duplicate_clusters (only
