@@ -835,8 +835,11 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             f"trust-gate: dropped={n_trust_dropped} min_trust={args.min_trust}"
         )
 
+    dedup_form = "NFC" if args.nfc else None
     reps = exact_duplicates(
-        kept.select("doc_id", "text"), normalized=args.normalized_dedup
+        kept.select("doc_id", "text"),
+        normalized=args.normalized_dedup,
+        normalize_form=dedup_form,
     ).select(
         F.col("canonical_id").alias("doc_id")
     )
@@ -854,6 +857,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
             unique.select("doc_id", "text"),
             threshold=args.fuzzy_dedup,
             tokenizer=crawl_tokenizer,
+            normalize_form=dedup_form,
         )
         clusters = duplicate_clusters(near_pairs)
         dupes = clusters.filter(
@@ -1671,6 +1675,14 @@ def main(argv: list[str] | None = None) -> int:
         help="exact dedup keys on the aggressive normalized form "
         "(punctuation folded, digit runs bucketed) so cosmetic "
         "variants collapse",
+    )
+    p.add_argument(
+        "--nfc",
+        action="store_true",
+        help="Unicode-NFC-normalize dedup keys first: NFC vs NFD "
+        "variants of the same rendered text (decomposed accents and "
+        "Hangul, common in macOS-originated content) collapse into "
+        "one duplicate class; applies to the exact AND fuzzy stages",
     )
     p.add_argument(
         "--fuzzy-dedup",

@@ -102,6 +102,7 @@ def incremental_dedup(
     seen_fingerprints: DataFrame | None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    normalize_form: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Novelty filter for a continuously-growing corpus: keep only the
     documents of an incoming shard (a day's crawl) that are new BOTH
@@ -122,7 +123,9 @@ def incremental_dedup(
     fingerprint table is the ONLY state that grows with corpus history,
     and it is O(distinct docs) narrow rows.
     """
-    fp = new_docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    fp = _normalized_src(
+        new_docs.select(F.col(id_col), F.col(text_col)), text_col, normalize_form
+    ).select(F.col(id_col), fingerprint(text_col).alias("fp"))
     keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     if seen_fingerprints is not None:
         keep = keep.join(
@@ -402,6 +405,15 @@ def minhash_signatures(
     """
     if k > len(MINHASH_MIX):
         raise ValueError(f"k={k} exceeds the {len(MINHASH_MIX)} mixing pairs")
+    if shingles_df is not None and normalize_form is not None:
+        # a caller-shared shingle frame was built under ITS OWN
+        # normalization decision — silently dropping the request here
+        # would leave NFD/NFC dupes split while the caller believes
+        # they are collapsed (round-13 review finding)
+        raise ValueError(
+            "pass normalize_form to the shingle_set that built "
+            "shingles_df, not to minhash_signatures"
+        )
     sh = (
         shingles_df
         if shingles_df is not None
@@ -534,6 +546,7 @@ def simhash(
     id_col: str = "doc_id",
     bits: int = 32,
     tokenizer: str = "word",
+    normalize_form: str | None = None,
 ) -> DataFrame:
     """Token-count-weighted SimHash signature (one long per document).
 
@@ -551,6 +564,7 @@ def simhash(
     the word branch previously went through script_tokens' filtered
     ``\\s+`` split, silently changing Latin-corpus signatures)."""
     _validate_tokenizer(tokenizer)
+    df = _normalized_src(df, text_col, normalize_form)
     tok_arr = (
         F.when(
             # char bigrams, same as script_tokens' unsegmented branch
@@ -1191,6 +1205,7 @@ def incremental_near_dedup(
     rows_per_band: int = 2,
     threshold: float = 0.7,
     tokenizer: str = "word",
+    normalize_form: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """NEAR-duplicate novelty filter for a growing corpus — the fuzzy
     twin of :func:`incremental_dedup` (which only catches byte-identical
@@ -1220,7 +1235,8 @@ def incremental_near_dedup(
     estimate correctly against each other.
     """
     sigs = minhash_signatures(
-        new_docs, text_col, id_col, n, k, tokenizer
+        new_docs, text_col, id_col, n, k, tokenizer,
+        normalize_form=normalize_form,
     ).localCheckpoint()
     bands = _sig_band_keys(sigs, id_col, k, rows_per_band).localCheckpoint()
     hist_rename = [F.col(id_col).alias("__h_id")] + [

@@ -35,26 +35,34 @@ def token_count(text_col: str = "text") -> Column:
     return F.size(tokens(text_col)).cast("long")
 
 
-def word_shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Array of n-word shingles (space-joined), order-preserving.
+def _shingle_window_sql(tokens_sql: str, n: int) -> str:
+    """n-token shingle windows (space-joined) over any token-array SQL
+    expression — the ONE windowing block shared by :func:`word_shingles`
+    and :func:`script_run_shingles`.
 
     The token array is bound once as a lambda variable (single-element
-    array + transform + flatten); inlining ``split`` into the
-    per-position lambda would re-split the whole text for every shingle
-    position — O(len²) per document, measured 3x slower at sf0.1.
+    array + transform + flatten); inlining the tokenizer into the
+    per-position lambda would re-tokenize the whole text for every
+    shingle position — O(len²) per document, measured 3x slower at
+    sf0.1.
 
     The explicit short-text CASE matters: Spark's ``sequence(1, 0)``
     DESCENDS ([1, 0]), it is not empty — without the guard a document
     of fewer than n tokens would emit bogus partial shingles (same
-    pitfall guarded in :func:`rolling_hashes`).
-    """
+    pitfall guarded in :func:`rolling_hashes`)."""
     elems = ", ".join(f"t[i - 1 + {d}]" for d in range(n))
-    return F.expr(
-        f"flatten(transform(array(split({text_col}, ' ')), t -> "
+    return (
+        f"flatten(transform(array({tokens_sql}), t -> "
         f"CASE WHEN size(t) < {n} THEN CAST(array() AS ARRAY<STRING>) ELSE "
         f"transform(sequence(1, size(t) - {n - 1}), "
         f"i -> concat_ws(' ', {elems})) END))"
     )
+
+
+def word_shingles(text_col: str = "text", n: int = 3) -> Column:
+    """Array of n-word shingles (space-joined), order-preserving
+    (:func:`_shingle_window_sql` over the single-space split)."""
+    return F.expr(_shingle_window_sql(f"split({text_col}, ' ')", n))
 
 
 #: SQL regex character class of the UNSEGMENTED (spaceless) scripts
@@ -192,10 +200,15 @@ def script_shingles(
 
 
 def _run_tokens_sql(text_col: str, char_n: int) -> str:
-    """Per-script-run token array: isolate unsegmented-script runs with
+    """Per-script-run token array: isolate char-gram-script runs with
     surrounding spaces, whitespace-split, then char-``char_n``-gram the
-    run tokens while word tokens pass through unchanged."""
-    cls = UNSEGMENTED_SCRIPT_CLASS
+    run tokens while word tokens pass through unchanged.  Uses the
+    CHARGRAM class (unsegmented scripts + Hangul) — the run lane must
+    agree with the whole-doc shingle router about WHICH scripts need
+    char-level granularity, or an embedded Korean sentence would
+    reintroduce the particle-edit blind spot this round closed
+    (round-13 review finding)."""
+    cls = CHARGRAM_SCRIPT_CLASS
     seg = f"regexp_replace({text_col}, '([{cls}]+)', ' $1 ')"
     toks = f"filter(split({seg}, '\\\\s+'), t -> t != '')"
     return (
@@ -224,18 +237,20 @@ def script_run_shingles(
     text_col: str = "text", n: int = 3, char_n: int = 5
 ) -> Column:
     """``n``-token shingles over :func:`script_run_tokens` — the
-    ``tokenizer='runs'`` shingle lane: an embedded CJK paragraph
+    ``tokenizer='runs'`` shingle lane: an embedded CJK/Hangul passage
     contributes ~one gram token per character instead of one opaque
-    token, so near-dup granularity inside the paragraph matches the
-    routed char lane while the surrounding Latin text keeps word-level
-    shingling; shingles spanning the script boundary tie the two."""
-    toks = _run_tokens_sql(text_col, char_n)
-    elems = ", ".join(f"t[i - 1 + {d}]" for d in range(n))
+    token, and shingles spanning the script boundary tie the runs to
+    their Latin context.
+
+    NOT shingle-identical to the routed ``'auto'`` lane even for
+    pure-script docs: 'auto' uses SINGLE char ``char_n``-grams as
+    shingles, while this lane n-WINDOWS the gram tokens (a shingle
+    covers ~``char_n + n - 1`` chars), so one char edit invalidates
+    more shingles and the same pair scores a somewhat lower jaccard at
+    the same threshold.  The modes are alternatives with different
+    granularity trades, not interchangeable — pick one per corpus."""
     return F.expr(
-        f"flatten(transform(array({toks}), t -> "
-        f"CASE WHEN size(t) < {n} THEN CAST(array() AS ARRAY<STRING>) ELSE "
-        f"transform(sequence(1, size(t) - {n - 1}), "
-        f"i -> concat_ws(' ', {elems})) END))"
+        _shingle_window_sql(_run_tokens_sql(text_col, char_n), n)
     )
 
 

@@ -1042,3 +1042,31 @@ def test_lsh_verified_pairs_candidates_only_and_cjk(spark):
         else:
             assert (4, 5) not in got
         assert (1, 2) in got
+
+
+def test_corpus_cli_nfc_dedup(spark, tmp_path, capsys):
+    """--nfc (round 13): the NFD re-encoding of a kept page is the same
+    rendered text and must land in the same duplicate class; without
+    the flag both copies survive."""
+    import unicodedata
+
+    nfc_text = GOOD + " café münchen quality content here"
+    nfd_text = unicodedata.normalize("NFD", nfc_text)
+    assert nfc_text != nfd_text
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "docs.jsonl").write_text(
+        "\n".join([_line(1, nfc_text), _line(2, nfd_text)]) + "\n"
+    )
+
+    out1 = str(tmp_path / "out1")
+    rc = main(["corpus", "--src", str(src), "--out", out1])
+    assert rc == 0
+    assert spark.read.parquet(out1).count() == 2  # split along NFC/NFD
+
+    out2 = str(tmp_path / "out2")
+    rc = main(["corpus", "--src", str(src), "--out", out2, "--nfc"])
+    assert rc == 0
+    kept = spark.read.parquet(out2).collect()
+    assert [r["doc_id"] for r in kept] == [1]  # min-id representative

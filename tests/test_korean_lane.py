@@ -103,3 +103,28 @@ def test_latin_docs_bit_identical_under_auto(spark):
     w = jaccard_pairs(df, threshold=0.1, tokenizer="word").collect()
     a = jaccard_pairs(df, threshold=0.1, tokenizer="auto").collect()
     assert sorted(map(tuple, w)) == sorted(map(tuple, a))
+
+
+def test_runs_lane_covers_embedded_korean(spark):
+    """Round-13 review fix: the per-run lane must use the CHARGRAM
+    class (unsegmented + Hangul), or an embedded Korean sentence in a
+    Latin page reintroduces the particle-edit blind spot the
+    whole-doc router just closed."""
+    latin = ("market analysts said the quarterly report shows strong "
+             "growth in all regions and the board expects more gains")
+    a = f"{latin} {KO_A} end"
+    b = f"{latin} {KO_B} end"
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    word = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.1, tokenizer="word").collect()
+    }
+    runs = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.1, tokenizer="runs").collect()
+    }
+    # the particle edit costs three word shingles but only a few gram
+    # tokens: the runs lane must score the pair strictly higher
+    assert runs[(1, 2)] > word[(1, 2)]

@@ -128,3 +128,49 @@ def test_null_text_passes_through(spark):
     ).collect()
     vals = {r["doc_id"]: r["t"] for r in out}
     assert vals[0] is None and vals[1] == NFC_TEXT
+
+
+def test_incremental_dedup_honors_the_form(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = _docs(spark)
+    novel, delta = incremental_dedup(docs, None, normalize_form="NFC")
+    # NFD twins collapse onto the min-id representative within the shard
+    assert sorted(r["doc_id"] for r in novel.collect()) == [0, 2]
+    assert delta.count() == 2
+    # and the delta blocks the NFD form arriving in a LATER shard
+    shard2 = spark.createDataFrame(
+        [(10, NFD_TEXT)], "doc_id long, text string"
+    )
+    novel2, _ = incremental_dedup(shard2, delta, normalize_form="NFC")
+    assert novel2.count() == 0
+
+
+def test_simhash_honors_the_form(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        simhash,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash(_docs(spark), normalize_form="NFC").collect()
+    }
+    assert sigs[0] == sigs[1]
+    raw = {
+        r["doc_id"]: r["simhash"] for r in simhash(_docs(spark)).collect()
+    }
+    assert raw[0] != raw[1]
+
+
+def test_minhash_rejects_form_with_caller_shingles(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        shingle_set,
+    )
+
+    docs = _docs(spark)
+    sh = shingle_set(docs)
+    with pytest.raises(ValueError, match="normalize_form"):
+        minhash_signatures(docs, shingles_df=sh, normalize_form="NFC")
