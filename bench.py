@@ -61,15 +61,17 @@ def main() -> None:
         spark.range(1000).selectExpr("sum(id)").collect()
     _calibration(spark).write.format("noop").mode("overwrite").save()  # warm it too
 
-    # Calibration: median-of-9 of the fixed machine-speed workload,
-    # SPREAD ACROSS THE RUN (3 reps before, 3 midway, 3 after the query
-    # loop) — round 12's normalized totals moved 25% between two
-    # same-tree runs because a 0.4s probe sampled only at the start
-    # carries both sampling noise and start-of-run machine state; nine
-    # samples interleaved with the queries average over the load the
-    # queries themselves saw (round-13 verdict ask #7). The WORKLOAD is
-    # unchanged (frozen since round 8), so calibration_sec stays
-    # comparable across rounds.
+    # Calibration: the fixed machine-speed workload (FROZEN since round
+    # 8) sampled ADJACENT TO EVERY QUERY, and each query normalized by
+    # the median of its 3 temporally-nearest samples (round-13 verdict
+    # ask #7).  Why per-query: this box oscillates between fast and
+    # slow states on a ~minutes timescale (measured calib 0.5 <-> 1.5s
+    # within ONE run, opposite phases across two back-to-back runs), so
+    # any single scalar divisor leaves normalized totals disagreeing by
+    # 50% while raw totals agree within ~12%; a divisor that tracks the
+    # box state WHEN each query ran is the only formulation that
+    # cancels phase noise.  calibration_sec (the cross-round scalar)
+    # stays the median over all samples of the same frozen workload.
     calib_reps: list[float] = []
 
     def _calibrate(n: int = 3) -> None:
@@ -78,7 +80,7 @@ def main() -> None:
             _calibration(spark).write.format("noop").mode("overwrite").save()
             calib_reps.append(time.perf_counter() - t0)
 
-    _calibrate()
+    _calibrate(1)
 
     # Median-of-3 per query, per-run times recorded: a single-shot
     # number lets one JIT-tiering / scheduler stall write the round's
@@ -90,10 +92,14 @@ def main() -> None:
     # so the median reflects the plan, not the pathology.
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    local_calib: list[float] = []  # sample i taken just before query i
     stall_threshold_s = 12.0
     names = list(bench_queries)
     for qi, name in enumerate(names):
         spec = bench_queries[name]
+        t0 = time.perf_counter()
+        _calibration(spark).write.format("noop").mode("overwrite").save()
+        local_calib.append(time.perf_counter() - t0)
         reps: list[float] = []
         for rep in range(5):
             t0 = time.perf_counter()
@@ -104,11 +110,20 @@ def main() -> None:
         reps_sorted = sorted(reps)
         timings[name] = round(reps_sorted[(len(reps_sorted) - 1) // 2], 3)
         runs[name] = [round(r, 3) for r in reps]
-        if qi == len(names) // 2:
-            _calibrate()  # mid-run sample
 
-    _calibrate()  # end-of-run sample
-    calibration = round(sorted(calib_reps)[len(calib_reps) // 2], 3)
+    _calibrate(1)  # end-of-run sample closes the last query's window
+    # time-ordered samples: [start] + one-before-each-query + [end];
+    # query i is bracketed by ordered[i+1] and ordered[i+2], so its
+    # divisor is the median of ordered[i:i+3] — 3 temporally-nearest
+    # samples, robust to one noisy one while tracking the box phase
+    # the query actually ran in
+    ordered = calib_reps[:1] + local_calib + calib_reps[-1:]
+    calib_all = sorted(calib_reps + local_calib)
+    calibration = round(calib_all[len(calib_all) // 2], 3)
+
+    def _local_divisor(i: int) -> float:
+        window = sorted(ordered[i : i + 3])
+        return window[len(window) // 2]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,9 +139,10 @@ def main() -> None:
                 # together (normalized flat); a plan regression moves
                 # only its own normalized line
                 "calibration_sec": calibration,
-                "calibration_runs": [round(r, 3) for r in calib_reps],
+                "calibration_runs": [round(r, 3) for r in ordered],
                 "queries_normalized": {
-                    n: round(t / calibration, 3) for n, t in timings.items()
+                    n: round(t / _local_divisor(i), 3)
+                    for i, (n, t) in enumerate(timings.items())
                 },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -856,7 +856,7 @@ def cmd_corpus(args: argparse.Namespace) -> int:
         near_pairs = lsh_verified_pairs(
             unique.select("doc_id", "text"),
             threshold=args.fuzzy_dedup,
-            tokenizer=crawl_tokenizer,
+            tokenizer=args.shingle_tokenizer or crawl_tokenizer,
             normalize_form=dedup_form,
         )
         clusters = duplicate_clusters(near_pairs)
@@ -1675,6 +1675,17 @@ def main(argv: list[str] | None = None) -> int:
         help="exact dedup keys on the aggressive normalized form "
         "(punctuation folded, digit runs bucketed) so cosmetic "
         "variants collapse",
+    )
+    p.add_argument(
+        "--shingle-tokenizer",
+        choices=("word", "auto", "runs"),
+        default=None,
+        help="override the near-dup SHINGLE tokenizer for --fuzzy-dedup: "
+        "'runs' char-grams embedded unsegmented-script/Hangul passages "
+        "in place (mixed-script corpora below the whole-doc dominance "
+        "line); default follows the lane (auto on warc/wet, word "
+        "otherwise).  Shingle lane only — LM/span stages keep the lane "
+        "tokenizer",
     )
     p.add_argument(
         "--nfc",

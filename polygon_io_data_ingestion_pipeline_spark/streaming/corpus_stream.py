@@ -118,7 +118,12 @@ def write_corpus_batch(batch_df: DataFrame, batch_id: int, lake_path: str) -> No
             fh.write(json.dumps({"batch_id": batch_id}) + "\n")
 
 
-def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str) -> None:
+def write_corpus_batch_exact(
+    batch_df: DataFrame,
+    batch_id: int,
+    lake_path: str,
+    normalize_form: str | None = None,
+) -> None:
     """Exactly-once sink with UNBOUNDED-history dedup: state in the lake.
 
     ``corpus_pipeline``'s in-stream dedup is watermark-bounded (state
@@ -164,7 +169,13 @@ def write_corpus_batch_exact(batch_df: DataFrame, batch_id: int, lake_path: str)
             .parquet(*[os.path.join(lake_path, d) for d in prior])
             .select("fp")
         )
-    novel, _ = incremental_dedup(batch_df, history, id_col="doc_id")
+    # normalize_form keys the history check on the Unicode-normalized
+    # text (round 13) — an NFD re-crawl of an NFC page is the same
+    # rendered content; like the tokenizer, the form is a constant for
+    # the lifetime of a lake
+    novel, _ = incremental_dedup(
+        batch_df, history, id_col="doc_id", normalize_form=normalize_form
+    )
     with LakeLease(spark, lake_path, holder="corpus_stream_exact"):
         (
             novel.write.mode("overwrite")

@@ -129,18 +129,30 @@ def crawl_records_to_recs(
     return recs
 
 
-def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
+def _recs_to_docs(
+    recs: DataFrame,
+    main_content: bool = False,
+    normalize_form: str | None = None,
+) -> DataFrame:
     """Deduplicated (and robots-gated, if enabled) text records ->
     gated corpus documents: charset-aware extraction (HTML walk or
     plain decode; ``decode_ok=false`` mojibake quarantined) -> language
     ID + fingerprint -> Gopher-style quality gate (with the
     MULTILINGUAL stopword signal: crawls are multilingual, and the
     English-only set would reject clean foreign-language pages as
-    gibberish)."""
+    gibberish).
+
+    ``normalize_form='NFC'`` keys the dedup FINGERPRINT on the
+    Unicode-normalized text (round 13 — NFC and NFD re-encodings of
+    the same rendered page otherwise both enter the lake forever via
+    the exact-history check); the text column itself ships unmodified.
+    Like the tokenizer, the form is a constant for the LIFETIME of a
+    lake — fingerprints computed under different forms never match."""
     from ..operators.text import (
         multilingual_stopwords,
         predicted_lang_script,
         quality_filter,
+        unicode_normalized,
     )
     from ..operators.urls import FEED_CONTENT_TYPES
 
@@ -178,7 +190,13 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
             ).alias("lang"),
             F.element_at(F.split("warc_file", "/"), -1).alias("source"),
             "url",
-            F.md5(F.lower(F.col("text"))).alias("fp"),
+            F.md5(
+                F.lower(
+                    unicode_normalized("text", normalize_form)
+                    if normalize_form is not None
+                    else F.col("text")
+                )
+            ).alias("fp"),
         )
     )
     from ..functions.script_families import UNSEGMENTED_FUNCTION_MARKERS
@@ -198,6 +216,7 @@ def _recs_to_docs(recs: DataFrame, main_content: bool = False) -> DataFrame:
 def crawl_records_to_docs(
     records: DataFrame,
     main_content: bool = False,
+    normalize_form: str | None = None,
     robots_agent: str | None = None,
 ) -> DataFrame:
     """WARC record rows -> gated corpus documents (the batch transform
@@ -212,7 +231,9 @@ def crawl_records_to_docs(
     recs = crawl_records_to_recs(records, robots_agent=robots_agent)
     if robots_agent is not None:
         recs = recs.filter(F.col("crawl_allowed")).drop("crawl_allowed")
-    return _recs_to_docs(recs, main_content=main_content)
+    return _recs_to_docs(
+        recs, main_content=main_content, normalize_form=normalize_form
+    )
 
 
 def _compact_batch_dirs(
@@ -336,6 +357,7 @@ def write_crawl_batch(
     batch_id: int,
     lake_path: str,
     main_content: bool = False,
+    normalize_form: str | None = None,
     exact_history: bool = False,
     robots_agent: str | None = None,
     outlinks_path: str | None = None,
@@ -410,9 +432,13 @@ def write_crawl_batch(
             n_blocked = recs.filter(~F.col("crawl_allowed")).count()
             print(f"robots[batch {batch_id}]: blocked={n_blocked}")
             kept = recs.filter(F.col("crawl_allowed")).drop("crawl_allowed")
-        docs = _recs_to_docs(kept, main_content=main_content).persist()
+        docs = _recs_to_docs(
+            kept, main_content=main_content, normalize_form=normalize_form
+        ).persist()
     else:
-        docs = crawl_records_to_docs(batch_df, main_content=main_content).persist()
+        docs = crawl_records_to_docs(
+            batch_df, main_content=main_content, normalize_form=normalize_form
+        ).persist()
     bad_ids = None
     try:
         if outlinks_path is not None:
@@ -519,8 +545,12 @@ def write_crawl_batch(
                 # a drift-rollup or PSI failure must not leak it
                 # for the rest of the stream's session
                 odds.unpersist()
-        sink = write_corpus_batch_exact if exact_history else write_corpus_batch
-        sink(out_docs, batch_id, lake_path)
+        if exact_history:
+            write_corpus_batch_exact(
+                out_docs, batch_id, lake_path, normalize_form=normalize_form
+            )
+        else:
+            write_corpus_batch(out_docs, batch_id, lake_path)
         if schedule_path is not None:
             from ..operators.robots import (
                 latest_robots_captures,
@@ -705,6 +735,7 @@ def start_crawl_ingest(
     lake_path: str,
     checkpoint: str,
     main_content: bool = False,
+    normalize_form: str | None = None,
     exact_history: bool = False,
     robots_agent: str | None = None,
     outlinks_path: str | None = None,
@@ -787,6 +818,7 @@ def start_crawl_ingest(
                 write_crawl_batch,
                 lake_path=lake_path,
                 main_content=main_content,
+                normalize_form=normalize_form,
                 exact_history=exact_history,
                 robots_agent=robots_agent,
                 outlinks_path=outlinks_path,

@@ -1070,3 +1070,44 @@ def test_corpus_cli_nfc_dedup(spark, tmp_path, capsys):
     assert rc == 0
     kept = spark.read.parquet(out2).collect()
     assert [r["doc_id"] for r in kept] == [1]  # min-id representative
+
+
+def test_corpus_cli_shingle_tokenizer_runs(spark, tmp_path, capsys):
+    """--shingle-tokenizer runs (round 13): with an embedded CJK
+    paragraph below the whole-doc dominance line, word shingles see it
+    as ONE token — a one-character typo inside it and a WHOLLY
+    REPLACED paragraph score the same jaccard (0.931 here), so the
+    word lane at 0.6 over-merges all three docs and silently drops a
+    genuinely different document.  The per-script-run lane grams the
+    paragraph in place (typo 0.763, replacement 0.351): only the typo
+    pair collapses."""
+    para = "科学家发现海洋变暖的速度比他们想象的要快这是一个严重的问题"
+    typo = "科学家发现海洋变暖的速度比他们想像的要快这是一个严重的问题"
+    repl = "今天城市交通状况有了明显改善市民出行更加方便大家非常满意了"
+    src = tmp_path / "in"
+    src.mkdir()
+    lines = [
+        _line(1, f"{GOOD} {para}"),
+        _line(2, f"{GOOD} {typo}"),
+        _line(3, f"{GOOD} {repl}"),
+    ]
+    (src / "docs.jsonl").write_text("\n".join(lines) + "\n")
+
+    out1 = str(tmp_path / "out1")
+    rc = main([
+        "corpus", "--src", str(src), "--out", out1, "--fuzzy-dedup", "0.6",
+    ])
+    assert rc == 0
+    # word lane: typo and replacement indistinguishable -> over-merge
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(out1).collect()
+    ) == [1]
+
+    out2 = str(tmp_path / "out2")
+    rc = main([
+        "corpus", "--src", str(src), "--out", out2, "--fuzzy-dedup", "0.6",
+        "--shingle-tokenizer", "runs",
+    ])
+    assert rc == 0
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out2).collect())
+    assert kept == [1, 3]  # typo collapsed, replacement kept

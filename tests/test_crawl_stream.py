@@ -859,3 +859,34 @@ def test_compact_edges_unit_pagerank_and_anchor_identity(spark, tmp_path):
         "src string, dst string, anchor string, nofollow boolean",
     ).write.parquet(os.path.join(root, "batch_id=3"))
     assert consume() == before
+
+
+def test_crawl_nfc_history_collapses_nfd_recrawl(spark, tmp_path):
+    """normalize_form='NFC' (round 13): an NFD re-encoding of a page
+    already in the lake is the same rendered text and must be caught by
+    the exact-history fingerprint check — without the form both copies
+    enter the lake forever."""
+    import unicodedata
+
+    nfc_text = GOOD_A + " café münchen"
+    nfd_text = unicodedata.normalize("NFD", nfc_text)
+    assert nfc_text != nfd_text
+
+    src = tmp_path / "crawl"
+    src.mkdir()
+    lake, ckpt = tmp_path / "lake", tmp_path / "ckpt"
+    _write_warc(src, "a.warc.gz", [
+        _warc_record("response", "http://x.example/a", _http(_page(nfc_text))),
+    ])
+    _drain(spark, src, lake, ckpt, exact_history=True, normalize_form="NFC")
+    _write_warc(src, "b.warc.gz", [
+        _warc_record(
+            "response", "http://mirror.example/a", _http(_page(nfd_text))
+        ),
+        _warc_record("response", "http://x.example/b", _http(_page(GOOD_B))),
+    ])
+    _drain(spark, src, lake, ckpt, exact_history=True, normalize_form="NFC")
+    rows = spark.read.parquet(str(lake)).collect()
+    assert sorted(r["url"] for r in rows) == [
+        "http://x.example/a", "http://x.example/b",
+    ]
