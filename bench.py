@@ -72,15 +72,12 @@ def main() -> None:
     # box state WHEN each query ran is the only formulation that
     # cancels phase noise.  calibration_sec (the cross-round scalar)
     # stays the median over all samples of the same frozen workload.
-    calib_reps: list[float] = []
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        _calibration(spark).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
 
-    def _calibrate(n: int = 3) -> None:
-        for _ in range(n):
-            t0 = time.perf_counter()
-            _calibration(spark).write.format("noop").mode("overwrite").save()
-            calib_reps.append(time.perf_counter() - t0)
-
-    _calibrate(1)
+    start_calib = _calibrate()
 
     # Median-of-3 per query, per-run times recorded: a single-shot
     # number lets one JIT-tiering / scheduler stall write the round's
@@ -97,9 +94,7 @@ def main() -> None:
     names = list(bench_queries)
     for qi, name in enumerate(names):
         spec = bench_queries[name]
-        t0 = time.perf_counter()
-        _calibration(spark).write.format("noop").mode("overwrite").save()
-        local_calib.append(time.perf_counter() - t0)
+        local_calib.append(_calibrate())
         reps: list[float] = []
         for rep in range(5):
             t0 = time.perf_counter()
@@ -111,14 +106,14 @@ def main() -> None:
         timings[name] = round(reps_sorted[(len(reps_sorted) - 1) // 2], 3)
         runs[name] = [round(r, 3) for r in reps]
 
-    _calibrate(1)  # end-of-run sample closes the last query's window
+    end_calib = _calibrate()  # closes the last query's window
     # time-ordered samples: [start] + one-before-each-query + [end];
     # query i is bracketed by ordered[i+1] and ordered[i+2], so its
     # divisor is the median of ordered[i:i+3] — 3 temporally-nearest
     # samples, robust to one noisy one while tracking the box phase
     # the query actually ran in
-    ordered = calib_reps[:1] + local_calib + calib_reps[-1:]
-    calib_all = sorted(calib_reps + local_calib)
+    ordered = [start_calib] + local_calib + [end_calib]
+    calib_all = sorted(ordered)
     calibration = round(calib_all[len(calib_all) // 2], 3)
 
     def _local_divisor(i: int) -> float:

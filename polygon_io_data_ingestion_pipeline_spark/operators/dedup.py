@@ -103,6 +103,7 @@ def incremental_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     normalize_form: str | None = None,
+    fp_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Novelty filter for a continuously-growing corpus: keep only the
     documents of an incoming shard (a day's crawl) that are new BOTH
@@ -122,10 +123,28 @@ def incremental_dedup(
     history side streams from the lake, never through the driver. The
     fingerprint table is the ONLY state that grows with corpus history,
     and it is O(distinct docs) narrow rows.
+
+    ``normalize_form`` / ``fp_col`` (round 13): like the near-dup
+    tokenizer, the normalization form must stay CONSTANT for the
+    lifetime of a fingerprint history — entries computed under
+    different forms never match, and flipping the form mid-history
+    silently re-admits every NFD/NFC duplicate of historical docs.
+    ``fp_col`` names a PRE-COMPUTED fingerprint column on ``new_docs``
+    (the crawl/corpus lanes already carry one derived with the lake's
+    form) — reusing it avoids a second normalization pass over the
+    batch text and keeps exactly ONE fp derivation per lake.
     """
-    fp = _normalized_src(
-        new_docs.select(F.col(id_col), F.col(text_col)), text_col, normalize_form
-    ).select(F.col(id_col), fingerprint(text_col).alias("fp"))
+    if fp_col is not None:
+        if normalize_form is not None:
+            raise ValueError(
+                "fp_col names an already-derived fingerprint; apply "
+                "normalize_form where that column is computed instead"
+            )
+        fp = new_docs.select(F.col(id_col), F.col(fp_col).alias("fp"))
+    else:
+        fp = _normalized_src(
+            new_docs.select(F.col(id_col), F.col(text_col)), text_col, normalize_form
+        ).select(F.col(id_col), fingerprint(text_col).alias("fp"))
     keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
     if seen_fingerprints is not None:
         keep = keep.join(
@@ -1230,9 +1249,11 @@ def incremental_near_dedup(
     at 100 TB the signature table is ~1/10000th of the corpus, and the
     per-shard cost is the shard's own signatures plus band-key joins.
 
-    ``tokenizer`` must stay CONSTANT for the lifetime of a signature
-    history — signatures built under different tokenizers never
-    estimate correctly against each other.
+    ``tokenizer`` — and, as of round 13, ``normalize_form`` — must
+    stay CONSTANT for the lifetime of a signature history: signatures
+    built under different tokenizers or normalization forms never
+    estimate correctly against each other (a mid-history form flip
+    silently re-admits every NFD/NFC near-duplicate of history).
     """
     sigs = minhash_signatures(
         new_docs, text_col, id_col, n, k, tokenizer,

@@ -169,13 +169,17 @@ def write_corpus_batch_exact(
             .parquet(*[os.path.join(lake_path, d) for d in prior])
             .select("fp")
         )
-    # normalize_form keys the history check on the Unicode-normalized
-    # text (round 13) — an NFD re-crawl of an NFC page is the same
-    # rendered content; like the tokenizer, the form is a constant for
-    # the lifetime of a lake
-    novel, _ = incremental_dedup(
-        batch_df, history, id_col="doc_id", normalize_form=normalize_form
-    )
+    # the crawl/corpus lanes already carry an fp column derived with
+    # the lake's normalization form (round 13) — reuse it so the sink
+    # never recomputes (or double-normalizes) the fingerprint and
+    # there is exactly ONE fp derivation per lake; normalize_form is
+    # only consulted for fp-less batches
+    if "fp" in batch_df.columns:
+        novel, _ = incremental_dedup(batch_df, history, id_col="doc_id", fp_col="fp")
+    else:
+        novel, _ = incremental_dedup(
+            batch_df, history, id_col="doc_id", normalize_form=normalize_form
+        )
     with LakeLease(spark, lake_path, holder="corpus_stream_exact"):
         (
             novel.write.mode("overwrite")

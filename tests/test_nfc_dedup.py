@@ -13,6 +13,7 @@ from __future__ import annotations
 import unicodedata
 
 import pytest
+from pyspark.sql import functions as F
 
 from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
     exact_duplicates,
@@ -174,3 +175,30 @@ def test_minhash_rejects_form_with_caller_shingles(spark):
     sh = shingle_set(docs)
     with pytest.raises(ValueError, match="normalize_form"):
         minhash_signatures(docs, shingles_df=sh, normalize_form="NFC")
+
+
+def test_incremental_dedup_fp_col_conflict_raises(spark):
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+
+    docs = _docs(spark).withColumn("fp", F.md5(F.lower(F.col("text"))))
+    with pytest.raises(ValueError, match="fp_col"):
+        incremental_dedup(docs, None, normalize_form="NFC", fp_col="fp")
+
+
+def test_incremental_dedup_reuses_precomputed_fp(spark):
+    import unicodedata as _ud
+
+    from polygon_io_data_ingestion_pipeline_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from polygon_io_data_ingestion_pipeline_spark.operators.text import (
+        unicode_normalized,
+    )
+
+    docs = _docs(spark).withColumn(
+        "fp", F.md5(F.lower(unicode_normalized("text")))
+    )
+    novel, delta = incremental_dedup(docs, None, fp_col="fp")
+    assert sorted(r["doc_id"] for r in novel.collect()) == [0, 2]
