@@ -45,11 +45,22 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 def test_no_python_udfs_in_jvm_pipelines(spark, sf_dir):
     """Everything except the explicitly Arrow-batched operators must stay
-    JVM-side: no BatchEvalPython / ArrowEvalPython stages."""
+    JVM-side: no BatchEvalPython / ArrowEvalPython stages.
+
+    Declared Arrow lanes (the only sanctioned Python): media decode
+    rides mapInPandas (a different plan node, not matched here), and
+    dedup_nfc_collapse_classes runs text.unicode_normalized — a scalar
+    Pandas UDF because Spark has no native Unicode-normalizer
+    expression (round 13); it is map-side, shuffle-free, and the query
+    exists precisely to externally anchor that lane.  Row-at-a-time
+    BatchEvalPython stays banned everywhere."""
+    arrow_declared = {"dedup_nfc_collapse_classes"}
     offenders = []
     for name, spec in REGISTRY.items():
         plan = plan_of(spec.fn(spark, sf_dir))
-        if "EvalPython" in plan:
+        if "BatchEvalPython" in plan:
+            offenders.append(name)
+        elif "ArrowEvalPython" in plan and name not in arrow_declared:
             offenders.append(name)
     assert not offenders, f"Python in the hot path: {offenders}"
 
