@@ -1005,6 +1005,100 @@ def dedup_korean_char_shingle(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @q(
+    "dedup_mixed_script_runs_pairs",
+    oracle="""
+WITH d AS (SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS is_b FROM documents),
+s AS (SELECT doc_id, g, is_b,
+        trim(regexp_replace(md5(CAST(g AS VARCHAR)), '(..)', '\\1 ', 'g')) AS lat1,
+        trim(regexp_replace(md5(CAST(g AS VARCHAR) || 's'), '(..)', '\\1 ', 'g')) AS lat2,
+        translate(md5(CAST(g AS VARCHAR) || 'p'), '0123456789abcdef',
+                  '__CJK_POOL__') AS t
+      FROM d),
+txt AS (SELECT doc_id,
+          lat1 || ' ' ||
+          CASE WHEN is_b = 1
+               THEN substr(t, 1, 16) || '新' || substr(t, 18, 15)
+               ELSE t END
+          || ' ' || lat2 AS text
+        FROM s),
+tok AS (SELECT doc_id,
+          list_filter(
+            regexp_split_to_array(
+              regexp_replace(text, '([__CLS__]+)', ' \\1 ', 'g'), '\\s+'),
+            x -> x <> '') AS ts
+        FROM txt),
+gr AS (SELECT doc_id,
+         flatten(list_transform(ts, x ->
+           CASE WHEN regexp_matches(substr(x, 1, 1), '^[__CLS__]$')
+                THEN list_transform(range(1, greatest(length(x) - 3, 2)),
+                                    i -> substr(x, CAST(i AS INT), 5))
+                ELSE [x] END)) AS ts
+       FROM tok),
+sh AS (SELECT DISTINCT doc_id, sgl FROM (
+         SELECT doc_id,
+                unnest(list_transform(range(1, greatest(len(ts) - 1, 1)),
+                       i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS sgl
+         FROM gr WHERE len(ts) >= 3)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM sh a JOIN sh b ON a.sgl = b.sgl AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+SELECT id1, id2,
+       round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+FROM p JOIN cnt c1 ON c1.doc_id = id1 JOIN cnt c2 ON c2.doc_id = id2
+WHERE CAST(inter AS DOUBLE) / (c1.n + c2.n - inter) >= 0.5
+""".replace("__CJK_POOL__", _CJK_POOL).replace(
+        # the routing class ships at Spark SQL-LITERAL level (\\x{..});
+        # DuckDB literals do not unescape, so the oracle derives from
+        # the same constant with one unescape (the round-12 trap)
+        "__CLS__",
+        T.CHARGRAM_SCRIPT_CLASS.replace("\\\\", "\\"),
+    ),
+    doc="Mixed-script per-run shingle lane (round-13 verdict ask #6, "
+    "externally anchored): each doc is 16 Latin hex-words, a 32-char "
+    "Han paragraph, then 16 more hex-words — the Han passage is ~26% "
+    "of the characters, BELOW the 30% whole-doc dominance line, so "
+    "both the word and 'auto' routers would treat it as ONE opaque "
+    "token.  jaccard_pairs(tokenizer='runs') segments the text into "
+    "script runs (operators/text.py script_run_tokens / "
+    "script_run_shingles): the Han run contributes char 5-gram "
+    "tokens in place, the hex-words stay words, and 3-token shingles "
+    "span the boundary.  The odd partner edits ONE Han character "
+    "mid-paragraph (~5 gram tokens flip, jaccard ≈ 0.78 ≥ 0.5); the "
+    "oracle re-derives the texts and replays the RUN SEGMENTATION "
+    "itself in SQL (regexp run isolation, per-token class dispatch, "
+    "gram windows, shingle join) from the same CHARGRAM class "
+    "constant the Spark side routes on (SQL-literal -> DuckDB "
+    "unescape), so a doc falling back to whole-doc tokenization "
+    "breaks the hash.",
+    tags=("dedup", "text"),
+)
+def dedup_mixed_script_runs(spark: SparkSession, sf: str) -> DataFrame:
+    d = table(spark, sf, "documents").select("doc_id")
+    g = F.expr("doc_id DIV 2")
+    is_b = F.col("doc_id") % 2 == 1
+    lat1 = F.trim(F.regexp_replace(F.md5(g.cast("string")), "(..)", "$1 "))
+    lat2 = F.trim(
+        F.regexp_replace(
+            F.md5(F.concat(g.cast("string"), F.lit("s"))), "(..)", "$1 "
+        )
+    )
+    t = F.translate(
+        F.md5(F.concat(g.cast("string"), F.lit("p"))),
+        "0123456789abcdef",
+        _CJK_POOL,
+    )
+    para = F.when(
+        is_b,
+        F.concat(F.substring(t, 1, 16), F.lit("新"), F.substring(t, 18, 15)),
+    ).otherwise(t)
+    docs = d.select(
+        "doc_id", F.concat_ws(" ", lat1, para, lat2).alias("text")
+    )
+    return D.jaccard_pairs(docs, threshold=0.5, tokenizer="runs")
+
+
+@q(
     "emb_cosine_topk",
     oracle="""
 WITH q AS (SELECT list_transform(embedding, v -> CAST(v AS DOUBLE)) AS qe
