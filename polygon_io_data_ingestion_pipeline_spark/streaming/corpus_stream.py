@@ -196,6 +196,8 @@ def write_corpus_batch_neardup(
     lake_path: str,
     threshold: float = 0.7,
     k: int = 8,
+    tokenizer: str = "word",
+    normalize_form: str | None = None,
 ) -> None:
     """Exactly-once sink with UNBOUNDED-history NEAR-duplicate dedup.
 
@@ -210,6 +212,11 @@ def write_corpus_batch_neardup(
     themselves). Per-batch cost: the batch's own signatures + band-key
     joins against the narrow signature history — the corpus text never
     re-reads.
+
+    ``tokenizer`` / ``normalize_form`` (round 13) must stay CONSTANT
+    for the lifetime of a signature history — signatures computed
+    under different tokenizers or Unicode forms never estimate
+    correctly against each other (see incremental_near_dedup).
     """
     ledger = os.path.join(lake_path, "_committed_batches.json")
     done: set[int] = set()
@@ -236,7 +243,8 @@ def write_corpus_batch_neardup(
         else None
     )
     novel, sig_delta = incremental_near_dedup(
-        batch_df, history, id_col="doc_id", k=k, threshold=threshold
+        batch_df, history, id_col="doc_id", k=k, threshold=threshold,
+        tokenizer=tokenizer, normalize_form=normalize_form,
     )
     novel = novel.localCheckpoint()
     sig_delta = sig_delta.localCheckpoint()

@@ -103,3 +103,27 @@ def test_incremental_near_dedup_operator_contract(spark):
     # the signature delta is empty, so history appends nothing
     assert {r["doc_id"] for r in novel2.collect()} == set()
     assert sigs2.count() == 0
+
+
+def test_neardup_sink_nfc_collapses_nfd_reencode(spark, tmp_path):
+    """round 13: the near-dup sink with normalize_form='NFC' rejects an
+    NFD re-encoding of an ALREADY-INGESTED page (minhash signatures
+    computed over the canonical form match history exactly)."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    lake = str(tmp_path / "lake")
+    nfc = ("café münchen the data in a table is the value of the row "
+           "and the key for the batch while the line in a window sorts")
+    nfd = unicodedata.normalize("NFD", nfc)
+    b0 = spark.createDataFrame(
+        [(1, nfc, "s")], "doc_id long, text string, source string"
+    )
+    write_corpus_batch_neardup(b0, 0, lake, normalize_form="NFC")
+    b1 = spark.createDataFrame(
+        [(2, nfd, "s")], "doc_id long, text string, source string"
+    )
+    write_corpus_batch_neardup(b1, 1, lake, normalize_form="NFC")
+    rows = spark.read.parquet(lake)
+    assert [r["doc_id"] for r in rows.collect()] == [1]
