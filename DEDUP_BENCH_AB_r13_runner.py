@@ -1,7 +1,7 @@
 """Dedup-family A/B bench: run the family's registry queries in ONE
 fresh process against a given tree, 5 reps each, print one JSON line.
 
-Usage: python run_family.py <tree_path> <label>
+Usage: python DEDUP_BENCH_AB_r13_runner.py <tree_path> <label>
 """
 import json
 import os

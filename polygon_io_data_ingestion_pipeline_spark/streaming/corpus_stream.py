@@ -230,6 +230,28 @@ def write_corpus_batch_neardup(
 
     spark = batch_df.sparkSession
     sig_root = os.path.join(lake_path, "_signatures")
+    # the constancy contract, ENFORCED (round-13 review finding): a
+    # later invocation that silently changes the tokenizer, the
+    # Unicode form or k would compute signatures that never match
+    # history — every near-duplicate of history re-admitted with no
+    # error anywhere.  First batch records the settings next to the
+    # ledger; every batch after must match.
+    settings = {"tokenizer": tokenizer, "normalize_form": normalize_form, "k": k}
+    spath = os.path.join(lake_path, "_neardup_settings.json")
+    if os.path.exists(spath):
+        with open(spath) as fh:
+            prior_settings = json.load(fh)
+        if prior_settings != settings:
+            raise ValueError(
+                "near-dup sink settings differ from this lake's history "
+                f"({prior_settings} vs {settings}); signatures computed "
+                "under different settings never match — re-ingest the "
+                "lake or restore the recorded settings"
+            )
+    else:
+        os.makedirs(lake_path, exist_ok=True)
+        with open(spath, "w") as fh:
+            json.dump(settings, fh)
     prior = [
         d
         for d in (os.listdir(sig_root) if os.path.isdir(sig_root) else [])
@@ -560,6 +582,8 @@ def start_corpus_ingest(
     watermark_delay: str = "10 minutes",
     exact_history: bool = False,
     near_dedup: bool = False,
+    tokenizer: str = "word",
+    normalize_form: str | None = None,
 ):
     """Drain available JSONL shards into the corpus lake, exactly once
     (AvailableNow trigger — the cron-driven batch shape).
@@ -570,13 +594,24 @@ def start_corpus_ingest(
     past the stream-dedup watermark horizon, at the cost of a narrow
     lake scan per batch. ``near_dedup=True`` goes further
     (:func:`write_corpus_batch_neardup`): EDITED re-posts are rejected
-    against the corpus's minhash-signature history."""
+    against the corpus's minhash-signature history.
+
+    ``tokenizer`` / ``normalize_form`` reach the near-dup sink (and
+    ``normalize_form`` the exact sink) — both must stay CONSTANT for a
+    lake's lifetime; the near-dup sink persists and ENFORCES them
+    against its signature history."""
     import functools
 
     if near_dedup:
-        sink = write_corpus_batch_neardup
+        sink = functools.partial(
+            write_corpus_batch_neardup,
+            tokenizer=tokenizer,
+            normalize_form=normalize_form,
+        )
     elif exact_history:
-        sink = write_corpus_batch_exact
+        sink = functools.partial(
+            write_corpus_batch_exact, normalize_form=normalize_form
+        )
     else:
         sink = write_corpus_batch
     out = corpus_pipeline(read_corpus_stream(spark, src_dir), watermark_delay)

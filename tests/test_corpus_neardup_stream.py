@@ -111,8 +111,6 @@ def test_neardup_sink_nfc_collapses_nfd_reencode(spark, tmp_path):
     computed over the canonical form match history exactly)."""
     import unicodedata
 
-    from pyspark.sql import functions as F
-
     lake = str(tmp_path / "lake")
     nfc = ("café münchen the data in a table is the value of the row "
            "and the key for the batch while the line in a window sorts")
@@ -127,3 +125,29 @@ def test_neardup_sink_nfc_collapses_nfd_reencode(spark, tmp_path):
     write_corpus_batch_neardup(b1, 1, lake, normalize_form="NFC")
     rows = spark.read.parquet(lake)
     assert [r["doc_id"] for r in rows.collect()] == [1]
+
+
+def test_neardup_sink_enforces_setting_constancy(spark, tmp_path):
+    """round-13 review finding: a later invocation that silently changes
+    the tokenizer / Unicode form / k computes signatures that never
+    match history — every near-dup of history would be re-admitted with
+    no error anywhere.  The sink records its settings on the first
+    batch and REFUSES a mismatched continuation."""
+    import pytest as _pytest
+
+    lake = str(tmp_path / "lake")
+    b0 = spark.createDataFrame(
+        [(1, BASE, "s")], "doc_id long, text string, source string"
+    )
+    write_corpus_batch_neardup(b0, 0, lake, normalize_form="NFC")
+    b1 = spark.createDataFrame(
+        [(2, FRESH, "s")], "doc_id long, text string, source string"
+    )
+    with _pytest.raises(ValueError, match="settings differ"):
+        write_corpus_batch_neardup(b1, 1, lake)  # form silently dropped
+    with _pytest.raises(ValueError, match="settings differ"):
+        write_corpus_batch_neardup(b1, 1, lake, normalize_form="NFC", k=4)
+    # the matching continuation proceeds
+    write_corpus_batch_neardup(b1, 1, lake, normalize_form="NFC")
+    ids = sorted(r["doc_id"] for r in spark.read.parquet(lake).collect())
+    assert ids == [1, 2]
