@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .ngram_lm import _toks
+from .text import spread
 
 
 def nb_train(
@@ -62,8 +63,11 @@ def nb_train(
     (``nb_score``) handles any label arity.  The summary tables derive
     from ``token_counts``, so persisting that one frame (``nb_save``
     does) pays the tokenize pass once across all three."""
-    base = labeled.select(
-        F.col(label_col).alias("label"), _toks(text_col).alias("_toks")
+    # spread BEFORE the tokenize+explode (guide-§2.5 discipline shared
+    # with the dedup family): a reference corpus in few dense files
+    # otherwise tokenizes on as many tasks. No-op at scale.
+    base = spread(labeled.select(F.col(label_col).alias("label"), F.col(text_col))).select(
+        "label", _toks(text_col).alias("_toks")
     )
     tok_rows = base.select("label", F.explode("_toks").alias("token"))
     token_counts = tok_rows.groupBy("label", "token").agg(
@@ -235,7 +239,11 @@ def _per_label_totals(
             .alias("prior_micro"),
         )
     )
-    d = docs.select(
+    # project to the two needed columns, then spread before the
+    # tokenize+explode: the scoring fold (explode × L labels + the
+    # count-table join) is the per-document cost of the whole gate and
+    # must not serialize on a one-split scan (no-op at 100 TB).
+    d = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode_outer(_toks(text_col)).alias("token")
     )
     rows = (

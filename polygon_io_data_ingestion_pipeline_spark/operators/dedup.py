@@ -34,6 +34,7 @@ from .text import (
     script_run_shingles,
     script_shingles,
     script_tokens,
+    spread,
     unicode_normalized,
     unsegmented_dominant,
     validate_tokenizer as _validate_tokenizer,
@@ -167,20 +168,11 @@ DEFAULT_MAX_DOCS_PER_SHINGLE = 1000
 
 def _spread(df: DataFrame) -> DataFrame:
     """Rebalance raw documents across the cluster before a row-amplifying
-    map (shingle/token explode + per-shingle hashing).
-
-    A text corpus often arrives in few dense files; Spark's byte-based
-    file splitting then hands a whole file to one task, and the ~100×
-    explode + md5 work serializes on it (measured 1 task / 4× wall at
-    sf0.1). Hash-repartitioning the raw rows is one linear shuffle of
-    the corpus — trivial next to the work it parallelizes. Skipped when
-    the scan already has enough splits (the 100 TB case: thousands of
-    input files, where this is a no-op by construction).
-    """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    map (shingle/token explode + per-shingle hashing) — the shared
+    :func:`..text.spread` (promoted there so the NB/LM/BM25
+    folds apply the same discipline). No-op when the scan already has
+    enough splits (the 100 TB case)."""
+    return spread(df)
 
 
 def shingle_set(
@@ -997,7 +989,10 @@ def duplicated_line_removal(
     Returns ``docs`` with ``text_col`` rewritten.
     """
     norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
-    lines = docs.select(
+    # spread before the line explode: the explode + key-normalize and
+    # both aggregations over it otherwise serialize on a one-split
+    # corpus scan (no-op at scale).
+    lines = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_lkey", norm(F.col("_line")))
@@ -1115,7 +1110,13 @@ def duplicated_span_removal(
         toks = F.filter(
             F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
         )
-    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    # spread before the tokenize: the gram transform below is the
+    # operator's dominant per-row cost (interpreted higher-order
+    # lambda) and must not serialize on a one-split scan (no-op at
+    # scale).
+    base = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("_toks")
+    )
     n = F.size("_toks")
     gram_arr = F.when(
         n >= k,
@@ -1127,9 +1128,17 @@ def duplicated_span_removal(
             ),
         ),
     ).otherwise(F.array())
+    # Two consumers of the exploded grams (the frequent-set aggregate
+    # and the flagged join side) and Spark has no cross-branch CSE:
+    # without truncation the per-position gram transform — the
+    # operator's dominant cost — executes twice over the corpus.
+    # Materialize the postings once (the shared_substring_pairs /
+    # jaccard_pairs discipline).
     grams = base.select(
         id_col, F.explode(gram_arr).alias("_g")
-    ).select(id_col, F.col("_g._gpos").alias("_gpos"), F.col("_g._gkey").alias("_gkey"))
+    ).select(
+        id_col, F.col("_g._gpos").alias("_gpos"), F.col("_g._gkey").alias("_gkey")
+    ).localCheckpoint()
     frequent = (
         grams.groupBy("_gkey")
         .agg(F.countDistinct(id_col).alias("_ndocs"))

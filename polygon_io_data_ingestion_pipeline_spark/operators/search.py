@@ -103,14 +103,21 @@ def hybrid_topk_rrf(
     contributing nothing for documents outside its top-``n_cand``.
     Returns (id, rrf_score, r_lex, r_dense) with null ranks for
     single-list hits."""
-    from .text import script_tokens, tokens, validate_tokenizer
+    from .text import script_tokens, spread, tokens, validate_tokenizer
 
     validate_tokenizer(tokenizer)
     # ONE corpus tokenize for BOTH rankers: the exploded postings frame
     # is the dominant input of each (at 100 TB, one scan instead of two);
-    # 'auto' indexes unsegmented-script docs as char bigrams
+    # 'auto' indexes unsegmented-script docs as char bigrams.  spread
+    # first (guide-§2.5): a one-split corpus scan otherwise serializes
+    # the tokenize AND every aggregation reading the checkpointed
+    # postings on a single task (no-op at scale).
     tok_arr = script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
-    tok = df.select(F.col(id_col), F.explode(tok_arr).alias("w")).localCheckpoint()
+    tok = (
+        spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tok_arr).alias("w"))
+        .localCheckpoint()
+    )
     lex = bm25_topk(
         df, query_terms, k=n_cand, text_col=text_col, id_col=id_col, tokens_df=tok
     )

@@ -12,6 +12,27 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+def spread(df: DataFrame) -> DataFrame:
+    """Rebalance raw rows across the cluster before a row-amplifying or
+    CPU-heavy map (tokenize/shingle explode, per-token hashing, LM/NB
+    scoring folds).
+
+    A text corpus often arrives in few dense files; Spark's byte-based
+    file splitting then hands a whole file to one task, and the
+    amplification work serializes on it (measured: the sf0.1 documents
+    scan is ONE parquet row group = one task, so every downstream
+    tokenize fold ran on a single core). Hash-repartitioning the raw
+    rows is one linear shuffle of the corpus — trivial next to the work
+    it parallelizes. Skipped when the scan already has enough splits
+    (the 100 TB case: thousands of input files, where this is a no-op
+    by construction).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 #: Deterministic stopword list used by quality scoring.
 STOPWORDS = ("the", "a", "of", "and", "to")
 
@@ -586,6 +607,11 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     Returns (id, n_tokens, dup_word_ratio, top_bigram_frac) with
     ``top_bigram_frac`` NULL for documents too short to have a bigram.
     """
+    # spread before the two token passes: both the map-side word stats
+    # and the bigram explode otherwise run on however few splits the
+    # corpus scan produced (no-op at scale; one linear shuffle of the
+    # two needed columns locally).
+    df = spread(df.select(F.col(id_col), F.col(text_col)))
     words = df.select(
         F.col(id_col),
         token_count(text_col).alias("n_tokens"),
@@ -1284,7 +1310,12 @@ def bm25_topk(
         tok_arr = (
             script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
         )
-        tok = df.select(F.col(id_col), F.explode(tok_arr).alias("w"))
+        # spread before the explode: a one-split corpus scan would
+        # otherwise serialize the tokenize and every aggregation over
+        # the checkpointed postings (no-op at scale).
+        tok = spread(df.select(F.col(id_col), F.col(text_col))).select(
+            F.col(id_col), F.explode(tok_arr).alias("w")
+        )
         # Four consumers derive from the token explode (lengths, corpus
         # totals via lengths, document frequencies, term frequencies);
         # with no cross-branch CSE the corpus-wide tokenize would re-run

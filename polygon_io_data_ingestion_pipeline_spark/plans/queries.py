@@ -125,9 +125,25 @@ GROUP BY l_returnflag, l_linestatus
     tags=("agg",),
 )
 def tpch_q01(spark: SparkSession, sf: str) -> DataFrame:
+    from ..operators.text import spread
+
     li = table(spark, sf, "lineitem")
+    # Filter + project FIRST (predicate pushdown / pruned ReadSchema
+    # stay on the scan), then spread: the sf parquet is one row group =
+    # one task, so the partial aggregation — 8 agg expressions over
+    # 600k rows — otherwise runs on a single core (measured ~2s of the
+    # query's wall). One linear shuffle of the 7 needed columns buys
+    # 32-way partial aggregation; no-op at 100 TB where the scan has
+    # thousands of splits.
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz"))
+        spread(
+            li.filter(
+                F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp_ntz")
+            ).select(
+                "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                "l_discount", "l_tax",
+            )
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum(F.col("l_quantity")).alias("sum_qty"),
@@ -7926,6 +7942,14 @@ def docs_nb_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
             F.col("lang").alias("label"), "text"
         )
     )
+    # Three model tables derive from token_counts (the counts join,
+    # label_totals' token mass, the vocab aggregate) and Spark has no
+    # cross-branch CSE: composed lazily like this, the training
+    # tokenize+explode+count lineage would execute once PER table.
+    # Materialize the O(vocabulary) count table once — the same
+    # persist-the-shared-frame discipline nb_save/nb_persist apply on
+    # the production paths (results unchanged; the table is identical).
+    model["token_counts"] = model["token_counts"].localCheckpoint()
     return nb_score(docs, model).select(
         "doc_id", "n_tokens", "pred_label", "margin"
     )
