@@ -227,9 +227,26 @@ def day_calendar(bars_with_id: DataFrame) -> DataFrame:
     O(ids × trading days) — ~1000× smaller than a minute-bar table —
     and every piece of factor math downstream runs on it, never on the
     bars.
+
+    Two-level shape: aggregating ``first(ticker)`` directly would put a
+    string in the aggregation buffer, which Spark cannot hash-aggregate
+    (non-mutable UnsafeRow field) — the whole full-table aggregate falls
+    back to SortAggregate, i.e. a sort of every scanned partition before
+    the partial agg (at 100 TB: a spill-prone full-table sort). Instead
+    level 1 keeps ticker as a GROUP KEY (keys may be strings) so the
+    full-table pass is a partial-combining HashAggregate, and level 2 —
+    over the already calendar-sized frame — resolves the one-ticker-per
+    -day pick with the same ``max_by``/``first`` semantics: ties in
+    ``datetime`` across tickers were nondeterministic in the one-level
+    form too, and a day with a single (possibly null) ticker — every
+    real case — picks identically by construction.
     """
-    return bars_with_id.groupBy("id", "event_day").agg(
-        F.max_by("close", "datetime").alias("close_eod"),
+    pre = bars_with_id.groupBy("id", "event_day", "ticker").agg(
+        F.max_by("close", "datetime").alias("_close"),
+        F.max("datetime").alias("_dt"),
+    )
+    return pre.groupBy("id", "event_day").agg(
+        F.max_by("_close", "_dt").alias("close_eod"),
         F.first("ticker", ignorenulls=True).alias("ticker"),
     )
 
