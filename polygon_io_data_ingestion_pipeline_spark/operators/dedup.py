@@ -927,18 +927,22 @@ def duplicated_ngram_fraction(
 
     Returns (id, n_shingles, n_dup, dup_ratio).
     """
-    # Two consumers of the exploded shingles (the DF aggregate and the
-    # membership join side); no cross-branch CSE in Spark, so without
-    # truncation the shingle explode runs twice. localCheckpoint
-    # materializes the postings once (same fix as
-    # shared_substring_pairs). The per-doc totals stay a separate
-    # map-side scan of the raw documents — cheaper than aggregating
-    # the posting table a third time.
+    # THREE consumers derive from the exploded shingles (the DF
+    # aggregate, the membership join side, and the per-doc totals); no
+    # cross-branch CSE in Spark, so without truncation the shingle
+    # explode runs once per consumer. localCheckpoint materializes the
+    # postings once (same fix as shared_substring_pairs). The per-doc
+    # totals aggregate the POSTING table (shingle_set is per-doc
+    # distinct, so count(*) per id IS size(array_distinct(shingles)));
+    # computing them as a separate scan of the raw documents instead
+    # costs a second full corpus pass whose shingle transform — the
+    # operator's dominant per-row cost, an interpreted higher-order
+    # lambda — is additionally evaluated TWICE on that leg, because the
+    # n_shingles > 0 filter pushes down into the scan as a duplicate of
+    # the projection (measured in the sf0.1 plan: Filter(2)/Project(3)
+    # both carry the whole transform).
     sh = shingle_set(docs, text_col, id_col, n).localCheckpoint()
-    totals = docs.select(
-        F.col(id_col),
-        F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
-    )
+    totals = sh.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     frequent = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -947,10 +951,12 @@ def duplicated_ngram_fraction(
     )
     dup = sh.join(frequent, "shingle").groupBy(id_col).agg(F.count("*").alias("n_dup"))
     ratio = F.col("n_dup").cast("double") / F.col("n_shingles")
+    # No n_shingles > 0 filter needed: a doc reaches the posting table
+    # only with >= 1 shingle, so the totals frame excludes empty docs
+    # by construction (identical row set to the filtered scan form).
     return (
         totals.join(dup, id_col, "left")
         .na.fill({"n_dup": 0})
-        .filter(F.col("n_shingles") > 0)
         .select(id_col, "n_shingles", "n_dup", F.round(ratio, 6).alias("dup_ratio"))
     )
 

@@ -89,6 +89,17 @@ def pagerank(
     ranks = deg.crossJoin(F.broadcast(n)).select(
         "u", "degree", "n", F.round(F.lit(1.0) / F.col("n"), 12).alias("rank")
     )
+    # Each loop pass consumes the current iterate TWICE (contribution
+    # join + rank join) and Spark has no cross-branch CSE: left lazy,
+    # iteration i's lineage re-executes once per consumer of iteration
+    # i+1 — ~2^k plan growth for k fixed iterations. Materialize every
+    # iterate that another iteration will consume (node-sized — tiny
+    # next to the edge list); the FINAL iterate stays lazy, its single
+    # consumer is the caller's one action. Values are unchanged: ranks
+    # are quantized to 12 decimals each round, so materialization
+    # cannot perturb the trajectory.
+    if iters > 0 or tol is not None:
+        ranks = ranks.localCheckpoint(eager=True)
     rounds = 0
     converged = False
     for _ in range(iters if tol is None else max_iter):
@@ -125,6 +136,10 @@ def pagerank(
                 ranks = new_ranks
                 converged = True
                 break
+        elif rounds < iters:
+            # fixed-iteration mode: the next pass consumes this iterate
+            # twice — same materialize-the-iterate rule as tol mode
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     if tol is not None and not converged:
         warnings.warn(
@@ -278,6 +293,16 @@ def pagerank_directed(
             .withColumn("rank", F.round(F.col("rank") / F.col("__t"), 12))
             .drop("__t")
         )
+    # Each loop pass consumes the current iterate THREE times
+    # (contribution join, dangling aggregate, rank join); no
+    # cross-branch CSE, so left lazy the lineage re-executes ~3^k times
+    # over k fixed iterations — the 2-iteration registry pagerank
+    # planned 122 exchanges, with the edge-sized nodes-distinct and
+    # outdeg shuffles each executing 9x. Materialize every iterate a
+    # later iteration consumes (node-sized); the final one stays lazy.
+    # Ranks quantize to 12 decimals per round, so values are unchanged.
+    if iters > 0 or tol is not None:
+        ranks = ranks.localCheckpoint(eager=True)
     rounds = 0
     converged = False
     for _ in range(iters if tol is None else max_iter):
@@ -320,6 +345,10 @@ def pagerank_directed(
                 ranks = new_ranks
                 converged = True
                 break
+        elif rounds < iters:
+            # fixed-iteration mode: the next pass consumes this iterate
+            # three times — same materialize-the-iterate rule as tol mode
+            new_ranks = new_ranks.localCheckpoint(eager=True)
         ranks = new_ranks
     if tol is not None and not converged:
         warnings.warn(

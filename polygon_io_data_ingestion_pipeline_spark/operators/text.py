@@ -1310,12 +1310,17 @@ def bm25_topk(
         tok_arr = (
             script_tokens(text_col) if tokenizer == "auto" else tokens(text_col)
         )
-        # spread before the explode: a one-split corpus scan would
-        # otherwise serialize the tokenize and every aggregation over
-        # the checkpointed postings (no-op at scale).
-        tok = spread(df.select(F.col(id_col), F.col(text_col))).select(
-            F.col(id_col), F.explode(tok_arr).alias("w")
-        )
+        # Deliberately NOT spread here (measured): the postings are
+        # materialized ONCE by the localCheckpoint below, so only that
+        # single pass could serialize on a one-split scan, and the
+        # consumers read the checkpoint regardless of split count. A/B
+        # at sf0.1 (5 reps, interleaved in one session): with spread
+        # 2.17-2.19s median, without 0.89-0.97s — the extra exchange +
+        # 32-way fan-out of every small consumer stage costs far more
+        # than the one serialized tokenize pass saves. (hybrid_topk_rrf
+        # DOES spread its shared postings: two rankers' worth of
+        # consumers amortize it — measured 4.68 -> 3.31s.)
+        tok = df.select(F.col(id_col), F.explode(tok_arr).alias("w"))
         # Four consumers derive from the token explode (lengths, corpus
         # totals via lengths, document frequencies, term frequencies);
         # with no cross-branch CSE the corpus-wide tokenize would re-run
