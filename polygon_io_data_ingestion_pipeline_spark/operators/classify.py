@@ -217,10 +217,13 @@ def _per_label_totals(
     log-odds reductions.
 
     Shape: explode_outer keeps empty/NULL documents (one NULL-token row
-    each); the L-row label summary (with its precomputed prior) attaches
-    via a broadcast cross join — the same condition-less
-    1-small-build-side BNLJ the LM scorers use for their scalar tables;
-    the count table attaches via a (label, token) equi-join."""
+    each); the L-row label summary (with its precomputed prior and the
+    per-label unseen-token likelihood) attaches via a broadcast cross
+    join — the same condition-less 1-small-build-side BNLJ the LM
+    scorers use for their scalar tables; the PRE-QUANTIZED per-(label,
+    token) likelihood table attaches via a (label, token) equi-join, so
+    the per-occurrence work is a join probe + integer sum with no
+    transcendental math on the corpus-sized side."""
     k = float(add_k)
     pri = (
         model["label_totals"]
@@ -229,15 +232,56 @@ def _per_label_totals(
                 model["label_totals"].agg(F.sum("n_docs").alias("_nd"))
             )
         )
+        .crossJoin(F.broadcast(model["stats"]))
         .select(
             "label",
             F.col("n_tokens").alias("_lt"),
+            F.col("v_size"),
             F.round(
                 F.log(F.col("n_docs").cast("double") / F.col("_nd")) * 1e6, 0
             )
             .cast("long")
             .alias("prior_micro"),
         )
+    )
+    # pri is consumed twice below (the likelihood table and the
+    # unseen-token defaults) and its lineage includes a corpus-sized
+    # doc-count pass (label_totals); with no cross-branch CSE that pass
+    # would run once per consumer. Materialize the L-row summary once.
+    pri = pri.localCheckpoint(eager=True)
+    # The per-token log-likelihood depends ONLY on model quantities
+    # ((label, token) count, label token mass, vocabulary size), so
+    # compute it ONCE per model row — a vocabulary-sized table — rather
+    # than re-evaluating log()/round() for every token OCCURRENCE x
+    # label in the corpus (guide §4 spirit at the expression level: at
+    # 100 TB, occurrences outnumber the vocabulary by many orders).
+    # Arithmetic is bit-identical: the same double inputs flow through
+    # the same log -> x1e6 -> round -> cast(long) chain, evaluated on
+    # the model side instead of per scored row.
+    denom = F.col("_lt") + F.lit(k) * F.col("v_size")
+    # degenerate empty-vocabulary model (a training corpus with no
+    # tokens at all): the likelihood term is undefined, so every label
+    # contributes 0 and prediction falls back to priors alone — a loud
+    # DIVIDE_BY_ZERO under ANSI mode otherwise
+    lp_seen = F.when(
+        F.col("v_size") > 0, F.log((F.col("n") + F.lit(k)) / denom)
+    ).otherwise(F.lit(0.0))
+    lp_unseen = F.when(
+        F.col("v_size") > 0, F.log(F.lit(k) / denom)
+    ).otherwise(F.lit(0.0))
+    lp_tbl = (
+        model["token_counts"]
+        .join(F.broadcast(pri.select("label", "_lt", "v_size")), "label")
+        .select(
+            "label",
+            "token",
+            F.round(lp_seen * 1e6, 0).cast("long").alias("_lp"),
+        )
+    )
+    pri_dflt = pri.select(
+        "label",
+        "prior_micro",
+        F.round(lp_unseen * 1e6, 0).cast("long").alias("_dflt"),
     )
     # project to the two needed columns, then spread before the
     # tokenize+explode: the scoring fold (explode × L labels + the
@@ -246,24 +290,13 @@ def _per_label_totals(
     d = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode_outer(_toks(text_col)).alias("token")
     )
-    rows = (
-        d.crossJoin(F.broadcast(pri))
-        .join(model["token_counts"], ["label", "token"], "left")
-        .crossJoin(F.broadcast(model["stats"]))
+    rows = d.crossJoin(F.broadcast(pri_dflt)).join(
+        lp_tbl, ["label", "token"], "left"
     )
-    # degenerate empty-vocabulary model (a training corpus with no
-    # tokens at all): the likelihood term is undefined, so every label
-    # contributes 0 and prediction falls back to priors alone — a loud
-    # DIVIDE_BY_ZERO under ANSI mode otherwise
-    logp = F.when(
-        F.col("v_size") > 0,
-        F.log(
-            (F.coalesce(F.col("n"), F.lit(0)) + F.lit(k))
-            / (F.col("_lt") + F.lit(k) * F.col("v_size"))
-        ),
-    ).otherwise(F.lit(0.0))
+    # a token absent from the label's count table scored
+    # log((0 + k) / denom) before — exactly the per-label _dflt
     slp = F.when(
-        F.col("token").isNotNull(), F.round(logp * 1e6, 0).cast("long")
+        F.col("token").isNotNull(), F.coalesce(F.col("_lp"), F.col("_dflt"))
     )
     return (
         rows.withColumn("_slp", slp)
