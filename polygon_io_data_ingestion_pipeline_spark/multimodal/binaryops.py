@@ -149,7 +149,12 @@ def decode_audio_features(df: DataFrame) -> DataFrame:
                     feats.append(None)
             yield pd.DataFrame({"media_id": batch["media_id"], "features": feats})
 
-    return df.mapInPandas(run, schema="media_id bigint, features array<double>")
+    # project to the two consumed columns so only they cross the Arrow
+    # boundary (a caller's wide media frame would otherwise serialize
+    # every column into the Python workers — guide-§4 column pruning)
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, features array<double>"
+    )
 
 
 def _pnm_header(payload: bytes, offset: int = 0) -> tuple[int, int, int, int, int]:
@@ -289,7 +294,10 @@ def decode_image_features(df: DataFrame, n_features: int = 8) -> DataFrame:
                     feats.append(_decode_stub(p, n_features).tolist())
             yield pd.DataFrame({"media_id": batch["media_id"], "features": feats})
 
-    return df.mapInPandas(run, schema="media_id bigint, features array<double>")
+    # same Arrow-boundary column pruning as decode_audio_features
+    return df.select("media_id", "payload").mapInPandas(
+        run, schema="media_id bigint, features array<double>"
+    )
 
 
 def _resize_nn(img: np.ndarray, width: int, height: int) -> np.ndarray:
