@@ -995,10 +995,15 @@ def duplicated_line_removal(
     Returns ``docs`` with ``text_col`` rewritten.
     """
     norm = lambda c: F.regexp_replace(F.trim(c), r"\s+", " ")  # noqa: E731
-    # spread before the line explode: the explode + key-normalize and
-    # both aggregations over it otherwise serialize on a one-split
-    # corpus scan (no-op at scale).
-    lines = _spread(docs.select(F.col(id_col), F.col(text_col))).select(
+    # Deliberately NOT spread and NOT checkpointed (all three variants
+    # measured at sf0.1, 5 reps each, interleaved): plain 0.92-0.98s,
+    # spread 1.53-1.58s (both consumers re-ran the explode 32-way
+    # behind the extra exchange), spread+localCheckpoint 1.9s (the
+    # materialization costs more than the line explode it saves — a
+    # split+posexplode is far cheaper than the shingle/token transforms
+    # the spread seams parallelize elsewhere). The explode runs once
+    # per consumer either way; it is map-side off the scan.
+    lines = docs.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("_pos", "_line"),
     ).withColumn("_lkey", norm(F.col("_line")))
