@@ -203,12 +203,20 @@ def test_shared_substring_pairs_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_dup_ngram_fraction_totals_computed_map_side(spark, sf_dir):
-    """Per-document shingle totals come from array_distinct on the doc
-    itself (map-side), never from re-aggregating the posting table; and
-    the frequent-set membership stays an equi join."""
+def test_dup_ngram_fraction_single_corpus_pass(spark, sf_dir):
+    """Round-13 shape: per-document shingle totals come from the ONE
+    materialized posting table (shingle_set is per-doc distinct, so
+    count(*) per id IS the distinct-shingle total) — the query must NOT
+    rescan the corpus for a second array_distinct pass, whose filter
+    pushdown additionally duplicated the dominant shingle transform
+    into the scan (measured 3.7s -> 1.9s at sf0.1). The frequent-set
+    membership stays an equi join."""
     plan = plan_of(REGISTRY["docs_dup_ngram_fraction"].fn(spark, sf_dir))
-    assert "array_distinct" in plan
+    # the only array_distinct is inside the checkpointed shingle_set
+    # lineage, which is materialized before this plan: the final plan
+    # reads ExistingRDD scans, not a second parquet scan of documents
+    assert "array_distinct" not in plan
+    assert plan.count("Scan parquet") == 0
     assert "CartesianProduct" not in plan
 
 
