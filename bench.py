@@ -1,8 +1,11 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints the contract as ONE JSON line — the LAST line of stdout:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+A separate detail line (per-rep runs, calibration samples, normalized
+times) precedes it so the contract line stays small enough for tail
+capture regardless of how the bench set grows.
 
 Each query is fully materialized through the noop sink (no driver-side
 collect, no result truncation) so the measured time is the distributed
@@ -121,6 +124,29 @@ def main() -> None:
         return window[len(window) // 2]
 
     total = round(sum(timings.values()), 3)
+    # Detail line FIRST (per-rep runs, calibration samples, normalized
+    # times), compact contract line LAST: the driver captures only the
+    # tail of stdout, and by round 12 the single combined line had
+    # outgrown that capture (BENCH_r12.json parsed=null).  The contract
+    # line carries exactly metric/value/unit/queries/calibration_sec/sf
+    # and stays small no matter how the bench set or rep detail grows.
+    print(
+        json.dumps(
+            {
+                "detail": "bench_runs",
+                "runs": runs,
+                # machine-speed divisor + machine-independent timings:
+                # environment drift moves raw numbers AND calibration
+                # together (normalized flat); a plan regression moves
+                # only its own normalized line
+                "calibration_runs": [round(r, 3) for r in ordered],
+                "queries_normalized": {
+                    n: round(t / _local_divisor(i), 3)
+                    for i, (n, t) in enumerate(timings.items())
+                },
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -128,17 +154,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "runs": runs,
-                # machine-speed divisor + machine-independent timings:
-                # environment drift moves raw numbers AND calibration
-                # together (normalized flat); a plan regression moves
-                # only its own normalized line
                 "calibration_sec": calibration,
-                "calibration_runs": [round(r, 3) for r in ordered],
-                "queries_normalized": {
-                    n: round(t / _local_divisor(i), 3)
-                    for i, (n, t) in enumerate(timings.items())
-                },
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )

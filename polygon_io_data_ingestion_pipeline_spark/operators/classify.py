@@ -247,8 +247,11 @@ def _per_label_totals(
     # pri is consumed twice below (the likelihood table and the
     # unseen-token defaults) and its lineage includes a corpus-sized
     # doc-count pass (label_totals); with no cross-branch CSE that pass
-    # would run once per consumer. Materialize the L-row summary once.
-    pri = pri.localCheckpoint(eager=True)
+    # would run once per consumer. Materialize the L-row summary once —
+    # LAZILY (eager=False): the first action still checkpoints it
+    # exactly once, but building the frame launches no Spark jobs, so
+    # callers that construct-but-never-execute a scorer pay nothing.
+    pri = pri.localCheckpoint(eager=False)
     # The per-token log-likelihood depends ONLY on model quantities
     # ((label, token) count, label token mass, vocabulary size), so
     # compute it ONCE per model row — a vocabulary-sized table — rather

@@ -922,8 +922,11 @@ def duplicated_ngram_fraction(
     the DF count is one partial-agg shuffle on the shingle, the
     frequent-set membership is a keyed equi join on the same shingle
     key (AQE handles hot shingles), and the only other shuffle is the
-    per-document count. Total-shingle counts never touch the join —
-    they are computed map-side from the document itself.
+    per-document count. The posting table is materialized ONCE and all
+    three legs — DF count, membership join, per-document totals — read
+    it; the totals are a ``count(*)`` per id over that single pass
+    (``shingle_set`` is per-doc distinct, so this equals the map-side
+    distinct-shingle count without a second corpus scan).
 
     Returns (id, n_shingles, n_dup, dup_ratio).
     """

@@ -311,21 +311,32 @@ def build_dividend_factors(
     g = (prior_base - amount) / prior_base on dividend days (guarded
     prior_base > 0), else 1.0; G = running product; factor = G / G_last
     (factor_builder.py:291-348).
+
+    Scale shape (round 14): the end-of-day aggregate reuses
+    :func:`day_calendar`'s two-level form — the full-bar pass is a
+    partial-combining HashAggregate (``first(ticker)``'s string buffer
+    would otherwise force a spill-prone full-table SortAggregate), and
+    the calendar is ``localCheckpoint``-materialized because FOUR
+    downstream legs consume it (event routing probes it three times via
+    ``_events_for_ids``, alignment once, the growth join once); lazy,
+    the optimizer additionally prunes the routing leg down to a bare
+    ``first(ticker)``-over-scan SortAggregate again. One full-bar pass
+    total, everything after it calendar-sized. NOTE: building the frame
+    therefore launches the calendar job eagerly-on-first-action (the
+    repo-wide localCheckpoint idiom).
     """
     base_col = "close_split" if use_split_base and "close_split" in bars_split.columns else "close"
     wday = Window.partitionBy("id").orderBy("event_day")
     cal = (
-        bars_split.groupBy("id", "event_day")
-        .agg(
-            F.max_by(base_col, "datetime").alias("base"),
-            F.first("ticker", ignorenulls=True).alias("ticker"),
-        )
-        .withColumn("prior_base", F.lag("base").over(wday))
+        day_calendar(bars_split.withColumn("close", F.col(base_col)))
+        .withColumnRenamed("close_eod", "base")
+        .localCheckpoint(eager=False)
     )
+    cal2 = cal.withColumn("prior_base", F.lag("base").over(wday))
     ev = _events_for_ids(cal.select("id", "ticker").distinct(), dividends, "ex_date", "amount")
     aligned = _align_forward(ev, cal.select("id", "event_day"), "ex_date", "amount")
     per_day = aligned.groupBy("id", "event_day").agg(F.sum("amount").alias("amount"))
-    t = cal.join(per_day, ["id", "event_day"], "left")
+    t = cal2.join(per_day, ["id", "event_day"], "left")
     # Reference parity (factor_builder.py:897-899): the mask is only
     # amount/prior_base non-null and prior_base > 0 — a dividend >= the
     # prior close yields g <= 0 and propagates through the cumprod, as

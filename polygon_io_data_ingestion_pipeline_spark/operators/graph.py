@@ -10,10 +10,15 @@ duplicates of any single one — which per-pair dedup never surfaces.
 Scale shape per power iteration: one keyed join of the edge list with
 the current ranks (on the source key) and one partial-agg shuffle on
 the destination — the standard distributed PageRank step. No
-driver-side graph, no per-node loops; iterations are a fixed unroll
-(K is small for centrality screening) so the lineage stays shallow and
-the whole computation remains ONE declarative plan an engine can
-re-order (and, unrolled, even a SQL audit can replicate exactly).
+driver-side graph, no per-node loops; iterations run a fixed count of
+rounds (K is small for centrality screening) with every iterate a
+later round consumes materialized via ``localCheckpoint`` — lineage
+stays shallow because each round starts from the materialized node
+table, not because the plan is one replicable SQL lineage (building
+the frame launches per-round jobs).  The VALUES are still exactly
+SQL-replicable: ranks quantize to 12 decimals per round, so a SQL
+audit unrolling the same iterations reproduces the trajectory
+bit-for-bit.
 
 Engine-exactness: every rank is quantized to 12 decimals per
 iteration and neighbor contributions sum as scaled BIGINTs, so the
@@ -66,8 +71,10 @@ def pagerank(
     reverse), so the classic simplified update is exact:
     ``r'(u) = (1-d)/N + d * sum over neighbors v of r(v)/deg(v)``.
 
-    Two modes: the default FIXED UNROLL (``iters`` rounds, shallow
-    lineage, SQL-replicable — right for centrality screening) and,
+    Two modes: the default FIXED ITERATION COUNT (``iters`` rounds,
+    each consumed iterate materialized via ``localCheckpoint`` so
+    lineage stays shallow — building the frame launches per-round jobs;
+    right for centrality screening) and,
     with ``tol=``, RUN-TO-FIXPOINT: iterate to ``max_iter`` rounds,
     stopping once the max per-node rank change falls to ``tol`` (one
     1-row probe action + a localCheckpoint per round — ranking-grade

@@ -21,9 +21,10 @@ def spread(df: DataFrame) -> DataFrame:
     file splitting then hands a whole file to one task, and the
     amplification work serializes on it (measured: the sf0.1 documents
     scan is ONE parquet row group = one task, so every downstream
-    tokenize fold ran on a single core). Hash-repartitioning the raw
-    rows is one linear shuffle of the corpus — trivial next to the work
-    it parallelizes. Skipped when the scan already has enough splits
+    tokenize fold ran on a single core). Round-robin repartitioning the
+    raw rows (``repartition(n)`` with no key — content-preserving, no
+    hash skew) is one linear shuffle of the corpus — trivial next to
+    the work it parallelizes. Skipped when the scan already has enough splits
     (the 100 TB case: thousands of input files, where this is a no-op
     by construction).
     """

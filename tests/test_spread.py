@@ -18,7 +18,7 @@ def test_spread_rebalances_a_one_split_frame(spark):
     assert df.rdd.getNumPartitions() == 1
     out = spread(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
-    # content preserved exactly (it is a hash repartition, not a sample)
+    # content preserved exactly (a round-robin repartition, not a sample)
     assert sorted(r["id"] for r in out.collect()) == list(range(1000))
 
 
