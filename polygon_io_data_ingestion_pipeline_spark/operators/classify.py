@@ -293,7 +293,18 @@ def _per_label_totals(
     d = spread(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode_outer(_toks(text_col)).alias("token")
     )
-    rows = d.crossJoin(F.broadcast(pri_dflt)).join(
+    # Aggregate to per-(doc, token) COUNTS before the ×L label fan-out
+    # (guide §2.3/§2.4): natural text repeats tokens within a document,
+    # so the count-table join probes once per DISTINCT doc-token
+    # instead of once per occurrence, and when the model is too big for
+    # AQE to broadcast (the 100 TB shuffle-join case) the corpus side
+    # of that (label, token) exchange shrinks by the same repeat
+    # factor.  Arithmetic commutes exactly: Σ_occurrences slp =
+    # Σ_distinct slp·c in integer micro-nats, so results are
+    # bit-identical.  An empty/NULL document keeps its single
+    # NULL-token row (count 1) through the groupBy.
+    dt = d.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("_c"))
+    rows = dt.crossJoin(F.broadcast(pri_dflt)).join(
         lp_tbl, ["label", "token"], "left"
     )
     # a token absent from the label's count table scored
@@ -305,8 +316,21 @@ def _per_label_totals(
         rows.withColumn("_slp", slp)
         .groupBy(id_col, "label", "prior_micro")
         .agg(
-            F.count("_slp").alias("n_tok"),
-            F.coalesce(F.sum("_slp"), F.lit(0)).alias("_lik"),
+            # token-occurrence count / likelihood sum, re-weighted by
+            # the per-(doc, token) multiplicity; NULL-token rows (empty
+            # docs) contribute 0 / NULL exactly as the row-per-
+            # occurrence form did
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("token").isNotNull(), F.col("_c")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+                F.lit(0),
+            ).alias("n_tok"),
+            F.coalesce(F.sum(F.col("_slp") * F.col("_c")), F.lit(0)).alias(
+                "_lik"
+            ),
         )
         .withColumn("tot", F.col("prior_micro") + F.col("_lik"))
     )
