@@ -355,38 +355,80 @@ def build_dividend_factors(
     )
 
 
-def _dividend_factors_for_days(
-    cal: DataFrame, split_factors: DataFrame, dividends: DataFrame, use_split_base: bool = True
+def _day_factors_fused(
+    cal: DataFrame,
+    splits: DataFrame,
+    dividends: DataFrame,
+    use_split_base: bool,
+    renormalize: bool,
 ) -> DataFrame:
-    """Dividend/TR factor math over the day calendar: returns
-    (id, event_day, tr_price_factor, base) with ``base`` the (optionally
-    split-adjusted) end-of-day close the growth factor was computed
-    against — kept so the caller can fold the batch renormalization in
-    at day level too.
+    """(id, event_day, split_price_factor, split_volume_factor,
+    tr_price_factor) over the day calendar, computed in ONE window pass.
 
-    Bit-identical to :func:`build_dividend_factors` on the full bar
-    table: ``max_by(close_split, datetime)`` there selects the same
-    end-of-day row as ``close_eod`` here, and ``close_eod * spf`` is the
-    same multiply ``close * spf`` produced per-row before aggregating.
+    Fusion rationale (guide §2.4): split factors, TR factors and the
+    batch renormalization are all per-id windows over the SAME
+    (id ordered by event_day) calendar, and the TR math consumes the
+    split math row-by-row (base = close_eod · spf) — composing them as
+    separate helpers cost one calendar exchange + sort per stage (split
+    cumprod, TR cumprod after a join back, renorm after another join),
+    ~6 calendar-sized exchanges.  Stacked as expressions over one
+    WindowSpec they share a single exchange + sort, and the two
+    event-alignment as-of passes (splits, dividends) collapse into one
+    union-typed pass against the same calendar.
+
+    Bit-identical to the old chain
+    (``_split_factors_for_days`` → ``_dividend_factors_for_days`` →
+    join → renorm window): every arithmetic step multiplies/divides the
+    same doubles in the same order; only the plan shape changes.
+    NULL bookkeeping of the fused per-day event table: ``product`` /
+    ``sum`` skip NULLs, so a dividend-only day carries ratio NULL
+    (filled 1.0 — exactly the old left-join miss) and a split-only day
+    carries amount NULL (the growth mask's ``isNotNull`` branch — same
+    as the old missing dividend row).
     """
-    if use_split_base:
-        base_expr = (
-            cal.join(
-                split_factors.select("id", "event_day", "split_price_factor"),
-                ["id", "event_day"],
-                "left",
-            )
-            .na.fill({"split_price_factor": 1.0})
-            .withColumn("base", F.col("close_eod") * F.col("split_price_factor"))
-        )
-    else:
-        base_expr = cal.withColumn("base", F.col("close_eod"))
-    wday = Window.partitionBy("id").orderBy("event_day")
-    cal2 = base_expr.withColumn("prior_base", F.lag("base").over(wday))
-    ev = _events_for_ids(cal.select("id", "ticker").distinct(), dividends, "ex_date", "amount")
-    aligned = _align_forward(ev, cal.select("id", "event_day"), "ex_date", "amount")
-    per_day = aligned.groupBy("id", "event_day").agg(F.sum("amount").alias("amount"))
-    t = cal2.join(per_day, ["id", "event_day"], "left")
+    days = cal.select("id", "event_day")
+    ids = cal.select("id", "ticker").distinct()
+    ev_s = _events_for_ids(ids, splits, "execution_date", "ratio").select(
+        "id",
+        F.col("execution_date").alias("anchor"),
+        "ratio",
+        F.lit(None).cast("double").alias("amount"),
+    )
+    ev_d = _events_for_ids(ids, dividends, "ex_date", "amount").select(
+        "id",
+        F.col("ex_date").alias("anchor"),
+        F.lit(None).cast("double").alias("ratio"),
+        "amount",
+    )
+    aligned = asof_join(
+        ev_s.unionByName(ev_d),
+        days.select("id", F.col("event_day").alias("anchor")),
+        on="anchor",
+        by="id",
+        direction="forward",
+        allow_exact_matches=True,
+        right_prefix="day_",
+        how="inner",
+    ).select("id", F.col("day_anchor").alias("event_day"), "ratio", "amount")
+    per_day = aligned.groupBy("id", "event_day").agg(
+        F.product("ratio").alias("ratio"), F.sum("amount").alias("amount")
+    )
+    e = (
+        cal.select("id", "event_day", "close_eod")
+        .join(per_day, ["id", "event_day"], "left")
+        .na.fill({"ratio": 1.0})
+    )
+    w = Window.partitionBy("id").orderBy("event_day")
+    e = e.withColumn("_F", cumprod(F.col("ratio"), w))
+    e = e.withColumn("split_price_factor", normalize_to_last(F.col("_F"), w))
+    base = (
+        F.col("close_eod") * F.col("split_price_factor")
+        if use_split_base
+        else F.col("close_eod")
+    )
+    e = e.withColumn("base", base).withColumn(
+        "prior_base", F.lag("base").over(w)
+    )
     # Same mask as the reference (factor_builder.py:897-899): g <= 0
     # from an oversized dividend propagates through the F.product cumprod.
     g = F.when(
@@ -395,12 +437,31 @@ def _dividend_factors_for_days(
         & (F.col("prior_base") > 0),
         (F.col("prior_base") - F.col("amount")) / F.col("prior_base"),
     ).otherwise(F.lit(1.0))
-    t = t.withColumn("G", cumprod(g, wday))
-    return t.select(
+    e = e.withColumn("_G", cumprod(g, w))
+    e = e.withColumn("tr_price_factor", normalize_to_last(F.col("_G"), w))
+    if renormalize:
+        # Batch re-anchor at day level (factor_builder.py:440-455):
+        # the last bar by datetime IS the last day's end-of-day row,
+        # so last(close_tr)/last(base) over the bars equals
+        # last(base * trf)/last(base) over the calendar.
+        wall = w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        renorm = F.last(F.col("base") * F.col("tr_price_factor")).over(
+            wall
+        ) / F.last("base").over(wall)
+        renorm = F.when(renorm.isNull() | (renorm == 0), F.lit(1.0)).otherwise(
+            renorm
+        )
+        e = e.withColumn(
+            "tr_price_factor", F.col("tr_price_factor") / renorm
+        )
+    return e.select(
         "id",
         "event_day",
-        normalize_to_last(F.col("G"), wday).alias("tr_price_factor"),
-        "base",
+        "split_price_factor",
+        (F.lit(1.0) / F.col("split_price_factor")).alias("split_volume_factor"),
+        "tr_price_factor",
     )
 
 
@@ -499,7 +560,12 @@ def adjust_bars(
     effective-factor table (AQE broadcasts it when it fits); the naive
     formulation (factor joins and datetime windows over the bars, which
     the reference's per-group workers imply) costs ~6 full-table
-    shuffles instead.
+    shuffles instead.  The day-level factor math itself is FUSED into
+    one window pass over the calendar (split cumprod, TR cumprod and
+    the batch renormalization stack over a single id-keyed
+    exchange+sort, and both event types align in one as-of pass — see
+    :func:`_day_factors_fused`); round 13 measured the unfused chain
+    stage-latency-bound at 44 stages.
 
     Results are bit-identical to chaining the public single-step
     operators (build/apply split -> build/apply dividend ->
@@ -532,28 +598,15 @@ def adjust_bars(
     cal = day_calendar(px)
     if persist_intermediates:
         cal = cal.persist()
-    sfac = _split_factors_for_days(
-        cal.select("id", "event_day"), cal.select("id", "ticker").distinct(), prep_splits(splits)
-    )
-    eff = sfac
     if dividends is not None:
-        gfac = _dividend_factors_for_days(cal, sfac, prep_dividends(dividends), use_split_base)
-        eff = sfac.join(gfac, ["id", "event_day"])
-        if renormalize:
-            # Batch re-anchor at day level (factor_builder.py:440-455):
-            # the last bar by datetime IS the last day's end-of-day row,
-            # so last(close_tr)/last(base) over the bars equals
-            # last(base * trf)/last(base) over the calendar.
-            wall = Window.partitionBy("id").orderBy("event_day").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-            renorm = F.last(F.col("base") * F.col("tr_price_factor")).over(wall) / F.last(
-                "base"
-            ).over(wall)
-            renorm = F.when(renorm.isNull() | (renorm == 0), F.lit(1.0)).otherwise(renorm)
-            eff = eff.withColumn("tr_price_factor", F.col("tr_price_factor") / renorm)
-        eff = eff.select(
-            "id", "event_day", "split_price_factor", "split_volume_factor", "tr_price_factor"
+        eff = _day_factors_fused(
+            cal, prep_splits(splits), prep_dividends(dividends), use_split_base, renormalize
+        )
+    else:
+        eff = _split_factors_for_days(
+            cal.select("id", "event_day"),
+            cal.select("id", "ticker").distinct(),
+            prep_splits(splits),
         )
 
     out = px.join(eff, ["id", "event_day"], "left").na.fill(
