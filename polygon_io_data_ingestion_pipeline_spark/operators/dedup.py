@@ -308,7 +308,14 @@ def jaccard_pairs(
     sh = shingle_set(
         df, text_col, id_col, n, tokenizer, char_n, normalize_form
     ).localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # sizes feeds BOTH sides of the finalize join (n1, n2); lazily
+    # materialize the doc-sized table so the posting pass behind it
+    # runs once, not once per consumer (lazy = no job at plan build).
+    sizes = (
+        sh.groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
 
     if strategy == "direct":
         sh_idx = sh
@@ -331,14 +338,29 @@ def jaccard_pairs(
     elif strategy == "prefix":
         from pyspark.sql import Window
 
+        # AllPairs ranking, round-14 shape: (a) the per-doc size n_sh is
+        # a count window on the SAME id exchange the rank window already
+        # pays (was: a separate sizes aggregate + join-back — identical
+        # values, every posting row matched its size row by
+        # construction); (b) the surviving PREFIX rows (small: each doc
+        # keeps |d|-ceil(t|d|)+1 shingles) are materialized ONCE —
+        # without that the ENTIRE ranking lineage (both shuffles
+        # included) re-executes for each side of the candidate
+        # self-join (verified in the round-14 before-plan: two complete
+        # Window+Exchange subtrees, no reuse).  The per-shingle df
+        # DELIBERATELY stays a groupBy + join rather than a count
+        # window on the shingle key: the aggregate partial-combines
+        # map-side and its join gets AQE skew handling, while a window
+        # partition on a hot shingle would serialize one task with no
+        # skew split (guide §2.5 — AQE splits joins only).
         tok_df = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
+        w_id = Window.partitionBy(id_col)
         ranked = (
             sh.join(tok_df, "shingle")
+            .withColumn("n_sh", F.count(F.lit(1)).over(w_id))
             .withColumn(
-                "rnk",
-                F.row_number().over(Window.partitionBy(id_col).orderBy("df_", "shingle")),
+                "rnk", F.row_number().over(w_id.orderBy("df_", "shingle"))
             )
-            .join(sizes, id_col)
             .filter(
                 # fp-guard the ceil: IEEE noise can inflate t*n past the
                 # exact integer (0.07*100 -> 7.000000000000001 -> ceil 8),
@@ -352,8 +374,9 @@ def jaccard_pairs(
         )
         if max_docs_per_shingle is not None:
             ranked = ranked.filter(F.col("df_") <= max_docs_per_shingle)
-        pa = ranked.select(F.col(id_col).alias("id1"), "shingle")
-        pb = ranked.select(F.col(id_col).alias("id2"), "shingle")
+        prefix = ranked.select(id_col, "shingle").localCheckpoint()
+        pa = prefix.select(F.col(id_col).alias("id1"), "shingle")
+        pb = prefix.select(F.col(id_col).alias("id2"), "shingle")
         cand = (
             pa.join(pb, "shingle")
             .filter(F.col("id1") < F.col("id2"))
@@ -542,7 +565,12 @@ def lsh_verified_pairs(
     sh = shingle_set(
         df, text_col, id_col, n, tokenizer, char_n, normalize_form
     ).localCheckpoint()
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    # doc-sized, two finalize consumers — materialize once, lazily
+    sizes = (
+        sh.groupBy(id_col)
+        .agg(F.count("*").alias("n_sh"))
+        .localCheckpoint(eager=False)
+    )
     mh = minhash_signatures(df, text_col, id_col, n, k, shingles_df=sh)
     bands = _sig_band_keys(mh, id_col, k, rows_per_band).localCheckpoint()
     cand = _band_candidate_pairs(bands, id_col)
