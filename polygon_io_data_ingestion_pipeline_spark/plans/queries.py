@@ -1406,7 +1406,13 @@ FROM s ORDER BY cos DESC, vec_id LIMIT 10
     bench=True,
     doc="IVF-flat ANN top-k against a MATERIALIZED index "
     "(write_ivf_index: corpus partitioned by list_id, built once per "
-    "corpus and cached): the probe set is ranked driver-side so the "
+    "corpus and cached — so the BENCH LINE times PROBE latency only, "
+    "like a served ANN index; build cost is the declared preprocessing "
+    "step and the index survives across runs keyed on the corpus "
+    "files' signature, rebuilding when the corpus changes — "
+    "tests/test_ivf_rebuild_signature.py pins both; the un-indexed "
+    "full-scan timing is the sibling emb_cosine_topk): the probe set "
+    "is ranked driver-side so the "
     "list_id IN (...) predicate partition-prunes — the query reads "
     "nprobe/nlist of the corpus bytes (PartitionFilters asserted in "
     "tests/test_ivf.py). Result is identical to the single-plan "
