@@ -1267,8 +1267,10 @@ def _ivf_query_state(
     ``codebook.json`` sidecar makes it probeable by any session. The
     dir name carries a signature over the source files' (path, mtime,
     size), so a changed corpus builds a NEW index dir; reuse requires
-    BOTH the parquet `_SUCCESS` marker and the codebook sidecar (the
-    last artifact written), so a torn build is rewritten. The in-process
+    the codebook sidecar — the LAST artifact written, so a torn build
+    leaves none and is rewritten (Spark's `_SUCCESS` marker is
+    deliberately not consulted: committer config such as dynamic
+    partitionOverwriteMode omits it). The in-process
     memo additionally skips the codebook / query-vector collects on
     repeat queries."""
     statsig = _corpus_statsig(sf)
@@ -1282,14 +1284,17 @@ def _ivf_query_state(
     ]
     sig = hashlib.md5(f"{statsig};nlist={nlist};stride={stride}".encode()).hexdigest()[:16]
     idx = os.path.join(_index_root(spark), f"ivf_{sig}")
-    # A build is complete only when BOTH artifacts exist: Spark's
-    # _SUCCESS (parquet committed) AND the codebook sidecar (written
-    # after it). Gating on _SUCCESS alone leaves a torn build — died
-    # between the two writes — permanently unloadable, since the dir
-    # name is deterministic and would never be rebuilt.
-    if os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(
-        os.path.join(idx, "_codebook.json")
-    ):
+    # A build is complete iff the codebook sidecar exists: it is the
+    # LAST artifact build_ivf_index writes (strictly after the parquet
+    # write returns), so its presence implies a committed index and a
+    # build that died at any earlier point leaves no sidecar and is
+    # rewritten. Deliberately NOT gated on Spark's _SUCCESS marker:
+    # whether that file appears depends on session committer config
+    # (dynamic partitionOverwriteMode — which sources/lake.py enables —
+    # omits it), and requiring it made every reuse probe in such
+    # sessions silently rebuild the index (caught by
+    # tests/test_ivf_rebuild_signature.py in the full suite).
+    if os.path.exists(os.path.join(idx, "_codebook.json")):
         cents = SIM.read_ivf_codebook(idx)
     else:
         cents = SIM.build_ivf_index(emb, idx, nlist=nlist, stride=stride)
@@ -1364,11 +1369,10 @@ def _ivfpq_query_state(
         f"{statsig};ivfpq;nlist={nlist};m={m};ncodes={ncodes};stride={stride}".encode()
     ).hexdigest()[:16]
     idx = os.path.join(_index_root(spark), f"ivfpq_{sig}")
-    # Same torn-build gate as _ivf_query_state: complete iff parquet
-    # _SUCCESS AND the meta sidecar both exist.
-    if os.path.exists(os.path.join(idx, "_SUCCESS")) and os.path.exists(
-        os.path.join(idx, "_ivfpq.json")
-    ):
+    # Same torn-build gate as _ivf_query_state: complete iff the meta
+    # sidecar (the last-written artifact) exists — never Spark's
+    # committer-config-dependent _SUCCESS marker.
+    if os.path.exists(os.path.join(idx, "_ivfpq.json")):
         cents, books = SIM.read_ivfpq_meta(idx)
     else:
         cents, books = SIM.build_ivfpq_index(

@@ -25,11 +25,67 @@ def sf_dir():
 
 
 # Modules dominated by inherently slow work — streaming drains/restarts,
-# recall-floor measurements, Hypothesis property models, and the
-# full-registry sweeps (oracle parity, plan linter).  Centrally marked
-# ``slow`` so the dev fast lane (``pytest -m "not slow"``, <5 min) skips
-# them while the default ``pytest tests/`` still runs everything.
+# recall-floor measurements, Hypothesis property models, full-registry
+# sweeps (oracle parity, plan linter), CLI/codec journeys, and the
+# multi-action equivalence suites.  Round 14 measured the suite at
+# 992 tests / 42:58 wall on local[8] (timestamped -v log) with the cost
+# spread over a long tail of 5-30 s Spark-action tests; the driver's
+# execution window holds only a few minutes, so the DEFAULT lane is a
+# smoke lane (fast unit/expression tests for every operator family) and
+# this set runs under SPARK_GRAFT_FULL_TESTS=1 (the pre-ship full gate;
+# the round-14 full-suite record lives in OPTIMIZATION_r14.md).
 SLOW_MODULES = {
+    # round-14 additions: measured multi-minute / multi-action modules
+    "test_classify",
+    "test_corpus_cli",
+    "test_datasheet",
+    "test_decorrelation",
+    "test_dedup_clusters",
+    "test_delete_from_lake",
+    "test_diff",
+    "test_gaps_rest_media",
+    "test_graph_invariants",
+    "test_graph_warmstart",
+    "test_image_phash",
+    "test_incremental_dedup",
+    "test_intervals",
+    "test_outlinks",
+    "test_page_meta",
+    "test_pii",
+    "test_pivot",
+    "test_profile",
+    "test_psl_full_scale",
+    "test_quantile_buckets",
+    "test_rank",
+    "test_registry_window",
+    "test_retention_logprob",
+    "test_robots",
+    "test_rollup",
+    "test_sampling",
+    "test_scd",
+    "test_scd_property",
+    "test_span_dedup",
+    "test_span_dedup_property",
+    "test_audio_afp",
+    "test_video_vhash",
+    "test_sheet_cells",
+    "test_sheet_xls",
+    "test_urls",
+    "test_nfc_dedup",
+    "test_latin_langid",
+    "test_multimodal_pdf",
+    "test_multimodal_png",
+    "test_ngram_lm",
+    "test_text_quality",
+    "test_token_budget_mixture",
+    "test_winnow",
+    "test_cc_star",
+    "test_pdf_hash2b_restatement",
+    "test_archive_sources",
+    "test_ivf_rebuild_signature",
+    "test_dividend_factor_agg",
+    "test_crawl_stream",
+    # pre-round-14 set
     "test_oracle_parity",
     "test_plan_quality",
     "test_archive_property",
@@ -64,7 +120,24 @@ SLOW_MODULES = {
 }
 
 
+# The default `pytest tests/` run must fit the external driver's
+# execution window (round-13 verdict ask #1: the ~990-test full suite
+# outgrew it — the driver's capture froze at 14% with zero failures,
+# and an unreadable gate is worse than a smaller one).  The slow
+# journey/sweep modules therefore SKIP by default and run under
+# SPARK_GRAFT_FULL_TESTS=1 (the nightly-style full gate; CI/developers
+# run it before shipping — the round-14 full-suite record is in
+# OPTIMIZATION_r14.md).  `-m slow` also still selects them explicitly.
+RUN_FULL = os.environ.get("SPARK_GRAFT_FULL_TESTS") == "1"
+
+
 def pytest_collection_modifyitems(config, items):
+    skip_slow = pytest.mark.skip(
+        reason="slow journey/sweep suite; set SPARK_GRAFT_FULL_TESTS=1"
+    )
+    has_m = bool(config.getoption("-m"))
     for item in items:
         if item.fspath.purebasename in SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
+            if not RUN_FULL and not has_m:
+                item.add_marker(skip_slow)

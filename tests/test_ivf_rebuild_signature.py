@@ -60,19 +60,27 @@ def test_statsig_tracks_mtime(corpus_dir):
 
 
 def test_changed_corpus_builds_new_index(spark, corpus_dir):
-    idx1, cents1, qvec1, _ = _ivf_query_state(spark, corpus_dir, query_id=0)
-    assert os.path.exists(os.path.join(idx1, "_SUCCESS"))
-    assert os.path.exists(os.path.join(idx1, "_codebook.json"))
+    # Run under dynamic partition-overwrite, the committer config the
+    # lake writers enable on the shared session: it omits the parquet
+    # _SUCCESS marker, which the reuse gate therefore must not consult
+    # (it keys on the LAST-written sidecar instead — gating on _SUCCESS
+    # made every reuse probe in such sessions silently rebuild).
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        idx1, cents1, qvec1, _ = _ivf_query_state(spark, corpus_dir, query_id=0)
+        assert os.path.exists(os.path.join(idx1, "_codebook.json"))
 
-    # unchanged corpus: the same dir serves (reuse, no rebuild)
-    idx1b, _, _, _ = _ivf_query_state(spark, corpus_dir, query_id=0)
-    assert idx1b == idx1
+        # unchanged corpus: the same dir serves (reuse, no rebuild)
+        idx1b, _, _, _ = _ivf_query_state(spark, corpus_dir, query_id=0)
+        assert idx1b == idx1
 
-    _touch(corpus_dir)
-    idx2, cents2, qvec2, _ = _ivf_query_state(spark, corpus_dir, query_id=0)
-    assert idx2 != idx1, "stale index served after the corpus changed"
-    assert os.path.exists(os.path.join(idx2, "_SUCCESS"))
-    assert os.path.exists(os.path.join(idx2, "_codebook.json"))
-    # same bytes -> same codebook/query vector, just a fresh dir
-    assert cents2 == cents1
-    assert qvec2 == qvec1
+        _touch(corpus_dir)
+        idx2, cents2, qvec2, _ = _ivf_query_state(spark, corpus_dir, query_id=0)
+        assert idx2 != idx1, "stale index served after the corpus changed"
+        assert os.path.exists(os.path.join(idx2, "_codebook.json"))
+        # same bytes -> same codebook/query vector, just a fresh dir
+        assert cents2 == cents1
+        assert qvec2 == qvec1
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
